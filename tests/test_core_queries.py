@@ -1,0 +1,21 @@
+"""Oracle-parity tests for every catalog query with an oracle."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyprima_spark.plans.oracles import ORACLES
+from pyprima_spark.plans.queries import QUERIES
+from tests.oracle_utils import assert_matches_oracle
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES.keys()))
+def test_query_matches_oracle(spark, sf_dir, name):
+    assert name in QUERIES, f"oracle {name} has no Spark query"
+    df = QUERIES[name](spark, sf_dir)
+    assert_matches_oracle(df, ORACLES[name], sf_dir)
+
+
+def test_every_query_has_rows(spark, sf_dir):
+    for name, fn in QUERIES.items():
+        assert fn(spark, sf_dir).count() >= 0, name
