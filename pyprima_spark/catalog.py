@@ -34,14 +34,30 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one table; normalizes nano-timestamp columns to TimestampType.
+
+    ``events.parquet`` stores TIMESTAMP(NANOS), which Spark reads as long
+    nanos under ``spark.sql.legacy.parquet.nanosAsLong``. Convert with
+    exact integer division (``div``) — float division could land one
+    microsecond off at epoch-nano magnitudes.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load every test table lazily and register temp views."""
     out: dict[str, DataFrame] = {}
     for name in TABLES:
-        path = table_path(sf_dir, name)
-        if not os.path.exists(path):
+        if not os.path.exists(table_path(sf_dir, name)):
             continue
-        df = spark.read.parquet(path)
+        df = load_table(spark, sf_dir, name)
         df.createOrReplaceTempView(name)
         out[name] = df
     return out

@@ -1,0 +1,27 @@
+"""Shared literal dictionaries used by both the Spark plans and the
+DuckDB oracles — the analogue of the reference's assumption/dictionary
+CSVs (dict_countries, dict_sectors, dict_line_voltage, ...).
+
+Keeping them in one module guarantees the two sides agree.
+"""
+
+from __future__ import annotations
+
+# country-merge recode, analogue of dict_countries (clean_load_data_ENTSOE)
+NATION_RECODE: dict[str, str] = {f"NATION_{i}": f"CTRY_{i % 7}" for i in range(25)}
+
+# size classes, analogue of dict_line_voltage range mapping
+SIZE_BINS: dict[float, str] = {10: "small", 25: "medium", 40: "large"}
+SIZE_DEFAULT = "xl"
+
+# transmission length classes (assumptions_transmission length_limit_km)
+LENGTH_BINS: dict[float, str] = {500: "short", 2000: "medium"}
+LENGTH_DEFAULT = "long"
+
+# transmission cost assumptions (assumptions_transmission.csv analogue)
+EFF_PER_1000KM = 0.95
+INV_COST_LENGTH = 100.0
+INV_COST_FIX = 5000.0
+
+# cohort width in years (param["process"]["cohorts"])
+COHORT_WIDTH = 5

@@ -21,9 +21,9 @@ from pyprima_spark.catalog import load_tables
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    import os
+    from pyprima_spark.catalog import load_table
 
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    return load_table(spark, sf_dir, name)
 
 
 # ---------------------------------------------------------------------------
@@ -114,6 +114,347 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Cleaning / correction operators (SURVEY §2 #4-15)
+# ---------------------------------------------------------------------------
+
+
+def recode_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dict-recode nation names into merged countries, regroup.
+
+    Reference: clean_load_data_ENTSOE renames ENTSO-E country codes via
+    dict_countries then groups columns with the same new name
+    (correction_functions.py:298-313). Broadcast map join, no fact-side
+    shuffle until the final group.
+    """
+    from pyprima_spark.operators.recode import recode_column
+    from pyprima_spark.plans.constants import NATION_RECODE
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    recoded = recode_column(spark, nation, "n_name", NATION_RECODE, "country")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(recoded), cust.c_nationkey == recoded.n_nationkey)
+        .groupBy("country")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("country")
+    )
+
+
+def shares_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group share-of-total normalization.
+
+    Reference: sector shares normalized by country total
+    (correction_functions.py:370-378). Window sum over the group key.
+    """
+    from pyprima_spark.operators.normalize import group_share
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    grouped = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.sum("o_totalprice").alias("__val"))
+    )
+    return group_share(grouped, ["c_mktsegment"], "__val", "share").select(
+        "c_mktsegment", "o_orderpriority", "share"
+    )
+
+
+PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+def pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long→wide pivot of revenue per (segment, priority).
+
+    Reference: sector shares pivoted Country×Sector
+    (correction_functions.py:381). Explicit pivot values keep the plan
+    single-pass (no value-discovery job).
+    """
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    piv = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .pivot("o_orderpriority", PRIORITIES)
+        .agg(F.sum("o_totalprice"))
+    )
+    cols = [F.col("c_mktsegment")]
+    for p in PRIORITIES:
+        alias = "prio_" + p.split("-")[0]
+        cols.append(F.round(F.coalesce(F.col(f"`{p}`"), F.lit(0.0)), 2).alias(alias))
+    return piv.select(*cols).orderBy("c_mktsegment")
+
+
+def unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (melt) of lineitem measures, then aggregate.
+
+    Reference: evrys suplm stacks the wide TS matrix into
+    (t, sit, co, value) rows (generate_models.py:349-368).
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ["l_returnflag"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "metric",
+        "val",
+    )
+    return (
+        long.groupBy("l_returnflag", "metric")
+        .agg(F.round(F.sum("val"), 2).alias("total"))
+        .orderBy("l_returnflag", "metric")
+    )
+
+
+def expand_multivalue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split multi-token cells and explode one row per token.
+
+    Reference: expand_dataframe on GridKit voltage/wires/cables cells
+    (util.py:158-203). split+explode is a narrow op — no shuffle.
+    """
+    from pyprima_spark.operators.expand import expand_multivalue as expand
+
+    part = _t(spark, sf_dir, "part")
+    words = expand(part, "p_name", " ", "word")
+    return (
+        words.groupBy("word")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.avg("p_size"), 4).alias("avg_size"),
+        )
+        .orderBy("word")
+    )
+
+
+def dedup_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumcount-suffix name dedup (first occurrence unsuffixed).
+
+    Reference: correction_functions.py:474.
+    """
+    from pyprima_spark.operators.dedup_names import dedup_names as dd
+
+    part = _t(spark, sf_dir, "part")
+    return dd(part, "p_brand", "p_partkey").select(
+        "p_partkey", "p_brand", "name_dedup"
+    )
+
+
+def interval_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classify a continuous column into labelled ranges.
+
+    Reference: assign_values_based_on_series (util.py:228-252) mapping
+    voltage/length to discrete classes. Chained CASE, fully codegen'd.
+    """
+    from pyprima_spark.functions.binning import interval_bin
+    from pyprima_spark.plans.constants import SIZE_BINS, SIZE_DEFAULT
+
+    part = _t(spark, sf_dir, "part")
+    return (
+        part.withColumn(
+            "size_class", interval_bin(F.col("p_size"), SIZE_BINS, SIZE_DEFAULT)
+        )
+        .groupBy("size_class")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+        )
+        .orderBy("size_class")
+    )
+
+
+def mode_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill missing values with the per-column mode.
+
+    Reference: GridKit fills NaN voltage/wires/cables/frequency with
+    value_counts().index[0] (correction_functions.py:617-623). Rows with
+    event_type='error' play the role of missing entries.
+    """
+    from pyprima_spark.operators.impute import mode_impute as mi
+
+    ev = _t(spark, sf_dir, "events")
+    k = F.regexp_extract("props", r"(\d+)", 1).cast("int")
+    ev = ev.withColumn("__k", k)
+    missing = F.col("event_type") == "error"
+    filled = mi(ev, F.col("__k"), missing, "k_filled")
+    return (
+        filled.groupBy("k_filled")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("k_filled")
+    )
+
+
+def ffill_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill nulls in an ordered sequence per key.
+
+    Reference: IRENA summary forward-fills country/technology from the
+    previous row (correction_functions.py:704-708). Orders with status
+    'P' play the role of missing entries.
+    """
+    from pyprima_spark.operators.gapfill import forward_fill
+
+    orders = _t(spark, sf_dir, "orders")
+    withnull = orders.withColumn(
+        "__prio",
+        F.when(F.col("o_orderstatus") == "P", F.lit(None)).otherwise(
+            F.col("o_orderpriority")
+        ),
+    )
+    filled = forward_fill(
+        withnull, "__prio", ["o_custkey"], ["o_orderdate", "o_orderkey"], "filled_priority"
+    )
+    return filled.select(
+        "o_orderkey",
+        "o_custkey",
+        F.coalesce("filled_priority", F.lit("NONE")).alias("filled_priority"),
+    )
+
+
+def gap_fill_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trend-adjusted previous-day gap fill on a dense hourly grid.
+
+    Reference: ENTSO-E load fills zero hours from the previous day,
+    scaled by the last-5-hour trend (correction_functions.py:315-318).
+    The dense grid (hour × series) is built with sequence+explode; the
+    fill is three window frames per series — state bounded per key.
+    """
+    from pyprima_spark.operators.gapfill import trend_fill_day_before
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "h", F.date_trunc("hour", F.col("ts"))
+    )
+    bounds = ev.agg(F.min("h").alias("hmin"), F.max("h").alias("hmax"))
+    hours = bounds.select(
+        F.explode(F.expr("sequence(hmin, hmax, interval 1 hour)")).alias("h")
+    )
+    types = ev.select("event_type").distinct()
+    sums = ev.groupBy("h", "event_type").agg(F.round(F.sum("value"), 2).alias("v"))
+    dense = (
+        hours.crossJoin(F.broadcast(types))
+        .join(sums, ["h", "event_type"], "left")
+        .withColumn("v", F.coalesce(F.col("v"), F.lit(0.0)))
+    )
+    filled = trend_fill_day_before(dense, "v", ["event_type"], "h")
+    return filled.select(
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("h"),
+        "event_type",
+        "filled",
+    )
+
+
+def clean_names_ascii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strip non-ASCII chars and truncate to 63 — clean_names
+    (correction_functions.py:809-822) over document text.
+    """
+    from pyprima_spark.functions.strings import clean_name
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        clean_name(F.col("text")).alias("name_clean"),
+        F.length(clean_name(F.col("text"))).alias("n_ascii"),
+    )
+
+
+def flh_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot indicator rows to columns and compute their ratio (FLH).
+
+    Reference: IRENA 'Electricity capacity' / 'Electricity generation'
+    indicators pivoted per (country, technology), FLH = gen / cap
+    (correction_functions.py:717-743). Conditional aggregation — one
+    pass, no join of the table with itself.
+    """
+    ev = _t(spark, sf_dir, "events")
+    cap = F.sum(F.when(F.col("event_type") == "purchase", F.col("value")))
+    gen = F.count(F.when(F.col("event_type") == "view", F.lit(1)))
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.round(F.coalesce(cap, F.lit(0.0)), 2).alias("purchase_value"),
+            gen.alias("view_count"),
+        )
+        .withColumn(
+            "flh",
+            F.when(F.col("purchase_value") == 0, F.lit(0.0)).otherwise(
+                F.round(F.col("view_count") / F.col("purchase_value"), 4)
+            ),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Intermediate-generation operators (SURVEY §2 #16-18)
+# ---------------------------------------------------------------------------
+
+
+def calendar_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Enrich dates with season + daytype dictionaries, aggregate.
+
+    Reference: dict_season / dict_daytype enrichment of the 365-day
+    frame (correction_functions.py:29-32).
+    """
+    from pyprima_spark.functions.calendar import daytype, season
+
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.withColumn("season", season(F.col("o_orderdate")))
+        .withColumn("daytype", daytype(F.col("o_orderdate")))
+        .groupBy("season", "daytype")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("season", "daytype")
+    )
+
+
+def profile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalize each series so its values sum to 1 per entity.
+
+    Reference: load profiles normalized to integral 1
+    (correction_functions.py:46-47), per sector. Here per user.
+    """
+    from pyprima_spark.operators.normalize import group_share
+
+    ev = _t(spark, sf_dir, "events")
+    return group_share(ev, ["user_id"], "value", "share").select(
+        "event_id", "user_id", "share"
+    )
+
+
+def resample_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """15-min → hourly-style resample: truncate + aggregate.
+
+    Reference: correction_functions.py:133-139 (commercial profile
+    15-min → hourly groupby).
+    """
+    from pyprima_spark.operators.resample import resample
+
+    ev = _t(spark, sf_dir, "events")
+    out = resample(
+        ev,
+        "ts",
+        "hour",
+        ["event_type"],
+        [
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total"),
+        ],
+        bucket_col="h",
+    )
+    return out.select(
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("h"),
+        "event_type",
+        "n",
+        "total",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -121,4 +462,19 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier": q5_local_supplier,
+    "recode_group": recode_group,
+    "shares_normalize": shares_normalize,
+    "pivot_wide": pivot_wide,
+    "unpivot_long": unpivot_long,
+    "expand_multivalue": expand_multivalue,
+    "dedup_names": dedup_names,
+    "interval_binning": interval_binning,
+    "mode_impute": mode_impute,
+    "ffill_impute": ffill_impute,
+    "gap_fill_trend": gap_fill_trend,
+    "clean_names_ascii": clean_names_ascii,
+    "flh_pivot": flh_pivot,
+    "calendar_enrich": calendar_enrich,
+    "profile_normalize": profile_normalize,
+    "resample_hourly": resample_hourly,
 }
