@@ -31,7 +31,8 @@ def disaggregate(
 ) -> DataFrame:
     """Allocate ``totals[total_col]`` to members by weight share."""
     w = Window.partitionBy(*[members[c] for c in group_cols])
-    share = weight / F.sum(weight).over(w)
+    wsum = F.sum(weight).over(w)
+    share = F.when(wsum == 0, F.lit(0.0)).otherwise(weight / wsum)
     alloc = members.withColumn("__share", share)
     return alloc.join(totals, on=list(group_cols), how="inner").withColumn(
         out_col, F.col("__share") * F.col(total_col)

@@ -248,6 +248,143 @@ FROM events
 GROUP BY 1, 2 ORDER BY 1, 2
 """
 
+ORACLES["weighted_disaggregate"] = """
+WITH totals AS (
+  SELECT c_nationkey, sum(o_totalprice) AS nation_total
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1
+),
+alloc AS (
+  SELECT
+    c.c_mktsegment,
+    CASE WHEN sum(abs(c.c_acctbal)) OVER (PARTITION BY c.c_nationkey) = 0
+         THEN 0
+         ELSE abs(c.c_acctbal)
+              / sum(abs(c.c_acctbal)) OVER (PARTITION BY c.c_nationkey)
+    END * t.nation_total AS allocated
+  FROM customer c JOIN totals t ON c.c_nationkey = t.c_nationkey
+)
+SELECT c_mktsegment, round(sum(allocated), 2) AS alloc_revenue
+FROM alloc GROUP BY 1 ORDER BY 1
+"""
+
+_EDGE_AGG_CTE = """
+pairs AS (
+  SELECT
+    least(c_nationkey, s_nationkey)    AS edge_a,
+    greatest(c_nationkey, s_nationkey) AS edge_b,
+    l_extendedprice * (1 - l_discount) AS rev
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  WHERE c_nationkey <> s_nationkey
+),
+edges AS (
+  SELECT edge_a, edge_b, count(*) AS n_lines, round(sum(rev), 2) AS cap
+  FROM pairs GROUP BY 1, 2
+)
+"""
+
+ORACLES["canonical_edges"] = f"""
+WITH {_EDGE_AGG_CTE}
+SELECT edge_a, edge_b, n_lines, cap FROM edges ORDER BY edge_a, edge_b
+"""
+
+ORACLES["neighbor_expansion"] = f"""
+WITH {_EDGE_AGG_CTE},
+nbrs AS (
+  SELECT r_name, n1.n_nationkey AS edge_a, n2.n_nationkey AS edge_b
+  FROM nation n1
+  JOIN nation n2 ON n1.n_regionkey = n2.n_regionkey
+                AND n1.n_nationkey < n2.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey
+)
+SELECT r_name, edge_a, edge_b, coalesce(cap, 0) AS cap
+FROM nbrs LEFT JOIN edges USING (edge_a, edge_b)
+ORDER BY r_name, edge_a, edge_b
+"""
+
+from pyprima_spark.functions.geo import (
+    SYNTH_LAT_SQL,
+    SYNTH_LON_SQL,
+    haversine_km_sql,
+)
+from pyprima_spark.plans.constants import (
+    COHORT_WIDTH,
+    EFF_PER_1000KM,
+    INV_COST_FIX,
+    INV_COST_LENGTH,
+    LENGTH_BINS,
+    LENGTH_DEFAULT,
+)
+
+_HAVERSINE = haversine_km_sql(
+    SYNTH_LAT_SQL.format(k="edge_a"),
+    SYNTH_LON_SQL.format(k="edge_a"),
+    SYNTH_LAT_SQL.format(k="edge_b"),
+    SYNTH_LON_SQL.format(k="edge_b"),
+)
+
+ORACLES["transmission_attrs"] = f"""
+WITH {_EDGE_AGG_CTE},
+with_len AS (
+  SELECT edge_a, edge_b, round({_HAVERSINE}, 2) AS length_km FROM edges
+)
+SELECT
+  edge_a,
+  edge_b,
+  length_km,
+  {interval_bin_sql('length_km', LENGTH_BINS, LENGTH_DEFAULT)} AS length_class,
+  round(pow({EFF_PER_1000KM}, length_km / 1000), 6) AS eff,
+  round({INV_COST_LENGTH} * length_km + {INV_COST_FIX}, 2) AS inv_cost
+FROM with_len ORDER BY edge_a, edge_b
+"""
+
+ORACLES["cohort_rollup"] = f"""
+SELECT
+  cast(floor(year(o_orderdate) / {COHORT_WIDTH}) * {COHORT_WIDTH} AS int) AS cohort,
+  o_orderstatus,
+  count(*) AS n_orders,
+  round(sum(o_totalprice), 2) AS revenue
+FROM orders GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+ORACLES["expansion_grid"] = """
+WITH existing AS (
+  SELECT n_name, o_orderpriority, round(sum(o_totalprice), 2) AS inst_cap
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  GROUP BY 1, 2
+),
+grid AS (
+  SELECT n_name, o_orderpriority
+  FROM (SELECT n_name FROM nation)
+  CROSS JOIN (SELECT DISTINCT o_orderpriority FROM orders)
+)
+SELECT g.n_name, g.o_orderpriority, coalesce(e.inst_cap, 0) AS inst_cap
+FROM grid g LEFT JOIN existing e
+  ON g.n_name = e.n_name AND g.o_orderpriority = e.o_orderpriority
+ORDER BY 1, 2
+"""
+
+ORACLES["export_demand_matrix"] = """
+WITH labelled AS (
+  SELECT hour(ts) AS t, r_name, value
+  FROM events JOIN region ON (user_id % 5) = r_regionkey
+)
+SELECT
+  t,
+  round(coalesce(sum(value) FILTER (r_name = 'AFRICA'), 0), 2)      AS AFRICA,
+  round(coalesce(sum(value) FILTER (r_name = 'AMERICA'), 0), 2)     AS AMERICA,
+  round(coalesce(sum(value) FILTER (r_name = 'ASIA'), 0), 2)        AS ASIA,
+  round(coalesce(sum(value) FILTER (r_name = 'EUROPE'), 0), 2)      AS EUROPE,
+  round(coalesce(sum(value) FILTER (r_name = 'MIDDLE EAST'), 0), 2) AS MIDDLE_EAST
+FROM labelled
+GROUP BY t ORDER BY t
+"""
+
 ORACLES["q5_local_supplier"] = """
 SELECT
   n_name,

@@ -455,6 +455,240 @@ def resample_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Intermediate-generation operators (SURVEY §2 #19-25)
+# ---------------------------------------------------------------------------
+
+
+def weighted_disaggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allocate group totals to members by weight, re-aggregate elsewhere.
+
+    Reference: generate_load_timeseries splits country loads onto
+    pixels by land-use/population weights, then re-aggregates pixel
+    loads into subregions (generate_intermediate_files.py:204-397).
+    Here: nation order revenue → customers by |acctbal| → market segment.
+    """
+    from pyprima_spark.operators.disaggregate import disaggregate
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    totals = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(F.sum("o_totalprice").alias("nation_total"))
+    )
+    alloc = disaggregate(
+        cust, totals, ["c_nationkey"], F.abs(F.col("c_acctbal")), "nation_total"
+    )
+    return (
+        alloc.groupBy("c_mktsegment")
+        .agg(F.round(F.sum("allocated"), 2).alias("alloc_revenue"))
+        .orderBy("c_mktsegment")
+    )
+
+
+def _edge_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical undirected nation-pair aggregate of lineitem revenue.
+
+    Shared by canonical_edges / neighbor_expansion / transmission_attrs —
+    the analogue of the cleaned+grouped GridKit line table.
+    """
+    from pyprima_spark.operators.edges import canonicalize_edges
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .select(
+            F.col("c_nationkey").alias("cn"),
+            F.col("s_nationkey").alias("sn"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+        )
+    )
+    edges = canonicalize_edges(pairs, "cn", "sn")
+    return edges.groupBy("edge_a", "edge_b").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.sum("rev"), 2).alias("cap"),
+    )
+
+
+def canonical_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected edge canonicalization + symmetric aggregation.
+
+    Reference: reverse_lines (util.py:139-155) + the grouped line
+    aggregation (generate_intermediate_files.py:463-469), dropping
+    intra-regional (loop) edges.
+    """
+    return _edge_aggregate(spark, sf_dir).orderBy("edge_a", "edge_b")
+
+
+def neighbor_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order neighbor pair grid outer-joined with existing edges.
+
+    Reference: Queen-contiguity neighbor pairs joined with existing
+    lines, capacity filled with 0 (generate_intermediate_files.py:
+    476-490). Neighborhood = same region here.
+    """
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("edge_a"), F.col("n_regionkey").alias("rk")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("edge_b"), F.col("n_regionkey").alias("rk2")
+    )
+    pairs = n1.join(
+        n2, (F.col("rk") == F.col("rk2")) & (F.col("edge_a") < F.col("edge_b"))
+    ).join(F.broadcast(region), F.col("rk") == region.r_regionkey)
+    edges = _edge_aggregate(spark, sf_dir)
+    return (
+        pairs.select("r_name", "edge_a", "edge_b")
+        .join(edges, ["edge_a", "edge_b"], "left")
+        .select(
+            "r_name",
+            "edge_a",
+            "edge_b",
+            F.coalesce(F.col("cap"), F.lit(0.0)).alias("cap"),
+        )
+        .orderBy("r_name", "edge_a", "edge_b")
+    )
+
+
+def transmission_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge length via haversine centroids, range-classified, with
+    efficiency/cost formulas.
+
+    Reference: generate_transmission length/eff/cost derivation
+    (generate_intermediate_files.py:492-533): length from centroid
+    distance, eff = eff_per_1000km ** (length/1000),
+    inv-cost = inv-cost-length * length + inv-cost-fix.
+    """
+    from pyprima_spark.functions.binning import interval_bin
+    from pyprima_spark.functions.geo import (
+        haversine_km,
+        synth_lat,
+        synth_lon,
+    )
+    from pyprima_spark.plans.constants import (
+        EFF_PER_1000KM,
+        INV_COST_FIX,
+        INV_COST_LENGTH,
+        LENGTH_BINS,
+        LENGTH_DEFAULT,
+    )
+
+    edges = _edge_aggregate(spark, sf_dir)
+    with_len = edges.withColumn(
+        "length_km",
+        F.round(
+            haversine_km(
+                synth_lat(F.col("edge_a")),
+                synth_lon(F.col("edge_a")),
+                synth_lat(F.col("edge_b")),
+                synth_lon(F.col("edge_b")),
+            ),
+            2,
+        ),
+    )
+    return with_len.select(
+        "edge_a",
+        "edge_b",
+        "length_km",
+        interval_bin(F.col("length_km"), LENGTH_BINS, LENGTH_DEFAULT).alias(
+            "length_class"
+        ),
+        F.round(
+            F.pow(F.lit(EFF_PER_1000KM), F.col("length_km") / 1000), 6
+        ).alias("eff"),
+        F.round(
+            F.lit(INV_COST_LENGTH) * F.col("length_km") + F.lit(INV_COST_FIX), 2
+        ).alias("inv_cost"),
+    ).orderBy("edge_a", "edge_b")
+
+
+def cohort_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket entities into year cohorts and aggregate.
+
+    Reference: Cohort = (Year // cohorts) * cohorts then group-sum
+    (generate_intermediate_files.py:675-683).
+    """
+    from pyprima_spark.operators.cohorts import cohort_of
+    from pyprima_spark.plans.constants import COHORT_WIDTH
+
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.withColumn(
+            "cohort", cohort_of(F.year("o_orderdate"), COHORT_WIDTH)
+        )
+        .groupBy("cohort", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("cohort", "o_orderstatus")
+    )
+
+
+def expansion_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-join dimension grid left-joined with existing facts, 0-fill.
+
+    Reference: site × technology expansion combinations with
+    inst-cap = 0 appended to existing capacity
+    (generate_intermediate_files.py:692-711).
+    """
+    from pyprima_spark.operators.grids import expansion_grid as grid_op
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    existing = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name", "o_orderpriority")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("inst_cap"))
+    )
+    sites = nation.select("n_name")
+    techs = orders.select("o_orderpriority").distinct()
+    return (
+        grid_op([sites, techs], existing, ["n_name", "o_orderpriority"], {"inst_cap": 0.0})
+        .orderBy("n_name", "o_orderpriority")
+    )
+
+
+DEMAND_REGIONS = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
+
+
+def export_demand_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide hour × region demand matrix with a leading t column.
+
+    Reference: the urbs Demand sheet — regions as columns, hour index t
+    as rows (generate_models.py:159-166).
+    """
+    ev = _t(spark, sf_dir, "events")
+    region = _t(spark, sf_dir, "region")
+    labelled = ev.withColumn("rk", F.col("user_id") % 5).join(
+        F.broadcast(region), F.col("rk") == region.r_regionkey
+    )
+    piv = (
+        labelled.withColumn("t", F.hour("ts"))
+        .groupBy("t")
+        .pivot("r_name", DEMAND_REGIONS)
+        .agg(F.sum("value"))
+    )
+    cols = [F.col("t")]
+    for r in DEMAND_REGIONS:
+        cols.append(
+            F.round(F.coalesce(F.col(f"`{r}`"), F.lit(0.0)), 2).alias(
+                r.replace(" ", "_")
+            )
+        )
+    return piv.select(*cols).orderBy("t")
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -477,4 +711,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "calendar_enrich": calendar_enrich,
     "profile_normalize": profile_normalize,
     "resample_hourly": resample_hourly,
+    "weighted_disaggregate": weighted_disaggregate,
+    "canonical_edges": canonical_edges,
+    "neighbor_expansion": neighbor_expansion,
+    "transmission_attrs": transmission_attrs,
+    "cohort_rollup": cohort_rollup,
+    "expansion_grid": expansion_grid,
+    "export_demand_matrix": export_demand_matrix,
 }
