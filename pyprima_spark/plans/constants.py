@@ -25,3 +25,21 @@ INV_COST_FIX = 5000.0
 
 # cohort width in years (param["process"]["cohorts"])
 COHORT_WIDTH = 5
+
+# -- LLM-pipeline operator parameters ----------------------------------------
+
+# language-ID stopword profiles (disjoint, deterministic)
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "a", "that"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit"],
+    "es": ["el", "los", "las", "por", "para", "una", "pero", "como"],
+    "fr": ["le", "et", "les", "des", "une", "dans", "pour", "avec"],
+}
+
+MINHASH_N = 16        # minhash functions
+MINHASH_BANDS = 4     # LSH bands (4 rows each)
+SIMHASH_MAX_HAMMING = 6
+NGRAM_JACCARD_TAU = 0.8
+EMB_DEDUP_TAU = 0.3   # cosine near-dup threshold (synthetic vectors max ~0.5)
+ANN_K = 10
+ANN_N_QUERIES = 10

@@ -385,6 +385,231 @@ FROM labelled
 GROUP BY t ORDER BY t
 """
 
+from pyprima_spark.functions import text as X
+from pyprima_spark.functions import vectors as V
+from pyprima_spark.plans.constants import (
+    ANN_K,
+    ANN_N_QUERIES,
+    EMB_DEDUP_TAU,
+    MINHASH_BANDS,
+    MINHASH_N,
+    NGRAM_JACCARD_TAU,
+    STOPWORDS,
+)
+
+ORACLES["dedup_exact"] = """
+SELECT md5(text) AS text_hash, min(doc_id) AS kept_doc, count(*) AS n_dups
+FROM documents GROUP BY 1
+"""
+
+ORACLES["dedup_fingerprint"] = """
+SELECT
+  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+                          '\\s+', ' ', 'g'))) AS fingerprint,
+  min(doc_id) AS kept_doc,
+  count(*)    AS n_dups
+FROM documents GROUP BY 1
+"""
+
+_MINHASH_BANDS_CTE = f"""
+sigs AS (
+  SELECT doc_id AS doc,
+         {X.bands_duck(X.minhashes_duck('shingles', MINHASH_N), MINHASH_BANDS)} AS bands
+  FROM (
+    SELECT doc_id, {X.shingles_duck(X.tokens_duck('text'))} AS shingles
+    FROM documents
+  )
+  WHERE len(shingles) > 0
+),
+bands AS (
+  SELECT doc, unnest(bands) AS band_sig,
+         unnest(generate_series(1, len(bands))) AS band_idx
+  FROM sigs
+)
+"""
+
+ORACLES["dedup_minhash_lsh"] = f"""
+WITH {_MINHASH_BANDS_CTE}
+SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+FROM bands a JOIN bands b
+  ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig AND a.doc < b.doc
+ORDER BY doc_a, doc_b
+"""
+
+_SIMHASH_CTE = f"""
+sims AS (
+  SELECT doc_id AS doc, {X.simhash_duck(X.token_hashes_duck('tokens'))} AS simhash
+  FROM (
+    SELECT doc_id, {X.tokens_duck('text')} AS tokens FROM documents
+  )
+  WHERE len(tokens) > 0
+),
+chunks AS (
+  SELECT doc, simhash, c, (simhash >> (c * 15)) & 32767 AS chunk
+  FROM sims, (SELECT unnest(generate_series(0, 3)) AS c)
+)
+"""
+
+ORACLES["dedup_simhash"] = f"""
+WITH {_SIMHASH_CTE}
+SELECT doc_a, doc_b, bit_count(xor(sim_a, sim_b)) AS hamming
+FROM (
+  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b,
+                  a.simhash AS sim_a, b.simhash AS sim_b
+  FROM chunks a JOIN chunks b
+    ON a.c = b.c AND a.chunk = b.chunk AND a.doc < b.doc
+)
+ORDER BY doc_a, doc_b
+"""
+
+ORACLES["ngram_jaccard"] = f"""
+WITH docs AS (
+  SELECT doc_id, source, cast(floor(length(text) / 100) AS bigint) AS len_band,
+         {X.char_ngrams_duck(X.normtext_duck('text'))} AS grams
+  FROM documents
+),
+grams AS (
+  SELECT doc_id AS doc, source, len_band, len(grams) AS gset_size,
+         unnest(grams) AS gram
+  FROM docs WHERE len(grams) > 0
+),
+shared AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, a.gset_size AS size_a,
+         b.gset_size AS size_b, count(*) AS shared
+  FROM grams a JOIN grams b
+    ON a.source = b.source AND a.len_band = b.len_band
+   AND a.gram = b.gram AND a.doc < b.doc
+  GROUP BY 1, 2, 3, 4
+)
+SELECT doc_a, doc_b,
+       round(shared / (size_a + size_b - shared), 4) AS jacc
+FROM shared
+WHERE round(shared / (size_a + size_b - shared), 4) >= {NGRAM_JACCARD_TAU}
+ORDER BY doc_a, doc_b
+"""
+
+_COS = V.cosine_duck("qvec", "cvec", V.EMB_DIM)
+
+ORACLES["ann_topk"] = f"""
+WITH base AS (
+  SELECT vec_id, {V.to_double_duck('embedding')} AS vec FROM embeddings
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+         round({_COS}, 4) AS cos
+  FROM (SELECT vec_id, vec AS qvec FROM base WHERE vec_id < {ANN_N_QUERIES}) q
+  CROSS JOIN (SELECT vec_id, vec AS cvec FROM base) c
+  WHERE c.vec_id <> q.vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cos, rank FROM ranked WHERE rank <= {ANN_K}
+ORDER BY query_id, rank
+"""
+
+ORACLES["ann_lsh"] = f"""
+WITH base AS (
+  SELECT vec_id, vec, {V.lsh_bucket_duck('vec')} AS bucket
+  FROM (SELECT vec_id, {V.to_double_duck('embedding')} AS vec FROM embeddings)
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+         round({_COS}, 4) AS cos
+  FROM (SELECT vec_id, vec AS qvec, bucket FROM base WHERE vec_id < {ANN_N_QUERIES}) q
+  JOIN (SELECT vec_id, vec AS cvec, bucket FROM base) c USING (bucket)
+  WHERE c.vec_id <> q.vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cos, rank FROM ranked WHERE rank <= {ANN_K}
+ORDER BY query_id, rank
+"""
+
+ORACLES["embedding_dedup"] = f"""
+WITH base AS (
+  SELECT vec_id, vec, {V.lsh_bucket_duck('vec')} AS bucket
+  FROM (SELECT vec_id, {V.to_double_duck('embedding')} AS vec FROM embeddings)
+)
+SELECT vec_a, vec_b, cos FROM (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         round({V.cosine_duck('a.vec', 'b.vec', V.EMB_DIM)}, 4) AS cos
+  FROM base a JOIN base b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+WHERE cos >= {EMB_DEDUP_TAU}
+ORDER BY vec_a, vec_b
+"""
+
+
+def _lang_scores_duck() -> str:
+    cols = []
+    for lang, words in STOPWORDS.items():
+        cols.append(f"{X.stopword_count_duck('tokens', words)} AS s_{lang}")
+    cols.append(f"{X.cjk_count_duck('text')} AS s_zh")
+    return ", ".join(cols)
+
+
+ORACLES["lang_id"] = f"""
+WITH scored AS (
+  SELECT lang, {_lang_scores_duck()}
+  FROM (SELECT lang, text, {X.tokens_duck('text')} AS tokens FROM documents)
+),
+pred AS (
+  SELECT lang,
+    CASE WHEN s_zh > 0 THEN 'zh'
+         WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'unknown'
+         WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+         WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+         WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+         ELSE 'fr' END AS pred_lang
+  FROM scored
+)
+SELECT lang, pred_lang, count(*) AS n_docs
+FROM pred GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+ORACLES["quality_score"] = f"""
+WITH d AS (
+  SELECT
+    doc_id,
+    len(tokens) AS n_tok,
+    length(text) AS n_ch,
+    length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS punct_cnt,
+    length(regexp_replace(lower(text), '\\s', '', 'g')) AS word_chars,
+    {X.stopword_count_duck('tokens', STOPWORDS['en'])} AS stop_cnt
+  FROM (SELECT doc_id, text, {X.tokens_duck('text')} AS tokens FROM documents)
+),
+ratios AS (
+  SELECT doc_id, n_tok,
+    CASE WHEN n_tok = 0 THEN 0 ELSE stop_cnt / n_tok END AS stop_ratio,
+    CASE WHEN n_ch = 0 THEN 0 ELSE punct_cnt / n_ch END AS punct_ratio,
+    CASE WHEN n_tok = 0 THEN 0 ELSE word_chars / n_tok END AS mean_wl
+  FROM d
+)
+SELECT doc_id, n_tok,
+  round(stop_ratio, 4) AS stop_ratio,
+  round(punct_ratio, 4) AS punct_ratio,
+  round(mean_wl, 4) AS mean_word_len,
+  round(2.0 * stop_ratio - 3.0 * punct_ratio + least(n_tok, 100) / 100.0
+        - abs(mean_wl - 5.0) / 10.0, 4) AS score
+FROM ratios
+"""
+
+ORACLES["token_count"] = f"""
+WITH d AS (
+  SELECT source, len(tokens) AS n_tok, len(list_distinct(tokens)) AS n_distinct
+  FROM (SELECT source, {X.tokens_duck('text')} AS tokens FROM documents)
+)
+SELECT source, count(*) AS n_docs, sum(n_tok) AS total_tokens,
+       round(avg(n_tok), 4) AS avg_tokens, sum(n_distinct) AS total_distinct
+FROM d GROUP BY source ORDER BY source
+"""
+
 ORACLES["q5_local_supplier"] = """
 SELECT
   n_name,

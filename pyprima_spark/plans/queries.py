@@ -689,6 +689,224 @@ def export_demand_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# LLM-data-pipeline operators (SURVEY §2 #26-36)
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via md5 hash-groupBy (SURVEY §2 #26)."""
+    from pyprima_spark.operators.dedup import exact_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup(docs, "doc_id", "text")
+
+
+def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-fingerprint dedup (SURVEY §2 #27)."""
+    from pyprima_spark.operators.dedup import fingerprint_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return fingerprint_dedup(docs, "doc_id", "text")
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate near-dup pairs (SURVEY §2 #28).
+
+    16 minhashes over word 3-shingles, 4 bands × 4 rows; pairs share
+    >= 1 band. The signature is computed in one narrow pass — only the
+    (doc, band, sig) table shuffles.
+    """
+    from pyprima_spark.operators.dedup import minhash_candidate_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_candidate_pairs(docs, "doc_id", "text").orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash hamming distances for chunk-sharing pairs (SURVEY §2 #29)."""
+    from pyprima_spark.operators.dedup import simhash_pair_hamming
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_pair_hamming(docs, "doc_id", "text").orderBy("doc_a", "doc_b")
+
+
+def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-3-gram Jaccard similarity pairs >= tau within (source,
+    length-band) buckets (SURVEY §2 #30)."""
+    from pyprima_spark.operators.dedup import ngram_gram_table
+    from pyprima_spark.plans.constants import NGRAM_JACCARD_TAU
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "len_band", F.floor(F.length("text") / 100)
+    )
+    grams = ngram_gram_table(docs, "doc_id", "text", ["source", "len_band"])
+    a = grams.select(
+        F.col("doc").alias("doc_a"),
+        F.col("gset_size").alias("size_a"),
+        "source",
+        "len_band",
+        "gram",
+    )
+    b = grams.select(
+        F.col("doc").alias("doc_b"),
+        F.col("gset_size").alias("size_b"),
+        "source",
+        "len_band",
+        "gram",
+    )
+    shared = (
+        a.join(b, ["source", "len_band", "gram"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "size_a", "size_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    jacc = F.round(
+        F.col("shared") / (F.col("size_a") + F.col("size_b") - F.col("shared")), 4
+    )
+    return (
+        shared.withColumn("jacc", jacc)
+        .filter(F.col("jacc") >= NGRAM_JACCARD_TAU)
+        .select("doc_a", "doc_b", "jacc")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k per query vector (SURVEY §2 #31)."""
+    from pyprima_spark.operators.similarity import ann_topk as op
+    from pyprima_spark.plans.constants import ANN_K, ANN_N_QUERIES
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return op(emb, ANN_N_QUERIES, ANN_K).orderBy("query_id", "rank")
+
+
+def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate NN per query vector (SURVEY §2 #32)."""
+    from pyprima_spark.operators.similarity import ann_lsh as op
+    from pyprima_spark.plans.constants import ANN_K, ANN_N_QUERIES
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return op(emb, ANN_N_QUERIES, ANN_K).orderBy("query_id", "rank")
+
+
+def embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine near-dup pairs within LSH buckets (SURVEY §2 #33)."""
+    from pyprima_spark.operators.similarity import embedding_dedup as op
+    from pyprima_spark.plans.constants import EMB_DEDUP_TAU
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return op(emb, EMB_DEDUP_TAU).orderBy("vec_a", "vec_b")
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID, reported as a confusion matrix
+    against the labelled lang column (SURVEY §2 #34). No joins — the
+    scores are per-row higher-order-function sums; argmax is a CASE
+    with alphabetical tie-break.
+    """
+    from pyprima_spark.functions import text as X
+    from pyprima_spark.plans.constants import STOPWORDS
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = X.tokens_spark("text")
+    scored = docs.withColumn("tokens", F.expr(toks))
+    for lang, words in STOPWORDS.items():
+        scored = scored.withColumn(
+            f"s_{lang}", F.expr(X.stopword_count_spark("tokens", words))
+        )
+    scored = scored.withColumn("s_zh", F.expr(X.cjk_count_spark("text")))
+    m = F.greatest(*[F.col(f"s_{l}") for l in sorted(STOPWORDS)])
+    pred = F.when(F.col("s_zh") > 0, F.lit("zh")).otherwise(
+        F.when(m == 0, F.lit("unknown"))
+        .when(F.col("s_de") == m, F.lit("de"))
+        .when(F.col("s_en") == m, F.lit("en"))
+        .when(F.col("s_es") == m, F.lit("es"))
+        .otherwise(F.lit("fr"))
+    )
+    return (
+        scored.withColumn("pred_lang", pred)
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "pred_lang")
+    )
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality: token count, stopword ratio, punct
+    ratio, mean word length, composite score (SURVEY §2 #35). Rational
+    arithmetic only — no transcendental functions, so both engines
+    agree exactly after rounding.
+    """
+    from pyprima_spark.functions import text as X
+    from pyprima_spark.plans.constants import STOPWORDS
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = X.tokens_spark("text")
+    d = (
+        docs.withColumn("tokens", F.expr(toks))
+        .withColumn("n_tok", F.size("tokens"))
+        .withColumn("n_ch", F.length("text"))
+        .withColumn(
+            "punct_cnt",
+            F.col("n_ch")
+            - F.length(F.regexp_replace("text", r"[^A-Za-z0-9\s]", "")),
+        )
+        .withColumn(
+            "word_chars",
+            F.length(F.regexp_replace(F.lower("text"), r"\s", "")),
+        )
+        .withColumn(
+            "stop_cnt", F.expr(X.stopword_count_spark("tokens", STOPWORDS["en"]))
+        )
+    )
+    n_tok = F.col("n_tok")
+    stop_ratio = F.when(n_tok == 0, F.lit(0.0)).otherwise(F.col("stop_cnt") / n_tok)
+    punct_ratio = F.when(F.col("n_ch") == 0, F.lit(0.0)).otherwise(
+        F.col("punct_cnt") / F.col("n_ch")
+    )
+    mean_wl = F.when(n_tok == 0, F.lit(0.0)).otherwise(F.col("word_chars") / n_tok)
+    score = (
+        F.lit(2.0) * stop_ratio
+        - F.lit(3.0) * punct_ratio
+        + F.least(n_tok, F.lit(100)) / F.lit(100.0)
+        - F.abs(mean_wl - F.lit(5.0)) / F.lit(10.0)
+    )
+    return d.select(
+        "doc_id",
+        "n_tok",
+        F.round(stop_ratio, 4).alias("stop_ratio"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(mean_wl, 4).alias("mean_word_len"),
+        F.round(score, 4).alias("score"),
+    )
+
+
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenization stats per source (SURVEY §2 #36)."""
+    from pyprima_spark.functions import text as X
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = X.tokens_spark("text")
+    d = (
+        docs.withColumn("tokens", F.expr(toks))
+        .withColumn("n_tok", F.size("tokens"))
+        .withColumn("n_distinct", F.size(F.array_distinct("tokens")))
+    )
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.round(F.avg("n_tok"), 4).alias("avg_tokens"),
+            F.sum("n_distinct").alias("total_distinct"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -718,4 +936,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cohort_rollup": cohort_rollup,
     "expansion_grid": expansion_grid,
     "export_demand_matrix": export_demand_matrix,
+    "dedup_exact": dedup_exact,
+    "dedup_fingerprint": dedup_fingerprint,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "ngram_jaccard": ngram_jaccard,
+    "ann_topk": ann_topk,
+    "ann_lsh": ann_lsh,
+    "embedding_dedup": embedding_dedup,
+    "lang_id": lang_id,
+    "quality_score": quality_score,
+    "token_count": token_count,
 }
