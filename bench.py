@@ -20,6 +20,17 @@ BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier",
+    "gap_fill_trend",
+    "weighted_disaggregate",
+    "canonical_edges",
+    "resample_hourly",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ngram_jaccard",
+    "ann_topk",
+    "embedding_dedup",
+    "quality_score",
+    "token_count",
 ]
 
 

@@ -1,0 +1,92 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata,
+processed with Arrow-batched ``mapInPandas``.
+
+Image/audio decode libraries are not available in this container, so the
+decode step is STUBBED: ``decode_media(..., real_decode=True)`` raises
+NotImplementedError, and the default path produces a deterministic fake
+(dimensions derived from the payload hash). Everything around the stub —
+schema, Arrow batch shape, partitioning — is real and tested, so
+swapping in a real decoder is a one-function change.
+
+Scale design: ``mapInPandas`` streams Arrow batches through Python with
+no shuffle; payloads never leave their partition until the (tiny)
+feature rows are aggregated.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "doc_id bigint, media_type string, n_bytes int, width int, height int, "
+    "fingerprint string"
+)
+
+
+def attach_fake_media(docs: DataFrame) -> DataFrame:
+    """Give each document an opaque binary payload + typed metadata —
+    the stand-in for a real image/audio column."""
+    return docs.select(
+        "doc_id",
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.struct(
+            F.lit("image/png").alias("media_type"),
+            F.length(F.col("text")).alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def _fake_dims(payload: bytes) -> tuple[int, int]:
+    h = hashlib.md5(payload).hexdigest()
+    return 16 + int(h[:4], 16) % 2048, 16 + int(h[4:8], 16) % 2048
+
+
+def decode_media(media: DataFrame, real_decode: bool = False) -> DataFrame:
+    """Decode/feature-extract the binary column via mapInPandas.
+
+    ``real_decode=True`` is the hook for an actual decoder (PIL/ffmpeg),
+    absent in this environment.
+    """
+    if real_decode:
+        raise NotImplementedError(
+            "real media decode requires image/audio libraries not present "
+            "in this container; the Arrow plumbing below is the real path"
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            dims = [_fake_dims(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": [m["media_type"] for m in pdf["meta"]],
+                    "n_bytes": [len(p) for p in pdf["payload"]],
+                    "width": [w for w, _ in dims],
+                    "height": [h for _, h in dims],
+                    "fingerprint": [
+                        hashlib.md5(p).hexdigest() for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return media.mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
+def resize_stub(media: DataFrame, max_dim: int = 256) -> DataFrame:
+    """'Resize' decoded media: scales the fake dimensions down to fit
+    ``max_dim``, preserving aspect ratio — pure column math standing in
+    for the per-image resample a real decoder would do."""
+    scale = F.least(
+        F.lit(1.0),
+        F.lit(max_dim) / F.greatest(F.col("width"), F.col("height")),
+    )
+    return media.withColumn(
+        "out_width", F.greatest(F.floor(F.col("width") * scale), F.lit(1)).cast("int")
+    ).withColumn(
+        "out_height", F.greatest(F.floor(F.col("height") * scale), F.lit(1)).cast("int")
+    )

@@ -610,6 +610,35 @@ SELECT source, count(*) AS n_docs, sum(n_tok) AS total_tokens,
 FROM d GROUP BY source ORDER BY source
 """
 
+ORACLES["streaming_hourly_stats"] = """
+SELECT
+  strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+  event_type,
+  count(*) AS n,
+  round(sum(value), 2) AS total
+FROM events
+GROUP BY 1, 2
+"""
+
+ORACLES["multimodal_decode"] = """
+WITH m AS (
+  SELECT doc_id,
+         octet_length(encode(text)) AS n_bytes,
+         md5(text) AS fp,
+         16 + cast('0x' || substring(md5(text), 1, 4) AS int) % 2048 AS width,
+         16 + cast('0x' || substring(md5(text), 5, 4) AS int) % 2048 AS height
+  FROM documents
+),
+r AS (
+  SELECT *, least(1.0, 256.0 / greatest(width, height)) AS scale FROM m
+)
+SELECT doc_id, n_bytes, width, height,
+       greatest(cast(floor(width * scale) AS int), 1)  AS out_width,
+       greatest(cast(floor(height * scale) AS int), 1) AS out_height,
+       fp AS fingerprint
+FROM r
+"""
+
 ORACLES["q5_local_supplier"] = """
 SELECT
   n_name,

@@ -907,6 +907,63 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Non-relational surfaces exposed as catalog entries (SURVEY §2, tail)
+# ---------------------------------------------------------------------------
+
+
+def streaming_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming windowed hourly stats, run to completion
+    with an availableNow trigger — must equal the batch aggregate.
+    """
+    import tempfile
+    import uuid
+
+    from pyprima_spark.streaming.events import (
+        hourly_event_stats,
+        stream_events,
+    )
+
+    name = f"hourly_{uuid.uuid4().hex[:8]}"
+    out = hourly_event_stats(stream_events(spark, sf_dir))
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.date_format("hour_start", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+        "event_type",
+        "n",
+        "total",
+    )
+
+
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media column → Arrow-batched decode stub → resize.
+
+    The mapInPandas plumbing is the product; the fake decoder derives
+    dimensions from the payload md5, so an independent SQL oracle can
+    reproduce it.
+    """
+    from pyprima_spark.operators.multimodal import (
+        attach_fake_media,
+        decode_media,
+        resize_stub,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    out = resize_stub(decode_media(attach_fake_media(docs)))
+    return out.select(
+        "doc_id", "n_bytes", "width", "height", "out_width", "out_height",
+        "fingerprint",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -947,4 +1004,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id": lang_id,
     "quality_score": quality_score,
     "token_count": token_count,
+    "streaming_hourly_stats": streaming_hourly_stats,
+    "multimodal_decode": multimodal_decode,
 }

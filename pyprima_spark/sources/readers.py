@@ -1,0 +1,52 @@
+"""Sources/sinks matching the reference's file conventions.
+
+Every CSV the reference reads/writes uses ``sep=';' decimal=','``
+(e.g. correction_functions.py:320, generate_intermediate_files.py:104).
+Spark's CSV reader has no decimal-comma option, so numeric columns are
+read as strings and converted with a comma→dot cast — a pure projection
+on top of the distributed text scan, so the source still splits and
+parallelizes like any CSV at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def european_number(col: str | Column) -> Column:
+    """Parse '1.234,56'-style numbers: drop thousands dots, comma→dot.
+
+    ``try_cast`` so malformed cells become NULL instead of failing the
+    job under ANSI mode — the reference tolerates bad cells the same way
+    (correction_functions.py:365-368 falls back on parse failure).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(
+        F.regexp_replace(c, r"\.", ""), ",", "."
+    ).try_cast("double")
+
+
+def read_european_csv(
+    spark: SparkSession,
+    path: str,
+    numeric_cols: list[str] | None = None,
+) -> DataFrame:
+    """Read a ';'-separated CSV with decimal commas; ``numeric_cols``
+    are converted to doubles, everything else stays string."""
+    df = spark.read.option("header", True).option("sep", ";").csv(path)
+    for c in numeric_cols or []:
+        df = df.withColumn(c, european_number(c))
+    return df
+
+
+def write_european_csv(df: DataFrame, path: str) -> None:
+    """Write with the reference's ';' + decimal-comma convention."""
+    out = df
+    for field in df.schema.fields:
+        if field.dataType.typeName() in ("double", "float", "decimal"):
+            out = out.withColumn(
+                field.name,
+                F.regexp_replace(F.col(field.name).cast("string"), r"\.", ","),
+            )
+    out.write.mode("overwrite").option("header", True).option("sep", ";").csv(path)

@@ -1,0 +1,71 @@
+"""Structured Streaming over the events table.
+
+The reference processes hourly load time series in batch
+(generate_load_timeseries); a modern deployment of the same semantics
+ingests events continuously. The transformation is written once against
+a DataFrame and applied identically to batch and streaming inputs —
+Spark's unified model. Late data is handled with a watermark; state is
+bounded per (window, event_type).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def hourly_event_stats(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Windowed hourly counts/sums per event type; watermarked when the
+    input is a stream (watermark on a batch frame is a no-op)."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total"),
+        )
+        .select(
+            F.col("w.start").alias("hour_start"),
+            "event_type",
+            "n",
+            "total",
+        )
+    )
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet directory (nanos → timestamp,
+    same conversion as the batch catalog)."""
+    import os
+
+    from pyspark.sql import types as T
+
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    # FileStreamSource wants a directory: stream the sf dir, filtered to
+    # the events file (works whether events.parquet is a file or a dir).
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if isinstance(schema["ts"].dataType, T.LongType):
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return stream
+
+
+def run_hourly_stats_stream(
+    spark: SparkSession, sf_dir: str, query_name: str = "hourly_stats"
+) -> DataFrame:
+    """Run the stream to completion (availableNow) into a memory sink
+    and return the materialized result."""
+    out = hourly_event_stats(stream_events(spark, sf_dir))
+    q = (
+        out.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)

@@ -1,0 +1,99 @@
+"""Per-operator unit tests on tiny inline frames with hand-computed
+expectations — encoding the reference's documented semantics (SURVEY §5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_interval_bin_maps_to_smallest_bound_geq(spark):
+    # reference semantics: value → dict[min bound >= value], else default
+    # (util.py:228-252)
+    from pyprima_spark.functions.binning import interval_bin
+
+    df = spark.createDataFrame([(5,), (10,), (11,), (40,), (41,)], "v int")
+    out = df.withColumn(
+        "c", interval_bin(F.col("v"), {10: "a", 40: "b"}, "z")
+    ).collect()
+    assert [r.c for r in out] == ["a", "a", "b", "b", "z"]
+
+
+def test_expand_multivalue_row_per_token(spark):
+    from pyprima_spark.operators.expand import expand_multivalue
+
+    df = spark.createDataFrame([(1, "220;380"), (2, "110")], "id int, v string")
+    out = expand_multivalue(df, "v").orderBy("id", "v").collect()
+    assert [(r.id, r.v) for r in out] == [(1, "220"), (1, "380"), (2, "110")]
+
+
+def test_dedup_names_first_unsuffixed(spark):
+    # correction_functions.py:474 — cumcount suffix, "0" → ""
+    from pyprima_spark.operators.dedup_names import dedup_names
+
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "x"), (4, "y")], "k int, name string"
+    )
+    out = {r.k: r.name_dedup for r in dedup_names(df, "name", "k").collect()}
+    assert out == {1: "x", 2: "x1", 3: "x2", 4: "y"}
+
+
+def test_forward_fill(spark):
+    from pyprima_spark.operators.gapfill import forward_fill
+
+    df = spark.createDataFrame(
+        [(1, 1, "a"), (1, 2, None), (1, 3, "b"), (1, 4, None), (2, 1, None)],
+        "g int, i int, v string",
+    )
+    out = forward_fill(df, "v", ["g"], ["i"], "f").orderBy("g", "i").collect()
+    assert [r.f for r in out] == ["a", "a", "b", "b", None]
+
+
+def test_trend_fill_formula(spark):
+    # correction_functions.py:315-318: filled = sum(prev 5) / sum(prev 5
+    # of prev day) * value(i-24), only where value == 0
+    from pyprima_spark.operators.gapfill import trend_fill_day_before
+
+    rows = [(0, i, float(i % 7 + 1)) for i in range(30)]
+    rows[29] = (0, 29, 0.0)  # gap at i=29, one day + 5h of history exists
+    df = spark.createDataFrame(rows, "g int, i int, v double")
+    out = {
+        r.i: r.filled
+        for r in trend_fill_day_before(df, "v", ["g"], "i").collect()
+    }
+    vals = {i: float(i % 7 + 1) for i in range(30)}
+    recent = sum(vals[i] for i in range(24, 29))
+    prior = sum(vals[i] for i in range(0, 5))
+    expected = round(recent / prior * vals[5], 4)
+    assert out[29] == expected
+    assert out[10] == vals[10]  # non-gap rows untouched
+
+
+def test_canonicalize_edges(spark):
+    from pyprima_spark.operators.edges import canonicalize_edges
+
+    df = spark.createDataFrame(
+        [("b", "a"), ("a", "b"), ("c", "c"), (None, "a")], "x string, y string"
+    )
+    out = canonicalize_edges(df, "x", "y").select("edge_a", "edge_b").collect()
+    assert [(r.edge_a, r.edge_b) for r in out] == [("a", "b"), ("a", "b")]
+
+
+def test_group_share_sums_to_one(spark):
+    from pyprima_spark.operators.normalize import group_share
+
+    df = spark.createDataFrame([("g", 1.0), ("g", 3.0)], "k string, v double")
+    out = group_share(df, ["k"], "v").collect()
+    assert sorted(r.share for r in out) == [0.25, 0.75]
+
+
+def test_mode_impute_tiebreak(spark):
+    from pyprima_spark.operators.impute import mode_impute
+
+    df = spark.createDataFrame(
+        [(1, False), (1, False), (2, False), (2, False), (9, True)],
+        "v int, missing boolean",
+    )
+    out = mode_impute(df, F.col("v"), F.col("missing"), "f").collect()
+    # tie between 1 and 2 → smaller value wins
+    assert sorted(r.f for r in out) == [1, 1, 1, 2, 2]

@@ -1,0 +1,82 @@
+"""Streaming + multimodal + source tests (non-SQL surfaces, SURVEY §2)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_streaming_matches_batch(spark, sf_dir, tmp_path):
+    """The same transformation applied to a stream (availableNow) and to
+    the batch frame must agree — Spark's unified batch/stream model."""
+    from pyprima_spark.catalog import load_table
+    from pyprima_spark.streaming.events import (
+        hourly_event_stats,
+        run_hourly_stats_stream,
+    )
+
+    spark.conf.set(
+        "spark.sql.streaming.checkpointLocation", str(tmp_path / "ckpt")
+    )
+    streamed = run_hourly_stats_stream(spark, sf_dir, "t_hourly").toPandas()
+    batch = hourly_event_stats(load_table(spark, sf_dir, "events")).toPandas()
+    key = ["hour_start", "event_type"]
+    s = streamed.sort_values(key).reset_index(drop=True)
+    b = batch.sort_values(key).reset_index(drop=True)
+    assert len(s) == len(b) and len(s) > 0
+    assert (s["n"].values == b["n"].values).all()
+    assert abs(s["total"].values - b["total"].values).max() < 1e-9
+
+
+def test_multimodal_decode_stub(spark, sf_dir):
+    from pyprima_spark.catalog import load_table
+    from pyprima_spark.operators.multimodal import (
+        attach_fake_media,
+        decode_media,
+        resize_stub,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    media = attach_fake_media(docs)
+    decoded = decode_media(media)
+    rows = resize_stub(decoded).collect()
+    assert len(rows) == 50
+    for r in rows:
+        assert r.media_type == "image/png"
+        assert len(r.fingerprint) == 32
+        assert 1 <= r.out_width <= 256 and 1 <= r.out_height <= 256
+        # aspect preserved within integer floor error
+        assert (r.width >= r.height) == (r.out_width >= r.out_height)
+
+
+def test_multimodal_real_decode_is_stubbed(spark, sf_dir):
+    from pyprima_spark.catalog import load_table
+    from pyprima_spark.operators.multimodal import attach_fake_media, decode_media
+
+    docs = load_table(spark, sf_dir, "documents").limit(1)
+    with pytest.raises(NotImplementedError):
+        decode_media(attach_fake_media(docs), real_decode=True)
+
+
+def test_european_csv_roundtrip(spark, tmp_path):
+    from pyprima_spark.sources.readers import (
+        european_number,
+        read_european_csv,
+        write_european_csv,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1234.5), ("b", -0.25)], "name string, val double"
+    )
+    path = os.path.join(str(tmp_path), "eur_csv")
+    write_european_csv(df, path)
+    back = read_european_csv(spark, path, numeric_cols=["val"])
+    got = {r.name: r.val for r in back.collect()}
+    assert got == {"a": 1234.5, "b": -0.25}
+    # thousands-dot + decimal-comma literal
+    lit = spark.createDataFrame([("1.234,56",)], "x string").select(
+        european_number("x").alias("v")
+    )
+    assert lit.collect()[0].v == 1234.56
