@@ -56,21 +56,27 @@ def shingles_duck(tokens: str, k: int = 3) -> str:
 
 
 # -- minhash signatures ------------------------------------------------------
+# Universal hash family over a 30-bit md5 base hash: one md5 per shingle,
+# then h_j = (A[j]*h + B[j]) mod P. The Spark side computes this with
+# explode + conditional MIN aggregates (operators/dedup.py); this builder
+# is the DuckDB mirror over a base-hash list column.
 
-def minhashes_spark(shingles: str, n: int = 16) -> str:
-    h = hash64_spark("concat(cast(j as string), ':', s)")
-    return (
-        f"transform(sequence(0, {n - 1}), j -> "
-        f"aggregate({shingles}, {MAX_LONG}L, (acc, s) -> least(acc, {h})))"
+
+def base_hashes_duck(shingles: str) -> str:
+    from pyprima_spark.plans.constants import MINHASH_MASK
+
+    h = hash64_duck("s")
+    return f"list_transform({shingles}, s -> {h} & {MINHASH_MASK})"
+
+
+def minhashes_duck(base_hashes: str) -> str:
+    from pyprima_spark.plans.constants import MINHASH_A, MINHASH_B, MINHASH_P
+
+    parts = ", ".join(
+        f"list_min(list_transform({base_hashes}, h -> ({a} * h + {b}) % {MINHASH_P}))"
+        for a, b in zip(MINHASH_A, MINHASH_B)
     )
-
-
-def minhashes_duck(shingles: str, n: int = 16) -> str:
-    h = hash64_duck("j::varchar || ':' || s")
-    return (
-        f"list_transform(generate_series(0, {n - 1}), j -> "
-        f"list_min(list_transform({shingles}, s -> {h})))"
-    )
+    return f"[{parts}]"
 
 
 # -- LSH band signatures over a minhash array --------------------------------
@@ -95,23 +101,8 @@ def bands_duck(minhashes: str, n_bands: int = 4, rows: int = 4) -> str:
 SIMHASH_BITS = 60
 
 
-def token_hashes_spark(tokens: str) -> str:
-    return f"transform({tokens}, t -> {hash64_spark('t')})"
-
-
 def token_hashes_duck(tokens: str) -> str:
     return f"list_transform({tokens}, t -> {hash64_duck('t')})"
-
-
-def simhash_spark(hashes: str) -> str:
-    inner = (
-        f"aggregate({hashes}, 0L, (a2, h) -> "
-        f"a2 + IF((shiftright(h, b) & 1) = 1, 1L, -1L))"
-    )
-    return (
-        f"aggregate(sequence(0, {SIMHASH_BITS - 1}), 0L, (acc, b) -> "
-        f"acc + IF({inner} >= 0, shiftleft(1L, b), 0L))"
-    )
 
 
 def simhash_duck(hashes: str) -> str:

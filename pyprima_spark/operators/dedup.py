@@ -62,25 +62,65 @@ def minhash_band_table(
 ) -> DataFrame:
     """(id, band_idx, band_sig) — one row per doc per LSH band.
 
-    The whole signature pipeline (tokens → shingles → 16 minhashes →
-    4 band digests) is one projection; docs with no shingles drop out.
+    Layout chosen for scale: shingles are EXPLODED and md5-hashed ONCE
+    each; the 16 minhashes are conditional MIN aggregates of a cheap
+    universal hash family (A[j]*h+B[j] mod P) over the 30-bit base hash.
+    A nested higher-order-function formulation recomputes the md5 per
+    hash function and per band (projection collapse inlines expressions
+    into every lambda) — measured ~10× slower.
     """
+    from pyprima_spark.plans.constants import (
+        MINHASH_A,
+        MINHASH_B,
+        MINHASH_MASK,
+        MINHASH_P,
+    )
+
     toks = X.tokens_spark(text_col)
-    sh = X.shingles_spark("tokens")
-    mh = X.minhashes_spark("shingles", MINHASH_N)
-    bands = X.bands_spark("minhashes", MINHASH_BANDS)
-    return (
+    # Shingles are built by exploding POSITIONS and indexing the carried
+    # tokens array (an attribute above the Generate barrier). Exploding a
+    # shingle-array expression instead lets CollapseProject inline the
+    # tokenizer into every lambda reference — measured 12 split() copies
+    # in the plan and ~10× the runtime.
+    base = (
         df.select(F.col(id_col).alias("doc"), F.expr(toks).alias("tokens"))
-        .withColumn("shingles", F.expr(sh))
-        .filter(F.size("shingles") > 0)
-        .withColumn("minhashes", F.expr(mh))
-        .select("doc", F.posexplode(F.expr(bands)).alias("band_idx", "band_sig"))
+        .filter(F.size("tokens") >= 3)
+        .select(
+            "doc",
+            "tokens",
+            F.posexplode(F.expr("sequence(0, size(tokens) - 3)")).alias("i", "_"),
+        )
+        .select(
+            "doc",
+            F.expr("concat_ws(' ', tokens[i], tokens[i+1], tokens[i+2])").alias("s"),
+        )
+        .withColumn("h", F.expr(X.hash64_spark("s")).bitwiseAND(F.lit(MINHASH_MASK)))
+    )
+    mins = base.groupBy("doc").agg(
+        *[
+            F.min((F.lit(MINHASH_A[j]) * F.col("h") + F.lit(MINHASH_B[j])) % MINHASH_P).alias(
+                f"mh_{j}"
+            )
+            for j in range(MINHASH_N)
+        ]
+    )
+    sig = mins.withColumn(
+        "minhashes", F.array(*[F.col(f"mh_{j}") for j in range(MINHASH_N)])
+    )
+    bands = X.bands_spark("minhashes", MINHASH_BANDS)
+    return sig.select(
+        "doc", F.posexplode(F.expr(bands)).alias("band_idx", "band_sig")
     )
 
 
 def minhash_candidate_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Distinct candidate near-dup pairs sharing >= 1 LSH band."""
-    bands = minhash_band_table(df, id_col, text_col)
+    """Distinct candidate near-dup pairs sharing >= 1 LSH band.
+
+    The band table is persisted before the self-join — otherwise both
+    join sides recompute the full signature pass. At cluster scale the
+    signature table is ~4 rows/doc, negligible next to the corpus.
+    """
+    bands = minhash_band_table(df, id_col, text_col).persist()
     a = bands.select(
         F.col("doc").alias("doc_a"), "band_idx", "band_sig"
     )
@@ -96,21 +136,36 @@ def minhash_candidate_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFr
 
 
 def simhash_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, simhash) for every doc with at least one token."""
+    """(id, simhash) for every doc with at least one token.
+
+    Same scale layout as minhash: tokens exploded, md5 hashed once
+    each, then 60 conditional-sum aggregates (one per bit) and a final
+    bit-packing projection — instead of nested HOFs that recompute the
+    token md5s for every one of the 60 bits.
+    """
     toks = X.tokens_spark(text_col)
-    hashes = X.token_hashes_spark("tokens")
-    sim = X.simhash_spark("hashes")
-    return (
+    base = (
         df.select(F.col(id_col).alias("doc"), F.expr(toks).alias("tokens"))
-        .filter(F.size("tokens") > 0)
-        .withColumn("hashes", F.expr(hashes))
-        .select("doc", F.expr(sim).alias("simhash"))
+        .select("doc", F.explode("tokens").alias("t"))
+        .withColumn("h", F.expr(X.hash64_spark("t")))
     )
+    bits = base.groupBy("doc").agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"(shiftright(h, {b}) & 1) = 1"), 1).otherwise(-1)
+            ).alias(f"b_{b}")
+            for b in range(X.SIMHASH_BITS)
+        ]
+    )
+    packed = " + ".join(
+        f"IF(b_{b} >= 0, shiftleft(1L, {b}), 0L)" for b in range(X.SIMHASH_BITS)
+    )
+    return bits.select("doc", F.expr(packed).alias("simhash"))
 
 
 def simhash_pair_hamming(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Hamming distance for candidate pairs sharing a 15-bit chunk."""
-    sims = simhash_table(df, id_col, text_col)
+    sims = simhash_table(df, id_col, text_col).persist()
     chunks = sims.select(
         "doc",
         "simhash",
@@ -139,15 +194,33 @@ def ngram_gram_table(
     df: DataFrame, id_col: str, text_col: str, bucket_cols: list[str]
 ) -> DataFrame:
     """(id, bucket..., gram) exploded distinct char-3-gram table plus a
-    per-doc gram-set size column."""
+    per-doc gram-set size column.
+
+    Same plan shape as minhash: positions are exploded and the
+    normalized text rides along as an attribute, so the regexp
+    normalization runs once per doc instead of once per char position
+    (CollapseProject would inline it into every substring otherwise).
+    Set semantics come from a row-level distinct; the set size from a
+    window count — both shuffle on the doc key only.
+    """
+    from pyspark.sql import Window
+
     norm = X.normtext_spark(text_col)
-    grams = X.char_ngrams_spark("norm")
-    base = (
+    grams = (
         df.select(F.col(id_col).alias("doc"), *bucket_cols, F.expr(norm).alias("norm"))
-        .withColumn("grams", F.expr(grams))
-        .filter(F.size("grams") > 0)
-        .withColumn("gset_size", F.size("grams"))
+        .filter(F.length("norm") >= 3)
+        .select(
+            "doc",
+            *bucket_cols,
+            "norm",
+            F.posexplode(F.expr("sequence(0, length(norm) - 3)")).alias("i", "_"),
+        )
+        .select(
+            "doc", *bucket_cols, F.expr("substring(norm, i + 1, 3)").alias("gram")
+        )
+        .distinct()
     )
-    return base.select(
-        "doc", *bucket_cols, "gset_size", F.explode("grams").alias("gram")
+    w = Window.partitionBy("doc")
+    return grams.withColumn("gset_size", F.count(F.lit(1)).over(w)).select(
+        "doc", *bucket_cols, "gset_size", "gram"
     )

@@ -38,6 +38,25 @@ STOPWORDS: dict[str, list[str]] = {
 
 MINHASH_N = 16        # minhash functions
 MINHASH_BANDS = 4     # LSH bands (4 rows each)
+
+# Universal hash family for minhash: h_j(x) = (A[j]*x + B[j]) mod P over
+# the 30-bit base hash — one md5 per shingle instead of MINHASH_N.
+# Coefficients derived from md5 so both engines share them as literals.
+import hashlib as _hashlib
+
+MINHASH_P = 1073741789          # largest prime < 2^30
+MINHASH_MASK = (1 << 30) - 1    # 30-bit base hash → products fit in int64
+
+
+def _coef(tag: str, j: int, lo: int) -> int:
+    h = int(_hashlib.md5(f"{tag}:{j}".encode()).hexdigest()[:15], 16)
+    return lo + h % (MINHASH_P - lo)
+
+
+MINHASH_A: list[int] = [_coef("a", j, 1) for j in range(MINHASH_N)]
+MINHASH_B: list[int] = [_coef("b", j, 0) for j in range(MINHASH_N)]
+
+NGRAM_LEN_BAND = 50   # candidate length-band width for ngram jaccard
 SIMHASH_MAX_HAMMING = 6
 NGRAM_JACCARD_TAU = 0.8
 EMB_DEDUP_TAU = 0.3   # cosine near-dup threshold (synthetic vectors max ~0.5)

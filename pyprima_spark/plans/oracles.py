@@ -414,12 +414,15 @@ FROM documents GROUP BY 1
 _MINHASH_BANDS_CTE = f"""
 sigs AS (
   SELECT doc_id AS doc,
-         {X.bands_duck(X.minhashes_duck('shingles', MINHASH_N), MINHASH_BANDS)} AS bands
+         {X.bands_duck(X.minhashes_duck('bh'), MINHASH_BANDS)} AS bands
   FROM (
-    SELECT doc_id, {X.shingles_duck(X.tokens_duck('text'))} AS shingles
-    FROM documents
+    SELECT doc_id, {X.base_hashes_duck('shingles')} AS bh
+    FROM (
+      SELECT doc_id, {X.shingles_duck(X.tokens_duck('text'))} AS shingles
+      FROM documents
+    )
+    WHERE len(shingles) > 0
   )
-  WHERE len(shingles) > 0
 ),
 bands AS (
   SELECT doc, unnest(bands) AS band_sig,
@@ -438,11 +441,12 @@ ORDER BY doc_a, doc_b
 
 _SIMHASH_CTE = f"""
 sims AS (
-  SELECT doc_id AS doc, {X.simhash_duck(X.token_hashes_duck('tokens'))} AS simhash
+  SELECT doc_id AS doc, {X.simhash_duck('hashes')} AS simhash
   FROM (
-    SELECT doc_id, {X.tokens_duck('text')} AS tokens FROM documents
+    SELECT doc_id, {X.token_hashes_duck('tokens')} AS hashes
+    FROM (SELECT doc_id, {X.tokens_duck('text')} AS tokens FROM documents)
+    WHERE len(tokens) > 0
   )
-  WHERE len(tokens) > 0
 ),
 chunks AS (
   SELECT doc, simhash, c, (simhash >> (c * 15)) & 32767 AS chunk
@@ -462,9 +466,12 @@ FROM (
 ORDER BY doc_a, doc_b
 """
 
+from pyprima_spark.plans.constants import NGRAM_LEN_BAND
+
 ORACLES["ngram_jaccard"] = f"""
 WITH docs AS (
-  SELECT doc_id, source, cast(floor(length(text) / 100) AS bigint) AS len_band,
+  SELECT doc_id, source,
+         cast(floor(length(text) / {NGRAM_LEN_BAND}) AS bigint) AS len_band,
          {X.char_ngrams_duck(X.normtext_duck('text'))} AS grams
   FROM documents
 ),

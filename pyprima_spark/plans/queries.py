@@ -736,12 +736,14 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Char-3-gram Jaccard similarity pairs >= tau within (source,
     length-band) buckets (SURVEY §2 #30)."""
     from pyprima_spark.operators.dedup import ngram_gram_table
-    from pyprima_spark.plans.constants import NGRAM_JACCARD_TAU
+    from pyprima_spark.plans.constants import NGRAM_JACCARD_TAU, NGRAM_LEN_BAND
 
     docs = _t(spark, sf_dir, "documents").withColumn(
-        "len_band", F.floor(F.length("text") / 100)
+        "len_band", F.floor(F.length("text") / NGRAM_LEN_BAND)
     )
-    grams = ngram_gram_table(docs, "doc_id", "text", ["source", "len_band"])
+    # persisted: both sides of the candidate self-join read the gram
+    # table; without it the normalization+ngram pass runs twice.
+    grams = ngram_gram_table(docs, "doc_id", "text", ["source", "len_band"]).persist()
     a = grams.select(
         F.col("doc").alias("doc_a"),
         F.col("gset_size").alias("size_a"),
