@@ -29,6 +29,13 @@ TABLES = (
 # Dimension tables small enough to broadcast at any scale factor.
 DIM_TABLES = frozenset({"region", "nation"})
 
+# Tables whose consumers do heavy per-row compute (regex normalization,
+# md5 shingling, vector math) — worth a widening shuffle when the scan
+# is degenerate. Relational tables skip it: their first shuffle (join /
+# agg exchange) already spreads the work, and an extra exchange costs
+# more than the single-threaded scan saves.
+WIDEN_TABLES = frozenset({"documents", "embeddings"})
+
 
 def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
@@ -48,6 +55,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if name in WIDEN_TABLES:
+        df = widen_scan(df)
+    return df
+
+
+def widen_scan(df: DataFrame) -> DataFrame:
+    """Round-robin repartition a scan whose parallelism is degenerate.
+
+    The test parquet files are single-row-group, so Spark gives the whole
+    scan to ONE task and every downstream map (regex normalization, md5,
+    explode) runs on 1 of 32 cores. At cluster scale a fact-table scan
+    yields thousands of splits and this is a no-op — the condition is on
+    the ACTUAL scan partition count, not the data. Filters and column
+    pruning still push through the exchange to the parquet reader
+    (PushDownPredicates handles Repartition nodes).
+    """
+    spark = df.sparkSession
+    n = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
     return df
 
 
