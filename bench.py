@@ -20,6 +20,10 @@ BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier",
+    "q9_product_profit",
+    "q13_customer_distribution",
+    "q18_large_orders",
+    "q21_sole_blame",
     "gap_fill_trend",
     "weighted_disaggregate",
     "canonical_edges",

@@ -663,3 +663,8 @@ WHERE c_custkey = o_custkey
 GROUP BY n_name
 ORDER BY revenue DESC
 """
+
+
+from pyprima_spark.plans.tpch_extra import EXTRA_ORACLES as _EXTRA_ORACLES
+
+ORACLES.update(_EXTRA_ORACLES)

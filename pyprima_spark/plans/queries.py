@@ -1009,3 +1009,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_hourly_stats": streaming_hourly_stats,
     "multimodal_decode": multimodal_decode,
 }
+
+from pyprima_spark.plans.tpch_extra import EXTRA_QUERIES as _EXTRA_QUERIES
+
+QUERIES.update(_EXTRA_QUERIES)
