@@ -24,6 +24,8 @@ BENCH_QUERIES = [
     "q13_customer_distribution",
     "q18_large_orders",
     "q21_sole_blame",
+    "asof_join",
+    "sessionize",
     "gap_fill_trend",
     "weighted_disaggregate",
     "canonical_edges",

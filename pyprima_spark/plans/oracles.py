@@ -665,6 +665,49 @@ ORDER BY revenue DESC
 """
 
 
+ORACLES["asof_join"] = """
+WITH p AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+)
+SELECT p.event_id, p.user_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+       round(p.value, 2) AS value,
+       round(c.value, 2) AS click_value,
+       round((epoch_us(p.ts) - epoch_us(c.ts)) / 1000000.0, 3) AS lag_sec
+FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+ORDER BY p.event_id
+"""
+
+_SESSIONIZE_SQL = """
+WITH gaps AS (
+  SELECT user_id, ts, value,
+         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER
+                (PARTITION BY user_id ORDER BY ts)) >= 14400000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+),
+sess AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM gaps
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       strftime(max(ts) + INTERVAL 4 HOUR, '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM sess
+GROUP BY user_id, sid
+ORDER BY user_id, session_start
+"""
+
+ORACLES["sessionize"] = _SESSIONIZE_SQL
+ORACLES["streaming_sessions"] = _SESSIONIZE_SQL
+
+
 from pyprima_spark.plans.tpch_extra import EXTRA_ORACLES as _EXTRA_ORACLES
 
 ORACLES.update(_EXTRA_ORACLES)

@@ -969,6 +969,47 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Registry
 # ---------------------------------------------------------------------------
 
+def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Annotate each purchase with the user's most recent prior click
+    (temporal as-of join; SURVEY §2 asof_join)."""
+    from pyprima_spark.operators.asof import asof_join as _asof
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    j = _asof(purchases, clicks, "user_id", value_cols=["value"])
+    return j.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        F.round("value", 2).alias("value"),
+        F.round("value_asof", 2).alias("click_value"),
+        F.round(
+            (F.unix_micros("ts") - F.unix_micros("ts_asof")) / 1_000_000.0, 3
+        ).alias("lag_sec"),
+    ).orderBy("event_id")
+
+
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based per-user sessions via session_window (SURVEY §2
+    sessionize)."""
+    from pyprima_spark.streaming.sessions import sessionize as _sess
+
+    return _sess(_t(spark, sf_dir, "events"))
+
+
+def streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming sessionizer (applyInPandasWithState);
+    same output contract as the batch sessionize."""
+    from pyprima_spark.streaming.sessions import run_sessions_stream
+
+    return run_sessions_stream(spark, sf_dir)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -1008,6 +1049,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_count": token_count,
     "streaming_hourly_stats": streaming_hourly_stats,
     "multimodal_decode": multimodal_decode,
+    "asof_join": asof_join,
+    "sessionize": sessionize,
+    "streaming_sessions": streaming_sessions,
 }
 
 from pyprima_spark.plans.tpch_extra import EXTRA_QUERIES as _EXTRA_QUERIES
