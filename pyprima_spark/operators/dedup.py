@@ -77,23 +77,17 @@ def minhash_band_table(
     )
 
     toks = X.tokens_spark(text_col)
-    # Shingles are built by exploding POSITIONS and indexing the carried
-    # tokens array (an attribute above the Generate barrier). Exploding a
-    # shingle-array expression instead lets CollapseProject inline the
-    # tokenizer into every lambda reference — measured 12 split() copies
-    # in the plan and ~10× the runtime.
+    # Shingles: build the (distinct) shingle ARRAY with one transform,
+    # then explode it. Exploding POSITIONS and indexing a carried tokens
+    # array instead copies the whole string array into every exploded
+    # row (Generate materializes carried columns per output row) —
+    # measured 4× slower. Per-doc duplicate shingles are dropped by the
+    # array_distinct inside shingles_spark; minima are unaffected.
+    sh = X.shingles_spark("tokens")
     base = (
         df.select(F.col(id_col).alias("doc"), F.expr(toks).alias("tokens"))
         .filter(F.size("tokens") >= 3)
-        .select(
-            "doc",
-            "tokens",
-            F.posexplode(F.expr("sequence(0, size(tokens) - 3)")).alias("i", "_"),
-        )
-        .select(
-            "doc",
-            F.expr("concat_ws(' ', tokens[i], tokens[i+1], tokens[i+2])").alias("s"),
-        )
+        .select("doc", F.explode(F.expr(sh)).alias("s"))
         .withColumn("h", F.expr(X.hash64_spark("s")).bitwiseAND(F.lit(MINHASH_MASK)))
     )
     mins = base.groupBy("doc").agg(
