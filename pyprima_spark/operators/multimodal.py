@@ -90,3 +90,73 @@ def resize_stub(media: DataFrame, max_dim: int = 256) -> DataFrame:
     ).withColumn(
         "out_height", F.greatest(F.floor(F.col("height") * scale), F.lit(1)).cast("int")
     )
+
+
+FRAME_SCHEMA = "doc_id bigint, n_frames int, frame_idx int, frame_fp string"
+FRAME_SAMPLE_K = 4
+
+
+def frame_sample(media: DataFrame, k: int = FRAME_SAMPLE_K) -> DataFrame:
+    """Sample k evenly-spaced 'frames' per video payload via mapInPandas.
+
+    The fake stands in for an ffmpeg seek+decode: a payload-derived
+    frame count (8..63) and one md5 fingerprint per sampled frame. One
+    output row per frame — the batch fan-out shape a real sampler has.
+    No shuffle: frames stay in the payload's partition.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: dict[str, list] = {c: [] for c in
+                                     ("doc_id", "n_frames", "frame_idx", "frame_fp")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                base = hashlib.md5(payload).hexdigest()
+                n_frames = 8 + int(base[:2], 16) % 56
+                for j in range(k):
+                    idx = (j * (n_frames - 1)) // (k - 1)
+                    rows["doc_id"].append(doc_id)
+                    rows["n_frames"].append(n_frames)
+                    rows["frame_idx"].append(idx)
+                    rows["frame_fp"].append(
+                        hashlib.md5(f"{base}:{idx}".encode()).hexdigest()
+                    )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
+AUDIO_SCHEMA = "doc_id bigint, duration_s double, rms double, peak double"
+
+
+def audio_features(media: DataFrame, real_decode: bool = False) -> DataFrame:
+    """Audio feature-extraction stub: deterministic fake duration/RMS/
+    peak from the payload hash; same mapInPandas shape a real
+    soundfile/librosa pass would use."""
+    if real_decode:
+        raise NotImplementedError(
+            "real audio decode requires libraries not present in this "
+            "container; the Arrow plumbing below is the real path"
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            hs = [hashlib.md5(p).hexdigest() for p in pdf["payload"]]
+            # Odd numerators over power-of-two denominators can never
+            # land on a decimal rounding tie, so Python's banker's
+            # rounding and the oracle's half-up rounding agree exactly.
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "duration_s": [
+                        round(1 + (2 * int(h[:4], 16) + 1) / 131.072, 3) for h in hs
+                    ],
+                    "rms": [
+                        round((2 * int(h[4:8], 16) + 1) / 131072.0, 6) for h in hs
+                    ],
+                    "peak": [
+                        round((2 * int(h[8:12], 16) + 1) / 131072.0, 6) for h in hs
+                    ],
+                }
+            )
+
+    return media.mapInPandas(batches, schema=AUDIO_SCHEMA)

@@ -708,6 +708,32 @@ ORACLES["sessionize"] = _SESSIONIZE_SQL
 ORACLES["streaming_sessions"] = _SESSIONIZE_SQL
 
 
+ORACLES["multimodal_frames"] = """
+WITH m AS (
+  SELECT doc_id, md5(text) AS base,
+         8 + cast('0x' || substring(md5(text), 1, 2) AS INT) % 56 AS n_frames
+  FROM documents
+)
+SELECT doc_id, n_frames,
+       cast(floor(j * (n_frames - 1) / 3.0) AS INT) AS frame_idx,
+       md5(base || ':' || cast(floor(j * (n_frames - 1) / 3.0) AS INT)) AS frame_fp
+FROM m CROSS JOIN generate_series(0, 3) AS t(j)
+ORDER BY doc_id, frame_idx
+"""
+
+ORACLES["multimodal_audio"] = """
+SELECT doc_id,
+       round(1 + (2 * cast('0x' || substring(md5(text), 1, 4) AS BIGINT) + 1)
+             / 131.072, 3) AS duration_s,
+       round((2 * cast('0x' || substring(md5(text), 5, 4) AS BIGINT) + 1)
+             / 131072.0, 6) AS rms,
+       round((2 * cast('0x' || substring(md5(text), 9, 4) AS BIGINT) + 1)
+             / 131072.0, 6) AS peak
+FROM documents
+ORDER BY doc_id
+"""
+
+
 from pyprima_spark.plans.tpch_extra import EXTRA_ORACLES as _EXTRA_ORACLES
 
 ORACLES.update(_EXTRA_ORACLES)

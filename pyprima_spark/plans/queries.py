@@ -969,6 +969,23 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Registry
 # ---------------------------------------------------------------------------
 
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling stub: k evenly spaced frame fingerprints per
+    payload via mapInPandas (one output row per frame)."""
+    from pyprima_spark.operators.multimodal import attach_fake_media, frame_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return frame_sample(attach_fake_media(docs)).orderBy("doc_id", "frame_idx")
+
+
+def multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature-extraction stub over the binary payload column."""
+    from pyprima_spark.operators.multimodal import attach_fake_media, audio_features
+
+    docs = _t(spark, sf_dir, "documents")
+    return audio_features(attach_fake_media(docs)).orderBy("doc_id")
+
+
 def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Annotate each purchase with the user's most recent prior click
     (temporal as-of join; SURVEY §2 asof_join)."""
@@ -1049,6 +1066,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_count": token_count,
     "streaming_hourly_stats": streaming_hourly_stats,
     "multimodal_decode": multimodal_decode,
+    "multimodal_frames": multimodal_frames,
+    "multimodal_audio": multimodal_audio,
     "asof_join": asof_join,
     "sessionize": sessionize,
     "streaming_sessions": streaming_sessions,
