@@ -25,6 +25,7 @@ BENCH_QUERIES = [
     "q18_large_orders",
     "q21_sole_blame",
     "asof_join",
+    "rolling_user_stats",
     "sessionize",
     "gap_fill_trend",
     "weighted_disaggregate",

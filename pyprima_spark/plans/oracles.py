@@ -734,6 +734,18 @@ ORDER BY doc_id
 """
 
 
+ORACLES["rolling_user_stats"] = """
+SELECT event_id, user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+       count(*) OVER w AS n_1h,
+       round(sum(value) OVER w, 2) AS sum_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+"""
+
+
 from pyprima_spark.plans.tpch_extra import EXTRA_ORACLES as _EXTRA_ORACLES
 
 ORACLES.update(_EXTRA_ORACLES)

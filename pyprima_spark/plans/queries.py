@@ -986,6 +986,35 @@ def multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_features(attach_fake_media(docs)).orderBy("doc_id")
 
 
+def rolling_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event: count / sum of the same user's events in the preceding
+    hour (inclusive), via a RANGE window frame on event-time micros.
+
+    The range frame slides within each user's time-sorted partition —
+    one shuffle on user_id, per-key bounded state, no self-join. This is
+    the reference's 5-hour trend window (correction_functions.py:315)
+    generalized to an arbitrary time-range frame.
+    """
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+            F.count(F.lit(1)).over(w).alias("n_1h"),
+            F.round(F.sum("value").over(w), 2).alias("sum_1h"),
+        )
+        .orderBy("event_id")
+    )
+
+
 def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Annotate each purchase with the user's most recent prior click
     (temporal as-of join; SURVEY §2 asof_join)."""
@@ -1069,6 +1098,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_frames": multimodal_frames,
     "multimodal_audio": multimodal_audio,
     "asof_join": asof_join,
+    "rolling_user_stats": rolling_user_stats,
     "sessionize": sessionize,
     "streaming_sessions": streaming_sessions,
 }
