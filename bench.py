@@ -52,6 +52,9 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in names:
+        # Isolate queries: operators persist() intermediates (band/gram
+        # tables) that would otherwise linger and skew later timings.
+        spark.catalog.clearCache()
         start = time.perf_counter()
         QUERIES[name](spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - start, 4)

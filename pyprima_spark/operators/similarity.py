@@ -99,3 +99,69 @@ def embedding_dedup(emb: DataFrame, tau: float, id_col: str = "vec_id") -> DataF
         .filter(F.col("cos") >= tau)
         .select("vec_a", "vec_b", "cos")
     )
+
+
+def ann_ivf(
+    emb: DataFrame,
+    n_queries: int,
+    k: int,
+    n_clusters: int = 8,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-style ANN: a KMeans coarse quantizer partitions the vector
+    table into inverted lists; each query probes only its ``n_probe``
+    nearest cells and brute-forces inside them.
+
+    This is the scale path beyond LSH: at 100 TB the vector table is
+    scanned once to assign cells (model fit runs on a sample-sized
+    driver-coordinated job), candidate generation is a broadcast
+    equi-join on cell id (no shuffle of the big side), and per-cell
+    verification is the same narrow cosine pass as brute force. Probe
+    selection is itself a DataFrame job over the (tiny) centroid table —
+    no .collect() of query vectors.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    base = with_double_vec(emb)
+    featured = base.withColumn("features", array_to_vector("vec"))
+    model = KMeans(
+        k=n_clusters, seed=42, featuresCol="features", predictionCol="cell"
+    ).fit(featured)
+    assigned = model.transform(featured).select(
+        F.col(id_col).alias("vec_id"), F.col("vec").alias("cvec"), "cell"
+    )
+
+    spark = emb.sparkSession
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cell int, centroid array<double>",
+    )
+    queries = base.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), F.col("vec").alias("qvec")
+    )
+    # n_probe nearest cells per query: queries x centroids is tiny.
+    dist2 = F.expr(
+        "aggregate(zip_with(qvec, centroid, (a, b) -> (a - b) * (a - b)), "
+        "0D, (acc, x) -> acc + x)"
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("cell"))
+    probes = (
+        queries.crossJoin(F.broadcast(centroids))
+        .withColumn("d2", dist2)
+        .withColumn("pr", F.row_number().over(wq))
+        .filter(F.col("pr") <= n_probe)
+        .select("query_id", "qvec", "cell")
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos", cosine_col())
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos", "rank")
+    )

@@ -746,6 +746,20 @@ ORDER BY event_id
 """
 
 
+ORACLES["streaming_sliding_counts"] = """
+WITH expanded AS (
+  SELECT time_bucket(INTERVAL 15 MINUTE, ts) - k * INTERVAL 15 MINUTE AS win_start,
+         event_type, value
+  FROM events CROSS JOIN generate_series(0, 3) AS t(k)
+)
+SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start, event_type,
+       count(*) AS n, round(sum(value), 2) AS total
+FROM expanded
+GROUP BY win_start, event_type
+ORDER BY win_start, event_type
+"""
+
+
 from pyprima_spark.plans.tpch_extra import EXTRA_ORACLES as _EXTRA_ORACLES
 
 ORACLES.update(_EXTRA_ORACLES)

@@ -793,6 +793,17 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return op(emb, ANN_N_QUERIES, ANN_K).orderBy("query_id", "rank")
 
 
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (KMeans coarse-quantizer) approximate NN — the cluster-scale
+    path (SURVEY §2 #32b). No oracle: KMeans is not SQL-expressible;
+    the unit test checks recall against brute force instead."""
+    from pyprima_spark.operators.similarity import ann_ivf as op
+    from pyprima_spark.plans.constants import ANN_K, ANN_N_QUERIES
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return op(emb, ANN_N_QUERIES, ANN_K).orderBy("query_id", "rank")
+
+
 def embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cosine near-dup pairs within LSH buckets (SURVEY §2 #33)."""
     from pyprima_spark.operators.similarity import embedding_dedup as op
@@ -969,6 +980,14 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Registry
 # ---------------------------------------------------------------------------
 
+def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 1h/15m sliding-window event counts, computed by the
+    streaming engine (availableNow) — each event lands in 4 windows."""
+    from pyprima_spark.streaming.events import run_sliding_stream
+
+    return run_sliding_stream(spark, sf_dir)
+
+
 def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling stub: k evenly spaced frame fingerprints per
     payload via mapInPandas (one output row per frame)."""
@@ -1089,11 +1108,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard": ngram_jaccard,
     "ann_topk": ann_topk,
     "ann_lsh": ann_lsh,
+    "ann_ivf": ann_ivf,
     "embedding_dedup": embedding_dedup,
     "lang_id": lang_id,
     "quality_score": quality_score,
     "token_count": token_count,
     "streaming_hourly_stats": streaming_hourly_stats,
+    "streaming_sliding_counts": streaming_sliding_counts,
     "multimodal_decode": multimodal_decode,
     "multimodal_frames": multimodal_frames,
     "multimodal_audio": multimodal_audio,

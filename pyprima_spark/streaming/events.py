@@ -69,3 +69,43 @@ def run_hourly_stats_stream(
     )
     q.awaitTermination()
     return spark.table(query_name)
+
+
+def sliding_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Overlapping sliding-window counts per event type (each event lands
+    in window/slide = 4 epoch-aligned windows). Same unified batch/
+    stream transform shape as hourly_event_stats."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "event_type",
+            "n",
+            "total",
+        )
+    )
+
+
+def run_sliding_stream(
+    spark: SparkSession, sf_dir: str, query_name: str = "sliding_counts"
+) -> DataFrame:
+    out = sliding_event_counts(stream_events(spark, sf_dir))
+    q = (
+        out.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name).orderBy("win_start", "event_type")

@@ -97,3 +97,18 @@ def test_mode_impute_tiebreak(spark):
     out = mode_impute(df, F.col("v"), F.col("missing"), "f").collect()
     # tie between 1 and 2 → smaller value wins
     assert sorted(r.f for r in out) == [1, 1, 1, 2, 2]
+
+
+def test_ann_ivf_recall_vs_brute_force(spark, sf_dir):
+    """IVF probing half the cells must recover most of the true top-k."""
+    from pyprima_spark.catalog import load_table
+    from pyprima_spark.operators.similarity import ann_ivf, ann_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    truth = ann_topk(emb, 5, 10).toPandas()
+    approx = ann_ivf(emb, 5, 10).toPandas()
+    assert list(approx.columns) == ["query_id", "vec_id", "cos", "rank"]
+    t = set(zip(truth.query_id, truth.vec_id))
+    a = set(zip(approx.query_id, approx.vec_id))
+    recall = len(t & a) / len(t)
+    assert recall >= 0.5, f"IVF recall {recall:.2f} < 0.5"
