@@ -80,3 +80,19 @@ def test_european_csv_roundtrip(spark, tmp_path):
         european_number("x").alias("v")
     )
     assert lit.collect()[0].v == 1234.56
+
+
+def test_pipeline_end_to_end(spark, sf_dir, tmp_path):
+    """runme.py-equivalent: all three stages materialize readable,
+    non-empty parquet outputs plus the European CSV model export."""
+    from pyprima_spark.pipeline import run_pipeline
+    from pyprima_spark.sources.readers import read_european_csv
+
+    manifest = run_pipeline(spark, sf_dir, str(tmp_path / "out"))
+    assert len(manifest) == 20
+    for name, path in manifest.items():
+        if name.endswith("_csv"):
+            back = read_european_csv(spark, path)
+        else:
+            back = spark.read.parquet(path)
+        assert back.count() > 0, f"{name} wrote no rows"
