@@ -112,3 +112,19 @@ def test_ann_ivf_recall_vs_brute_force(spark, sf_dir):
     a = set(zip(approx.query_id, approx.vec_id))
     recall = len(t & a) / len(t)
     assert recall >= 0.5, f"IVF recall {recall:.2f} < 0.5"
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Salting must not change join semantics, only the key layout."""
+    from pyprima_spark.functions.skew import salted_join
+
+    big = spark.createDataFrame(
+        [(k, i) for i in range(500) for k in ("hot", "warm")] + [("cold", 0)],
+        "k string, v int",
+    )
+    small = spark.createDataFrame(
+        [("hot", 1.0), ("cold", 2.0)], "k string, w double"
+    )
+    got = salted_join(big, small, "k").orderBy("k", "v").toPandas()
+    want = big.join(small, "k").orderBy("k", "v").toPandas()
+    assert got.equals(want)
