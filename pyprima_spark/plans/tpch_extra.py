@@ -11,10 +11,12 @@ is the full TPC-H capability matrix, which subsumes every relational
 shape in the reference (joins/groupbys in
 generate_intermediate_files.py, filters in correction_functions.py).
 
-Scale notes per query are in the docstrings; dims (nation/region) are
-broadcast explicitly, fact-fact joins shuffle on their keys, and every
-"subquery" is expressed as a join so Catalyst can pick broadcast vs
-shuffle sides with AQE.
+Scale notes per query are in the docstrings. Only bounded sides are
+force-broadcast (nation/region dims, 1-row scalar aggregates): part and
+supplier GROW with scale factor, so their joins are left to AQE, which
+still auto-broadcasts them at small SF but falls back to shuffle joins
+past the threshold — the plan that survives a 100x scale-up. Every
+"subquery" is expressed as a join so Catalyst picks the strategy.
 
 Where TPC-H uses `partsupp`, we derive the part–supplier relation from
 `lineitem` (min observed unit price as supply cost); where it uses
@@ -59,7 +61,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = _t(spark, sf_dir, "supplier")
     nation = _t(spark, sf_dir, "nation")
     ps = (
-        li.join(F.broadcast(part.select("p_partkey", "p_name")), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part.select("p_partkey", "p_name"), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("l_partkey", "p_name", "l_suppkey")
         .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supplycost"))
     )
@@ -68,7 +70,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("supplycost") == F.col("min_cost")
     )
     return (
-        best.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        best.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .select(
             F.round("s_acctbal", 2).alias("s_acctbal"),
@@ -256,7 +258,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(part.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part.select("p_partkey"), F.col("l_partkey") == F.col("p_partkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
@@ -313,7 +315,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) * F.col("l_quantity") * 0.1
     return (
         li.join(
-            F.broadcast(part.select("p_partkey", "p_retailprice")),
+            part.select("p_partkey", "p_retailprice"),
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
@@ -474,7 +476,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(
-            F.broadcast(part.select("p_partkey", "p_type")),
+            part.select("p_partkey", "p_type"),
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .agg(
@@ -516,7 +518,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     mx = revenue.agg(F.max("total").alias("mx"))
     return (
         revenue.join(F.broadcast(mx), revenue.total == mx.mx)
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .select(
             "s_suppkey", "s_name", F.round("total", 2).alias("total_revenue")
         )
@@ -558,10 +560,10 @@ def q16_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(
-            F.broadcast(part.select("p_partkey", "p_brand", "p_type", "p_size")),
+            part.select("p_partkey", "p_brand", "p_type", "p_size"),
             F.col("l_partkey") == F.col("p_partkey"),
         )
-        .join(F.broadcast(bad_supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(bad_supp, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
@@ -594,13 +596,13 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey"
     )
     thresholds = (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("l_partkey")
         .agg((F.lit(0.2) * F.avg("l_quantity")).alias("qty_threshold"))
         .select(F.col("l_partkey").alias("t_partkey"), "qty_threshold")
     )
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .join(thresholds, F.col("l_partkey") == F.col("t_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
@@ -696,7 +698,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(
-            F.broadcast(part.select("p_partkey", "p_brand", "p_size")),
+            part.select("p_partkey", "p_brand", "p_size"),
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .filter(cond)
@@ -734,7 +736,7 @@ def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1997-01-01"))
     )
     movers = (
-        li.join(F.broadcast(gear), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        li.join(gear, F.col("l_partkey") == F.col("p_partkey"), "left_semi")
         .groupBy("l_suppkey")
         .agg(F.sum("l_quantity").alias("moved"))
         .filter(F.col("moved") > 50)
@@ -800,7 +802,7 @@ def q21_sole_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_suppkey") != F.col("o3_suppkey")),
             "left_anti",
         )
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
