@@ -871,6 +871,49 @@ ORDER BY 1
 """
 
 
+
+# ---------------------------------------------------------------------------
+# q11 — important part values (HAVING against a scalar fraction subquery)
+# ---------------------------------------------------------------------------
+
+def q11_important_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts whose traded value through NATION_7 suppliers exceeds a
+    fixed fraction of that nation's total traded value. The scalar total
+    is a 1-row aggregate broadcast against the per-part values — both
+    branches reuse one shuffled aggregate of the filtered join."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    values = (
+        li.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("val"))
+    )
+    total = values.agg(F.sum("val").alias("total"))
+    return (
+        values.join(F.broadcast(total))
+        .filter(F.col("val") > F.col("total") * 0.001)
+        .select(F.col("l_partkey").alias("p_partkey"), F.round("val", 2).alias("value"))
+        .orderBy(F.desc("value"), "p_partkey")
+    )
+
+
+ORACLE_Q11 = """
+WITH values_t AS (
+  SELECT l_partkey, sum(l_extendedprice * l_quantity) AS val
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_7'
+  GROUP BY 1
+)
+SELECT l_partkey AS p_partkey, round(val, 2) AS value
+FROM values_t
+WHERE val > (SELECT sum(val) FROM values_t) * 0.001
+ORDER BY value DESC, p_partkey
+"""
+
 EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q4_order_priority": q4_order_priority,
@@ -879,6 +922,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q8_market_share": q8_market_share,
     "q9_product_profit": q9_product_profit,
     "q10_returned_items": q10_returned_items,
+    "q11_important_values": q11_important_values,
     "q12_priority_lines": q12_priority_lines,
     "q13_customer_distribution": q13_customer_distribution,
     "q14_promo_revenue": q14_promo_revenue,
@@ -900,6 +944,7 @@ EXTRA_ORACLES: dict[str, str] = {
     "q8_market_share": ORACLE_Q8,
     "q9_product_profit": ORACLE_Q9,
     "q10_returned_items": ORACLE_Q10,
+    "q11_important_values": ORACLE_Q11,
     "q12_priority_lines": ORACLE_Q12,
     "q13_customer_distribution": ORACLE_Q13,
     "q14_promo_revenue": ORACLE_Q14,
