@@ -5,11 +5,10 @@ Scale design (the 100 TB story):
 
 * exact / fingerprint — hash-groupBy: one shuffle on the 128-bit digest,
   uniformly distributed by construction, no skew.
-* minhash — the signature is computed in a SINGLE narrow pass with
-  nested higher-order functions (no explode of shingles, no shuffle);
-  only the tiny (doc, band, sig) table shuffles for the bucket
-  self-join. Candidate pairs are verified only within buckets — the
-  cartesian never happens.
+* minhash — shingles exploded and hashed once each, signatures as
+  conditional MIN aggregates over one doc-key shuffle; only the tiny
+  (doc, band, sig) table shuffles for the bucket self-join. Candidate
+  pairs are verified only within buckets — the cartesian never happens.
 * simhash — same shape: signature per doc computed narrowly, then a
   15-bit-chunk bucket join (standard Charikar dedup layout).
 * ngram jaccard — candidates bucketed by (source, length band) before
@@ -217,4 +216,52 @@ def ngram_gram_table(
     w = Window.partitionBy("doc")
     return grams.withColumn("gset_size", F.count(F.lit(1)).over(w)).select(
         "doc", *bucket_cols, "gset_size", "gram"
+    )
+
+
+WINNOW_K = 5   # char-gram length for rolling hashes
+WINNOW_W = 8   # winnowing window (guarantee: any match >= k+w-1 chars shares a fingerprint)
+
+
+def winnow_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken):
+    rolling char-k-gram hashes, minimum per sliding window of w hashes,
+    distinct selected minima per doc.
+
+    The rolling minimum is a ROWS-frame window over the position-sorted
+    hash stream — one shuffle on the doc key, per-key bounded state,
+    identical shape to the reference's trend windows. Output is the
+    join-ready (doc, fingerprint) table plagiarism/overlap detection
+    bucket-joins on.
+    """
+    from pyspark.sql import Window
+
+    norm = X.normtext_spark(text_col)
+    min_len = WINNOW_K + WINNOW_W - 1
+    hashes = (
+        df.select(F.col(id_col).alias("doc"), F.expr(norm).alias("norm"))
+        .filter(F.length("norm") >= min_len)
+        .select(
+            "doc",
+            "norm",
+            F.posexplode(
+                F.expr(f"sequence(0, length(norm) - {WINNOW_K})")
+            ).alias("i", "_"),
+        )
+        .select(
+            "doc",
+            "i",
+            F.expr(
+                X.hash64_spark(f"substring(norm, i + 1, {WINNOW_K})")
+            ).alias("h"),
+        )
+    )
+    wmin = Window.partitionBy("doc").orderBy("i").rowsBetween(0, WINNOW_W - 1)
+    wmax = Window.partitionBy("doc")
+    return (
+        hashes.withColumn("win_min", F.min("h").over(wmin))
+        .withColumn("max_i", F.max("i").over(wmax))
+        .filter(F.col("i") <= F.col("max_i") - (WINNOW_W - 1))
+        .select(F.col("doc").alias("doc_id"), F.col("win_min").alias("fingerprint"))
+        .distinct()
     )

@@ -760,6 +760,71 @@ ORDER BY win_start, event_type
 """
 
 
+ORACLES["winnow_fingerprints"] = f"""
+WITH pos AS (
+  SELECT doc_id, norm, unnest(generate_series(0, length(norm) - 5)) AS i
+  FROM (
+    SELECT doc_id, {X.normtext_duck('text')} AS norm FROM documents
+  )
+  WHERE length(norm) >= 12
+),
+hashes AS (
+  SELECT doc_id, i, {X.hash64_duck("substring(norm, i + 1, 5)")} AS h
+  FROM pos
+),
+wins AS (
+  SELECT doc_id, i,
+         min(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS win_min,
+         max(i) OVER (PARTITION BY doc_id) AS max_i
+  FROM hashes
+)
+SELECT DISTINCT doc_id, win_min AS fingerprint
+FROM wins
+WHERE i <= max_i - 7
+ORDER BY doc_id, fingerprint
+"""
+
+ORACLES["quality_topk_per_source"] = f"""
+WITH d AS (
+  SELECT
+    doc_id, source,
+    len(tokens) AS n_tok,
+    length(text) AS n_ch,
+    length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS punct_cnt,
+    length(regexp_replace(lower(text), '\\s', '', 'g')) AS word_chars,
+    {X.stopword_count_duck('tokens', STOPWORDS['en'])} AS stop_cnt
+  FROM (SELECT doc_id, source, text, {X.tokens_duck('text')} AS tokens FROM documents)
+),
+scored AS (
+  SELECT doc_id, source,
+    round(2.0 * (CASE WHEN n_tok = 0 THEN 0 ELSE stop_cnt / n_tok END)
+          - 3.0 * (CASE WHEN n_ch = 0 THEN 0 ELSE punct_cnt / n_ch END)
+          + least(n_tok, 100) / 100.0
+          - abs((CASE WHEN n_tok = 0 THEN 0 ELSE word_chars / n_tok END) - 5.0) / 10.0,
+          4) AS score
+  FROM d
+),
+ranked AS (
+  SELECT source, doc_id, score,
+         row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id) AS rnk
+  FROM scored
+)
+SELECT source, rnk, doc_id, score
+FROM ranked WHERE rnk <= 10
+ORDER BY source, rnk
+"""
+
+ORACLES["deterministic_sample"] = f"""
+SELECT doc_id, source,
+       5 + (cast(substring(source, 4) AS INT) % 4) * 15 AS rate
+FROM documents
+WHERE {X.hash64_duck("cast(doc_id AS VARCHAR)")} % 100
+      < 5 + (cast(substring(source, 4) AS INT) % 4) * 15
+ORDER BY doc_id
+"""
+
+
 from pyprima_spark.plans.tpch_extra import EXTRA_ORACLES as _EXTRA_ORACLES
 
 ORACLES.update(_EXTRA_ORACLES)

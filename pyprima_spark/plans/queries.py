@@ -980,6 +980,84 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Registry
 # ---------------------------------------------------------------------------
 
+def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing rolling-hash document fingerprints (SURVEY §2 #27b)."""
+    from pyprima_spark.operators.dedup import winnow_fingerprints as op
+
+    docs = _t(spark, sf_dir, "documents")
+    return op(docs, "doc_id", "text").orderBy("doc_id", "fingerprint")
+
+
+def quality_topk_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quota sampling: top 10 documents per source by quality score
+    (rounded score + doc_id tiebreak keeps ranking deterministic across
+    engines). The per-group top-k is a rank window over one shuffle on
+    source — the standard quota-filter shape for corpus curation."""
+    from pyspark.sql import Window
+
+    from pyprima_spark.functions import text as X
+    from pyprima_spark.plans.constants import STOPWORDS
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = X.tokens_spark("text")
+    d = (
+        docs.withColumn("tokens", F.expr(toks))
+        .withColumn("n_tok", F.size("tokens"))
+        .withColumn("n_ch", F.length("text"))
+        .withColumn(
+            "punct_cnt",
+            F.col("n_ch")
+            - F.length(F.regexp_replace("text", r"[^A-Za-z0-9\s]", "")),
+        )
+        .withColumn(
+            "word_chars",
+            F.length(F.regexp_replace(F.lower("text"), r"\s", "")),
+        )
+        .withColumn(
+            "stop_cnt", F.expr(X.stopword_count_spark("tokens", STOPWORDS["en"]))
+        )
+    )
+    n_tok = F.col("n_tok")
+    stop_ratio = F.when(n_tok == 0, F.lit(0.0)).otherwise(F.col("stop_cnt") / n_tok)
+    punct_ratio = F.when(F.col("n_ch") == 0, F.lit(0.0)).otherwise(
+        F.col("punct_cnt") / F.col("n_ch")
+    )
+    mean_wl = F.when(n_tok == 0, F.lit(0.0)).otherwise(F.col("word_chars") / n_tok)
+    score = F.round(
+        F.lit(2.0) * stop_ratio
+        - F.lit(3.0) * punct_ratio
+        + F.least(n_tok, F.lit(100)) / F.lit(100.0)
+        - F.abs(mean_wl - F.lit(5.0)) / F.lit(10.0),
+        4,
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        d.withColumn("score", score)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select("source", "rnk", "doc_id", "score")
+        .orderBy("source", "rnk")
+    )
+
+
+def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: keep a doc iff its id-hash
+    falls under its source's rate (5-50%). Hash-gated filters are the
+    reproducible sampling primitive for training-data pipelines — no
+    rand(), so retries, re-runs, and other engines agree row-for-row."""
+    from pyprima_spark.functions import text as X
+
+    docs = _t(spark, sf_dir, "documents")
+    rate = 5 + (F.substring("source", 4, 10).cast("int") % 4) * 15
+    gate = F.expr(X.hash64_spark("cast(doc_id as string)")) % 100
+    return (
+        docs.withColumn("rate", rate)
+        .filter(gate < F.col("rate"))
+        .select("doc_id", "source", "rate")
+        .orderBy("doc_id")
+    )
+
+
 def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping 1h/15m sliding-window event counts, computed by the
     streaming engine (availableNow) — each event lands in 4 windows."""
@@ -1105,6 +1183,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_fingerprint": dedup_fingerprint,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
+    "winnow_fingerprints": winnow_fingerprints,
+    "quality_topk_per_source": quality_topk_per_source,
+    "deterministic_sample": deterministic_sample,
     "ngram_jaccard": ngram_jaccard,
     "ann_topk": ann_topk,
     "ann_lsh": ann_lsh,
