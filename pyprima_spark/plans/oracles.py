@@ -825,6 +825,17 @@ ORDER BY doc_id
 """
 
 
+ORACLES["json_props_stats"] = """
+SELECT cast(floor(cast(json_extract(props, '$.k') AS INT) / 10.0) AS INT) AS k_bucket,
+       count(*) AS n,
+       round(avg(value), 4) AS avg_value,
+       max(cast(json_extract(props, '$.k') AS INT)) AS max_k
+FROM events
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 from pyprima_spark.plans.tpch_extra import EXTRA_ORACLES as _EXTRA_ORACLES
 
 ORACLES.update(_EXTRA_ORACLES)

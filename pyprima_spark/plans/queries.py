@@ -980,6 +980,26 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Registry
 # ---------------------------------------------------------------------------
 
+def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse the events.props JSON column with a declared schema
+    (from_json — JVM-side, no UDF) and aggregate by a derived bucket.
+    The schema-on-read path for semi-structured event payloads."""
+    ev = _t(spark, sf_dir, "events")
+    parsed = ev.withColumn(
+        "k", F.from_json("props", "k int").getField("k")
+    )
+    return (
+        parsed.withColumn("k_bucket", F.floor(F.col("k") / 10).cast("int"))
+        .groupBy("k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("k_bucket")
+    )
+
+
 def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing rolling-hash document fingerprints (SURVEY §2 #27b)."""
     from pyprima_spark.operators.dedup import winnow_fingerprints as op
@@ -1183,6 +1203,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_fingerprint": dedup_fingerprint,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
+    "json_props_stats": json_props_stats,
     "winnow_fingerprints": winnow_fingerprints,
     "quality_topk_per_source": quality_topk_per_source,
     "deterministic_sample": deterministic_sample,

@@ -128,3 +128,46 @@ def test_salted_join_equals_plain_join(spark):
     got = salted_join(big, small, "k").orderBy("k", "v").toPandas()
     want = big.join(small, "k").orderBy("k", "v").toPandas()
     assert got.equals(want)
+
+
+def test_asof_join_tie_and_ordering(spark):
+    """Equal timestamps match (>= semantics); later left rows pick the
+    latest prior right row; left rows before any right row drop."""
+    from datetime import datetime
+
+    from pyprima_spark.operators.asof import asof_join
+
+    t = lambda s: datetime.fromisoformat(s)
+    left = spark.createDataFrame(
+        [(1, t("2024-01-01 00:00:00"), "early"),
+         (1, t("2024-01-01 01:00:00"), "tie"),
+         (1, t("2024-01-01 03:00:00"), "late")],
+        "user_id long, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, t("2024-01-01 01:00:00"), 10.0),
+         (1, t("2024-01-01 02:00:00"), 20.0)],
+        "user_id long, ts timestamp, val double",
+    )
+    got = {
+        r.tag: r.val_asof
+        for r in asof_join(left, right, "user_id", value_cols=["val"]).collect()
+    }
+    assert got == {"tie": 10.0, "late": 20.0}  # 'early' dropped
+
+
+def test_winnow_short_docs_excluded_and_guarantee(spark):
+    """Docs shorter than k+w-1 produce no fingerprints; identical
+    substrings >= k+w-1 chars share at least one fingerprint."""
+    from pyprima_spark.operators.dedup import winnow_fingerprints
+
+    shared = "the quick brown fox jumps over it"
+    df = spark.createDataFrame(
+        [(1, "short"), (2, "AAAA " + shared), (3, shared + " BBBB")],
+        "doc_id long, text string",
+    )
+    out = winnow_fingerprints(df, "doc_id", "text").toPandas()
+    assert 1 not in set(out.doc_id)
+    f2 = set(out[out.doc_id == 2].fingerprint)
+    f3 = set(out[out.doc_id == 3].fingerprint)
+    assert f2 & f3, "winnowing guarantee violated: no shared fingerprint"
