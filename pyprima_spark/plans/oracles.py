@@ -836,6 +836,55 @@ ORDER BY 1
 """
 
 
+ORACLES["rollup_sales"] = """
+SELECT coalesce(n_name, 'ALL') AS nation,
+       coalesce(cast(year(o_orderdate) AS INT), -1) AS o_year,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY ROLLUP (n_name, year(o_orderdate))
+ORDER BY 1, 2
+"""
+
+
+ORACLES["value_percentiles"] = """
+SELECT event_type,
+       round(quantile_cont(value, 0.25), 4) AS p25,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.75), 4) AS p75,
+       round(avg(value), 4) AS mean_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+ORACLES["point_in_region"] = """
+WITH pts AS (
+  SELECT c_custkey, c_acctbal,
+         (c_custkey * 7919 % 160) - 80 + 0.5 AS lat,
+         (c_custkey * 104729 % 360) - 180 + 0.5 AS lon
+  FROM customer
+), boxes AS (
+  SELECT n_name,
+         (n_nationkey * 7 % 32) * 5 - 80 AS lat_min,
+         (n_nationkey * 7 % 32) * 5 - 80 + 40 AS lat_max,
+         (n_nationkey * 11 % 60) * 6 - 180 AS lon_min,
+         (n_nationkey * 11 % 60) * 6 - 180 + 72 AS lon_max
+  FROM nation
+)
+SELECT n_name,
+       count(*) AS n_points,
+       round(avg(c_acctbal), 4) AS avg_bal
+FROM pts JOIN boxes
+  ON lat >= lat_min AND lat < lat_max AND lon >= lon_min AND lon < lon_max
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
 from pyprima_spark.plans.tpch_extra import EXTRA_ORACLES as _EXTRA_ORACLES
 
 ORACLES.update(_EXTRA_ORACLES)

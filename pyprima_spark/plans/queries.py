@@ -1000,6 +1000,94 @@ def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals: ROLLUP over (nation, order-year).
+
+    OLAP cube surface (reference runs separate groupbys per level, e.g.
+    generate_intermediate_files.py:469 then re-aggregation; ROLLUP
+    computes all levels in one pass). Spark evaluates rollup with a
+    single Expand + one shuffle — no per-level rescan of the fact side.
+    """
+    ord_ = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    joined = (
+        ord_.join(F.broadcast(cust), ord_.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .withColumn("o_year", F.year("o_orderdate"))
+    )
+    return (
+        joined.rollup("n_name", "o_year")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .select(
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            F.coalesce("o_year", F.lit(-1)).alias("o_year"),
+            "n_orders",
+            "total_price",
+        )
+        .orderBy("nation", "o_year")
+    )
+
+
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles of event value per event type.
+
+    Uses the exact `percentile` aggregate (single pass, per-group sort
+    inside the agg) because the oracle demands bit-equality; at 100 TB
+    the drop-in scale path is `percentile_approx` (mergeable KLL-style
+    sketch, no per-group materialization) at the cost of bounded error.
+    """
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.25)"), 4).alias("p25"),
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(value, 0.75)"), 4).alias("p75"),
+            F.round(F.avg("value"), 4).alias("mean_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def point_in_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-region spatial bounding-box join (SURVEY §2 #40).
+
+    Deterministic synthetic geometry: each customer gets a lat/lon from
+    integer arithmetic on its key; each nation a bounding box from its
+    nationkey. The broadcast inequality join assigns points to regions
+    — the pyPRIMA point-in-polygon analogue (see operators/spatial.py).
+    """
+    from pyprima_spark.operators.spatial import point_in_box_join
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_acctbal",
+        ((F.col("c_custkey") * 7919 % 160) - 80 + F.lit(0.5)).alias("lat"),
+        ((F.col("c_custkey") * 104729 % 360) - 180 + F.lit(0.5)).alias("lon"),
+    )
+    nat = _t(spark, sf_dir, "nation").select(
+        "n_nationkey",
+        "n_name",
+        ((F.col("n_nationkey") * 7 % 32) * 5 - 80).alias("lat_min"),
+        ((F.col("n_nationkey") * 7 % 32) * 5 - 80 + 40).alias("lat_max"),
+        ((F.col("n_nationkey") * 11 % 60) * 6 - 180).alias("lon_min"),
+        ((F.col("n_nationkey") * 11 % 60) * 6 - 180 + 72).alias("lon_max"),
+    )
+    return (
+        point_in_box_join(cust, nat)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+        )
+        .orderBy("n_name")
+    )
+
+
 def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing rolling-hash document fingerprints (SURVEY §2 #27b)."""
     from pyprima_spark.operators.dedup import winnow_fingerprints as op
@@ -1204,6 +1292,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "json_props_stats": json_props_stats,
+    "rollup_sales": rollup_sales,
+    "value_percentiles": value_percentiles,
+    "point_in_region": point_in_region,
     "winnow_fingerprints": winnow_fingerprints,
     "quality_topk_per_source": quality_topk_per_source,
     "deterministic_sample": deterministic_sample,
