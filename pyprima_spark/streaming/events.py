@@ -96,6 +96,36 @@ def sliding_event_counts(
     )
 
 
+def dedup_events_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact-dedup on (user_id, event_type, ts) with BOUNDED
+    state: `dropDuplicatesWithinWatermark` evicts seen-keys older than
+    the watermark, so state is O(keys per watermark window), not O(all
+    keys ever) — the only viable layout for an unbounded stream.
+
+    Batch equivalent of the kept set: plain dropDuplicates on the same
+    keys (the batch branch below), which is what the test asserts
+    against.
+    """
+    if events.isStreaming:
+        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+            ["user_id", "event_type", "ts"]
+        )
+    return events.dropDuplicates(["user_id", "event_type", "ts"])
+
+
+def stream_static_enrich(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static join: each micro-batch of the event stream joins
+    the (broadcastable, slowly-changing) dimension snapshot — the
+    streaming form of every dim enrichment in the batch catalog. The
+    static side is re-read per trigger, so dim updates are picked up
+    without restarting the query."""
+    from pyspark.sql import functions as SF
+
+    return events.join(
+        SF.broadcast(dim), events.user_id % 25 == dim.n_nationkey
+    ).select("event_id", "ts", "user_id", "event_type", "value", "n_name")
+
+
 def run_sliding_stream(
     spark: SparkSession, sf_dir: str, query_name: str = "sliding_counts"
 ) -> DataFrame:

@@ -1,0 +1,118 @@
+"""Sink (partitioned/bucketed) and streaming-dedup / stream-static tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_write_partitioned_prunes(spark, sf_dir, tmp_path):
+    """Partitioned sink lays out source=... dirs; a filter on the
+    partition key is answered by pruning (scan reads only that dir)."""
+    from pyprima_spark.catalog import load_table
+    from pyprima_spark.sources.writers import write_partitioned
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "docs_part")
+    write_partitioned(docs.repartition("source"), out, ["source"])
+
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    sources = [r.source for r in docs.select("source").distinct().collect()]
+    one = back.filter(F.col("source") == sources[0])
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(source" in plan
+    want = docs.filter(F.col("source") == sources[0]).count()
+    assert one.count() == want
+    # physical layout is hive-style key=value directories
+    import os
+
+    assert any(d.startswith("source=") for d in os.listdir(out))
+
+
+def test_bucketed_join_skips_shuffle(spark, sf_dir, tmp_path):
+    """Two tables bucketed on the same key/count join with no Exchange —
+    the co-location contract write_bucketed exists for."""
+    from pyprima_spark.catalog import load_table
+    from pyprima_spark.sources.writers import write_bucketed
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    write_bucketed(orders, "t_orders_b", "o_custkey", 4, sort_col="o_custkey")
+    write_bucketed(
+        cust.withColumnRenamed("c_custkey", "o_custkey"),
+        "t_cust_b",
+        "o_custkey",
+        4,
+        sort_col="o_custkey",
+    )
+    try:
+        a = spark.table("t_orders_b")
+        b = spark.table("t_cust_b")
+        # disable broadcast so the shuffle (if any) would be visible
+        with_conf = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = a.join(b, "o_custkey")
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, plan
+            assert joined.count() == orders.join(
+                cust, orders.o_custkey == cust.c_custkey
+            ).count()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", with_conf)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_cust_b")
+
+
+def test_streaming_dedup_bounded_state(spark, sf_dir, tmp_path):
+    """dropDuplicatesWithinWatermark keeps one row per key and agrees
+    with the batch dropDuplicates row count."""
+    from pyprima_spark.catalog import load_table
+    from pyprima_spark.streaming.events import dedup_events_stream, stream_events
+
+    spark.conf.set(
+        "spark.sql.streaming.checkpointLocation", str(tmp_path / "ckpt_dedup")
+    )
+    out = dedup_events_stream(stream_events(spark, sf_dir))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("t_dedup").count()
+    batch = dedup_events_stream(load_table(spark, sf_dir, "events")).count()
+    assert got == batch > 0
+
+
+def test_stream_static_join(spark, sf_dir, tmp_path):
+    """Stream-static broadcast enrichment matches the batch join."""
+    from pyprima_spark.catalog import load_table
+    from pyprima_spark.streaming.events import stream_events, stream_static_enrich
+
+    spark.conf.set(
+        "spark.sql.streaming.checkpointLocation", str(tmp_path / "ckpt_ss")
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    out = stream_static_enrich(stream_events(spark, sf_dir), nation)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_ss")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("t_ss")
+    batch = stream_static_enrich(load_table(spark, sf_dir, "events"), nation)
+    assert got.count() == batch.count() > 0
+    g1 = {(r.event_id, r.n_name) for r in got.limit(5000).collect()}
+    b1 = {
+        (r.event_id, r.n_name)
+        for r in batch.filter(F.col("event_id").isin([x[0] for x in g1])).collect()
+    }
+    assert g1 == b1
