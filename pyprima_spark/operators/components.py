@@ -1,0 +1,76 @@
+"""Connected components: turn near-duplicate PAIRS into dedup CLUSTERS.
+
+Reference analogue: pyPRIMA's dataframe dedup keeps one row per
+duplicate group (correction_functions.py:474 cumcount dedup); at corpus
+scale the duplicate relation arrives as candidate PAIRS (minhash/simhash
+buckets), and grouping them requires the transitive closure — an
+iterative algorithm no single SQL pass expresses.
+
+Scale design (hash-min label propagation, the Kiveris et al. layout):
+
+* State per iteration is one (node, label) table, hash-partitioned by
+  node — size O(V), never O(V^2). Edges are held partitioned once and
+  reused every round.
+* Each round is: propagate labels across edges (one equi-join on the
+  edge endpoint), take min per node (one agg) — two shuffles, both on
+  uniformly-distributed ids.
+* Convergence in O(diameter) rounds; dedup-cluster graphs have tiny
+  diameter (near-clique components), so 3-5 rounds in practice.
+* `localCheckpoint` truncates the lineage each round — without it the
+  plan doubles per iteration and the driver, not the data, becomes the
+  bottleneck (classic iterative-Spark failure mode).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(node, component) with component = min node id reachable.
+
+    ``edges`` is undirected input (each pair once, either order).
+    """
+    sym = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+    sym = sym.repartition("a").persist()
+
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+
+    for _ in range(max_iter):
+        # neighbor's current label, pulled across each edge
+        prop = (
+            sym.join(labels.withColumnRenamed("node", "b"), "b")
+            .select(F.col("a").alias("node"), "label")
+        )
+        new_labels = (
+            labels.union(prop)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+
+    sym.unpersist()
+    return labels.select("node", F.col("label").alias("component"))

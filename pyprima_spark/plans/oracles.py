@@ -836,6 +836,28 @@ ORDER BY 1
 """
 
 
+ORACLES["dedup_clusters"] = f"""
+WITH RECURSIVE {_MINHASH_BANDS_CTE},
+pairs AS (
+  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig AND a.doc < b.doc
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
+)
+SELECT node AS doc_id, min(lbl) AS cluster_id
+FROM reach GROUP BY node ORDER BY doc_id
+"""
+
+
 ORACLES["rollup_sales"] = """
 SELECT coalesce(n_name, 'ALL') AS nation,
        coalesce(cast(year(o_orderdate) AS INT), -1) AS o_year,

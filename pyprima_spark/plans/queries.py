@@ -1000,6 +1000,24 @@ def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive dedup clusters from minhash LSH candidate pairs
+    (SURVEY §2 #44): iterative hash-min connected components — the
+    operator class (iterative graph algorithm) no single SQL pass
+    expresses; see operators/components.py for the scale layout.
+    """
+    from pyprima_spark.operators.components import connected_components
+    from pyprima_spark.operators.dedup import minhash_candidate_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_candidate_pairs(docs, "doc_id", "text")
+    return (
+        connected_components(pairs, "doc_a", "doc_b")
+        .select(F.col("node").alias("doc_id"), F.col("component").alias("cluster_id"))
+        .orderBy("doc_id")
+    )
+
+
 def rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical subtotals: ROLLUP over (nation, order-year).
 
@@ -1292,6 +1310,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "json_props_stats": json_props_stats,
+    "dedup_clusters": dedup_clusters,
     "rollup_sales": rollup_sales,
     "value_percentiles": value_percentiles,
     "point_in_region": point_in_region,

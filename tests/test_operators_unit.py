@@ -171,3 +171,18 @@ def test_winnow_short_docs_excluded_and_guarantee(spark):
     f2 = set(out[out.doc_id == 2].fingerprint)
     f3 = set(out[out.doc_id == 3].fingerprint)
     assert f2 & f3, "winnowing guarantee violated: no shared fingerprint"
+
+
+def test_connected_components_multihop(spark):
+    """A 4-node chain collapses to one component (multi-hop propagation),
+    independent pairs stay separate."""
+    from pyprima_spark.operators.components import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 20)],
+        "src long, dst long",
+    )
+    got = {
+        r.node: r.component for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
