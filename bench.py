@@ -38,6 +38,11 @@ BENCH_QUERIES = [
     "embedding_dedup",
     "quality_score",
     "token_count",
+    "rollup_sales",
+    "value_percentiles",
+    "point_in_region",
+    "json_props_stats",
+    "dedup_clusters",
 ]
 
 
