@@ -836,6 +836,25 @@ ORDER BY 1
 """
 
 
+ORACLES["latest_snapshot"] = """
+SELECT user_id, event_type, event_id AS last_event_id,
+       round(value, 2) AS last_value,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts
+FROM events
+QUALIFY row_number() OVER (
+  PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) = 1
+ORDER BY user_id, event_type
+"""
+
+
+ORACLES["label_centroids"] = """
+SELECT label, i AS dim, round(avg(embedding[i + 1]), 5) AS centroid
+FROM embeddings, (SELECT unnest(range(64)) AS i) dims
+GROUP BY label, i
+ORDER BY label, dim
+"""
+
+
 ORACLES["dedup_clusters"] = f"""
 WITH RECURSIVE {_MINHASH_BANDS_CTE},
 pairs AS (

@@ -1000,6 +1000,46 @@ def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC log compaction: last-write-wins snapshot per (user, type) key
+    (SURVEY §2 #45).
+
+    Implemented as a `max_by` AGGREGATION, not a row_number window: the
+    aggregate gets map-side partial combine (each task keeps one winner
+    per key before the shuffle), where a window would shuffle and sort
+    every raw event. At 100 TB of change-log this is the difference
+    between shuffling the keyspace and shuffling the log.
+    """
+    ev = _t(spark, sf_dir, "events")
+    ordk = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        ev.groupBy("user_id", "event_type")
+        .agg(
+            F.max_by("event_id", ordk).alias("last_event_id"),
+            F.round(F.max_by("value", ordk), 2).alias("last_value"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+        )
+        .orderBy("user_id", "event_type")
+    )
+
+
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid, one row per (label, dimension)
+    (SURVEY §2 #46) — the vector aggregation under KMeans/IVF training.
+
+    posexplode keeps the plan JVM-side and columnar; the agg shuffles
+    (label, dim) pairs — uniformly distributed, 64×|labels| groups —
+    with map-side partial sums, never whole vectors.
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg("v"), 5).alias("centroid"))
+        .orderBy("label", "dim")
+    )
+
+
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive dedup clusters from minhash LSH candidate pairs
     (SURVEY §2 #44): iterative hash-min connected components — the
@@ -1310,6 +1350,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "json_props_stats": json_props_stats,
+    "latest_snapshot": latest_snapshot,
+    "label_centroids": label_centroids,
     "dedup_clusters": dedup_clusters,
     "rollup_sales": rollup_sales,
     "value_percentiles": value_percentiles,
