@@ -186,3 +186,65 @@ def test_connected_components_multihop(spark):
         r.node: r.component for r in connected_components(edges).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_asof_join_property_vs_merge_asof(spark):
+    """Property test: asof_join agrees with pandas merge_asof
+    (backward, allow_exact_matches) on randomized inputs."""
+    import pandas as pd
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from pyprima_spark.operators.asof import asof_join
+
+    row = st.tuples(
+        st.integers(min_value=1, max_value=3),          # key
+        st.integers(min_value=0, max_value=50),         # ts (epoch secs)
+    )
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        lrows=st.lists(row, min_size=1, max_size=12),
+        rrows=st.lists(row, min_size=1, max_size=12, unique=True),
+    )
+    def check(lrows, rrows):
+        lpd = pd.DataFrame(
+            {
+                "user_id": [k for k, _ in lrows],
+                "ts": pd.to_datetime([t for _, t in lrows], unit="s"),
+                "lid": range(len(lrows)),
+            }
+        )
+        rpd = pd.DataFrame(
+            {
+                "user_id": [k for k, _ in rrows],
+                "ts": pd.to_datetime([t for _, t in rrows], unit="s"),
+                "val": [float(i) for i in range(len(rrows))],
+            }
+        )
+        got = (
+            asof_join(
+                spark.createDataFrame(lpd),
+                spark.createDataFrame(rpd),
+                "user_id",
+                value_cols=["val"],
+            )
+            .orderBy("lid")
+            .toPandas()
+        )
+        want = pd.merge_asof(
+            lpd.sort_values(["ts", "lid"]),
+            rpd.sort_values("ts"),
+            on="ts",
+            by="user_id",
+            direction="backward",
+            allow_exact_matches=True,
+        ).dropna(subset=["val"]).sort_values("lid")
+        assert list(got["lid"]) == list(want["lid"])
+        assert list(got["val_asof"]) == list(want["val"])
+
+    check()
