@@ -760,8 +760,8 @@ ORDER BY win_start, event_type
 """
 
 
-ORACLES["winnow_fingerprints"] = f"""
-WITH pos AS (
+_WINNOW_CTE = f"""
+pos AS (
   SELECT doc_id, norm, unnest(generate_series(0, length(norm) - 5)) AS i
   FROM (
     SELECT doc_id, {X.normtext_duck('text')} AS norm FROM documents
@@ -778,11 +778,46 @@ wins AS (
                       ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS win_min,
          max(i) OVER (PARTITION BY doc_id) AS max_i
   FROM hashes
+),
+fps AS (
+  SELECT DISTINCT doc_id, win_min AS fingerprint
+  FROM wins
+  WHERE i <= max_i - 7
 )
-SELECT DISTINCT doc_id, win_min AS fingerprint
-FROM wins
-WHERE i <= max_i - 7
+"""
+
+ORACLES["winnow_fingerprints"] = f"""
+WITH {_WINNOW_CTE}
+SELECT doc_id, fingerprint FROM fps
 ORDER BY doc_id, fingerprint
+"""
+
+ORACLES["cross_source_overlap"] = f"""
+WITH {_WINNOW_CTE},
+fsrc AS (
+  SELECT DISTINCT d.source, f.fingerprint
+  FROM fps f JOIN documents d USING (doc_id)
+)
+SELECT a.source AS source_a, b.source AS source_b, count(*) AS shared_fps
+FROM fsrc a JOIN fsrc b
+  ON a.fingerprint = b.fingerprint AND a.source < b.source
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+ORACLES["incremental_new_docs"] = """
+WITH fp AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+                                 '\\s+', ' ', 'g'))) AS fingerprint
+  FROM documents
+)
+SELECT doc_id, fingerprint
+FROM fp
+WHERE doc_id % 3 <> 0
+  AND NOT EXISTS (SELECT 1 FROM fp s
+                  WHERE s.doc_id % 3 = 0 AND s.fingerprint = fp.fingerprint)
+ORDER BY doc_id
 """
 
 ORACLES["quality_topk_per_source"] = f"""

@@ -1000,6 +1000,65 @@ def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup (SURVEY §2 #47): keep only incoming
+    docs whose normalized fingerprint is NOT already in the seen-set —
+    the don't-re-ingest gate of a continuously-fed training corpus.
+
+    A LEFT ANTI join on the 128-bit fingerprint: one shuffle on a
+    uniformly-distributed key. At 100 TB the seen-set side stays a
+    compact (fingerprint) table; AQE turns the probe into a broadcast
+    when a partition's seen-slice is small, and a bloom-filter pushdown
+    prunes most incoming rows before the exchange.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9\s]", ""),
+            r"\s+",
+            " ",
+        )
+    )
+    fp = docs.select("doc_id", F.md5(norm).alias("fingerprint"))
+    seen = fp.filter(F.col("doc_id") % 3 == 0).select("fingerprint")
+    incoming = fp.filter(F.col("doc_id") % 3 != 0)
+    return incoming.join(seen, "fingerprint", "left_anti").select(
+        "doc_id", "fingerprint"
+    ).orderBy("doc_id")
+
+
+def cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination check (SURVEY §2 #48): count winnowing
+    fingerprints shared between every pair of sources — the train/test
+    benchmark-contamination probe over a corpus.
+
+    The (source, fingerprint) table is persisted before its self-join so
+    the winnow pass runs once; the join key is the fingerprint hash
+    (uniform), and per-pair distinct counting happens after the
+    row-level distinct, so the pair space is bounded by real overlap,
+    never |docs|^2.
+    """
+    from pyprima_spark.operators.dedup import winnow_fingerprints as op
+
+    docs = _t(spark, sf_dir, "documents")
+    fps = op(docs, "doc_id", "text")
+    fsrc = (
+        fps.join(docs.select("doc_id", "source"), "doc_id")
+        .select("source", "fingerprint")
+        .distinct()
+        .persist()
+    )
+    a = fsrc.select(F.col("source").alias("source_a"), "fingerprint")
+    b = fsrc.select(F.col("source").alias("source_b"), "fingerprint")
+    return (
+        a.join(b, "fingerprint")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .orderBy("source_a", "source_b")
+    )
+
+
 def latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC log compaction: last-write-wins snapshot per (user, type) key
     (SURVEY §2 #45).
@@ -1350,6 +1409,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "json_props_stats": json_props_stats,
+    "incremental_new_docs": incremental_new_docs,
+    "cross_source_overlap": cross_source_overlap,
     "latest_snapshot": latest_snapshot,
     "label_centroids": label_centroids,
     "dedup_clusters": dedup_clusters,
