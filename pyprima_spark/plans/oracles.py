@@ -805,6 +805,32 @@ GROUP BY 1, 2
 ORDER BY 1, 2
 """
 
+ORACLES["zonal_stats"] = """
+WITH pix AS (
+  SELECT (cast(id // 360 AS INT) - 80 + 0.5) AS lat,
+         (cast(id % 360 AS INT) - 180 + 0.5) AS lon,
+         (cast(id // 360 AS INT) * 7 + cast(id % 360 AS INT) * 13) % 100 AS pixval
+  FROM (SELECT unnest(range(57600)) AS id)
+), boxes AS (
+  SELECT n_name,
+         (n_nationkey * 7 % 32) * 5 - 80 AS lat_min,
+         (n_nationkey * 7 % 32) * 5 - 80 + 40 AS lat_max,
+         (n_nationkey * 11 % 60) * 6 - 180 AS lon_min,
+         (n_nationkey * 11 % 60) * 6 - 180 + 72 AS lon_max
+  FROM nation
+)
+SELECT n_name,
+       count(*) AS n_cells,
+       cast(sum(pixval) AS BIGINT) AS total,
+       round(avg(pixval), 4) AS mean_val,
+       max(pixval) AS max_val
+FROM pix JOIN boxes
+  ON lat >= lat_min AND lat < lat_max AND lon >= lon_min AND lon < lon_max
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
 ORACLES["incremental_new_docs"] = """
 WITH fp AS (
   SELECT doc_id,

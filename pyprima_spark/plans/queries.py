@@ -1000,6 +1000,50 @@ def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonal raster statistics (SURVEY §2 #49): aggregate a pixel grid
+    per containing region — spatial_functions.py:zonal_stats, which
+    sums/counts raster cells (population, land use) inside each region
+    polygon.
+
+    The raster is a deterministic 160x360 1-degree grid generated
+    DISTRIBUTIVELY from `spark.range` (no driver-side materialization —
+    at real raster resolution this is billions of cells and range()
+    splits across executors). Region boxes broadcast; one narrow pass
+    assigns cells, one shuffle aggregates per region.
+    """
+    from pyprima_spark.operators.spatial import point_in_box_join
+
+    pix = (
+        spark.range(160 * 360)
+        .withColumn("latidx", (F.col("id") / 360).cast("int"))
+        .withColumn("lonidx", (F.col("id") % 360).cast("int"))
+        .select(
+            (F.col("latidx") - 80 + F.lit(0.5)).alias("lat"),
+            (F.col("lonidx") - 180 + F.lit(0.5)).alias("lon"),
+            ((F.col("latidx") * 7 + F.col("lonidx") * 13) % 100).alias("pixval"),
+        )
+    )
+    nat = _t(spark, sf_dir, "nation").select(
+        "n_name",
+        ((F.col("n_nationkey") * 7 % 32) * 5 - 80).alias("lat_min"),
+        ((F.col("n_nationkey") * 7 % 32) * 5 - 80 + 40).alias("lat_max"),
+        ((F.col("n_nationkey") * 11 % 60) * 6 - 180).alias("lon_min"),
+        ((F.col("n_nationkey") * 11 % 60) * 6 - 180 + 72).alias("lon_max"),
+    )
+    return (
+        point_in_box_join(pix, nat)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum("pixval").alias("total"),
+            F.round(F.avg("pixval"), 4).alias("mean_val"),
+            F.max("pixval").alias("max_val"),
+        )
+        .orderBy("n_name")
+    )
+
+
 def incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental ingestion dedup (SURVEY §2 #47): keep only incoming
     docs whose normalized fingerprint is NOT already in the seen-set —
@@ -1409,6 +1453,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "json_props_stats": json_props_stats,
+    "zonal_stats": zonal_stats,
     "incremental_new_docs": incremental_new_docs,
     "cross_source_overlap": cross_source_overlap,
     "latest_snapshot": latest_snapshot,
