@@ -43,6 +43,10 @@ BENCH_QUERIES = [
     "point_in_region",
     "json_props_stats",
     "dedup_clusters",
+    "latest_snapshot",
+    "incremental_new_docs",
+    "cross_source_overlap",
+    "zonal_stats",
 ]
 
 
