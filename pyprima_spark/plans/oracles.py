@@ -951,6 +951,17 @@ ORDER BY 1, 2
 """
 
 
+ORACLES["cube_sales"] = """
+SELECT coalesce(c_mktsegment, 'ALL') AS segment,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY CUBE (c_mktsegment, o_orderpriority)
+ORDER BY 1, 2
+"""
+
+
 ORACLES["value_percentiles"] = """
 SELECT event_type,
        round(quantile_cont(value, 0.25), 4) AS p25,

@@ -1193,6 +1193,29 @@ def rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cube_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (segment, priority): all 4 grouping combinations in one
+    Expand pass (SURVEY §2 #50) — completes the grouping-set matrix next
+    to `rollup_sales` (which emits only the 3 hierarchical levels)."""
+    ord_ = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    joined = ord_.join(F.broadcast(cust), ord_.o_custkey == cust.c_custkey)
+    return (
+        joined.cube("c_mktsegment", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .select(
+            F.coalesce("c_mktsegment", F.lit("ALL")).alias("segment"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total_price",
+        )
+        .orderBy("segment", "priority")
+    )
+
+
 def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles of event value per event type.
 
@@ -1460,6 +1483,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "label_centroids": label_centroids,
     "dedup_clusters": dedup_clusters,
     "rollup_sales": rollup_sales,
+    "cube_sales": cube_sales,
     "value_percentiles": value_percentiles,
     "point_in_region": point_in_region,
     "winnow_fingerprints": winnow_fingerprints,

@@ -96,6 +96,39 @@ def sliding_event_counts(
     )
 
 
+def run_foreach_batch_sink(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    checkpoint: str,
+) -> None:
+    """foreachBatch parquet sink with BATCH-ID IDEMPOTENCE.
+
+    Each micro-batch lands in its own `batch_id=N/` directory with
+    mode=overwrite, so a retried batch (executor loss, driver restart
+    between sink write and checkpoint commit) REPLACES its own output
+    instead of appending a duplicate — the standard exactly-once layout
+    for sinks without transactions. Re-running the query against the
+    same checkpoint reprocesses nothing: the offset log already marks
+    the input consumed.
+    """
+    import os
+
+    def write_batch(df: DataFrame, batch_id: int) -> None:
+        df.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch_id={batch_id}")
+        )
+
+    q = (
+        stream_events(spark, sf_dir)
+        .writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def dedup_events_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Streaming exact-dedup on (user_id, event_type, ts) with BOUNDED
     state: `dropDuplicatesWithinWatermark` evicts seen-keys older than

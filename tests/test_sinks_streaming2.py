@@ -116,3 +116,21 @@ def test_stream_static_join(spark, sf_dir, tmp_path):
         for r in batch.filter(F.col("event_id").isin([x[0] for x in g1])).collect()
     }
     assert g1 == b1
+
+
+def test_foreach_batch_sink_idempotent(spark, sf_dir, tmp_path):
+    """foreachBatch sink: one run lands every event exactly once; a
+    second run against the same checkpoint adds nothing."""
+    from pyprima_spark.catalog import load_table
+    from pyprima_spark.streaming.events import run_foreach_batch_sink
+
+    out = str(tmp_path / "fb_out")
+    ckpt = str(tmp_path / "fb_ckpt")
+    run_foreach_batch_sink(spark, sf_dir, out, ckpt)
+    n_events = load_table(spark, sf_dir, "events").count()
+    first = spark.read.option("basePath", out).parquet(out).count()
+    assert first == n_events > 0
+
+    run_foreach_batch_sink(spark, sf_dir, out, ckpt)
+    second = spark.read.option("basePath", out).parquet(out).count()
+    assert second == n_events
