@@ -831,6 +831,53 @@ ORDER BY n_name
 """
 
 
+from pyprima_spark.functions.geo import haversine_km_sql as _hav
+
+ORACLES["nearest_site"] = f"""
+WITH pts AS (
+  SELECT c_custkey,
+         (c_custkey * 7919 % 160) - 80 + 0.5 AS lat,
+         (c_custkey * 104729 % 360) - 180 + 0.5 AS lon
+  FROM customer
+), sites AS (
+  SELECT n_name,
+         cast((n_nationkey * 13 % 140) - 70 AS DOUBLE) AS slat,
+         cast((n_nationkey * 29 % 340) - 170 AS DOUBLE) AS slon
+  FROM nation
+), scored AS (
+  SELECT c_custkey, n_name,
+         round({_hav('lat', 'lon', 'slat', 'slon')}, 6) AS dist
+  FROM pts CROSS JOIN sites
+), best AS (
+  SELECT c_custkey, n_name, dist
+  FROM scored
+  QUALIFY row_number() OVER (PARTITION BY c_custkey
+                             ORDER BY dist ASC, n_name ASC) = 1
+)
+SELECT n_name, count(*) AS n_assigned, round(avg(dist), 4) AS avg_dist_km
+FROM best
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
+ORACLES["grid_downsample"] = """
+WITH pix AS (
+  SELECT cast(id // 360 AS INT) AS latidx,
+         cast(id % 360 AS INT) AS lonidx,
+         (cast(id // 360 AS INT) * 7 + cast(id % 360 AS INT) * 13) % 100 AS pixval
+  FROM (SELECT unnest(range(57600)) AS id)
+)
+SELECT cast(latidx // 4 AS INT) AS block_lat,
+       cast(lonidx // 4 AS INT) AS block_lon,
+       count(*) AS n_cells,
+       round(avg(pixval), 4) AS mean_val
+FROM pix
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 ORACLES["incremental_new_docs"] = """
 WITH fp AS (
   SELECT doc_id,

@@ -1044,6 +1044,82 @@ def zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def nearest_site(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid assignment (SURVEY §2 #51): map each customer
+    point to the closest nation centroid by haversine distance —
+    spatial_functions.py:get_sites / crd point-to-site assignment.
+
+    The centroid table is dim-sized and BROADCAST; the fact side streams
+    through one narrow pass (cross join × 25 + per-key min-rank), no
+    shuffle until the final count-per-site agg. At huge centroid counts
+    the layout switches to the same grid-cell candidate join as
+    point-in-box.
+    """
+    from pyprima_spark.functions.geo import haversine_km
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        ((F.col("c_custkey") * 7919 % 160) - 80 + F.lit(0.5)).alias("lat"),
+        ((F.col("c_custkey") * 104729 % 360) - 180 + F.lit(0.5)).alias("lon"),
+    )
+    sites = _t(spark, sf_dir, "nation").select(
+        "n_name",
+        ((F.col("n_nationkey") * 13 % 140) - 70 + F.lit(0.0)).alias("slat"),
+        ((F.col("n_nationkey") * 29 % 340) - 170 + F.lit(0.0)).alias("slon"),
+    )
+    from pyspark.sql import Window
+
+    d = F.round(
+        haversine_km(F.col("lat"), F.col("lon"), F.col("slat"), F.col("slon")), 6
+    )
+    w = Window.partitionBy("c_custkey").orderBy(F.asc("dist"), F.asc("n_name"))
+    assigned = (
+        cust.crossJoin(F.broadcast(sites))
+        .withColumn("dist", d)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return (
+        assigned.groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_assigned"),
+            F.round(F.avg("dist"), 4).alias("avg_dist_km"),
+        )
+        .orderBy("n_name")
+    )
+
+
+def grid_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2D grid downsampling (SURVEY §2 #52): resample the 1-degree pixel
+    grid to 4x4-degree blocks by mean — util.py:resizem, the raster
+    coarsening every map-based input goes through.
+
+    Pure groupBy on (block_lat, block_lon): uniform keys, map-side
+    partial means, one shuffle of block aggregates only.
+    """
+    pix = (
+        spark.range(160 * 360)
+        .withColumn("latidx", (F.col("id") / 360).cast("int"))
+        .withColumn("lonidx", (F.col("id") % 360).cast("int"))
+        .select(
+            "latidx",
+            "lonidx",
+            ((F.col("latidx") * 7 + F.col("lonidx") * 13) % 100).alias("pixval"),
+        )
+    )
+    return (
+        pix.groupBy(
+            (F.col("latidx") / 4).cast("int").alias("block_lat"),
+            (F.col("lonidx") / 4).cast("int").alias("block_lon"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.round(F.avg("pixval"), 4).alias("mean_val"),
+        )
+        .orderBy("block_lat", "block_lon")
+    )
+
+
 def incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental ingestion dedup (SURVEY §2 #47): keep only incoming
     docs whose normalized fingerprint is NOT already in the seen-set —
@@ -1477,6 +1553,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": dedup_simhash,
     "json_props_stats": json_props_stats,
     "zonal_stats": zonal_stats,
+    "nearest_site": nearest_site,
+    "grid_downsample": grid_downsample,
     "incremental_new_docs": incremental_new_docs,
     "cross_source_overlap": cross_source_overlap,
     "latest_snapshot": latest_snapshot,
