@@ -47,6 +47,9 @@ BENCH_QUERIES = [
     "incremental_new_docs",
     "cross_source_overlap",
     "zonal_stats",
+    "cube_sales",
+    "nearest_site",
+    "grid_downsample",
 ]
 
 
