@@ -44,14 +44,19 @@ def table_path(sf_dir: str, name: str) -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table; normalizes nano-timestamp columns to TimestampType.
 
-    ``events.parquet`` stores TIMESTAMP(NANOS), which Spark reads as long
-    nanos under ``spark.sql.legacy.parquet.nanosAsLong``. Convert with
-    exact integer division (``div``) — float division could land one
-    microsecond off at epoch-nano magnitudes.
+    ``events.parquet`` stores TIMESTAMP(NANOS), which Spark can only read
+    as long nanos under ``spark.sql.legacy.parquet.nanosAsLong`` — without
+    it the scan throws PARQUET_TYPE_ILLEGAL. The conf is runtime-settable,
+    so set it here defensively: callers (including external harnesses) may
+    hand us a session built without it. Convert with exact integer
+    division (``div``) — float division could land one microsecond off at
+    epoch-nano magnitudes.
     """
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
@@ -66,16 +71,47 @@ def widen_scan(df: DataFrame) -> DataFrame:
     The test parquet files are single-row-group, so Spark gives the whole
     scan to ONE task and every downstream map (regex normalization, md5,
     explode) runs on 1 of 32 cores. At cluster scale a fact-table scan
-    yields thousands of splits and this is a no-op — the condition is on
-    the ACTUAL scan partition count, not the data. Filters and column
-    pruning still push through the exchange to the parquet reader
+    yields thousands of splits and this is a no-op — the estimate below
+    (ceil(file_size / maxPartitionBytes) summed over input files) mirrors
+    Spark's own split computation without instantiating ``df.rdd`` (which
+    forces a Python-side plan conversion on every table load). Filters and
+    column pruning still push through the exchange to the parquet reader
     (PushDownPredicates handles Repartition nodes).
     """
     spark = df.sparkSession
     n = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < n:
+    if _estimated_scan_splits(spark, df) < n:
         return df.repartition(n)
     return df
+
+
+def _parse_bytes(v: str) -> int:
+    """Parse a Spark byte-size conf value like '134217728', '128m', '1g'."""
+    s = str(v).strip().lower().removesuffix("b")
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    if s and s[-1] in units:
+        return int(float(s[:-1]) * units[s[-1]])
+    return int(s)
+
+
+def _estimated_scan_splits(spark: SparkSession, df: DataFrame) -> int:
+    max_bytes = _parse_bytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    )
+    splits = 0
+    for uri in df.inputFiles():
+        if uri.startswith("file:"):
+            path = uri[len("file:"):]
+            try:
+                size = os.path.getsize(path)
+            except OSError:
+                size = 0
+            splits += max(1, -(-size // max_bytes))
+        else:
+            # Remote filesystem: can't stat cheaply from Python; count the
+            # file as one split (a lower bound, so we only over-repartition).
+            splits += 1
+    return splits
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -14,10 +14,10 @@ ORACLES["q1_pricing_summary"] = """
 SELECT
   l_returnflag,
   l_linestatus,
-  round(sum(l_quantity), 2)                                        AS sum_qty,
-  round(sum(l_extendedprice), 2)                                   AS sum_base_price,
-  round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+  round(sum(CAST(l_quantity AS DECIMAL(27,6))), 2)::DOUBLE                                        AS sum_qty,
+  round(sum(CAST(l_extendedprice AS DECIMAL(27,6))), 2)::DOUBLE                                   AS sum_base_price,
+  round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))), 2)::DOUBLE                AS sum_disc_price,
+  round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(27,6))), 2)::DOUBLE  AS sum_charge,
   round(avg(l_quantity), 4)                                        AS avg_qty,
   round(avg(l_extendedprice), 4)                                   AS avg_price,
   round(avg(l_discount), 4)                                        AS avg_disc,
@@ -31,7 +31,7 @@ ORDER BY l_returnflag, l_linestatus
 ORACLES["q3_shipping_priority"] = """
 SELECT
   l_orderkey,
-  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+  round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))), 2)::DOUBLE AS revenue,
   strftime(o_orderdate, '%Y-%m-%d')                 AS o_orderdate,
   o_orderpriority
 FROM customer
@@ -60,7 +60,7 @@ ORACLES["recode_group"] = f"""
 SELECT
   coalesce(__recode_val, n_name) AS country,
   count(*)                       AS n_orders,
-  round(sum(o_totalprice), 2)    AS revenue
+  round(sum(CAST(o_totalprice AS DECIMAL(27,6))), 2)::DOUBLE    AS revenue
 FROM orders
 JOIN customer ON o_custkey = c_custkey
 JOIN nation   ON c_nationkey = n_nationkey
@@ -106,7 +106,7 @@ WITH long AS (
   UNION ALL
   SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
 )
-SELECT l_returnflag, metric, round(sum(val), 2) AS total
+SELECT l_returnflag, metric, round(sum(CAST(val AS DECIMAL(27,6))), 2)::DOUBLE AS total
 FROM long GROUP BY 1, 2 ORDER BY 1, 2
 """
 
@@ -181,7 +181,7 @@ hours AS (
 ),
 types AS (SELECT DISTINCT event_type FROM events),
 sums AS (
-  SELECT h, event_type, round(sum(value), 2) AS v FROM ev GROUP BY 1, 2
+  SELECT h, event_type, round(sum(CAST(value AS DECIMAL(27,6))), 2)::DOUBLE AS v FROM ev GROUP BY 1, 2
 ),
 dense AS (
   SELECT hours.h, types.event_type, coalesce(sums.v, 0) AS v
@@ -222,7 +222,7 @@ SELECT
   {season_sql('o_orderdate')} AS season,
   {daytype_sql('o_orderdate')} AS daytype,
   count(*) AS n_orders,
-  round(sum(o_totalprice), 2) AS revenue
+  round(sum(CAST(o_totalprice AS DECIMAL(27,6))), 2)::DOUBLE AS revenue
 FROM orders
 GROUP BY 1, 2 ORDER BY 1, 2
 """
@@ -243,7 +243,7 @@ SELECT
   strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS h,
   event_type,
   count(*) AS n,
-  round(sum(value), 2) AS total
+  round(sum(CAST(value AS DECIMAL(27,6))), 2)::DOUBLE AS total
 FROM events
 GROUP BY 1, 2 ORDER BY 1, 2
 """
@@ -264,7 +264,7 @@ alloc AS (
     END * t.nation_total AS allocated
   FROM customer c JOIN totals t ON c.c_nationkey = t.c_nationkey
 )
-SELECT c_mktsegment, round(sum(allocated), 2) AS alloc_revenue
+SELECT c_mktsegment, round(sum(CAST(allocated AS DECIMAL(27,6))), 2)::DOUBLE AS alloc_revenue
 FROM alloc GROUP BY 1 ORDER BY 1
 """
 
@@ -281,7 +281,7 @@ pairs AS (
   WHERE c_nationkey <> s_nationkey
 ),
 edges AS (
-  SELECT edge_a, edge_b, count(*) AS n_lines, round(sum(rev), 2) AS cap
+  SELECT edge_a, edge_b, count(*) AS n_lines, round(sum(CAST(rev AS DECIMAL(27,6))), 2)::DOUBLE AS cap
   FROM pairs GROUP BY 1, 2
 )
 """
@@ -346,13 +346,13 @@ SELECT
   cast(floor(year(o_orderdate) / {COHORT_WIDTH}) * {COHORT_WIDTH} AS int) AS cohort,
   o_orderstatus,
   count(*) AS n_orders,
-  round(sum(o_totalprice), 2) AS revenue
+  round(sum(CAST(o_totalprice AS DECIMAL(27,6))), 2)::DOUBLE AS revenue
 FROM orders GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 ORACLES["expansion_grid"] = """
 WITH existing AS (
-  SELECT n_name, o_orderpriority, round(sum(o_totalprice), 2) AS inst_cap
+  SELECT n_name, o_orderpriority, round(sum(CAST(o_totalprice AS DECIMAL(27,6))), 2)::DOUBLE AS inst_cap
   FROM orders
   JOIN customer ON o_custkey = c_custkey
   JOIN nation   ON c_nationkey = n_nationkey
@@ -622,7 +622,7 @@ SELECT
   strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
   event_type,
   count(*) AS n,
-  round(sum(value), 2) AS total
+  round(sum(CAST(value AS DECIMAL(27,6))), 2)::DOUBLE AS total
 FROM events
 GROUP BY 1, 2
 """
@@ -649,7 +649,7 @@ FROM r
 ORACLES["q5_local_supplier"] = """
 SELECT
   n_name,
-  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+  round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))), 2)::DOUBLE AS revenue
 FROM customer, orders, lineitem, supplier, nation, region
 WHERE c_custkey = o_custkey
   AND l_orderkey = o_orderkey
@@ -698,7 +698,7 @@ SELECT user_id,
        strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
        strftime(max(ts) + INTERVAL 4 HOUR, '%Y-%m-%d %H:%M:%S.%f') AS session_end,
        count(*) AS n_events,
-       round(sum(value), 2) AS total_value
+       round(sum(CAST(value AS DECIMAL(27,6))), 2)::DOUBLE AS total_value
 FROM sess
 GROUP BY user_id, sid
 ORDER BY user_id, session_start
@@ -738,7 +738,7 @@ ORACLES["rolling_user_stats"] = """
 SELECT event_id, user_id,
        strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
        count(*) OVER w AS n_1h,
-       round(sum(value) OVER w, 2) AS sum_1h
+       round(sum(CAST(value AS DECIMAL(27,6))) OVER w, 2)::DOUBLE AS sum_1h
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts
              RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
@@ -753,7 +753,7 @@ WITH expanded AS (
   FROM events CROSS JOIN generate_series(0, 3) AS t(k)
 )
 SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start, event_type,
-       count(*) AS n, round(sum(value), 2) AS total
+       count(*) AS n, round(sum(CAST(value AS DECIMAL(27,6))), 2)::DOUBLE AS total
 FROM expanded
 GROUP BY win_start, event_type
 ORDER BY win_start, event_type
@@ -989,7 +989,7 @@ ORACLES["rollup_sales"] = """
 SELECT coalesce(n_name, 'ALL') AS nation,
        coalesce(cast(year(o_orderdate) AS INT), -1) AS o_year,
        count(*) AS n_orders,
-       round(sum(o_totalprice), 2) AS total_price
+       round(sum(CAST(o_totalprice AS DECIMAL(27,6))), 2)::DOUBLE AS total_price
 FROM orders
 JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
@@ -1002,7 +1002,7 @@ ORACLES["cube_sales"] = """
 SELECT coalesce(c_mktsegment, 'ALL') AS segment,
        coalesce(o_orderpriority, 'ALL') AS priority,
        count(*) AS n_orders,
-       round(sum(o_totalprice), 2) AS total_price
+       round(sum(CAST(o_totalprice AS DECIMAL(27,6))), 2)::DOUBLE AS total_price
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY CUBE (c_mktsegment, o_orderpriority)
 ORDER BY 1, 2

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pyprima_spark.catalog import load_tables
+from pyprima_spark.functions.agg import DEC, dec_sum
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -44,10 +45,10 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            dec_sum("l_quantity").alias("sum_qty"),
+            dec_sum("l_extendedprice").alias("sum_base_price"),
+            dec_sum(disc_price).alias("sum_disc_price"),
+            dec_sum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
@@ -67,8 +68,8 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            dec_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).alias("revenue")
         )
         .select(
@@ -105,8 +106,8 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            dec_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).alias("revenue")
         )
         .orderBy(F.desc("revenue"))
@@ -139,7 +140,7 @@ def recode_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("country")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            dec_sum("o_totalprice").alias("revenue"),
         )
         .orderBy("country")
     )
@@ -181,7 +182,7 @@ def pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("c_mktsegment")
         .pivot("o_orderpriority", PRIORITIES)
-        .agg(F.sum("o_totalprice"))
+        .agg(F.sum(F.col("o_totalprice").cast(DEC)))
     )
     cols = [F.col("c_mktsegment")]
     for p in PRIORITIES:
@@ -205,7 +206,7 @@ def unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         long.groupBy("l_returnflag", "metric")
-        .agg(F.round(F.sum("val"), 2).alias("total"))
+        .agg(dec_sum("val").alias("total"))
         .orderBy("l_returnflag", "metric")
     )
 
@@ -331,7 +332,7 @@ def gap_fill_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.expr("sequence(hmin, hmax, interval 1 hour)")).alias("h")
     )
     types = ev.select("event_type").distinct()
-    sums = ev.groupBy("h", "event_type").agg(F.round(F.sum("value"), 2).alias("v"))
+    sums = ev.groupBy("h", "event_type").agg(dec_sum("value").alias("v"))
     dense = (
         hours.crossJoin(F.broadcast(types))
         .join(sums, ["h", "event_type"], "left")
@@ -406,7 +407,7 @@ def calendar_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("season", "daytype")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            dec_sum("o_totalprice").alias("revenue"),
         )
         .orderBy("season", "daytype")
     )
@@ -442,7 +443,7 @@ def resample_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["event_type"],
         [
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 2).alias("total"),
+            dec_sum("value").alias("total"),
         ],
         bucket_col="h",
     )
@@ -481,7 +482,7 @@ def weighted_disaggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         alloc.groupBy("c_mktsegment")
-        .agg(F.round(F.sum("allocated"), 2).alias("alloc_revenue"))
+        .agg(dec_sum("allocated").alias("alloc_revenue"))
         .orderBy("c_mktsegment")
     )
 
@@ -511,7 +512,7 @@ def _edge_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = canonicalize_edges(pairs, "cn", "sn")
     return edges.groupBy("edge_a", "edge_b").agg(
         F.count(F.lit(1)).alias("n_lines"),
-        F.round(F.sum("rev"), 2).alias("cap"),
+        dec_sum("rev").alias("cap"),
     )
 
 
@@ -626,7 +627,7 @@ def cohort_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort", "o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            dec_sum("o_totalprice").alias("revenue"),
         )
         .orderBy("cohort", "o_orderstatus")
     )
@@ -648,7 +649,7 @@ def expansion_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("n_name", "o_orderpriority")
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("inst_cap"))
+        .agg(dec_sum("o_totalprice").alias("inst_cap"))
     )
     sites = nation.select("n_name")
     techs = orders.select("o_orderpriority").distinct()
@@ -676,7 +677,7 @@ def export_demand_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         labelled.withColumn("t", F.hour("ts"))
         .groupBy("t")
         .pivot("r_name", DEMAND_REGIONS)
-        .agg(F.sum("value"))
+        .agg(F.sum(F.col("value").cast(DEC)))
     )
     cols = [F.col("t")]
     for r in DEMAND_REGIONS:
@@ -1257,7 +1258,7 @@ def rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.rollup("n_name", "o_year")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            dec_sum("o_totalprice").alias("total_price"),
         )
         .select(
             F.coalesce("n_name", F.lit("ALL")).alias("nation"),
@@ -1280,7 +1281,7 @@ def cube_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.cube("c_mktsegment", "o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            dec_sum("o_totalprice").alias("total_price"),
         )
         .select(
             F.coalesce("c_mktsegment", F.lit("ALL")).alias("segment"),
@@ -1474,7 +1475,7 @@ def rolling_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
             F.count(F.lit(1)).over(w).alias("n_1h"),
-            F.round(F.sum("value").over(w), 2).alias("sum_1h"),
+            F.round(F.sum(F.col("value").cast(DEC)).over(w), 2).cast("double").alias("sum_1h"),
         )
         .orderBy("event_id")
     )

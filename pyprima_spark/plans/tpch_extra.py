@@ -31,6 +31,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from pyprima_spark.functions.agg import dec_sum
+
 from pyprima_spark.catalog import load_table
 
 
@@ -164,12 +166,12 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)
         )
-        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+        .agg(dec_sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
     )
 
 
 ORACLE_Q6 = """
-SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+SELECT round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(27,6))), 2)::DOUBLE AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
   AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
@@ -213,7 +215,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("l_year", F.year("l_shipdate"))
         .groupBy("supp_nation", "cust_nation", "l_year")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+            dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
         )
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
@@ -222,7 +224,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_Q7 = """
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
        year(l_shipdate) AS l_year,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))), 2)::DOUBLE AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -323,15 +325,15 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .withColumn("o_year", F.year("o_orderdate"))
         .groupBy(F.col("n_name").alias("nation"), "o_year")
-        .agg(F.round(F.sum(amount), 2).alias("sum_profit"))
+        .agg(dec_sum(amount).alias("sum_profit"))
         .orderBy("nation", F.desc("o_year"))
     )
 
 
 ORACLE_Q9 = """
 SELECT n_name AS nation, year(o_orderdate) AS o_year,
-       round(sum(l_extendedprice * (1 - l_discount)
-                 - p_retailprice * l_quantity * 0.1), 2) AS sum_profit
+       round(sum(CAST(l_extendedprice * (1 - l_discount)
+                 - p_retailprice * l_quantity * 0.1 AS DECIMAL(27,6))), 2)::DOUBLE AS sum_profit
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 JOIN orders ON l_orderkey = o_orderkey
@@ -361,7 +363,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+            dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
         )
         .select(
             "c_custkey",
@@ -377,7 +379,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_Q10 = """
 SELECT c_custkey, c_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))), 2)::DOUBLE AS revenue,
        round(c_acctbal, 2) AS c_acctbal, n_name
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
@@ -513,14 +515,20 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     supp = _t(spark, sf_dir, "supplier")
     revenue = li.groupBy("l_suppkey").agg(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total")
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(27,6)"
+            )
+        ).alias("total")
     )
     mx = revenue.agg(F.max("total").alias("mx"))
     return (
         revenue.join(F.broadcast(mx), revenue.total == mx.mx)
         .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .select(
-            "s_suppkey", "s_name", F.round("total", 2).alias("total_revenue")
+            "s_suppkey",
+            "s_name",
+            F.round("total", 2).cast("double").alias("total_revenue"),
         )
         .orderBy("s_suppkey")
     )
@@ -528,12 +536,12 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_Q15 = """
 WITH revenue AS (
-  SELECT l_suppkey, sum(l_extendedprice * (1 - l_discount)) AS total
+  SELECT l_suppkey, sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS total
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
   GROUP BY 1
 )
-SELECT s_suppkey, s_name, round(total, 2) AS total_revenue
+SELECT s_suppkey, s_name, round(total, 2)::DOUBLE AS total_revenue
 FROM revenue
 JOIN supplier ON l_suppkey = s_suppkey
 WHERE total = (SELECT max(total) FROM revenue)
@@ -605,12 +613,12 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .join(thresholds, F.col("l_partkey") == F.col("t_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        .agg(F.round(F.sum(F.col("l_extendedprice").cast("decimal(27,6)")).cast("double") / 7.0, 2).alias("avg_yearly"))
     )
 
 
 ORACLE_Q17 = """
-SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+SELECT round((sum(CAST(l_extendedprice AS DECIMAL(27,6)))::DOUBLE) / 7.0, 2) AS avg_yearly
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 WHERE p_brand = 'Brand#3'
@@ -638,7 +646,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .agg(dec_sum("l_quantity").alias("total_qty"))
         .select(
             "c_custkey",
             "c_name",
@@ -656,7 +664,7 @@ ORACLE_Q18 = """
 SELECT c_custkey, c_name, o_orderkey,
        strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
        round(o_totalprice, 2) AS o_totalprice,
-       round(sum(l_quantity), 2) AS total_qty
+       round(sum(CAST(l_quantity AS DECIMAL(27,6))), 2)::DOUBLE AS total_qty
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -703,13 +711,13 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(cond)
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+            dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
         )
     )
 
 
 ORACLE_Q19 = """
-SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+SELECT round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))), 2)::DOUBLE AS revenue
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
@@ -853,7 +861,7 @@ def q22_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cntrycode")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+            dec_sum("c_acctbal").alias("totacctbal"),
         )
         .orderBy("cntrycode")
     )
@@ -861,7 +869,7 @@ def q22_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_Q22 = """
 SELECT c_nationkey % 7 AS cntrycode, count(*) AS numcust,
-       round(sum(c_acctbal), 2) AS totacctbal
+       round(sum(CAST(c_acctbal AS DECIMAL(27,6))), 2)::DOUBLE AS totacctbal
 FROM customer
 WHERE c_nationkey % 7 IN (1, 2, 3)
   AND c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)

@@ -22,7 +22,7 @@ def hourly_event_stats(events: DataFrame, watermark: str = "2 hours") -> DataFra
         src.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 2).alias("total"),
+            F.round(F.sum(F.col("value").cast("decimal(27,6)")), 2).cast("double").alias("total"),
         )
         .select(
             F.col("w.start").alias("hour_start"),
@@ -85,7 +85,7 @@ def sliding_event_counts(
         src.groupBy(F.window("ts", window, slide).alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 2).alias("total"),
+            F.round(F.sum(F.col("value").cast("decimal(27,6)")), 2).cast("double").alias("total"),
         )
         .select(
             F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),

@@ -35,7 +35,7 @@ def sessionize(events: DataFrame, gap: str = SESSION_GAP) -> DataFrame:
         events.groupBy("user_id", F.session_window("ts", gap).alias("sw"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            F.round(F.sum(F.col("value").cast("decimal(27,6)")), 2).cast("double").alias("total_value"),
         )
         .select(
             "user_id",
