@@ -86,3 +86,59 @@ def lsh_bucket_duck(vec: str) -> str:
         dot = dot_duck(vec, lit, EMB_DIM)
         bits.append(f"CASE WHEN {dot} >= 0 THEN {1 << p} ELSE 0 END")
     return "(" + " + ".join(bits) + ")"
+
+
+# -- banded multi-table LSH ----------------------------------------------------
+#
+# B independent signature tables of P planes each. A pair is a candidate
+# if it collides in AT LEAST ONE band. Unlike a single wide signature
+# (fixed 2^planes buckets, per-bucket self-join quadratic in bucket
+# size), banding bounds expected bucket population at N / 2^P per band
+# and P, B tune recall/cost independently — the same layout minhash-LSH
+# uses. Planes are disjoint slices of one deterministic plane pool.
+
+LSH_BANDS = 4
+LSH_BAND_PLANES = 6
+
+BANDED_PLANES: list[list[list[int]]] = [
+    [
+        [_plane_sign(LSH_BANDS * 100 + b * LSH_BAND_PLANES + p, d) for d in range(EMB_DIM)]
+        for p in range(LSH_BAND_PLANES)
+    ]
+    for b in range(LSH_BANDS)
+]
+
+
+def band_bucket_spark(vec: str, band: int) -> str:
+    """Integer bucket id of ``vec`` within one band's plane slice."""
+    bits = []
+    for p, plane in enumerate(BANDED_PLANES[band]):
+        lit = "array(" + ", ".join(f"{v}D" for v in plane) + ")"
+        bits.append(f"IF({dot_spark(vec, lit)} >= 0, {1 << p}, 0)")
+    return "(" + " + ".join(bits) + ")"
+
+
+def band_bucket_duck(vec: str, band: int) -> str:
+    bits = []
+    for p, plane in enumerate(BANDED_PLANES[band]):
+        lit = "[" + ", ".join(str(v) for v in plane) + "]::DOUBLE[]"
+        dot = dot_duck(vec, lit, EMB_DIM)
+        bits.append(f"CASE WHEN {dot} >= 0 THEN {1 << p} ELSE 0 END")
+    return "(" + " + ".join(bits) + ")"
+
+
+# -- squared L2 distance (sequential summation, both dialects) -----------------
+
+
+def l2sq_spark(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+        f"0D, (acc, v) -> acc + v)"
+    )
+
+
+def l2sq_duck(a: str, b: str, dim: int) -> str:
+    return (
+        f"list_sum(list_transform(generate_series(1, {dim}), "
+        f"i -> (({a})[i] - ({b})[i]) * (({a})[i] - ({b})[i])))"
+    )

@@ -3,10 +3,14 @@ ANN, and cosine near-dup pairs.
 
 Scale design: the query set is small and broadcast — the big vector
 table streams through one narrow pass per query batch (no shuffle of
-the fact side). The LSH variant buckets the big table by an 8-plane
-random-hyperplane signature so candidate generation is an equi-join on
-the bucket id; at 100 TB that is the only viable layout (brute force is
-the per-bucket verifier, not the global plan).
+the fact side). ANN-LSH buckets the big table by a random-hyperplane
+signature so candidate generation is an equi-join on the bucket id.
+The pairwise near-dup op uses banded multi-table LSH (B bands × P
+planes): per-band bucket population is ~N/2^P, so self-join fanout is
+tuned by parameters, not fixed by a single global signature. IVF
+assigns cells map-side against a broadcast codebook. At 100 TB these
+equi-join/broadcast layouts are the only viable ones — brute force is
+the per-bucket verifier, not the global plan.
 """
 
 from __future__ import annotations
@@ -84,20 +88,77 @@ def ann_lsh(
 
 
 def embedding_dedup(emb: DataFrame, tau: float, id_col: str = "vec_id") -> DataFrame:
-    """Near-dup pairs (cosine >= tau) within LSH buckets."""
-    base = with_lsh_bucket(with_double_vec(emb))
-    a = base.select(
-        F.col(id_col).alias("vec_a"), F.col("vec").alias("qvec"), "bucket"
-    )
-    b = base.select(
-        F.col(id_col).alias("vec_b"), F.col("vec").alias("cvec"), "bucket"
+    """Near-dup pairs (cosine >= tau) via banded multi-table LSH.
+
+    Candidate generation: a (vec_id, band, bucket) signature table —
+    one row per band, bucket = P-plane hyperplane signature within the
+    band — self-joined on (band, bucket); a pair qualifies if it
+    collides in ≥1 band (distinct over bands). Expected per-(band,
+    bucket) population is N / 2^P, so worst-case join fanout is bounded
+    by the band parameters rather than a fixed 2^planes global table;
+    recall rises with B. Verification (the cosine) runs ONCE per
+    distinct pair, via two id-equi-joins back to the vector table.
+    """
+    base = with_double_vec(emb).select(F.col(id_col).alias("vid"), "vec")
+
+    sig = base.select(
+        "vid",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.expr(V.band_bucket_spark("vec", b)).alias("bucket"),
+                    )
+                    for b in range(V.LSH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("vid", "bb.band", "bb.bucket")
+    # Both self-join sides shuffle the identical signature child plan on
+    # (band, bucket): AQE reuses one exchange, so signatures are
+    # computed once without a persist (no cache-memory residency).
+    pairs = (
+        sig.alias("a")
+        .join(
+            sig.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vid") < F.col("b.vid")),
+        )
+        .select(F.col("a.vid").alias("vec_a"), F.col("b.vid").alias("vec_b"))
+        .distinct()
     )
     return (
-        a.join(b, "bucket")
-        .filter(F.col("vec_a") < F.col("vec_b"))
+        pairs.join(
+            base.select(F.col("vid").alias("vec_a"), F.col("vec").alias("qvec")),
+            "vec_a",
+        )
+        .join(
+            base.select(F.col("vid").alias("vec_b"), F.col("vec").alias("cvec")),
+            "vec_b",
+        )
         .withColumn("cos", cosine_col())
         .filter(F.col("cos") >= tau)
         .select("vec_a", "vec_b", "cos")
+    )
+
+
+def ivf_centroids(
+    emb: DataFrame, centroid_ids: list[int], id_col: str = "vec_id"
+) -> DataFrame:
+    """Deterministic coarse quantizer: the centroid set is the vectors
+    at fixed ids (an oracle-replicable stand-in for a KMeans fit — the
+    rest of the IVF plan is identical either way)."""
+    spark = emb.sparkSession
+    cells = spark.createDataFrame(
+        [(i, int(cid)) for i, cid in enumerate(centroid_ids)],
+        "cell int, cid bigint",
+    )
+    return (
+        with_double_vec(emb)
+        .join(F.broadcast(cells), F.col(id_col) == F.col("cid"))
+        .select("cell", F.col("vec").alias("centroid"))
     )
 
 
@@ -108,48 +169,83 @@ def ann_ivf(
     n_clusters: int = 8,
     n_probe: int = 4,
     id_col: str = "vec_id",
+    centroid_ids: list[int] | None = None,
 ) -> DataFrame:
-    """IVF-style ANN: a KMeans coarse quantizer partitions the vector
-    table into inverted lists; each query probes only its ``n_probe``
-    nearest cells and brute-forces inside them.
+    """IVF-style ANN: a coarse quantizer partitions the vector table
+    into inverted lists; each query probes only its ``n_probe`` nearest
+    cells and brute-forces inside them.
 
     This is the scale path beyond LSH: at 100 TB the vector table is
-    scanned once to assign cells (model fit runs on a sample-sized
-    driver-coordinated job), candidate generation is a broadcast
+    scanned once to assign cells, candidate generation is a broadcast
     equi-join on cell id (no shuffle of the big side), and per-cell
     verification is the same narrow cosine pass as brute force. Probe
     selection is itself a DataFrame job over the (tiny) centroid table —
     no .collect() of query vectors.
+
+    The quantizer: fixed ``centroid_ids`` (default — deterministic, so
+    the whole plan is verifiable against a SQL oracle) or a KMeans fit
+    when ``centroid_ids`` is the string ``"kmeans"`` (better cell
+    balance; same downstream plan, but the fit is seed-dependent so the
+    result is only rows-checkable).
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
     base = with_double_vec(emb)
-    featured = base.withColumn("features", array_to_vector("vec"))
-    model = KMeans(
-        k=n_clusters, seed=42, featuresCol="features", predictionCol="cell"
-    ).fit(featured)
-    assigned = model.transform(featured).select(
-        F.col(id_col).alias("vec_id"), F.col("vec").alias("cvec"), "cell"
-    )
 
-    spark = emb.sparkSession
-    centroids = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
-        "cell int, centroid array<double>",
-    )
+    if centroid_ids == "kmeans":
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        featured = base.withColumn("features", array_to_vector("vec"))
+        model = KMeans(
+            k=n_clusters, seed=42, featuresCol="features", predictionCol="cell"
+        ).fit(featured)
+        assigned = model.transform(featured).select(
+            F.col(id_col).alias("vec_id"), F.col("vec").alias("cvec"), "cell"
+        )
+        centroids = emb.sparkSession.createDataFrame(
+            [
+                (i, [float(x) for x in c])
+                for i, c in enumerate(model.clusterCenters())
+            ],
+            "cell int, centroid array<double>",
+        )
+    else:
+        if centroid_ids is None:
+            # Spread picks across the id space, past the query ids.
+            centroid_ids = [n_queries + 7 * i for i in range(n_clusters)]
+        centroids = ivf_centroids(emb, centroid_ids, id_col)
+        # Codebook folded to ONE broadcast row so cell assignment is a
+        # pure map over the big table (argmin inside a higher-order
+        # function) — no shuffle, no per-vector window. Ties go to the
+        # lowest cell id (strict < over a cell-ascending codebook),
+        # matching the oracle's ORDER BY d2, cell.
+        codebook = centroids.agg(
+            F.sort_array(F.collect_list(F.struct("cell", "centroid"))).alias(
+                "cents"
+            )
+        )
+        argmin_cell = F.expr(
+            "aggregate("
+            "  transform(cents, c -> named_struct("
+            f"    'cell', c.cell, 'd2', {V.l2sq_spark('cvec', 'c.centroid')})),"
+            "  named_struct('cell', -1, 'd2', cast('Infinity' as double)),"
+            "  (best, cand) -> IF(cand.d2 < best.d2, cand, best)"
+            ").cell"
+        )
+        assigned = (
+            base.select(F.col(id_col).alias("vec_id"), F.col("vec").alias("cvec"))
+            .crossJoin(F.broadcast(codebook))
+            .withColumn("cell", argmin_cell)
+            .select("vec_id", "cvec", "cell")
+        )
+
     queries = base.filter(F.col(id_col) < n_queries).select(
         F.col(id_col).alias("query_id"), F.col("vec").alias("qvec")
     )
     # n_probe nearest cells per query: queries x centroids is tiny.
-    dist2 = F.expr(
-        "aggregate(zip_with(qvec, centroid, (a, b) -> (a - b) * (a - b)), "
-        "0D, (acc, x) -> acc + x)"
-    )
     wq = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("cell"))
     probes = (
         queries.crossJoin(F.broadcast(centroids))
-        .withColumn("d2", dist2)
+        .withColumn("d2", F.expr(V.l2sq_spark("qvec", "centroid")))
         .withColumn("pr", F.row_number().over(wq))
         .filter(F.col("pr") <= n_probe)
         .select("query_id", "qvec", "cell")

@@ -62,3 +62,11 @@ NGRAM_JACCARD_TAU = 0.8
 EMB_DEDUP_TAU = 0.3   # cosine near-dup threshold (synthetic vectors max ~0.5)
 ANN_K = 10
 ANN_N_QUERIES = 10
+
+# IVF coarse quantizer (deterministic): centroid = vector at a fixed id,
+# spread across the id space past the query ids.
+IVF_N_CLUSTERS = 8
+IVF_N_PROBE = 4
+IVF_CENTROID_IDS: list[int] = [
+    ANN_N_QUERIES + 7 * i for i in range(IVF_N_CLUSTERS)
+]

@@ -391,6 +391,8 @@ from pyprima_spark.plans.constants import (
     ANN_K,
     ANN_N_QUERIES,
     EMB_DEDUP_TAU,
+    IVF_CENTROID_IDS,
+    IVF_N_PROBE,
     MINHASH_BANDS,
     MINHASH_N,
     NGRAM_JACCARD_TAU,
@@ -538,18 +540,86 @@ SELECT query_id, vec_id, cos, rank FROM ranked WHERE rank <= {ANN_K}
 ORDER BY query_id, rank
 """
 
+_BAND_SIG_SELECTS = "\n  UNION ALL\n".join(
+    f"  SELECT vec_id, {b} AS band, {V.band_bucket_duck('vec', b)} AS bucket FROM base"
+    for b in range(V.LSH_BANDS)
+)
+
 ORACLES["embedding_dedup"] = f"""
 WITH base AS (
-  SELECT vec_id, vec, {V.lsh_bucket_duck('vec')} AS bucket
-  FROM (SELECT vec_id, {V.to_double_duck('embedding')} AS vec FROM embeddings)
+  SELECT vec_id, {V.to_double_duck('embedding')} AS vec FROM embeddings
+),
+sig AS (
+{_BAND_SIG_SELECTS}
+),
+pairs AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM sig a JOIN sig b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
 )
 SELECT vec_a, vec_b, cos FROM (
-  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         round({V.cosine_duck('a.vec', 'b.vec', V.EMB_DIM)}, 4) AS cos
-  FROM base a JOIN base b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  SELECT vec_a, vec_b,
+         round({V.cosine_duck('x.vec', 'y.vec', V.EMB_DIM)}, 4) AS cos
+  FROM pairs
+  JOIN base x ON x.vec_id = vec_a
+  JOIN base y ON y.vec_id = vec_b
 )
 WHERE cos >= {EMB_DEDUP_TAU}
 ORDER BY vec_a, vec_b
+"""
+
+_IVF_CELLS = ", ".join(
+    f"({i}, {cid})" for i, cid in enumerate(IVF_CENTROID_IDS)
+)
+
+ORACLES["ann_ivf"] = f"""
+WITH base AS (
+  SELECT vec_id, {V.to_double_duck('embedding')} AS vec FROM embeddings
+),
+cents AS (
+  SELECT c.cell, b.vec AS centroid
+  FROM (VALUES {_IVF_CELLS}) AS c(cell, cid)
+  JOIN base b ON b.vec_id = c.cid
+),
+assigned AS (
+  SELECT vec_id, cvec, cell FROM (
+    SELECT d.vec_id, d.cvec, d.cell,
+           row_number() OVER (PARTITION BY d.vec_id
+                              ORDER BY d.d2 ASC, d.cell ASC) AS pr
+    FROM (
+      SELECT b.vec_id, b.vec AS cvec, c.cell,
+             {V.l2sq_duck('b.vec', 'c.centroid', V.EMB_DIM)} AS d2
+      FROM base b CROSS JOIN cents c
+    ) d
+  ) WHERE pr = 1
+),
+probes AS (
+  SELECT query_id, qvec, cell FROM (
+    SELECT d.query_id, d.qvec, d.cell,
+           row_number() OVER (PARTITION BY d.query_id
+                              ORDER BY d.d2 ASC, d.cell ASC) AS pr
+    FROM (
+      SELECT q.vec_id AS query_id, q.vec AS qvec, c.cell,
+             {V.l2sq_duck('q.vec', 'c.centroid', V.EMB_DIM)} AS d2
+      FROM base q CROSS JOIN cents c
+      WHERE q.vec_id < {ANN_N_QUERIES}
+    ) d
+  ) WHERE pr <= {IVF_N_PROBE}
+),
+scored AS (
+  SELECT p.query_id, a.vec_id,
+         round({V.cosine_duck('p.qvec', 'a.cvec', V.EMB_DIM)}, 4) AS cos
+  FROM assigned a JOIN probes p USING (cell)
+  WHERE a.vec_id <> p.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cos, rank FROM ranked WHERE rank <= {ANN_K}
+ORDER BY query_id, rank
 """
 
 

@@ -795,18 +795,31 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF (KMeans coarse-quantizer) approximate NN — the cluster-scale
-    path (SURVEY §2 #32b). No oracle: KMeans is not SQL-expressible;
-    the unit test checks recall against brute force instead."""
+    """IVF coarse-quantizer approximate NN — the cluster-scale path
+    (SURVEY §2 #32b). Uses the deterministic fixed-id quantizer so the
+    full plan (cell assignment → probe selection → per-cell verify) is
+    hash-checkable against the SQL oracle; the KMeans variant shares
+    every downstream stage and is exercised by the recall unit test."""
     from pyprima_spark.operators.similarity import ann_ivf as op
-    from pyprima_spark.plans.constants import ANN_K, ANN_N_QUERIES
+    from pyprima_spark.plans.constants import (
+        ANN_K,
+        ANN_N_QUERIES,
+        IVF_CENTROID_IDS,
+        IVF_N_PROBE,
+    )
 
     emb = _t(spark, sf_dir, "embeddings")
-    return op(emb, ANN_N_QUERIES, ANN_K).orderBy("query_id", "rank")
+    return op(
+        emb,
+        ANN_N_QUERIES,
+        ANN_K,
+        n_probe=IVF_N_PROBE,
+        centroid_ids=IVF_CENTROID_IDS,
+    ).orderBy("query_id", "rank")
 
 
 def embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cosine near-dup pairs within LSH buckets (SURVEY §2 #33)."""
+    """Cosine near-dup pairs via banded multi-table LSH (SURVEY §2 #33)."""
     from pyprima_spark.operators.similarity import embedding_dedup as op
     from pyprima_spark.plans.constants import EMB_DEDUP_TAU
 

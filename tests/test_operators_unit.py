@@ -113,6 +113,13 @@ def test_ann_ivf_recall_vs_brute_force(spark, sf_dir):
     recall = len(t & a) / len(t)
     assert recall >= 0.5, f"IVF recall {recall:.2f} < 0.5"
 
+    # The KMeans quantizer shares every downstream stage; it is
+    # seed-dependent (rows-only checkable) but must hit the same bar.
+    km = ann_ivf(emb, 5, 10, centroid_ids="kmeans").toPandas()
+    assert list(km.columns) == ["query_id", "vec_id", "cos", "rank"]
+    recall_km = len(t & set(zip(km.query_id, km.vec_id))) / len(t)
+    assert recall_km >= 0.5, f"KMeans IVF recall {recall_km:.2f} < 0.5"
+
 
 def test_salted_join_equals_plain_join(spark):
     """Salting must not change join semantics, only the key layout."""
