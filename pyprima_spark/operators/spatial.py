@@ -42,3 +42,31 @@ def point_in_box_join(
         & (F.col(lon) < F.col("lon_max"))
     )
     return points.join(F.broadcast(boxes), cond)
+
+
+def box_overlap_join(boxes_a: DataFrame, boxes_b: DataFrame) -> DataFrame:
+    """Overlay two box layers: one row per intersecting (a, b) pair with
+    the overlap extents and area.
+
+    Reference analogue: ``intersection_subregions_countries``
+    (lib/spatial_functions.py:225-277) overlays subregion and country
+    polygons into intersection pieces; the piece areas then weight
+    region remapping/disaggregation. With boxes the intersection is
+    closed-form: ``min(max) - max(min)`` per axis.
+
+    Both layers are dimension-sized (model geographies); ``boxes_b`` is
+    broadcast so the overlay never shuffles. Columns of each input are
+    prefixed ``a_`` / ``b_`` in the result.
+    """
+    a = boxes_a.select([F.col(c).alias(f"a_{c}") for c in boxes_a.columns])
+    b = boxes_b.select([F.col(c).alias(f"b_{c}") for c in boxes_b.columns])
+    joined = a.join(
+        F.broadcast(b),
+        (F.col("a_lat_min") < F.col("b_lat_max"))
+        & (F.col("b_lat_min") < F.col("a_lat_max"))
+        & (F.col("a_lon_min") < F.col("b_lon_max"))
+        & (F.col("b_lon_min") < F.col("a_lon_max")),
+    )
+    dlat = F.least("a_lat_max", "b_lat_max") - F.greatest("a_lat_min", "b_lat_min")
+    dlon = F.least("a_lon_max", "b_lon_max") - F.greatest("a_lon_min", "b_lon_min")
+    return joined.withColumn("overlap_area", dlat * dlon)

@@ -1115,6 +1115,111 @@ ORDER BY n_name
 """
 
 
+ORACLES["region_overlap_disaggregate"] = """
+WITH sub AS (
+  SELECT n_name AS name,
+         (n_nationkey * 7 % 32) * 5 - 80 AS lat_min,
+         (n_nationkey * 7 % 32) * 5 - 80 + 40 AS lat_max,
+         (n_nationkey * 11 % 60) * 6 - 180 AS lon_min,
+         (n_nationkey * 11 % 60) * 6 - 180 + 72 AS lon_max
+  FROM nation
+),
+country AS (
+  SELECT r_regionkey AS rkey, r_name AS name,
+         (r_regionkey * 13 % 8) * 20 - 80 AS lat_min,
+         (r_regionkey * 13 % 8) * 20 - 80 + 60 AS lat_max,
+         (r_regionkey * 17 % 10) * 36 - 180 AS lon_min,
+         (r_regionkey * 17 % 10) * 36 - 180 + 108 AS lon_max
+  FROM region
+),
+pieces AS (
+  SELECT s.name || '_' || c.name AS piece,
+         s.name AS subregion, c.name AS country, c.rkey,
+         (least(s.lat_max, c.lat_max) - greatest(s.lat_min, c.lat_min)) *
+         (least(s.lon_max, c.lon_max) - greatest(s.lon_min, c.lon_min)) AS area
+  FROM sub s JOIN country c
+    ON s.lat_min < c.lat_max AND c.lat_min < s.lat_max
+   AND s.lon_min < c.lon_max AND c.lon_min < s.lon_max
+),
+totals AS (
+  SELECT n_regionkey AS rkey,
+         sum(CAST(o_totalprice AS DECIMAL(27,6)))::DOUBLE AS region_total
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  GROUP BY 1
+),
+shared AS (
+  SELECT piece, subregion, country, area, region_total,
+         area::DOUBLE / (sum(area) OVER (PARTITION BY p.rkey))::DOUBLE
+           AS share_raw
+  FROM pieces p JOIN totals USING (rkey)
+)
+SELECT piece, subregion, country, area,
+       round(share_raw, 6) AS share,
+       round(region_total * share_raw, 4) AS allocated
+FROM shared
+ORDER BY piece
+"""
+
+ORACLES["grid_upsample"] = """
+WITH pix AS (
+  SELECT (s.k // 90) AS i, (s.k % 90) AS j,
+         ((s.k // 90) * 7 + (s.k % 90) * 13) % 100 AS val
+  FROM generate_series(0, 3599) s(k)
+)
+SELECT i * 4 + a AS row_idx, j * 4 + b AS col_idx, val
+FROM pix
+CROSS JOIN generate_series(0, 3) t(a)
+CROSS JOIN generate_series(0, 3) u(b)
+ORDER BY row_idx, col_idx
+"""
+
+
+def _capped_round(prev: str, nxt: str) -> str:
+    """One unrolled water-filling round (mirrors operators/allocate.py)."""
+    return f"""
+{nxt} AS (
+  SELECT c_custkey, c_nationkey, w, cap, total,
+         alloc + CASE WHEN cap - alloc > 1e-09 AND sumw > 0 AND rem > 1e-09
+                      THEN least(rem * w / sumw, cap - alloc)
+                      ELSE 0.0 END AS alloc
+  FROM (
+    SELECT *,
+           (sum(CASE WHEN cap - alloc > 1e-09 THEN w ELSE 0 END)
+              OVER (PARTITION BY c_nationkey))::DOUBLE AS sumw,
+           total - (sum(CAST(alloc AS DECIMAL(27,6)))
+              OVER (PARTITION BY c_nationkey))::DOUBLE AS rem
+    FROM {prev}
+  ) t
+)"""
+
+
+_CAPPED_ROUNDS = ",".join(
+    _capped_round(f"r{i}", f"r{i + 1}") for i in range(4)
+)
+
+ORACLES["capped_distribution"] = f"""
+WITH sites AS (
+  SELECT c_custkey, c_nationkey,
+         c_custkey % 19 + 1 AS w,
+         c_custkey % 50 + 10 AS cap
+  FROM customer
+),
+tot AS (
+  SELECT c_nationkey, sum(cap)::DOUBLE * 0.6::DOUBLE AS total
+  FROM sites GROUP BY 1
+),
+r0 AS (
+  SELECT s.c_custkey, s.c_nationkey, s.w, s.cap, t.total, 0.0::DOUBLE AS alloc
+  FROM sites s JOIN tot t USING (c_nationkey)
+),{_CAPPED_ROUNDS}
+SELECT c_custkey, c_nationkey, w, cap, round(alloc, 4) AS alloc
+FROM r4
+ORDER BY c_custkey
+"""
+
+
 from pyprima_spark.plans.tpch_extra import EXTRA_ORACLES as _EXTRA_ORACLES
 
 ORACLES.update(_EXTRA_ORACLES)

@@ -1535,6 +1535,142 @@ def streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_sessions_stream(spark, sf_dir)
 
 
+def region_overlap_disaggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Area-weighted overlay disaggregation (SURVEY §2 #53).
+
+    Reference: ``intersection_subregions_countries``
+    (lib/spatial_functions.py:225-277) overlays subregions with
+    countries and names each piece sub_country; downstream load
+    disaggregation weights by the piece areas. Here: nation boxes ×
+    region boxes via the broadcast box-overlap join; each region's
+    revenue total is split over its pieces by overlap-area share.
+
+    Integer box coordinates make areas and their group sums exact, so
+    the share division is bit-identical across engines.
+    """
+    from pyspark.sql import Window
+
+    from pyprima_spark.operators.spatial import box_overlap_join
+
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    sub = nation.select(
+        F.col("n_name").alias("name"),
+        ((F.col("n_nationkey") * 7 % 32) * 5 - 80).alias("lat_min"),
+        ((F.col("n_nationkey") * 7 % 32) * 5 - 80 + 40).alias("lat_max"),
+        ((F.col("n_nationkey") * 11 % 60) * 6 - 180).alias("lon_min"),
+        ((F.col("n_nationkey") * 11 % 60) * 6 - 180 + 72).alias("lon_max"),
+    )
+    country = region.select(
+        F.col("r_regionkey").alias("rkey"),
+        F.col("r_name").alias("name"),
+        ((F.col("r_regionkey") * 13 % 8) * 20 - 80).alias("lat_min"),
+        ((F.col("r_regionkey") * 13 % 8) * 20 - 80 + 60).alias("lat_max"),
+        ((F.col("r_regionkey") * 17 % 10) * 36 - 180).alias("lon_min"),
+        ((F.col("r_regionkey") * 17 % 10) * 36 - 180 + 108).alias("lon_max"),
+    )
+    pieces = box_overlap_join(sub, country).select(
+        F.concat_ws("_", F.col("a_name"), F.col("b_name")).alias("piece"),
+        F.col("a_name").alias("subregion"),
+        F.col("b_name").alias("country"),
+        F.col("b_rkey").alias("rkey"),
+        F.col("overlap_area").alias("area"),
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nat_dim = nation.select("n_nationkey", "n_regionkey")
+    totals = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat_dim), cust.c_nationkey == nat_dim.n_nationkey)
+        .groupBy(F.col("n_regionkey").alias("rkey"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast(DEC))
+            .cast("double")
+            .alias("region_total")
+        )
+    )
+    wr = Window.partitionBy("rkey")
+    share_raw = F.col("area").cast("double") / F.sum("area").over(wr).cast(
+        "double"
+    )
+    return (
+        pieces.join(totals, "rkey")
+        .withColumn("share_raw", share_raw)
+        .select(
+            "piece",
+            "subregion",
+            "country",
+            "area",
+            F.round("share_raw", 6).alias("share"),
+            F.round(F.col("region_total") * F.col("share_raw"), 4).alias(
+                "allocated"
+            ),
+        )
+        .orderBy("piece")
+    )
+
+
+def grid_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor 2D grid upsampling (SURVEY §2 #54).
+
+    Reference: ``resizem``'s enlarge path (lib/util.py:68-93) repeats
+    each pixel of a coarse raster into an r×c block. Spark-first: a
+    sequence+explode per axis fans each pixel row out to its block —
+    pure map-side Generate, no shuffle at any scale; the inverse of
+    ``grid_downsample``'s block-mean.
+    """
+    pix = (
+        spark.range(40 * 90)
+        .withColumn("i", (F.col("id") / 90).cast("int"))
+        .withColumn("j", (F.col("id") % 90).cast("int"))
+        .select(
+            "i", "j", ((F.col("i") * 7 + F.col("j") * 13) % 100).alias("val")
+        )
+    )
+    rep = pix.withColumn(
+        "a", F.explode(F.sequence(F.lit(0), F.lit(3)))
+    ).withColumn("b", F.explode(F.sequence(F.lit(0), F.lit(3))))
+    return rep.select(
+        (F.col("i") * 4 + F.col("a")).alias("row_idx"),
+        (F.col("j") * 4 + F.col("b")).alias("col_idx"),
+        "val",
+    ).orderBy("row_idx", "col_idx")
+
+
+def capped_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative capped proportional allocation (SURVEY §2 #55).
+
+    Reference: ``distribute_renewable_capacities_IRENA``
+    (lib/correction_functions.py:749-806) — a country total spread over
+    sites proportional to potential, clipped at per-site caps, residual
+    re-distributed iteratively (water-filling). Sites are customers;
+    weights/caps are deterministic integers off the key; each nation
+    distributes 60% of its aggregate cap.
+    """
+    from pyprima_spark.operators.allocate import capped_allocate
+
+    cust = _t(spark, sf_dir, "customer")
+    sites = cust.select(
+        "c_custkey",
+        "c_nationkey",
+        (F.col("c_custkey") % 19 + 1).alias("w"),
+        (F.col("c_custkey") % 50 + 10).alias("cap"),
+    )
+    totals = sites.groupBy("c_nationkey").agg(
+        (F.sum("cap").cast("double") * F.lit(0.6)).alias("total")
+    )
+    out = capped_allocate(
+        sites, totals, ["c_nationkey"], "w", "cap", "total", rounds=4
+    )
+    return out.select(
+        "c_custkey",
+        "c_nationkey",
+        "w",
+        "cap",
+        F.round("alloc", 4).alias("alloc"),
+    ).orderBy("c_custkey")
+
+
 # ---------------------------------------------------------------------------
 # Registration order is GRADING COVERAGE POLICY: the external driver
 # grades only the FIRST 50 dict keys each round. Keys with no green
@@ -1591,6 +1727,9 @@ QUERIES.update(
         "transmission_attrs": transmission_attrs,
         "ann_ivf": ann_ivf,
         "embedding_dedup": embedding_dedup,
+        "region_overlap_disaggregate": region_overlap_disaggregate,
+        "grid_upsample": grid_upsample,
+        "capped_distribution": capped_distribution,
         "ngram_jaccard": ngram_jaccard,
         "weighted_disaggregate": weighted_disaggregate,
     }
