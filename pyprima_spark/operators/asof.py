@@ -36,6 +36,14 @@ def asof_join(
     rows with no prior right row are dropped).
 
     Ties at equal timestamps match (``>=``), mirroring DuckDB/kdb ASOF.
+
+    Duplicate right rows at the same (key, ts) are resolved
+    deterministically: the window sort is extended with the carried
+    value columns (ascending), so the running ``last`` always lands on
+    the greatest value tuple of the tie — no extra shuffle, and the
+    result is reproducible across engines and runs (DuckDB's bare ASOF
+    picks an arbitrary tied row; oracles must dedup with the same
+    greatest-tuple rule).
     """
     value_cols = value_cols or [c for c in right.columns if c not in (key, right_ts)]
     lhs = left.withColumn("_side", F.lit(1)).withColumn("_ets", F.col(left_ts))
@@ -47,10 +55,16 @@ def asof_join(
         *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
     )
     merged = lhs.unionByName(rhs, allowMissingColumns=True)
-    # Right rows sort before left rows at equal ts so >= ties match.
+    # Right rows sort before left rows at equal ts so >= ties match;
+    # value columns (nulls-first on left rows) break right-row ties at
+    # identical (key, ts) so `last` is deterministic.
     w = (
         Window.partitionBy(key)
-        .orderBy("_ets", "_side")
+        .orderBy(
+            "_ets",
+            "_side",
+            *[F.asc_nulls_first(f"{c}{suffix}") for c in value_cols],
+        )
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = [f"{right_ts}{suffix}"] + [f"{c}{suffix}" for c in value_cols]

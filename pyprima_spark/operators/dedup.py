@@ -109,11 +109,13 @@ def minhash_band_table(
 def minhash_candidate_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Distinct candidate near-dup pairs sharing >= 1 LSH band.
 
-    The band table is persisted before the self-join — otherwise both
-    join sides recompute the full signature pass. At cluster scale the
-    signature table is ~4 rows/doc, negligible next to the corpus.
+    Both self-join sides shuffle the identical signature subplan on
+    (band_idx, band_sig): AQE's exchange reuse computes the signature
+    pass once without a persist, so repeated invocations in one session
+    leave no cached blocks behind (a persist here has no paired
+    unpersist-after-action point — the operator returns a lazy plan).
     """
-    bands = minhash_band_table(df, id_col, text_col).persist()
+    bands = minhash_band_table(df, id_col, text_col)
     a = bands.select(
         F.col("doc").alias("doc_a"), "band_idx", "band_sig"
     )
@@ -157,8 +159,12 @@ def simhash_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def simhash_pair_hamming(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Hamming distance for candidate pairs sharing a 15-bit chunk."""
-    sims = simhash_table(df, id_col, text_col).persist()
+    """Hamming distance for candidate pairs sharing a 15-bit chunk.
+
+    Like minhash: the chunk-table self-join sides are identical
+    subplans, deduplicated by AQE exchange reuse instead of a persist.
+    """
+    sims = simhash_table(df, id_col, text_col)
     chunks = sims.select(
         "doc",
         "simhash",
@@ -184,7 +190,11 @@ def simhash_pair_hamming(df: DataFrame, id_col: str, text_col: str) -> DataFrame
 
 
 def ngram_gram_table(
-    df: DataFrame, id_col: str, text_col: str, bucket_cols: list[str]
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bucket_cols: list[str],
+    df_max: int | None = None,
 ) -> DataFrame:
     """(id, bucket..., gram) exploded distinct char-3-gram table plus a
     per-doc gram-set size column.
@@ -195,6 +205,15 @@ def ngram_gram_table(
     (CollapseProject would inline it into every substring otherwise).
     Set semantics come from a row-level distinct; the set size from a
     window count — both shuffle on the doc key only.
+
+    ``df_max`` drops grams whose document frequency within a bucket
+    exceeds the cutoff — the standard stop-gram guard: a gram present
+    in most of a bucket contributes quadratic join fanout but no
+    discriminative signal. The df window partitions on (bucket, gram),
+    the exact keys the downstream candidate join shuffles on, so the
+    cutoff pass reuses that partitioning rather than adding a new one.
+    Jaccard is then over the kept (discriminative) gram sets — the
+    per-doc set size is computed AFTER the cutoff.
     """
     from pyspark.sql import Window
 
@@ -213,6 +232,13 @@ def ngram_gram_table(
         )
         .distinct()
     )
+    if df_max is not None:
+        wdf = Window.partitionBy(*bucket_cols, "gram")
+        grams = (
+            grams.withColumn("_df", F.count(F.lit(1)).over(wdf))
+            .filter(F.col("_df") <= df_max)
+            .drop("_df")
+        )
     w = Window.partitionBy("doc")
     return grams.withColumn("gset_size", F.count(F.lit(1)).over(w)).select(
         "doc", *bucket_cols, "gset_size", "gram"

@@ -25,10 +25,30 @@ def with_double_vec(df: DataFrame, col: str = "embedding") -> DataFrame:
     return df.withColumn("vec", F.expr(V.to_double_spark(col)))
 
 
+def with_vec_norm(df: DataFrame, col: str = "embedding") -> DataFrame:
+    """vec + its L2 norm. Precomputing the norm once per VECTOR (instead
+    of once per candidate PAIR inside the cosine) cuts the verify cost
+    ~3x: only the dot product remains pairwise. The factored expression
+    runs the identical float ops, so results are bit-equal to the
+    inline form the oracles use."""
+    return with_double_vec(df, col).withColumn(
+        "nrm", F.expr(V.norm_spark("vec"))
+    )
+
+
 def cosine_col() -> F.Column:
     """cos(q.vec, c.vec) for a joined (query, candidate) row — rounded
     to 4 dp so both engines agree bit-for-bit after ranking."""
     return F.round(F.expr(V.cosine_spark("qvec", "cvec")), 4)
+
+
+def cosine_prenorm_col() -> F.Column:
+    """Cosine from carried qvec/cvec + precomputed qn/cn norms."""
+    dot = V.dot_spark("qvec", "cvec")
+    return F.round(
+        F.expr(f"CASE WHEN qn = 0D OR cn = 0D THEN 0D ELSE {dot} / (qn * cn) END"),
+        4,
+    )
 
 
 def ann_topk(
@@ -38,15 +58,21 @@ def ann_topk(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Brute-force cosine top-k of every vector against each query."""
-    base = with_double_vec(emb)
+    base = with_vec_norm(emb)
     queries = base.filter(F.col(id_col) < n_queries).select(
-        F.col(id_col).alias("query_id"), F.col("vec").alias("qvec")
+        F.col(id_col).alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("nrm").alias("qn"),
     )
-    cands = base.select(F.col(id_col).alias("vec_id"), F.col("vec").alias("cvec"))
+    cands = base.select(
+        F.col(id_col).alias("vec_id"),
+        F.col("vec").alias("cvec"),
+        F.col("nrm").alias("cn"),
+    )
     scored = (
         cands.crossJoin(F.broadcast(queries))
         .filter(F.col("vec_id") != F.col("query_id"))
-        .withColumn("cos", cosine_col())
+        .withColumn("cos", cosine_prenorm_col())
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (
@@ -67,17 +93,23 @@ def ann_lsh(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """LSH-bucketed ANN: candidates share the query's hyperplane bucket."""
-    base = with_lsh_bucket(with_double_vec(emb))
+    base = with_lsh_bucket(with_vec_norm(emb))
     queries = base.filter(F.col(id_col) < n_queries).select(
-        F.col(id_col).alias("query_id"), F.col("vec").alias("qvec"), "bucket"
+        F.col(id_col).alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("nrm").alias("qn"),
+        "bucket",
     )
     cands = base.select(
-        F.col(id_col).alias("vec_id"), F.col("vec").alias("cvec"), "bucket"
+        F.col(id_col).alias("vec_id"),
+        F.col("vec").alias("cvec"),
+        F.col("nrm").alias("cn"),
+        "bucket",
     )
     scored = (
         cands.join(F.broadcast(queries), "bucket")
         .filter(F.col("vec_id") != F.col("query_id"))
-        .withColumn("cos", cosine_col())
+        .withColumn("cos", cosine_prenorm_col())
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (
@@ -99,7 +131,7 @@ def embedding_dedup(emb: DataFrame, tau: float, id_col: str = "vec_id") -> DataF
     recall rises with B. Verification (the cosine) runs ONCE per
     distinct pair, via two id-equi-joins back to the vector table.
     """
-    base = with_double_vec(emb).select(F.col(id_col).alias("vid"), "vec")
+    base = with_vec_norm(emb).select(F.col(id_col).alias("vid"), "vec", "nrm")
 
     sig = base.select(
         "vid",
@@ -131,14 +163,22 @@ def embedding_dedup(emb: DataFrame, tau: float, id_col: str = "vec_id") -> DataF
     )
     return (
         pairs.join(
-            base.select(F.col("vid").alias("vec_a"), F.col("vec").alias("qvec")),
+            base.select(
+                F.col("vid").alias("vec_a"),
+                F.col("vec").alias("qvec"),
+                F.col("nrm").alias("qn"),
+            ),
             "vec_a",
         )
         .join(
-            base.select(F.col("vid").alias("vec_b"), F.col("vec").alias("cvec")),
+            base.select(
+                F.col("vid").alias("vec_b"),
+                F.col("vec").alias("cvec"),
+                F.col("nrm").alias("cn"),
+            ),
             "vec_b",
         )
-        .withColumn("cos", cosine_col())
+        .withColumn("cos", cosine_prenorm_col())
         .filter(F.col("cos") >= tau)
         .select("vec_a", "vec_b", "cos")
     )
@@ -188,7 +228,7 @@ def ann_ivf(
     balance; same downstream plan, but the fit is seed-dependent so the
     result is only rows-checkable).
     """
-    base = with_double_vec(emb)
+    base = with_vec_norm(emb)
 
     if centroid_ids == "kmeans":
         from pyspark.ml.clustering import KMeans
@@ -199,7 +239,10 @@ def ann_ivf(
             k=n_clusters, seed=42, featuresCol="features", predictionCol="cell"
         ).fit(featured)
         assigned = model.transform(featured).select(
-            F.col(id_col).alias("vec_id"), F.col("vec").alias("cvec"), "cell"
+            F.col(id_col).alias("vec_id"),
+            F.col("vec").alias("cvec"),
+            F.col("nrm").alias("cn"),
+            "cell",
         )
         centroids = emb.sparkSession.createDataFrame(
             [
@@ -232,14 +275,20 @@ def ann_ivf(
             ").cell"
         )
         assigned = (
-            base.select(F.col(id_col).alias("vec_id"), F.col("vec").alias("cvec"))
+            base.select(
+                F.col(id_col).alias("vec_id"),
+                F.col("vec").alias("cvec"),
+                F.col("nrm").alias("cn"),
+            )
             .crossJoin(F.broadcast(codebook))
             .withColumn("cell", argmin_cell)
-            .select("vec_id", "cvec", "cell")
+            .select("vec_id", "cvec", "cn", "cell")
         )
 
     queries = base.filter(F.col(id_col) < n_queries).select(
-        F.col(id_col).alias("query_id"), F.col("vec").alias("qvec")
+        F.col(id_col).alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("nrm").alias("qn"),
     )
     # n_probe nearest cells per query: queries x centroids is tiny.
     wq = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("cell"))
@@ -248,12 +297,12 @@ def ann_ivf(
         .withColumn("d2", F.expr(V.l2sq_spark("qvec", "centroid")))
         .withColumn("pr", F.row_number().over(wq))
         .filter(F.col("pr") <= n_probe)
-        .select("query_id", "qvec", "cell")
+        .select("query_id", "qvec", "qn", "cell")
     )
     scored = (
         assigned.join(F.broadcast(probes), "cell")
         .filter(F.col("vec_id") != F.col("query_id"))
-        .withColumn("cos", cosine_col())
+        .withColumn("cos", cosine_prenorm_col())
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (

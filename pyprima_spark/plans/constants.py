@@ -57,6 +57,7 @@ MINHASH_A: list[int] = [_coef("a", j, 1) for j in range(MINHASH_N)]
 MINHASH_B: list[int] = [_coef("b", j, 0) for j in range(MINHASH_N)]
 
 NGRAM_LEN_BAND = 50   # candidate length-band width for ngram jaccard
+NGRAM_DF_MAX = 200    # drop grams appearing in more docs than this per bucket
 SIMHASH_MAX_HAMMING = 6
 NGRAM_JACCARD_TAU = 0.8
 EMB_DEDUP_TAU = 0.3   # cosine near-dup threshold (synthetic vectors max ~0.5)

@@ -468,7 +468,7 @@ FROM (
 ORDER BY doc_a, doc_b
 """
 
-from pyprima_spark.plans.constants import NGRAM_LEN_BAND
+from pyprima_spark.plans.constants import NGRAM_DF_MAX, NGRAM_LEN_BAND
 
 ORACLES["ngram_jaccard"] = f"""
 WITH docs AS (
@@ -477,10 +477,20 @@ WITH docs AS (
          {X.char_ngrams_duck(X.normtext_duck('text'))} AS grams
   FROM documents
 ),
-grams AS (
-  SELECT doc_id AS doc, source, len_band, len(grams) AS gset_size,
-         unnest(grams) AS gram
+exploded AS (
+  SELECT doc_id AS doc, source, len_band, unnest(grams) AS gram
   FROM docs WHERE len(grams) > 0
+),
+kept AS (
+  -- stop-gram cutoff: same per-bucket document-frequency guard as the
+  -- Spark plan (grams in > NGRAM_DF_MAX docs of a bucket are dropped)
+  SELECT doc, source, len_band, gram FROM (
+    SELECT *, count(*) OVER (PARTITION BY source, len_band, gram) AS df
+    FROM exploded
+  ) WHERE df <= {NGRAM_DF_MAX}
+),
+grams AS (
+  SELECT *, count(*) OVER (PARTITION BY doc) AS gset_size FROM kept
 ),
 shared AS (
   SELECT a.doc AS doc_a, b.doc AS doc_b, a.gset_size AS size_a,
@@ -740,7 +750,14 @@ WITH p AS (
   SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
 ),
 c AS (
-  SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+  -- dedup ties at identical (user_id, ts) with the same greatest-value
+  -- rule the Spark operator uses, so ASOF picks a deterministic row
+  SELECT user_id, ts, value FROM (
+    SELECT user_id, ts, value,
+           row_number() OVER (PARTITION BY user_id, ts
+                              ORDER BY value DESC) AS rn
+    FROM events WHERE event_type = 'click'
+  ) WHERE rn = 1
 )
 SELECT p.event_id, p.user_id,
        strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,

@@ -737,14 +737,21 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Char-3-gram Jaccard similarity pairs >= tau within (source,
     length-band) buckets (SURVEY §2 #30)."""
     from pyprima_spark.operators.dedup import ngram_gram_table
-    from pyprima_spark.plans.constants import NGRAM_JACCARD_TAU, NGRAM_LEN_BAND
+    from pyprima_spark.plans.constants import (
+        NGRAM_DF_MAX,
+        NGRAM_JACCARD_TAU,
+        NGRAM_LEN_BAND,
+    )
 
     docs = _t(spark, sf_dir, "documents").withColumn(
         "len_band", F.floor(F.length("text") / NGRAM_LEN_BAND)
     )
-    # persisted: both sides of the candidate self-join read the gram
-    # table; without it the normalization+ngram pass runs twice.
-    grams = ngram_gram_table(docs, "doc_id", "text", ["source", "len_band"]).persist()
+    # Stop-grams (bucket df > NGRAM_DF_MAX) are cut before the
+    # self-join: they dominate join fanout without signal. Both join
+    # sides share the gram-table subplan via AQE exchange reuse.
+    grams = ngram_gram_table(
+        docs, "doc_id", "text", ["source", "len_band"], df_max=NGRAM_DF_MAX
+    )
     a = grams.select(
         F.col("doc").alias("doc_a"),
         F.col("gset_size").alias("size_a"),
@@ -1166,11 +1173,11 @@ def cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprints shared between every pair of sources — the train/test
     benchmark-contamination probe over a corpus.
 
-    The (source, fingerprint) table is persisted before its self-join so
-    the winnow pass runs once; the join key is the fingerprint hash
-    (uniform), and per-pair distinct counting happens after the
-    row-level distinct, so the pair space is bounded by real overlap,
-    never |docs|^2.
+    The (source, fingerprint) self-join sides share one subplan (AQE
+    exchange reuse — the winnow pass runs once, nothing stays cached);
+    the join key is the fingerprint hash (uniform), and per-pair
+    distinct counting happens after the row-level distinct, so the pair
+    space is bounded by real overlap, never |docs|^2.
     """
     from pyprima_spark.operators.dedup import winnow_fingerprints as op
 
@@ -1180,7 +1187,6 @@ def cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         fps.join(docs.select("doc_id", "source"), "doc_id")
         .select("source", "fingerprint")
         .distinct()
-        .persist()
     )
     a = fsrc.select(F.col("source").alias("source_a"), "fingerprint")
     b = fsrc.select(F.col("source").alias("source_b"), "fingerprint")

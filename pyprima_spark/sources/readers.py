@@ -41,12 +41,24 @@ def read_european_csv(
 
 
 def write_european_csv(df: DataFrame, path: str) -> None:
-    """Write with the reference's ';' + decimal-comma convention."""
+    """Write with the reference's ';' + decimal-comma convention.
+
+    Floats are rendered as plain fixed-point (printf ``%.6f``, trailing
+    zeros trimmed) BEFORE the separator swap: the default string cast
+    emits scientific notation for large/small magnitudes (``1.0E7``),
+    which a naive '.'→',' substitution would corrupt to ``1,0E7``.
+    """
     out = df
     for field in df.schema.fields:
         if field.dataType.typeName() in ("double", "float", "decimal"):
+            name = field.name
+            fixed = F.format_string("%.6f", F.col(name))
+            trimmed = F.regexp_replace(
+                F.regexp_replace(fixed, r"0+$", ""), r"\.$", ""
+            )
             out = out.withColumn(
-                field.name,
-                F.regexp_replace(F.col(field.name).cast("string"), r"\.", ","),
+                name,
+                F.when(F.col(name).isNull(), F.lit(None).cast("string"))
+                .otherwise(F.regexp_replace(trimmed, r"\.", ",")),
             )
     out.write.mode("overwrite").option("header", True).option("sep", ";").csv(path)
