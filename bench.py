@@ -35,6 +35,8 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "ngram_jaccard",
     "ann_topk",
+    "ann_lsh",
+    "ann_ivf",
     "embedding_dedup",
     "quality_score",
     "token_count",
@@ -50,6 +52,10 @@ BENCH_QUERIES = [
     "cube_sales",
     "nearest_site",
     "grid_downsample",
+    "grid_upsample",
+    "region_overlap_disaggregate",
+    "capped_distribution",
+    "supply_ts_assembly",
 ]
 
 

@@ -1132,6 +1132,39 @@ ORDER BY n_name
 """
 
 
+ORACLES["supply_ts_assembly"] = """
+WITH ts AS (
+  SELECT date_trunc('day', ts) AS d, event_type AS tech, user_id % 5 AS rk,
+         round(sum(CAST(value AS DECIMAL(27,6))), 2)::DOUBLE AS ts_val
+  FROM events GROUP BY 1, 2, 3
+),
+share AS (
+  SELECT n_name, n_regionkey AS rk,
+         (n_nationkey % 7 + 1)::DOUBLE /
+         (sum(n_nationkey % 7 + 1) OVER (PARTITION BY n_regionkey))::DOUBLE
+           AS cap_share
+  FROM nation
+),
+bounds AS (
+  SELECT date_trunc('day', min(ts)) AS dmin,
+         date_trunc('day', max(ts)) AS dmax
+  FROM events
+),
+days AS (
+  SELECT unnest(generate_series(dmin, dmax, INTERVAL 1 day)) AS d FROM bounds
+),
+techs AS (SELECT DISTINCT event_type AS tech FROM events),
+grid AS (
+  SELECT d, tech, n_name, rk, cap_share
+  FROM days CROSS JOIN techs CROSS JOIN share
+)
+SELECT strftime(g.d, '%Y-%m-%d') AS day, g.tech AS tech, g.n_name,
+       coalesce(ts_val * cap_share, 0)::DOUBLE AS supply
+FROM grid g
+LEFT JOIN ts ON ts.d = g.d AND ts.tech = g.tech AND ts.rk = g.rk
+ORDER BY day, g.tech, g.n_name
+"""
+
 ORACLES["region_overlap_disaggregate"] = """
 WITH sub AS (
   SELECT n_name AS name,

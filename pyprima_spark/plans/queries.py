@@ -1541,6 +1541,75 @@ def streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_sessions_stream(spark, sf_dir)
 
 
+def supply_ts_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intermittent-supply time-series assembly (SURVEY §2 #56).
+
+    Reference: ``generate_intermittent_supply_timeseries``
+    (generate_intermediate_files.py:115-201) assembles per-(subregion,
+    tech) supply series from regional series × capacity shares, filling
+    absent series with zero. Here: daily regional series per event type
+    (the "tech") × each nation's capacity share within its region, made
+    dense over the full (day × tech × nation) grid with zero fill.
+
+    Scale shape: the series table aggregates once (shuffle on day×tech×
+    region); the share matrix is dimension-sized and broadcast; the
+    dense grid is a broadcast cross join of three small dims left-joined
+    with the real series — the fact table never shuffles for the grid.
+    """
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    nation = _t(spark, sf_dir, "nation")
+
+    ts_regional = (
+        ev.select(
+            F.date_trunc("day", "ts").alias("d"),
+            F.col("event_type").alias("tech"),
+            (F.col("user_id") % 5).alias("rk"),
+            "value",
+        )
+        .groupBy("d", "tech", "rk")
+        .agg(dec_sum("value").alias("ts_val"))
+    )
+    wreg = Window.partitionBy("n_regionkey")
+    share = nation.select(
+        F.col("n_nationkey").alias("nk"),
+        "n_name",
+        F.col("n_regionkey").alias("rk"),
+        (
+            (F.col("n_nationkey") % 7 + 1).cast("double")
+            / F.sum(F.col("n_nationkey") % 7 + 1).over(wreg).cast("double")
+        ).alias("cap_share"),
+    )
+
+    bounds = ev.agg(
+        F.date_trunc("day", F.min("ts")).alias("dmin"),
+        F.date_trunc("day", F.max("ts")).alias("dmax"),
+    )
+    days = bounds.select(
+        F.explode(F.expr("sequence(dmin, dmax, interval 1 day)")).alias("d")
+    )
+    techs = ev.select(F.col("event_type").alias("tech")).distinct()
+    grid = days.crossJoin(F.broadcast(techs)).crossJoin(F.broadcast(share))
+
+    return (
+        grid.join(ts_regional, ["d", "tech", "rk"], "left")
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "tech",
+            "n_name",
+            # no rounding: ts_val (exact 2dp) x cap_share (same bits both
+            # engines) multiplies to identical doubles, while a 4dp round
+            # hits exact .5 ties (dyadic shares) that HALF_UP/HALF_EVEN
+            # engines break differently
+            F.coalesce(F.col("ts_val") * F.col("cap_share"), F.lit(0.0)).alias(
+                "supply"
+            ),
+        )
+        .orderBy("day", "tech", "n_name")
+    )
+
+
 def region_overlap_disaggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Area-weighted overlay disaggregation (SURVEY §2 #53).
 
@@ -1736,6 +1805,7 @@ QUERIES.update(
         "region_overlap_disaggregate": region_overlap_disaggregate,
         "grid_upsample": grid_upsample,
         "capped_distribution": capped_distribution,
+        "supply_ts_assembly": supply_ts_assembly,
         "ngram_jaccard": ngram_jaccard,
         "weighted_disaggregate": weighted_disaggregate,
     }
