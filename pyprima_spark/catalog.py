@@ -55,6 +55,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
+    # Defensive session confs (both runtime-settable): external harnesses
+    # run these plans on their own session. Timestamp bucketing/formatting
+    # (date_trunc, hour, date_format) follows the session time zone; the
+    # oracles assume UTC, so a non-UTC caller session would shift every
+    # formatted timestamp output.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
