@@ -44,6 +44,57 @@ def point_in_box_join(
     return points.join(F.broadcast(boxes), cond)
 
 
+def point_in_box_grid_join(
+    points: DataFrame,
+    boxes: DataFrame,
+    cell: float = 20.0,
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Grid-cell variant of :func:`point_in_box_join` — the scale path
+    when the box table outgrows a broadcast.
+
+    Every point maps to exactly one (cell_lat, cell_lon); every box
+    explodes to the cells it overlaps. Candidate generation is then an
+    EQUI-join on the cell id (shuffle-partitionable, skew bounded by
+    cell size) followed by the exact containment verify — the same
+    candidate-then-verify layout as the LSH dedups. With dim-sized box
+    tables the broadcast variant wins; this one exists for box tables
+    in the millions (cadastral parcels, fine grids).
+    """
+    cells = boxes.select(
+        "*",
+        F.explode(
+            F.expr(
+                f"sequence(cast(floor(lat_min / {cell}) as int), "
+                f"cast(floor((lat_max - 0.001) / {cell}) as int))"
+            )
+        ).alias("cell_lat"),
+    ).select(
+        "*",
+        F.explode(
+            F.expr(
+                f"sequence(cast(floor(lon_min / {cell}) as int), "
+                f"cast(floor((lon_max - 0.001) / {cell}) as int))"
+            )
+        ).alias("cell_lon"),
+    )
+    pts = points.withColumn(
+        "cell_lat", F.floor(F.col(lat) / cell).cast("int")
+    ).withColumn("cell_lon", F.floor(F.col(lon) / cell).cast("int"))
+    verified = (
+        pts.join(cells, ["cell_lat", "cell_lon"])
+        .filter(
+            (F.col(lat) >= F.col("lat_min"))
+            & (F.col(lat) < F.col("lat_max"))
+            & (F.col(lon) >= F.col("lon_min"))
+            & (F.col(lon) < F.col("lon_max"))
+        )
+        .drop("cell_lat", "cell_lon")
+    )
+    return verified
+
+
 def box_overlap_join(boxes_a: DataFrame, boxes_b: DataFrame) -> DataFrame:
     """Overlay two box layers: one row per intersecting (a, b) pair with
     the overlap extents and area.

@@ -1270,6 +1270,10 @@ ORDER BY c_custkey
 """
 
 
+# Same semantics as point_in_region — the grid variant must produce the
+# identical result through the cell-bucketed candidate join.
+ORACLES["point_in_region_grid"] = ORACLES["point_in_region"]
+
 from pyprima_spark.plans.tpch_extra import EXTRA_ORACLES as _EXTRA_ORACLES
 
 ORACLES.update(_EXTRA_ORACLES)
