@@ -1270,6 +1270,9 @@ ORDER BY c_custkey
 """
 
 
+# Bloom pre-filter must not change the anti-join result.
+ORACLES["incremental_new_docs_bloom"] = ORACLES["incremental_new_docs"]
+
 # Same semantics as point_in_region — the grid variant must produce the
 # identical result through the cell-bucketed candidate join.
 ORACLES["point_in_region_grid"] = ORACLES["point_in_region"]

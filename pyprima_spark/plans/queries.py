@@ -1168,6 +1168,41 @@ def incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def incremental_new_docs_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-assisted incremental ingestion dedup (SURVEY §2 #47b) —
+    same output as `incremental_new_docs`, with the seen-set compressed
+    into a broadcastable Bloom word table probed map-side; only the
+    Bloom-positive rows continue to the exact anti-join. At 100 TB this
+    turns an |incoming|-row shuffle into a |hits|-row shuffle while the
+    definite-news pass straight through.
+    """
+    from pyprima_spark.operators.bloom import bloom_build, bloom_probe
+
+    docs = _t(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9\s]", ""),
+            r"\s+",
+            " ",
+        )
+    )
+    fp = docs.select("doc_id", F.md5(norm).alias("fingerprint"))
+    seen = fp.filter(F.col("doc_id") % 3 == 0).select("fingerprint")
+    incoming = fp.filter(F.col("doc_id") % 3 != 0)
+
+    tagged = bloom_probe(incoming, bloom_build(seen, "fingerprint"), "fingerprint")
+    definite_new = tagged.filter(~F.col("bloom_maybe")).select(
+        "doc_id", "fingerprint"
+    )
+    verified_new = (
+        tagged.filter(F.col("bloom_maybe"))
+        .select("doc_id", "fingerprint")
+        .join(seen, "fingerprint", "left_anti")
+        .select("doc_id", "fingerprint")
+    )
+    return definite_new.unionByName(verified_new).orderBy("doc_id")
+
+
 def cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source contamination check (SURVEY §2 #48): count winnowing
     fingerprints shared between every pair of sources — the train/test
@@ -1842,6 +1877,7 @@ QUERIES.update(
         # -- everything below is PAST the 50-key grading window --
         "weighted_disaggregate": weighted_disaggregate,
         "point_in_region_grid": point_in_region_grid,
+        "incremental_new_docs_bloom": incremental_new_docs_bloom,
     }
 )
 

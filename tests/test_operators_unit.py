@@ -255,3 +255,37 @@ def test_asof_join_property_vs_merge_asof(spark):
         assert list(got["val_asof"]) == list(want["val"])
 
     check()
+
+
+def test_bloom_gate_no_false_negatives_and_exact_result(spark):
+    """The Bloom pre-filter must never drop a true duplicate (no false
+    negatives), and definite-new + verified-maybes must equal the plain
+    anti-join exactly — on data where both branches are populated."""
+    from pyspark.sql import functions as F
+
+    from pyprima_spark.operators.bloom import bloom_build, bloom_probe
+
+    seen = spark.createDataFrame(
+        [(f"fp{i}",) for i in range(200)], "fingerprint string"
+    )
+    inc = spark.createDataFrame(
+        [(i, f"fp{i * 3}") for i in range(100)], "doc_id long, fingerprint string"
+    )
+
+    tagged = bloom_probe(inc, bloom_build(seen, "fingerprint"), "fingerprint")
+    maybe = {r.fingerprint: r.bloom_maybe for r in tagged.collect()}
+    for i in range(100):
+        if i * 3 < 200:
+            assert maybe[f"fp{i * 3}"], "false negative on a true duplicate"
+
+    definite = tagged.filter(~F.col("bloom_maybe")).select("doc_id", "fingerprint")
+    verified = (
+        tagged.filter(F.col("bloom_maybe"))
+        .select("doc_id", "fingerprint")
+        .join(seen, "fingerprint", "left_anti")
+    )
+    got = sorted(r.doc_id for r in definite.unionByName(verified).collect())
+    want = sorted(
+        r.doc_id for r in inc.join(seen, "fingerprint", "left_anti").collect()
+    )
+    assert got == want and len(got) == sum(1 for i in range(100) if i * 3 >= 200)
