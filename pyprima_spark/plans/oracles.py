@@ -1270,6 +1270,23 @@ ORDER BY c_custkey
 """
 
 
+ORACLES["salted_skew_join"] = """
+WITH fact AS (
+  SELECT o_orderkey, o_totalprice,
+         CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH', '3-MEDIUM') THEN 0
+              ELSE substring(o_orderpriority, 1, 1)::INT END AS hot_key
+  FROM orders
+),
+dim AS (
+  SELECT * FROM (VALUES (0, 'compressed'), (4, 'deferred'), (5, 'background'))
+    d(hot_key, tier)
+)
+SELECT hot_key, tier, count(*) AS n_orders,
+       round(sum(CAST(o_totalprice AS DECIMAL(27,6))), 2)::DOUBLE AS revenue
+FROM fact JOIN dim USING (hot_key)
+GROUP BY 1, 2 ORDER BY 1
+"""
+
 # Bloom pre-filter must not change the anti-join result.
 ORACLES["incremental_new_docs_bloom"] = ORACLES["incremental_new_docs"]
 

@@ -1403,6 +1403,39 @@ def point_in_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resilient join demo (SURVEY §2 #57): orders keyed so one
+    hot key holds most rows, joined to a priority dim through
+    `salted_join` — the explicit fallback when AQE cannot split a
+    heavy-hitter partition (post-join co-grouping pins the layout).
+    Salting must not change semantics: the oracle is the plain join.
+    """
+    from pyprima_spark.functions.skew import salted_join
+
+    orders = _t(spark, sf_dir, "orders")
+    # ~60% of rows land on hot_key 0 (URGENT+HIGH+MEDIUM collapse).
+    fact = orders.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH", "3-MEDIUM"), 0)
+        .otherwise(F.substring("o_orderpriority", 1, 1).cast("int"))
+        .alias("hot_key"),
+    )
+    dim = spark.createDataFrame(
+        [(0, "compressed"), (4, "deferred"), (5, "background")],
+        "hot_key int, tier string",
+    )
+    return (
+        salted_join(fact, dim, "hot_key")
+        .groupBy("hot_key", "tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dec_sum("o_totalprice").alias("revenue"),
+        )
+        .orderBy("hot_key")
+    )
+
+
 def point_in_region_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grid-cell spatial join (SURVEY §2 #40b) — same semantics and
     output as `point_in_region`, via the cell-bucketed equi-join that
@@ -1878,6 +1911,7 @@ QUERIES.update(
         "weighted_disaggregate": weighted_disaggregate,
         "point_in_region_grid": point_in_region_grid,
         "incremental_new_docs_bloom": incremental_new_docs_bloom,
+        "salted_skew_join": salted_skew_join,
     }
 )
 
