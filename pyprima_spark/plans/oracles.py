@@ -1270,6 +1270,19 @@ ORDER BY c_custkey
 """
 
 
+ORACLES["purchase_click_attribution"] = """
+SELECT p.event_id AS purchase_id, p.user_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS p_ts,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS c_ts,
+       round(c.value, 2) AS click_value
+FROM events p
+JOIN events c
+  ON p.user_id = c.user_id
+ AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+ORDER BY purchase_id, c_ts
+"""
+
 ORACLES["salted_skew_join"] = """
 WITH fact AS (
   SELECT o_orderkey, o_totalprice,

@@ -1403,6 +1403,27 @@ def point_in_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def purchase_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-interval attribution join (SURVEY §2 #39b): every purchase
+    paired with the same user's clicks in the preceding hour — the
+    batch form of the watermarked stream-stream interval join
+    (streaming/joins.py), sharing the same transform."""
+    from pyprima_spark.streaming.joins import purchase_click_pairs
+
+    ev = _t(spark, sf_dir, "events")
+    return (
+        purchase_click_pairs(ev)
+        .select(
+            "purchase_id",
+            "user_id",
+            F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("p_ts"),
+            F.date_format("c_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("c_ts"),
+            F.round("click_value", 2).alias("click_value"),
+        )
+        .orderBy("purchase_id", "c_ts")
+    )
+
+
 def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-resilient join demo (SURVEY §2 #57): orders keyed so one
     hot key holds most rows, joined to a priority dim through
@@ -1912,6 +1933,7 @@ QUERIES.update(
         "point_in_region_grid": point_in_region_grid,
         "incremental_new_docs_bloom": incremental_new_docs_bloom,
         "salted_skew_join": salted_skew_join,
+        "purchase_click_attribution": purchase_click_attribution,
     }
 )
 

@@ -96,3 +96,25 @@ def test_pipeline_end_to_end(spark, sf_dir, tmp_path):
         else:
             back = spark.read.parquet(path)
         assert back.count() > 0, f"{name} wrote no rows"
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
+    """Watermarked stream-stream interval join (purchase x prior-hour
+    clicks) must emit exactly the batch range-join's pairs."""
+    from pyprima_spark.catalog import load_table
+    from pyprima_spark.streaming.joins import (
+        purchase_click_pairs,
+        run_purchase_click_stream,
+    )
+
+    spark.conf.set(
+        "spark.sql.streaming.checkpointLocation", str(tmp_path / "ckpt_ss")
+    )
+    streamed = run_purchase_click_stream(spark, sf_dir, "t_pc").toPandas()
+    batch = purchase_click_pairs(load_table(spark, sf_dir, "events")).toPandas()
+    key = ["purchase_id", "c_ts"]
+    s = streamed.sort_values(key).reset_index(drop=True)
+    b = batch.sort_values(key).reset_index(drop=True)
+    assert len(s) == len(b) and len(s) > 0
+    assert (s["purchase_id"].values == b["purchase_id"].values).all()
+    assert abs(s["click_value"].values - b["click_value"].values).max() < 1e-9
