@@ -56,6 +56,10 @@ BENCH_QUERIES = [
     "region_overlap_disaggregate",
     "capped_distribution",
     "supply_ts_assembly",
+    "point_in_region_grid",
+    "incremental_new_docs_bloom",
+    "salted_skew_join",
+    "purchase_click_attribution",
 ]
 
 
