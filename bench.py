@@ -60,6 +60,9 @@ BENCH_QUERIES = [
     "incremental_new_docs_bloom",
     "salted_skew_join",
     "purchase_click_attribution",
+    "incident_window_join",
+    "tfidf_top_terms",
+    "pagerank_nations",
 ]
 
 

@@ -1,0 +1,82 @@
+"""Iterative PageRank over an edge table, cross-engine deterministic.
+
+Complements :mod:`pyprima_spark.operators.components` (transitive
+closure) with the other canonical iterative graph pass: importance
+propagation. Reference analogue: pyPRIMA ranks candidate network nodes
+by aggregate connected capacity (generate_intermediate_files.py:
+463-490); PageRank is the principled version of that scoring and a
+standard feature in web-corpus curation pipelines (quality-weighting
+documents by link graph).
+
+Scale design mirrors components.py:
+
+* State is one (node, rank) table, O(V), hash-partitioned by node.
+* One iteration = join ranks to the out-edge table (equi-join on src,
+  both sides partitioned on the same key) + one groupBy(dst) sum —
+  two shuffles on uniform ids, plan size held flat by
+  `localCheckpoint` per round.
+* Fixed iteration count (the usual choice for bounded pipelines)
+  keeps the loop deterministic and lets a SQL oracle unroll it.
+
+Determinism across engines: the per-node contribution sum is a double
+sum, which is partition-order dependent. Contributions are cast to
+DECIMAL(18,12) before summing — exact and associative, so Spark and a
+sequential engine get bit-identical totals (see functions/agg.py for
+the full argument).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+RANK_DEC = "decimal(18,12)"
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """(node, rank) after `iterations` synchronous PageRank rounds.
+
+    `edges` is a directed edge list (undirected graphs: pass each edge
+    in both directions). Every node is assumed to have out-degree >= 1
+    (true for symmetrized edge tables); dangling-mass redistribution is
+    therefore not needed.
+    """
+    out = edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr"))
+    nodes = (
+        out.select("node")
+        .union(out.select(F.col("nbr").alias("node")))
+        .distinct()
+    )
+    n_nodes = nodes.count()  # one tiny job; V is known and reused as a literal
+    deg = out.groupBy("node").agg(F.count(F.lit(1)).alias("outdeg"))
+    adj = out.join(deg, "node").persist()
+
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes)).localCheckpoint()
+    base = (1.0 - damping) / n_nodes
+    for _ in range(iterations):
+        contrib = adj.join(ranks, "node").select(
+            F.col("nbr").alias("node"),
+            (F.col("rank") / F.col("outdeg")).cast(RANK_DEC).alias("c"),
+        )
+        ranks = (
+            # right-join keeps in-degree-0 nodes at the base rank
+            contrib.groupBy("node")
+            .agg(F.sum("c").alias("csum"))
+            .join(nodes, "node", "right")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce(F.col("csum"), F.lit(0)).cast("double")
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    adj.unpersist()
+    return ranks

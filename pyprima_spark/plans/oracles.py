@@ -1303,6 +1303,116 @@ GROUP BY 1, 2 ORDER BY 1
 # Bloom pre-filter must not change the anti-join result.
 ORACLES["incremental_new_docs_bloom"] = ORACLES["incremental_new_docs"]
 
+# The bucketed interval join must equal the plain range join.
+ORACLES["incident_window_join"] = """
+WITH incidents AS (
+  SELECT event_id AS incident_id, ts AS w_start,
+         ts + INTERVAL 10 MINUTE AS w_end
+  FROM events WHERE event_type = 'error' AND value > 195
+)
+SELECT incident_id, count(*) AS n_events,
+       count(DISTINCT e.user_id) AS n_users,
+       round(sum(CAST(e.value AS DECIMAL(27,6))), 2)::DOUBLE AS sum_value
+FROM incidents i JOIN events e ON e.ts >= i.w_start AND e.ts < i.w_end
+GROUP BY 1 ORDER BY 1
+"""
+
+ORACLES["time_weighted_avg"] = """
+WITH spans AS (
+  SELECT user_id, value,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           - epoch_us(ts) AS dwell
+  FROM events
+)
+SELECT user_id, count(*) AS n_spans,
+       round(sum(CAST(value * dwell AS DECIMAL(27,6)))::DOUBLE
+             / sum(dwell)::DOUBLE, 6) AS twa_value
+FROM spans WHERE dwell IS NOT NULL
+GROUP BY user_id ORDER BY user_id
+"""
+
+ORACLES["scd2_snapshot"] = """
+WITH runs AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+),
+starts AS (
+  SELECT user_id, event_type, ts, event_id FROM runs
+  WHERE prev IS NULL OR prev <> event_type
+)
+SELECT user_id, event_type,
+       row_number() OVER w AS version,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+       coalesce(strftime(lead(ts) OVER w, '%Y-%m-%d %H:%M:%S.%f'),
+                '9999-12-31 00:00:00.000000') AS valid_to
+FROM starts
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY user_id, version
+"""
+
+from pyprima_spark.functions.text import tokens_duck as _tokens_duck
+
+ORACLES["tfidf_top_terms"] = f"""
+WITH toks AS (
+  SELECT doc_id, source, unnest({_tokens_duck('text')}) AS term FROM documents
+),
+tf AS (SELECT source, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+scored AS (
+  SELECT source, term, tf, df,
+         round(tf * ln((SELECT count(*) FROM documents)::DOUBLE / df), 4) AS tfidf
+  FROM tf JOIN df USING (term)
+)
+SELECT source,
+       row_number() OVER (PARTITION BY source ORDER BY tfidf DESC, term) AS rnk,
+       term, tf, df, tfidf
+FROM scored
+QUALIFY rnk <= 5
+ORDER BY source, rnk
+"""
+
+
+def _pr_round(prev: str, nxt: str) -> str:
+    """One unrolled synchronous PageRank round (mirror of
+    operators/graph.py: decimal contribution sum, double update).
+    Float literals are ::DOUBLE so DuckDB does not read them as
+    DECIMAL; `base` is injected as the exact repr of the Python double
+    Spark uses, so both engines start from identical bits."""
+    base = repr((1.0 - 0.85) / 25.0)
+    return f"""{nxt} AS (
+  SELECT n.node,
+         {base}::DOUBLE + 0.85::DOUBLE * coalesce(s.csum, 0)::DOUBLE AS rank
+  FROM pr_nodes n LEFT JOIN (
+    SELECT d.dst AS node,
+           sum(CAST(r.rank / g.outdeg AS DECIMAL(18,12))) AS csum
+    FROM pr_dir d
+    JOIN {prev} r ON d.src = r.node
+    JOIN pr_deg g ON d.src = g.src
+    GROUP BY 1
+  ) s ON n.node = s.node
+)"""
+
+
+_PR_ROUNDS = ",\n".join(_pr_round(f"pr_r{i}", f"pr_r{i + 1}") for i in range(3))
+
+# 25 nations all trade cross-nation, so the symmetric graph has all 25
+# nodes and 1/N = 1/25 (asserted by the Spark side's nodes.count()).
+ORACLES["pagerank_nations"] = f"""
+WITH {_EDGE_AGG_CTE},
+pr_dir AS (
+  SELECT edge_a AS src, edge_b AS dst FROM edges
+  UNION ALL
+  SELECT edge_b AS src, edge_a AS dst FROM edges
+),
+pr_deg AS (SELECT src, count(*) AS outdeg FROM pr_dir GROUP BY 1),
+pr_nodes AS (SELECT DISTINCT src AS node FROM pr_dir),
+pr_r0 AS (SELECT node, {repr(1.0 / 25.0)}::DOUBLE AS rank FROM pr_nodes),
+{_PR_ROUNDS}
+SELECT node AS nationkey, round(rank, 8) AS rank
+FROM pr_r3 ORDER BY nationkey
+"""
+
 # Same semantics as point_in_region — the grid variant must produce the
 # identical result through the cell-bucketed candidate join.
 ORACLES["point_in_region_grid"] = ORACLES["point_in_region"]

@@ -1867,6 +1867,172 @@ def capped_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("c_custkey")
 
 
+def incident_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-key-free interval join (SURVEY §2 #58): high-value error
+    events open 10-minute incident windows; EVERY event (any user)
+    inside a window is attributed to it. No shared key exists, so the
+    naive plan is a broadcast nested loop — `interval_overlap_join`
+    manufactures a time-bucket equi-key instead (see operators/ranges).
+    """
+    from pyprima_spark.operators.ranges import interval_overlap_join
+
+    ev = _t(spark, sf_dir, "events")
+    incidents = ev.filter(
+        (F.col("event_type") == "error") & (F.col("value") > 195)
+    ).select(
+        F.col("event_id").alias("incident_id"),
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("w_end"),
+    )
+    probe = ev.select("event_id", "ts", "user_id", "value")
+    hits = interval_overlap_join(probe, incidents, "ts", "w_start", "w_end", 600)
+    return (
+        hits.groupBy("incident_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            dec_sum("value").alias("sum_value"),
+        )
+        .orderBy("incident_id")
+    )
+
+
+def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duration-weighted mean per entity (SURVEY §2 #59): each event's
+    value holds until the user's next event; the average weights by
+    that holding time. The energy-pipeline staple behind pyPRIMA's
+    full-load-hours math (lib/correction_functions.py FLH series):
+    state values sampled at irregular times, averaged over time, not
+    over samples.
+
+    One window (lead over the per-user timeline) + one aggregation.
+    Dwell times are exact integer microseconds (`unix_micros`), and the
+    weighted sum runs through the decimal path, so the quotient is
+    bit-identical across engines.
+    """
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    spans = (
+        ev.withColumn("_us", F.unix_micros("ts"))
+        .withColumn("_dwell", F.lead("_us").over(w) - F.col("_us"))
+        .filter(F.col("_dwell").isNotNull())
+    )
+    return (
+        spans.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.round(
+                (
+                    F.sum((F.col("value") * F.col("_dwell")).cast(DEC)).cast("double")
+                    / F.sum(F.col("_dwell")).cast("double")
+                ),
+                6,
+            ).alias("twa_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def scd2_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 dimension build (SURVEY §2 #60): the events log compacted
+    into versioned (user, event_type) validity ranges via
+    `scd2_from_log` (operators/scd.py). Open rows close at a sentinel
+    so the output stays one fully-typed string column per boundary.
+    """
+    from pyprima_spark.operators.scd import scd2_from_log
+
+    ev = _t(spark, sf_dir, "events")
+    scd = scd2_from_log(ev, "user_id", "event_type")
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return (
+        scd.select(
+            "user_id",
+            "event_type",
+            "version",
+            F.date_format("valid_from", fmt).alias("valid_from"),
+            F.coalesce(
+                F.date_format("valid_to", fmt), F.lit("9999-12-31 00:00:00.000000")
+            ).alias("valid_to"),
+        )
+        .orderBy("user_id", "version")
+    )
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus TF-IDF keywords (SURVEY §2 #61): top-5 characteristic
+    terms per source. Term frequency aggregates within each source;
+    document frequency is corpus-global; idf = ln(N/df). All JVM-side:
+    one explode of the token array, one aggregation, one term-window
+    for global df, one rank window — the corpus text is scanned once.
+
+    Ranking compares `round(score, 4)`, not the raw double — ln() may
+    differ in the last ulp across engines, and a rank flip would swap
+    whole output rows (the one failure rounding the OUTPUT cannot fix).
+    """
+    from pyprima_spark.functions.text import tokens_spark
+
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    terms = docs.select(
+        "doc_id", "source", F.explode(F.expr(tokens_spark("text"))).alias("term")
+    )
+    # Single-pass tf+df: a doc belongs to exactly ONE source (doc_id is
+    # the documents PK), so global document frequency per term is the
+    # sum of per-(term, source) distinct-doc counts — one aggregation
+    # chain plus a term-window, instead of two independent aggregations
+    # that would each scan and tokenize the corpus text.
+    from pyspark.sql import Window
+
+    per_ts = terms.groupBy("term", "source").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.countDistinct("doc_id").alias("dfp"),
+    )
+    tf = per_ts.withColumn(
+        "df", F.sum("dfp").over(Window.partitionBy("term"))
+    ).drop("dfp")
+
+    scored = (
+        tf.withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4),
+        )
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("source").orderBy(
+                    F.desc("tfidf"), F.asc("term")
+                )
+            ),
+        )
+        .filter(F.col("rnk") <= 5)
+    )
+    return scored.select("source", "rnk", "term", "tf", "df", "tfidf").orderBy(
+        "source", "rnk"
+    )
+
+
+def pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank (SURVEY §2 #62) over the symmetrized
+    canonical trade-edge graph — importance scoring of network nodes,
+    the principled version of pyPRIMA's connected-capacity node ranking
+    (generate_intermediate_files.py:463-490). 3 synchronous rounds,
+    decimal contribution sums; see operators/graph.py for the scale
+    and determinism story.
+    """
+    from pyprima_spark.operators.graph import pagerank
+
+    edges = _edge_aggregate(spark, sf_dir).select("edge_a", "edge_b")
+    directed = edges.union(
+        edges.select(F.col("edge_b").alias("edge_a"), F.col("edge_a").alias("edge_b"))
+    )
+    pr = pagerank(directed, "edge_a", "edge_b", iterations=3, damping=0.85)
+    return pr.select(
+        F.col("node").alias("nationkey"), F.round("rank", 8).alias("rank")
+    ).orderBy("nationkey")
+
+
 # ---------------------------------------------------------------------------
 # Registration order is GRADING COVERAGE POLICY: the external driver
 # grades only the FIRST 50 dict keys each round. Keys with no green
@@ -1934,6 +2100,11 @@ QUERIES.update(
         "incremental_new_docs_bloom": incremental_new_docs_bloom,
         "salted_skew_join": salted_skew_join,
         "purchase_click_attribution": purchase_click_attribution,
+        "incident_window_join": incident_window_join,
+        "time_weighted_avg": time_weighted_avg,
+        "scd2_snapshot": scd2_snapshot,
+        "tfidf_top_terms": tfidf_top_terms,
+        "pagerank_nations": pagerank_nations,
     }
 )
 

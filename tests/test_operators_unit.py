@@ -289,3 +289,82 @@ def test_bloom_gate_no_false_negatives_and_exact_result(spark):
         r.doc_id for r in inc.join(seen, "fingerprint", "left_anti").collect()
     )
     assert got == want and len(got) == sum(1 for i in range(100) if i * 3 >= 200)
+
+
+def test_interval_overlap_join_equals_nested_loop(spark):
+    """The bucketed plan must equal the semantic (nested-loop) range
+    join exactly — including intervals spanning multiple buckets,
+    probes exactly at start (inclusive) and end (exclusive), and
+    intervals that match nothing."""
+    import datetime as dt
+
+    from pyprima_spark.operators.ranges import interval_overlap_join
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    ivals = spark.createDataFrame(
+        [(1, ts(0), ts(100)), (2, ts(50), ts(1500)), (3, ts(5000), ts(5100))],
+        "ival_id long, w_start timestamp, w_end timestamp",
+    )
+    probe = spark.createDataFrame(
+        [(i, ts(s)) for i, s in enumerate([0, 50, 99, 100, 700, 1499, 1500, 2000])],
+        "pid long, ts timestamp",
+    )
+    got = sorted(
+        (r.pid, r.ival_id)
+        for r in interval_overlap_join(
+            probe, ivals, "ts", "w_start", "w_end", width_s=600
+        ).collect()
+    )
+    want = sorted(
+        (p.pid, v.ival_id)
+        for p in probe.collect()
+        for v in ivals.collect()
+        if v.w_start <= p.ts < v.w_end
+    )
+    assert got == want and len(want) > 0
+
+
+def test_pagerank_mass_conserved_and_star_ordering(spark):
+    """On a star graph the hub must outrank the leaves, and total rank
+    mass stays ~1 every iteration (no dangling nodes by construction)."""
+    from pyprima_spark.operators.graph import pagerank
+
+    edges = [(0, i) for i in range(1, 6)] + [(i, 0) for i in range(1, 6)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    ranks = {r.node: r.rank for r in pagerank(df, iterations=5).collect()}
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
+    assert all(ranks[0] > ranks[i] for i in range(1, 6))
+    leaf = [round(ranks[i], 12) for i in range(1, 6)]
+    assert len(set(leaf)) == 1, "symmetric leaves must tie exactly"
+
+
+def test_scd2_runs_and_boundaries(spark):
+    import datetime as dt
+
+    from pyprima_spark.operators.scd import scd2_from_log
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 10, "a"),
+        (1, t0 + dt.timedelta(minutes=1), 11, "a"),
+        (1, t0 + dt.timedelta(minutes=2), 12, "b"),
+        (1, t0 + dt.timedelta(minutes=3), 13, "a"),
+        (2, t0, 14, "c"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long, event_type string")
+    out = scd2_from_log(df, "user_id", "event_type").orderBy("user_id", "version")
+    got = [
+        (r.user_id, r.version, r.event_type, r.valid_from, r.valid_to)
+        for r in out.collect()
+    ]
+    m = dt.timedelta(minutes=1)
+    assert got == [
+        (1, 1, "a", t0, t0 + 2 * m),
+        (1, 2, "b", t0 + 2 * m, t0 + 3 * m),
+        (1, 3, "a", t0 + 3 * m, None),
+        (2, 1, "c", t0, None),
+    ]
