@@ -62,3 +62,30 @@ def write_european_csv(df: DataFrame, path: str) -> None:
                 .otherwise(F.regexp_replace(trimmed, r"\.", ",")),
             )
     out.write.mode("overwrite").option("header", True).option("sep", ";").csv(path)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema) -> DataFrame:
+    """JSON-lines scan with a REQUIRED explicit schema.
+
+    Schema inference on json() triggers a full extra pass over the
+    data before the real scan — at 100 TB that is two reads instead of
+    one, and the inferred types drift with the sample. Callers supply
+    the DDL (or StructType) and get a single splittable text scan;
+    malformed lines null out per PERMISSIVE mode instead of failing
+    the job.
+
+    Timestamp format carries full microseconds — Spark's default JSON
+    format is millisecond-only, which silently truncates event times on
+    a write/read round-trip.
+    """
+    return (
+        spark.read.schema(schema)
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+        .json(path)
+    )
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — same columnar pushdown/pruning contract as parquet
+    (PushedFilters + ReadSchema visible in `.explain`)."""
+    return spark.read.orc(path)

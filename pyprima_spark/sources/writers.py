@@ -58,3 +58,21 @@ def write_bucketed(
 
 def read_table(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
+
+
+def write_orc(df, path: str) -> None:
+    """ORC sink (overwrite) — the interchange format for Hive-era
+    consumers; column pruning and predicate pushdown survive the
+    round-trip (asserted in tests/test_sources_formats.py)."""
+    df.write.mode("overwrite").orc(path)
+
+
+def write_jsonl(df, path: str) -> None:
+    """JSON-lines sink (overwrite) — one JSON object per line, the
+    interchange format for streaming/LLM-pipeline consumers. Pair with
+    readers.read_jsonl and an explicit schema to round-trip losslessly
+    (microsecond timestamps included — the default format truncates to
+    milliseconds)."""
+    df.write.mode("overwrite").option(
+        "timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+    ).json(path)
