@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "incident_window_join",
     "tfidf_top_terms",
     "pagerank_nations",
+    "corpus_curation",
 ]
 
 

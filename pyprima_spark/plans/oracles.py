@@ -413,15 +413,18 @@ SELECT
 FROM documents GROUP BY 1
 """
 
-_MINHASH_BANDS_CTE = f"""
-sigs AS (
+def _minhash_bands_cte(rel: str) -> str:
+    """MinHash band-table CTE over an arbitrary (doc_id, text) relation
+    — `documents` for the standalone dedup oracles, a filtered survivor
+    CTE for the curation-pipeline oracle."""
+    return f"""sigs AS (
   SELECT doc_id AS doc,
          {X.bands_duck(X.minhashes_duck('bh'), MINHASH_BANDS)} AS bands
   FROM (
     SELECT doc_id, {X.base_hashes_duck('shingles')} AS bh
     FROM (
       SELECT doc_id, {X.shingles_duck(X.tokens_duck('text'))} AS shingles
-      FROM documents
+      FROM {rel}
     )
     WHERE len(shingles) > 0
   )
@@ -430,8 +433,10 @@ bands AS (
   SELECT doc, unnest(bands) AS band_sig,
          unnest(generate_series(1, len(bands))) AS band_idx
   FROM sigs
-)
-"""
+)"""
+
+
+_MINHASH_BANDS_CTE = _minhash_bands_cte("documents")
 
 ORACLES["dedup_minhash_lsh"] = f"""
 WITH {_MINHASH_BANDS_CTE}
@@ -1370,6 +1375,75 @@ SELECT source,
 FROM scored
 QUALIFY rnk <= 5
 ORDER BY source, rnk
+"""
+
+
+# Curation funnel: quality gate -> exact dedup -> minhash-cluster dedup.
+# The quality CTE mirrors ORACLES["quality_score"]'s expressions
+# verbatim (bit-identical rational arithmetic); the gate compares the
+# RAW score — rounding first could hit exact-.5 dyadic ties where the
+# engines' rounding modes differ. All outputs are integer counts.
+ORACLES["corpus_curation"] = f"""
+WITH RECURSIVE qd AS (
+  SELECT
+    doc_id, source, text,
+    len(tokens) AS n_tok,
+    length(text) AS n_ch,
+    length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS punct_cnt,
+    length(regexp_replace(lower(text), '\\s', '', 'g')) AS word_chars,
+    {X.stopword_count_duck('tokens', STOPWORDS['en'])} AS stop_cnt
+  FROM (SELECT doc_id, source, text, {X.tokens_duck('text')} AS tokens FROM documents)
+),
+ratios AS (
+  SELECT doc_id, source, text, n_tok,
+    CASE WHEN n_tok = 0 THEN 0 ELSE stop_cnt / n_tok END AS stop_ratio,
+    CASE WHEN n_ch = 0 THEN 0 ELSE punct_cnt / n_ch END AS punct_ratio,
+    CASE WHEN n_tok = 0 THEN 0 ELSE word_chars / n_tok END AS mean_wl
+  FROM qd
+),
+flagged AS (
+  SELECT doc_id, source, text, n_tok,
+    (2.0 * stop_ratio - 3.0 * punct_ratio + least(n_tok, 100) / 100.0
+     - abs(mean_wl - 5.0) / 10.0) > 0.35::DOUBLE AS passq,
+    md5(text) AS h
+  FROM ratios
+),
+flag2 AS (
+  SELECT *,
+    passq AND doc_id = min(CASE WHEN passq THEN doc_id END)
+                         OVER (PARTITION BY h) AS keptx
+  FROM flagged
+),
+kept2 AS (SELECT doc_id, text FROM flag2 WHERE keptx),
+{_minhash_bands_cte('kept2')},
+pairs AS (
+  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig AND a.doc < b.doc
+),
+cedges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT DISTINCT a, a FROM cedges
+  UNION
+  SELECT e.b, r.lbl FROM reach r JOIN cedges e ON e.a = r.node
+),
+clusters AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node),
+perdoc AS (
+  SELECT f.source, f.passq, f.keptx, f.n_tok,
+         f.keptx AND (c.component IS NULL OR f.doc_id = c.component) AS keptn
+  FROM flag2 f LEFT JOIN clusters c ON f.doc_id = c.node
+)
+SELECT source,
+  count(*) AS n_raw,
+  count(CASE WHEN passq THEN 1 END) AS n_quality,
+  count(CASE WHEN keptx THEN 1 END) AS n_exact,
+  count(CASE WHEN keptn THEN 1 END) AS n_final,
+  cast(coalesce(sum(CASE WHEN keptn THEN n_tok END), 0) AS BIGINT) AS tokens_final
+FROM perdoc GROUP BY source ORDER BY source
 """
 
 

@@ -867,16 +867,15 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic document quality: token count, stopword ratio, punct
-    ratio, mean word length, composite score (SURVEY §2 #35). Rational
-    arithmetic only — no transcendental functions, so both engines
-    agree exactly after rounding.
-    """
+def _quality_frame(docs: DataFrame) -> DataFrame:
+    """documents + raw (unrounded) quality components and composite
+    score. Rational arithmetic only — no transcendental functions — so
+    Spark and a sequential oracle compute bit-identical doubles; shared
+    by `quality_score` (rounds for output) and `corpus_curation` (gates
+    on the raw score)."""
     from pyprima_spark.functions import text as X
     from pyprima_spark.plans.constants import STOPWORDS
 
-    docs = _t(spark, sf_dir, "documents")
     toks = X.tokens_spark("text")
     d = (
         docs.withColumn("tokens", F.expr(toks))
@@ -907,13 +906,29 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.least(n_tok, F.lit(100)) / F.lit(100.0)
         - F.abs(mean_wl - F.lit(5.0)) / F.lit(10.0)
     )
+    return (
+        d.withColumn("stop_ratio", stop_ratio)
+        .withColumn("punct_ratio", punct_ratio)
+        .withColumn("mean_wl", mean_wl)
+        .withColumn("score", score)
+    )
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality: token count, stopword ratio, punct
+    ratio, mean word length, composite score (SURVEY §2 #35). Rational
+    arithmetic only — no transcendental functions, so both engines
+    agree exactly after rounding.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    d = _quality_frame(docs)
     return d.select(
         "doc_id",
         "n_tok",
-        F.round(stop_ratio, 4).alias("stop_ratio"),
-        F.round(punct_ratio, 4).alias("punct_ratio"),
-        F.round(mean_wl, 4).alias("mean_word_len"),
-        F.round(score, 4).alias("score"),
+        F.round("stop_ratio", 4).alias("stop_ratio"),
+        F.round("punct_ratio", 4).alias("punct_ratio"),
+        F.round("mean_wl", 4).alias("mean_word_len"),
+        F.round("score", 4).alias("score"),
     )
 
 
@@ -1867,6 +1882,81 @@ def capped_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("c_custkey")
 
 
+CURATION_TAU = 0.35  # quality gate; mirrored verbatim in the oracle
+
+
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data curation funnel (SURVEY §2 #63):
+    quality gate → exact dedup (md5 keep-min) → MinHash-LSH near-dup
+    cluster dedup — reported as per-source survivor counts and retained
+    tokens. The composition every corpus pipeline runs before
+    tokenization, assembled from the already-oracled stage operators.
+
+    Stage flags are computed in ONE wide per-doc plan (no per-stage
+    re-aggregation): quality is a row-local expression, the exact-dedup
+    winner is a conditional-min window over the md5 partition, and the
+    near-dup winner is a left join against hash-min connected-component
+    labels (operators/components.py) built over survivors only. All
+    outputs are integer counts — nothing float-hashable in the result.
+    """
+    from pyspark.sql import Window
+
+    from pyprima_spark.operators.components import connected_components
+    from pyprima_spark.operators.dedup import minhash_candidate_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    # Stage boundary: evaluate the (large) quality expression tree ONCE
+    # into a narrow materialized table. Downstream flags reference the
+    # score/hash columns several times (window arg, partition key, flag
+    # conjunctions); without the boundary CollapseProject inlines the
+    # whole tokenize+stopword tree into each reference — measured 3x
+    # the gate cost. In production this boundary is a parquet write.
+    d = (
+        _quality_frame(docs)
+        .select(
+            "doc_id",
+            "source",
+            "n_tok",
+            "text",
+            F.md5("text").alias("h"),
+            (F.col("score") > F.lit(CURATION_TAU)).alias("passq"),
+        )
+        .localCheckpoint()
+    )
+    d = d.withColumn(
+        "keptx",
+        F.col("passq")
+        & (
+            F.col("doc_id")
+            == F.min(F.when(F.col("passq"), F.col("doc_id"))).over(
+                Window.partitionBy("h")
+            )
+        ),
+    )
+    survivors = d.filter("keptx").select("doc_id", "text")
+    pairs = minhash_candidate_pairs(survivors, "doc_id", "text")
+    clusters = connected_components(pairs, "doc_a", "doc_b").withColumnRenamed(
+        "node", "doc_id"
+    )
+    keptn = F.col("keptx") & (
+        F.col("component").isNull() | (F.col("doc_id") == F.col("component"))
+    )
+    return (
+        d.join(clusters, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_raw"),
+            F.count(F.when(F.col("passq"), 1)).alias("n_quality"),
+            F.count(F.when(F.col("keptx"), 1)).alias("n_exact"),
+            F.count(F.when(keptn, 1)).alias("n_final"),
+            F.coalesce(F.sum(F.when(keptn, F.col("n_tok"))), F.lit(0)).alias(
+                "tokens_final"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
 def incident_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-key-free interval join (SURVEY §2 #58): high-value error
     events open 10-minute incident windows; EVERY event (any user)
@@ -2105,6 +2195,7 @@ QUERIES.update(
         "scd2_snapshot": scd2_snapshot,
         "tfidf_top_terms": tfidf_top_terms,
         "pagerank_nations": pagerank_nations,
+        "corpus_curation": corpus_curation,
     }
 )
 
