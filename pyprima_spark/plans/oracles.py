@@ -1378,6 +1378,37 @@ ORDER BY source, rnk
 """
 
 
+ORACLES["price_histogram"] = """
+SELECT cast(floor(l_extendedprice / 5000.0::DOUBLE) AS INT) AS bucket,
+       cast(floor(l_extendedprice / 5000.0::DOUBLE) AS INT) * 5000.0::DOUBLE AS lo,
+       count(*) AS n,
+       round(sum(CAST(l_extendedprice AS DECIMAL(27,6))), 2)::DOUBLE AS sum_price
+FROM lineitem
+GROUP BY 1 ORDER BY 1
+"""
+
+# Both medians are exact interpolated percentiles — DuckDB median() and
+# Spark percentile(…, 0.5) share the same definition on doubles, and
+# the inner median's double is bit-identical input to the outer one.
+ORACLES["outlier_mad"] = """
+WITH w1 AS (
+  SELECT event_type, value,
+         median(value) OVER (PARTITION BY event_type) AS m
+  FROM events
+),
+w2 AS (
+  SELECT event_type, value, m,
+         median(abs(value - m)) OVER (PARTITION BY event_type) AS mad
+  FROM w1
+)
+SELECT event_type, count(*) AS n,
+       count(CASE WHEN abs(value - m) > 3 * mad THEN 1 END) AS n_outliers,
+       round(min(m), 4) AS median_value,
+       round(min(mad), 4) AS mad
+FROM w2 GROUP BY event_type ORDER BY event_type
+"""
+
+
 # Curation funnel: quality gate -> exact dedup -> minhash-cluster dedup.
 # The quality CTE mirrors ORACLES["quality_score"]'s expressions
 # verbatim (bit-identical rational arithmetic); the gate compares the

@@ -1882,6 +1882,58 @@ def capped_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("c_custkey")
 
 
+def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of extended prices (SURVEY §2 #64): fixed
+    bucket width so the bucket id is a row-local expression — one
+    map-side-combined aggregation, no range computation pass and no
+    sort. (histogram_numeric is approximate and engine-specific; fixed
+    buckets are the deterministic, scale-stable form.)
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    bucket = F.floor(F.col("l_extendedprice") / F.lit(5000.0)).cast("int")
+    return (
+        li.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dec_sum("l_extendedprice").alias("sum_price"),
+        )
+        .withColumn("lo", (F.col("bucket") * 5000).cast("double"))
+        .select("bucket", "lo", "n", "sum_price")
+        .orderBy("bucket")
+    )
+
+
+def outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier screen (SURVEY §2 #65): flag values more than
+    3×MAD from their group median — the rescaling-tolerant outlier rule
+    the reference's sanity checks approximate with hard bounds
+    (correction_functions.py clip paths). Exact interpolated medians.
+
+    Both medians run as WINDOW aggregates over the same event_type
+    partitioning: one shuffle total, values never leave their
+    partition. The groupBy-join layout would scan the fact table three
+    times.
+    """
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type")
+    d = ev.withColumn("m", F.expr("percentile(value, 0.5)").over(w))
+    d = d.withColumn("mad", F.expr("percentile(abs(value - m), 0.5)").over(w))
+    return (
+        d.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(
+                F.when(F.abs(F.col("value") - F.col("m")) > 3 * F.col("mad"), 1)
+            ).alias("n_outliers"),
+            F.round(F.min("m"), 4).alias("median_value"),
+            F.round(F.min("mad"), 4).alias("mad"),
+        )
+        .orderBy("event_type")
+    )
+
+
 CURATION_TAU = 0.35  # quality gate; mirrored verbatim in the oracle
 
 
@@ -2196,6 +2248,8 @@ QUERIES.update(
         "tfidf_top_terms": tfidf_top_terms,
         "pagerank_nations": pagerank_nations,
         "corpus_curation": corpus_curation,
+        "price_histogram": price_histogram,
+        "outlier_mad": outlier_mad,
     }
 )
 
