@@ -1378,6 +1378,29 @@ ORDER BY source, rnk
 """
 
 
+ORACLES["region_mask_raster"] = """
+WITH pop AS (
+  SELECT n_regionkey, count(*) AS pop
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1
+),
+boxes AS (
+  SELECT r_regionkey, pop,
+         (r_regionkey * 37) % 120 AS la0,
+         (r_regionkey * 53) % 288 AS lo0
+  FROM region JOIN pop ON r_regionkey = n_regionkey
+),
+cells AS (
+  SELECT pop, la.latidx, lo.lonidx
+  FROM boxes,
+       unnest(generate_series(la0, la0 + 39)) la(latidx),
+       unnest(generate_series(lo0, lo0 + 71)) lo(lonidx)
+)
+SELECT latidx, lonidx, count(*) AS n_regions,
+       round(sum(CAST(pop / 2880.0::DOUBLE AS DECIMAL(27,6))), 6)::DOUBLE AS pop_alloc
+FROM cells GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
 ORACLES["price_histogram"] = """
 SELECT cast(floor(l_extendedprice / 5000.0::DOUBLE) AS INT) AS bucket,
        cast(floor(l_extendedprice / 5000.0::DOUBLE) AS INT) * 5000.0::DOUBLE AS lo,

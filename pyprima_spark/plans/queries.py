@@ -1882,6 +1882,56 @@ def capped_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("c_custkey")
 
 
+def region_mask_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rasterize region geometries onto a shared pixel grid with an
+    equal-share population burn-in (SURVEY §2 #66) — the analogue of
+    input_maps.py generate_landsea/generate_population, which burn each
+    region's shape (and its attribute total) into a global raster
+    window by window.
+
+    Distribution: each region row fans out to its covered pixel indices
+    via sequence+explode ON THE EXECUTORS (no driver-side raster
+    array), then one (latidx, lonidx) aggregation overlays all regions.
+    A region covers 40x72 index cells here; at real resolution the same
+    plan shape holds — fanout per region is bounded by its bbox, and
+    the overlay shuffle is keyed by uniformly-distributed pixel ids.
+    """
+    reg = _t(spark, sf_dir, "region")
+    nat = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    pop = (
+        cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy("n_regionkey")
+        .agg(F.count(F.lit(1)).alias("pop"))
+    )
+    boxes = (
+        reg.join(F.broadcast(pop), reg.r_regionkey == pop.n_regionkey)
+        .select(
+            "r_regionkey",
+            "pop",
+            (F.col("r_regionkey") * 37 % 120).alias("la0"),
+            (F.col("r_regionkey") * 53 % 288).alias("lo0"),
+        )
+    )
+    cells = boxes.select(
+        "pop",
+        F.explode(F.sequence(F.col("la0"), F.col("la0") + 39)).alias("latidx"),
+        "lo0",
+    ).select(
+        "pop",
+        "latidx",
+        F.explode(F.sequence(F.col("lo0"), F.col("lo0") + 71)).alias("lonidx"),
+    )
+    return (
+        cells.groupBy("latidx", "lonidx")
+        .agg(
+            F.count(F.lit(1)).alias("n_regions"),
+            dec_sum(F.col("pop") / F.lit(2880.0), 6).alias("pop_alloc"),
+        )
+        .orderBy("latidx", "lonidx")
+    )
+
+
 def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-width histogram of extended prices (SURVEY §2 #64): fixed
     bucket width so the bucket id is a row-local expression — one
@@ -2250,6 +2300,7 @@ QUERIES.update(
         "corpus_curation": corpus_curation,
         "price_histogram": price_histogram,
         "outlier_mad": outlier_mad,
+        "region_mask_raster": region_mask_raster,
     }
 )
 
