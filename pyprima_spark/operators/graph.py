@@ -47,19 +47,24 @@ def pagerank(
     (true for symmetrized edge tables); dangling-mass redistribution is
     therefore not needed.
     """
-    out = edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr"))
+    # One upstream run total: the edge projection is cached, then the
+    # node set (referenced by EVERY iteration's right join), the degree
+    # table, and the adjacency all derive from the cache. Without this,
+    # nodes and adj each re-run the caller's full edge pipeline.
+    out = edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr")).persist()
     nodes = (
         out.select("node")
         .union(out.select(F.col("nbr").alias("node")))
         .distinct()
+        .localCheckpoint()  # eager: pins O(V) rows, fills the out cache
     )
-    n_nodes = nodes.count()  # one tiny job; V is known and reused as a literal
+    n_nodes = nodes.count()
     deg = out.groupBy("node").agg(F.count(F.lit(1)).alias("outdeg"))
     adj = out.join(deg, "node").persist()
 
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes)).localCheckpoint()
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
     base = (1.0 - damping) / n_nodes
-    for _ in range(iterations):
+    for i in range(iterations):
         contrib = adj.join(ranks, "node").select(
             F.col("nbr").alias("node"),
             (F.col("rank") / F.col("outdeg")).cast(RANK_DEC).alias("c"),
@@ -76,7 +81,14 @@ def pagerank(
                     + F.lit(damping) * F.coalesce(F.col("csum"), F.lit(0)).cast("double")
                 ).alias("rank"),
             )
-            .localCheckpoint()
         )
+        # Lineage truncation guards against driver-side plan blowup on
+        # LONG chains; each truncation is an extra materialization job,
+        # so only pay for it every few rounds (a 3-round plan is fine
+        # to compile whole).
+        if (i + 1) % 4 == 0 and i + 1 < iterations:
+            ranks = ranks.localCheckpoint()
+    ranks = ranks.localCheckpoint()  # pin result before dropping caches
     adj.unpersist()
+    out.unpersist()
     return ranks
