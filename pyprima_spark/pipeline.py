@@ -64,3 +64,31 @@ def run_pipeline(
     )
     manifest["demand_matrix_csv"] = csv_path
     return manifest
+
+
+def run_curation(
+    spark: SparkSession, sf_dir: str, out_dir: str
+) -> dict[str, str]:
+    """Materialize the LLM training-data curation pipeline: the curated
+    corpus lands as parquet partitioned by source (downstream per-source
+    sampling prunes on the partition key), alongside the funnel-count
+    manifest table. Stage semantics are `queries.corpus_curation`'s —
+    both read the same flag frame, so the written corpus always agrees
+    with the oracled funnel counts.
+    """
+    from pyprima_spark.plans.queries import QUERIES, curation_flags
+
+    d, keptn = curation_flags(spark, sf_dir)
+    corpus_path = os.path.join(out_dir, "curated_docs")
+    (
+        d.filter(keptn)
+        .select("doc_id", "source", "n_tok", "text")
+        .write.mode("overwrite")
+        .partitionBy("source")
+        .parquet(corpus_path)
+    )
+    funnel_path = os.path.join(out_dir, "curation_funnel")
+    QUERIES["corpus_curation"](spark, sf_dir).write.mode("overwrite").parquet(
+        funnel_path
+    )
+    return {"curated_docs": corpus_path, "curation_funnel": funnel_path}

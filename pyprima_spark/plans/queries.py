@@ -1987,19 +1987,13 @@ def outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 CURATION_TAU = 0.35  # quality gate; mirrored verbatim in the oracle
 
 
-def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end training-data curation funnel (SURVEY §2 #63):
-    quality gate → exact dedup (md5 keep-min) → MinHash-LSH near-dup
-    cluster dedup — reported as per-source survivor counts and retained
-    tokens. The composition every corpus pipeline runs before
-    tokenization, assembled from the already-oracled stage operators.
+def curation_flags(spark: SparkSession, sf_dir: str):
+    """Per-document curation stage flags: (frame, kept_final_column).
 
-    Stage flags are computed in ONE wide per-doc plan (no per-stage
-    re-aggregation): quality is a row-local expression, the exact-dedup
-    winner is a conditional-min window over the md5 partition, and the
-    near-dup winner is a left join against hash-min connected-component
-    labels (operators/components.py) built over survivors only. All
-    outputs are integer counts — nothing float-hashable in the result.
+    The frame carries (doc_id, source, n_tok, text, passq, keptx,
+    component); the returned Column is the final-survivor predicate.
+    Shared by `corpus_curation` (funnel counts) and
+    `pipeline.run_curation` (materializes the curated corpus).
     """
     from pyspark.sql import Window
 
@@ -2043,9 +2037,26 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     keptn = F.col("keptx") & (
         F.col("component").isNull() | (F.col("doc_id") == F.col("component"))
     )
+    return d.join(clusters, "doc_id", "left"), keptn
+
+
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data curation funnel (SURVEY §2 #63):
+    quality gate → exact dedup (md5 keep-min) → MinHash-LSH near-dup
+    cluster dedup — reported as per-source survivor counts and retained
+    tokens. The composition every corpus pipeline runs before
+    tokenization, assembled from the already-oracled stage operators.
+
+    Stage flags are computed in ONE wide per-doc plan (no per-stage
+    re-aggregation): quality is a row-local expression, the exact-dedup
+    winner is a conditional-min window over the md5 partition, and the
+    near-dup winner is a left join against hash-min connected-component
+    labels (operators/components.py) built over survivors only. All
+    outputs are integer counts — nothing float-hashable in the result.
+    """
+    d, keptn = curation_flags(spark, sf_dir)
     return (
-        d.join(clusters, "doc_id", "left")
-        .groupBy("source")
+        d.groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_raw"),
             F.count(F.when(F.col("passq"), 1)).alias("n_quality"),

@@ -118,3 +118,28 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
     assert len(s) == len(b) and len(s) > 0
     assert (s["purchase_id"].values == b["purchase_id"].values).all()
     assert abs(s["click_value"].values - b["click_value"].values).max() < 1e-9
+
+
+def test_curation_pipeline_materializes_consistently(spark, sf_dir, tmp_path):
+    """The written curated corpus must agree with the oracled funnel
+    counts, and the source-partitioned layout must prune on read."""
+    from pyspark.sql import functions as F
+
+    from pyprima_spark.pipeline import run_curation
+
+    manifest = run_curation(spark, sf_dir, str(tmp_path))
+    corpus = spark.read.parquet(manifest["curated_docs"])
+    funnel = spark.read.parquet(manifest["curation_funnel"])
+
+    got = {
+        r.source: (r.n, r.toks)
+        for r in corpus.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_tok").alias("toks"))
+        .collect()
+    }
+    want = {r.source: (r.n_final, r.tokens_final) for r in funnel.collect()}
+    assert got == want
+
+    one = corpus.filter(F.col("source") == "src3")
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(source" in plan
