@@ -76,3 +76,94 @@ def write_jsonl(df, path: str) -> None:
     df.write.mode("overwrite").option(
         "timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
     ).json(path)
+
+
+def compact_partitioned(
+    spark: SparkSession,
+    path: str,
+    partition_cols: list[str],
+    target_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction for a Hive-partitioned parquet table.
+
+    Streaming/foreachBatch and high-task-count writers accumulate many
+    tiny files per partition; scans then pay one task + one open per
+    file. Rewrite the table with one file per `target_bytes` of data:
+    a single read → repartition-by-partition-key → overwrite pass, all
+    distributed (file sizing estimated from the table's on-disk
+    footprint, no driver-side listing of row data).
+
+    Returns the file count after compaction. Dynamic partition
+    overwrite only touches partitions that produced output — an empty
+    incremental run rewrites nothing.
+    """
+    import math
+    import os
+
+    df = spark.read.parquet(path)
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        total += sum(
+            os.path.getsize(os.path.join(root, f))
+            for f in files
+            if f.endswith(".parquet")
+        )
+    n_files = max(1, math.ceil(total / target_bytes))
+    # The compacted frame reads the very files the overwrite replaces:
+    # materialize before truncating the source.
+    compacted = df.repartition(n_files, *partition_cols).localCheckpoint()
+    with_overwrite = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            compacted.write.mode("overwrite")
+            .partitionBy(*partition_cols)
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", with_overwrite
+        )
+    count = 0
+    for root, _dirs, files in os.walk(path):
+        count += sum(1 for f in files if f.endswith(".parquet"))
+    return count
+
+
+def merge_upsert(
+    spark: SparkSession,
+    target_path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    partition_cols: list[str] | None = None,
+) -> None:
+    """MERGE-INTO analogue over plain parquet: last-writer-wins upsert.
+
+    Existing rows whose key matches an update are replaced; new keys
+    append. One anti-join (existing vs update keys, update side usually
+    broadcastable) + one union + one overwrite — the batch pattern
+    behind every warehouse table Spark maintains without a table
+    format. With `partition_cols` + dynamic overwrite, only partitions
+    containing updated keys are rewritten; a table format (Iceberg /
+    Delta) replaces the directory swap, not the plan shape.
+    """
+    import os
+
+    if not os.path.exists(target_path):
+        w = updates.write.mode("overwrite")
+        if partition_cols:
+            w = w.partitionBy(*partition_cols)
+        w.parquet(target_path)
+        return
+    existing = spark.read.parquet(target_path)
+    keep = existing.join(
+        updates.select(*key_cols).distinct(), key_cols, "left_anti"
+    )
+    merged = keep.unionByName(updates.select(*existing.columns))
+    # localCheckpoint: the merged frame READS the files the overwrite
+    # is about to replace — materialize before truncating the source.
+    merged = merged.localCheckpoint()
+    w = merged.write.mode("overwrite")
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.parquet(target_path)

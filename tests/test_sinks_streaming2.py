@@ -134,3 +134,48 @@ def test_foreach_batch_sink_idempotent(spark, sf_dir, tmp_path):
     run_foreach_batch_sink(spark, sf_dir, out, ckpt)
     second = spark.read.option("basePath", out).parquet(out).count()
     assert second == n_events
+
+
+def test_compact_partitioned_reduces_files_preserves_rows(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from pyprima_spark.catalog import load_table
+    from pyprima_spark.sources.writers import compact_partitioned
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.dayofmonth("ts")
+    )
+    path = str(tmp_path / "shattered")
+    # deliberately shatter: many tasks x partition keys -> many files
+    ev.repartition(16).write.partitionBy("event_type").parquet(path)
+    import os
+
+    before = sum(
+        1 for r, _d, fs in os.walk(path) for f in fs if f.endswith(".parquet")
+    )
+    n_rows = spark.read.parquet(path).count()
+    after = compact_partitioned(spark, path, ["event_type"])
+    assert after < before
+    back = spark.read.parquet(path)
+    assert back.count() == n_rows
+    # partition layout (and pruning) survives compaction
+    plan = back.filter(F.col("event_type") == "click")._jdf.queryExecution()
+    assert "PartitionFilters: [isnotnull(event_type" in plan.executedPlan().toString()
+
+
+def test_merge_upsert_last_writer_wins(spark, tmp_path):
+    from pyprima_spark.sources.writers import merge_upsert
+
+    path = str(tmp_path / "dim")
+    v1 = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "x"), (3, "c", "x")], "id long, v string, p string"
+    )
+    merge_upsert(spark, path, v1, ["id"], ["p"])
+    v2 = spark.createDataFrame(
+        [(2, "B", "x"), (4, "d", "y")], "id long, v string, p string"
+    )
+    merge_upsert(spark, path, v2, ["id"], ["p"])
+    got = {
+        (r.id, r.v, r.p) for r in spark.read.parquet(path).collect()
+    }
+    assert got == {(1, "a", "x"), (2, "B", "x"), (3, "c", "x"), (4, "d", "y")}
