@@ -64,6 +64,9 @@ BENCH_QUERIES = [
     "tfidf_top_terms",
     "pagerank_nations",
     "corpus_curation",
+    "price_histogram",
+    "outlier_mad",
+    "region_mask_raster",
 ]
 
 
