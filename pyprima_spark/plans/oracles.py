@@ -1401,6 +1401,19 @@ SELECT latidx, lonidx, count(*) AS n_regions,
 FROM cells GROUP BY 1, 2 ORDER BY 1, 2
 """
 
+ORACLES["token_entropy"] = f"""
+WITH terms AS (
+  SELECT source, unnest({_tokens_duck('text')}) AS term FROM documents
+),
+tf AS (SELECT source, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+probs AS (
+  SELECT source, tf / sum(tf) OVER (PARTITION BY source) AS p FROM tf
+)
+SELECT source, count(*) AS n_terms,
+       round(-sum(CAST(p * ln(p) AS DECIMAL(18,12)))::DOUBLE, 4) AS entropy
+FROM probs GROUP BY source ORDER BY source
+"""
+
 ORACLES["price_histogram"] = """
 SELECT cast(floor(l_extendedprice / 5000.0::DOUBLE) AS INT) AS bucket,
        cast(floor(l_extendedprice / 5000.0::DOUBLE) AS INT) * 5000.0::DOUBLE AS lo,

@@ -1984,6 +1984,44 @@ def outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-distribution Shannon entropy (SURVEY §2 #67) —
+    the corpus-diversity metric curation pipelines track alongside
+    quality scores (low entropy flags templated/boilerplate sources).
+
+    H = -sum p ln p over the source's term frequencies: one explode,
+    one (source, term) count, one source-level aggregation. p is a
+    ratio of exact counts (identical doubles both engines); each
+    p·ln p term is cast DECIMAL(18,12) before summing so the total is
+    order-insensitive (see functions/agg.py).
+    """
+    from pyprima_spark.functions.text import tokens_spark
+
+    docs = _t(spark, sf_dir, "documents")
+    terms = docs.select(
+        "source", F.explode(F.expr(tokens_spark("text"))).alias("term")
+    )
+    tf = terms.groupBy("source", "term").agg(F.count(F.lit(1)).alias("tf"))
+    from pyspark.sql import Window
+
+    tot = F.sum("tf").over(Window.partitionBy("source"))
+    p = F.col("tf") / tot
+    return (
+        tf.withColumn("p", p)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.round(
+                -F.sum((F.col("p") * F.log("p")).cast("decimal(18,12)")).cast(
+                    "double"
+                ),
+                4,
+            ).alias("entropy"),
+        )
+        .orderBy("source")
+    )
+
+
 CURATION_TAU = 0.35  # quality gate; mirrored verbatim in the oracle
 
 
@@ -2312,6 +2350,7 @@ QUERIES.update(
         "price_histogram": price_histogram,
         "outlier_mad": outlier_mad,
         "region_mask_raster": region_mask_raster,
+        "token_entropy": token_entropy,
     }
 )
 

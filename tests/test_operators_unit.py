@@ -368,3 +368,64 @@ def test_scd2_runs_and_boundaries(spark):
         (1, 3, "a", t0 + 3 * m, None),
         (2, 1, "c", t0, None),
     ]
+
+
+def test_interval_overlap_join_property_vs_bruteforce(spark):
+    """Property test: the bucketed interval join equals the O(n*m)
+    brute force on randomized probes/intervals across bucket widths —
+    including zero-length and bucket-straddling intervals."""
+    import datetime as dt
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from pyprima_spark.operators.ranges import interval_overlap_join
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        probes=st.lists(
+            st.integers(min_value=0, max_value=2000), min_size=1, max_size=15
+        ),
+        ivals=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=2000),
+                st.integers(min_value=0, max_value=900),
+            ),
+            min_size=1,
+            max_size=8,
+        ),
+        width=st.sampled_from([60, 300, 600]),
+    )
+    def check(probes, ivals, width):
+        pdf = spark.createDataFrame(
+            [(i, t0 + dt.timedelta(seconds=s)) for i, s in enumerate(probes)],
+            "pid long, ts timestamp",
+        )
+        idf = spark.createDataFrame(
+            [
+                (j, t0 + dt.timedelta(seconds=s), t0 + dt.timedelta(seconds=s + l))
+                for j, (s, l) in enumerate(ivals)
+            ],
+            "ival_id long, w_start timestamp, w_end timestamp",
+        )
+        got = sorted(
+            (r.pid, r.ival_id)
+            for r in interval_overlap_join(
+                pdf, idf, "ts", "w_start", "w_end", width
+            ).collect()
+        )
+        want = sorted(
+            (pi, j)
+            for pi, s in enumerate(probes)
+            for j, (ws, l) in enumerate(ivals)
+            if ws <= s < ws + l
+        )
+        assert got == want
+
+    check()
