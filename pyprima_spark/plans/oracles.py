@@ -1401,6 +1401,51 @@ SELECT latidx, lonidx, count(*) AS n_regions,
 FROM cells GROUP BY 1, 2 ORDER BY 1, 2
 """
 
+ORACLES["funnel_conversion"] = """
+WITH staged AS (
+  SELECT user_id, ts, event_type,
+    min(CASE WHEN event_type = 'signup' THEN ts END)
+      OVER (PARTITION BY user_id) AS t1
+  FROM events
+),
+staged2 AS (
+  SELECT *,
+    min(CASE WHEN event_type = 'click' AND ts >= t1 THEN ts END)
+      OVER (PARTITION BY user_id) AS t2
+  FROM staged
+),
+staged3 AS (
+  SELECT *,
+    min(CASE WHEN event_type = 'purchase' AND ts >= t2 THEN ts END)
+      OVER (PARTITION BY user_id) AS t3
+  FROM staged2
+),
+users AS (
+  SELECT user_id, min(t1) AS t1, min(t2) AS t2, min(t3) AS t3
+  FROM staged3 GROUP BY user_id
+)
+SELECT strftime(t1, '%Y-%m-%d') AS signup_date,
+       count(*) AS n_signed_up,
+       count(t2) AS n_clicked,
+       count(t3) AS n_purchased
+FROM users WHERE t1 IS NOT NULL
+GROUP BY 1 ORDER BY 1
+"""
+
+ORACLES["retention_cohorts"] = """
+WITH d AS (
+  SELECT user_id, cast(ts AS DATE) AS day,
+         min(cast(ts AS DATE)) OVER (PARTITION BY user_id) AS cohort_day
+  FROM events
+)
+SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+       day - cohort_day AS offset_days,
+       count(DISTINCT user_id) AS n_active
+FROM d WHERE day - cohort_day <= 7
+GROUP BY cohort_day, day - cohort_day
+ORDER BY 1, 2
+"""
+
 ORACLES["token_entropy"] = f"""
 WITH terms AS (
   SELECT source, unnest({_tokens_duck('text')}) AS term FROM documents

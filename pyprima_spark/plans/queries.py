@@ -1984,6 +1984,87 @@ def outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (SURVEY §2 #68): signup → later click →
+    later purchase, per signup-day cohort. The event-analytics staple
+    for activation tracking.
+
+    All three stage timestamps come from windows over ONE user
+    partitioning (no self-joins): t1 = min signup ts; t2 = min click ts
+    at/after t1; t3 = min purchase ts at/after t2. Window 2 references
+    window 1's output column row-locally, so Catalyst stacks the three
+    Window operators over a single exchange+sort of the log.
+    """
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    d = ev.withColumn(
+        "t1", F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w)
+    )
+    d = d.withColumn(
+        "t2",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") >= F.col("t1")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    d = d.withColumn(
+        "t3",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("ts") >= F.col("t2")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    users = d.groupBy("user_id").agg(
+        F.min("t1").alias("t1"), F.min("t2").alias("t2"), F.min("t3").alias("t3")
+    )
+    return (
+        users.filter(F.col("t1").isNotNull())
+        .groupBy(F.date_format("t1", "yyyy-MM-dd").alias("signup_date"))
+        .agg(
+            F.count(F.lit(1)).alias("n_signed_up"),
+            F.count(F.col("t2")).alias("n_clicked"),
+            F.count(F.col("t3")).alias("n_purchased"),
+        )
+        .orderBy("signup_date")
+    )
+
+
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort matrix (SURVEY §2 #69): users grouped by
+    first-seen day, activity counted per day offset — the
+    (cohort × age) triangle every growth dashboard renders.
+
+    First-seen day is one min-window over the user partition; the
+    matrix is one (cohort_day, offset) aggregation with a distinct-user
+    count. No per-cohort self-joins — the log shuffles once by user,
+    once by the (small) matrix key.
+    """
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    d = (
+        ev.withColumn("day", F.to_date("ts"))
+        .withColumn("cohort_day", F.min(F.to_date("ts")).over(w))
+        .withColumn("offset_days", F.datediff(F.col("day"), F.col("cohort_day")))
+        .filter(F.col("offset_days") <= 7)
+    )
+    return (
+        d.groupBy(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            "offset_days",
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .orderBy("cohort_day", "offset_days")
+    )
+
+
 def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source token-distribution Shannon entropy (SURVEY §2 #67) —
     the corpus-diversity metric curation pipelines track alongside
@@ -2351,6 +2432,8 @@ QUERIES.update(
         "outlier_mad": outlier_mad,
         "region_mask_raster": region_mask_raster,
         "token_entropy": token_entropy,
+        "funnel_conversion": funnel_conversion,
+        "retention_cohorts": retention_cohorts,
     }
 )
 
