@@ -66,6 +66,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    # Parquet TIMESTAMP(isAdjustedToUTC=false) infers as TIMESTAMP_NTZ,
+    # which unix_micros / withWatermark / window() reject. With the session
+    # time zone pinned UTC above, NTZ -> TIMESTAMP is a lossless identity
+    # on the wall clock, so normalize every NTZ column here instead of
+    # making each operator handle both flavors.
+    for field in df.schema.fields:
+        if isinstance(field.dataType, T.TimestampNTZType):
+            df = df.withColumn(field.name, F.col(field.name).cast(T.TimestampType()))
     if name in WIDEN_TABLES:
         df = widen_scan(df)
     return df

@@ -697,8 +697,9 @@ WITH d AS (
   SELECT source, len(tokens) AS n_tok, len(list_distinct(tokens)) AS n_distinct
   FROM (SELECT source, {X.tokens_duck('text')} AS tokens FROM documents)
 )
-SELECT source, count(*) AS n_docs, sum(n_tok) AS total_tokens,
-       round(avg(n_tok), 4) AS avg_tokens, sum(n_distinct) AS total_distinct
+SELECT source, count(*) AS n_docs, cast(sum(n_tok) AS BIGINT) AS total_tokens,
+       round(avg(n_tok), 4) AS avg_tokens,
+       cast(sum(n_distinct) AS BIGINT) AS total_distinct
 FROM d GROUP BY source ORDER BY source
 """
 
@@ -1606,3 +1607,7 @@ ORACLES["point_in_region_grid"] = ORACLES["point_in_region"]
 from pyprima_spark.plans.tpch_extra import EXTRA_ORACLES as _EXTRA_ORACLES
 
 ORACLES.update(_EXTRA_ORACLES)
+
+from pyprima_spark.plans.round3 import ROUND3_ORACLES as _ROUND3_ORACLES
+
+ORACLES.update(_ROUND3_ORACLES)

@@ -1,0 +1,536 @@
+"""Round-3 operators: training-corpus signals, sequence analytics, and
+data-layout / ops tooling.
+
+Each query has an exact-match DuckDB oracle in ``ROUND3_ORACLES``.
+Determinism rules follow functions/agg.py: integer arithmetic wherever
+possible, DECIMAL sums for doubles, single correctly-rounded double
+divisions (identical across engines), rounding only at the output edge.
+
+Self-contained on purpose (imports catalog, not plans.queries) so
+plans.oracles can import this module without a circular chain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pyprima_spark.catalog import load_table
+from pyprima_spark.functions.agg import dec_sum
+from pyprima_spark.functions.text import tokens_duck, tokens_spark
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+ROUND3_ORACLES: dict[str, str] = {}
+
+
+# ---------------------------------------------------------------------------
+# doc_repetition — Gopher-style repetition signals per document
+# ---------------------------------------------------------------------------
+
+def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition signals for corpus filtering: duplicate
+    trigram fraction and most-common-token share (the Gopher/C4 class
+    of quality gates; complements quality_score's length/punct gates).
+
+    Scale shape: the trigram stats are ROW-LOCAL array expressions (no
+    explode — nothing is materialized per-gram); only the top-token
+    branch explodes, and its two aggregations both key on doc_id /
+    (doc_id, tok), so the corpus shuffles once. The final join is
+    doc_id-keyed on both sides.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select("doc_id", F.expr(tokens_spark("text")).alias("t"))
+    a = base.select(
+        "doc_id",
+        F.size("t").alias("n_tok"),
+        F.expr(
+            "CASE WHEN size(t) < 3 THEN 0 ELSE "
+            "size(t) - 2 - size(array_distinct(transform(sequence(0, size(t) - 3), "
+            "i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]))) END"
+        ).alias("dup3"),
+    )
+    b = (
+        base.select("doc_id", F.explode("t").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.max("cnt").alias("max_cnt"))
+    )
+    return (
+        a.join(b, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tok",
+            F.round(
+                F.when(F.col("n_tok") < 3, F.lit(0.0)).otherwise(
+                    F.col("dup3") / (F.col("n_tok") - 2)
+                ),
+                4,
+            ).alias("dup_3gram_frac"),
+            F.round(
+                F.when(F.col("n_tok") == 0, F.lit(0.0)).otherwise(
+                    F.coalesce(F.col("max_cnt"), F.lit(0)) / F.col("n_tok")
+                ),
+                4,
+            ).alias("top_token_frac"),
+        )
+        .withColumn(
+            "keep",
+            (F.col("dup_3gram_frac") <= 0.2) & (F.col("top_token_frac") <= 0.3),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ROUND3_ORACLES["doc_repetition"] = f"""
+WITH base AS (SELECT doc_id, {tokens_duck('text')} AS t FROM documents),
+a AS (
+  SELECT doc_id, len(t) AS n_tok,
+    CASE WHEN len(t) < 3 THEN 0 ELSE
+      len(t) - 2 - len(list_distinct(list_transform(range(1, len(t) - 1),
+        i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]))) END AS dup3
+  FROM base
+),
+b AS (
+  SELECT doc_id, max(cnt) AS max_cnt FROM (
+    SELECT doc_id, tok, count(*) AS cnt
+    FROM (SELECT doc_id, unnest(t) AS tok FROM base) GROUP BY 1, 2
+  ) GROUP BY 1
+),
+j AS (
+  SELECT a.doc_id, n_tok,
+    round(CASE WHEN n_tok < 3 THEN 0.0 ELSE dup3 / (n_tok - 2) END, 4)
+      AS dup_3gram_frac,
+    round(CASE WHEN n_tok = 0 THEN 0.0
+               ELSE coalesce(max_cnt, 0) / n_tok END, 4) AS top_token_frac
+  FROM a LEFT JOIN b ON a.doc_id = b.doc_id
+)
+SELECT *, (dup_3gram_frac <= 0.2 AND top_token_frac <= 0.3) AS keep
+FROM j ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# event_transitions — first-order Markov transition matrix
+# ---------------------------------------------------------------------------
+
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition counts and probabilities per user sequence.
+
+    One shuffle on user_id orders each user's history (lead window);
+    the count matrix aggregation is tiny (|event_type|^2 keys) so its
+    exchange is negligible. The probability divides two exact integers
+    — a single correctly-rounded double op, identical across engines.
+    """
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+    )
+    return (
+        pairs.groupBy(
+            F.col("event_type").alias("src"), F.col("next_type").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "prob",
+            F.round(F.col("n") / F.sum("n").over(Window.partitionBy("src")), 4),
+        )
+        .orderBy("src", "dst")
+    )
+
+
+ROUND3_ORACLES["event_transitions"] = """
+WITH pairs AS (
+  SELECT event_type AS src,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS dst
+  FROM events
+)
+SELECT src, dst, count(*) AS n,
+       round(count(*) / sum(count(*)) OVER (PARTITION BY src), 4) AS prob
+FROM pairs WHERE dst IS NOT NULL
+GROUP BY src, dst ORDER BY src, dst
+"""
+
+
+# ---------------------------------------------------------------------------
+# sliding_7d_actives — trailing 7-day distinct users per day
+# ---------------------------------------------------------------------------
+
+def sliding_7d_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day.
+
+    Distinct-over-sliding-window has no shuffle-free form; the scalable
+    layout is contribute-then-count: dedup to (user, day) first (the
+    big shrink), explode each survivor into the <=7 window days it
+    feeds, then one countDistinct per day. The explode factor is a
+    constant 7 on the ALREADY-deduped set — at 100 TB the raw events
+    never fan out. Bound comes from a 1-row broadcast, not a sort.
+    """
+    ev = _t(spark, sf_dir, "events")
+    du = (
+        ev.select("user_id", F.to_date(F.date_trunc("day", "ts")).alias("day"))
+        .distinct()
+    )
+    bounds = du.agg(F.max("day").alias("max_day"))
+    return (
+        du.select(
+            "user_id",
+            F.explode(
+                F.expr("sequence(day, date_add(day, 6), interval 1 day)")
+            ).alias("day"),
+        )
+        .join(F.broadcast(bounds), F.col("day") <= F.col("max_day"))
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("actives_7d"))
+        .select(F.date_format("day", "yyyy-MM-dd").alias("day"), "actives_7d")
+        .orderBy("day")
+    )
+
+
+ROUND3_ORACLES["sliding_7d_actives"] = """
+WITH du AS (
+  SELECT DISTINCT user_id, cast(date_trunc('day', ts) AS DATE) AS day
+  FROM events
+),
+fan AS (
+  SELECT user_id, unnest(generate_series(day, day + 6, INTERVAL 1 DAY)) AS day
+  FROM du
+)
+SELECT strftime(cast(day AS DATE), '%Y-%m-%d') AS day,
+       count(DISTINCT user_id) AS actives_7d
+FROM fan WHERE cast(day AS DATE) <= (SELECT max(day) FROM du)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# key_skew_profile — join-key distribution diagnostics
+# ---------------------------------------------------------------------------
+
+def _skew_stats(df: DataFrame, key: str, label: str) -> DataFrame:
+    cnt = df.groupBy(key).agg(F.count(F.lit(1)).alias("cnt"))
+    # mean written as exact-long sum / count (one correctly-rounded double
+    # division) rather than avg(): engines disagree on double-avg
+    # accumulation but not on integer sums.
+    return cnt.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").alias("n_rows"),
+        F.max("cnt").alias("max_cnt"),
+        F.round(F.expr("percentile(cnt, 0.5)"), 4).alias("p50_cnt"),
+        F.round(F.expr("percentile(cnt, 0.99)"), 4).alias("p99_cnt"),
+        F.round(
+            F.max("cnt")
+            / (F.sum("cnt").cast("double") / F.count(F.lit(1))),
+            4,
+        ).alias("skew_ratio"),
+    ).select(
+        F.lit(label).alias("key"),
+        "n_keys",
+        "n_rows",
+        "max_cnt",
+        "p50_cnt",
+        "p99_cnt",
+        "skew_ratio",
+    )
+
+
+def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostics: per-key count distribution for the
+    two hottest join keys. This is the measurement that decides salting
+    / AQE skew-join thresholds before a 100 TB run; each branch is one
+    map-combined count plus a tiny second agg (percentile over ONE row
+    per key, not per input row).
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    a = _skew_stats(li, "l_suppkey", "lineitem.l_suppkey")
+    b = _skew_stats(orders, "o_custkey", "orders.o_custkey")
+    return a.unionByName(b).orderBy("key")
+
+
+ROUND3_ORACLES["key_skew_profile"] = """
+WITH lc AS (SELECT count(*) AS cnt FROM lineitem GROUP BY l_suppkey),
+oc AS (SELECT count(*) AS cnt FROM orders GROUP BY o_custkey),
+a AS (
+  SELECT 'lineitem.l_suppkey' AS key, count(*) AS n_keys,
+         cast(sum(cnt) AS BIGINT) AS n_rows, max(cnt) AS max_cnt,
+         round(quantile_cont(cnt, 0.5), 4) AS p50_cnt,
+         round(quantile_cont(cnt, 0.99), 4) AS p99_cnt,
+         round(max(cnt) / (cast(sum(cnt) AS DOUBLE) / count(*)), 4) AS skew_ratio
+  FROM lc
+),
+b AS (
+  SELECT 'orders.o_custkey' AS key, count(*) AS n_keys,
+         cast(sum(cnt) AS BIGINT) AS n_rows, max(cnt) AS max_cnt,
+         round(quantile_cont(cnt, 0.5), 4) AS p50_cnt,
+         round(quantile_cont(cnt, 0.99), 4) AS p99_cnt,
+         round(max(cnt) / (cast(sum(cnt) AS DOUBLE) / count(*)), 4) AS skew_ratio
+  FROM oc
+)
+SELECT * FROM a UNION ALL SELECT * FROM b ORDER BY key
+"""
+
+
+# ---------------------------------------------------------------------------
+# ntile_features — decile feature binning per segment
+# ---------------------------------------------------------------------------
+
+def ntile_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment order-value deciles (equal-frequency binning for
+    feature engineering). The ntile sort key is made unique with
+    o_orderkey so bucket boundaries are engine-independent; per-bucket
+    totals use the exact DECIMAL sum.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    j = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        "c_mktsegment", "o_totalprice", "o_orderkey"
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("o_totalprice", "o_orderkey")
+    return (
+        j.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("c_mktsegment", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+            dec_sum("o_totalprice").alias("total"),
+        )
+        .orderBy("c_mktsegment", "decile")
+    )
+
+
+ROUND3_ORACLES["ntile_features"] = """
+WITH j AS (
+  SELECT c_mktsegment, o_totalprice, o_orderkey
+  FROM orders JOIN customer ON o_custkey = c_custkey
+),
+d AS (
+  SELECT c_mktsegment, o_totalprice,
+         ntile(10) OVER (PARTITION BY c_mktsegment
+                         ORDER BY o_totalprice, o_orderkey) AS decile
+  FROM j
+)
+SELECT c_mktsegment, decile, count(*) AS n,
+       min(o_totalprice) AS lo, max(o_totalprice) AS hi,
+       round(sum(cast(o_totalprice AS DECIMAL(27,6))), 2)::DOUBLE AS total
+FROM d GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# churn_setops — EXCEPT / INTERSECT cohort movement
+# ---------------------------------------------------------------------------
+
+def churn_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer churn/retention between 1994 and 1995 via set operators
+    (EXCEPT DISTINCT / INTERSECT DISTINCT), rolled up per nation.
+
+    Spark compiles both set ops to hash aggregates on the full row — a
+    single shuffle each on the already-distinct custkey projections.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+
+    def year_keys(y: int) -> DataFrame:
+        return (
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit(f"{y}-01-01"))
+                & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01"))
+            )
+            .select("o_custkey")
+            .distinct()
+        )
+
+    y94, y95 = year_keys(1994), year_keys(1995)
+    churned = y94.subtract(y95).withColumn("op", F.lit("churned"))
+    retained = y94.intersect(y95).withColumn("op", F.lit("retained"))
+    moved = churned.unionByName(retained)
+    return (
+        moved.join(cust, moved.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name", "op")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("n_name", "op")
+    )
+
+
+ROUND3_ORACLES["churn_setops"] = """
+WITH y94 AS (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1994-01-01'
+    AND o_orderdate < TIMESTAMP '1995-01-01'
+),
+y95 AS (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+    AND o_orderdate < TIMESTAMP '1996-01-01'
+),
+moved AS (
+  SELECT o_custkey, 'churned' AS op FROM (SELECT * FROM y94 EXCEPT SELECT * FROM y95)
+  UNION ALL
+  SELECT o_custkey, 'retained' AS op
+  FROM (SELECT * FROM y94 INTERSECT SELECT * FROM y95)
+)
+SELECT n_name, op, count(*) AS n_customers
+FROM moved
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# morton_tiles — Z-order (Morton) locality layout over the raster grid
+# ---------------------------------------------------------------------------
+
+def _morton_expr(lat: str, lon: str, bits: int, spark_dialect: bool) -> str:
+    """Interleaved-bit Morton code; identical arithmetic both dialects."""
+    parts = []
+    for b in range(bits):
+        if spark_dialect:
+            parts.append(f"shiftleft(shiftright({lat}, {b}) & 1, {2 * b + 1})")
+            parts.append(f"shiftleft(shiftright({lon}, {b}) & 1, {2 * b})")
+        else:
+            parts.append(f"((({lat} >> {b}) & 1) << {2 * b + 1})")
+            parts.append(f"((({lon} >> {b}) & 1) << {2 * b})")
+    return " + ".join(parts)
+
+
+def morton_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order data-layout demo: Morton-interleave the 160x360 raster
+    grid coordinates, bucket into 1024 coarse tiles, and show each tile
+    covers a COMPACT lat/lon box (the property that makes Z-order sort
+    keys cluster multidimensional scans into prunable files).
+
+    The grid is generated distributively from spark.range — the same
+    convention as zonal_stats — and the whole plan is expression-only:
+    one narrow pass plus one tile-keyed aggregation.
+    """
+    pix = (
+        spark.range(160 * 360)
+        .withColumn("latidx", (F.col("id") / 360).cast("int"))
+        .withColumn("lonidx", (F.col("id") % 360).cast("int"))
+        .withColumn("val", (F.col("latidx") * 31 + F.col("lonidx") * 17) % 97)
+    )
+    morton = _morton_expr("latidx", "lonidx", 9, spark_dialect=True)
+    return (
+        pix.withColumn("tile", F.expr(f"({morton}) div 256"))
+        .groupBy("tile")
+        .agg(
+            F.count(F.lit(1)).alias("n_pix"),
+            F.sum("val").alias("val_sum"),
+            F.min("latidx").alias("lat_lo"),
+            F.max("latidx").alias("lat_hi"),
+            F.min("lonidx").alias("lon_lo"),
+            F.max("lonidx").alias("lon_hi"),
+        )
+        .orderBy("tile")
+    )
+
+
+ROUND3_ORACLES["morton_tiles"] = f"""
+WITH pix AS (
+  SELECT cast(i // 360 AS INT) AS latidx, cast(i % 360 AS INT) AS lonidx,
+         (cast(i // 360 AS INT) * 31 + cast(i % 360 AS INT) * 17) % 97 AS val
+  FROM (SELECT unnest(range(0, {160 * 360})) AS i)
+)
+SELECT ({_morton_expr('latidx', 'lonidx', 9, spark_dialect=False)}) // 256
+         AS tile,
+       count(*) AS n_pix, cast(sum(val) AS BIGINT) AS val_sum,
+       min(latidx) AS lat_lo, max(latidx) AS lat_hi,
+       min(lonidx) AS lon_lo, max(lonidx) AS lon_hi
+FROM pix GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# ewma_user_value — exponentially weighted moving average, exact dyadic
+# ---------------------------------------------------------------------------
+
+def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-20-event EWMA of purchase value per user (alpha = 1/2).
+
+    Exactness: values become integer cents, and 1/2-decay weights are
+    dyadic rationals — every product and the bounded sum are exact in
+    binary floating point, so Spark and DuckDB agree bit-for-bit with
+    no decimal detour. Layout: one user-keyed window computes row
+    numbers, a second pass keeps only each user's last 20 rows, and the
+    weighted fold is a row-local array aggregate over <=20 elements (no
+    per-row collect_list across full history).
+    """
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = ev.select(
+        "user_id",
+        F.col("ts"),
+        F.col("event_id"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    ).withColumn("rn", F.row_number().over(w))
+    last20 = (
+        ranked.withColumn(
+            "max_rn", F.max("rn").over(Window.partitionBy("user_id"))
+        )
+        .filter(F.col("rn") > F.col("max_rn") - 20)
+    )
+    return (
+        last20.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr(
+                "aggregate("
+                "  transform(array_sort(collect_list(struct(rn, cents))), x -> x.cents),"
+                "  cast(0.0 as double),"
+                "  (acc, v) -> acc / 2.0 + v)"
+            ).alias("raw"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            F.round(F.col("raw") / 100.0, 4).alias("ewma_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ROUND3_ORACLES["ewma_user_value"] = """
+WITH p AS (
+  SELECT user_id, ts, event_id,
+         cast(round(value * 100) AS BIGINT) AS cents,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS max_rn
+  FROM events WHERE event_type = 'purchase'
+),
+last20 AS (SELECT * FROM p WHERE rn > max_rn - 20),
+folded AS (
+  SELECT user_id, count(*) AS n_events,
+         list_reduce(
+           list_prepend(cast(0 AS DOUBLE),
+                        list_transform(list(cents ORDER BY rn), c -> cast(c AS DOUBLE))),
+           (acc, v) -> acc / 2.0 + v) AS raw
+  FROM last20 GROUP BY user_id
+)
+SELECT user_id, n_events, round(raw / 100.0, 4) AS ewma_value
+FROM folded ORDER BY user_id
+"""
+
+
+ROUND3_QUERIES = {
+    "doc_repetition": doc_repetition,
+    "event_transitions": event_transitions,
+    "sliding_7d_actives": sliding_7d_actives,
+    "key_skew_profile": key_skew_profile,
+    "ntile_features": ntile_features,
+    "churn_setops": churn_setops,
+    "morton_tiles": morton_tiles,
+    "ewma_user_value": ewma_user_value,
+}

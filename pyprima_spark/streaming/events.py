@@ -51,6 +51,15 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if isinstance(schema["ts"].dataType, T.LongType):
         stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    # withWatermark / window() require TIMESTAMP; parquet micros with
+    # isAdjustedToUTC=false infer as TIMESTAMP_NTZ. Session tz is pinned
+    # UTC by the batch catalog, so the cast is a wall-clock identity.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    for field in stream.schema.fields:
+        if isinstance(field.dataType, T.TimestampNTZType):
+            stream = stream.withColumn(
+                field.name, F.col(field.name).cast(T.TimestampType())
+            )
     return stream
 
 
