@@ -67,6 +67,14 @@ BENCH_QUERIES = [
     "price_histogram",
     "outlier_mad",
     "region_mask_raster",
+    "doc_repetition",
+    "event_transitions",
+    "sliding_7d_actives",
+    "key_skew_profile",
+    "ntile_features",
+    "churn_setops",
+    "morton_tiles",
+    "ewma_user_value",
 ]
 
 

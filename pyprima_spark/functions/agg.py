@@ -31,3 +31,13 @@ def dec_sum(col: Column | str, scale: int = 2) -> Column:
     ``scale`` and cast back to double so output schemas stay unchanged."""
     c = F.col(col) if isinstance(col, str) else col
     return F.round(F.sum(c.cast(DEC)), scale).cast("double")
+
+
+def dec_avg(col: Column | str, scale: int = 4) -> Column:
+    """Order-insensitive mean: exact DECIMAL total, cast once to double,
+    ONE correctly-rounded division by the non-null count. Unlike avg(),
+    identical across engines and partitionings (a parallel double avg
+    accumulates in partition order). DuckDB mirror:
+    ``round(sum(CAST(x AS DECIMAL(27,6)))::DOUBLE / count(x), s)``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(F.sum(c.cast(DEC)).cast("double") / F.count(c), scale)

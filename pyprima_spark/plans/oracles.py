@@ -18,9 +18,9 @@ SELECT
   round(sum(CAST(l_extendedprice AS DECIMAL(27,6))), 2)::DOUBLE                                   AS sum_base_price,
   round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))), 2)::DOUBLE                AS sum_disc_price,
   round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(27,6))), 2)::DOUBLE  AS sum_charge,
-  round(avg(l_quantity), 4)                                        AS avg_qty,
-  round(avg(l_extendedprice), 4)                                   AS avg_price,
-  round(avg(l_discount), 4)                                        AS avg_disc,
+  round(sum(CAST(l_quantity AS DECIMAL(27,6)))::DOUBLE / count(l_quantity), 4)                                        AS avg_qty,
+  round(sum(CAST(l_extendedprice AS DECIMAL(27,6)))::DOUBLE / count(l_extendedprice), 4)                                   AS avg_price,
+  round(sum(CAST(l_discount AS DECIMAL(27,6)))::DOUBLE / count(l_discount), 4)                                        AS avg_disc,
   count(*)                                                         AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -114,7 +114,7 @@ ORACLES["expand_multivalue"] = """
 WITH words AS (
   SELECT unnest(string_split(p_name, ' ')) AS word, p_size FROM part
 )
-SELECT word, count(*) AS n_parts, round(avg(p_size), 4) AS avg_size
+SELECT word, count(*) AS n_parts, round(sum(CAST(p_size AS DECIMAL(27,6)))::DOUBLE / count(p_size), 4) AS avg_size
 FROM words GROUP BY word ORDER BY word
 """
 
@@ -134,7 +134,7 @@ ORACLES["interval_binning"] = f"""
 SELECT
   {interval_bin_sql('p_size', SIZE_BINS, SIZE_DEFAULT)} AS size_class,
   count(*) AS n,
-  round(avg(p_retailprice), 4) AS avg_price
+  round(sum(CAST(p_retailprice AS DECIMAL(27,6)))::DOUBLE / count(p_retailprice), 4) AS avg_price
 FROM part
 GROUP BY 1 ORDER BY 1
 """
@@ -698,7 +698,7 @@ WITH d AS (
   FROM (SELECT source, {X.tokens_duck('text')} AS tokens FROM documents)
 )
 SELECT source, count(*) AS n_docs, cast(sum(n_tok) AS BIGINT) AS total_tokens,
-       round(avg(n_tok), 4) AS avg_tokens,
+       round(sum(CAST(n_tok AS DECIMAL(27,6)))::DOUBLE / count(n_tok), 4) AS avg_tokens,
        cast(sum(n_distinct) AS BIGINT) AS total_distinct
 FROM d GROUP BY source ORDER BY source
 """
@@ -915,7 +915,7 @@ WITH pix AS (
 SELECT n_name,
        count(*) AS n_cells,
        cast(sum(pixval) AS BIGINT) AS total,
-       round(avg(pixval), 4) AS mean_val,
+       round(sum(CAST(pixval AS DECIMAL(27,6)))::DOUBLE / count(pixval), 4) AS mean_val,
        max(pixval) AS max_val
 FROM pix JOIN boxes
   ON lat >= lat_min AND lat < lat_max AND lon >= lon_min AND lon < lon_max
@@ -947,7 +947,7 @@ WITH pts AS (
   QUALIFY row_number() OVER (PARTITION BY c_custkey
                              ORDER BY dist ASC, n_name ASC) = 1
 )
-SELECT n_name, count(*) AS n_assigned, round(avg(dist), 4) AS avg_dist_km
+SELECT n_name, count(*) AS n_assigned, round(sum(CAST(dist AS DECIMAL(27,6)))::DOUBLE / count(dist), 4) AS avg_dist_km
 FROM best
 GROUP BY n_name
 ORDER BY n_name
@@ -964,7 +964,7 @@ WITH pix AS (
 SELECT cast(latidx // 4 AS INT) AS block_lat,
        cast(lonidx // 4 AS INT) AS block_lon,
        count(*) AS n_cells,
-       round(avg(pixval), 4) AS mean_val
+       round(sum(CAST(pixval AS DECIMAL(27,6)))::DOUBLE / count(pixval), 4) AS mean_val
 FROM pix
 GROUP BY 1, 2
 ORDER BY 1, 2
@@ -1029,7 +1029,7 @@ ORDER BY doc_id
 ORACLES["json_props_stats"] = """
 SELECT cast(floor(cast(json_extract(props, '$.k') AS INT) / 10.0) AS INT) AS k_bucket,
        count(*) AS n,
-       round(avg(value), 4) AS avg_value,
+       round(sum(CAST(value AS DECIMAL(27,6)))::DOUBLE / count(value), 4) AS avg_value,
        max(cast(json_extract(props, '$.k') AS INT)) AS max_k
 FROM events
 GROUP BY 1
@@ -1049,7 +1049,7 @@ ORDER BY user_id, event_type
 
 
 ORACLES["label_centroids"] = """
-SELECT label, i AS dim, round(avg(embedding[i + 1]), 5) AS centroid
+SELECT label, i AS dim, round(sum(CAST(embedding[i + 1] AS DECIMAL(27,6)))::DOUBLE / count(embedding[i + 1]), 5) AS centroid
 FROM embeddings, (SELECT unnest(range(64)) AS i) dims
 GROUP BY label, i
 ORDER BY label, dim
@@ -1107,7 +1107,7 @@ SELECT event_type,
        round(quantile_cont(value, 0.25), 4) AS p25,
        round(quantile_cont(value, 0.5), 4) AS p50,
        round(quantile_cont(value, 0.75), 4) AS p75,
-       round(avg(value), 4) AS mean_value
+       round(sum(CAST(value AS DECIMAL(27,6)))::DOUBLE / count(value), 4) AS mean_value
 FROM events
 GROUP BY event_type
 ORDER BY event_type
@@ -1130,7 +1130,7 @@ WITH pts AS (
 )
 SELECT n_name,
        count(*) AS n_points,
-       round(avg(c_acctbal), 4) AS avg_bal
+       round(sum(CAST(c_acctbal AS DECIMAL(27,6)))::DOUBLE / count(c_acctbal), 4) AS avg_bal
 FROM pts JOIN boxes
   ON lat >= lat_min AND lat < lat_max AND lon >= lon_min AND lon < lon_max
 GROUP BY n_name

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pyprima_spark.catalog import load_tables
-from pyprima_spark.functions.agg import DEC, dec_sum
+from pyprima_spark.functions.agg import DEC, dec_avg, dec_sum
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -49,9 +49,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             dec_sum("l_extendedprice").alias("sum_base_price"),
             dec_sum(disc_price).alias("sum_disc_price"),
             dec_sum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            dec_avg("l_quantity").alias("avg_qty"),
+            dec_avg("l_extendedprice").alias("avg_price"),
+            dec_avg("l_discount").alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -225,7 +225,7 @@ def expand_multivalue(spark: SparkSession, sf_dir: str) -> DataFrame:
         words.groupBy("word")
         .agg(
             F.count(F.lit(1)).alias("n_parts"),
-            F.round(F.avg("p_size"), 4).alias("avg_size"),
+            dec_avg("p_size").alias("avg_size"),
         )
         .orderBy("word")
     )
@@ -261,7 +261,7 @@ def interval_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("size_class")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+            dec_avg("p_retailprice").alias("avg_price"),
         )
         .orderBy("size_class")
     )
@@ -948,7 +948,7 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tok").alias("total_tokens"),
-            F.round(F.avg("n_tok"), 4).alias("avg_tokens"),
+            dec_avg("n_tok").alias("avg_tokens"),
             F.sum("n_distinct").alias("total_distinct"),
         )
         .orderBy("source")
@@ -1019,8 +1019,15 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parse the events.props JSON column with a declared schema
     (from_json — JVM-side, no UDF) and aggregate by a derived bucket.
-    The schema-on-read path for semi-structured event payloads."""
-    ev = _t(spark, sf_dir, "events")
+    The schema-on-read path for semi-structured event payloads.
+
+    The parse is heavy per-row compute BEFORE the first shuffle, so a
+    degenerate scan (one row group locally) would run it on one core —
+    widen_scan spreads it; a no-op once the file has >= cores splits
+    (measured: 3.5s -> 0.8s at sf0.1 local[32])."""
+    from pyprima_spark.catalog import widen_scan
+
+    ev = widen_scan(_t(spark, sf_dir, "events"))
     parsed = ev.withColumn(
         "k", F.from_json("props", "k int").getField("k")
     )
@@ -1029,7 +1036,7 @@ def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("k_bucket")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            dec_avg("value").alias("avg_value"),
             F.max("k").alias("max_k"),
         )
         .orderBy("k_bucket")
@@ -1073,7 +1080,7 @@ def zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_cells"),
             F.sum("pixval").alias("total"),
-            F.round(F.avg("pixval"), 4).alias("mean_val"),
+            dec_avg("pixval").alias("mean_val"),
             F.max("pixval").alias("max_val"),
         )
         .orderBy("n_name")
@@ -1119,7 +1126,7 @@ def nearest_site(spark: SparkSession, sf_dir: str) -> DataFrame:
         assigned.groupBy("n_name")
         .agg(
             F.count(F.lit(1)).alias("n_assigned"),
-            F.round(F.avg("dist"), 4).alias("avg_dist_km"),
+            dec_avg("dist").alias("avg_dist_km"),
         )
         .orderBy("n_name")
     )
@@ -1150,7 +1157,7 @@ def grid_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_cells"),
-            F.round(F.avg("pixval"), 4).alias("mean_val"),
+            dec_avg("pixval").alias("mean_val"),
         )
         .orderBy("block_lat", "block_lon")
     )
@@ -1284,7 +1291,7 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         emb.select("label", F.posexplode("embedding").alias("dim", "v"))
         .groupBy("label", "dim")
-        .agg(F.round(F.avg("v"), 5).alias("centroid"))
+        .agg(dec_avg("v", 5).alias("centroid"))
         .orderBy("label", "dim")
     )
 
@@ -1377,7 +1384,7 @@ def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.expr("percentile(value, 0.25)"), 4).alias("p25"),
             F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
             F.round(F.expr("percentile(value, 0.75)"), 4).alias("p75"),
-            F.round(F.avg("value"), 4).alias("mean_value"),
+            dec_avg("value").alias("mean_value"),
         )
         .orderBy("event_type")
     )
@@ -1412,7 +1419,7 @@ def point_in_region(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.count(F.lit(1)).alias("n_points"),
-            F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+            dec_avg("c_acctbal").alias("avg_bal"),
         )
         .orderBy("n_name")
     )
@@ -1498,7 +1505,7 @@ def point_in_region_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.count(F.lit(1)).alias("n_points"),
-            F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+            dec_avg("c_acctbal").alias("avg_bal"),
         )
         .orderBy("n_name")
     )

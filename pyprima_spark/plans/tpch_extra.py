@@ -31,7 +31,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from pyprima_spark.functions.agg import dec_sum
+from pyprima_spark.functions.agg import DEC, dec_sum
 
 from pyprima_spark.catalog import load_table
 
@@ -606,7 +606,7 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     thresholds = (
         li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("l_partkey")
-        .agg((F.lit(0.2) * F.avg("l_quantity")).alias("qty_threshold"))
+        .agg((F.lit(0.2) * (F.sum(F.col("l_quantity").cast(DEC)).cast("double") / F.count("l_quantity"))).alias("qty_threshold"))
         .select(F.col("l_partkey").alias("t_partkey"), "qty_threshold")
     )
     return (
@@ -622,7 +622,7 @@ SELECT round((sum(CAST(l_extendedprice AS DECIMAL(27,6)))::DOUBLE) / 7.0, 2) AS 
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 WHERE p_brand = 'Brand#3'
-  AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+  AND l_quantity < (SELECT 0.2 * (sum(CAST(l2.l_quantity AS DECIMAL(27,6)))::DOUBLE / count(l2.l_quantity)) FROM lineitem l2
                     WHERE l2.l_partkey = p_partkey)
 """
 
@@ -851,7 +851,7 @@ def q22_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     avg_bal = (
         _t(spark, sf_dir, "customer")
         .filter(F.col("c_acctbal") > 0)
-        .agg(F.avg("c_acctbal").alias("avg_bal"))
+        .agg((F.sum(F.col("c_acctbal").cast(DEC)).cast("double") / F.count("c_acctbal")).alias("avg_bal"))
     )
     orders = _t(spark, sf_dir, "orders").select("o_custkey")
     return (
@@ -872,7 +872,7 @@ SELECT c_nationkey % 7 AS cntrycode, count(*) AS numcust,
        round(sum(CAST(c_acctbal AS DECIMAL(27,6))), 2)::DOUBLE AS totacctbal
 FROM customer
 WHERE c_nationkey % 7 IN (1, 2, 3)
-  AND c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND c_acctbal > (SELECT sum(CAST(c_acctbal AS DECIMAL(27,6)))::DOUBLE / count(c_acctbal) FROM customer WHERE c_acctbal > 0)
   AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 GROUP BY 1
 ORDER BY 1
