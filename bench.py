@@ -75,6 +75,11 @@ BENCH_QUERIES = [
     "churn_setops",
     "morton_tiles",
     "ewma_user_value",
+    "grouped_regression",
+    "seasonal_profile",
+    "daily_anomaly",
+    "sample_split",
+    "fuzzy_name_match",
 ]
 
 

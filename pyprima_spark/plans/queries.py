@@ -2416,9 +2416,42 @@ QUERIES.update(
 
 # Block 3 — new in round 3 (inserted by _register_round3 below).
 
-# Block 4 — rotation: previously-green keys fill the rest of the window,
-# then everything else (dict update keeps first-insertion order, so
-# re-updating an existing key does not move it).
+# Block 4a — changed by the round-3 avg→dec_avg determinism sweep (or,
+# for q17/q22, by the exact scalar threshold); re-grade in the window.
+QUERIES.update(
+    {
+        "q1_pricing_summary": q1_pricing_summary,
+        "expand_multivalue": expand_multivalue,
+        "interval_binning": interval_binning,
+        "point_in_region": point_in_region,
+        "json_props_stats": json_props_stats,
+        "value_percentiles": value_percentiles,
+        "zonal_stats": zonal_stats,
+        "grid_downsample": grid_downsample,
+        "nearest_site": nearest_site,
+        "label_centroids": label_centroids,
+        "q17_small_quantity": _EXTRA_QUERIES["q17_small_quantity"],
+        "q22_inactive_customers": _EXTRA_QUERIES["q22_inactive_customers"],
+    }
+)
+
+# Block 4b — last green row dates from round 1; refresh while slots last.
+QUERIES.update(
+    {
+        "recode_group": recode_group,
+        "shares_normalize": shares_normalize,
+        "pivot_wide": pivot_wide,
+        "unpivot_long": unpivot_long,
+        "dedup_names": dedup_names,
+        "ffill_impute": ffill_impute,
+        "clean_names_ascii": clean_names_ascii,
+        "calendar_enrich": calendar_enrich,
+    }
+)
+
+# Block 5 — rotation: previously-green keys past the window (dict update
+# keeps first-insertion order, so re-updating an existing key does not
+# move it).
 QUERIES.update(_EXTRA_QUERIES)  # TPC-H q2..q22 adaptations
 QUERIES.update(
     {
@@ -2495,7 +2528,7 @@ def _register_round3() -> None:
     the literal blocks above.
     """
     from pyprima_spark.plans.round3 import ROUND3_QUERIES
-    tail_start = list(QUERIES).index("q2_min_cost_supplier")
+    tail_start = list(QUERIES).index("recode_group")
     items = list(QUERIES.items())
     head, tail = items[:tail_start], items[tail_start:]
     QUERIES.clear()

@@ -524,6 +524,301 @@ FROM folded ORDER BY user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# grouped_regression — per-group OLS from exact sufficient statistics
+# ---------------------------------------------------------------------------
+
+def grouped_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type least-squares trend of value over time, computed
+    from the five sufficient statistics (Sx, Sy, Sxy, Sxx, Syy) as
+    exact DECIMAL sums — the distributed form of regr_slope/regr_r2:
+    one shuffle produces every regression, and the closed-form solve is
+    a handful of scalar double ops on exact totals (bit-identical
+    across engines, unlike a parallel double accumulation).
+
+    x is seconds since the group's first event (window min shares the
+    groupBy's exchange), keeping x^2 within DECIMAL(27,6) headroom.
+    """
+    from pyprima_spark.functions.agg import DEC
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type")
+    base = ev.select(
+        "event_type",
+        F.col("value").alias("y"),
+        (
+            (F.unix_micros("ts") - F.min(F.unix_micros("ts")).over(w))
+            / 1_000_000.0
+        ).alias("x"),
+    )
+    agg = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast(DEC)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(DEC)).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(DEC)).cast("double").alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(DEC)).cast("double").alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(DEC)).cast("double").alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return agg.select(
+        "event_type",
+        "n",
+        F.round(num / den, 8).alias("slope"),
+        F.round((F.col("sy") - (num / den) * F.col("sx")) / F.col("n"), 6).alias(
+            "intercept"
+        ),
+        F.round((num * num) / (den * deny), 6).alias("r2"),
+    ).orderBy("event_type")
+
+
+ROUND3_ORACLES["grouped_regression"] = """
+WITH base AS (
+  SELECT event_type, value AS y,
+         (epoch_us(ts) - min(epoch_us(ts)) OVER (PARTITION BY event_type))
+           / 1000000.0 AS x
+  FROM events
+),
+agg AS (
+  SELECT event_type, count(*) AS n,
+         sum(CAST(x AS DECIMAL(27,6)))::DOUBLE AS sx,
+         sum(CAST(y AS DECIMAL(27,6)))::DOUBLE AS sy,
+         sum(CAST(x * y AS DECIMAL(27,6)))::DOUBLE AS sxy,
+         sum(CAST(x * x AS DECIMAL(27,6)))::DOUBLE AS sxx,
+         sum(CAST(y * y AS DECIMAL(27,6)))::DOUBLE AS syy
+  FROM base GROUP BY event_type
+)
+SELECT event_type, n,
+  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 8) AS slope,
+  round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+    AS intercept,
+  round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+        / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+FROM agg ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# seasonal_profile — hour-of-day x day-of-week load profile
+# ---------------------------------------------------------------------------
+
+def seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day × day-of-week mean-value profile per event type — the
+    reference's day-type load-profile decomposition
+    (generate_load_timeseries / profile shaping) as one map-combined
+    aggregation; 7×24×|types| output cells regardless of input scale.
+
+    Engine note: Spark dayofweek() is 1=Sunday; DuckDB's is 0=Sunday
+    (oracle adds 1). The mean is rounded HALF-UP in exact integer-cent
+    space — round(double, 4) itself diverges between engines when the
+    true mean sits within double noise of a .00005 boundary (observed:
+    2/840 cells at sf0.01), so no double is ever rounded here.
+    """
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "event_type",
+            F.dayofweek("ts").alias("dow"),
+            F.hour("ts").alias("hod"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("sc"),
+        )
+        .select(
+            "event_type",
+            "dow",
+            "hod",
+            "n",
+            (
+                F.expr("(200 * sc + n) div (2 * n)") / 10000.0
+            ).alias("mean_value"),
+        )
+        .orderBy("event_type", "dow", "hod")
+    )
+
+
+ROUND3_ORACLES["seasonal_profile"] = """
+WITH g AS (
+  SELECT event_type, dayofweek(ts) + 1 AS dow, hour(ts) AS hod,
+         count(*) AS n,
+         cast(sum(cast(round(value * 100) AS BIGINT)) AS BIGINT) AS sc
+  FROM events GROUP BY 1, 2, 3
+)
+SELECT event_type, dow, hod, n,
+       ((200 * sc + n) // (2 * n)) / 10000.0 AS mean_value
+FROM g ORDER BY 1, 2, 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# daily_anomaly — z-score outlier days from exact moments
+# ---------------------------------------------------------------------------
+
+def daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Days whose total value is > 2 sigma from that event type's mean
+    daily total. Daily totals are exact DECIMAL sums; mean/std come
+    from second-moment totals over the (tiny) daily series via a
+    window, so the whole screen is two shuffles: one on (type, day),
+    one on type. The z comparison happens on deterministic doubles.
+    """
+    from pyprima_spark.functions.agg import DEC
+
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+        )
+        .agg(F.round(F.sum(F.col("value").cast(DEC)), 6).cast("double").alias("total"))
+    )
+    w = Window.partitionBy("event_type")
+    stats = (
+        daily.withColumn("n_days", F.count(F.lit(1)).over(w))
+        .withColumn("sx", F.sum(F.col("total").cast(DEC)).over(w).cast("double"))
+        .withColumn(
+            "sxx", F.sum((F.col("total") * F.col("total")).cast(DEC)).over(w).cast("double")
+        )
+    )
+    mean = F.col("sx") / F.col("n_days")
+    var = (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n_days")) / (
+        F.col("n_days") - 1
+    )
+    return (
+        stats.withColumn("z", (F.col("total") - mean) / F.sqrt(var))
+        .filter(F.abs(F.col("z")) > 2.0)
+        .select("event_type", "day", "total", F.round("z", 4).alias("z"))
+        .orderBy("event_type", "day")
+    )
+
+
+ROUND3_ORACLES["daily_anomaly"] = """
+WITH daily AS (
+  SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         round(sum(CAST(value AS DECIMAL(27,6))), 6)::DOUBLE AS total
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT *, count(*) OVER (PARTITION BY event_type) AS n_days,
+         sum(CAST(total AS DECIMAL(27,6))) OVER (PARTITION BY event_type)::DOUBLE AS sx,
+         sum(CAST(total * total AS DECIMAL(27,6))) OVER (PARTITION BY event_type)::DOUBLE AS sxx
+  FROM daily
+),
+z AS (
+  SELECT event_type, day, total,
+         (total - sx / n_days)
+           / sqrt((sxx - sx * sx / n_days) / (n_days - 1)) AS z
+  FROM stats
+)
+SELECT event_type, day, total, round(z, 4) AS z
+FROM z WHERE abs(z) > 2.0 ORDER BY event_type, day
+"""
+
+
+# ---------------------------------------------------------------------------
+# sample_split — deterministic hash train/val/test split
+# ---------------------------------------------------------------------------
+
+def sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split by content-free
+    md5(doc_id) bucketing — reproducible across engines, runs, and
+    cluster sizes (no sampling RNG, no shuffle beyond the final small
+    agg). The split every training pipeline needs to be stable under
+    re-ingestion.
+    """
+    from pyprima_spark.functions.text import hash64_spark
+
+    docs = _t(spark, sf_dir, "documents")
+    h = F.expr(hash64_spark("cast(doc_id as string) || ':split'")) % 100
+    return (
+        docs.withColumn(
+            "split",
+            F.when(h < 80, "train").when(h < 90, "val").otherwise("test"),
+        )
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("source", "split")
+    )
+
+
+def _hash64_duck_split() -> str:
+    from pyprima_spark.functions.text import hash64_duck
+
+    return hash64_duck("cast(doc_id as varchar) || ':split'")
+
+
+ROUND3_ORACLES["sample_split"] = f"""
+WITH s AS (
+  SELECT *, CASE WHEN {_hash64_duck_split()} % 100 < 80 THEN 'train'
+                 WHEN {_hash64_duck_split()} % 100 < 90 THEN 'val'
+                 ELSE 'test' END AS split
+  FROM documents
+)
+SELECT source, split, count(*) AS n_docs,
+       cast(sum(n_chars) AS BIGINT) AS total_chars,
+       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+FROM s GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# fuzzy_name_match — blocked Levenshtein entity resolution
+# ---------------------------------------------------------------------------
+
+def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-identical part names by edit distance, with blocking: the
+    quadratic Levenshtein only runs inside (first-letter, length-band)
+    blocks — the standard entity-resolution layout that keeps the
+    candidate join an equi-join at any scale (same family as the LSH
+    band joins in operators/dedup.py). Oracle applies the identical
+    blocking, so semantics are the blocked ones on both sides.
+    """
+    part = _t(spark, sf_dir, "part")
+    names = (
+        part.select(F.col("p_name").alias("name"))
+        .distinct()
+        .withColumn("blk_c", F.substring("name", 1, 1))
+        .withColumn("blk_l", F.expr("length(name) div 3"))
+    )
+    a = names.alias("a")
+    b = names.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk_c") == F.col("b.blk_c"))
+            & (F.col("a.blk_l") == F.col("b.blk_l"))
+            & (F.col("a.name") < F.col("b.name")),
+        )
+        .select(
+            F.col("a.name").alias("name_a"),
+            F.col("b.name").alias("name_b"),
+            F.levenshtein("a.name", "b.name").alias("lev"),
+        )
+        .filter(F.col("lev") <= 3)
+        .orderBy("name_a", "name_b")
+    )
+
+
+ROUND3_ORACLES["fuzzy_name_match"] = """
+WITH names AS (
+  SELECT DISTINCT p_name AS name, substring(p_name, 1, 1) AS blk_c,
+         length(p_name) // 3 AS blk_l
+  FROM part
+)
+SELECT a.name AS name_a, b.name AS name_b,
+       levenshtein(a.name, b.name) AS lev
+FROM names a JOIN names b
+  ON a.blk_c = b.blk_c AND a.blk_l = b.blk_l AND a.name < b.name
+WHERE levenshtein(a.name, b.name) <= 3
+ORDER BY 1, 2
+"""
+
+
 ROUND3_QUERIES = {
     "doc_repetition": doc_repetition,
     "event_transitions": event_transitions,
@@ -533,4 +828,9 @@ ROUND3_QUERIES = {
     "churn_setops": churn_setops,
     "morton_tiles": morton_tiles,
     "ewma_user_value": ewma_user_value,
+    "grouped_regression": grouped_regression,
+    "seasonal_profile": seasonal_profile,
+    "daily_anomaly": daily_anomaly,
+    "sample_split": sample_split,
+    "fuzzy_name_match": fuzzy_name_match,
 }
