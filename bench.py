@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "daily_anomaly",
     "sample_split",
     "fuzzy_name_match",
+    "table_profile",
 ]
 
 

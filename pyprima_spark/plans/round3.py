@@ -819,6 +819,83 @@ ORDER BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# table_profile — single-pass multi-column statistics (ANALYZE path)
+# ---------------------------------------------------------------------------
+
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column statistics for the orders table in ONE scan: all four
+    columns' counts, exact distincts, and min/max come from a single
+    aggregate (Spark plans the multi-distinct via one Expand — 4x row
+    multiplication, still one pass over the parquet), then the 1-row
+    wide result is unpivoted driver-free with stack(). The cost model /
+    optimizer-statistics collection path of an engine.
+
+    Numeric min/max stay numeric and string min/max stay strings
+    (separate nullable columns) — casting doubles to display strings is
+    engine-divergent, so the schema keeps types honest instead.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    wide = orders.agg(
+        F.count("o_orderstatus").alias("n_status"),
+        F.countDistinct("o_orderstatus").alias("d_status"),
+        F.min("o_orderstatus").alias("lo_status"),
+        F.max("o_orderstatus").alias("hi_status"),
+        F.count("o_orderpriority").alias("n_prio"),
+        F.countDistinct("o_orderpriority").alias("d_prio"),
+        F.min("o_orderpriority").alias("lo_prio"),
+        F.max("o_orderpriority").alias("hi_prio"),
+        F.count("o_custkey").alias("n_cust"),
+        F.countDistinct("o_custkey").alias("d_cust"),
+        F.min("o_custkey").cast("double").alias("lo_cust"),
+        F.max("o_custkey").cast("double").alias("hi_cust"),
+        F.count("o_totalprice").alias("n_price"),
+        F.countDistinct("o_totalprice").alias("d_price"),
+        F.min("o_totalprice").alias("lo_price"),
+        F.max("o_totalprice").alias("hi_price"),
+    )
+    return wide.select(
+        F.expr(
+            "stack(4,"
+            " 'o_orderstatus',   n_status, d_status, cast(null as double),"
+            "   cast(null as double), lo_status, hi_status,"
+            " 'o_orderpriority', n_prio,   d_prio,   cast(null as double),"
+            "   cast(null as double), lo_prio,   hi_prio,"
+            " 'o_custkey',       n_cust,   d_cust,   lo_cust,  hi_cust,"
+            "   cast(null as string), cast(null as string),"
+            " 'o_totalprice',    n_price,  d_price,  lo_price, hi_price,"
+            "   cast(null as string), cast(null as string))"
+            " AS (column_name, n_nonnull, n_distinct, min_num, max_num,"
+            "     min_str, max_str)"
+        )
+    ).orderBy("column_name")
+
+
+ROUND3_ORACLES["table_profile"] = """
+SELECT 'o_custkey' AS column_name, count(o_custkey) AS n_nonnull,
+       count(DISTINCT o_custkey) AS n_distinct,
+       cast(min(o_custkey) AS DOUBLE) AS min_num,
+       cast(max(o_custkey) AS DOUBLE) AS max_num,
+       cast(NULL AS VARCHAR) AS min_str, cast(NULL AS VARCHAR) AS max_str
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority', count(o_orderpriority),
+       count(DISTINCT o_orderpriority), NULL, NULL,
+       min(o_orderpriority), max(o_orderpriority)
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus', count(o_orderstatus),
+       count(DISTINCT o_orderstatus), NULL, NULL,
+       min(o_orderstatus), max(o_orderstatus)
+FROM orders
+UNION ALL
+SELECT 'o_totalprice', count(o_totalprice), count(DISTINCT o_totalprice),
+       min(o_totalprice), max(o_totalprice), NULL, NULL
+FROM orders
+ORDER BY column_name
+"""
+
+
 ROUND3_QUERIES = {
     "doc_repetition": doc_repetition,
     "event_transitions": event_transitions,
@@ -833,4 +910,5 @@ ROUND3_QUERIES = {
     "daily_anomaly": daily_anomaly,
     "sample_split": sample_split,
     "fuzzy_name_match": fuzzy_name_match,
+    "table_profile": table_profile,
 }

@@ -429,3 +429,34 @@ def test_interval_overlap_join_property_vs_bruteforce(spark):
         assert got == want
 
     check()
+
+
+def test_percentile_approx_bounds_exact(spark, sf_dir):
+    """The 100 TB scale path for value_percentiles: percentile_approx is
+    a mergeable sketch (no per-group sort/materialization). Assert its
+    answer lands within the sketch's rank-error bound of the exact
+    percentile: with accuracy A, rank error <= n/A, so the approx value
+    must lie between the exact values at rank +/- ceil(n/A)."""
+    import math
+
+    from pyprima_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    acc = 1000
+    rows = (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("value").alias("n"),
+            F.expr(f"percentile_approx(value, 0.5, {acc})").alias("approx"),
+            F.expr("sort_array(collect_list(value))").alias("vals"),
+        )
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        n = r.n
+        target = (n - 1) * 0.5
+        err = math.ceil(n / acc)
+        lo = r.vals[max(0, int(math.floor(target)) - err)]
+        hi = r.vals[min(n - 1, int(math.ceil(target)) + err)]
+        assert lo <= r.approx <= hi, (r.event_type, lo, r.approx, hi)
