@@ -19,3 +19,12 @@ def test_query_matches_oracle(spark, sf_dir, name):
 def test_every_query_has_rows(spark, sf_dir):
     for name, fn in QUERIES.items():
         assert fn(spark, sf_dir).count() >= 0, name
+
+
+def test_catalog_and_oracles_cover_same_keys():
+    """Every queries() key must have an oracle (the driver records a
+    weaker rows-only check otherwise) and vice versa; catches a new
+    operator landing in one registry but not the other."""
+    assert set(QUERIES) == set(ORACLES), (
+        sorted(set(QUERIES) ^ set(ORACLES))
+    )
