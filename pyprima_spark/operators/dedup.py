@@ -109,13 +109,16 @@ def minhash_band_table(
 def minhash_candidate_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Distinct candidate near-dup pairs sharing >= 1 LSH band.
 
-    Both self-join sides shuffle the identical signature subplan on
-    (band_idx, band_sig): AQE's exchange reuse computes the signature
-    pass once without a persist, so repeated invocations in one session
-    leave no cached blocks behind (a persist here has no paired
-    unpersist-after-action point — the operator returns a lazy plan).
+    The band table is materialized ONCE (eager localCheckpoint) before
+    the self-join. Exchange reuse does NOT deduplicate the two sides:
+    each side renames doc below its exchange, so the exchange children
+    never canonicalize equal and the whole shingle+md5+minhash
+    derivation runs twice (verified against the executed plan). At
+    corpus scale the derivation dominates the join, so the stage
+    boundary here is the 2x; in production this materialization is the
+    signature-table parquet write every LSH pipeline persists anyway.
     """
-    bands = minhash_band_table(df, id_col, text_col)
+    bands = minhash_band_table(df, id_col, text_col).localCheckpoint(eager=True)
     a = bands.select(
         F.col("doc").alias("doc_a"), "band_idx", "band_sig"
     )
@@ -161,10 +164,11 @@ def simhash_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def simhash_pair_hamming(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Hamming distance for candidate pairs sharing a 15-bit chunk.
 
-    Like minhash: the chunk-table self-join sides are identical
-    subplans, deduplicated by AQE exchange reuse instead of a persist.
+    Like minhash: the signature derivation is materialized once before
+    the self-join (the per-side renames defeat exchange reuse, so
+    without the stage boundary the token/bit-sum pass runs twice).
     """
-    sims = simhash_table(df, id_col, text_col)
+    sims = simhash_table(df, id_col, text_col).localCheckpoint(eager=True)
     chunks = sims.select(
         "doc",
         "simhash",
@@ -212,8 +216,13 @@ def ngram_gram_table(
     discriminative signal. The df window partitions on (bucket, gram),
     the exact keys the downstream candidate join shuffles on, so the
     cutoff pass reuses that partitioning rather than adding a new one.
-    Jaccard is then over the kept (discriminative) gram sets — the
-    per-doc set size is computed AFTER the cutoff.
+    Jaccard is then over the kept (discriminative) gram sets.
+
+    Per-doc set sizes are intentionally NOT carried on the gram rows: a
+    doc-keyed window would sort-shuffle the full gram table just to
+    attach a value needed once per PAIR. Callers get sizes from
+    ``gram_set_sizes`` (a map-combined count, tiny output) and join it
+    onto the aggregated pairs instead.
     """
     from pyspark.sql import Window
 
@@ -239,10 +248,13 @@ def ngram_gram_table(
             .filter(F.col("_df") <= df_max)
             .drop("_df")
         )
-    w = Window.partitionBy("doc")
-    return grams.withColumn("gset_size", F.count(F.lit(1)).over(w)).select(
-        "doc", *bucket_cols, "gset_size", "gram"
-    )
+    return grams
+
+
+def gram_set_sizes(grams: DataFrame) -> DataFrame:
+    """(doc, gset_size) from a gram table — map-combined count, one row
+    per doc; broadcastable onto the candidate pairs."""
+    return grams.groupBy("doc").agg(F.count(F.lit(1)).alias("gset_size"))
 
 
 WINNOW_K = 5   # char-gram length for rolling hashes

@@ -131,7 +131,13 @@ def embedding_dedup(emb: DataFrame, tau: float, id_col: str = "vec_id") -> DataF
     recall rises with B. Verification (the cosine) runs ONCE per
     distinct pair, via two id-equi-joins back to the vector table.
     """
-    base = with_vec_norm(emb).select(F.col(id_col).alias("vid"), "vec", "nrm")
+    # base feeds the signature derivation plus both verify joins — one
+    # materialization serves all three consumers.
+    base = (
+        with_vec_norm(emb)
+        .select(F.col(id_col).alias("vid"), "vec", "nrm")
+        .localCheckpoint(eager=True)
+    )
 
     sig = base.select(
         "vid",
@@ -147,9 +153,10 @@ def embedding_dedup(emb: DataFrame, tau: float, id_col: str = "vec_id") -> DataF
             )
         ).alias("bb"),
     ).select("vid", "bb.band", "bb.bucket")
-    # Both self-join sides shuffle the identical signature child plan on
-    # (band, bucket): AQE reuses one exchange, so signatures are
-    # computed once without a persist (no cache-memory residency).
+    # Materialize signatures once before the self-join: the a/b alias
+    # renames sit below the join exchanges, so exchange reuse never
+    # fires and the hyperplane-projection pass would run twice.
+    sig = sig.localCheckpoint(eager=True)
     pairs = (
         sig.alias("a")
         .join(

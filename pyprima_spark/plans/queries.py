@@ -736,7 +736,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Char-3-gram Jaccard similarity pairs >= tau within (source,
     length-band) buckets (SURVEY §2 #30)."""
-    from pyprima_spark.operators.dedup import ngram_gram_table
+    from pyprima_spark.operators.dedup import gram_set_sizes, ngram_gram_table
     from pyprima_spark.plans.constants import (
         NGRAM_DF_MAX,
         NGRAM_JACCARD_TAU,
@@ -747,36 +747,41 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "len_band", F.floor(F.length("text") / NGRAM_LEN_BAND)
     )
     # Stop-grams (bucket df > NGRAM_DF_MAX) are cut before the
-    # self-join: they dominate join fanout without signal. Both join
-    # sides share the gram-table subplan via AQE exchange reuse.
+    # self-join: they dominate join fanout without signal. The gram
+    # table is materialized once — the per-side renames below the join
+    # exchanges defeat exchange reuse, so without the stage boundary
+    # the explode+normalize+window derivation runs twice, and at corpus
+    # scale the derivation is the dominant stage.
     grams = ngram_gram_table(
         docs, "doc_id", "text", ["source", "len_band"], df_max=NGRAM_DF_MAX
-    )
-    a = grams.select(
-        F.col("doc").alias("doc_a"),
-        F.col("gset_size").alias("size_a"),
-        "source",
-        "len_band",
-        "gram",
-    )
-    b = grams.select(
-        F.col("doc").alias("doc_b"),
-        F.col("gset_size").alias("size_b"),
-        "source",
-        "len_band",
-        "gram",
-    )
+    ).localCheckpoint(eager=True)
+    # Set sizes ride on the (tiny) per-doc count, joined onto the
+    # aggregated pairs — not window-attached to every gram row, which
+    # would sort-shuffle the full gram table once more.
+    sizes = gram_set_sizes(grams)
+    a = grams.select(F.col("doc").alias("doc_a"), "source", "len_band", "gram")
+    b = grams.select(F.col("doc").alias("doc_b"), "source", "len_band", "gram")
     shared = (
         a.join(b, ["source", "len_band", "gram"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b", "size_a", "size_b")
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    withsizes = (
+        shared.join(
+            sizes.select(F.col("doc").alias("doc_a"), F.col("gset_size").alias("size_a")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc").alias("doc_b"), F.col("gset_size").alias("size_b")),
+            "doc_b",
+        )
     )
     jacc = F.round(
         F.col("shared") / (F.col("size_a") + F.col("size_b") - F.col("shared")), 4
     )
     return (
-        shared.withColumn("jacc", jacc)
+        withsizes.withColumn("jacc", jacc)
         .filter(F.col("jacc") >= NGRAM_JACCARD_TAU)
         .select("doc_a", "doc_b", "jacc")
         .orderBy("doc_a", "doc_b")
