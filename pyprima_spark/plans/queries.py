@@ -1235,8 +1235,9 @@ def cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprints shared between every pair of sources — the train/test
     benchmark-contamination probe over a corpus.
 
-    The (source, fingerprint) self-join sides share one subplan (AQE
-    exchange reuse — the winnow pass runs once, nothing stays cached);
+    The (source, fingerprint) table is materialized once before the
+    self-join (the per-side source renames defeat exchange reuse, so
+    the winnow pass — rolling hashes + two windows — would run twice);
     the join key is the fingerprint hash (uniform), and per-pair
     distinct counting happens after the row-level distinct, so the pair
     space is bounded by real overlap, never |docs|^2.
@@ -1249,6 +1250,7 @@ def cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         fps.join(docs.select("doc_id", "source"), "doc_id")
         .select("source", "fingerprint")
         .distinct()
+        .localCheckpoint(eager=True)
     )
     a = fsrc.select(F.col("source").alias("source_a"), "fingerprint")
     b = fsrc.select(F.col("source").alias("source_b"), "fingerprint")
