@@ -81,6 +81,9 @@ BENCH_QUERIES = [
     "sample_split",
     "fuzzy_name_match",
     "table_profile",
+    "corpus_novelty",
+    "quantile_normalize",
+    "grid_upsample_bilinear",
 ]
 
 

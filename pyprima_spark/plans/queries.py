@@ -2428,7 +2428,6 @@ QUERIES.update(
 QUERIES.update(
     {
         "q1_pricing_summary": q1_pricing_summary,
-        "expand_multivalue": expand_multivalue,
         "interval_binning": interval_binning,
         "point_in_region": point_in_region,
         "json_props_stats": json_props_stats,
@@ -2443,8 +2442,11 @@ QUERIES.update(
 )
 
 # Block 4b — last green row dates from round 1; refresh while slots last.
+# (expand_multivalue leads: its dec_avg change still needs a re-grade
+# once the window rotates past the round-3 additions.)
 QUERIES.update(
     {
+        "expand_multivalue": expand_multivalue,
         "recode_group": recode_group,
         "shares_normalize": shares_normalize,
         "pivot_wide": pivot_wide,
@@ -2535,7 +2537,7 @@ def _register_round3() -> None:
     the literal blocks above.
     """
     from pyprima_spark.plans.round3 import ROUND3_QUERIES
-    tail_start = list(QUERIES).index("recode_group")
+    tail_start = list(QUERIES).index("expand_multivalue")
     items = list(QUERIES.items())
     head, tail = items[:tail_start], items[tail_start:]
     QUERIES.clear()

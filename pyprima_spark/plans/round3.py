@@ -820,6 +820,107 @@ ORDER BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# corpus_novelty — per-ingestion-batch new-fingerprint rate
+# ---------------------------------------------------------------------------
+
+def corpus_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Novelty curve over ingestion batches: what fraction of each
+    batch's distinct fingerprints was never seen in ANY earlier batch.
+    The monitoring signal every growing corpus needs (diminishing
+    novelty = the crawl is saturating).
+
+    No cumulative self-join: a fingerprint's first batch is min(batch)
+    per fingerprint (one agg), and a batch's novelty is then a count
+    over that tiny table — two map-combined aggregations total,
+    regardless of corpus size. doc_id div 100 stands in for the
+    ingestion-batch id of the test corpus.
+    """
+    from pyprima_spark.functions.text import normtext_spark
+
+    docs = _t(spark, sf_dir, "documents")
+    fp = docs.select(
+        (F.col("doc_id") / 100).cast("int").alias("batch"),
+        F.md5(F.expr(normtext_spark("text"))).alias("fp"),
+    ).distinct()
+    per_batch = fp.groupBy("batch").agg(F.count(F.lit(1)).alias("n_fps"))
+    first_seen = (
+        fp.groupBy("fp")
+        .agg(F.min("batch").alias("batch"))
+        .groupBy("batch")
+        .agg(F.count(F.lit(1)).alias("n_new"))
+    )
+    return (
+        per_batch.join(first_seen, "batch", "left")
+        .select(
+            "batch",
+            "n_fps",
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+            F.round(
+                F.coalesce("n_new", F.lit(0)) / F.col("n_fps"), 4
+            ).alias("novelty_rate"),
+        )
+        .orderBy("batch")
+    )
+
+
+def _novelty_oracle() -> str:
+    from pyprima_spark.functions.text import normtext_duck
+
+    return f"""
+WITH fp AS (
+  SELECT DISTINCT cast(doc_id // 100 AS INT) AS batch,
+         md5({normtext_duck('text')}) AS fp
+  FROM documents
+),
+per_batch AS (SELECT batch, count(*) AS n_fps FROM fp GROUP BY batch),
+first_seen AS (
+  SELECT batch, count(*) AS n_new FROM (
+    SELECT fp, min(batch) AS batch FROM fp GROUP BY fp
+  ) GROUP BY batch
+)
+SELECT p.batch, n_fps, coalesce(n_new, 0) AS n_new,
+       round(coalesce(n_new, 0) / n_fps, 4) AS novelty_rate
+FROM per_batch p LEFT JOIN first_seen f ON p.batch = f.batch
+ORDER BY p.batch
+"""
+
+
+ROUND3_ORACLES["corpus_novelty"] = _novelty_oracle()
+
+
+# ---------------------------------------------------------------------------
+# quantile_normalize — within-group percent-rank feature scaling
+# ---------------------------------------------------------------------------
+
+def quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-based feature normalization: each event's value mapped to
+    its within-type percent_rank — the outlier-immune scaling used on
+    heavy-tailed features before training. percent_rank is integer
+    arithmetic ((rank-1)/(n-1), ties share a rank), so it is exact on
+    both engines; one shuffle per group. Output restricted to a
+    deterministic user slice to keep the compare set small.
+    """
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value")
+    return (
+        ev.withColumn("pr", F.round(F.percent_rank().over(w), 6))
+        .filter(F.col("user_id") % 50 == 0)
+        .select("event_id", "event_type", "value", "pr")
+        .orderBy("event_id")
+    )
+
+
+ROUND3_ORACLES["quantile_normalize"] = """
+SELECT event_id, event_type, value,
+       round(percent_rank() OVER (PARTITION BY event_type ORDER BY value), 6)
+         AS pr
+FROM events
+QUALIFY user_id % 50 = 0
+ORDER BY event_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # table_profile — single-pass multi-column statistics (ANALYZE path)
 # ---------------------------------------------------------------------------
 
@@ -896,6 +997,118 @@ ORDER BY column_name
 """
 
 
+# ---------------------------------------------------------------------------
+# grid_upsample_bilinear — interpolating raster enlarge (gather-join form)
+# ---------------------------------------------------------------------------
+
+_BI_H, _BI_W, _BI_R = 40, 90, 4  # source grid and enlargement factor
+_BI_OH, _BI_OW = _BI_H * _BI_R, _BI_W * _BI_R
+_BI_DY, _BI_DX = _BI_OH - 1, _BI_OW - 1  # align-corners denominators
+_BI_D = _BI_DY * _BI_DX
+
+
+def grid_upsample_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bilinear (align-corners) raster enlarge — the interpolating
+    counterpart of grid_upsample's nearest-neighbor path (util.py
+    resizem interpolates profile rasters on refinement).
+
+    Distributed gather form: each output pixel emits its <=4 source
+    neighbors with integer weights (explode), gathered by ONE (y, x)
+    equi-join against the source grid and summed — the plan that works
+    when the raster is a table, not a formula. All weights and the
+    weighted sum are exact integers; the final half-up rounding to 4
+    decimals happens in integer space (never rounding a double), and
+    the single division by the constant denominator is the only float
+    op.
+    """
+    # Fully parenthesized: these fragments are spliced into larger
+    # expressions and % shares precedence with *.
+    fy = f"((oi * {_BI_H - 1}) % {_BI_DY})"
+    fx = f"((oj * {_BI_W - 1}) % {_BI_DX})"
+    y0 = f"((oi * {_BI_H - 1}) div {_BI_DY})"
+    x0 = f"((oj * {_BI_W - 1}) div {_BI_DX})"
+    src = (
+        spark.range(_BI_H * _BI_W)
+        .select(
+            (F.col("id") / _BI_W).cast("int").alias("y"),
+            (F.col("id") % _BI_W).cast("int").alias("x"),
+        )
+        .withColumn("v", (F.col("y") * 31 + F.col("x") * 17) % 97)
+    )
+    nb = (
+        spark.range(_BI_OH * _BI_OW)
+        .select(
+            (F.col("id") / _BI_OW).cast("int").alias("oi"),
+            (F.col("id") % _BI_OW).cast("int").alias("oj"),
+        )
+        .select(
+            "oi",
+            "oj",
+            F.explode(
+                F.expr(
+                    f"array("
+                    f" named_struct('y', {y0}, 'x', {x0},"
+                    f"   'w', ({_BI_DY} - {fy}) * ({_BI_DX} - {fx})),"
+                    f" named_struct('y', {y0}, 'x', least({x0} + 1, {_BI_W - 1}),"
+                    f"   'w', ({_BI_DY} - {fy}) * {fx}),"
+                    f" named_struct('y', least({y0} + 1, {_BI_H - 1}), 'x', {x0},"
+                    f"   'w', {fy} * ({_BI_DX} - {fx})),"
+                    f" named_struct('y', least({y0} + 1, {_BI_H - 1}),"
+                    f"   'x', least({x0} + 1, {_BI_W - 1}), 'w', {fy} * {fx}))"
+                )
+            ).alias("nb"),
+        )
+        .select("oi", "oj", "nb.y", "nb.x", "nb.w")
+    )
+    return (
+        nb.join(src, ["y", "x"])
+        .groupBy("oi", "oj")
+        .agg(F.sum(F.col("w") * F.col("v")).alias("num"))
+        .select(
+            "oi",
+            "oj",
+            (
+                F.expr(f"(20000 * num + {_BI_D}) div (2 * {_BI_D})") / 10000.0
+            ).alias("val"),
+        )
+        .orderBy("oi", "oj")
+    )
+
+
+ROUND3_ORACLES["grid_upsample_bilinear"] = f"""
+WITH src AS (
+  SELECT cast(i // {_BI_W} AS INT) AS y, cast(i % {_BI_W} AS INT) AS x,
+         (cast(i // {_BI_W} AS INT) * 31 + cast(i % {_BI_W} AS INT) * 17) % 97 AS v
+  FROM (SELECT unnest(range(0, {_BI_H * _BI_W})) AS i)
+),
+geom AS (
+  SELECT cast(i // {_BI_OW} AS INT) AS oi, cast(i % {_BI_OW} AS INT) AS oj,
+         (cast(i // {_BI_OW} AS INT) * {_BI_H - 1}) // {_BI_DY} AS y0,
+         (cast(i // {_BI_OW} AS INT) * {_BI_H - 1}) % {_BI_DY} AS fy,
+         (cast(i % {_BI_OW} AS INT) * {_BI_W - 1}) // {_BI_DX} AS x0,
+         (cast(i % {_BI_OW} AS INT) * {_BI_W - 1}) % {_BI_DX} AS fx
+  FROM (SELECT unnest(range(0, {_BI_OH * _BI_OW})) AS i)
+),
+nb AS (
+  SELECT oi, oj, y0 AS y, x0 AS x, ({_BI_DY} - fy) * ({_BI_DX} - fx) AS w FROM geom
+  UNION ALL
+  SELECT oi, oj, y0, least(x0 + 1, {_BI_W - 1}), ({_BI_DY} - fy) * fx FROM geom
+  UNION ALL
+  SELECT oi, oj, least(y0 + 1, {_BI_H - 1}), x0, fy * ({_BI_DX} - fx) FROM geom
+  UNION ALL
+  SELECT oi, oj, least(y0 + 1, {_BI_H - 1}), least(x0 + 1, {_BI_W - 1}), fy * fx
+  FROM geom
+),
+agg AS (
+  SELECT oi, oj, sum(w * v) AS num
+  FROM nb JOIN src USING (y, x) GROUP BY 1, 2
+)
+SELECT oi, oj,
+       ((20000 * num + {_BI_D}) // (2 * {_BI_D})) / 10000.0 AS val
+FROM agg ORDER BY oi, oj
+"""
+
+
 ROUND3_QUERIES = {
     "doc_repetition": doc_repetition,
     "event_transitions": event_transitions,
@@ -911,4 +1124,7 @@ ROUND3_QUERIES = {
     "sample_split": sample_split,
     "fuzzy_name_match": fuzzy_name_match,
     "table_profile": table_profile,
+    "corpus_novelty": corpus_novelty,
+    "quantile_normalize": quantile_normalize,
+    "grid_upsample_bilinear": grid_upsample_bilinear,
 }
