@@ -127,3 +127,107 @@ def run_sessions_stream(
     )
     q.awaitTermination()
     return spark.table(query_name).orderBy("user_id", "session_start")
+
+
+def _sessionize_group_timeout(
+    key: tuple[Any, ...], pdfs: Iterable[pd.DataFrame], state: Any
+) -> Iterable[pd.DataFrame]:
+    """Event-time-timeout sessionizer: closed sessions emit as soon as
+    their gap is exceeded WITHIN the data; the open session is held in
+    state and emitted only when the event-time watermark passes
+    last_ts + gap (state.hasTimedOut) — the production shape
+    _sessionize_group's docstring promises: no per-batch emission of
+    open sessions, bounded state with watermark-driven eviction.
+    """
+    (user_id,) = key
+    gap_us = GAP_SECONDS * 1_000_000
+
+    def fmt(us: int) -> str:
+        return pd.Timestamp(us, unit="us").strftime("%Y-%m-%d %H:%M:%S.%f")
+
+    def frame(sessions: list[tuple]) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": [user_id] * len(sessions),
+                "session_start": [fmt(s) for s, _, _, _ in sessions],
+                "session_end": [fmt(l + gap_us) for _, l, _, _ in sessions],
+                "n_events": [n for _, _, n, _ in sessions],
+                "total_value": [round(t, 2) for _, _, _, t in sessions],
+            }
+        )
+
+    if state.hasTimedOut:
+        start_us, last_us, n, total = state.get
+        state.remove()
+        yield frame([(start_us, last_us, n, total)])
+        return
+
+    rows = pd.concat(list(pdfs)).sort_values("ts")
+    ts_us = pd.to_datetime(rows["ts"]).astype("datetime64[us]").astype("int64")
+    vals = rows["value"]
+    if state.exists:
+        start_us, last_us, n, total = state.get
+    else:
+        start_us = last_us = None
+        n, total = 0, 0.0
+
+    closed: list[tuple] = []
+    for t, v in zip(ts_us, vals):
+        if last_us is not None and t - last_us >= gap_us:
+            closed.append((start_us, last_us, n, total))
+            start_us, n, total = t, 0, 0.0
+        if start_us is None:
+            start_us = t
+        last_us = t
+        n += 1
+        total += float(v)
+    state.update((int(start_us), int(last_us), int(n), float(total)))
+    # Evict when the watermark passes the open session's close edge.
+    state.setTimeoutTimestamp((int(last_us) + gap_us) // 1000)
+    yield frame(closed)
+
+
+def run_sessions_stream_timeout(
+    spark: SparkSession,
+    src_dir: str,
+    watermark: str = "1 second",
+    query_name: str = "stream_sessions_timeout",
+) -> DataFrame:
+    """Stateful sessionization with event-time state eviction over a
+    file stream (one micro-batch per file via maxFilesPerTrigger, so
+    the watermark advances between batches and timers actually fire)."""
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    for field in stream.schema.fields:
+        if isinstance(field.dataType, T.TimestampNTZType):
+            stream = stream.withColumn(
+                field.name, F.col(field.name).cast(T.TimestampType())
+            )
+    out = (
+        stream.withWatermark("ts", watermark)
+        .select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize_group_timeout,
+            outputStructType=OUT_SCHEMA,
+            stateStructType="start_us long, last_us long, n long, total double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name).orderBy("user_id", "session_start")

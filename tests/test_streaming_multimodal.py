@@ -143,3 +143,41 @@ def test_curation_pipeline_materializes_consistently(spark, sf_dir, tmp_path):
     one = corpus.filter(F.col("source") == "src3")
     plan = one._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(source" in plan
+
+
+def test_stateful_sessionize_event_time_timeout(spark, tmp_path):
+    """Burst-1 sessions must be emitted by TIMER (watermark passing
+    last_ts + gap), not by per-batch flushing: they arrive closed only
+    after later batches advance the watermark. The still-open burst-3
+    session must NOT be emitted at all."""
+    import datetime as dt
+
+    from pyprima_spark.streaming.sessions import (
+        GAP_SECONDS,
+        run_sessions_stream_timeout,
+    )
+
+    src = tmp_path / "bursts"
+    src.mkdir()
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, "user_id long, ts timestamp, value double") \
+            .coalesce(1).write.mode("overwrite").parquet(str(src / name))
+
+    # File-source ordering is by path: 3 lexicographic batch dirs.
+    gap = dt.timedelta(seconds=GAP_SECONDS)
+    write_batch("b1", [(1, t0, 10.0), (1, t0 + dt.timedelta(minutes=5), 2.5)])
+    write_batch("b2", [(2, t0 + 2 * gap, 7.0)])          # advances watermark past user-1 timeout
+    write_batch("b3", [(3, t0 + 5 * gap, 1.0)])          # fires user-1 (and user-2) timers
+    # availableNow + maxFilesPerTrigger=1 -> one batch per file, in order.
+    got = run_sessions_stream_timeout(
+        spark, f"{src}/*", query_name="t_sessions_timeout"
+    ).collect()
+    by_user = {r.user_id: r for r in got}
+    assert 1 in by_user, f"user 1 session should have timed out: {got}"
+    s1 = by_user[1]
+    assert s1.n_events == 2 and abs(s1.total_value - 12.5) < 1e-9
+    assert s1.session_start.startswith("2024-01-01 00:00:00")
+    # burst-3 user stays open (watermark never passes its close edge)
+    assert 3 not in by_user
