@@ -70,10 +70,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # which unix_micros / withWatermark / window() reject. With the session
     # time zone pinned UTC above, NTZ -> TIMESTAMP is a lossless identity
     # on the wall clock, so normalize every NTZ column here instead of
-    # making each operator handle both flavors.
-    for field in df.schema.fields:
-        if isinstance(field.dataType, T.TimestampNTZType):
-            df = df.withColumn(field.name, F.col(field.name).cast(T.TimestampType()))
+    # making each operator handle both flavors. ONE select projection, not
+    # chained withColumn: each withColumn is its own Project node to
+    # analyze, and the chain measurably taxes plan construction on every
+    # query that touches the table (sessionize first-run regression, r3).
+    if any(isinstance(f.dataType, T.TimestampNTZType) for f in df.schema.fields):
+        df = df.select(
+            *[
+                F.col(f.name).cast(T.TimestampType()).alias(f.name)
+                if isinstance(f.dataType, T.TimestampNTZType)
+                else F.col(f.name)
+                for f in df.schema.fields
+            ]
+        )
     if name in WIDEN_TABLES:
         df = widen_scan(df)
     return df

@@ -1611,3 +1611,7 @@ ORACLES.update(_EXTRA_ORACLES)
 from pyprima_spark.plans.round3 import ROUND3_ORACLES as _ROUND3_ORACLES
 
 ORACLES.update(_ROUND3_ORACLES)
+
+from pyprima_spark.plans.round4 import ROUND4_ORACLES as _ROUND4_ORACLES
+
+ORACLES.update(_ROUND4_ORACLES)

@@ -2529,21 +2529,84 @@ QUERIES.update(
 )
 
 
-def _register_round3() -> None:
-    """Insert round-3 operators after Block 2 (inside the grading window).
+def _register_rounds() -> None:
+    """Register the round-3 / round-4 operator modules.
 
-    Implemented in plans/round3.py; registered via a rebuild of QUERIES
-    so the new keys land between Block 2 and Block 4 without renumbering
-    the literal blocks above.
+    Ordering is irrelevant here — ``_order_grading_window`` below rebuilds
+    the dict so the driver's grading window (the FIRST ``_WINDOW_SIZE``
+    keys in insertion order) is exactly the intended re-grade set.
     """
     from pyprima_spark.plans.round3 import ROUND3_QUERIES
-    tail_start = list(QUERIES).index("expand_multivalue")
-    items = list(QUERIES.items())
-    head, tail = items[:tail_start], items[tail_start:]
-    QUERIES.clear()
-    QUERIES.update(dict(head))
+    from pyprima_spark.plans.round4 import ROUND4_QUERIES
+
     QUERIES.update(ROUND3_QUERIES)
-    QUERIES.update(dict(tail))
+    QUERIES.update(ROUND4_QUERIES)
 
 
-_register_round3()
+_WINDOW_SIZE = 50
+
+# Round-4 window head (VERDICT r3 "Next round" items 1-2): the key whose
+# grade went stale (expand_multivalue, edited by the dec_avg sweep after
+# its r1-green row), the perf-regressed sessionize, every key whose last
+# green driver row dates from round 1 (shared infrastructure — the
+# catalog NTZ layer, dec_avg helpers — has evolved since), and
+# embedding_dedup (checkpoint layout touched this round). Round-4's NEW
+# keys (plans/round4.py) fill the remaining window slots.
+_R4_REGRADE_HEAD = [
+    "expand_multivalue",
+    "sessionize",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "recode_group",
+    "shares_normalize",
+    "pivot_wide",
+    "unpivot_long",
+    "dedup_names",
+    "ffill_impute",
+    "clean_names_ascii",
+    "calendar_enrich",
+    "weighted_disaggregate",
+    "cohort_rollup",
+    "expansion_grid",
+    "dedup_exact",
+    "dedup_fingerprint",
+    "winnow_fingerprints",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_topk",
+    "ann_lsh",
+    "quality_topk_per_source",
+    "deterministic_sample",
+    "rollup_sales",
+    "cube_sales",
+    "dedup_clusters",
+    "incremental_new_docs",
+    "cross_source_overlap",
+    "embedding_dedup",
+]
+
+
+def _order_grading_window() -> None:
+    """Rebuild QUERIES so the first ``_WINDOW_SIZE`` keys are the round-4
+    grading window: the re-grade head above, then this round's new
+    operators. Everything else keeps its current relative order after the
+    window. Asserts (rather than comments — see ADVICE r3 on the fragile
+    round-3 splice) that the head actually fits the window."""
+    from pyprima_spark.plans.round4 import ROUND4_QUERIES
+
+    head = list(_R4_REGRADE_HEAD)
+    head += [k for k in ROUND4_QUERIES if k not in head]
+    missing = [k for k in head if k not in QUERIES]
+    assert not missing, f"grading-window keys not registered: {missing}"
+    assert len(head) <= _WINDOW_SIZE, (
+        f"window head has {len(head)} keys; driver grades {_WINDOW_SIZE}"
+    )
+    rest = dict(QUERIES)
+    QUERIES.clear()
+    for key in head:
+        QUERIES[key] = rest.pop(key)
+    QUERIES.update(rest)
+
+
+_register_rounds()
+_order_grading_window()
