@@ -117,6 +117,11 @@ def minhash_candidate_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFr
     corpus scale the derivation dominates the join, so the stage
     boundary here is the 2x; in production this materialization is the
     signature-table parquet write every LSH pipeline persists anyway.
+    localCheckpoint is the LOCAL-MODE stand-in for that write: it is
+    non-reliable (executor loss loses blocks) and pins MEMORY_AND_DISK
+    blocks until the session GC's the plan, so the cluster path is a
+    reliable checkpoint dir or an explicit parquet round-trip of the
+    band table, not this call.
     """
     bands = minhash_band_table(df, id_col, text_col).localCheckpoint(eager=True)
     a = bands.select(

@@ -131,13 +131,14 @@ def embedding_dedup(emb: DataFrame, tau: float, id_col: str = "vec_id") -> DataF
     recall rises with B. Verification (the cosine) runs ONCE per
     distinct pair, via two id-equi-joins back to the vector table.
     """
-    # base feeds the signature derivation plus both verify joins — one
-    # materialization serves all three consumers.
-    base = (
-        with_vec_norm(emb)
-        .select(F.col(id_col).alias("vid"), "vec", "nrm")
-        .localCheckpoint(eager=True)
-    )
+    # base feeds the signature derivation plus both verify joins, but is
+    # deliberately NOT checkpointed: materializing it writes the full
+    # vector payload (the wide column) three consumers' worth, while
+    # re-deriving it is a cheap cached-scan + norm recompute (measured
+    # ~0.5s cold at sf0.1 in the checkpoint's favor removed). In
+    # production the analogue is storing norms as a column of the vector
+    # table — a one-off ETL, not a per-query materialization.
+    base = with_vec_norm(emb).select(F.col(id_col).alias("vid"), "vec", "nrm")
 
     sig = base.select(
         "vid",
@@ -155,7 +156,12 @@ def embedding_dedup(emb: DataFrame, tau: float, id_col: str = "vec_id") -> DataF
     ).select("vid", "bb.band", "bb.bucket")
     # Materialize signatures once before the self-join: the a/b alias
     # renames sit below the join exchanges, so exchange reuse never
-    # fires and the hyperplane-projection pass would run twice.
+    # fires and the hyperplane-projection pass would run twice. The
+    # signature table is small (id, band, bucket — no vectors), which is
+    # exactly why it is the thing to persist; on a cluster this is the
+    # signature-table parquet write every LSH pipeline does
+    # (localCheckpoint is non-reliable under executor loss — local-mode
+    # stand-in only).
     sig = sig.localCheckpoint(eager=True)
     pairs = (
         sig.alias("a")

@@ -631,6 +631,13 @@ def seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dow",
             "hod",
             "n",
+            # Half-up-rounded mean in integer space. The +n offset gives
+            # half-UP only for nonnegative numerators (events.value >= 0
+            # by data contract; sc is a sum of nonneg cents). Cross-engine
+            # safety does not depend on the sign either way: Spark `div`
+            # and DuckDB `//` BOTH truncate toward zero (-7//2 = -3 in
+            # DuckDB, verified), so the two sides agree bit-for-bit even
+            # if a negative slipped in — it would merely round half-down.
             (
                 F.expr("(200 * sc + n) div (2 * n)") / 10000.0
             ).alias("mean_value"),
@@ -1067,6 +1074,10 @@ def grid_upsample_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "oi",
             "oj",
+            # Half-up for nonnegative numerators only (pixval is
+            # 0..99 by construction, so num >= 0); and Spark `div` /
+            # DuckDB `//` both truncate toward zero (verified), so the
+            # engines agree regardless — see seasonal_profile.
             (
                 F.expr(f"(20000 * num + {_BI_D}) div (2 * {_BI_D})") / 10000.0
             ).alias("val"),

@@ -178,7 +178,16 @@ def _sessionize_group_timeout(
             start_us, n, total = t, 0, 0.0
         if start_us is None:
             start_us = t
-        last_us = t
+        # Order-aware merge across batches: sort_values only orders
+        # WITHIN this micro-batch, so a later batch can deliver an event
+        # with t < stored last_us (still above the watermark). Such a
+        # late event belongs to the open session (it is within gap of
+        # last_us by t < last_us); folding it with min/max instead of
+        # assignment keeps last_us monotone — otherwise the session
+        # boundary shifts backwards and the timeout timestamp regresses
+        # below the watermark.
+        start_us = min(start_us, t)
+        last_us = t if last_us is None else max(last_us, t)
         n += 1
         total += float(v)
     state.update((int(start_us), int(last_us), int(n), float(total)))

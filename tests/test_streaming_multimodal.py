@@ -165,11 +165,21 @@ def test_stateful_sessionize_event_time_timeout(spark, tmp_path):
         spark.createDataFrame(rows, "user_id long, ts timestamp, value double") \
             .coalesce(1).write.mode("overwrite").parquet(str(src / name))
 
-    # File-source ordering is by path: 3 lexicographic batch dirs.
+    # FileStreamSource orders unprocessed files by MODIFICATION TIME
+    # (not path); the sequential writes below usually suffice, but pin
+    # distinct mtimes explicitly so coarse-mtime filesystems can't
+    # reorder the batches.
     gap = dt.timedelta(seconds=GAP_SECONDS)
     write_batch("b1", [(1, t0, 10.0), (1, t0 + dt.timedelta(minutes=5), 2.5)])
     write_batch("b2", [(2, t0 + 2 * gap, 7.0)])          # advances watermark past user-1 timeout
     write_batch("b3", [(3, t0 + 5 * gap, 1.0)])          # fires user-1 (and user-2) timers
+    import os as _os
+    import time as _time
+
+    now = _time.time()
+    for i, name in enumerate(["b1", "b2", "b3"]):
+        for f in (src / name).rglob("*"):
+            _os.utime(f, (now + i, now + i))
     # availableNow + maxFilesPerTrigger=1 -> one batch per file, in order.
     got = run_sessions_stream_timeout(
         spark, f"{src}/*", query_name="t_sessions_timeout"
@@ -181,3 +191,49 @@ def test_stateful_sessionize_event_time_timeout(spark, tmp_path):
     assert s1.session_start.startswith("2024-01-01 00:00:00")
     # burst-3 user stays open (watermark never passes its close edge)
     assert 3 not in by_user
+
+
+def test_sessions_timeout_out_of_order_across_batches(spark, tmp_path):
+    """An event arriving in a LATER micro-batch with ts < the stored
+    last_us (but above the watermark) must fold into the open session
+    without moving its boundary backwards: last_us stays monotone, so
+    session_end and the eviction timer do not regress."""
+    import datetime as dt
+    import os as _os
+    import time as _time
+
+    from pyprima_spark.streaming.sessions import (
+        GAP_SECONDS,
+        run_sessions_stream_timeout,
+    )
+
+    src = tmp_path / "ooo"
+    src.mkdir()
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    gap = dt.timedelta(seconds=GAP_SECONDS)
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, "user_id long, ts timestamp, value double") \
+            .coalesce(1).write.mode("overwrite").parquet(str(src / name))
+
+    write_batch("b1", [(1, t0, 1.0), (1, t0 + dt.timedelta(hours=1), 2.0)])
+    # Arrives a batch later but 30 min BEFORE the stored last event;
+    # the 2h watermark delay keeps it above the watermark.
+    write_batch("b2", [(1, t0 + dt.timedelta(minutes=30), 4.0)])
+    write_batch("b3", [(2, t0 + dt.timedelta(hours=1) + 2 * gap + dt.timedelta(hours=2), 9.0)])
+    now = _time.time()
+    for i, name in enumerate(["b1", "b2", "b3"]):
+        for f in (src / name).rglob("*"):
+            _os.utime(f, (now + i, now + i))
+
+    got = run_sessions_stream_timeout(
+        spark, f"{src}/*", watermark="2 hours", query_name="t_sessions_ooo"
+    ).collect()
+    by_user = {r.user_id: r for r in got}
+    assert 1 in by_user, f"user 1 session should have timed out: {got}"
+    s1 = by_user[1]
+    assert s1.n_events == 3 and abs(s1.total_value - 7.0) < 1e-9
+    assert s1.session_start.startswith("2024-01-01 00:00:00")
+    # end = last event (01:00) + gap — NOT the late 00:30 event + gap
+    expected_end = t0 + dt.timedelta(hours=1) + gap
+    assert s1.session_end.startswith(expected_end.strftime("%Y-%m-%d %H:%M:%S"))
