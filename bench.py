@@ -84,6 +84,26 @@ BENCH_QUERIES = [
     "corpus_novelty",
     "quantile_normalize",
     "grid_upsample_bilinear",
+    "landuse_reclass",
+    "protected_areas_raster",
+    "model_export_bundle",
+    "table_profile_approx",
+    "bm25_ranking",
+    "pii_scan",
+    "heavy_hitters",
+    "knn_sites",
+    "cooccurrence_pmi",
+    "graph_degree_triangles",
+    "range_partition_bounds",
+    "percent_change_mom",
+    "ngram_containment",
+    "vector_quantize_sq",
+    "event_gap_stats",
+    "charset_stats",
+    "running_inventory",
+    "order_cycle_time",
+    "golden_record",
+    "skyline_pareto",
 ]
 
 

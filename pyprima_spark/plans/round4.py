@@ -348,7 +348,17 @@ def model_export_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
     bundle = glob.unionByName(site).unionByName(commodity).unionByName(
         process
     ).unionByName(demand).unionByName(supim)
-    return bundle.orderBy("sheet", "site", "item", "t", "attr")
+    # Null placement pinned EXPLICITLY on both sides: Spark defaults to
+    # NULLS FIRST ascending, DuckDB to NULLS LAST — an unpinned sort on
+    # the nullable site/item/t keys would hash-diverge under a row-order
+    # sensitive compare.
+    return bundle.orderBy(
+        F.asc("sheet"),
+        F.asc_nulls_first("site"),
+        F.asc_nulls_first("item"),
+        F.asc_nulls_first("t"),
+        F.asc("attr"),
+    )
 
 
 ROUND4_ORACLES["model_export_bundle"] = """
@@ -390,7 +400,7 @@ SELECT * FROM (
          round(hsum::DOUBLE / (sum(hsum) OVER (PARTITION BY site))::DOUBLE, 6)
   FROM hourly
 )
-ORDER BY sheet, site, item, t, attr
+ORDER BY sheet, site NULLS FIRST, item NULLS FIRST, t NULLS FIRST, attr
 """
 
 ROUND4_QUERIES["model_export_bundle"] = model_export_bundle
@@ -792,3 +802,943 @@ ORDER BY c_custkey, rn
 
 ROUND4_ORACLES["knn_sites"] = _knn_oracle()
 ROUND4_QUERIES["knn_sites"] = knn_sites
+
+
+# ---------------------------------------------------------------------------
+# cooccurrence_pmi — pointwise mutual information over co-occurring terms
+# ---------------------------------------------------------------------------
+
+_PMI_VOCAB_K = 40  # co-occurrence restricted to the top-K vocabulary
+_PMI_MIN_PAIRS = 5
+
+
+def cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top PMI term pairs across the corpus (SURVEY §2 #95) — phrase /
+    collocation mining for tokenizer and topic analysis.
+
+    Scale discipline: naive co-occurrence is |doc_vocab|^2 per document.
+    The pair space is bounded FIRST by restricting to the top-K global
+    vocabulary (a dim-sized broadcast derived with one map-combined
+    count), so the per-doc fanout is <= K^2/2 regardless of document
+    length — the same candidate-bounding discipline as every LSH band
+    join. The (doc, term) incidence table is materialized once before
+    its self-join (alias renames below the exchanges defeat reuse,
+    SURVEY §6). PMI's ln() runs once per surviving pair on integer
+    counts; rounded at the output edge.
+    """
+    from pyprima_spark.functions.text import tokens_spark
+
+    docs = _t(spark, sf_dir, "documents")
+    n_docs_df = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    tok = docs.select(
+        "doc_id", F.explode(F.expr(tokens_spark("text"))).alias("term")
+    ).distinct()
+    wv = Window.orderBy(F.desc("cnt"), F.asc("term"))
+    vocab = (
+        tok.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("r", F.row_number().over(wv))
+        .filter(F.col("r") <= _PMI_VOCAB_K)
+        .select("term", F.col("cnt").alias("c_term"))
+    )
+    inc = tok.join(F.broadcast(vocab), "term").localCheckpoint(eager=True)
+    a = inc.select(
+        "doc_id", F.col("term").alias("term_a"), F.col("c_term").alias("c_a")
+    )
+    b = inc.select(
+        "doc_id", F.col("term").alias("term_b"), F.col("c_term").alias("c_b")
+    )
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("term_a") < F.col("term_b"))
+        .groupBy("term_a", "term_b", "c_a", "c_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= _PMI_MIN_PAIRS)
+    )
+    pmi = F.round(
+        F.log(
+            F.col("n_ab").cast("double")
+            * F.col("n_docs").cast("double")
+            / (F.col("c_a").cast("double") * F.col("c_b").cast("double"))
+        ),
+        4,
+    )
+    w = Window.orderBy(F.desc("pmi"), F.asc("term_a"), F.asc("term_b"))
+    return (
+        pairs.crossJoin(F.broadcast(n_docs_df))
+        .withColumn("pmi", pmi)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select("rank", "term_a", "term_b", "n_ab", "pmi")
+        .orderBy("rank")
+    )
+
+
+def _pmi_oracle() -> str:
+    from pyprima_spark.functions.text import tokens_duck
+
+    return f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest({tokens_duck('text')}) AS term
+  FROM documents
+), vocab AS (
+  SELECT term, count(*) AS c_term
+  FROM tok GROUP BY term
+  ORDER BY c_term DESC, term LIMIT {_PMI_VOCAB_K}
+), inc AS (
+  SELECT doc_id, term, c_term FROM tok JOIN vocab USING (term)
+), pairs AS (
+  SELECT a.term AS term_a, b.term AS term_b, a.c_term AS c_a,
+         b.c_term AS c_b, count(*) AS n_ab
+  FROM inc a JOIN inc b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY 1, 2, 3, 4
+  HAVING count(*) >= {_PMI_MIN_PAIRS}
+), scored AS (
+  SELECT term_a, term_b, n_ab,
+         round(ln(n_ab::DOUBLE * (SELECT count(*) FROM documents)::DOUBLE
+                  / (c_a::DOUBLE * c_b::DOUBLE)), 4) AS pmi
+  FROM pairs
+)
+SELECT CAST(row_number() OVER (ORDER BY pmi DESC, term_a, term_b) AS INT) AS rank,
+       term_a, term_b, n_ab, pmi
+FROM scored
+QUALIFY rank <= 20
+ORDER BY rank
+"""
+
+
+ROUND4_ORACLES["cooccurrence_pmi"] = _pmi_oracle()
+ROUND4_QUERIES["cooccurrence_pmi"] = cooccurrence_pmi
+
+
+# ---------------------------------------------------------------------------
+# graph_degree_triangles — local clustering census of the trade graph
+# ---------------------------------------------------------------------------
+
+def _canonical_edge_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct canonical (a < b) nation-pair edges of the trade graph —
+    the same edge semantics as canonical_edges (util.py:139-155
+    reverse_lines + the grouped line table), weights dropped."""
+    from pyprima_spark.operators.edges import canonicalize_edges
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .select(
+            F.col("c_nationkey").alias("cn"),
+            F.col("s_nationkey").alias("sn"),
+        )
+    )
+    return (
+        canonicalize_edges(pairs, "cn", "sn")
+        .select("edge_a", "edge_b")
+        .distinct()
+    )
+
+
+def graph_degree_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree + triangle participation per node (SURVEY §2 #96) — the
+    local-clustering census that grid-topology QA runs on the line
+    graph (generate_intermediate_files.py:463-490 builds the node
+    neighborhood the same way).
+
+    Triangle counting in its canonical distributed form: edges are
+    ordered (a < b), so each triangle a<b<c is found EXACTLY once by
+    joining (a,b)x(b,c) on the middle node and verifying (a,c) with a
+    semi-join against the edge set — three equi-joins, no direction
+    double-counting, no dedup pass. The edge table is materialized once
+    (it feeds four consumers); at web-graph scale the same plan holds
+    with the standard high-degree-vertex split.
+    """
+    edges = _canonical_edge_set(spark, sf_dir).localCheckpoint(eager=True)
+    deg = (
+        edges.select(F.col("edge_a").alias("node"))
+        .union(edges.select(F.col("edge_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    wedge = (
+        edges.alias("e1")
+        .join(
+            edges.alias("e2"),
+            F.col("e1.edge_b") == F.col("e2.edge_a"),
+        )
+        .select(
+            F.col("e1.edge_a").alias("a"),
+            F.col("e1.edge_b").alias("b"),
+            F.col("e2.edge_b").alias("c"),
+        )
+    )
+    tris = wedge.join(
+        edges.select(
+            F.col("edge_a").alias("a"), F.col("edge_b").alias("c")
+        ),
+        ["a", "c"],
+        "leftsemi",
+    )
+    tri_per_node = (
+        tris.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return (
+        deg.join(tri_per_node, "node", "left")
+        .select(
+            F.col("node").alias("nationkey"),
+            "degree",
+            F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+ROUND4_ORACLES["graph_degree_triangles"] = """
+WITH pairs AS (
+  SELECT least(c_nationkey, s_nationkey)    AS edge_a,
+         greatest(c_nationkey, s_nationkey) AS edge_b
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  WHERE c_nationkey <> s_nationkey
+), edges AS (
+  SELECT DISTINCT edge_a, edge_b FROM pairs
+), deg AS (
+  SELECT node, count(*) AS degree FROM (
+    SELECT edge_a AS node FROM edges
+    UNION ALL
+    SELECT edge_b FROM edges
+  ) GROUP BY node
+), tris AS (
+  SELECT e1.edge_a AS a, e1.edge_b AS b, e2.edge_b AS c
+  FROM edges e1
+  JOIN edges e2 ON e1.edge_b = e2.edge_a
+  WHERE EXISTS (SELECT 1 FROM edges e3
+                WHERE e3.edge_a = e1.edge_a AND e3.edge_b = e2.edge_b)
+), tri_per_node AS (
+  SELECT node, count(*) AS n_triangles FROM (
+    SELECT a AS node FROM tris
+    UNION ALL SELECT b FROM tris
+    UNION ALL SELECT c FROM tris
+  ) GROUP BY node
+)
+SELECT deg.node AS nationkey, degree,
+       coalesce(n_triangles, 0) AS n_triangles
+FROM deg LEFT JOIN tri_per_node ON deg.node = tri_per_node.node
+ORDER BY nationkey
+"""
+
+ROUND4_QUERIES["graph_degree_triangles"] = graph_degree_triangles
+
+
+# ---------------------------------------------------------------------------
+# range_partition_bounds — sort/range-partition planning from disc quantiles
+# ---------------------------------------------------------------------------
+
+_RPB_BUCKETS = 8
+
+
+def range_partition_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-partitioner boundary computation + balance proof (SURVEY §2
+    #97) — what Spark's RangePartitioner (and every distributed sort /
+    range-clustered write) does before shuffling: pick split points,
+    then prove the buckets are balanced.
+
+    Boundaries are DISCRETE percentiles (percentile_disc returns an
+    actual data value — no interpolation float, so the bounds are
+    bit-identical across engines; the cont variant would interpolate
+    and drift) computed over a DETERMINISTIC 4% hash-gated sample —
+    exactly Spark's RangePartitioner design (reservoir-sample then
+    split), with the md5 gate making the sample engine-reproducible
+    where a reservoir is not. Sampling is what keeps this scale-sane:
+    exact percentiles buffer the full column on one reducer, while the
+    sample bound is |table|/25 regardless of scale, and the resulting
+    census SHOWS the sample bounds still split within a few percent of
+    even. The 7-bound row is a 1-row broadcast; bucket assignment is a
+    row-local CASE, and the census is one map-combined aggregation.
+    """
+    from pyprima_spark.functions import text as X
+
+    orders = _t(spark, sf_dir, "orders")
+    qs = [i / _RPB_BUCKETS for i in range(1, _RPB_BUCKETS)]
+    gate = F.expr(X.hash64_spark("cast(o_orderkey as string)")) % 100 < 4
+    bounds = orders.filter(gate).agg(
+        *[
+            F.expr(
+                f"percentile_disc({q}) WITHIN GROUP (ORDER BY o_totalprice)"
+            ).alias(f"b{i}")
+            for i, q in enumerate(qs, start=1)
+        ]
+    )
+    bucket = F.lit(1)
+    for i in range(1, _RPB_BUCKETS):
+        bucket = bucket + (F.col("o_totalprice") > F.col(f"b{i}")).cast("int")
+    return (
+        orders.select("o_totalprice")
+        .crossJoin(F.broadcast(bounds))
+        .select(bucket.alias("bucket"), "o_totalprice")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def _rpb_oracle() -> str:
+    from pyprima_spark.functions import text as X
+
+    qs = [i / _RPB_BUCKETS for i in range(1, _RPB_BUCKETS)]
+    bound_cols = ", ".join(
+        f"quantile_disc(o_totalprice, {q}) AS b{i}"
+        for i, q in enumerate(qs, start=1)
+    )
+    bucket_expr = " + ".join(
+        ["1"]
+        + [
+            f"CASE WHEN o_totalprice > b{i} THEN 1 ELSE 0 END"
+            for i in range(1, _RPB_BUCKETS)
+        ]
+    )
+    gate = X.hash64_duck("cast(o_orderkey as VARCHAR)")
+    return f"""
+WITH bounds AS (
+  SELECT {bound_cols} FROM orders WHERE {gate} % 100 < 4
+)
+SELECT {bucket_expr} AS bucket,
+       count(*) AS n_rows,
+       min(o_totalprice) AS lo,
+       max(o_totalprice) AS hi
+FROM orders CROSS JOIN bounds
+GROUP BY 1 ORDER BY 1
+"""
+
+
+ROUND4_ORACLES["range_partition_bounds"] = _rpb_oracle()
+ROUND4_QUERIES["range_partition_bounds"] = range_partition_bounds
+
+
+# ---------------------------------------------------------------------------
+# percent_change_mom — month-over-month growth per segment
+# ---------------------------------------------------------------------------
+
+def percent_change_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue change per order priority (SURVEY §2
+    #98) — the period-over-period KPI layout: one keyed monthly
+    aggregation, then a lag window over the SAME partitioning (the agg
+    exchange already clusters by priority, so the window adds a sort
+    but no second shuffle). The pct change divides the two ROUNDED
+    decimal totals once — engine-identical by construction.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        "o_orderpriority",
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+    ).agg(dec_sum("o_totalprice").alias("total"))
+    w = Window.partitionBy("o_orderpriority").orderBy("month")
+    prev = F.lag("total").over(w)
+    return monthly.select(
+        "o_orderpriority",
+        "month",
+        "total",
+        F.round((F.col("total") - prev) / prev * 100.0, 6).alias("pct_change"),
+    ).orderBy("o_orderpriority", "month")
+
+
+ROUND4_ORACLES["percent_change_mom"] = """
+WITH monthly AS (
+  SELECT o_orderpriority, strftime(o_orderdate, '%Y-%m') AS month,
+         round(sum(CAST(o_totalprice AS DECIMAL(27,6))), 2)::DOUBLE AS total
+  FROM orders GROUP BY 1, 2
+)
+SELECT o_orderpriority, month, total,
+       round((total - lag(total) OVER w) / lag(total) OVER w * 100.0, 6)
+         AS pct_change
+FROM monthly
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY month)
+ORDER BY o_orderpriority, month
+"""
+
+ROUND4_QUERIES["percent_change_mom"] = percent_change_mom
+
+
+# ---------------------------------------------------------------------------
+# ngram_containment — asymmetric near-subset detection
+# ---------------------------------------------------------------------------
+
+_CONTAIN_TAU = 0.7
+# Containment drops the length-band bucket (cross-length pairs are the
+# point), so its only fanout bound is the per-(source, gram) df cutoff —
+# set TIGHTER than jaccard's: measured at sf0.1, grams with df in
+# 120..200 tripled the gram table (615k -> 194k rows) while adding <3%
+# candidate pairs (622k -> 605k); they connect pairs already connected
+# by rarer grams.
+_CONTAIN_DF_MAX = 120
+
+
+def ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-3-gram containment pairs (SURVEY §2 #99): containment
+    |A∩B| / min(|A|,|B|) catches a short document embedded in a longer
+    one — the quote/boilerplate-inclusion case Jaccard structurally
+    misses (the union denominator drowns it). The standard second gate
+    of a corpus dedup stack next to ngram_jaccard.
+
+    Same bucketed-join discipline as ngram_jaccard, with ONE deliberate
+    difference: no length-band bucket key — cross-length pairs are the
+    whole point of containment — so the per-(source, gram) document-
+    frequency cutoff is the only (and sufficient) fanout bound. Gram
+    table materialized once ahead of its self-join (SURVEY §6).
+    """
+    from pyprima_spark.operators.dedup import gram_set_sizes, ngram_gram_table
+
+    docs = _t(spark, sf_dir, "documents")
+    grams = ngram_gram_table(
+        docs, "doc_id", "text", ["source"], df_max=_CONTAIN_DF_MAX
+    ).localCheckpoint(eager=True)
+    sizes = gram_set_sizes(grams)
+    a = grams.select(F.col("doc").alias("doc_a"), "source", "gram")
+    b = grams.select(F.col("doc").alias("doc_b"), "source", "gram")
+    shared = (
+        a.join(b, ["source", "gram"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    withsizes = shared.join(
+        sizes.select(F.col("doc").alias("doc_a"), F.col("gset_size").alias("size_a")),
+        "doc_a",
+    ).join(
+        sizes.select(F.col("doc").alias("doc_b"), F.col("gset_size").alias("size_b")),
+        "doc_b",
+    )
+    cont = F.round(F.col("shared") / F.least("size_a", "size_b"), 4)
+    return (
+        withsizes.withColumn("containment", cont)
+        .filter(F.col("containment") >= _CONTAIN_TAU)
+        .select("doc_a", "doc_b", "containment")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _containment_oracle() -> str:
+    from pyprima_spark.functions import text as X
+
+    return f"""
+WITH docs AS (
+  SELECT doc_id, source,
+         {X.char_ngrams_duck(X.normtext_duck('text'))} AS grams
+  FROM documents
+),
+exploded AS (
+  SELECT doc_id AS doc, source, unnest(grams) AS gram
+  FROM docs WHERE len(grams) > 0
+),
+kept AS (
+  SELECT doc, source, gram FROM (
+    SELECT *, count(*) OVER (PARTITION BY source, gram) AS df
+    FROM exploded
+  ) WHERE df <= {_CONTAIN_DF_MAX}
+),
+grams AS (
+  SELECT *, count(*) OVER (PARTITION BY doc) AS gset_size FROM kept
+),
+shared AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, a.gset_size AS size_a,
+         b.gset_size AS size_b, count(*) AS shared
+  FROM grams a JOIN grams b
+    ON a.source = b.source AND a.gram = b.gram AND a.doc < b.doc
+  GROUP BY 1, 2, 3, 4
+)
+SELECT doc_a, doc_b,
+       round(shared / least(size_a, size_b), 4) AS containment
+FROM shared
+WHERE round(shared / least(size_a, size_b), 4) >= {_CONTAIN_TAU}
+ORDER BY doc_a, doc_b
+"""
+
+
+ROUND4_ORACLES["ngram_containment"] = _containment_oracle()
+ROUND4_QUERIES["ngram_containment"] = ngram_containment
+
+
+# ---------------------------------------------------------------------------
+# vector_quantize_sq — int8 scalar quantization + reconstruction error
+# ---------------------------------------------------------------------------
+
+def vector_quantize_sq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension int8 scalar quantization of the embedding table
+    with a reconstruction-error report per label (SURVEY §2 #100) — the
+    compression step ANN indexes (IVF-SQ8) apply before the similarity
+    ops in operators/similarity.py, here with the error audit that
+    decides whether SQ8 is safe for a corpus.
+
+    Layout: one posexplode to long (vec_id, dim, v) form; per-dim
+    min/max is a map-combined agg whose output (n_dims rows) BROADCASTS
+    back — the fact side shuffles once for the label rollup and never
+    for calibration. Quantization/dequantization is row-local integer
+    math; squared errors ride a DECIMAL sum (double sums are partition-
+    order dependent; agg.py).
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    long = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "v"),
+    )
+    bounds = long.groupBy("dim").agg(
+        F.min("v").alias("lo"), F.max("v").alias("hi")
+    )
+    q = F.when(
+        F.col("hi") > F.col("lo"),
+        F.round((F.col("v") - F.col("lo")) / (F.col("hi") - F.col("lo")) * 255.0),
+    ).otherwise(F.lit(0.0))
+    joined = long.join(F.broadcast(bounds), "dim").withColumn("q", q)
+    err = F.col("v") - (
+        F.col("lo") + F.col("q") / 255.0 * (F.col("hi") - F.col("lo"))
+    )
+    return (
+        joined.withColumn("se", (err * err).cast("decimal(18,12)"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_elems"),
+            F.round(
+                F.sum("se").cast("double") / F.count(F.lit(1)), 10
+            ).alias("mse"),
+        )
+        .orderBy("label")
+    )
+
+
+ROUND4_ORACLES["vector_quantize_sq"] = """
+WITH long AS (
+  SELECT vec_id, label, CAST(i AS INT) AS dim,
+         CAST(embedding[i + 1] AS DOUBLE) AS v
+  FROM embeddings, (SELECT unnest(range(64)) AS i) dims
+), bounds AS (
+  SELECT dim, min(v) AS lo, max(v) AS hi FROM long GROUP BY dim
+), quant AS (
+  SELECT label,
+         v - (lo + (CASE WHEN hi > lo
+                         THEN round((v - lo) / (hi - lo) * 255.0)
+                         ELSE 0.0 END) / 255.0 * (hi - lo)) AS err
+  FROM long JOIN bounds USING (dim)
+)
+SELECT label, count(*) AS n_elems,
+       round(sum(CAST(err * err AS DECIMAL(18,12)))::DOUBLE / count(*), 10) AS mse
+FROM quant GROUP BY label ORDER BY label
+"""
+
+ROUND4_QUERIES["vector_quantize_sq"] = vector_quantize_sq
+
+
+# ---------------------------------------------------------------------------
+# event_gap_stats — inter-arrival gap distribution per event type
+# ---------------------------------------------------------------------------
+
+def event_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event-gap distribution per event type (SURVEY §2 #101) —
+    the arrival-process profile that calibrates sessionization gaps and
+    watermark delays (the 4h SESSION_GAP and '1 second' watermark in
+    streaming/sessions.py are exactly the parameters this measures).
+
+    One (user, type)-keyed window computes consecutive gaps in exact
+    integer microseconds; the per-type rollup uses DISCRETE percentiles
+    (actual data values — engine-exact on integers, no interpolation
+    float) and a decimal mean. Two shuffles total, both on uniform keys.
+    """
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gaps = (
+        ev.select("user_id", "event_type", "ts", "event_id")
+        .withColumn(
+            "gap_us", F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+        )
+        .filter(F.col("gap_us").isNotNull())
+    )
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.round(F.sum("gap_us").cast("double") / F.count(F.lit(1)) / 1e6, 3).alias("mean_s"),
+            (
+                F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY gap_us)")
+                / 1e6
+            ).alias("p50_s"),
+            (
+                F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY gap_us)")
+                / 1e6
+            ).alias("p95_s"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ROUND4_ORACLES["event_gap_stats"] = """
+WITH gaps AS (
+  SELECT event_type,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id, event_type ORDER BY ts, event_id
+         ) AS gap_us
+  FROM events
+)
+SELECT event_type, count(*) AS n_gaps,
+       round(sum(gap_us)::DOUBLE / count(*) / 1e6, 3) AS mean_s,
+       quantile_disc(gap_us, 0.5) / 1e6 AS p50_s,
+       quantile_disc(gap_us, 0.95) / 1e6 AS p95_s
+FROM gaps WHERE gap_us IS NOT NULL
+GROUP BY event_type ORDER BY event_type
+"""
+
+ROUND4_QUERIES["event_gap_stats"] = event_gap_stats
+
+
+# ---------------------------------------------------------------------------
+# charset_stats — character-class composition per source
+# ---------------------------------------------------------------------------
+
+_CHARSET_CLASSES = [
+    ("digit", "[0-9]"),
+    ("space", "[ ]"),
+    ("punct", "[.,;:!?]"),
+]
+
+
+def charset_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class composition per source (SURVEY §2 #102) — the
+    encoding/garbage screen next to lang_id and quality_score (a source
+    whose digit or punctuation mass spikes is markup, tables, or
+    mojibake, not prose).
+
+    Class counts are computed row-locally as length deltas under
+    regexp_replace (JVM regex inside codegen, one narrow pass); the
+    per-source rollup sums exact BIGINTs and emits each ratio as ONE
+    correctly-rounded division. Patterns stay in the character-class
+    subset Java and RE2 treat identically.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    counts = docs.select(
+        "source",
+        F.length("text").alias("total"),
+        *[
+            (
+                F.length("text")
+                - F.length(F.regexp_replace("text", pat, ""))
+            ).alias(name)
+            for name, pat in _CHARSET_CLASSES
+        ],
+    )
+    sums = counts.groupBy("source").agg(
+        F.sum("total").alias("n_chars"),
+        *[F.sum(name).alias(f"n_{name}") for name, _ in _CHARSET_CLASSES],
+    )
+    return sums.select(
+        "source",
+        "n_chars",
+        *[
+            F.round(
+                F.col(f"n_{name}").cast("double") / F.col("n_chars"), 6
+            ).alias(f"{name}_ratio")
+            for name, _ in _CHARSET_CLASSES
+        ],
+    ).orderBy("source")
+
+
+def _charset_oracle() -> str:
+    class_counts = ", ".join(
+        f"sum(length(text) - length(regexp_replace(text, '{pat}', '', 'g'))) AS n_{name}"
+        for name, pat in _CHARSET_CLASSES
+    )
+    ratios = ", ".join(
+        f"round(n_{name}::DOUBLE / n_chars, 6) AS {name}_ratio"
+        for name, _ in _CHARSET_CLASSES
+    )
+    return f"""
+WITH sums AS (
+  SELECT source, sum(length(text)) AS n_chars, {class_counts}
+  FROM documents GROUP BY source
+)
+SELECT source, CAST(n_chars AS BIGINT) AS n_chars, {ratios}
+FROM sums ORDER BY source
+"""
+
+
+ROUND4_ORACLES["charset_stats"] = _charset_oracle()
+ROUND4_QUERIES["charset_stats"] = charset_stats
+
+
+# ---------------------------------------------------------------------------
+# running_inventory — cumulative balance + peak per part
+# ---------------------------------------------------------------------------
+
+def running_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running net-inventory balance per part (SURVEY §2 #103): returns
+    ('R' lines) add stock back, shipments draw it down; the report is
+    each part's final balance and the peak drawdown the warehouse must
+    provision for — the classic running-balance kernel (same window
+    family as the reference's cumulative capacity cohorts,
+    generate_intermediate_files.py:675-683).
+
+    ONE shuffle on l_partkey serves both the cumulative window and the
+    final per-part rollup (the agg inherits the window's hash
+    partitioning). The cumulative sum runs in DECIMAL — a running
+    double sum would drift order-dependently at exactly the row where a
+    peak is decided. Deterministic total order within a part via the
+    (shipdate, orderkey, linenumber) natural key.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    signed = li.select(
+        "l_partkey",
+        "l_shipdate",
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_returnflag") == "R", F.col("l_quantity"))
+        .otherwise(-F.col("l_quantity"))
+        .cast("decimal(27,6)")
+        .alias("dq"),
+    )
+    w = (
+        Window.partitionBy("l_partkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = signed.withColumn("bal", F.sum("dq").over(w))
+    return (
+        run.groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_moves"),
+            F.round(F.sum("dq"), 2).cast("double").alias("final_balance"),
+            F.round(F.max("bal"), 2).cast("double").alias("peak_balance"),
+            F.round(F.min("bal"), 2).cast("double").alias("trough_balance"),
+        )
+        .orderBy("l_partkey")
+    )
+
+
+ROUND4_ORACLES["running_inventory"] = """
+WITH signed AS (
+  SELECT l_partkey, l_shipdate, l_orderkey, l_linenumber,
+         CAST(CASE WHEN l_returnflag = 'R' THEN l_quantity
+                   ELSE -l_quantity END AS DECIMAL(27,6)) AS dq
+  FROM lineitem
+), run AS (
+  SELECT l_partkey, dq,
+         sum(dq) OVER (
+           PARTITION BY l_partkey
+           ORDER BY l_shipdate, l_orderkey, l_linenumber
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS bal
+  FROM signed
+)
+SELECT l_partkey, count(*) AS n_moves,
+       round(sum(dq), 2)::DOUBLE AS final_balance,
+       round(max(bal), 2)::DOUBLE AS peak_balance,
+       round(min(bal), 2)::DOUBLE AS trough_balance
+FROM run GROUP BY l_partkey ORDER BY l_partkey
+"""
+
+ROUND4_QUERIES["running_inventory"] = running_inventory
+
+
+# ---------------------------------------------------------------------------
+# order_cycle_time — order-to-last-shipment latency distribution
+# ---------------------------------------------------------------------------
+
+def order_cycle_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-final-shipment cycle time per priority class (SURVEY §2
+    #104) — the fulfillment-latency SLA report: per order, days from
+    order date to its LAST shipped line; per priority, the count / mean
+    / p50 / p95 of that distribution.
+
+    The per-order max is a map-combined agg on the join key the
+    lineitem-orders join already shuffled on; day deltas are exact
+    integers, so the discrete percentiles are engine-exact and the mean
+    is one rounded division of a BIGINT sum.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    per_order = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderkey", "o_orderpriority", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("last_ship"))
+        .select(
+            "o_orderpriority",
+            F.datediff("last_ship", "o_orderdate").alias("cycle_days"),
+        )
+    )
+    return (
+        per_order.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(
+                F.sum("cycle_days").cast("double") / F.count(F.lit(1)), 3
+            ).alias("mean_days"),
+            F.expr(
+                "percentile_disc(0.5) WITHIN GROUP (ORDER BY cycle_days)"
+            ).cast("int").alias("p50_days"),
+            F.expr(
+                "percentile_disc(0.95) WITHIN GROUP (ORDER BY cycle_days)"
+            ).cast("int").alias("p95_days"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+ROUND4_ORACLES["order_cycle_time"] = """
+WITH per_order AS (
+  SELECT o_orderpriority,
+         date_diff('day', CAST(o_orderdate AS DATE),
+                   CAST(max(l_shipdate) AS DATE)) AS cycle_days
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY o_orderkey, o_orderpriority, o_orderdate
+)
+SELECT o_orderpriority, count(*) AS n_orders,
+       round(sum(cycle_days)::DOUBLE / count(*), 3) AS mean_days,
+       CAST(quantile_disc(cycle_days, 0.5) AS INT) AS p50_days,
+       CAST(quantile_disc(cycle_days, 0.95) AS INT) AS p95_days
+FROM per_order GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+ROUND4_QUERIES["order_cycle_time"] = order_cycle_time
+
+
+# ---------------------------------------------------------------------------
+# golden_record — survivorship merge of duplicate clusters
+# ---------------------------------------------------------------------------
+
+def golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship merge over fingerprint duplicate clusters (SURVEY §2
+    #105): dedup_fingerprint answers "which rows are duplicates"; this
+    is the MDM step after it — per cluster, elect a canonical survivor
+    by an explicit rule (longest text, then lowest id) and merge the
+    cluster's attributes (member count, distinct sources, max length).
+
+    One fingerprint-keyed shuffle serves the election window AND the
+    attribute rollup; the rule is a total order, so the survivor is
+    unique and engine-independent. Only multi-member clusters are
+    emitted (the singleton pass-through is the identity).
+    """
+    docs = _t(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9\s]", ""),
+            r"\s+",
+            " ",
+        )
+    )
+    fp = docs.withColumn("fingerprint", F.md5(norm))
+    w = Window.partitionBy("fingerprint").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    elected = fp.withColumn("rn", F.row_number().over(w))
+    merged = (
+        elected.groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.countDistinct("source").alias("n_sources"),
+            F.max("n_chars").alias("max_chars"),
+            F.min(F.when(F.col("rn") == 1, F.col("doc_id"))).alias(
+                "survivor_id"
+            ),
+        )
+        .filter(F.col("n_members") >= 2)
+    )
+    return merged.select(
+        "fingerprint", "survivor_id", "n_members", "n_sources", "max_chars"
+    ).orderBy("fingerprint")
+
+
+ROUND4_ORACLES["golden_record"] = """
+WITH fp AS (
+  SELECT doc_id, source, n_chars,
+         md5(trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS fingerprint
+  FROM documents
+), elected AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY fingerprint ORDER BY n_chars DESC, doc_id
+  ) AS rn
+  FROM fp
+)
+SELECT fingerprint,
+       min(CASE WHEN rn = 1 THEN doc_id END) AS survivor_id,
+       count(*) AS n_members,
+       count(DISTINCT source) AS n_sources,
+       max(n_chars) AS max_chars
+FROM elected
+GROUP BY fingerprint
+HAVING count(*) >= 2
+ORDER BY fingerprint
+"""
+
+ROUND4_QUERIES["golden_record"] = golden_record
+
+
+# ---------------------------------------------------------------------------
+# skyline_pareto — Pareto frontier (cheapest price vs largest size)
+# ---------------------------------------------------------------------------
+
+def skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto skyline of parts — minimize retail price, maximize
+    size (SURVEY §2 #106): the multi-objective shortlist query (best
+    cost/capacity tradeoffs) the reference's technology screening runs
+    informally over its assumption tables.
+
+    Distributed form: a LOCAL skyline per hash partition (window keyed
+    by a salt — fully parallel), then the exact global skyline over the
+    union of local survivors. Correct because dominance is transitive:
+    any global dominator survives its own partition, so pruning locally
+    never loses a frontier point. The global pass sees only the (tiny)
+    candidate union, so its single-partition window is bounded — the
+    sort-and-running-max formulation keeps everything expression-level,
+    no per-row Python. Ties: equal (price, size) keep the lowest key.
+    """
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_retailprice", "p_size"
+    )
+
+    def skyline(df: DataFrame, *partition_cols: str) -> DataFrame:
+        w = (
+            Window.partitionBy(*partition_cols)
+            .orderBy(
+                F.asc("p_retailprice"), F.desc("p_size"), F.asc("p_partkey")
+            )
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return (
+            df.withColumn("prev_max", F.max("p_size").over(w))
+            .filter(
+                F.col("prev_max").isNull()
+                | (F.col("p_size") > F.col("prev_max"))
+            )
+            .drop("prev_max")
+        )
+
+    local = skyline(
+        part.withColumn("salt", F.pmod(F.col("p_partkey"), F.lit(32))), "salt"
+    ).drop("salt")
+    return skyline(local).orderBy("p_retailprice", "p_partkey")
+
+
+ROUND4_ORACLES["skyline_pareto"] = """
+WITH ranked AS (
+  SELECT p_partkey, p_name, p_retailprice, p_size,
+         max(p_size) OVER (
+           ORDER BY p_retailprice, p_size DESC, p_partkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS prev_max
+  FROM part
+)
+SELECT p_partkey, p_name, p_retailprice, p_size
+FROM ranked
+WHERE prev_max IS NULL OR p_size > prev_max
+ORDER BY p_retailprice, p_partkey
+"""
+
+ROUND4_QUERIES["skyline_pareto"] = skyline_pareto

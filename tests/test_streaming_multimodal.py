@@ -193,6 +193,34 @@ def test_stateful_sessionize_event_time_timeout(spark, tmp_path):
     assert 3 not in by_user
 
 
+def test_real_wav_decode_roundtrip(spark):
+    """REAL decode path: synthesize actual RIFF/WAV PCM16 payloads into
+    the binary column, parse them back with the stdlib `wave` reader,
+    and check the decoded features against the analytic values of the
+    generated square wave (rms == peak == amp/32768 exactly; duration ==
+    n_frames/framerate)."""
+    from pyprima_spark.operators.multimodal import (
+        WAV_FRAMERATE,
+        attach_wav_media,
+        audio_features_wav,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(12)], "doc_id long")
+    feats = {
+        r.doc_id: r
+        for r in audio_features_wav(attach_wav_media(docs)).collect()
+    }
+    assert len(feats) == 12
+    for d in range(12):
+        n = 400 + (d % 17) * 100
+        amp = 1024 * (1 + d % 16)
+        r = feats[d]
+        assert abs(r.duration_s - round(n / WAV_FRAMERATE, 6)) < 1e-12, d
+        assert abs(r.peak - round(amp / 32768.0, 6)) < 1e-12, d
+        # square wave: every |sample| == amp, so rms == peak
+        assert abs(r.rms - round(amp / 32768.0, 6)) < 1e-12, d
+
+
 def test_sessions_timeout_out_of_order_across_batches(spark, tmp_path):
     """An event arriving in a LATER micro-batch with ts < the stored
     last_us (but above the watermark) must fold into the open session
