@@ -956,6 +956,19 @@ def graph_degree_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the standard high-degree-vertex split.
     """
     edges = _canonical_edge_set(spark, sf_dir).localCheckpoint(eager=True)
+    return (
+        degree_triangle_census(edges)
+        .select(
+            F.col("node").alias("nationkey"), "degree", "n_triangles"
+        )
+        .orderBy("nationkey")
+    )
+
+
+def degree_triangle_census(edges: DataFrame) -> DataFrame:
+    """(node, degree, n_triangles) over a canonical (edge_a < edge_b)
+    distinct edge table — the reusable kernel behind
+    graph_degree_triangles; unit-tested on hand-built graphs."""
     deg = (
         edges.select(F.col("edge_a").alias("node"))
         .union(edges.select(F.col("edge_b").alias("node")))
@@ -986,14 +999,10 @@ def graph_degree_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
-    return (
-        deg.join(tri_per_node, "node", "left")
-        .select(
-            F.col("node").alias("nationkey"),
-            "degree",
-            F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
-        )
-        .orderBy("nationkey")
+    return deg.join(tri_per_node, "node", "left").select(
+        "node",
+        "degree",
+        F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
     )
 
 
@@ -1702,28 +1711,41 @@ def skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = _t(spark, sf_dir, "part").select(
         "p_partkey", "p_name", "p_retailprice", "p_size"
     )
-
-    def skyline(df: DataFrame, *partition_cols: str) -> DataFrame:
-        w = (
-            Window.partitionBy(*partition_cols)
-            .orderBy(
-                F.asc("p_retailprice"), F.desc("p_size"), F.asc("p_partkey")
-            )
-            .rowsBetween(Window.unboundedPreceding, -1)
-        )
-        return (
-            df.withColumn("prev_max", F.max("p_size").over(w))
-            .filter(
-                F.col("prev_max").isNull()
-                | (F.col("p_size") > F.col("prev_max"))
-            )
-            .drop("prev_max")
-        )
-
-    local = skyline(
-        part.withColumn("salt", F.pmod(F.col("p_partkey"), F.lit(32))), "salt"
+    local = skyline_2d(
+        part.withColumn("salt", F.pmod(F.col("p_partkey"), F.lit(32))),
+        "p_retailprice",
+        "p_size",
+        "p_partkey",
+        "salt",
     ).drop("salt")
-    return skyline(local).orderBy("p_retailprice", "p_partkey")
+    return skyline_2d(local, "p_retailprice", "p_size", "p_partkey").orderBy(
+        "p_retailprice", "p_partkey"
+    )
+
+
+def skyline_2d(
+    df: DataFrame,
+    minimize: str,
+    maximize: str,
+    tiebreak: str,
+    *partition_cols: str,
+) -> DataFrame:
+    """Rows not dominated on (minimize ↓, maximize ↑) within each
+    partition group — sort-and-running-max formulation; the reusable
+    kernel behind skyline_pareto, unit-tested on hand-built frames.
+    Equal (minimize, maximize) duplicates keep the lowest tiebreak."""
+    w = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(F.asc(minimize), F.desc(maximize), F.asc(tiebreak))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        df.withColumn("prev_max", F.max(maximize).over(w))
+        .filter(
+            F.col("prev_max").isNull() | (F.col(maximize) > F.col("prev_max"))
+        )
+        .drop("prev_max")
+    )
 
 
 ROUND4_ORACLES["skyline_pareto"] = """

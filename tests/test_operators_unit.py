@@ -460,3 +460,71 @@ def test_percentile_approx_bounds_exact(spark, sf_dir):
         lo = r.vals[max(0, int(math.floor(target)) - err)]
         hi = r.vals[min(n - 1, int(math.ceil(target)) + err)]
         assert lo <= r.approx <= hi, (r.event_type, lo, r.approx, hi)
+
+
+def test_skyline_2d_hand_built(spark):
+    """Skyline kernel on a hand-built frame: dominated points drop,
+    incomparable points stay, equal-coordinate duplicates keep the
+    lowest tiebreak key; the salted local-skyline -> global pass gives
+    the same answer as the direct single pass."""
+    from pyprima_spark.plans.round4 import skyline_2d
+
+    rows = [
+        # (key, price, size)
+        (1, 10.0, 5),   # frontier (cheapest)
+        (2, 10.0, 5),   # duplicate of 1 -> dropped (higher key)
+        (3, 12.0, 9),   # frontier (bigger size for more price)
+        (4, 12.0, 7),   # dominated by 3 (same price, smaller)
+        (5, 15.0, 9),   # dominated by 3 (same size, pricier)
+        (6, 20.0, 12),  # frontier
+        (7, 25.0, 1),   # dominated by everything cheaper+bigger
+    ]
+    df = spark.createDataFrame(rows, "k long, price double, size int")
+    direct = {
+        r.k for r in skyline_2d(df, "price", "size", "k").collect()
+    }
+    assert direct == {1, 3, 6}
+    salted = skyline_2d(
+        df.withColumn("salt", F.pmod(F.col("k"), F.lit(3))),
+        "price", "size", "k", "salt",
+    ).drop("salt")
+    two_phase = {
+        r.k for r in skyline_2d(salted, "price", "size", "k").collect()
+    }
+    assert two_phase == direct
+
+
+def test_degree_triangle_census_hand_built(spark):
+    """Triangle kernel on a known graph: square 1-2-3-4 plus diagonal
+    1-3 has exactly two triangles (1,2,3) and (1,3,4); each triangle is
+    counted once and per-node participation is correct."""
+    from pyprima_spark.plans.round4 import degree_triangle_census
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 4), (1, 3)],
+        "edge_a long, edge_b long",
+    )
+    got = {
+        r.node: (r.degree, r.n_triangles)
+        for r in degree_triangle_census(edges).collect()
+    }
+    assert got == {1: (3, 2), 2: (2, 1), 3: (3, 2), 4: (2, 1)}
+
+
+def test_wav_attach_decode_inverse(spark):
+    """attach_wav_media -> audio_features_wav is analytically exact for
+    a square wave (see test_streaming_multimodal for the broader check);
+    here: the payload is genuinely parseable by the stdlib wave reader
+    outside Spark too."""
+    import io
+    import wave
+
+    from pyprima_spark.operators.multimodal import attach_wav_media
+
+    docs = spark.createDataFrame([(3,)], "doc_id long")
+    payload = bytes(attach_wav_media(docs).collect()[0].payload)
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        assert w.getnchannels() == 1
+        assert w.getsampwidth() == 2
+        assert w.getframerate() == 8000
+        assert w.getnframes() == 400 + (3 % 17) * 100
