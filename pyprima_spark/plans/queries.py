@@ -2537,10 +2537,13 @@ def _register_rounds() -> None:
     keys in insertion order) is exactly the intended re-grade set.
     """
     from pyprima_spark.plans.round3 import ROUND3_QUERIES
-    from pyprima_spark.plans.round4 import ROUND4_QUERIES
+    from pyprima_spark.plans.round4 import ROUND4_LATE_QUERIES, ROUND4_QUERIES
 
     QUERIES.update(ROUND3_QUERIES)
     QUERIES.update(ROUND4_QUERIES)
+    # Late round-4 keys: implemented after the 50-slot window filled;
+    # ordered BEHIND the window (first in line for the round-5 window).
+    QUERIES.update(ROUND4_LATE_QUERIES)
 
 
 _WINDOW_SIZE = 50

@@ -27,6 +27,10 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 ROUND4_QUERIES: dict = {}
 ROUND4_ORACLES: dict[str, str] = {}
 
+# Keys added after the round-4 grading window filled (the driver grades
+# 50/round); registered BEHIND the window, queued first for round 5.
+ROUND4_LATE_QUERIES: dict = {}
+
 
 # ---------------------------------------------------------------------------
 # landuse_reclass — raster remap through a lookup table + zonal rollup
@@ -1764,3 +1768,160 @@ ORDER BY p_retailprice, p_partkey
 """
 
 ROUND4_QUERIES["skyline_pareto"] = skyline_pareto
+
+
+# ---------------------------------------------------------------------------
+# point_in_polygon — TRUE polygon containment (integer ray casting)
+# ---------------------------------------------------------------------------
+# The reference rasterizes real shapefile polygons (spatial_functions.py
+# calc_region:140, crd_exact_points:100); every spatial op in this repo so
+# far used bbox analogues because no geometry lib ships in the container.
+# Ray casting needs no library: with EVEN integer vertex coordinates and
+# ODD integer point coordinates (everything scaled x2), a point can never
+# lie on an edge, and the crossing test
+#     (yi > y) != (yj > y)  AND  x left of the edge's intersection
+# cross-multiplies into pure integer comparisons — EXACT, no float, no
+# cross-engine epsilon. Polygons here are non-convex L-shapes (the box
+# minus its upper-right quadrant), so the result provably differs from
+# bbox containment — both counts are emitted side by side.
+
+# L-shape vertex offsets (x2 scale), counterclockwise.
+_PIP_XOFF = [0, 144, 144, 72, 72, 0]
+_PIP_YOFF = [0, 0, 40, 40, 80, 80]
+
+
+def point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact point-in-polygon census per nation (SURVEY §2 #107).
+
+    Spark-first: the 25-polygon table (6 integer vertices each, riding a
+    struct array) is BROADCAST; each customer point runs the 6-edge
+    ray-cast as a row-local `aggregate` higher-order function — no row
+    fanout, no UDF, whole-stage codegen. At web-scale polygon counts the
+    candidate framing switches to the same grid-cell equi-join as
+    point_in_region_grid; at high vertex counts the vertex array simply
+    rides the broadcast. `n_in_bbox >= n_in_polygon` strictly on the
+    upper-right quadrant — the gap is the proof this is real PIP, not a
+    box test.
+    """
+    nat = _t(spark, sf_dir, "nation")
+    polys = nat.select(
+        "n_name",
+        (((F.col("n_nationkey") * 11 % 60) * 6 - 180) * 2).alias("x0"),
+        (((F.col("n_nationkey") * 7 % 32) * 5 - 80) * 2).alias("y0"),
+    ).withColumn(
+        "poly",
+        F.array(
+            *[
+                F.struct(
+                    (F.col("x0") + xo).cast("long").alias("x"),
+                    (F.col("y0") + yo).cast("long").alias("y"),
+                )
+                for xo, yo in zip(_PIP_XOFF, _PIP_YOFF)
+            ]
+        ),
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (2 * ((F.col("c_custkey") * 104729 % 360) - 180) + 1)
+        .cast("long")
+        .alias("px"),
+        (2 * ((F.col("c_custkey") * 7919 % 160) - 80) + 1)
+        .cast("long")
+        .alias("py"),
+    )
+    crossings = F.expr(
+        "aggregate(sequence(0, 5), 0, (acc, i) -> acc + IF("
+        " (element_at(poly, i + 1).y > py)"
+        "   != (element_at(poly, pmod(i + 1, 6) + 1).y > py)"
+        " AND CASE"
+        "   WHEN element_at(poly, pmod(i + 1, 6) + 1).y"
+        "        - element_at(poly, i + 1).y > 0"
+        "   THEN (px - element_at(poly, i + 1).x)"
+        "        * (element_at(poly, pmod(i + 1, 6) + 1).y"
+        "           - element_at(poly, i + 1).y)"
+        "      < (element_at(poly, pmod(i + 1, 6) + 1).x"
+        "         - element_at(poly, i + 1).x)"
+        "        * (py - element_at(poly, i + 1).y)"
+        "   ELSE (px - element_at(poly, i + 1).x)"
+        "        * (element_at(poly, pmod(i + 1, 6) + 1).y"
+        "           - element_at(poly, i + 1).y)"
+        "      > (element_at(poly, pmod(i + 1, 6) + 1).x"
+        "         - element_at(poly, i + 1).x)"
+        "        * (py - element_at(poly, i + 1).y)"
+        " END, 1, 0))"
+    )
+    in_bbox = (
+        (F.col("px") > F.col("x0"))
+        & (F.col("px") < F.col("x0") + 144)
+        & (F.col("py") > F.col("y0"))
+        & (F.col("py") < F.col("y0") + 80)
+    )
+    tagged = (
+        cust.crossJoin(F.broadcast(polys))
+        .withColumn("inside", F.pmod(crossings, F.lit(2)) == 1)
+        .withColumn("inbox", in_bbox)
+    )
+    return (
+        tagged.groupBy("n_name")
+        .agg(
+            F.sum(F.col("inside").cast("int")).alias("n_in_polygon"),
+            F.sum(F.col("inbox").cast("int")).alias("n_in_bbox"),
+        )
+        .orderBy("n_name")
+    )
+
+
+def _pip_oracle() -> str:
+    xi = "CASE i " + " ".join(
+        f"WHEN {i} THEN {xo}" for i, xo in enumerate(_PIP_XOFF)
+    ) + " END"
+    yi = "CASE i " + " ".join(
+        f"WHEN {i} THEN {yo}" for i, yo in enumerate(_PIP_YOFF)
+    ) + " END"
+    xj = "CASE (i + 1) % 6 " + " ".join(
+        f"WHEN {i} THEN {xo}" for i, xo in enumerate(_PIP_XOFF)
+    ) + " END"
+    yj = "CASE (i + 1) % 6 " + " ".join(
+        f"WHEN {i} THEN {yo}" for i, yo in enumerate(_PIP_YOFF)
+    ) + " END"
+    return f"""
+WITH pts AS (
+  SELECT c_custkey,
+         2 * ((c_custkey * 104729 % 360) - 180) + 1 AS px,
+         2 * ((c_custkey * 7919 % 160) - 80) + 1 AS py
+  FROM customer
+), polys AS (
+  SELECT n_name,
+         ((n_nationkey * 11 % 60) * 6 - 180) * 2 AS x0,
+         ((n_nationkey * 7 % 32) * 5 - 80) * 2 AS y0
+  FROM nation
+), edges AS (
+  SELECT n_name, x0, y0,
+         x0 + {xi} AS exi, y0 + {yi} AS eyi,
+         x0 + {xj} AS exj, y0 + {yj} AS eyj
+  FROM polys, (SELECT unnest(range(6)) AS i) idx
+), crossed AS (
+  SELECT p.c_custkey, e.n_name, e.x0, e.y0, p.px, p.py,
+         sum(CASE WHEN (eyi > py) <> (eyj > py)
+                   AND (CASE WHEN eyj - eyi > 0
+                             THEN (px - exi) * (eyj - eyi)
+                                  < (exj - exi) * (py - eyi)
+                             ELSE (px - exi) * (eyj - eyi)
+                                  > (exj - exi) * (py - eyi) END)
+                  THEN 1 ELSE 0 END) AS crossings
+  FROM pts p CROSS JOIN edges e
+  GROUP BY 1, 2, 3, 4, 5, 6
+)
+SELECT n_name,
+       CAST(sum(CASE WHEN crossings % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_in_polygon,
+       CAST(sum(CASE WHEN px > x0 AND px < x0 + 144
+                      AND py > y0 AND py < y0 + 80
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_in_bbox
+FROM crossed
+GROUP BY n_name ORDER BY n_name
+"""
+
+
+ROUND4_ORACLES["point_in_polygon"] = _pip_oracle()
+ROUND4_LATE_QUERIES["point_in_polygon"] = point_in_polygon

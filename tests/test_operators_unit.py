@@ -528,3 +528,136 @@ def test_wav_attach_decode_inverse(spark):
         assert w.getsampwidth() == 2
         assert w.getframerate() == 8000
         assert w.getnframes() == 400 + (3 % 17) * 100
+
+
+def test_skyline_2d_property_vs_bruteforce(spark):
+    """Property test: the salted two-phase skyline equals the O(n^2)
+    dominance definition on randomized inputs (duplicates included)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from pyprima_spark.plans.round4 import skyline_2d
+
+    pt = st.tuples(
+        st.integers(min_value=0, max_value=8),   # price
+        st.integers(min_value=0, max_value=8),   # size
+    )
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(pts=st.lists(pt, min_size=1, max_size=14))
+    def check(pts):
+        rows = [(i, float(p), s) for i, (p, s) in enumerate(pts)]
+
+        def dominated(i):
+            ki, pi, si = rows[i]
+            for kj, pj, sj in rows:
+                if kj == ki:
+                    continue
+                # strictly better on one axis, no worse on the other —
+                # or an equal-coordinate duplicate with a lower key
+                if (pj <= pi and sj >= si) and (pj < pi or sj > si):
+                    return True
+                if pj == pi and sj == si and kj < ki:
+                    return True
+            return False
+
+        want = {k for k, _, _ in rows if not dominated(k)}  # k == index
+        df = spark.createDataFrame(rows, "k long, price double, size int")
+        local = skyline_2d(
+            df.withColumn("salt", F.pmod(F.col("k"), F.lit(3))),
+            "price", "size", "k", "salt",
+        ).drop("salt")
+        got = {r.k for r in skyline_2d(local, "price", "size", "k").collect()}
+        assert got == want, (rows, got, want)
+
+    check()
+
+
+def test_triangle_census_property_vs_bruteforce(spark):
+    """Property test: the wedge-join triangle census equals brute-force
+    enumeration over all node triples on random small graphs."""
+    from itertools import combinations
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from pyprima_spark.plans.round4 import degree_triangle_census
+
+    edge = st.tuples(
+        st.integers(min_value=0, max_value=6),
+        st.integers(min_value=0, max_value=6),
+    ).filter(lambda e: e[0] < e[1])
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(es=st.sets(edge, min_size=1, max_size=12))
+    def check(es):
+        eset = set(es)
+        nodes = sorted({n for e in eset for n in e})
+        deg = {n: sum(1 for e in eset if n in e) for n in nodes}
+        tri = {n: 0 for n in nodes}
+        for a, b, c in combinations(nodes, 3):
+            if ((a, b) in eset and (b, c) in eset and (a, c) in eset):
+                tri[a] += 1
+                tri[b] += 1
+                tri[c] += 1
+        df = spark.createDataFrame(sorted(eset), "edge_a long, edge_b long")
+        got = {
+            r.node: (r.degree, r.n_triangles)
+            for r in degree_triangle_census(df).collect()
+        }
+        assert got == {n: (deg[n], tri[n]) for n in nodes}, (sorted(eset), got)
+
+    check()
+
+
+def test_point_in_polygon_vs_python_raycast(spark, sf_dir):
+    """The integer ray-cast PIP census agrees with an independent pure-
+    Python ray caster over every (customer, nation) pair at sf0.001."""
+    from pyprima_spark.catalog import load_table
+    from pyprima_spark.plans.round4 import _PIP_XOFF, _PIP_YOFF, point_in_polygon
+
+    cust = [
+        r.c_custkey
+        for r in load_table(spark, sf_dir, "customer").select("c_custkey").collect()
+    ]
+    nats = {
+        r.n_nationkey: r.n_name
+        for r in load_table(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name")
+        .collect()
+    }
+
+    def inside(px, py, verts):
+        n = len(verts)
+        cross = 0
+        for i in range(n):
+            (xi, yi), (xj, yj) = verts[i], verts[(i + 1) % n]
+            if (yi > py) != (yj > py):
+                # exact integer form of px < x-intersection
+                lhs = (px - xi) * (yj - yi)
+                rhs = (xj - xi) * (py - yi)
+                if (lhs < rhs) if yj - yi > 0 else (lhs > rhs):
+                    cross += 1
+        return cross % 2 == 1
+
+    want = {name: 0 for name in nats.values()}
+    for c in cust:
+        px = 2 * ((c * 104729 % 360) - 180) + 1
+        py = 2 * ((c * 7919 % 160) - 80) + 1
+        for nk, name in nats.items():
+            x0 = ((nk * 11 % 60) * 6 - 180) * 2
+            y0 = ((nk * 7 % 32) * 5 - 80) * 2
+            verts = [(x0 + xo, y0 + yo) for xo, yo in zip(_PIP_XOFF, _PIP_YOFF)]
+            if inside(px, py, verts):
+                want[name] += 1
+
+    got = {r.n_name: r.n_in_polygon for r in point_in_polygon(spark, sf_dir).collect()}
+    assert got == want
