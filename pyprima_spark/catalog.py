@@ -41,7 +41,26 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+# Memoized lazy plans per (session, sf_dir, table). A load_table call
+# costs ~100ms (JVM read.parquet + schema + the widen split estimate);
+# queries load 1-4 tables each, so an uncached catalog taxes every cold
+# query run ~0.1-0.4s of pure overhead. DataFrames are immutable lazy
+# plans, so reuse is safe; the key includes applicationId so a new
+# SparkContext never sees another context's plans.
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    df = _load_table_uncached(spark, sf_dir, name)
+    _TABLE_CACHE[key] = df
+    return df
+
+
+def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table; normalizes nano-timestamp columns to TimestampType.
 
     ``events.parquet`` stores TIMESTAMP(NANOS), which Spark can only read
