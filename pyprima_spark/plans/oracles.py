@@ -1615,3 +1615,24 @@ ORACLES.update(_ROUND3_ORACLES)
 from pyprima_spark.plans.round4 import ROUND4_ORACLES as _ROUND4_ORACLES
 
 ORACLES.update(_ROUND4_ORACLES)
+
+# Round-4 late key whose oracle reuses the shared minhash band CTE (the
+# round4 module cannot import this one without a cycle).
+ORACLES["incremental_minhash_index"] = f"""
+WITH {_MINHASH_BANDS_CTE},
+flagged AS (
+  SELECT DISTINCT i.doc
+  FROM bands i JOIN bands s
+    ON i.band_idx = s.band_idx AND i.band_sig = s.band_sig
+  WHERE i.doc % 5 >= 3 AND s.doc % 5 < 3
+)
+SELECT source,
+       count(*) AS n_incoming,
+       CAST(sum(CASE WHEN flagged.doc IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_neardup,
+       CAST(sum(CASE WHEN flagged.doc IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clean
+FROM documents LEFT JOIN flagged ON documents.doc_id = flagged.doc
+WHERE doc_id % 5 >= 3
+GROUP BY source ORDER BY source
+"""

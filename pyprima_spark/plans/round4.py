@@ -2077,3 +2077,199 @@ GROUP BY n_name ORDER BY n_name
 
 ROUND4_ORACLES["polygon_zonal_stats"] = _polygon_zonal_oracle()
 ROUND4_LATE_QUERIES["polygon_zonal_stats"] = polygon_zonal_stats
+
+
+# ---------------------------------------------------------------------------
+# incremental_minhash_index — near-dup gate against a persisted index
+# ---------------------------------------------------------------------------
+
+def incremental_minhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup ingestion gate (SURVEY §2 #109):
+    incremental_new_docs(+bloom) gates on exact fingerprints; this is
+    the minhash version — an incoming batch's LSH band signatures probe
+    the persisted signature index of already-ingested docs, flagging
+    near-duplicates of existing content before they enter the corpus
+    (the standard crawl-recrawl dedup layout: the index is the parquet
+    signature table, only the incoming batch is freshly shingled).
+
+    Split here is deterministic (doc_id % 5: 0-2 = indexed corpus,
+    3-4 = incoming). One band derivation serves both sides (checkpoint,
+    then filter — at scale the index side is a parquet READ, not a
+    derivation); the probe is a band-key equi-join, never all-pairs.
+    """
+    from pyprima_spark.operators.dedup import minhash_band_table
+
+    docs = _t(spark, sf_dir, "documents")
+    bands = minhash_band_table(docs, "doc_id", "text").localCheckpoint(
+        eager=True
+    )
+    seen_b = bands.filter(F.col("doc") % 5 < 3)
+    inc_b = bands.filter(F.col("doc") % 5 >= 3)
+    flagged = (
+        inc_b.join(
+            seen_b.select(
+                F.col("band_idx").alias("bi"), F.col("band_sig").alias("bs")
+            ),
+            (F.col("band_idx") == F.col("bi"))
+            & (F.col("band_sig") == F.col("bs")),
+            "leftsemi",
+        )
+        .select("doc")
+        .distinct()
+        .withColumn("is_neardup", F.lit(1))
+    )
+    incoming = docs.filter(F.col("doc_id") % 5 >= 3).select(
+        F.col("doc_id").alias("doc"), "source"
+    )
+    return (
+        incoming.join(flagged, "doc", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_incoming"),
+            F.sum(F.coalesce("is_neardup", F.lit(0))).alias("n_neardup"),
+            (
+                F.count(F.lit(1))
+                - F.sum(F.coalesce("is_neardup", F.lit(0)))
+            ).alias("n_clean"),
+        )
+        .orderBy("source")
+    )
+
+
+# (oracle lives in plans/oracles.py — it reuses the shared minhash band
+# CTE builder, which this module cannot import without a cycle)
+ROUND4_LATE_QUERIES["incremental_minhash_index"] = incremental_minhash_index
+
+
+# ---------------------------------------------------------------------------
+# blocklist_filter — wordlist content gate census
+# ---------------------------------------------------------------------------
+
+_BLOCKLIST = ["slow", "crash", "leak"]
+
+
+def blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist content-filter census per source (SURVEY §2 #110) —
+    the wordlist gate every corpus release runs (profanity / policy
+    lists); here counting per source: documents flagged (>= 1 hit) and
+    total hits. The membership count is a row-local aggregate() HOF over
+    the token array against an inlined (broadcast-literal) list — no
+    explode, no join, whole-stage codegen; lists too big to inline ride
+    a broadcast join instead.
+    """
+    from pyprima_spark.functions import text as X
+
+    docs = _t(spark, sf_dir, "documents")
+    hits = F.expr(
+        X.stopword_count_spark(X.tokens_spark("text"), _BLOCKLIST)
+    )
+    return (
+        docs.select("source", hits.alias("hits"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("hits") > 0).cast("int")).alias("flagged_docs"),
+            F.sum("hits").alias("total_hits"),
+        )
+        .orderBy("source")
+    )
+
+
+def _blocklist_oracle() -> str:
+    from pyprima_spark.functions import text as X
+
+    hits = X.stopword_count_duck(X.tokens_duck("text"), _BLOCKLIST)
+    return f"""
+WITH counted AS (SELECT source, {hits} AS hits FROM documents)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS flagged_docs,
+       CAST(sum(hits) AS BIGINT) AS total_hits
+FROM counted GROUP BY source ORDER BY source
+"""
+
+
+ROUND4_ORACLES["blocklist_filter"] = _blocklist_oracle()
+ROUND4_LATE_QUERIES["blocklist_filter"] = blocklist_filter
+
+
+# ---------------------------------------------------------------------------
+# rolling_origin_backtest — expanding-window time-series CV splits
+# ---------------------------------------------------------------------------
+
+_BACKTEST_FOLDS = 4
+
+
+def rolling_origin_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin (expanding-window) backtest split census (SURVEY
+    §2 #111) — the time-series cross-validation layout for forecast
+    models trained on the event stream: fold i trains on day_index <
+    cut_i and tests on the next horizon days, cuts at 50/60/70/80% of
+    the observed span, horizon = span/10 (all integer arithmetic on the
+    data-derived bounds).
+
+    Plan: the (min_day, span) bounds fold to a 1-row broadcast; folds
+    are a literal 4-row broadcast; each event row fans out only to the
+    folds whose train/test range covers it (<= K copies, conditional
+    aggregation) and the census is one map-combined (fold) group-by.
+    Emitting counts per fold proves splits are leakage-free by
+    construction: train_end == test_start.
+    """
+    ev = _t(spark, sf_dir, "events")
+    days = ev.select(F.to_date("ts").alias("d"))
+    bounds = days.agg(
+        F.min("d").alias("d0"),
+        (F.datediff(F.max("d"), F.min("d")) + 1).alias("span"),
+    )
+    folds = spark.createDataFrame(
+        [(i,) for i in range(_BACKTEST_FOLDS)], "fold int"
+    )
+    tagged = (
+        days.crossJoin(F.broadcast(bounds))
+        .withColumn("day_idx", F.datediff("d", "d0"))
+        .crossJoin(F.broadcast(folds))
+        .withColumn(
+            "cut",
+            F.expr(f"(span * (50 + 10 * fold)) div 100"),
+        )
+        .withColumn("horizon", F.expr("span div 10"))
+    )
+    return (
+        tagged.groupBy("fold", "cut", "horizon")
+        .agg(
+            F.sum((F.col("day_idx") < F.col("cut")).cast("int")).alias(
+                "train_rows"
+            ),
+            F.sum(
+                (
+                    (F.col("day_idx") >= F.col("cut"))
+                    & (F.col("day_idx") < F.col("cut") + F.col("horizon"))
+                ).cast("int")
+            ).alias("test_rows"),
+        )
+        .orderBy("fold")
+    )
+
+
+ROUND4_ORACLES["rolling_origin_backtest"] = """
+WITH days AS (SELECT CAST(ts AS DATE) AS d FROM events),
+bounds AS (
+  SELECT min(d) AS d0, date_diff('day', min(d), max(d)) + 1 AS span
+  FROM days
+), folds AS (SELECT unnest(range(4)) AS fold),
+tagged AS (
+  SELECT CAST(fold AS INT) AS fold,
+         (span * (50 + 10 * fold)) // 100 AS cut,
+         span // 10 AS horizon,
+         date_diff('day', d0, d) AS day_idx
+  FROM days CROSS JOIN bounds CROSS JOIN folds
+)
+SELECT fold, CAST(cut AS INT) AS cut, CAST(horizon AS INT) AS horizon,
+       CAST(sum(CASE WHEN day_idx < cut THEN 1 ELSE 0 END) AS BIGINT)
+         AS train_rows,
+       CAST(sum(CASE WHEN day_idx >= cut AND day_idx < cut + horizon
+                     THEN 1 ELSE 0 END) AS BIGINT) AS test_rows
+FROM tagged GROUP BY 1, 2, 3 ORDER BY fold
+"""
+
+ROUND4_LATE_QUERIES["rolling_origin_backtest"] = rolling_origin_backtest
