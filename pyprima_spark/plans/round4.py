@@ -1790,6 +1790,35 @@ _PIP_XOFF = [0, 144, 144, 72, 72, 0]
 _PIP_YOFF = [0, 0, 40, 40, 80, 80]
 
 
+def _raycast_crossings() -> "F.Column":
+    """Edge-crossing count of the ray from (px, py) through the 6-vertex
+    `poly` struct array — exact integer ray casting as a row-local
+    aggregate() HOF (see the point_in_polygon docstring for why the
+    integer form is float-free). Shared by point_in_polygon and
+    polygon_zonal_stats."""
+    return F.expr(
+        "aggregate(sequence(0, 5), 0, (acc, i) -> acc + IF("
+        " (element_at(poly, i + 1).y > py)"
+        "   != (element_at(poly, pmod(i + 1, 6) + 1).y > py)"
+        " AND CASE"
+        "   WHEN element_at(poly, pmod(i + 1, 6) + 1).y"
+        "        - element_at(poly, i + 1).y > 0"
+        "   THEN (px - element_at(poly, i + 1).x)"
+        "        * (element_at(poly, pmod(i + 1, 6) + 1).y"
+        "           - element_at(poly, i + 1).y)"
+        "      < (element_at(poly, pmod(i + 1, 6) + 1).x"
+        "         - element_at(poly, i + 1).x)"
+        "        * (py - element_at(poly, i + 1).y)"
+        "   ELSE (px - element_at(poly, i + 1).x)"
+        "        * (element_at(poly, pmod(i + 1, 6) + 1).y"
+        "           - element_at(poly, i + 1).y)"
+        "      > (element_at(poly, pmod(i + 1, 6) + 1).x"
+        "         - element_at(poly, i + 1).x)"
+        "        * (py - element_at(poly, i + 1).y)"
+        " END, 1, 0))"
+    )
+
+
 def point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact point-in-polygon census per nation (SURVEY §2 #107).
 
@@ -1829,27 +1858,7 @@ def point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("py"),
     )
-    crossings = F.expr(
-        "aggregate(sequence(0, 5), 0, (acc, i) -> acc + IF("
-        " (element_at(poly, i + 1).y > py)"
-        "   != (element_at(poly, pmod(i + 1, 6) + 1).y > py)"
-        " AND CASE"
-        "   WHEN element_at(poly, pmod(i + 1, 6) + 1).y"
-        "        - element_at(poly, i + 1).y > 0"
-        "   THEN (px - element_at(poly, i + 1).x)"
-        "        * (element_at(poly, pmod(i + 1, 6) + 1).y"
-        "           - element_at(poly, i + 1).y)"
-        "      < (element_at(poly, pmod(i + 1, 6) + 1).x"
-        "         - element_at(poly, i + 1).x)"
-        "        * (py - element_at(poly, i + 1).y)"
-        "   ELSE (px - element_at(poly, i + 1).x)"
-        "        * (element_at(poly, pmod(i + 1, 6) + 1).y"
-        "           - element_at(poly, i + 1).y)"
-        "      > (element_at(poly, pmod(i + 1, 6) + 1).x"
-        "         - element_at(poly, i + 1).x)"
-        "        * (py - element_at(poly, i + 1).y)"
-        " END, 1, 0))"
-    )
+    crossings = _raycast_crossings()
     in_bbox = (
         (F.col("px") > F.col("x0"))
         & (F.col("px") < F.col("x0") + 144)
@@ -1978,27 +1987,7 @@ def polygon_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("py") > F.col("y0"))
         & (F.col("py") < F.col("y0") + 80)
     )
-    crossings = F.expr(
-        "aggregate(sequence(0, 5), 0, (acc, i) -> acc + IF("
-        " (element_at(poly, i + 1).y > py)"
-        "   != (element_at(poly, pmod(i + 1, 6) + 1).y > py)"
-        " AND CASE"
-        "   WHEN element_at(poly, pmod(i + 1, 6) + 1).y"
-        "        - element_at(poly, i + 1).y > 0"
-        "   THEN (px - element_at(poly, i + 1).x)"
-        "        * (element_at(poly, pmod(i + 1, 6) + 1).y"
-        "           - element_at(poly, i + 1).y)"
-        "      < (element_at(poly, pmod(i + 1, 6) + 1).x"
-        "         - element_at(poly, i + 1).x)"
-        "        * (py - element_at(poly, i + 1).y)"
-        "   ELSE (px - element_at(poly, i + 1).x)"
-        "        * (element_at(poly, pmod(i + 1, 6) + 1).y"
-        "           - element_at(poly, i + 1).y)"
-        "      > (element_at(poly, pmod(i + 1, 6) + 1).x"
-        "         - element_at(poly, i + 1).x)"
-        "        * (py - element_at(poly, i + 1).y)"
-        " END, 1, 0))"
-    )
+    crossings = _raycast_crossings()
     # The verify is a CONDITIONAL AGGREGATE, not a filter: a Filter node
     # over the aggregate() HOF trips a Spark 4.1 pushdown bug (the
     # predicate is pushed below the broadcast join into the range scan,
