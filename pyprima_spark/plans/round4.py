@@ -2262,3 +2262,207 @@ FROM tagged GROUP BY 1, 2, 3 ORDER BY fold
 """
 
 ROUND4_LATE_QUERIES["rolling_origin_backtest"] = rolling_origin_backtest
+
+
+# ---------------------------------------------------------------------------
+# ordered_string_export — deterministic list-to-string aggregation
+# ---------------------------------------------------------------------------
+
+def ordered_string_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation per group (SURVEY §2 #112) — the
+    model-file writers join member lists into delimited cells (urbs
+    Process-Commodity sheets, evrys site lists; generate_models.py).
+    A bare collect_list is partition-order nondeterministic — the ONLY
+    stable form is sort_array before array_join, which also makes the
+    result engine-identical (DuckDB string_agg ... ORDER BY). Emits the
+    member count alongside so downstream can validate truncation.
+    """
+    nat = _t(spark, sf_dir, "nation")
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.array_join(
+                F.sort_array(F.collect_list("s_name")), ";"
+            ).alias("supplier_list"),
+        )
+        .orderBy("n_name")
+    )
+
+
+ROUND4_ORACLES["ordered_string_export"] = """
+SELECT n_name,
+       count(*) AS n_suppliers,
+       string_agg(s_name, ';' ORDER BY s_name) AS supplier_list
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name ORDER BY n_name
+"""
+
+ROUND4_LATE_QUERIES["ordered_string_export"] = ordered_string_export
+
+
+# ---------------------------------------------------------------------------
+# ann_pq — product-quantization ANN (asymmetric distance computation)
+# ---------------------------------------------------------------------------
+# Completes the ANN taxonomy next to brute-force (ann_topk), hyperplane
+# LSH (ann_lsh), and IVF (ann_ivf): PQ compresses each vector to M
+# subspace code ids against per-subspace codebooks, and queries rank
+# candidates by ADC — the sum of precomputed query->centroid distances
+# looked up by code. Codebooks here are deterministic fixed-id vector
+# slices (the oracle-replicable stand-in for a trained KMeans codebook —
+# ann_ivf precedent; every downstream stage is identical either way).
+
+PQ_SUBS = 4
+PQ_SUBDIM = 16
+PQ_K = 16
+
+
+def _pq_centroid_ids() -> list[int]:
+    from pyprima_spark.plans.constants import ANN_N_QUERIES
+
+    return [ANN_N_QUERIES + 11 * i for i in range(PQ_K)]
+
+
+_L2SQ_SPARK = (
+    "aggregate(zip_with(svec, cvec, (x, y) -> (x - y) * (x - y)), 0D,"
+    " (acc, v) -> acc + v)"
+)
+
+
+def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with ADC ranking (SURVEY §2 #113).
+
+    Scale shape — the reason PQ exists: vectors are ENCODED once (a
+    16-row broadcast codebook join + per-(vector, subspace) argmin, all
+    map-side), after which similarity search never touches the raw
+    vectors again — the candidate scan ranks 8-bit codes against a
+    10x16 broadcast distance table. Distances fold sequentially over
+    ascending indices in both engines (functions/vectors.py), rounded
+    to 6dp before every rank; argmin ties break on centroid id.
+    """
+    from pyprima_spark.functions import vectors as V
+    from pyprima_spark.plans.constants import ANN_N_QUERIES
+
+    emb = _t(spark, sf_dir, "embeddings")
+    # Unit-normalize first: on normalized vectors L2^2 = 2 - 2cos, so
+    # ADC's L2 ranking is rank-equivalent to the cosine the rest of the
+    # ANN family ranks by (and what makes PQ usable for cosine search).
+    base = (
+        emb.select(
+            "vec_id", F.expr(V.to_double_spark("embedding")).alias("raw")
+        )
+        .withColumn("nrm", F.expr(V.norm_spark("raw")))
+        .filter(F.col("nrm") > 0)
+        .select(
+            "vec_id", F.expr("transform(raw, x -> x / nrm)").alias("vec")
+        )
+    )
+    subsplit = base.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("sub"),
+                        F.slice("vec", s * PQ_SUBDIM + 1, PQ_SUBDIM).alias(
+                            "svec"
+                        ),
+                    )
+                    for s in range(PQ_SUBS)
+                ]
+            )
+        ).alias("ss"),
+    ).select("vec_id", "ss.sub", "ss.svec")
+    cents = subsplit.filter(
+        F.col("vec_id").isin(_pq_centroid_ids())
+    ).select(
+        F.col("vec_id").alias("cid"), "sub", F.col("svec").alias("cvec")
+    )
+    d6 = F.round(F.expr(_L2SQ_SPARK), 6)
+    wmin = Window.partitionBy("vec_id", "sub").orderBy(
+        F.asc("d"), F.asc("cid")
+    )
+    codes = (
+        subsplit.join(F.broadcast(cents), "sub")
+        .withColumn("d", d6)
+        .withColumn("rn", F.row_number().over(wmin))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "sub", "cid")
+    )
+    dtab = (
+        subsplit.filter(F.col("vec_id") < ANN_N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), "sub", "svec")
+        .join(F.broadcast(cents), "sub")
+        .select("query_id", "sub", "cid", d6.alias("qd"))
+    )
+    adc = (
+        codes.join(F.broadcast(dtab), ["sub", "cid"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.round(F.sum("qd"), 6).alias("adc"))
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("vec_id"))
+    return (
+        adc.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "vec_id", "adc", F.col("rank").cast("int").alias("rank"))
+        .orderBy("query_id", "rank")
+    )
+
+
+def _ann_pq_oracle() -> str:
+    from pyprima_spark.plans.constants import ANN_N_QUERIES
+
+    ids = ", ".join(str(i) for i in _pq_centroid_ids())
+    sub_selects = " UNION ALL ".join(
+        f"SELECT vec_id, {s} AS sub,"
+        f" vec[{s * PQ_SUBDIM + 1}:{(s + 1) * PQ_SUBDIM}] AS svec FROM base"
+        for s in range(PQ_SUBS)
+    )
+    l2 = (
+        f"list_sum(list_transform(generate_series(1, {PQ_SUBDIM}),"
+        " i -> (v.svec[i] - c.cvec[i]) * (v.svec[i] - c.cvec[i])))"
+    )
+    from pyprima_spark.functions import vectors as V
+
+    norm = V.norm_duck("raw", V.EMB_DIM)
+    return f"""
+WITH raw AS (
+  SELECT vec_id, embedding::DOUBLE[] AS raw,
+         {norm} AS nrm
+  FROM embeddings
+), base AS (
+  SELECT vec_id, list_transform(raw, x -> x / nrm) AS vec
+  FROM raw WHERE nrm > 0
+), subsplit AS ({sub_selects}),
+cents AS (
+  SELECT vec_id AS cid, sub, svec AS cvec FROM subsplit
+  WHERE vec_id IN ({ids})
+), dists AS (
+  SELECT v.vec_id, v.sub, c.cid, round({l2}, 6) AS d
+  FROM subsplit v JOIN cents c ON v.sub = c.sub
+), codes AS (
+  SELECT vec_id, sub, cid FROM dists
+  QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, cid) = 1
+), dtab AS (
+  SELECT vec_id AS query_id, sub, cid, d AS qd FROM dists
+  WHERE vec_id < {ANN_N_QUERIES}
+), adc AS (
+  SELECT t.query_id, e.vec_id, round(sum(t.qd), 6) AS adc
+  FROM codes e JOIN dtab t ON e.sub = t.sub AND e.cid = t.cid
+  WHERE e.vec_id <> t.query_id
+  GROUP BY 1, 2
+)
+SELECT query_id, vec_id, adc,
+       CAST(row_number() OVER (
+         PARTITION BY query_id ORDER BY adc, vec_id) AS INT) AS rank
+FROM adc
+QUALIFY rank <= 10
+ORDER BY query_id, rank
+"""
+
+
+ROUND4_ORACLES["ann_pq"] = _ann_pq_oracle()
+ROUND4_LATE_QUERIES["ann_pq"] = ann_pq
