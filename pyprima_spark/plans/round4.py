@@ -2466,3 +2466,97 @@ ORDER BY query_id, rank
 
 ROUND4_ORACLES["ann_pq"] = _ann_pq_oracle()
 ROUND4_LATE_QUERIES["ann_pq"] = ann_pq
+
+
+# ---------------------------------------------------------------------------
+# graph_neighbor_jaccard — link-prediction similarity over the trade graph
+# ---------------------------------------------------------------------------
+
+def graph_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighbor-set Jaccard similarity between node pairs (SURVEY §2
+    #114) — the classic link-prediction / entity-similarity score over
+    the trade graph: nodes sharing many trading partners are candidate
+    merges (grid planning) or recommended links.
+
+    Same wedge-join discipline as triangle counting: shared-neighbor
+    counts come from joining the symmetrized adjacency to itself on the
+    MIDDLE node — each shared neighbor contributes exactly one (a, b)
+    row — so the pair space is bounded by sum(deg^2), never |V|^2, and
+    degenerate hubs are the visible skew key to split. Degrees join on
+    as two dim-sized broadcasts; Jaccard = shared / (da + db - shared)
+    is one division of exact integers.
+    """
+    edges = _canonical_edge_set(spark, sf_dir).localCheckpoint(eager=True)
+    # symmetrized adjacency (node, nbr)
+    adj = edges.select(
+        F.col("edge_a").alias("node"), F.col("edge_b").alias("nbr")
+    ).union(
+        edges.select(F.col("edge_b").alias("node"), F.col("edge_a").alias("nbr"))
+    )
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    shared = (
+        adj.alias("x")
+        .join(adj.alias("y"), F.col("x.nbr") == F.col("y.nbr"))
+        .filter(F.col("x.node") < F.col("y.node"))
+        .groupBy(
+            F.col("x.node").alias("node_a"), F.col("y.node").alias("node_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    out = (
+        shared.join(
+            F.broadcast(deg.select(F.col("node").alias("node_a"),
+                                   F.col("degree").alias("deg_a"))),
+            "node_a",
+        )
+        .join(
+            F.broadcast(deg.select(F.col("node").alias("node_b"),
+                                   F.col("degree").alias("deg_b"))),
+            "node_b",
+        )
+        .select(
+            "node_a",
+            "node_b",
+            "shared",
+            F.round(
+                F.col("shared")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("shared")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return out.filter(F.col("jaccard") >= 0.5).orderBy("node_a", "node_b")
+
+
+ROUND4_ORACLES["graph_neighbor_jaccard"] = """
+WITH pairs AS (
+  SELECT least(c_nationkey, s_nationkey)    AS edge_a,
+         greatest(c_nationkey, s_nationkey) AS edge_b
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  WHERE c_nationkey <> s_nationkey
+), edges AS (
+  SELECT DISTINCT edge_a, edge_b FROM pairs
+), adj AS (
+  SELECT edge_a AS node, edge_b AS nbr FROM edges
+  UNION ALL
+  SELECT edge_b, edge_a FROM edges
+), deg AS (
+  SELECT node, count(*) AS degree FROM adj GROUP BY node
+), shared AS (
+  SELECT x.node AS node_a, y.node AS node_b, count(*) AS shared
+  FROM adj x JOIN adj y ON x.nbr = y.nbr AND x.node < y.node
+  GROUP BY 1, 2
+)
+SELECT node_a, node_b, shared,
+       round(shared / (da.degree + db.degree - shared), 6) AS jaccard
+FROM shared
+JOIN deg da ON shared.node_a = da.node
+JOIN deg db ON shared.node_b = db.node
+WHERE round(shared / (da.degree + db.degree - shared), 6) >= 0.5
+ORDER BY node_a, node_b
+"""
+
+ROUND4_LATE_QUERIES["graph_neighbor_jaccard"] = graph_neighbor_jaccard
