@@ -30,6 +30,8 @@ def asof_join(
     right_ts: str = "ts",
     value_cols: list[str] | None = None,
     suffix: str = "_asof",
+    how: str = "inner",
+    tolerance_us: int | None = None,
 ) -> DataFrame:
     """For each left row, attach the right row's values at the greatest
     ``right_ts <= left_ts`` with the same key (inner semantics: left
@@ -44,6 +46,13 @@ def asof_join(
     result is reproducible across engines and runs (DuckDB's bare ASOF
     picks an arbitrary tied row; oracles must dedup with the same
     greatest-tuple rule).
+
+    ``how="left"`` keeps left rows with no prior right row (carried
+    columns null).  ``tolerance_us`` bounds the staleness of a match:
+    a prior right row further than that many microseconds behind the
+    left timestamp is treated as no match (pandas ``merge_asof``
+    tolerance semantics).  Both are pure post-masks on the same
+    single-shuffle window plan — no extra exchange.
     """
     value_cols = value_cols or [c for c in right.columns if c not in (key, right_ts)]
     lhs = left.withColumn("_side", F.lit(1)).withColumn("_ets", F.col(left_ts))
@@ -71,10 +80,19 @@ def asof_join(
     out = merged.select(
         "*", *[F.last(c, ignorenulls=True).over(w).alias(f"_f_{c}") for c in carried]
     )
-    return (
-        out.filter((F.col("_side") == 1) & F.col(f"_f_{right_ts}{suffix}").isNotNull())
-        .select(
-            *[F.col(c) for c in left.columns],
-            *[F.col(f"_f_{c}").alias(c) for c in carried],
+    matched = F.col(f"_f_{right_ts}{suffix}").isNotNull()
+    if tolerance_us is not None:
+        matched = matched & (
+            F.unix_micros(F.col("_ets"))
+            - F.unix_micros(F.col(f"_f_{right_ts}{suffix}"))
+            <= F.lit(tolerance_us)
         )
-    )
+    left_rows = out.filter(F.col("_side") == 1)
+    if how == "inner":
+        left_rows = left_rows.filter(matched)
+        mask = [F.col(f"_f_{c}").alias(c) for c in carried]
+    else:
+        mask = [
+            F.when(matched, F.col(f"_f_{c}")).alias(c) for c in carried
+        ]
+    return left_rows.select(*[F.col(c) for c in left.columns], *mask)

@@ -1636,3 +1636,7 @@ FROM documents LEFT JOIN flagged ON documents.doc_id = flagged.doc
 WHERE doc_id % 5 >= 3
 GROUP BY source ORDER BY source
 """
+
+from pyprima_spark.plans.round5 import ROUND5_ORACLES as _ROUND5_ORACLES
+
+ORACLES.update(_ROUND5_ORACLES)

@@ -2538,12 +2538,15 @@ def _register_rounds() -> None:
     """
     from pyprima_spark.plans.round3 import ROUND3_QUERIES
     from pyprima_spark.plans.round4 import ROUND4_LATE_QUERIES, ROUND4_QUERIES
+    from pyprima_spark.plans.round5 import ROUND5_QUERIES
 
     QUERIES.update(ROUND3_QUERIES)
     QUERIES.update(ROUND4_QUERIES)
     # Late round-4 keys: implemented after the 50-slot window filled;
     # ordered BEHIND the window (first in line for the round-5 window).
     QUERIES.update(ROUND4_LATE_QUERIES)
+    # Round-5 additions: behind the round-4 window, after the late keys.
+    QUERIES.update(ROUND5_QUERIES)
 
 
 _WINDOW_SIZE = 50
