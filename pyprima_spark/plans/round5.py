@@ -267,3 +267,246 @@ FROM (
 )
 ORDER BY event_id
 """
+
+
+# ---------------------------------------------------------------------------
+# sequence_packing — greedy token-budget packing of docs into chunks
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET = 256  # tokens per training sequence
+
+
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequential packing of documents into fixed-token-budget
+    training sequences — the step between a curated corpus and a
+    tokenized training shard: walk docs in id order, append while the
+    running token total stays within the budget, start a new chunk
+    otherwise (an over-budget doc gets a chunk of its own).
+
+    The walk is inherently order-sequential (each chunk boundary
+    depends on every prior length), so it runs as an Arrow
+    ``applyInPandas`` per source partition — per-group state is one
+    integer, and the scan that derives token counts stays JVM-side.
+    At 100 TB the partition key is (source, shard) with shards sized to
+    executor memory; packing never needs a global order, only a
+    deterministic one per shard.  Chunk census per (source, chunk):
+    docs, tokens, fill ratio in basis points (integer arithmetic).
+    """
+    docs = _t(spark, sf_dir, "documents")
+    with_tok = docs.select(
+        "source",
+        "doc_id",
+        F.size(F.expr(X.tokens_spark("text"))).alias("n_tok"),
+    )
+
+    import pandas as pd
+
+    budget = _PACK_BUDGET
+
+    def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("doc_id")
+        out = []
+        chunk, acc, ndocs = 0, 0, 0
+        source = pdf["source"].iloc[0]
+        for t in pdf["n_tok"]:
+            t = int(t)
+            if ndocs > 0 and acc + t > budget:
+                out.append((source, chunk, ndocs, acc))
+                chunk, acc, ndocs = chunk + 1, 0, 0
+            acc += t
+            ndocs += 1
+        out.append((source, chunk, ndocs, acc))
+        return pd.DataFrame(
+            out, columns=["source", "chunk_id", "n_docs", "total_tokens"]
+        )
+
+    packed = with_tok.groupBy("source").applyInPandas(
+        pack, "source string, chunk_id int, n_docs long, total_tokens long"
+    )
+    return packed.select(
+        "source",
+        "chunk_id",
+        "n_docs",
+        "total_tokens",
+        F.expr(f"cast(total_tokens * 10000 div {budget} as int)").alias("fill_bp"),
+    ).orderBy("source", "chunk_id")
+
+
+ROUND5_QUERIES["sequence_packing"] = sequence_packing
+
+ROUND5_ORACLES["sequence_packing"] = f"""
+WITH RECURSIVE d AS (
+  SELECT source,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn,
+         len({X.tokens_duck('text')}) AS t
+  FROM documents
+),
+walk AS (
+  SELECT source, rn, t, 0 AS chunk_id, t AS acc FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.source, d.rn, d.t,
+         CASE WHEN w.acc + d.t > {_PACK_BUDGET}
+              THEN w.chunk_id + 1 ELSE w.chunk_id END,
+         CASE WHEN w.acc + d.t > {_PACK_BUDGET}
+              THEN d.t ELSE w.acc + d.t END
+  FROM walk w JOIN d ON d.source = w.source AND d.rn = w.rn + 1
+)
+SELECT source, CAST(chunk_id AS INT) AS chunk_id,
+       count(*) AS n_docs,
+       CAST(sum(t) AS BIGINT) AS total_tokens,
+       CAST(sum(t) * 10000 // {_PACK_BUDGET} AS INT) AS fill_bp
+FROM walk
+GROUP BY source, chunk_id
+ORDER BY source, chunk_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# vocab_coverage — top-N vocabulary token-coverage curve
+# ---------------------------------------------------------------------------
+
+_VOCAB_NS = (10, 100, 1000)
+
+
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: what fraction of all corpus tokens do
+    the top-N most frequent words cover?  The tokenizer-budget question
+    every BPE/WordPiece training run starts with.
+
+    The heavy stage — token explode + per-word count — is a single
+    map-combined aggregation on the word key.  Ranking then runs over
+    the AGGREGATED vocabulary (sublinear in corpus size; Heaps' law),
+    so the unpartitioned row_number window is over a dim-sized table,
+    never the corpus.  Coverage fractions are integer basis points.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(F.expr(X.tokens_spark("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    ranked = freq.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("freq"), F.asc("word"))),
+    )
+    covered = [
+        F.sum(F.when(F.col("rank") <= n, F.col("freq")).otherwise(F.lit(0))).alias(
+            f"c_{n}"
+        )
+        for n in _VOCAB_NS
+    ]
+    wide = ranked.agg(
+        F.sum("freq").alias("total_tokens"),
+        F.count(F.lit(1)).alias("vocab_size"),
+        *covered,
+    )
+    stack = ", ".join(f"{n}, c_{n}" for n in _VOCAB_NS)
+    return (
+        wide.select(
+            F.expr(f"stack({len(_VOCAB_NS)}, {stack}) AS (top_n, covered_tokens)"),
+            "total_tokens",
+            "vocab_size",
+        )
+        .select(
+            "top_n",
+            "covered_tokens",
+            "total_tokens",
+            "vocab_size",
+            F.expr("cast(covered_tokens * 10000 div total_tokens as int)").alias(
+                "covered_bp"
+            ),
+        )
+        .orderBy("top_n")
+    )
+
+
+ROUND5_QUERIES["vocab_coverage"] = vocab_coverage
+
+_VOCAB_SELECTS = "\nUNION ALL\n".join(
+    f"SELECT {n} AS top_n,"
+    f" CAST(sum(CASE WHEN rank <= {n} THEN freq ELSE 0 END) AS BIGINT)"
+    f" AS covered_tokens,"
+    f" CAST(sum(freq) AS BIGINT) AS total_tokens,"
+    f" count(*) AS vocab_size,"
+    f" CAST(sum(CASE WHEN rank <= {n} THEN freq ELSE 0 END) * 10000"
+    f" // sum(freq) AS INT) AS covered_bp"
+    f" FROM ranked"
+    for n in _VOCAB_NS
+)
+
+ROUND5_ORACLES["vocab_coverage"] = f"""
+WITH words AS (
+  SELECT unnest({X.tokens_duck('text')}) AS word FROM documents
+),
+freqs AS (
+  SELECT word, count(*) AS freq FROM words GROUP BY word
+),
+ranked AS (
+  SELECT freq, row_number() OVER (ORDER BY freq DESC, word ASC) AS rank
+  FROM freqs
+)
+{_VOCAB_SELECTS}
+ORDER BY top_n
+"""
+
+
+# ---------------------------------------------------------------------------
+# session_paths — most common 3-step event sequences
+# ---------------------------------------------------------------------------
+
+_PATHS_TOPK = 20
+
+
+def session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top event-type trigram paths across user timelines — the
+    clickstream path-mining staple (what do users do next?).
+
+    One shuffle on user_id orders each timeline (two stacked ``lead``s
+    share the exchange+sort); the path census is a map-combined count
+    on the path string, whose key space is |event_types|^3 — dim-sized,
+    so the final top-k window is over a tiny aggregate.
+    """
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    paths = (
+        ev.select(
+            "event_type",
+            F.lead("event_type", 1).over(w).alias("e2"),
+            F.lead("event_type", 2).over(w).alias("e3"),
+        )
+        .filter(F.col("e3").isNotNull())
+        .select(
+            F.concat_ws(">", "event_type", "e2", "e3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    ranked = paths.withColumn(
+        "rank", F.row_number().over(Window.orderBy(F.desc("n"), F.asc("path")))
+    )
+    return ranked.filter(F.col("rank") <= _PATHS_TOPK).orderBy("rank")
+
+
+ROUND5_QUERIES["session_paths"] = session_paths
+
+ROUND5_ORACLES["session_paths"] = f"""
+WITH seq AS (
+  SELECT event_type,
+         lead(event_type, 1) OVER w AS e2,
+         lead(event_type, 2) OVER w AS e3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+counts AS (
+  SELECT event_type || '>' || e2 || '>' || e3 AS path, count(*) AS n
+  FROM seq WHERE e3 IS NOT NULL
+  GROUP BY 1
+)
+SELECT path, n, rank FROM (
+  SELECT path, n,
+         row_number() OVER (ORDER BY n DESC, path ASC) AS rank
+  FROM counts
+)
+WHERE rank <= {_PATHS_TOPK}
+ORDER BY rank
+"""
