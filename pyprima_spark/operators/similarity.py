@@ -174,8 +174,15 @@ def embedding_dedup(emb: DataFrame, tau: float, id_col: str = "vec_id") -> DataF
         .select(F.col("a.vid").alias("vec_a"), F.col("b.vid").alias("vec_b"))
         .distinct()
     )
+    # Broadcast the candidate-pair table into both verify joins: pairs
+    # is (id, id) only — band parameters bound it to a small multiple
+    # of N/2^P per band — so shipping it beats shuffling the full
+    # vector payload twice (measured 1.9s -> 1.2s warm at sf0.1). If a
+    # parameter choice ever made the candidate set huge, drop the hint
+    # and AQE falls back to a shuffle join; the vector table itself is
+    # never on the broadcast side.
     return (
-        pairs.join(
+        F.broadcast(pairs).join(
             base.select(
                 F.col("vid").alias("vec_a"),
                 F.col("vec").alias("qvec"),
