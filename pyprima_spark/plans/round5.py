@@ -510,3 +510,288 @@ SELECT path, n, rank FROM (
 WHERE rank <= {_PATHS_TOPK}
 ORDER BY rank
 """
+
+
+# ---------------------------------------------------------------------------
+# centroid_outliers — per-label embedding outlier screen
+# ---------------------------------------------------------------------------
+
+_OUTLIER_K = 5
+
+
+def centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise screen: the 5 vectors per label with the LOWEST
+    cosine to their own label centroid — the embedding-space sanity
+    check a labeled training set goes through before a fine-tune
+    (mislabeled or off-distribution rows surface at the bottom).
+
+    The centroid pass is the ``label_centroids`` aggregation
+    (posexplode + (label, dim) partial sums — never whole vectors
+    through the shuffle); the dim-sized centroid table is re-assembled
+    into arrays and BROADCAST, so scoring is a map-side zip_with over
+    one scan of the vector table, and the per-label bottom-k compiles
+    to WindowGroupLimit (partial top-k before the single shuffle).
+    """
+    from pyprima_spark.functions.agg import dec_avg
+    from pyprima_spark.functions import vectors as V
+    from pyprima_spark.operators.similarity import with_vec_norm
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = (
+        emb.select("label", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(dec_avg("v", 5).alias("c"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("s"))
+        .select("label", F.expr("transform(s, x -> x.c)").alias("cvec"))
+    )
+    dot = V.dot_spark("vec", "cvec")
+    scored = (
+        with_vec_norm(emb)
+        .join(F.broadcast(cent), "label")
+        .withColumn("cn", F.expr(V.norm_spark("cvec")))
+        .withColumn(
+            "cos",
+            F.round(
+                F.expr(
+                    f"CASE WHEN nrm = 0D OR cn = 0D THEN 0D"
+                    f" ELSE {dot} / (nrm * cn) END"
+                ),
+                4,
+            ),
+        )
+    )
+    w = Window.partitionBy("label").orderBy(F.asc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _OUTLIER_K)
+        .select("label", "vec_id", "cos", "rank")
+        .orderBy("label", "rank")
+    )
+
+
+ROUND5_QUERIES["centroid_outliers"] = centroid_outliers
+
+
+def _centroid_outliers_oracle() -> str:
+    from pyprima_spark.functions import vectors as V
+
+    return f"""
+WITH cent AS (
+  SELECT label, i AS dim,
+         round(sum(CAST(embedding[i + 1] AS DECIMAL(27,6)))::DOUBLE
+               / count(embedding[i + 1]), 5) AS c
+  FROM embeddings, (SELECT unnest(range({V.EMB_DIM})) AS i) dims
+  GROUP BY label, i
+),
+carr AS (
+  SELECT label, list(c ORDER BY dim) AS cvec FROM cent GROUP BY label
+),
+scored AS (
+  SELECT e.label, e.vec_id,
+         round({V.cosine_duck('vec', 'cvec', V.EMB_DIM)}, 4) AS cos
+  FROM (SELECT label, vec_id, {V.to_double_duck('embedding')} AS vec
+        FROM embeddings) e
+  JOIN carr USING (label)
+)
+SELECT label, vec_id, cos, rank FROM (
+  SELECT label, vec_id, cos,
+         row_number() OVER (PARTITION BY label
+                            ORDER BY cos ASC, vec_id ASC) AS rank
+  FROM scored
+)
+WHERE rank <= {_OUTLIER_K}
+ORDER BY label, rank
+"""
+
+
+ROUND5_ORACLES["centroid_outliers"] = _centroid_outliers_oracle()
+
+
+# ---------------------------------------------------------------------------
+# drift_tv_distance — two-period histogram drift (total variation)
+# ---------------------------------------------------------------------------
+
+_DRIFT_SPLIT = "2024-01-16 00:00:00"
+
+
+def drift_tv_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift between two halves of the event log, per
+    event type: total-variation distance over a fixed 25-bin histogram
+    of ``value`` — the drift gate a feature pipeline runs before
+    retraining on a new data window.
+
+    One map-combined (type, bin) aggregation over a single scan (the
+    period flag is a scan-level projection); TV is then computed on the
+    dim-sized histogram with INTEGER cross-products
+    (|c_a*N_b - c_b*N_a|, one division at the very end), so the result
+    is exact and engine-independent. At petabyte counts the
+    cross-products move to DECIMAL — same plan, wider type.
+    """
+    ev = _t(spark, sf_dir, "events")
+    binned = ev.select(
+        "event_type",
+        F.when(F.col("ts") < F.lit(_DRIFT_SPLIT).cast("timestamp"), 0)
+        .otherwise(1)
+        .alias("p"),
+        F.least(F.lit(24), F.floor(F.col("value") / 20).cast("int")).alias("bin"),
+    )
+    counts = binned.groupBy("event_type", "bin").agg(
+        F.sum(F.when(F.col("p") == 0, 1).otherwise(0)).alias("c_a"),
+        F.sum(F.when(F.col("p") == 1, 1).otherwise(0)).alias("c_b"),
+    )
+    w = Window.partitionBy("event_type")
+    with_tot = counts.select(
+        "event_type",
+        "c_a",
+        "c_b",
+        F.sum("c_a").over(w).alias("n_a"),
+        F.sum("c_b").over(w).alias("n_b"),
+    )
+    return (
+        with_tot.groupBy("event_type")
+        .agg(
+            F.max("n_a").alias("n_a"),
+            F.max("n_b").alias("n_b"),
+            F.sum(F.abs(F.col("c_a") * F.col("n_b") - F.col("c_b") * F.col("n_a"))).alias(
+                "tv_num"
+            ),
+        )
+        .select(
+            "event_type",
+            "n_a",
+            "n_b",
+            F.expr("cast(tv_num * 10000 div (2 * n_a * n_b) as int)").alias("tv_bp"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ROUND5_QUERIES["drift_tv_distance"] = drift_tv_distance
+
+ROUND5_ORACLES["drift_tv_distance"] = f"""
+WITH binned AS (
+  SELECT event_type,
+         CASE WHEN ts < TIMESTAMP '{_DRIFT_SPLIT}' THEN 0 ELSE 1 END AS p,
+         least(24, CAST(floor(value / 20) AS INT)) AS bin
+  FROM events
+),
+counts AS (
+  SELECT event_type, bin,
+         sum(CASE WHEN p = 0 THEN 1 ELSE 0 END) AS c_a,
+         sum(CASE WHEN p = 1 THEN 1 ELSE 0 END) AS c_b
+  FROM binned GROUP BY event_type, bin
+),
+with_tot AS (
+  SELECT event_type, c_a, c_b,
+         sum(c_a) OVER (PARTITION BY event_type) AS n_a,
+         sum(c_b) OVER (PARTITION BY event_type) AS n_b
+  FROM counts
+)
+SELECT event_type,
+       CAST(max(n_a) AS BIGINT) AS n_a,
+       CAST(max(n_b) AS BIGINT) AS n_b,
+       CAST(sum(abs(c_a * n_b - c_b * n_a)) * 10000
+            // (2 * max(n_a) * max(n_b)) AS INT) AS tv_bp
+FROM with_tot
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# ks_drift — exact binned Kolmogorov–Smirnov two-period statistic
+# ---------------------------------------------------------------------------
+
+def ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kolmogorov–Smirnov drift statistic between the same two periods,
+    per event type, over a 1000-bin ECDF of ``value`` — the
+    supremum-of-ECDF-gap companion to the TV histogram distance
+    (sensitive to location shifts TV underweights).
+
+    D = max |F_a - F_b| is computed as max |cum_a*N_b - cum_b*N_a| in
+    INTEGER arithmetic with one trailing division.  The cumulative
+    sums run per-event-type (partitioned window over the dim-sized bin
+    table — never over raw events), so nothing here is single-
+    partition at any scale; binning to a fixed grid is what makes the
+    distinct-value table bounded (the standard large-scale KS
+    approximation, exact for the binned ECDF).
+    """
+    ev = _t(spark, sf_dir, "events")
+    binned = ev.select(
+        "event_type",
+        F.when(F.col("ts") < F.lit(_DRIFT_SPLIT).cast("timestamp"), 0)
+        .otherwise(1)
+        .alias("p"),
+        F.least(F.lit(999), F.floor(F.col("value") * 2).cast("int")).alias("bin"),
+    )
+    counts = binned.groupBy("event_type", "bin").agg(
+        F.sum(F.when(F.col("p") == 0, 1).otherwise(0)).alias("c_a"),
+        F.sum(F.when(F.col("p") == 1, 1).otherwise(0)).alias("c_b"),
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("event_type")
+    scored = counts.select(
+        "event_type",
+        F.sum("c_a").over(wcum).alias("cum_a"),
+        F.sum("c_b").over(wcum).alias("cum_b"),
+        F.sum("c_a").over(wall).alias("n_a"),
+        F.sum("c_b").over(wall).alias("n_b"),
+    )
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.max("n_a").alias("n_a"),
+            F.max("n_b").alias("n_b"),
+            F.max(
+                F.abs(F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a"))
+            ).alias("d_num"),
+        )
+        .select(
+            "event_type",
+            "n_a",
+            "n_b",
+            F.expr("cast(d_num * 10000 div (n_a * n_b) as int)").alias("ks_bp"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ROUND5_QUERIES["ks_drift"] = ks_drift
+
+ROUND5_ORACLES["ks_drift"] = f"""
+WITH binned AS (
+  SELECT event_type,
+         CASE WHEN ts < TIMESTAMP '{_DRIFT_SPLIT}' THEN 0 ELSE 1 END AS p,
+         least(999, CAST(floor(value * 2) AS INT)) AS bin
+  FROM events
+),
+counts AS (
+  SELECT event_type, bin,
+         sum(CASE WHEN p = 0 THEN 1 ELSE 0 END) AS c_a,
+         sum(CASE WHEN p = 1 THEN 1 ELSE 0 END) AS c_b
+  FROM binned GROUP BY event_type, bin
+),
+scored AS (
+  SELECT event_type,
+         sum(c_a) OVER (PARTITION BY event_type ORDER BY bin
+                        ROWS UNBOUNDED PRECEDING) AS cum_a,
+         sum(c_b) OVER (PARTITION BY event_type ORDER BY bin
+                        ROWS UNBOUNDED PRECEDING) AS cum_b,
+         sum(c_a) OVER (PARTITION BY event_type) AS n_a,
+         sum(c_b) OVER (PARTITION BY event_type) AS n_b
+  FROM counts
+)
+SELECT event_type,
+       CAST(max(n_a) AS BIGINT) AS n_a,
+       CAST(max(n_b) AS BIGINT) AS n_b,
+       CAST(max(abs(cum_a * n_b - cum_b * n_a)) * 10000
+            // (max(n_a) * max(n_b)) AS INT) AS ks_bp
+FROM scored
+GROUP BY event_type
+ORDER BY event_type
+"""
