@@ -1640,3 +1640,56 @@ GROUP BY source ORDER BY source
 from pyprima_spark.plans.round5 import ROUND5_ORACLES as _ROUND5_ORACLES
 
 ORACLES.update(_ROUND5_ORACLES)
+
+# Round-5 key whose oracle reuses the shared minhash band CTE and the
+# quality-score expressions (the round5 module cannot import this one
+# without a cycle).
+ORACLES["cluster_representatives"] = f"""
+WITH RECURSIVE {_MINHASH_BANDS_CTE},
+pairs AS (
+  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig AND a.doc < b.doc
+),
+cedges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT DISTINCT a, a FROM cedges
+  UNION
+  SELECT e.b, r.lbl FROM reach r JOIN cedges e ON e.a = r.node
+),
+clusters AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node),
+qd AS (
+  SELECT
+    doc_id,
+    len(tokens) AS n_tok,
+    length(text) AS n_ch,
+    length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS punct_cnt,
+    length(regexp_replace(lower(text), '\\s', '', 'g')) AS word_chars,
+    {X.stopword_count_duck('tokens', STOPWORDS['en'])} AS stop_cnt
+  FROM (SELECT doc_id, text, {X.tokens_duck('text')} AS tokens FROM documents)
+),
+scored AS (
+  SELECT doc_id,
+    (2.0 * (CASE WHEN n_tok = 0 THEN 0 ELSE stop_cnt / n_tok END)
+     - 3.0 * (CASE WHEN n_ch = 0 THEN 0 ELSE punct_cnt / n_ch END)
+     + least(n_tok, 100) / 100.0
+     - abs((CASE WHEN n_tok = 0 THEN 0 ELSE word_chars / n_tok END) - 5.0)
+       / 10.0) AS score
+  FROM qd
+),
+members AS (
+  SELECT c.cluster_id, c.node AS doc_id, s.score,
+         count(*) OVER (PARTITION BY c.cluster_id) AS n_members,
+         row_number() OVER (PARTITION BY c.cluster_id
+                            ORDER BY s.score DESC, c.node ASC) AS rn
+  FROM clusters c JOIN scored s ON s.doc_id = c.node
+)
+SELECT cluster_id, doc_id AS rep_doc_id, n_members,
+       round(score, 4) AS rep_score
+FROM members WHERE rn = 1
+ORDER BY cluster_id
+"""

@@ -795,3 +795,164 @@ FROM scored
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# market_basket_pairs — co-purchase association mining with lift
+# ---------------------------------------------------------------------------
+
+_BASKET_MIN_SUPPORT = 2
+_BASKET_TOPK = 50
+
+
+def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent co-purchased part pairs with support and lift — the
+    association-rule primitive (market-basket analysis) over order
+    baskets.
+
+    The pair space is generated by a SELF-JOIN ON THE ORDER KEY, so
+    fanout is bounded by basket size squared (TPC-H ~4 items/order),
+    never |parts|² — the property that keeps this tractable at any
+    order count.  Per-part order frequencies are a dim-sized aggregate
+    broadcast into the pair table; lift is reported as integer basis
+    points (support·N·10⁴ / (c_a·c_b), one integer division), so
+    nothing float-hashable leaves the plan.  The final top-k ranks the
+    support-filtered aggregate (dim-sized after the min-support cut).
+    """
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_orders = li.select(
+        F.countDistinct("l_orderkey").alias("n_orders")
+    )
+    part_counts = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    a = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
+    b = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= _BASKET_MIN_SUPPORT)
+    )
+    enriched = (
+        pairs.join(
+            F.broadcast(part_counts.select(F.col("l_partkey").alias("part_a"),
+                                           F.col("c").alias("c_a"))),
+            "part_a",
+        )
+        .join(
+            F.broadcast(part_counts.select(F.col("l_partkey").alias("part_b"),
+                                           F.col("c").alias("c_b"))),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(n_orders))
+    )
+    ranked = enriched.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.desc("support"), F.asc("part_a"), F.asc("part_b"))
+        ),
+    )
+    return (
+        ranked.filter(F.col("rank") <= _BASKET_TOPK)
+        .select(
+            "part_a",
+            "part_b",
+            "support",
+            "c_a",
+            "c_b",
+            F.expr("cast(support * n_orders * 10000 div (c_a * c_b) as bigint)").alias(
+                "lift_bp"
+            ),
+            "rank",
+        )
+        .orderBy("rank")
+    )
+
+
+ROUND5_QUERIES["market_basket_pairs"] = market_basket_pairs
+
+ROUND5_ORACLES["market_basket_pairs"] = f"""
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM li),
+pc AS (SELECT l_partkey, count(*) AS c FROM li GROUP BY l_partkey),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS support
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= {_BASKET_MIN_SUPPORT}
+),
+ranked AS (
+  SELECT part_a, part_b, support, ca.c AS c_a, cb.c AS c_b, n.n_orders,
+         row_number() OVER (ORDER BY support DESC, part_a ASC, part_b ASC)
+           AS rank
+  FROM pairs
+  JOIN pc ca ON ca.l_partkey = part_a
+  JOIN pc cb ON cb.l_partkey = part_b
+  CROSS JOIN n
+)
+SELECT part_a, part_b, support, c_a, c_b,
+       CAST(support * n_orders * 10000 // (c_a * c_b) AS BIGINT) AS lift_bp,
+       rank
+FROM ranked
+WHERE rank <= {_BASKET_TOPK}
+ORDER BY rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# cluster_representatives — best-quality doc per near-dup cluster
+# ---------------------------------------------------------------------------
+
+def cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document election per MinHash near-dup cluster: keep
+    the HIGHEST-QUALITY member (corpus_curation keeps the min-id root;
+    real pipelines keep the best copy — longest, cleanest — and drop
+    the rest).
+
+    Cluster labels come from the hash-min connected components over
+    LSH candidate pairs (operators/components.py — O(V) state,
+    converges in O(diameter) rounds); quality is the row-local
+    rational-arithmetic score shared with quality_score/corpus_curation
+    (bit-identical across engines, so the argmax is deterministic).
+    Members + election run in ONE window pass per cluster partition
+    (count + row_number share the shuffle).  Only real clusters
+    (≥2 members) are reported.
+
+    Oracle: plans/oracles.py (shares the minhash band CTE; this module
+    cannot import that one without a cycle).
+    """
+    from pyprima_spark.operators.components import connected_components
+    from pyprima_spark.operators.dedup import minhash_candidate_pairs
+    from pyprima_spark.plans.queries import _quality_frame
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_candidate_pairs(docs, "doc_id", "text")
+    comp = connected_components(pairs, "doc_a", "doc_b").select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+    scored = _quality_frame(docs).select("doc_id", "score")
+    members = comp.join(scored, "doc_id")
+    wp = Window.partitionBy("cluster_id")
+    wr = wp.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        members.withColumn("n_members", F.count(F.lit(1)).over(wp))
+        .withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("rep_doc_id"),
+            "n_members",
+            F.round("score", 4).alias("rep_score"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+ROUND5_QUERIES["cluster_representatives"] = cluster_representatives
