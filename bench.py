@@ -104,6 +104,25 @@ BENCH_QUERIES = [
     "order_cycle_time",
     "golden_record",
     "skyline_pareto",
+    "point_in_polygon",
+    "polygon_zonal_stats",
+    "incremental_minhash_index",
+    "blocklist_filter",
+    "rolling_origin_backtest",
+    "ordered_string_export",
+    "ann_pq",
+    "graph_neighbor_jaccard",
+    "snapshot_diff",
+    "stratified_sample",
+    "asof_tolerance_join",
+    "sequence_packing",
+    "vocab_coverage",
+    "session_paths",
+    "centroid_outliers",
+    "drift_tv_distance",
+    "ks_drift",
+    "market_basket_pairs",
+    "cluster_representatives",
 ]
 
 
