@@ -956,3 +956,218 @@ def cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ROUND5_QUERIES["cluster_representatives"] = cluster_representatives
+
+
+# ---------------------------------------------------------------------------
+# bpe_token_count — BPE-style pretokenization census
+# ---------------------------------------------------------------------------
+
+# GPT-2-style pretokenizer, restricted to ASCII classes that Java
+# (Spark) and RE2-ish (DuckDB) regex engines treat identically: letter
+# runs, digit runs, non-alphanumeric-non-space runs.
+_BPE_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9\\s]+"
+# Spark SQL string literals process backslash escapes ('\s' -> 's'),
+# DuckDB's standard-conforming literals do not — so the Spark side
+# needs the backslash doubled to reach the regex engine intact.
+_BPE_PATTERN_SPARK = _BPE_PATTERN.replace("\\", "\\\\")
+
+
+def bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretokenization census with a BPE-style regex (letter runs /
+    digit runs / symbol runs — the split every BPE/WordPiece trainer
+    applies before merges), per source: piece totals, distinct piece
+    counts, and pieces-per-doc in basis points.
+
+    ``regexp_extract_all`` runs row-local in the scan projection; the
+    per-source totals are map-combined, and the distinct-piece count
+    shuffles (source, piece) pairs — bounded by the vocabulary, not
+    the corpus. The whitespace-tokenizer counterpart is
+    ``token_count``; this is the tokenizer-accurate version of the
+    same census (SURVEY §2 #126).
+    """
+    docs = _t(spark, sf_dir, "documents")
+    pieces = docs.select(
+        "source",
+        "doc_id",
+        F.expr(f"regexp_extract_all(lower(text), '{_BPE_PATTERN_SPARK}', 0)").alias(
+            "pieces"
+        ),
+    )
+    per_doc = pieces.select("source", "doc_id", F.size("pieces").alias("n_pieces"))
+    totals = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_pieces").alias("total_pieces"),
+    )
+    distincts = (
+        pieces.select("source", F.explode("pieces").alias("piece"))
+        .groupBy("source")
+        .agg(F.countDistinct("piece").alias("distinct_pieces"))
+    )
+    return (
+        totals.join(distincts, "source")
+        .select(
+            "source",
+            "n_docs",
+            "total_pieces",
+            "distinct_pieces",
+            F.expr("cast(total_pieces * 10000 div n_docs as int)").alias(
+                "pieces_per_doc_bp"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+ROUND5_QUERIES["bpe_token_count"] = bpe_token_count
+
+ROUND5_ORACLES["bpe_token_count"] = f"""
+WITH pieces AS (
+  SELECT source, doc_id,
+         regexp_extract_all(lower(text), '{_BPE_PATTERN}') AS pieces
+  FROM documents
+),
+totals AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(len(pieces)) AS BIGINT) AS total_pieces
+  FROM pieces GROUP BY source
+),
+dst AS (
+  SELECT source, count(DISTINCT piece) AS distinct_pieces
+  FROM (SELECT source, unnest(pieces) AS piece FROM pieces)
+  GROUP BY source
+)
+SELECT source, n_docs, total_pieces, distinct_pieces,
+       CAST(total_pieces * 10000 // n_docs AS INT) AS pieces_per_doc_bp
+FROM totals JOIN dst USING (source)
+ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# partition_pruning_stats — zone-map / file-skipping census
+# ---------------------------------------------------------------------------
+
+_PRUNE_THRESHOLD = 400.0
+
+
+def partition_pruning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map effectiveness census: per (event_type, day) partition,
+    min/max of ``value``; then per event type, how many partitions a
+    ``value >= 400`` predicate could SKIP outright (max < threshold)
+    and how many rows that skips — the data-layout question behind
+    every file-skipping / partition-pruning design at 100 TB (a scan
+    that cannot prune reads everything no matter how good the engine).
+
+    Two dim-sized aggregations over one scan: the (type, day) zone
+    stats are map-combined partials; the rollup is over the partition
+    census itself.  All integer outputs.
+    """
+    ev = _t(spark, sf_dir, "events")
+    zones = (
+        ev.select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            "value",
+        )
+        .groupBy("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.max("value").alias("vmax"),
+        )
+    )
+    prunable = F.col("vmax") < F.lit(_PRUNE_THRESHOLD)
+    return (
+        zones.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_partitions"),
+            F.sum(F.when(prunable, 1).otherwise(0)).alias("n_prunable"),
+            F.sum(F.when(prunable, F.col("n_rows")).otherwise(0)).alias(
+                "rows_skipped"
+            ),
+            F.sum("n_rows").alias("rows_total"),
+        )
+        .select(
+            "event_type",
+            "n_partitions",
+            "n_prunable",
+            "rows_skipped",
+            "rows_total",
+            F.expr("cast(n_prunable * 10000 div n_partitions as int)").alias(
+                "prunable_bp"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+ROUND5_QUERIES["partition_pruning_stats"] = partition_pruning_stats
+
+ROUND5_ORACLES["partition_pruning_stats"] = f"""
+WITH zones AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         count(*) AS n_rows, max(value) AS vmax
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type,
+       count(*) AS n_partitions,
+       CAST(sum(CASE WHEN vmax < {_PRUNE_THRESHOLD} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_prunable,
+       CAST(sum(CASE WHEN vmax < {_PRUNE_THRESHOLD} THEN n_rows ELSE 0 END)
+            AS BIGINT) AS rows_skipped,
+       CAST(sum(n_rows) AS BIGINT) AS rows_total,
+       CAST(sum(CASE WHEN vmax < {_PRUNE_THRESHOLD} THEN 1 ELSE 0 END) * 10000
+            // count(*) AS INT) AS prunable_bp
+FROM zones
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# approx_quantile_bands — sketch percentiles, self-validated
+# ---------------------------------------------------------------------------
+
+def approx_quantile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-sketch companion of ``value_percentiles`` (the
+    table_profile_approx pattern): exact p50/p90 per event type are
+    hash-compared, and each engine additionally asserts its OWN
+    percentile sketch (Spark KLL-style ``approx_percentile``, DuckDB
+    t-digest ``approx_quantile``) landed within 5% of its own exact
+    value — the error-bound contract, which IS engine-portable, rather
+    than the raw estimates, which are not.
+
+    At 100 TB the sketch is the only viable path (mergeable, map-side,
+    no per-group sort); this query records that the sketch path is
+    wired and within tolerance while keeping the gate exact.
+    """
+    ev = _t(spark, sf_dir, "events")
+
+    def band(p: float, name: str) -> list:
+        exact = F.expr(f"percentile(value, {p})")
+        approx = F.expr(f"approx_percentile(value, {p}, 10000)")
+        return [
+            F.round(exact, 4).alias(name),
+            (F.abs(approx - exact) <= 0.05 * exact).alias(f"ok_{name}"),
+        ]
+
+    return (
+        ev.groupBy("event_type")
+        .agg(*band(0.5, "p50"), *band(0.9, "p90"))
+        .orderBy("event_type")
+    )
+
+
+ROUND5_QUERIES["approx_quantile_bands"] = approx_quantile_bands
+
+ROUND5_ORACLES["approx_quantile_bands"] = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       abs(approx_quantile(value, 0.5) - quantile_cont(value, 0.5))
+         <= 0.05 * quantile_cont(value, 0.5) AS ok_p50,
+       round(quantile_cont(value, 0.9), 4) AS p90,
+       abs(approx_quantile(value, 0.9) - quantile_cont(value, 0.9))
+         <= 0.05 * quantile_cont(value, 0.9) AS ok_p90
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
