@@ -1171,3 +1171,223 @@ FROM events
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# weighted_median — exact weighted median per group
+# ---------------------------------------------------------------------------
+
+def weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantity-weighted median price per return flag — the
+    weighted-percentile aggregate (no Spark built-in): sort each group
+    by value, take the first value whose running weight reaches half
+    the total (lower weighted median — a deterministic, interpolation-
+    free tie rule both engines express identically).
+
+    One shuffle+sort on the group key serves the cumulative-weight
+    window AND the total-weight window; the winner is a conditional
+    min over rows past the half-point.  All comparisons are integer
+    (2·cum ≥ total on bigint weights), so group parallelism is the
+    only thing that grows at 100 TB.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    base = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.col("l_quantity").cast("bigint").alias("w"),
+    )
+    wcum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("l_returnflag")
+    flagged = base.select(
+        "l_returnflag",
+        "l_extendedprice",
+        "w",
+        F.sum("w").over(wcum).alias("cum"),
+        F.sum("w").over(wall).alias("tot"),
+    )
+    return (
+        flagged.groupBy("l_returnflag")
+        .agg(
+            F.max("tot").alias("total_weight"),
+            F.round(
+                F.min(
+                    F.when(
+                        F.col("cum") * 2 >= F.col("tot"), F.col("l_extendedprice")
+                    )
+                ),
+                2,
+            ).alias("weighted_median_price"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+ROUND5_QUERIES["weighted_median"] = weighted_median
+
+ROUND5_ORACLES["weighted_median"] = """
+WITH flagged AS (
+  SELECT l_returnflag, l_extendedprice,
+         sum(CAST(l_quantity AS BIGINT)) OVER (
+           PARTITION BY l_returnflag ORDER BY l_extendedprice
+           ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(CAST(l_quantity AS BIGINT)) OVER (
+           PARTITION BY l_returnflag) AS tot
+  FROM lineitem
+)
+SELECT l_returnflag,
+       CAST(max(tot) AS BIGINT) AS total_weight,
+       round(min(CASE WHEN cum * 2 >= tot THEN l_extendedprice END), 2)
+         AS weighted_median_price,
+       count(*) AS n_rows
+FROM flagged
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# rate_limit_flags — per-user hourly quota enforcement census
+# ---------------------------------------------------------------------------
+
+_RATE_LIMIT = 10  # events per user-hour
+
+
+def rate_limit_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quota-enforcement census: events beyond the 10th in any
+    (user, hour) are throttled — the ingestion-side rate-limit every
+    event pipeline applies, expressed as a rank over the quota window
+    (row_number over (user, hour) ordered by time, deterministic
+    event-id tie-break).
+
+    One shuffle on (user, hour) — the window key IS the quota key —
+    then a map-combined census per event type.  At scale the quota
+    window is also exactly what ``applyInPandasWithState`` enforces
+    online; this is the batch audit of the same rule.
+    """
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy(
+        "user_id", F.date_trunc("hour", F.col("ts"))
+    ).orderBy("ts", "event_id")
+    flagged = ev.select(
+        "event_type",
+        (F.row_number().over(w) > _RATE_LIMIT).alias("throttled"),
+    )
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(F.col("throttled"), 1).otherwise(0)).alias("n_throttled"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "n_throttled",
+            F.expr("cast(n_throttled * 10000 div n_events as int)").alias(
+                "throttled_bp"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+ROUND5_QUERIES["rate_limit_flags"] = rate_limit_flags
+
+ROUND5_ORACLES["rate_limit_flags"] = f"""
+WITH flagged AS (
+  SELECT event_type,
+         row_number() OVER (
+           PARTITION BY user_id, date_trunc('hour', ts)
+           ORDER BY ts, event_id) > {_RATE_LIMIT} AS throttled
+  FROM events
+)
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(CASE WHEN throttled THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_throttled,
+       CAST(sum(CASE WHEN throttled THEN 1 ELSE 0 END) * 10000 // count(*)
+            AS INT) AS throttled_bp
+FROM flagged
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# join_cardinality_estimate — optimizer-statistics validation
+# ---------------------------------------------------------------------------
+
+def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-based-optimizer statistics check: estimate the
+    orders⋈lineitem output size from per-key frequency histograms
+    (Σ c₁(k)·c₂(k) — the exact formula a CBO evaluates from its
+    column histograms) and compare against the true join count.
+
+    Both inputs are map-combined per-key counts; the estimate is a
+    dim-against-dim join of the two histograms — the actual fact-table
+    join never runs, which is the entire point of estimating.  The
+    'actual' column here runs it anyway (that is what makes the check
+    a check); est_over_actual_bp is one integer division.  Per order
+    priority so the histogram skew shows.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    o_hist = orders.groupBy("o_orderpriority", "o_orderkey").agg(
+        F.count(F.lit(1)).alias("c_o")
+    )
+    l_hist = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("c_l"))
+    est = (
+        o_hist.join(
+            l_hist, o_hist["o_orderkey"] == l_hist["l_orderkey"]
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.sum(F.col("c_o") * F.col("c_l")).alias("estimated"))
+    )
+    actual = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("actual"))
+    )
+    return (
+        est.join(actual, "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            "estimated",
+            "actual",
+            F.expr("cast(estimated * 10000 div actual as int)").alias(
+                "est_over_actual_bp"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+ROUND5_QUERIES["join_cardinality_estimate"] = join_cardinality_estimate
+
+ROUND5_ORACLES["join_cardinality_estimate"] = """
+WITH o_hist AS (
+  SELECT o_orderpriority, o_orderkey, count(*) AS c_o
+  FROM orders GROUP BY 1, 2
+),
+l_hist AS (
+  SELECT l_orderkey, count(*) AS c_l FROM lineitem GROUP BY 1
+),
+est AS (
+  SELECT o_orderpriority, CAST(sum(c_o * c_l) AS BIGINT) AS estimated
+  FROM o_hist JOIN l_hist ON o_orderkey = l_orderkey
+  GROUP BY 1
+),
+act AS (
+  SELECT o_orderpriority, count(*) AS actual
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  GROUP BY 1
+)
+SELECT o_orderpriority, estimated, actual,
+       CAST(estimated * 10000 // actual AS INT) AS est_over_actual_bp
+FROM est JOIN act USING (o_orderpriority)
+ORDER BY o_orderpriority
+"""
