@@ -1693,3 +1693,49 @@ SELECT cluster_id, doc_id AS rep_doc_id, n_members,
 FROM members WHERE rn = 1
 ORDER BY cluster_id
 """
+
+# Round-5 key sharing the minhash band CTE (cycle rule as above).
+_SPLIT_EXPR = (
+    "CASE WHEN "
+    + X.hash64_duck("cast(doc_id as varchar) || ':split'")
+    + " % 100 < 80 THEN 'train' WHEN "
+    + X.hash64_duck("cast(doc_id as varchar) || ':split'")
+    + " % 100 < 90 THEN 'val' ELSE 'test' END"
+)
+
+ORACLES["holdout_contamination"] = f"""
+WITH {_MINHASH_BANDS_CTE},
+split AS (
+  SELECT doc_id, source, {_SPLIT_EXPR} AS split FROM documents
+),
+pairs AS (
+  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig AND a.doc < b.doc
+),
+sided AS (
+  SELECT p.doc_a, p.doc_b, sa.split AS split_a, sb.split AS split_b
+  FROM pairs p
+  JOIN split sa ON sa.doc_id = p.doc_a
+  JOIN split sb ON sb.doc_id = p.doc_b
+),
+contaminated AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_b AS doc_id FROM sided
+    WHERE split_a = 'train' AND split_b <> 'train'
+    UNION ALL
+    SELECT doc_a FROM sided
+    WHERE split_b = 'train' AND split_a <> 'train'
+  )
+)
+SELECT s.source,
+       count(*) AS n_eval_docs,
+       CAST(sum(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_contaminated,
+       CAST(sum(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) * 10000
+            // count(*) AS INT) AS contaminated_bp
+FROM split s LEFT JOIN contaminated c ON c.doc_id = s.doc_id
+WHERE s.split <> 'train'
+GROUP BY s.source
+ORDER BY s.source
+"""

@@ -1391,3 +1391,75 @@ SELECT o_orderpriority, estimated, actual,
 FROM est JOIN act USING (o_orderpriority)
 ORDER BY o_orderpriority
 """
+
+
+# ---------------------------------------------------------------------------
+# holdout_contamination — train/eval near-dup leakage check
+# ---------------------------------------------------------------------------
+
+def holdout_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination audit: how many held-out (val/test) documents
+    have a MinHash near-duplicate in the TRAIN split?  The leakage
+    check every benchmark-honest training pipeline runs — a test doc
+    with a train near-dup inflates eval scores without the model
+    generalizing.
+
+    Splits are the deterministic ``sample_split`` id-hash gate
+    (row-local, no shuffle); candidates are the same banded LSH
+    self-join every dedup op here uses (bounded fanout, signature
+    table materialized once).  Cross-split pairs are a post-filter on
+    the candidate table; the census counts DISTINCT contaminated eval
+    docs per source.  Oracle: plans/oracles.py (shares the minhash
+    band CTE).
+    """
+    from pyprima_spark.operators.dedup import minhash_candidate_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    h = F.expr(X.hash64_spark("cast(doc_id as string) || ':split'")) % 100
+    split = docs.select(
+        "doc_id",
+        "source",
+        F.when(h < 80, "train").when(h < 90, "val").otherwise("test").alias("split"),
+    )
+    pairs = minhash_candidate_pairs(docs, "doc_id", "text")
+    sa = split.select(
+        F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
+    )
+    sb = split.select(
+        F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")
+    )
+    sided = pairs.join(sa, "doc_a").join(sb, "doc_b")
+    contaminated = (
+        sided.filter(
+            (F.col("split_a") == "train") & (F.col("split_b") != "train")
+        )
+        .select(F.col("doc_b").alias("doc_id"))
+        .unionByName(
+            sided.filter(
+                (F.col("split_b") == "train") & (F.col("split_a") != "train")
+            ).select(F.col("doc_a").alias("doc_id"))
+        )
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    ev = split.filter(F.col("split") != "train")
+    return (
+        ev.join(contaminated, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_eval_docs"),
+            F.sum(F.coalesce("hit", F.lit(0))).alias("n_contaminated"),
+        )
+        .select(
+            "source",
+            "n_eval_docs",
+            "n_contaminated",
+            F.expr("cast(n_contaminated * 10000 div n_eval_docs as int)").alias(
+                "contaminated_bp"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+ROUND5_QUERIES["holdout_contamination"] = holdout_contamination
