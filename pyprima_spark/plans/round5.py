@@ -1463,3 +1463,100 @@ def holdout_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ROUND5_QUERIES["holdout_contamination"] = holdout_contamination
+
+
+# ---------------------------------------------------------------------------
+# streaming_rate_limit — online quota enforcement (stateful streaming)
+# ---------------------------------------------------------------------------
+
+def streaming_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quota enforcement computed by the STREAMING engine
+    (applyInPandasWithState, one integer of state per (user, hour) key,
+    append mode — see streaming/quota.py) and reported as the same
+    per-event-type census as the batch ``rate_limit_flags`` audit, so
+    one oracle grades both the batch rule and the online operator.
+    """
+    from pyprima_spark.streaming.quota import run_quota_stream
+
+    return run_quota_stream(
+        spark, sf_dir, query_name=f"quota_{abs(hash(sf_dir)) % 10**8}"
+    )
+
+
+ROUND5_QUERIES["streaming_rate_limit"] = streaming_rate_limit
+ROUND5_ORACLES["streaming_rate_limit"] = ROUND5_ORACLES["rate_limit_flags"]
+
+
+# ---------------------------------------------------------------------------
+# fk_orphan_audit — referential-integrity orphan census
+# ---------------------------------------------------------------------------
+
+def fk_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key orphan census — the referential-integrity audit an
+    ETL runs after every load: child rows whose parent key is missing.
+    To make the audit provably non-vacuous, the customer and part
+    parents are read as SIMULATED PARTIAL SNAPSHOTS (keys divisible by
+    1000/500 dropped — the 'parent partition not yet landed' failure
+    mode); orders→lineitem is audited intact.
+
+    Each relation is one left join against the DISTINCT parent-key dim
+    with a map-combined null count — at 100 TB the parent-key dim is
+    the broadcast/bloom side and the child table never shuffles (Spark
+    chooses BHJ for the small parents here; the orders parent goes
+    SMJ, which is the right call at its size).
+    """
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 1000 != 0)
+    part = _t(spark, sf_dir, "part").filter(F.col("p_partkey") % 500 != 0)
+
+    def audit(child: DataFrame, ckey: str, parent: DataFrame, pkey: str,
+              name: str) -> DataFrame:
+        p = parent.select(F.col(pkey).alias("k")).distinct().withColumn(
+            "hit", F.lit(1)
+        )
+        return (
+            child.select(F.col(ckey).alias("k"))
+            .join(p, "k", "left")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.when(F.col("hit").isNull(), 1).otherwise(0)).alias(
+                    "n_orphans"
+                ),
+            )
+            .select(F.lit(name).alias("relation"), "n_rows", "n_orphans")
+        )
+
+    out = (
+        audit(orders, "o_custkey", cust, "c_custkey", "orders->customer")
+        .unionByName(audit(li, "l_orderkey", orders, "o_orderkey",
+                           "lineitem->orders"))
+        .unionByName(audit(li, "l_partkey", part, "p_partkey",
+                           "lineitem->part"))
+    )
+    return out.orderBy("relation")
+
+
+ROUND5_QUERIES["fk_orphan_audit"] = fk_orphan_audit
+
+ROUND5_ORACLES["fk_orphan_audit"] = """
+WITH cust AS (SELECT c_custkey FROM customer WHERE c_custkey % 1000 <> 0),
+prt AS (SELECT p_partkey FROM part WHERE p_partkey % 500 <> 0)
+SELECT 'lineitem->orders' AS relation,
+       count(*) AS n_rows,
+       CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_orphans
+FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+  ON l.l_orderkey = o.o_orderkey
+UNION ALL
+SELECT 'lineitem->part', count(*),
+       CAST(sum(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem l LEFT JOIN (SELECT DISTINCT p_partkey FROM prt) p
+  ON l.l_partkey = p.p_partkey
+UNION ALL
+SELECT 'orders->customer', count(*),
+       CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM cust) c
+  ON o.o_custkey = c.c_custkey
+ORDER BY relation
+"""
