@@ -123,6 +123,14 @@ BENCH_QUERIES = [
     "ks_drift",
     "market_basket_pairs",
     "cluster_representatives",
+    "bpe_token_count",
+    "partition_pruning_stats",
+    "approx_quantile_bands",
+    "weighted_median",
+    "rate_limit_flags",
+    "join_cardinality_estimate",
+    "holdout_contamination",
+    "fk_orphan_audit",
 ]
 
 

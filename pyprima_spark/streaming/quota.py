@@ -45,30 +45,35 @@ def _quota_group(
     )
 
 
-def run_quota_stream(
-    spark: SparkSession, sf_dir: str, query_name: str = "stream_quota"
-) -> DataFrame:
-    """Run the quota stream to completion (availableNow) and return the
-    per-event-type throttle census (same columns as the batch audit)."""
+def quota_flags(events: DataFrame) -> DataFrame:
+    """Per-event throttle flags from the stateful quota operator; input
+    needs (user_id, ts, event_id, event_type) — batch or stream."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    from pyprima_spark.streaming.events import stream_events
-
-    stream = stream_events(spark, sf_dir)
-    keyed = stream.select(
+    keyed = events.select(
         "user_id",
         F.date_trunc("hour", F.col("ts")).alias("hour"),
         "ts",
         "event_id",
         "event_type",
     )
-    out = keyed.groupBy("user_id", "hour").applyInPandasWithState(
+    return keyed.groupBy("user_id", "hour").applyInPandasWithState(
         _quota_group,
         outputStructType=OUT_SCHEMA,
         stateStructType="n long",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def run_quota_stream(
+    spark: SparkSession, sf_dir: str, query_name: str = "stream_quota"
+) -> DataFrame:
+    """Run the quota stream to completion (availableNow) and return the
+    per-event-type throttle census (same columns as the batch audit)."""
+    from pyprima_spark.streaming.events import stream_events
+
+    out = quota_flags(stream_events(spark, sf_dir))
     q = (
         out.writeStream.format("memory")
         .queryName(query_name)

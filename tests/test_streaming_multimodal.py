@@ -265,3 +265,59 @@ def test_sessions_timeout_out_of_order_across_batches(spark, tmp_path):
     # end = last event (01:00) + gap — NOT the late 00:30 event + gap
     expected_end = t0 + dt.timedelta(hours=1) + gap
     assert s1.session_end.startswith(expected_end.strftime("%Y-%m-%d %H:%M:%S"))
+
+
+def test_streaming_quota_state_spans_batches(spark, tmp_path):
+    """The quota counter must CARRY ACROSS micro-batches: 7 events in
+    batch 1 plus 5 in batch 2 for the same (user, hour) is 12 seen and
+    exactly 2 throttled — a per-batch (stateless) count would throttle
+    none."""
+    import datetime as dt
+    import os as _os
+    import time as _time
+
+    from pyprima_spark.streaming.quota import RATE_LIMIT, quota_flags
+
+    assert RATE_LIMIT == 10
+    src = tmp_path / "quota"
+    src.mkdir()
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def write_batch(name, n0, n):
+        rows = [
+            (7, t0 + dt.timedelta(minutes=i), 100 + n0 + i, "click")
+            for i in range(n0, n0 + n)
+        ]
+        spark.createDataFrame(
+            rows, "user_id long, ts timestamp, event_id long, event_type string"
+        ).coalesce(1).write.mode("overwrite").parquet(str(src / name))
+
+    write_batch("b1", 0, 7)
+    write_batch("b2", 7, 5)
+    now = _time.time()
+    for i, name in enumerate(["b1", "b2"]):
+        for f in (src / name).rglob("*"):
+            _os.utime(f, (now + i, now + i))
+
+    stream = (
+        spark.readStream.schema(
+            "user_id long, ts timestamp, event_id long, event_type string"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/*")
+    )
+    q = (
+        quota_flags(stream)
+        .writeStream.format("memory")
+        .queryName("t_quota_batches")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("t_quota_batches").collect()
+    assert len(got) == 12
+    throttled = sorted(r.event_id for r in got if r.throttled)
+    # the 11th and 12th events in event-time order are the batch-2 tail
+    # (id scheme: b1 = 100..106, b2 = 114..118; minutes 10 and 11)
+    assert throttled == [117, 118], got
