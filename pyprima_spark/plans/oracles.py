@@ -1739,3 +1739,21 @@ WHERE s.split <> 'train'
 GROUP BY s.source
 ORDER BY s.source
 """
+
+# Round-5 key composing the two ANN oracle queries (cycle rule again:
+# round5 cannot import this module).
+from pyprima_spark.plans.constants import ANN_K as _ANN_K  # noqa: E402
+
+ORACLES["ann_recall_eval"] = f"""
+WITH exact AS ({ORACLES['ann_topk']}),
+approx AS ({ORACLES['ann_lsh']})
+SELECT e.query_id, count(*) AS k,
+       CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hits,
+       CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) * 10000
+            // {_ANN_K} AS INT) AS recall_bp
+FROM exact e LEFT JOIN approx a
+  ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+GROUP BY e.query_id
+ORDER BY e.query_id
+"""

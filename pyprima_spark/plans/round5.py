@@ -1560,3 +1560,215 @@ FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM cust) c
   ON o.o_custkey = c.c_custkey
 ORDER BY relation
 """
+
+
+# ---------------------------------------------------------------------------
+# ab_test_chi2 — experiment analysis with exact 2x2 chi-square
+# ---------------------------------------------------------------------------
+
+_AB_CONV_VALUE = 150.0
+_AB_CHI2_CRIT = 3.841  # p = 0.05, df = 1
+
+
+def ab_test_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users are hash-assigned to two variants
+    (deterministic md5 gate — the reproducible randomization unit),
+    conversion is 'made a purchase over 150', and the 2×2 chi-square
+    decides significance at p=0.05.
+
+    One shuffle on user_id builds the per-user conversion flag
+    (max-combined); the 2×2 table is a two-row aggregate, and the
+    chi-square N(ad−bc)²/((a+b)(c+d)(a+c)(b+d)) is evaluated ONCE on
+    exact integer counts (double math on integers < 2⁵³ — identical in
+    any IEEE engine; at petabyte user counts the cross-products move
+    to DECIMAL).  Expected non-significant here: the split is random.
+    """
+    ev = _t(spark, sf_dir, "events")
+    users = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("value") > _AB_CONV_VALUE),
+                    1,
+                ).otherwise(0)
+            ).alias("conv")
+        )
+        .select(
+            (F.expr(X.hash64_spark("cast(user_id as string) || ':ab'")) % 2).alias(
+                "variant"
+            ),
+            "conv",
+        )
+    )
+    cells = users.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("conv").alias("n_converted"),
+    )
+    wide = cells.agg(
+        F.sum(F.when(F.col("variant") == 0, F.col("n_converted"))).alias("a"),
+        F.sum(
+            F.when(F.col("variant") == 0, F.col("n_users") - F.col("n_converted"))
+        ).alias("b"),
+        F.sum(F.when(F.col("variant") == 1, F.col("n_converted"))).alias("c"),
+        F.sum(
+            F.when(F.col("variant") == 1, F.col("n_users") - F.col("n_converted"))
+        ).alias("d"),
+    )
+    chi2 = F.expr(
+        "(a + b + c + d) * (a * d - b * c) * (a * d - b * c)"
+        " / (cast((a + b) as double) * (c + d) * (a + c) * (b + d))"
+    )
+    stats = wide.select(F.round(chi2, 4).alias("chi2"))
+    return (
+        cells.crossJoin(F.broadcast(stats))
+        .select(
+            "variant",
+            "n_users",
+            "n_converted",
+            F.expr("cast(n_converted * 10000 div n_users as int)").alias("cvr_bp"),
+            "chi2",
+            (F.col("chi2") > _AB_CHI2_CRIT).alias("significant"),
+        )
+        .orderBy("variant")
+    )
+
+
+ROUND5_QUERIES["ab_test_chi2"] = ab_test_chi2
+
+ROUND5_ORACLES["ab_test_chi2"] = f"""
+WITH users AS (
+  SELECT {X.hash64_duck("cast(user_id as varchar) || ':ab'")} % 2 AS variant,
+         max(CASE WHEN event_type = 'purchase' AND value > {_AB_CONV_VALUE}
+                  THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY user_id
+),
+cells AS (
+  SELECT variant, count(*) AS n_users, sum(conv) AS n_converted
+  FROM users GROUP BY variant
+),
+wide AS (
+  SELECT sum(CASE WHEN variant = 0 THEN n_converted END) AS a,
+         sum(CASE WHEN variant = 0 THEN n_users - n_converted END) AS b,
+         sum(CASE WHEN variant = 1 THEN n_converted END) AS c,
+         sum(CASE WHEN variant = 1 THEN n_users - n_converted END) AS d
+  FROM cells
+),
+stats AS (
+  SELECT round((a + b + c + d) * (a * d - b * c) * (a * d - b * c)
+               / (CAST((a + b) AS DOUBLE) * (c + d) * (a + c) * (b + d)), 4)
+           AS chi2
+  FROM wide
+)
+SELECT variant, n_users,
+       CAST(n_converted AS BIGINT) AS n_converted,
+       CAST(n_converted * 10000 // n_users AS INT) AS cvr_bp,
+       chi2,
+       chi2 > {_AB_CHI2_CRIT} AS significant
+FROM cells CROSS JOIN stats
+ORDER BY variant
+"""
+
+
+# ---------------------------------------------------------------------------
+# winsorized_mean — robust mean with exact percentile clamps
+# ---------------------------------------------------------------------------
+
+def winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (5%/95%-clamped) mean of event value per type — the
+    robust-mean alternative to outlier deletion (outlier_mad screens;
+    this corrects).
+
+    Pass one computes the exact interpolated P5/P95 per type (dim-sized
+    aggregate, same `percentile`↔`quantile_cont` bridge as
+    value_percentiles); pass two broadcasts the clamp bounds back and
+    takes the order-insensitive DECIMAL mean of the clamped column.
+    At 100 TB pass one becomes `approx_percentile` (mergeable sketch)
+    with the approx_quantile_bands error contract.
+    """
+    from pyprima_spark.functions.agg import dec_avg
+
+    ev = _t(spark, sf_dir, "events")
+    bounds = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("lo"),
+        F.expr("percentile(value, 0.95)").alias("hi"),
+    )
+    clamped = ev.join(F.broadcast(bounds), "event_type").select(
+        "event_type",
+        F.greatest("lo", F.least("hi", F.col("value"))).alias("v"),
+    )
+    return (
+        clamped.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dec_avg("v").alias("winsorized_mean"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ROUND5_QUERIES["winsorized_mean"] = winsorized_mean
+
+ROUND5_ORACLES["winsorized_mean"] = """
+WITH bounds AS (
+  SELECT event_type,
+         quantile_cont(value, 0.05) AS lo,
+         quantile_cont(value, 0.95) AS hi
+  FROM events GROUP BY event_type
+),
+clamped AS (
+  SELECT e.event_type, greatest(lo, least(hi, value)) AS v
+  FROM events e JOIN bounds USING (event_type)
+)
+SELECT event_type, count(*) AS n,
+       round(sum(CAST(v AS DECIMAL(27,6)))::DOUBLE / count(v), 4)
+         AS winsorized_mean
+FROM clamped
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# ann_recall_eval — measured recall of the LSH index vs brute force
+# ---------------------------------------------------------------------------
+
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the hyperplane-LSH ANN index against the exact
+    brute-force top-k — the evaluation loop every ANN deployment runs
+    before trusting the index (an index without a measured recall
+    number is a guess).
+
+    Composes the two already-oracled operators and joins their top-k
+    sets per query; recall is hits·10⁴/k in integer basis points.  The
+    expensive side (brute force) exists precisely because this is the
+    ground-truth pass — run at evaluation sample size, never corpus
+    size.  Oracle: plans/oracles.py (composes the two ANN oracle CTEs).
+    """
+    from pyprima_spark.plans.constants import ANN_K
+    from pyprima_spark.plans.queries import ann_lsh as q_lsh
+    from pyprima_spark.plans.queries import ann_topk as q_exact
+
+    exact = q_exact(spark, sf_dir).select("query_id", "vec_id")
+    approx = q_lsh(spark, sf_dir).select(
+        "query_id", "vec_id", F.lit(1).alias("hit")
+    )
+    return (
+        exact.join(approx, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.sum(F.coalesce("hit", F.lit(0))).alias("n_hits"),
+        )
+        .select(
+            "query_id",
+            "k",
+            "n_hits",
+            F.expr(f"cast(n_hits * 10000 div {ANN_K} as int)").alias("recall_bp"),
+        )
+        .orderBy("query_id")
+    )
+
+
+ROUND5_QUERIES["ann_recall_eval"] = ann_recall_eval
