@@ -1772,3 +1772,183 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ROUND5_QUERIES["ann_recall_eval"] = ann_recall_eval
+
+
+# ---------------------------------------------------------------------------
+# cusum_changepoint — level-shift detection per series
+# ---------------------------------------------------------------------------
+
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint screen per event type: the day where the
+    cumulative deviation of daily totals from the series mean peaks —
+    the classic level-shift detector a metrics pipeline runs over
+    every series.
+
+    Determinism trick: instead of cumsum(x_i − T/n) (a division per
+    row), the statistic is scaled by n: Sʹ_i = n·cum_i − i·T, computed
+    entirely in DECIMAL/integer arithmetic; the single division to the
+    reported scale happens once at the end.  The daily rollup is
+    map-combined; the cumulative window is per-type over the dim-sized
+    day table; the argmax is one struct-max aggregate (peak |Sʹ|,
+    earliest day on ties).
+    """
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.select("event_type", F.to_date("ts").alias("day"),
+                  F.col("value").cast(DEC).alias("v"))
+        .groupBy("event_type", "day")
+        .agg(F.sum("v").alias("d"))
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("event_type")
+    scored = daily.select(
+        "event_type",
+        "day",
+        F.sum("d").over(wcum).alias("cum"),
+        F.row_number().over(Window.partitionBy("event_type").orderBy("day")).alias(
+            "i"
+        ),
+        F.sum("d").over(wall).alias("t"),
+        F.count(F.lit(1)).over(wall).alias("n_days"),
+    ).select(
+        "event_type",
+        "day",
+        "n_days",
+        F.abs(F.col("n_days") * F.col("cum") - F.col("i") * F.col("t")).alias(
+            "s_abs"
+        ),
+    )
+    peak = scored.groupBy("event_type").agg(
+        F.max("n_days").alias("n_days"),
+        F.max(
+            F.struct(F.col("s_abs"), F.expr("unix_date(day) * -1").alias("negd"))
+        ).alias("pk"),
+    )
+    return peak.select(
+        "event_type",
+        "n_days",
+        F.expr("date_from_unix_date(cast(-pk.negd as int))").alias("peak_day"),
+        F.round(
+            F.col("pk.s_abs").cast("double") / F.col("n_days") / F.col("n_days"),
+            2,
+        ).alias("peak_stat"),
+    ).orderBy("event_type")
+
+
+ROUND5_QUERIES["cusum_changepoint"] = cusum_changepoint
+
+ROUND5_ORACLES["cusum_changepoint"] = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         sum(CAST(value AS DECIMAL(27,6))) AS d
+  FROM events GROUP BY 1, 2
+),
+scored AS (
+  SELECT event_type, day,
+         count(*) OVER (PARTITION BY event_type) AS n_days,
+         abs(count(*) OVER (PARTITION BY event_type)
+             * sum(d) OVER (PARTITION BY event_type ORDER BY day
+                            ROWS UNBOUNDED PRECEDING)
+             - row_number() OVER (PARTITION BY event_type ORDER BY day)
+               * sum(d) OVER (PARTITION BY event_type)) AS s_abs
+  FROM daily
+),
+peak AS (
+  SELECT event_type, n_days, day AS peak_day, s_abs AS peak_abs
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY event_type
+                                 ORDER BY s_abs DESC, day ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+)
+SELECT event_type, n_days, peak_day,
+       round(peak_abs::DOUBLE / n_days / n_days, 2) AS peak_stat
+FROM peak
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# interval_union_coverage — union length of overlapping intervals
+# ---------------------------------------------------------------------------
+
+_INCIDENT_LEN_US = 600_000_000  # 10 minutes
+
+
+def interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union coverage of overlapping incident intervals per day: each
+    error event opens a 10-minute window; the metric is the number of
+    SECONDS OF THE DAY covered by at least one window — the
+    "downtime" / on-call-coverage aggregate naive sum-of-lengths
+    double-counts.
+
+    The sweep-line runs as ONE ordered window per day partition: each
+    interval contributes max(0, end − max(start, running-max of prior
+    ends)) — the standard O(n log n) union-length without
+    segmentation, in exact integer microseconds.  Intervals are
+    attributed to their start day (midnight-crossers counted on the
+    opening day, documented).
+    """
+    ev = _t(spark, sf_dir, "events")
+    iv = ev.filter(F.col("event_type") == "error").select(
+        F.to_date("ts").alias("day"),
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + _INCIDENT_LEN_US).alias("e"),
+    )
+    w = (
+        Window.partitionBy("day")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    contrib = iv.select(
+        "day",
+        F.greatest(
+            F.lit(0),
+            F.col("e")
+            - F.greatest(F.col("s"), F.coalesce(F.max("e").over(w), F.lit(0))),
+        ).alias("covered_us"),
+    )
+    return (
+        contrib.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.sum("covered_us").alias("covered_us"),
+        )
+        .select(
+            "day",
+            "n_intervals",
+            "covered_us",
+            F.expr("cast(covered_us div 1000000 as bigint)").alias("covered_sec"),
+        )
+        .orderBy("day")
+    )
+
+
+ROUND5_QUERIES["interval_union_coverage"] = interval_union_coverage
+
+ROUND5_ORACLES["interval_union_coverage"] = f"""
+WITH iv AS (
+  SELECT CAST(ts AS DATE) AS day,
+         epoch_us(ts) AS s,
+         epoch_us(ts) + {_INCIDENT_LEN_US} AS e
+  FROM events WHERE event_type = 'error'
+),
+contrib AS (
+  SELECT day,
+         greatest(0, e - greatest(s,
+           coalesce(max(e) OVER (PARTITION BY day ORDER BY s, e
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), 0))) AS covered_us
+  FROM iv
+)
+SELECT day, count(*) AS n_intervals,
+       CAST(sum(covered_us) AS BIGINT) AS covered_us,
+       CAST(sum(covered_us) // 1000000 AS BIGINT) AS covered_sec
+FROM contrib
+GROUP BY day
+ORDER BY day
+"""
