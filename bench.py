@@ -131,6 +131,12 @@ BENCH_QUERIES = [
     "join_cardinality_estimate",
     "holdout_contamination",
     "fk_orphan_audit",
+    "ab_test_chi2",
+    "winsorized_mean",
+    "ann_recall_eval",
+    "cusum_changepoint",
+    "interval_union_coverage",
+    "streaming_rate_limit",
 ]
 
 
