@@ -136,7 +136,6 @@ BENCH_QUERIES = [
     "ann_recall_eval",
     "cusum_changepoint",
     "interval_union_coverage",
-    "streaming_rate_limit",
 ]
 
 

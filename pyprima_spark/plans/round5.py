@@ -1952,3 +1952,205 @@ FROM contrib
 GROUP BY day
 ORDER BY day
 """
+
+
+# ---------------------------------------------------------------------------
+# scd2_temporal_lookup — point-in-time dimension lookup (rewrite proof)
+# ---------------------------------------------------------------------------
+
+def scd2_temporal_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time lookup against the SCD2 dimension: for every
+    purchase, the user's versioned state row valid AT that purchase's
+    timestamp — the "what did the dimension say when the fact
+    happened" join every type-2 warehouse runs.
+
+    The naive form is an equi+range probe (valid_from <= ts <
+    valid_to); this implementation REWRITES it as the union+window
+    as-of join (operators/asof.py — one shuffle, no per-row range
+    probing), and the oracle is the naive BETWEEN SQL, so the gate
+    proves the rewrite equivalent.  Ties at equal valid_from resolve
+    to the highest version on both sides.
+    """
+    from pyprima_spark.operators.asof import asof_join as _asof
+    from pyprima_spark.operators.scd import scd2_from_log
+
+    ev = _t(spark, sf_dir, "events")
+    dim = scd2_from_log(ev, "user_id", "event_type").select(
+        "user_id",
+        F.col("valid_from").alias("ts"),
+        F.col("version"),
+        F.col("event_type").alias("state"),
+    )
+    probe = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    j = _asof(probe, dim, "user_id", value_cols=["version", "state"])
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return j.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", fmt).alias("ts"),
+        F.col("version_asof").alias("version"),
+        F.col("state_asof").alias("state"),
+    ).orderBy("event_id")
+
+
+ROUND5_QUERIES["scd2_temporal_lookup"] = scd2_temporal_lookup
+
+ROUND5_ORACLES["scd2_temporal_lookup"] = """
+WITH runs AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events
+),
+dim AS (
+  SELECT user_id, event_type AS state, ts AS valid_from,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS version
+  FROM runs WHERE prev IS NULL OR prev <> event_type
+),
+probe AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+),
+matched AS (
+  SELECT p.event_id, p.user_id, p.ts, d.version, d.state,
+         row_number() OVER (PARTITION BY p.event_id
+                            ORDER BY d.version DESC) AS rn
+  FROM probe p JOIN dim d
+    ON d.user_id = p.user_id AND d.valid_from <= p.ts
+)
+SELECT event_id, user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+       version, state
+FROM matched WHERE rn = 1
+ORDER BY event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# time_rollup_grouping_sets — multi-granularity time rollup
+# ---------------------------------------------------------------------------
+
+def time_rollup_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day/week/month rollups of event value in ONE pass via GROUPING
+    SETS — the multi-granularity time-series materialization a metrics
+    store refreshes (three separate aggregations would scan three
+    times; the Expand-based plan scans once and partial-aggregates
+    map-side).
+
+    Granularity is recovered from GROUPING() flags; totals are
+    order-insensitive DECIMAL sums.
+    """
+    ev = _t(spark, sf_dir, "events")
+    ev.select(
+        F.to_date("ts").alias("day"),
+        F.to_date(F.date_trunc("week", "ts")).alias("week"),
+        F.to_date(F.date_trunc("month", "ts")).alias("month"),
+        F.col("value").cast(DEC).alias("v"),
+    ).createOrReplaceTempView("_ev_grains")
+    return spark.sql(
+        """
+        SELECT CASE WHEN grouping(day) = 0 THEN 'day'
+                    WHEN grouping(week) = 0 THEN 'week'
+                    ELSE 'month' END AS grain,
+               coalesce(day, week, month) AS period,
+               count(*) AS n,
+               cast(round(sum(v), 2) as double) AS total
+        FROM _ev_grains
+        GROUP BY GROUPING SETS ((day), (week), (month))
+        ORDER BY grain, period
+        """
+    )
+
+
+ROUND5_QUERIES["time_rollup_grouping_sets"] = time_rollup_grouping_sets
+
+ROUND5_ORACLES["time_rollup_grouping_sets"] = """
+WITH g AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(date_trunc('week', ts) AS DATE) AS week,
+         CAST(date_trunc('month', ts) AS DATE) AS month,
+         CAST(value AS DECIMAL(27,6)) AS v
+  FROM events
+)
+SELECT CASE WHEN grouping(day) = 0 THEN 'day'
+            WHEN grouping(week) = 0 THEN 'week'
+            ELSE 'month' END AS grain,
+       coalesce(day, week, month) AS period,
+       count(*) AS n,
+       round(sum(v), 2)::DOUBLE AS total
+FROM g
+GROUP BY GROUPING SETS ((day), (week), (month))
+ORDER BY grain, period
+"""
+
+
+# ---------------------------------------------------------------------------
+# late_data_census — watermark-lateness audit over arrival order
+# ---------------------------------------------------------------------------
+
+_WATERMARK_US = 7_200_000_000  # 2 hours
+
+
+def late_data_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark sizing audit: replaying the log in ARRIVAL order
+    (event_id as the arrival proxy), how many events per type would a
+    2-hour watermark drop, and how late is the stragglers' tail? —
+    the measurement that decides a streaming job's watermark before
+    anyone turns it on.
+
+    The running event-time high-water mark is a cumulative max over
+    arrival order WITHIN each type partition (a per-stream sequential
+    scan by nature — the same order the stream itself imposes);
+    lateness is exact integer microseconds against that mark.
+    """
+    ev = _t(spark, sf_dir, "events")
+    warr = (
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    scored = ev.select(
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        F.max(F.unix_micros("ts")).over(warr).alias("hwm"),
+    ).select(
+        "event_type",
+        F.greatest(F.lit(0), F.col("hwm") - F.col("us")).alias("late_us"),
+    )
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.when(F.col("late_us") > _WATERMARK_US, 1).otherwise(0)
+            ).alias("n_dropped_2h"),
+            F.expr("cast(max(late_us) div 1000000 as bigint)").alias(
+                "max_lateness_sec"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+ROUND5_QUERIES["late_data_census"] = late_data_census
+
+ROUND5_ORACLES["late_data_census"] = f"""
+WITH scored AS (
+  SELECT event_type,
+         greatest(0,
+           coalesce(max(epoch_us(ts)) OVER (
+             PARTITION BY event_type ORDER BY event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           - epoch_us(ts)) AS late_us
+  FROM events
+)
+SELECT event_type, count(*) AS n_events,
+       CAST(sum(CASE WHEN late_us > {_WATERMARK_US} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dropped_2h,
+       CAST(max(late_us) // 1000000 AS BIGINT) AS max_lateness_sec
+FROM scored
+GROUP BY event_type
+ORDER BY event_type
+"""
