@@ -136,6 +136,9 @@ BENCH_QUERIES = [
     "ann_recall_eval",
     "cusum_changepoint",
     "interval_union_coverage",
+    "scd2_temporal_lookup",
+    "time_rollup_grouping_sets",
+    "late_data_census",
 ]
 
 

@@ -2154,3 +2154,191 @@ FROM scored
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# hard_negative_mining — contrastive pairs for embedding training
+# ---------------------------------------------------------------------------
+
+_HN_N_QUERIES = 10
+_HN_K = 3
+
+
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive/embedding training: for
+    each anchor vector, the top-3 most-similar vectors with a
+    DIFFERENT label — the pairs a triplet/InfoNCE fine-tune needs most
+    (easy negatives teach nothing).
+
+    Same plan skeleton as ann_topk — broadcast anchor set against one
+    scan of the vector table, label-mismatch as a pre-rank filter, and
+    the per-anchor top-k compiles to WindowGroupLimit (partial top-k
+    map-side, the big side never shuffles).  In a real pipeline the
+    brute-force pass runs per mini-corpus shard or on an LSH-bucketed
+    candidate set (ann_lsh) — the ranking stage is identical.
+    """
+    from pyprima_spark.operators.similarity import (
+        cosine_prenorm_col,
+        with_vec_norm,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = with_vec_norm(emb)
+    anchors = base.filter(F.col("vec_id") < _HN_N_QUERIES).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("vec").alias("qvec"),
+        F.col("nrm").alias("qn"),
+    )
+    cands = base.select(
+        F.col("vec_id"),
+        F.col("label"),
+        F.col("vec").alias("cvec"),
+        F.col("nrm").alias("cn"),
+    )
+    scored = (
+        cands.crossJoin(F.broadcast(anchors))
+        .filter(F.col("label") != F.col("anchor_label"))
+        .withColumn("cos", cosine_prenorm_col())
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _HN_K)
+        .select("anchor_id", "anchor_label", "vec_id", "label", "cos", "rank")
+        .orderBy("anchor_id", "rank")
+    )
+
+
+ROUND5_QUERIES["hard_negative_mining"] = hard_negative_mining
+
+
+def _hard_negative_oracle() -> str:
+    from pyprima_spark.functions import vectors as V
+
+    cos = V.cosine_duck("qvec", "cvec", V.EMB_DIM)
+    return f"""
+WITH base AS (
+  SELECT vec_id, label, {V.to_double_duck('embedding')} AS vec FROM embeddings
+),
+scored AS (
+  SELECT a.vec_id AS anchor_id, a.label AS anchor_label,
+         c.vec_id, c.label, round({cos}, 4) AS cos
+  FROM (SELECT vec_id, label, vec AS qvec FROM base
+        WHERE vec_id < {_HN_N_QUERIES}) a
+  CROSS JOIN (SELECT vec_id, label, vec AS cvec FROM base) c
+  WHERE c.label <> a.label
+)
+SELECT anchor_id, anchor_label, vec_id, label, cos, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY anchor_id
+                               ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored
+)
+WHERE rank <= {_HN_K}
+ORDER BY anchor_id, rank
+"""
+
+
+ROUND5_ORACLES["hard_negative_mining"] = _hard_negative_oracle()
+
+
+# ---------------------------------------------------------------------------
+# bigram_lm_score — corpus-LM fluency scoring (perplexity proxy)
+# ---------------------------------------------------------------------------
+
+def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KenLM-style fluency filter, reduced to the corpus's own bigram
+    model: each doc is scored by the mean log-probability of its
+    bigrams under corpus counts (P(w₂|w₁) = c₁₂/c₁) — the
+    perplexity-proxy quality signal used to keep fluent text and drop
+    gibberish.  Reported per source as the mean doc score.
+
+    Two map-combined count passes (bigrams, unigrams — both
+    vocab-bounded) broadcast back into one scoring scan; each
+    ln-probability term is cast DECIMAL(18,12) before summing
+    (order-insensitive, the token_entropy discipline).  The ratio is
+    exact-count/exact-count, so both engines compute identical
+    doubles before ln.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", "doc_id", F.expr(X.tokens_spark("text")).alias("tokens")
+    )
+    bg = (
+        toks.filter(F.size("tokens") >= 2)
+        .select(
+            "source",
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(tokens) - 2),"
+                    " i -> struct(tokens[i] as w1, tokens[i + 1] as w2))"
+                )
+            ).alias("b"),
+        )
+        .select("source", "doc_id", "b.w1", "b.w2")
+    )
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    scored = (
+        bg.join(F.broadcast(c12), ["w1", "w2"])
+        .join(F.broadcast(c1), "w1")
+        .select(
+            "source",
+            "doc_id",
+            (F.log(F.col("c12") / F.col("c1"))).cast("decimal(18,12)").alias("lp"),
+        )
+    )
+    per_doc = scored.groupBy("source", "doc_id").agg(
+        F.count(F.lit(1)).alias("n_bg"),
+        F.sum("lp").alias("lp_sum"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                F.sum((F.col("lp_sum") / F.col("n_bg")).cast("decimal(18,12)"))
+                .cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("mean_doc_logprob"),
+        )
+        .orderBy("source")
+    )
+
+
+ROUND5_QUERIES["bigram_lm_score"] = bigram_lm_score
+
+ROUND5_ORACLES["bigram_lm_score"] = f"""
+WITH toks AS (
+  SELECT source, doc_id, {X.tokens_duck('text')} AS tokens FROM documents
+),
+bg AS (
+  SELECT source, doc_id, b['w1'] AS w1, b['w2'] AS w2
+  FROM (
+    SELECT source, doc_id,
+           unnest(CASE WHEN len(tokens) < 2 THEN []
+                  ELSE list_transform(generate_series(1, len(tokens) - 1),
+                       i -> {{'w1': tokens[i], 'w2': tokens[i + 1]}}) END) AS b
+    FROM toks
+  )
+),
+c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+scored AS (
+  SELECT source, doc_id,
+         CAST(ln(c12 / c1) AS DECIMAL(18,12)) AS lp
+  FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+),
+per_doc AS (
+  SELECT source, doc_id, count(*) AS n_bg, sum(lp) AS lp_sum
+  FROM scored GROUP BY source, doc_id
+)
+SELECT source, count(*) AS n_docs,
+       round(sum(CAST(lp_sum / n_bg AS DECIMAL(18,12)))::DOUBLE / count(*), 4)
+         AS mean_doc_logprob
+FROM per_doc
+GROUP BY source
+ORDER BY source
+"""
