@@ -1757,3 +1757,43 @@ FROM exact e LEFT JOIN approx a
 GROUP BY e.query_id
 ORDER BY e.query_id
 """
+
+# Round-5 key sharing the minhash band CTE (cycle rule as above); the
+# shingle CTE mirrors minhash_band_table's distinct word-3-shingles.
+ORACLES["lsh_precision_eval"] = f"""
+WITH {_MINHASH_BANDS_CTE},
+pairs AS (
+  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig AND a.doc < b.doc
+),
+sh AS (
+  SELECT doc, unnest(shingles) AS s FROM (
+    SELECT doc_id AS doc, {X.shingles_duck(X.tokens_duck('text'))} AS shingles
+    FROM documents
+    WHERE len({X.tokens_duck('text')}) >= 3
+  )
+),
+sizes AS (SELECT doc, count(*) AS sz FROM sh GROUP BY doc),
+inter AS (
+  SELECT p.doc_a, p.doc_b, count(*) AS i
+  FROM pairs p
+  JOIN sh a ON a.doc = p.doc_a
+  JOIN sh b ON b.doc = p.doc_b AND b.s = a.s
+  GROUP BY 1, 2
+),
+verified AS (
+  SELECT coalesce(i.i, 0) AS i,
+         sa.sz + sb.sz - coalesce(i.i, 0) AS u
+  FROM pairs p
+  LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+  JOIN sizes sa ON sa.doc = p.doc_a
+  JOIN sizes sb ON sb.doc = p.doc_b
+)
+SELECT count(*) AS n_candidates,
+       CAST(sum(CASE WHEN i * 2 >= u THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_verified,
+       CAST(sum(CASE WHEN i * 2 >= u THEN 1 ELSE 0 END) * 10000 // count(*)
+            AS INT) AS precision_bp
+FROM verified
+"""

@@ -2342,3 +2342,172 @@ FROM per_doc
 GROUP BY source
 ORDER BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# cohort_ltv — cumulative revenue per signup cohort
+# ---------------------------------------------------------------------------
+
+def cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve: users grouped by first-seen week,
+    cumulative purchase revenue tracked per week since signup — the
+    LTV matrix behind every retention-economics dashboard (the revenue
+    companion of retention_cohorts).
+
+    First-seen week is one min-window over the user partition (reused
+    by the revenue rows in the same pass); the (cohort, week-index)
+    rollup is map-combined DECIMAL sums; the cumulative curve is a
+    per-cohort ordered window over the dim-sized matrix.
+    """
+    ev = _t(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id")
+    seen = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.col("value").cast(DEC).alias("v"),
+        F.to_date(F.date_trunc("week", F.min("ts").over(wu))).alias("cohort_week"),
+    )
+    rev = (
+        seen.filter(F.col("event_type") == "purchase")
+        .select(
+            "cohort_week",
+            (
+                F.datediff(
+                    F.to_date(F.date_trunc("week", F.col("ts"))), F.col("cohort_week")
+                )
+                / 7
+            )
+            .cast("int")
+            .alias("week_idx"),
+            "v",
+        )
+        .groupBy("cohort_week", "week_idx")
+        .agg(F.sum("v").alias("wk_rev"))
+    )
+    sizes = (
+        seen.select("user_id", "cohort_week")
+        .distinct()
+        .groupBy("cohort_week")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    wcum = (
+        Window.partitionBy("cohort_week")
+        .orderBy("week_idx")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        rev.join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_idx",
+            "n_users",
+            F.round(F.sum("wk_rev").over(wcum), 2).cast("double").alias("cum_revenue"),
+        )
+        .orderBy("cohort_week", "week_idx")
+    )
+
+
+ROUND5_QUERIES["cohort_ltv"] = cohort_ltv
+
+ROUND5_ORACLES["cohort_ltv"] = """
+WITH seen AS (
+  SELECT user_id, event_type, ts, CAST(value AS DECIMAL(27,6)) AS v,
+         CAST(date_trunc('week', min(ts) OVER (PARTITION BY user_id)) AS DATE)
+           AS cohort_week
+  FROM events
+),
+rev AS (
+  SELECT cohort_week,
+         CAST(datediff('day', cohort_week,
+              CAST(date_trunc('week', ts) AS DATE)) / 7 AS INT) AS week_idx,
+         sum(v) AS wk_rev
+  FROM seen WHERE event_type = 'purchase'
+  GROUP BY 1, 2
+),
+sizes AS (
+  SELECT cohort_week, count(*) AS n_users
+  FROM (SELECT DISTINCT user_id, cohort_week FROM seen)
+  GROUP BY cohort_week
+)
+SELECT cohort_week, week_idx, n_users,
+       round(sum(wk_rev) OVER (PARTITION BY cohort_week ORDER BY week_idx
+                               ROWS UNBOUNDED PRECEDING), 2)::DOUBLE
+         AS cum_revenue
+FROM rev JOIN sizes USING (cohort_week)
+ORDER BY cohort_week, week_idx
+"""
+
+
+# ---------------------------------------------------------------------------
+# lsh_precision_eval — candidate precision of the MinHash index
+# ---------------------------------------------------------------------------
+
+def lsh_precision_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision of the MinHash LSH candidate generator against exact
+    shingle Jaccard — the dedup-side companion of ann_recall_eval: of
+    the pairs the bands surface, how many are REAL near-dups
+    (Jaccard ≥ 0.5)?  Tuning bands/rows without this number is
+    guessing.
+
+    Candidates come from the shared banded self-join; verification
+    joins each pair to the exploded distinct-shingle table twice and
+    counts shared shingles (one aggregation per pair — the standard
+    verify pass, run on candidates only, never all pairs).  The
+    threshold compare is integer cross-multiplied (2·∩ ≥ ∪).  Oracle:
+    plans/oracles.py (shares the band CTE).
+    """
+    from pyprima_spark.operators.dedup import minhash_candidate_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_candidate_pairs(docs, "doc_id", "text")
+    sh = (
+        docs.select(
+            F.col("doc_id").alias("doc"),
+            F.expr(X.tokens_spark("text")).alias("tokens"),
+        )
+        .filter(F.size("tokens") >= 3)
+        .select("doc", F.explode(F.expr(X.shingles_spark("tokens"))).alias("s"))
+    )
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        pairs.join(sh.select(F.col("doc").alias("doc_a"), "s"), "doc_a")
+        .join(sh.select(F.col("doc").alias("doc_b"), F.col("s").alias("s2")), "doc_b")
+        .filter(F.col("s") == F.col("s2"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    verified = (
+        pairs.join(inter, ["doc_a", "doc_b"], "left")
+        .join(
+            F.broadcast(sizes.select(F.col("doc").alias("doc_a"),
+                                     F.col("sz").alias("sz_a"))),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("doc").alias("doc_b"),
+                                     F.col("sz").alias("sz_b"))),
+            "doc_b",
+        )
+        .select(
+            F.coalesce("inter", F.lit(0)).alias("i"),
+            (F.col("sz_a") + F.col("sz_b") - F.coalesce("inter", F.lit(0))).alias(
+                "u"
+            ),
+        )
+    )
+    return verified.agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.sum(F.when(F.col("i") * 2 >= F.col("u"), 1).otherwise(0)).alias(
+            "n_verified"
+        ),
+    ).select(
+        "n_candidates",
+        "n_verified",
+        F.expr(
+            "cast(n_verified * 10000 div n_candidates as int)"
+        ).alias("precision_bp"),
+    )
+
+
+ROUND5_QUERIES["lsh_precision_eval"] = lsh_precision_eval
