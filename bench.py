@@ -139,6 +139,10 @@ BENCH_QUERIES = [
     "scd2_temporal_lookup",
     "time_rollup_grouping_sets",
     "late_data_census",
+    "hard_negative_mining",
+    "bigram_lm_score",
+    "cohort_ltv",
+    "lsh_precision_eval",
 ]
 
 

@@ -2511,3 +2511,174 @@ def lsh_precision_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ROUND5_QUERIES["lsh_precision_eval"] = lsh_precision_eval
+
+
+# ---------------------------------------------------------------------------
+# funnel_with_timeout — conversion windows with step deadlines
+# ---------------------------------------------------------------------------
+
+_FUNNEL_STEP_US = 86_400_000_000  # 24h per step
+
+
+def funnel_with_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel with step DEADLINES: signup → click within 24h →
+    purchase within 24h of the click.  The timeout is what separates a
+    causal activation funnel from coincidence counting (a purchase a
+    month later is not conversion) — the variant every product
+    analytics tool defaults to.
+
+    Identical single-exchange stacked-window plan as
+    funnel_conversion; each stage's window min simply adds the
+    deadline to its predicate, so the timeout costs nothing.
+    """
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    t1 = F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w)
+    d = ev.withColumn("t1", t1)
+    d = d.withColumn(
+        "t2",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click")
+                & (F.col("ts") >= F.col("t1"))
+                & (
+                    F.unix_micros("ts") - F.unix_micros("t1") <= _FUNNEL_STEP_US
+                ),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    d = d.withColumn(
+        "t3",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") >= F.col("t2"))
+                & (
+                    F.unix_micros("ts") - F.unix_micros("t2") <= _FUNNEL_STEP_US
+                ),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    users = d.groupBy("user_id").agg(
+        F.min("t1").alias("t1"), F.min("t2").alias("t2"), F.min("t3").alias("t3")
+    )
+    return (
+        users.filter(F.col("t1").isNotNull())
+        .groupBy(F.date_format("t1", "yyyy-MM-dd").alias("signup_date"))
+        .agg(
+            F.count(F.lit(1)).alias("n_signed_up"),
+            F.count(F.col("t2")).alias("n_clicked_24h"),
+            F.count(F.col("t3")).alias("n_purchased_24h"),
+        )
+        .orderBy("signup_date")
+    )
+
+
+ROUND5_QUERIES["funnel_with_timeout"] = funnel_with_timeout
+
+ROUND5_ORACLES["funnel_with_timeout"] = f"""
+WITH d1 AS (
+  SELECT user_id, event_type, ts,
+         min(CASE WHEN event_type = 'signup' THEN ts END)
+           OVER (PARTITION BY user_id) AS t1
+  FROM events
+),
+d2 AS (
+  SELECT *, min(CASE WHEN event_type = 'click' AND ts >= t1
+                      AND epoch_us(ts) - epoch_us(t1) <= {_FUNNEL_STEP_US}
+                     THEN ts END)
+              OVER (PARTITION BY user_id) AS t2
+  FROM d1
+),
+d3 AS (
+  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts >= t2
+                      AND epoch_us(ts) - epoch_us(t2) <= {_FUNNEL_STEP_US}
+                     THEN ts END)
+              OVER (PARTITION BY user_id) AS t3
+  FROM d2
+),
+users AS (
+  SELECT user_id, min(t1) AS t1, min(t2) AS t2, min(t3) AS t3
+  FROM d3 GROUP BY user_id
+)
+SELECT strftime(t1, '%Y-%m-%d') AS signup_date,
+       count(*) AS n_signed_up,
+       count(t2) AS n_clicked_24h,
+       count(t3) AS n_purchased_24h
+FROM users WHERE t1 IS NOT NULL
+GROUP BY 1
+ORDER BY signup_date
+"""
+
+
+# ---------------------------------------------------------------------------
+# key_gini — Gini coefficient of key-frequency skew
+# ---------------------------------------------------------------------------
+
+def key_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of the key-frequency distribution for the
+    shuffle keys that matter here (events.user_id, lineitem.l_partkey)
+    — the single-number skew summary behind partition-sizing decisions
+    (key_skew_profile reports the head; Gini reports the whole curve).
+
+    Computed exactly from the sorted frequency table:
+    G = (2·Σ i·cᵢ − (n+1)·Σ cᵢ) / (n·Σ cᵢ) with i the ascending
+    frequency rank — all integer until the one division, reported in
+    basis points.  The rank window runs over the AGGREGATED key table
+    (dim-sized relative to the fact table); at 100 TB the same number
+    comes from a sampled or bucketed frequency sketch.
+    """
+    def gini_of(df: DataFrame, key: str, label: str) -> DataFrame:
+        freq = df.groupBy(key).agg(F.count(F.lit(1)).alias("c"))
+        ranked = freq.select(
+            F.col("c"),
+            F.row_number().over(Window.orderBy(F.asc("c"), F.asc(key))).alias("i"),
+        )
+        return ranked.agg(
+            F.lit(label).alias("key_name"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("c").alias("n_rows"),
+            F.expr(
+                "cast((2 * sum(i * c) - (count(*) + 1) * sum(c)) * 10000"
+                " div (count(*) * sum(c)) as int)"
+            ).alias("gini_bp"),
+        ).select("key_name", "n_keys", "n_rows", "gini_bp")
+
+    ev = _t(spark, sf_dir, "events")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        gini_of(ev, "user_id", "events.user_id")
+        .unionByName(gini_of(li, "l_partkey", "lineitem.l_partkey"))
+        .orderBy("key_name")
+    )
+
+
+ROUND5_QUERIES["key_gini"] = key_gini
+
+ROUND5_ORACLES["key_gini"] = """
+WITH ef AS (
+  SELECT count(*) AS c, user_id AS k FROM events GROUP BY user_id
+),
+er AS (
+  SELECT c, row_number() OVER (ORDER BY c ASC, k ASC) AS i FROM ef
+),
+lf AS (
+  SELECT count(*) AS c, l_partkey AS k FROM lineitem GROUP BY l_partkey
+),
+lr AS (
+  SELECT c, row_number() OVER (ORDER BY c ASC, k ASC) AS i FROM lf
+)
+SELECT 'events.user_id' AS key_name, count(*) AS n_keys,
+       CAST(sum(c) AS BIGINT) AS n_rows,
+       CAST((2 * sum(i * c) - (count(*) + 1) * sum(c)) * 10000
+            // (count(*) * sum(c)) AS INT) AS gini_bp
+FROM er
+UNION ALL
+SELECT 'lineitem.l_partkey', count(*), CAST(sum(c) AS BIGINT),
+       CAST((2 * sum(i * c) - (count(*) + 1) * sum(c)) * 10000
+            // (count(*) * sum(c)) AS INT)
+FROM lr
+ORDER BY key_name
+"""
