@@ -2682,3 +2682,144 @@ SELECT 'lineitem.l_partkey', count(*), CAST(sum(c) AS BIGINT),
 FROM lr
 ORDER BY key_name
 """
+
+
+# ---------------------------------------------------------------------------
+# trade_reachability — depth-bounded closure via NATIVE recursive CTE
+# ---------------------------------------------------------------------------
+
+def trade_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many countries can each country reach within 3 hops over
+    HIGH-VOLUME trade edges (pairs whose line count is ≥ 1.1× the mean
+    — an integer-form relative threshold, so the graph sparsifies
+    data-dependently at every scale)?
+
+    Runs on Spark 4's NATIVE ``WITH RECURSIVE`` — the declarative form
+    of the driver-loop iteration operators/components.py implements by
+    hand; the level bound keeps the recursion finite under cycles
+    (UNION ALL + lvl < 3).  The edge derivation is the shared
+    canonical-edges join pipeline; the recursion itself touches only
+    the dim-sized nation graph.
+    """
+    from pyprima_spark.plans.queries import _edge_aggregate
+
+    edges = _edge_aggregate(spark, sf_dir).select("edge_a", "edge_b", "n_lines")
+    tot = edges.agg(
+        F.sum("n_lines").alias("tot"), F.count(F.lit(1)).alias("ne")
+    )
+    sparse = (
+        edges.crossJoin(F.broadcast(tot))
+        .filter(F.col("n_lines") * F.col("ne") * 10 >= 11 * F.col("tot"))
+        .select("edge_a", "edge_b")
+    )
+    sym = sparse.select(
+        F.col("edge_a").alias("a"), F.col("edge_b").alias("b")
+    ).unionByName(
+        sparse.select(F.col("edge_b").alias("a"), F.col("edge_a").alias("b"))
+    )
+    sym.createOrReplaceTempView("_trade_edges")
+    _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n")
+    ).createOrReplaceTempView("_trade_nodes")
+    return spark.sql(
+        """
+        WITH RECURSIVE reach(src, node, lvl) AS (
+          SELECT n, n, 0 FROM _trade_nodes
+          UNION ALL
+          SELECT r.src, e.b, r.lvl + 1
+          FROM reach r JOIN _trade_edges e ON e.a = r.node
+          WHERE r.lvl < 3
+        )
+        SELECT src AS nationkey,
+               count(DISTINCT node) - 1 AS n_reachable_3hops
+        FROM reach GROUP BY src ORDER BY nationkey
+        """
+    )
+
+
+ROUND5_QUERIES["trade_reachability"] = trade_reachability
+
+ROUND5_ORACLES["trade_reachability"] = """
+WITH RECURSIVE pairs AS (
+  SELECT least(c_nationkey, s_nationkey) AS edge_a,
+         greatest(c_nationkey, s_nationkey) AS edge_b
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  WHERE c_nationkey <> s_nationkey
+),
+edges AS (
+  SELECT edge_a, edge_b, count(*) AS n_lines FROM pairs GROUP BY 1, 2
+),
+tot AS (SELECT sum(n_lines) AS tot, count(*) AS ne FROM edges),
+sparse AS (
+  SELECT edge_a, edge_b FROM edges CROSS JOIN tot
+  WHERE n_lines * ne * 10 >= 11 * tot
+),
+sym AS (
+  SELECT edge_a AS a, edge_b AS b FROM sparse
+  UNION ALL
+  SELECT edge_b, edge_a FROM sparse
+),
+reach(src, node, lvl) AS (
+  SELECT n_nationkey, n_nationkey, 0 FROM nation
+  UNION ALL
+  SELECT r.src, e.b, r.lvl + 1
+  FROM reach r JOIN sym e ON e.a = r.node
+  WHERE r.lvl < 3
+)
+SELECT src AS nationkey, count(DISTINCT node) - 1 AS n_reachable_3hops
+FROM reach GROUP BY src ORDER BY nationkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# props_variant_stats — Spark 4 VARIANT path for semi-structured JSON
+# ---------------------------------------------------------------------------
+
+def props_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events.props payload through Spark 4's VARIANT type:
+    ``parse_json`` once in the scan projection, typed
+    ``variant_get`` extraction, then an ordinary aggregation — the
+    schema-flexible cousin of json_props_stats (from_json with a
+    declared schema).  VARIANT keeps the parsed binary form, so
+    repeated path extractions don't re-parse the string — the path to
+    prefer when payload schemas drift across a 100 TB log.
+    """
+    from pyprima_spark.catalog import widen_scan
+
+    ev = widen_scan(_t(spark, sf_dir, "events"))
+    parsed = ev.select(
+        "event_type",
+        F.expr("variant_get(parse_json(props), '$.k', 'int')").alias("k"),
+    )
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("k").alias("n_with_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum("k").alias("sum_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ROUND5_QUERIES["props_variant_stats"] = props_variant_stats
+
+ROUND5_ORACLES["props_variant_stats"] = """
+SELECT event_type,
+       count(*) AS n,
+       count(k) AS n_with_k,
+       CAST(min(k) AS INT) AS min_k,
+       CAST(max(k) AS INT) AS max_k,
+       CAST(sum(k) AS BIGINT) AS sum_k
+FROM (
+  SELECT event_type, CAST(json_extract(props, '$.k') AS INT) AS k
+  FROM events
+)
+GROUP BY event_type
+ORDER BY event_type
+"""
