@@ -143,6 +143,10 @@ BENCH_QUERIES = [
     "bigram_lm_score",
     "cohort_ltv",
     "lsh_precision_eval",
+    "funnel_with_timeout",
+    "key_gini",
+    "trade_reachability",
+    "props_variant_stats",
 ]
 
 
