@@ -2823,3 +2823,147 @@ FROM (
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# incremental_agg_maintenance — merge a delta batch into a materialized agg
+# ---------------------------------------------------------------------------
+
+_IVM_CUT = "2024-01-21 00:00:00"
+
+
+def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for a daily rollup: the
+    materialized base aggregate (days before the cut) is MERGED with
+    the delta batch's partial aggregate (days from the cut) by a keyed
+    full-outer combine — never recomputing the base — and the oracle
+    recomputes from scratch, so the gate proves merged ≡ recomputed.
+    The pattern that turns a 100 TB nightly rebuild into a
+    delta-sized one; counts and DECIMAL sums are the mergeable
+    aggregates (avg derives at read time).
+    """
+    ev = _t(spark, sf_dir, "events")
+    cut = F.lit(_IVM_CUT).cast("timestamp")
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return (
+            df.select(
+                F.to_date("ts").alias("day"),
+                "event_type",
+                F.col("value").cast(DEC).alias("v"),
+            )
+            .groupBy("day", "event_type")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("total"))
+        )
+
+    base = rollup(ev.filter(F.col("ts") < cut))
+    delta = rollup(ev.filter(F.col("ts") >= cut))
+    merged = (
+        base.select("day", "event_type", F.col("n").alias("n_b"),
+                    F.col("total").alias("t_b"))
+        .join(
+            delta.select("day", "event_type", F.col("n").alias("n_d"),
+                         F.col("total").alias("t_d")),
+            ["day", "event_type"],
+            "full_outer",
+        )
+        .select(
+            "day",
+            "event_type",
+            (F.coalesce("n_b", F.lit(0)) + F.coalesce("n_d", F.lit(0))).alias("n"),
+            F.round(
+                F.coalesce(F.col("t_b"), F.lit(0).cast(DEC))
+                + F.coalesce(F.col("t_d"), F.lit(0).cast(DEC)),
+                2,
+            )
+            .cast("double")
+            .alias("total"),
+        )
+    )
+    return merged.orderBy("day", "event_type")
+
+
+ROUND5_QUERIES["incremental_agg_maintenance"] = incremental_agg_maintenance
+
+ROUND5_ORACLES["incremental_agg_maintenance"] = """
+SELECT CAST(ts AS DATE) AS day, event_type,
+       count(*) AS n,
+       round(sum(CAST(value AS DECIMAL(27,6))), 2)::DOUBLE AS total
+FROM events
+GROUP BY 1, 2
+ORDER BY day, event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# pareto_revenue — 80/20 concentration analysis
+# ---------------------------------------------------------------------------
+
+def pareto_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration of part revenue: how many parts carry 80%
+    of revenue, and what share the top 1% of parts holds — the 80/20
+    readout behind assortment and caching decisions.
+
+    Per-part revenue is one map-combined DECIMAL aggregation of
+    lineitem; the concentration scan is a cumulative window over the
+    PART dimension (sublinear in the fact table), with the 80% cut
+    found by integer cross-multiplication (5·cum ≥ 4·total — no
+    percentage floats).
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (
+        li.select(
+            "l_partkey",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .cast(DEC)
+            .alias("r"),
+        )
+        .groupBy("l_partkey")
+        .agg(F.sum("r").alias("rev"))
+    )
+    w = Window.orderBy(F.desc("rev"), F.asc("l_partkey"))
+    ranked = rev.select(
+        "rev",
+        F.row_number().over(w).alias("i"),
+        F.sum("rev").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.sum("rev").over(Window.partitionBy()).alias("tot"),
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.min(
+            F.when(F.col("cum") * 5 >= F.col("tot") * 4, F.col("i"))
+        ).alias("n_parts_80pct"),
+        F.round(F.sum("rev"), 2).cast("double").alias("revenue_total"),
+    ).select(
+        "n_parts",
+        "n_parts_80pct",
+        "revenue_total",
+        F.expr("cast(n_parts_80pct * 10000 div n_parts as int)").alias(
+            "parts_for_80pct_bp"
+        ),
+    )
+
+
+ROUND5_QUERIES["pareto_revenue"] = pareto_revenue
+
+ROUND5_ORACLES["pareto_revenue"] = """
+WITH rev AS (
+  SELECT l_partkey,
+         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS rev
+  FROM lineitem GROUP BY l_partkey
+),
+ranked AS (
+  SELECT rev,
+         row_number() OVER (ORDER BY rev DESC, l_partkey ASC) AS i,
+         sum(rev) OVER (ORDER BY rev DESC, l_partkey ASC
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(rev) OVER () AS tot
+  FROM rev
+)
+SELECT count(*) AS n_parts,
+       min(CASE WHEN cum * 5 >= tot * 4 THEN i END) AS n_parts_80pct,
+       round(sum(rev), 2)::DOUBLE AS revenue_total,
+       CAST(min(CASE WHEN cum * 5 >= tot * 4 THEN i END) * 10000 // count(*)
+            AS INT) AS parts_for_80pct_bp
+FROM ranked
+"""
