@@ -2967,3 +2967,111 @@ SELECT count(*) AS n_parts,
             AS INT) AS parts_for_80pct_bp
 FROM ranked
 """
+
+
+# ---------------------------------------------------------------------------
+# streaming_hourly_drift — hour-over-hour histogram drift on the stream
+# ---------------------------------------------------------------------------
+
+def streaming_hourly_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-over-hour distribution drift computed ON THE STREAM: the
+    windowed aggregation builds per-(hour, value-bin) counts with the
+    streaming engine (watermarked tumbling windows — the same
+    machinery as streaming_hourly_stats), and the drift readout is a
+    TV distance between each hour and its predecessor via one lag
+    window over the materialized hourly histograms.  The online form
+    of drift_tv_distance: this is what a live data-quality monitor
+    alerts on.
+    """
+    from pyprima_spark.streaming.events import stream_events
+
+    stream = stream_events(spark, sf_dir)
+    src = stream.withWatermark("ts", "2 hours")
+    hourly = (
+        src.groupBy(
+            F.window("ts", "1 hour").alias("w"),
+            F.least(F.lit(9), F.floor(F.col("value") / 50).cast("int")).alias(
+                "bin"
+            ),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(F.col("w.start").alias("hour_start"), "bin", "c")
+    )
+    qname = f"hdrift_{abs(hash(sf_dir)) % 10**8}"
+    q = (
+        hourly.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(
+        f"""
+        WITH dense AS (
+          SELECT h.hour_start, b.bin, coalesce(t.c, 0) AS c
+          FROM (SELECT DISTINCT hour_start FROM {qname}) h
+          CROSS JOIN (SELECT DISTINCT bin FROM {qname}) b
+          LEFT JOIN (SELECT hour_start AS th, bin AS tb, c FROM {qname}) t
+            ON t.th = h.hour_start AND t.tb = b.bin
+        ),
+        lagged AS (
+          SELECT hour_start, c,
+                 lag(c) OVER (PARTITION BY bin ORDER BY hour_start) AS p
+          FROM dense
+        ),
+        scored AS (
+          SELECT hour_start, c, p,
+                 sum(c) OVER (PARTITION BY hour_start) AS n_cur,
+                 sum(p) OVER (PARTITION BY hour_start) AS n_prev
+          FROM lagged
+        )
+        SELECT date_format(hour_start, 'yyyy-MM-dd HH:mm') AS hour_start,
+               max(n_cur) AS n_cur,
+               max(n_prev) AS n_prev,
+               cast(sum(abs(c * n_prev - p * n_cur)) * 10000
+                    div (2 * max(n_cur) * max(n_prev)) as int) AS tv_bp
+        FROM scored
+        WHERE p IS NOT NULL AND n_prev > 0 AND n_cur > 0
+        GROUP BY hour_start
+        ORDER BY hour_start
+        """
+    )
+
+
+ROUND5_QUERIES["streaming_hourly_drift"] = streaming_hourly_drift
+
+ROUND5_ORACLES["streaming_hourly_drift"] = """
+WITH hist AS (
+  SELECT date_trunc('hour', ts) AS hour_start,
+         least(9, CAST(floor(value / 50) AS INT)) AS bin,
+         count(*) AS c
+  FROM events GROUP BY 1, 2
+),
+dense AS (
+  SELECT h.hour_start, b.bin, coalesce(hist.c, 0) AS c
+  FROM (SELECT DISTINCT hour_start FROM hist) h
+  CROSS JOIN (SELECT DISTINCT bin FROM hist) b
+  LEFT JOIN hist ON hist.hour_start = h.hour_start AND hist.bin = b.bin
+),
+lagged AS (
+  SELECT hour_start, c,
+         lag(c) OVER (PARTITION BY bin ORDER BY hour_start) AS p
+  FROM dense
+),
+scored AS (
+  SELECT hour_start, c, p,
+         sum(c) OVER (PARTITION BY hour_start) AS n_cur,
+         sum(p) OVER (PARTITION BY hour_start) AS n_prev
+  FROM lagged
+)
+SELECT strftime(hour_start, '%Y-%m-%d %H:%M') AS hour_start,
+       CAST(max(n_cur) AS BIGINT) AS n_cur,
+       CAST(max(n_prev) AS BIGINT) AS n_prev,
+       CAST(sum(abs(c * n_prev - p * n_cur)) * 10000
+            // (2 * max(n_cur) * max(n_prev)) AS INT) AS tv_bp
+FROM scored
+WHERE p IS NOT NULL AND n_prev > 0 AND n_cur > 0
+GROUP BY hour_start
+ORDER BY hour_start
+"""
