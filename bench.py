@@ -147,6 +147,8 @@ BENCH_QUERIES = [
     "key_gini",
     "trade_reachability",
     "props_variant_stats",
+    "incremental_agg_maintenance",
+    "pareto_revenue",
 ]
 
 
