@@ -3075,3 +3075,198 @@ WHERE p IS NOT NULL AND n_prev > 0 AND n_cur > 0
 GROUP BY hour_start
 ORDER BY hour_start
 """
+
+
+# ---------------------------------------------------------------------------
+# rfm_segments — recency/frequency/monetary customer segmentation
+# ---------------------------------------------------------------------------
+
+_RFM_ASOF = "2024-01-31 00:00:00"
+
+
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation of users from the purchase log: recency
+    (days since last purchase at the as-of date), frequency (purchase
+    count), monetary (DECIMAL revenue), each cut into terciles by
+    ntile, and the 27 (r, f, m) cells rolled into the classic
+    champion / loyal / at-risk / other quadrants.
+
+    One shuffle on user_id for the per-user profile; the three ntile
+    windows share one global sort each over the USER table (dim-sized
+    relative to events — at larger scale these become
+    range-partitioned percentile cuts, same result).  Census output:
+    segment, n_users, revenue share in basis points.
+    """
+    ev = _t(spark, sf_dir, "events")
+    asof = F.lit(_RFM_ASOF).cast("timestamp")
+    prof = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.datediff(F.lit(_RFM_ASOF[:10]).cast("date"),
+                       F.to_date(F.max("ts"))).alias("recency_days"),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum(F.col("value").cast(DEC)).alias("monetary"),
+        )
+    )
+    prof = prof.select(
+        "*",
+        F.ntile(3).over(Window.orderBy(F.asc("recency_days"), F.asc("user_id"))).alias("r"),
+        F.ntile(3).over(Window.orderBy(F.desc("freq"), F.asc("user_id"))).alias("f"),
+        F.ntile(3).over(Window.orderBy(F.desc("monetary"), F.asc("user_id"))).alias("m"),
+    )
+    seg = (
+        F.when((F.col("r") == 1) & (F.col("f") == 1) & (F.col("m") == 1), "champion")
+        .when((F.col("f") == 1), "loyal")
+        .when((F.col("r") == 3), "at_risk")
+        .otherwise("other")
+    )
+    tot = prof.agg(F.sum("monetary").alias("tot"))
+    return (
+        prof.select(seg.alias("segment"), "monetary")
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("monetary").alias("rev"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "segment",
+            "n_users",
+            F.round("rev", 2).cast("double").alias("revenue"),
+            F.expr(
+                "cast(cast(round(rev * 100) as bigint) * 10000"
+                " div cast(round(tot * 100) as bigint) as int)"
+            ).alias("rev_share_bp"),
+        )
+        .orderBy("segment")
+    )
+
+
+ROUND5_QUERIES["rfm_segments"] = rfm_segments
+
+ROUND5_ORACLES["rfm_segments"] = f"""
+WITH prof AS (
+  SELECT user_id,
+         datediff('day', CAST(max(ts) AS DATE), DATE '{_RFM_ASOF[:10]}')
+           AS recency_days,
+         count(*) AS freq,
+         sum(CAST(value AS DECIMAL(27,6))) AS monetary
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id
+),
+cut AS (
+  SELECT *,
+         ntile(3) OVER (ORDER BY recency_days ASC, user_id ASC) AS r,
+         ntile(3) OVER (ORDER BY freq DESC, user_id ASC) AS f,
+         ntile(3) OVER (ORDER BY monetary DESC, user_id ASC) AS m
+  FROM prof
+),
+seg AS (
+  SELECT CASE WHEN r = 1 AND f = 1 AND m = 1 THEN 'champion'
+              WHEN f = 1 THEN 'loyal'
+              WHEN r = 3 THEN 'at_risk'
+              ELSE 'other' END AS segment,
+         monetary
+  FROM cut
+),
+tot AS (SELECT sum(monetary) AS tot FROM seg)
+SELECT segment, count(*) AS n_users,
+       round(sum(monetary), 2)::DOUBLE AS revenue,
+       CAST(CAST(round(sum(monetary) * 100) AS BIGINT) * 10000
+            // CAST(round(tot * 100) AS BIGINT) AS INT) AS rev_share_bp
+FROM seg CROSS JOIN tot
+GROUP BY segment, tot
+ORDER BY segment
+"""
+
+
+# ---------------------------------------------------------------------------
+# boilerplate_position — head-vs-tail quality asymmetry
+# ---------------------------------------------------------------------------
+
+def boilerplate_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional boilerplate screen: compare the English-stopword
+    ratio of each document's FIRST half of tokens against its SECOND
+    half — templated headers/footers show up as a persistent head/tail
+    asymmetry per source, which tells a cleaner WHERE to trim.
+
+    Entirely row-local (slice + two HOF stopword counts per row, no
+    explode), then one dim-sized per-source aggregation of integer
+    counts; the two ratios divide once each at the output edge.
+    """
+    from pyprima_spark.plans.constants import STOPWORDS
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = X.tokens_spark("text")
+    half = "(size(tokens) div 2)"
+    d = (
+        docs.select("source", F.expr(toks).alias("tokens"))
+        .filter(F.size("tokens") >= 2)
+        .select(
+            "source",
+            F.expr(f"slice(tokens, 1, {half})").alias("head"),
+            F.expr(f"slice(tokens, {half} + 1, size(tokens))").alias("tail"),
+        )
+        .select(
+            "source",
+            F.size("head").alias("n_head"),
+            F.size("tail").alias("n_tail"),
+            F.expr(X.stopword_count_spark("head", STOPWORDS["en"])).alias("s_head"),
+            F.expr(X.stopword_count_spark("tail", STOPWORDS["en"])).alias("s_tail"),
+        )
+    )
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("s_head").alias("sh"),
+            F.sum("n_head").alias("nh"),
+            F.sum("s_tail").alias("st"),
+            F.sum("n_tail").alias("nt"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            F.expr("cast(sh * 10000 div nh as int)").alias("head_stop_bp"),
+            F.expr("cast(st * 10000 div nt as int)").alias("tail_stop_bp"),
+            F.expr(
+                "cast(abs(sh * 10000 div nh - st * 10000 div nt) as int)"
+            ).alias("asymmetry_bp"),
+        )
+        .orderBy("source")
+    )
+
+
+ROUND5_QUERIES["boilerplate_position"] = boilerplate_position
+
+
+def _boilerplate_oracle() -> str:
+    from pyprima_spark.plans.constants import STOPWORDS
+
+    return f"""
+WITH d AS (
+  SELECT source,
+         len(head) AS n_head, len(tail) AS n_tail,
+         {X.stopword_count_duck('head', STOPWORDS['en'])} AS s_head,
+         {X.stopword_count_duck('tail', STOPWORDS['en'])} AS s_tail
+  FROM (
+    SELECT source,
+           tokens[1:len(tokens) // 2] AS head,
+           tokens[len(tokens) // 2 + 1:] AS tail
+    FROM (SELECT source, {X.tokens_duck('text')} AS tokens FROM documents)
+    WHERE len(tokens) >= 2
+  )
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(s_head) * 10000 // sum(n_head) AS INT) AS head_stop_bp,
+       CAST(sum(s_tail) * 10000 // sum(n_tail) AS INT) AS tail_stop_bp,
+       CAST(abs(sum(s_head) * 10000 // sum(n_head)
+            - sum(s_tail) * 10000 // sum(n_tail)) AS INT) AS asymmetry_bp
+FROM d
+GROUP BY source
+ORDER BY source
+"""
+
+
+ROUND5_ORACLES["boilerplate_position"] = _boilerplate_oracle()
