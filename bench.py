@@ -149,6 +149,8 @@ BENCH_QUERIES = [
     "props_variant_stats",
     "incremental_agg_maintenance",
     "pareto_revenue",
+    "rfm_segments",
+    "boilerplate_position",
 ]
 
 
