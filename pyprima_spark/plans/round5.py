@@ -3270,3 +3270,156 @@ ORDER BY source
 
 
 ROUND5_ORACLES["boilerplate_position"] = _boilerplate_oracle()
+
+
+# ---------------------------------------------------------------------------
+# salted_aggregation — two-phase skew-resistant aggregate (rewrite proof)
+# ---------------------------------------------------------------------------
+
+_AGG_SALT = 8
+
+
+def salted_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 users by total event value, aggregated through an
+    EXPLICIT two-phase salted plan: phase one groups on
+    (user, salt=id-hash%8) — a hot key's rows spread over 8 reducers —
+    phase two merges the partials on the user key alone.  The oracle
+    is the direct single-phase SQL, so the gate proves the salted
+    rewrite exact (counts and DECIMAL sums are the mergeable forms).
+
+    Spark's own map-side partial aggregation makes this redundant for
+    built-in aggs (and AQE handles join skew); the explicit form is
+    the shape you reach for when a hot key overwhelms even a single
+    reducer's FINAL aggregation — e.g. collect-like or sketch state —
+    and it is the same two-phase contract incremental_agg_maintenance
+    relies on.
+    """
+    ev = _t(spark, sf_dir, "events")
+    salt = F.expr(X.hash64_spark("cast(event_id as string)")) % _AGG_SALT
+    phase1 = (
+        ev.select("user_id", salt.alias("salt"), F.col("value").cast(DEC).alias("v"))
+        .groupBy("user_id", "salt")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("t"))
+    )
+    phase2 = phase1.groupBy("user_id").agg(
+        F.sum("n").alias("n_events"),
+        F.round(F.sum("t"), 2).cast("double").alias("total_value"),
+    )
+    w = Window.orderBy(F.desc("total_value"), F.asc("user_id"))
+    return (
+        phase2.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("rank", "user_id", "n_events", "total_value")
+        .orderBy("rank")
+    )
+
+
+ROUND5_QUERIES["salted_aggregation"] = salted_aggregation
+
+ROUND5_ORACLES["salted_aggregation"] = """
+WITH agg AS (
+  SELECT user_id, count(*) AS n_events,
+         round(sum(CAST(value AS DECIMAL(27,6))), 2)::DOUBLE AS total_value
+  FROM events GROUP BY user_id
+)
+SELECT rank, user_id, n_events, total_value FROM (
+  SELECT *, row_number() OVER (ORDER BY total_value DESC, user_id ASC) AS rank
+  FROM agg
+)
+WHERE rank <= 10
+ORDER BY rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# attribution_models — first-touch vs last-touch revenue attribution
+# ---------------------------------------------------------------------------
+
+def attribution_models(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch vs last-touch marketing attribution, compared in
+    one result: every purchase's revenue is credited to (a) the
+    user's FIRST click ever (first-touch) and (b) the most recent
+    click before the purchase (last-touch, the as-of join), and both
+    models are rolled up by the credited click's hour-of-day.  The
+    two-model comparison is the attribution-bias readout growth teams
+    argue over.
+
+    First-touch is a min-window over the user partition (shared
+    exchange with the purchase scan); last-touch reuses the
+    union+window as-of operator.  Credit sums are DECIMAL; hours with
+    no credit under one model show 0.00 via the full outer merge.
+    """
+    from pyprima_spark.operators.asof import asof_join as _asof
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").cast(DEC).alias("v")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    wu = Window.partitionBy("user_id")
+    first_click = (
+        clicks.select("user_id", F.min("ts").over(wu).alias("fts"))
+        .distinct()
+    )
+    ft = (
+        purchases.join(first_click, "user_id")
+        .select(F.hour("fts").alias("click_hour"), "v")
+        .groupBy("click_hour")
+        .agg(F.round(F.sum("v"), 2).cast("double").alias("first_touch_rev"))
+    )
+    lt_join = _asof(purchases, clicks, "user_id", value_cols=["value"])
+    lt = (
+        lt_join.select(F.hour("ts_asof").alias("click_hour"), "v")
+        .groupBy("click_hour")
+        .agg(F.round(F.sum("v"), 2).cast("double").alias("last_touch_rev"))
+    )
+    return (
+        ft.join(lt, "click_hour", "full_outer")
+        .select(
+            "click_hour",
+            F.coalesce("first_touch_rev", F.lit(0.0)).alias("first_touch_rev"),
+            F.coalesce("last_touch_rev", F.lit(0.0)).alias("last_touch_rev"),
+        )
+        .orderBy("click_hour")
+    )
+
+
+ROUND5_QUERIES["attribution_models"] = attribution_models
+
+ROUND5_ORACLES["attribution_models"] = """
+WITH purchases AS (
+  SELECT user_id, ts, CAST(value AS DECIMAL(27,6)) AS v
+  FROM events WHERE event_type = 'purchase'
+),
+clicks AS (
+  SELECT user_id, ts, value FROM (
+    SELECT user_id, ts, value,
+           row_number() OVER (PARTITION BY user_id, ts
+                              ORDER BY value DESC) AS rn
+    FROM events WHERE event_type = 'click'
+  ) WHERE rn = 1
+),
+first_click AS (
+  SELECT user_id, min(ts) AS fts FROM clicks GROUP BY user_id
+),
+ft AS (
+  SELECT hour(fts) AS click_hour,
+         round(sum(v), 2)::DOUBLE AS first_touch_rev
+  FROM purchases JOIN first_click USING (user_id)
+  GROUP BY 1
+),
+lt AS (
+  SELECT hour(c.ts) AS click_hour,
+         round(sum(p.v), 2)::DOUBLE AS last_touch_rev
+  FROM purchases p ASOF JOIN clicks c
+    ON p.user_id = c.user_id AND p.ts >= c.ts
+  GROUP BY 1
+)
+SELECT click_hour,
+       coalesce(first_touch_rev, 0.0) AS first_touch_rev,
+       coalesce(last_touch_rev, 0.0) AS last_touch_rev
+FROM ft FULL OUTER JOIN lt USING (click_hour)
+ORDER BY click_hour
+"""
