@@ -151,6 +151,8 @@ BENCH_QUERIES = [
     "pareto_revenue",
     "rfm_segments",
     "boilerplate_position",
+    "salted_aggregation",
+    "attribution_models",
 ]
 
 
