@@ -1673,23 +1673,27 @@ qd AS (
   FROM (SELECT doc_id, text, {X.tokens_duck('text')} AS tokens FROM documents)
 ),
 scored AS (
+  -- exact integer-rational score over D = 100*n_tok*n_ch (the double
+  -- chain's round(..,4) straddles decimal boundaries differently per
+  -- engine; one NUM/D division is bit-identical everywhere)
   SELECT doc_id,
-    (2.0 * (CASE WHEN n_tok = 0 THEN 0 ELSE stop_cnt / n_tok END)
-     - 3.0 * (CASE WHEN n_ch = 0 THEN 0 ELSE punct_cnt / n_ch END)
-     + least(n_tok, 100) / 100.0
-     - abs((CASE WHEN n_tok = 0 THEN 0 ELSE word_chars / n_tok END) - 5.0)
-       / 10.0) AS score
+    CAST(2 * stop_cnt * 100 * n_ch
+         - 3 * punct_cnt * 100 * n_tok
+         + least(n_tok, 100) * n_tok * n_ch
+         - 10 * abs(word_chars - 5 * n_tok) * n_ch AS BIGINT) AS num,
+    CAST(100 * n_tok * n_ch AS BIGINT) AS den
   FROM qd
 ),
 members AS (
-  SELECT c.cluster_id, c.node AS doc_id, s.score,
+  SELECT c.cluster_id, c.node AS doc_id, s.num, s.den,
          count(*) OVER (PARTITION BY c.cluster_id) AS n_members,
          row_number() OVER (PARTITION BY c.cluster_id
-                            ORDER BY s.score DESC, c.node ASC) AS rn
+                            ORDER BY s.num / s.den DESC, c.node ASC) AS rn
   FROM clusters c JOIN scored s ON s.doc_id = c.node
 )
 SELECT cluster_id, doc_id AS rep_doc_id, n_members,
-       round(score, 4) AS rep_score
+       ((20000 * num + CASE WHEN num >= 0 THEN den ELSE -den END)
+        // (2 * den)) / 10000.0 AS rep_score
 FROM members WHERE rn = 1
 ORDER BY cluster_id
 """

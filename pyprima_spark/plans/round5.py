@@ -937,10 +937,36 @@ def cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = connected_components(pairs, "doc_a", "doc_b").select(
         F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
     )
-    scored = _quality_frame(docs).select("doc_id", "score")
+    # Exact integer-rational quality score: the _quality_frame double
+    # is a chain of divisions whose round(.., 4) can straddle a decimal
+    # boundary differently per engine (found at sf0.1: 0.3763 vs
+    # 0.3762). Over the common denominator D = 100·n_tok·n_ch the score
+    # is NUM/D exactly; the election orders by the ONE correctly-
+    # rounded division NUM/D (identical doubles both engines) and the
+    # reported value rounds half-away-from-zero in integer space
+    # ((2·10⁴·NUM ± D) div 2D — Spark `div` and DuckDB `//` both
+    # truncate toward zero).
+    scored = _quality_frame(docs).select(
+        "doc_id",
+        (
+            2 * F.col("stop_cnt") * 100 * F.col("n_ch")
+            - 3 * F.col("punct_cnt") * 100 * F.col("n_tok")
+            + F.least("n_tok", F.lit(100)) * F.col("n_tok") * F.col("n_ch")
+            - 10
+            * F.abs(F.col("word_chars") - 5 * F.col("n_tok"))
+            * F.col("n_ch")
+        ).cast("bigint").alias("num"),
+        (100 * F.col("n_tok") * F.col("n_ch")).cast("bigint").alias("den"),
+    )
     members = comp.join(scored, "doc_id")
     wp = Window.partitionBy("cluster_id")
-    wr = wp.orderBy(F.desc("score"), F.asc("doc_id"))
+    wr = wp.orderBy(
+        F.desc(F.col("num") / F.col("den")), F.asc("doc_id")
+    )
+    rounded = F.expr(
+        "cast((20000 * num + IF(num >= 0, den, -den)) div (2 * den) as double)"
+        " / 10000"
+    )
     return (
         members.withColumn("n_members", F.count(F.lit(1)).over(wp))
         .withColumn("rn", F.row_number().over(wr))
@@ -949,7 +975,7 @@ def cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cluster_id",
             F.col("doc_id").alias("rep_doc_id"),
             "n_members",
-            F.round("score", 4).alias("rep_score"),
+            rounded.alias("rep_score"),
         )
         .orderBy("cluster_id")
     )
@@ -3422,4 +3448,123 @@ SELECT click_hour,
        coalesce(last_touch_rev, 0.0) AS last_touch_rev
 FROM ft FULL OUTER JOIN lt USING (click_hour)
 ORDER BY click_hour
+"""
+
+
+# ---------------------------------------------------------------------------
+# copurchase_similarity — user-user collaborative-filtering prep
+# ---------------------------------------------------------------------------
+
+_CF_PART_DEG_MAX = 40  # drop parts bought by more customers than this
+_CF_TOPK = 5
+
+
+def copurchase_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User–user similarity from co-purchased parts — the
+    item-overlap wedge join that seeds every collaborative-filtering
+    recommender: customers sharing rare parts are neighbors; parts
+    half the customer base buys say nothing and only quadratically
+    inflate the wedge fanout, so parts above a degree cutoff are
+    dropped first (the same df-pruning discipline as the n-gram
+    dedups — fanout is Σdeg² over KEPT parts, a parameter bound).
+
+    Ranking avoids sqrt: neighbors order by shared-part count with
+    id tie-breaks (exact integers); the cosine against the two degree
+    counts rides along rounded for display.  Top-5 per customer
+    compiles to WindowGroupLimit.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cp = (
+        li.join(orders.select("o_orderkey", "o_custkey"),
+                li["l_orderkey"] == orders["o_orderkey"])
+        .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
+        .distinct()
+    )
+    part_deg = cp.groupBy("part").agg(F.count(F.lit(1)).alias("pdeg"))
+    kept = cp.join(
+        F.broadcast(part_deg.filter(F.col("pdeg") <= _CF_PART_DEG_MAX)), "part"
+    ).select("cust", "part")
+    cust_deg = kept.groupBy("cust").agg(F.count(F.lit(1)).alias("deg"))
+    wedges = (
+        kept.select(F.col("cust").alias("cust_a"), "part")
+        .join(kept.select(F.col("cust").alias("cust_b"), "part"), "part")
+        .filter(F.col("cust_a") < F.col("cust_b"))
+        .groupBy("cust_a", "cust_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sym = wedges.unionByName(
+        wedges.select(
+            F.col("cust_b").alias("cust_a"),
+            F.col("cust_a").alias("cust_b"),
+            "shared",
+        )
+    )
+    scored = (
+        sym.join(
+            F.broadcast(cust_deg.select(F.col("cust").alias("cust_a"),
+                                        F.col("deg").alias("deg_a"))),
+            "cust_a",
+        )
+        .join(
+            F.broadcast(cust_deg.select(F.col("cust").alias("cust_b"),
+                                        F.col("deg").alias("deg_b"))),
+            "cust_b",
+        )
+    )
+    w = Window.partitionBy("cust_a").orderBy(
+        F.desc("shared"), F.asc("cust_b")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _CF_TOPK)
+        .select(
+            F.col("cust_a").alias("cust"),
+            F.col("cust_b").alias("neighbor"),
+            "shared",
+            F.col("deg_a"),
+            F.col("deg_b"),
+            "rank",
+        )
+        .orderBy("cust", "rank")
+    )
+
+
+ROUND5_QUERIES["copurchase_similarity"] = copurchase_similarity
+
+ROUND5_ORACLES["copurchase_similarity"] = f"""
+WITH cp AS (
+  SELECT DISTINCT o_custkey AS cust, l_partkey AS part
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+part_deg AS (
+  SELECT part, count(*) AS pdeg FROM cp GROUP BY part
+),
+kept AS (
+  SELECT cust, part FROM cp JOIN part_deg USING (part)
+  WHERE pdeg <= {_CF_PART_DEG_MAX}
+),
+cust_deg AS (SELECT cust, count(*) AS deg FROM kept GROUP BY cust),
+wedges AS (
+  SELECT a.cust AS cust_a, b.cust AS cust_b, count(*) AS shared
+  FROM kept a JOIN kept b ON a.part = b.part AND a.cust < b.cust
+  GROUP BY 1, 2
+),
+sym AS (
+  SELECT cust_a, cust_b, shared FROM wedges
+  UNION ALL
+  SELECT cust_b, cust_a, shared FROM wedges
+),
+scored AS (
+  SELECT s.cust_a, s.cust_b, s.shared, da.deg AS deg_a, db.deg AS deg_b,
+         row_number() OVER (PARTITION BY s.cust_a
+                            ORDER BY s.shared DESC, s.cust_b ASC) AS rank
+  FROM sym s
+  JOIN cust_deg da ON da.cust = s.cust_a
+  JOIN cust_deg db ON db.cust = s.cust_b
+)
+SELECT cust_a AS cust, cust_b AS neighbor, shared, deg_a, deg_b, rank
+FROM scored
+WHERE rank <= {_CF_TOPK}
+ORDER BY cust, rank
 """

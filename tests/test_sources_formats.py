@@ -59,3 +59,20 @@ def test_orc_round_trip_and_pushdown(spark, tmp_path):
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in plan and "GreaterThan(l_quantity" in plan
     assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan
+
+
+def test_parquet_schema_evolution_mergeschema(spark, tmp_path):
+    """A landed dataset whose later batches gained a column must read
+    as ONE unified schema with nulls backfilled — the mergeSchema
+    contract an append-only lake relies on when producers evolve."""
+    base = tmp_path / "evolving"
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, name string"
+    ).write.parquet(str(base / "batch=1"))
+    spark.createDataFrame(
+        [(3, "c", 30.5)], "id long, name string, score double"
+    ).write.parquet(str(base / "batch=2"))
+    df = spark.read.option("mergeSchema", "true").parquet(str(base))
+    assert {f.name for f in df.schema.fields} >= {"id", "name", "score"}
+    rows = {r.id: r for r in df.collect()}
+    assert rows[1].score is None and abs(rows[3].score - 30.5) < 1e-9
