@@ -153,6 +153,7 @@ BENCH_QUERIES = [
     "boilerplate_position",
     "salted_aggregation",
     "attribution_models",
+    "copurchase_similarity",
 ]
 
 
