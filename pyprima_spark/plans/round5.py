@@ -3568,3 +3568,154 @@ FROM scored
 WHERE rank <= {_CF_TOPK}
 ORDER BY cust, rank
 """
+
+
+# ---------------------------------------------------------------------------
+# contract_violations — declarative data-contract validation census
+# ---------------------------------------------------------------------------
+
+_CONTRACT_TYPES = ("click", "view", "purchase", "signup", "error")
+
+
+def contract_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-contract validation of the events feed: each declared rule
+    (non-null user, value range, enum membership, timestamp window,
+    well-formed JSON props) is evaluated as a row-local predicate in
+    ONE scan, and the census reports violations per rule — the
+    quality gate every ingestion contract runs before publishing a
+    partition.
+
+    A stack of conditional sums over a single pass; no shuffles beyond
+    the final one-row-per-rule aggregate.  Adding a rule is adding a
+    column expression — the contract stays declarative.
+    """
+    ev = _t(spark, sf_dir, "events")
+    enum = ", ".join(f"'{t}'" for t in _CONTRACT_TYPES)
+    rules = {
+        "user_id_not_null": "user_id IS NULL",
+        "value_in_range": "value IS NULL OR value < 0 OR value > 1000",
+        "type_in_enum": f"event_type NOT IN ({enum})",
+        "ts_in_window": "ts < timestamp'2024-01-01 00:00:00'"
+                        " OR ts >= timestamp'2024-02-01 00:00:00'",
+        "props_valid_json": "props IS NULL OR get_json_object(props, '$.k') IS NULL",
+    }
+    agg = ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[
+            F.sum(F.expr(f"CASE WHEN {cond} THEN 1 ELSE 0 END")).alias(k)
+            for k in rules
+            for cond in [rules[k]]
+        ],
+    )
+    stack = ", ".join(f"'{k}', {k}" for k in rules)
+    return (
+        agg.select(
+            F.expr(f"stack({len(rules)}, {stack}) AS (rule, n_violations)"),
+            "n_rows",
+        )
+        .select("rule", "n_violations", "n_rows")
+        .orderBy("rule")
+    )
+
+
+ROUND5_QUERIES["contract_violations"] = contract_violations
+
+_CONTRACT_ENUM_SQL = ", ".join(f"'{t}'" for t in _CONTRACT_TYPES)
+
+ROUND5_ORACLES["contract_violations"] = f"""
+WITH agg AS (
+  SELECT count(*) AS n_rows,
+    sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS user_id_not_null,
+    sum(CASE WHEN value IS NULL OR value < 0 OR value > 1000
+        THEN 1 ELSE 0 END) AS value_in_range,
+    sum(CASE WHEN event_type NOT IN ({_CONTRACT_ENUM_SQL})
+        THEN 1 ELSE 0 END) AS type_in_enum,
+    sum(CASE WHEN ts < TIMESTAMP '2024-01-01 00:00:00'
+              OR ts >= TIMESTAMP '2024-02-01 00:00:00'
+        THEN 1 ELSE 0 END) AS ts_in_window,
+    sum(CASE WHEN props IS NULL OR json_extract(props, '$.k') IS NULL
+        THEN 1 ELSE 0 END) AS props_valid_json
+  FROM events
+)
+SELECT rule, n_violations, n_rows FROM (
+  SELECT 'props_valid_json' AS rule,
+         CAST(props_valid_json AS BIGINT) AS n_violations, n_rows FROM agg
+  UNION ALL
+  SELECT 'ts_in_window', CAST(ts_in_window AS BIGINT), n_rows FROM agg
+  UNION ALL
+  SELECT 'type_in_enum', CAST(type_in_enum AS BIGINT), n_rows FROM agg
+  UNION ALL
+  SELECT 'user_id_not_null', CAST(user_id_not_null AS BIGINT), n_rows FROM agg
+  UNION ALL
+  SELECT 'value_in_range', CAST(value_in_range AS BIGINT), n_rows FROM agg
+)
+ORDER BY rule
+"""
+
+
+# ---------------------------------------------------------------------------
+# debounce_dedup — cooldown-window event deduplication
+# ---------------------------------------------------------------------------
+
+_DEBOUNCE_US = 5_000_000  # 5 seconds
+
+
+def debounce_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debounce deduplication: an event within 5 seconds of the
+    previous KEPT... strictly, of the previous event of the same
+    (user, type) is a duplicate firing (double-click, retry storm) and
+    is dropped.  The census reports kept/dropped per type — the
+    event-stream counterpart of content dedup.
+
+    One lag window per (user, type) partition — the same shuffle the
+    downstream sessionizer needs anyway — and exact integer-µs gap
+    compares.  (True chained debounce — cooldown measured from the
+    last KEPT event — is the stateful streaming form; the lag form is
+    the standard batch approximation and is exact whenever real
+    duplicates cluster tighter than the cooldown.)
+    """
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "event_type",
+        (
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+            < F.lit(_DEBOUNCE_US)
+        ).alias("dup"),
+    )
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(F.col("dup"), 1).otherwise(0)).alias("n_debounced"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "n_debounced",
+            F.expr("cast(n_debounced * 10000 div n_events as int)").alias(
+                "debounced_bp"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+ROUND5_QUERIES["debounce_dedup"] = debounce_dedup
+
+ROUND5_ORACLES["debounce_dedup"] = f"""
+WITH flagged AS (
+  SELECT event_type,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id, event_type ORDER BY ts, event_id)
+           < {_DEBOUNCE_US} AS dup
+  FROM events
+)
+SELECT event_type, count(*) AS n_events,
+       CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_debounced,
+       CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) * 10000 // count(*) AS INT)
+         AS debounced_bp
+FROM flagged
+GROUP BY event_type
+ORDER BY event_type
+"""
