@@ -3719,3 +3719,227 @@ FROM flagged
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# graph_modularity — partition-quality metric on the trade graph
+# ---------------------------------------------------------------------------
+
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the connected-component partition of the
+    sparsified trade graph — the standard "is this clustering real"
+    number for any community assignment (components, label
+    propagation, METIS cuts alike).
+
+    Q = Σ_c (in_c/m − (deg_c/2m)²), computed EXACTLY: with integer
+    edge counts, Q·(2m)² = Σ_c (2m·2·in_c·... ) — here reported per
+    community as integer numerators over the common (2m)² denominator
+    and as one final scaled division, so engines agree bit-for-bit.
+    Components come from the shared iterative hash-min operator; edges
+    and degrees are dim-sized aggregates.
+    """
+    from pyprima_spark.operators.components import connected_components
+    from pyprima_spark.plans.queries import _edge_aggregate
+
+    edges = _edge_aggregate(spark, sf_dir).select("edge_a", "edge_b", "n_lines")
+    tot = edges.agg(
+        F.sum("n_lines").alias("tot"), F.count(F.lit(1)).alias("ne")
+    )
+    sparse = (
+        edges.crossJoin(F.broadcast(tot))
+        .filter(F.col("n_lines") * F.col("ne") * 10 >= 11 * F.col("tot"))
+        .select("edge_a", "edge_b")
+    )
+    comp = connected_components(sparse, "edge_a", "edge_b").select(
+        F.col("node"), F.col("component")
+    )
+    sided = (
+        sparse.join(
+            comp.select(F.col("node").alias("edge_a"),
+                        F.col("component").alias("ca")),
+            "edge_a",
+        )
+        .join(
+            comp.select(F.col("node").alias("edge_b"),
+                        F.col("component").alias("cb")),
+            "edge_b",
+        )
+    )
+    m = sided.agg(F.count(F.lit(1)).alias("m"))
+    in_c = (
+        sided.filter(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("component"))
+        .agg(F.count(F.lit(1)).alias("e_in"))
+    )
+    deg = (
+        sparse.select(F.col("edge_a").alias("node"))
+        .unionByName(sparse.select(F.col("edge_b").alias("node")))
+        .join(comp, "node")
+        .groupBy("component")
+        .agg(F.count(F.lit(1)).alias("deg_c"))
+    )
+    per = (
+        deg.join(in_c, "component", "left")
+        .select(
+            "component",
+            F.coalesce("e_in", F.lit(0)).alias("e_in"),
+            "deg_c",
+        )
+        .crossJoin(F.broadcast(m))
+    )
+    # q_num_c = 4m·e_in − deg_c² over denominator (2m)²
+    per = per.withColumn(
+        "q_num", 4 * F.col("m") * F.col("e_in") - F.col("deg_c") * F.col("deg_c")
+    )
+    return (
+        per.select(
+            "component",
+            "e_in",
+            "deg_c",
+            "q_num",
+            F.expr("cast(q_num * 10000 div (4 * m * m) as int)").alias(
+                "q_contrib_bp"
+            ),
+        )
+        .orderBy("component")
+    )
+
+
+ROUND5_QUERIES["graph_modularity"] = graph_modularity
+
+ROUND5_ORACLES["graph_modularity"] = """
+WITH RECURSIVE pairs AS (
+  SELECT least(c_nationkey, s_nationkey) AS edge_a,
+         greatest(c_nationkey, s_nationkey) AS edge_b
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  WHERE c_nationkey <> s_nationkey
+),
+edges AS (
+  SELECT edge_a, edge_b, count(*) AS n_lines FROM pairs GROUP BY 1, 2
+),
+tot AS (SELECT sum(n_lines) AS tot, count(*) AS ne FROM edges),
+sparse AS (
+  SELECT edge_a, edge_b FROM edges CROSS JOIN tot
+  WHERE n_lines * ne * 10 >= 11 * tot
+),
+cedges AS (
+  SELECT edge_a AS a, edge_b AS b FROM sparse
+  UNION
+  SELECT edge_b, edge_a FROM sparse
+),
+reach(node, lbl) AS (
+  SELECT DISTINCT a, a FROM cedges
+  UNION
+  SELECT e.b, r.lbl FROM reach r JOIN cedges e ON e.a = r.node
+),
+comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node),
+sided AS (
+  SELECT s.edge_a, s.edge_b, ca.component AS ca, cb.component AS cb
+  FROM sparse s
+  JOIN comp ca ON ca.node = s.edge_a
+  JOIN comp cb ON cb.node = s.edge_b
+),
+m AS (SELECT count(*) AS m FROM sided),
+in_c AS (
+  SELECT ca AS component, count(*) AS e_in FROM sided
+  WHERE ca = cb GROUP BY ca
+),
+deg AS (
+  SELECT component, count(*) AS deg_c FROM (
+    SELECT edge_a AS node FROM sparse
+    UNION ALL
+    SELECT edge_b FROM sparse
+  ) JOIN comp USING (node)
+  GROUP BY component
+)
+SELECT d.component, coalesce(i.e_in, 0) AS e_in, d.deg_c,
+       CAST(4 * m.m * coalesce(i.e_in, 0) - d.deg_c * d.deg_c AS BIGINT)
+         AS q_num,
+       CAST((4 * m.m * coalesce(i.e_in, 0) - d.deg_c * d.deg_c) * 10000
+            // (4 * m.m * m.m) AS INT) AS q_contrib_bp
+FROM deg d LEFT JOIN in_c i ON i.component = d.component
+CROSS JOIN m
+ORDER BY d.component
+"""
+
+
+# ---------------------------------------------------------------------------
+# mixed_language_flags — intra-document language-mixing screen
+# ---------------------------------------------------------------------------
+
+def mixed_language_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-purity screen: a doc whose tokens hit the stopword
+    lists of TWO OR MORE languages (or any CJK alongside latin
+    stopwords) is language-mixed — the docs machine-translation
+    filters and monolingual tokenizer training both want flagged.
+
+    Entirely row-local (one HOF count per language list + the CJK
+    regex, no explode), then a per-(source, lang) census of mixed
+    flags.  The per-language hit counts ride one scan.
+    """
+    from pyprima_spark.plans.constants import STOPWORDS
+
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "source", "lang", F.expr(X.tokens_spark("text")).alias("tokens"), "text"
+    )
+    for lg, words in STOPWORDS.items():
+        d = d.withColumn(
+            f"h_{lg}",
+            (F.expr(X.stopword_count_spark("tokens", words)) > 0).cast("int"),
+        )
+    d = d.withColumn("h_zh", (F.expr(X.cjk_count_spark("text")) > 0).cast("int"))
+    langs = sorted(STOPWORDS) + ["zh"]
+    n_hit = sum(F.col(f"h_{lg}") for lg in langs)
+    return (
+        d.select("source", "lang", (n_hit >= 2).alias("mixed"))
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("mixed"), 1).otherwise(0)).alias("n_mixed"),
+        )
+        .select(
+            "source",
+            "lang",
+            "n_docs",
+            "n_mixed",
+            F.expr("cast(n_mixed * 10000 div n_docs as int)").alias("mixed_bp"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
+ROUND5_QUERIES["mixed_language_flags"] = mixed_language_flags
+
+
+def _mixed_language_oracle() -> str:
+    from pyprima_spark.plans.constants import STOPWORDS
+
+    hits = " + ".join(
+        f"(CASE WHEN {X.stopword_count_duck('tokens', words)} > 0"
+        f" THEN 1 ELSE 0 END)"
+        for _, words in sorted(STOPWORDS.items())
+    )
+    return f"""
+WITH d AS (
+  SELECT source, lang,
+         {hits}
+         + (CASE WHEN {X.cjk_count_duck('text')} > 0 THEN 1 ELSE 0 END)
+           AS n_hit
+  FROM (SELECT source, lang, text, {X.tokens_duck('text')} AS tokens
+        FROM documents)
+)
+SELECT source, lang, count(*) AS n_docs,
+       CAST(sum(CASE WHEN n_hit >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_mixed,
+       CAST(sum(CASE WHEN n_hit >= 2 THEN 1 ELSE 0 END) * 10000 // count(*)
+            AS INT) AS mixed_bp
+FROM d
+GROUP BY source, lang
+ORDER BY source, lang
+"""
+
+
+ROUND5_ORACLES["mixed_language_flags"] = _mixed_language_oracle()
