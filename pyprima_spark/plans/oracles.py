@@ -675,21 +675,28 @@ WITH d AS (
     length(regexp_replace(lower(text), '\\s', '', 'g')) AS word_chars,
     {X.stopword_count_duck('tokens', STOPWORDS['en'])} AS stop_cnt
   FROM (SELECT doc_id, text, {X.tokens_duck('text')} AS tokens FROM documents)
-),
-ratios AS (
-  SELECT doc_id, n_tok,
-    CASE WHEN n_tok = 0 THEN 0 ELSE stop_cnt / n_tok END AS stop_ratio,
-    CASE WHEN n_ch = 0 THEN 0 ELSE punct_cnt / n_ch END AS punct_ratio,
-    CASE WHEN n_tok = 0 THEN 0 ELSE word_chars / n_tok END AS mean_wl
-  FROM d
 )
+-- Each value rounds half-away-from-zero in exact integer space over
+-- its rational's own denominator (mirror of the Spark side's `rnd`;
+-- round(double, 4) diverged between engines near .00005 boundaries).
 SELECT doc_id, n_tok,
-  round(stop_ratio, 4) AS stop_ratio,
-  round(punct_ratio, 4) AS punct_ratio,
-  round(mean_wl, 4) AS mean_word_len,
-  round(2.0 * stop_ratio - 3.0 * punct_ratio + least(n_tok, 100) / 100.0
-        - abs(mean_wl - 5.0) / 10.0, 4) AS score
-FROM ratios
+  CASE WHEN n_tok = 0 THEN 0.0 ELSE
+    ((20000 * stop_cnt + n_tok) // (2 * n_tok)) / 10000.0 END AS stop_ratio,
+  CASE WHEN n_ch = 0 THEN 0.0 ELSE
+    ((20000 * punct_cnt + n_ch) // (2 * n_ch)) / 10000.0 END AS punct_ratio,
+  CASE WHEN n_tok = 0 THEN 0.0 ELSE
+    ((20000 * word_chars + n_tok) // (2 * n_tok)) / 10000.0 END
+    AS mean_word_len,
+  CASE WHEN 100 * n_tok * n_ch = 0 THEN 0.0 ELSE
+    ((20000 * (2 * stop_cnt * 100 * n_ch - 3 * punct_cnt * 100 * n_tok
+               + least(n_tok, 100) * n_tok * n_ch
+               - 10 * abs(word_chars - 5 * n_tok) * n_ch)
+      + (CASE WHEN (2 * stop_cnt * 100 * n_ch - 3 * punct_cnt * 100 * n_tok
+                    + least(n_tok, 100) * n_tok * n_ch
+                    - 10 * abs(word_chars - 5 * n_tok) * n_ch) >= 0
+              THEN 100 * n_tok * n_ch ELSE -(100 * n_tok * n_ch) END))
+     // (2 * 100 * n_tok * n_ch)) / 10000.0 END AS score
+FROM d
 """
 
 ORACLES["token_count"] = f"""

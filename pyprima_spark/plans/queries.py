@@ -922,18 +922,40 @@ def _quality_frame(docs: DataFrame) -> DataFrame:
 def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic document quality: token count, stopword ratio, punct
     ratio, mean word length, composite score (SURVEY §2 #35). Rational
-    arithmetic only — no transcendental functions, so both engines
-    agree exactly after rounding.
+    arithmetic only — no transcendental functions.
+
+    Every reported value rounds HALF-AWAY-FROM-ZERO in exact integer
+    space over its rational's own denominator (``round(double, 4)``
+    proved engine-divergent at sf0.1: Spark rounds the shortest
+    decimal repr HALF_UP, DuckDB rounds the binary value — 4/5000 docs
+    straddled a .00005 boundary). The integer form is
+    ``(2·10⁴·NUM ± DEN) div (2·DEN)`` — Spark ``div`` and DuckDB
+    ``//`` both truncate toward zero — then one exact division by 10⁴.
     """
     docs = _t(spark, sf_dir, "documents")
     d = _quality_frame(docs)
+
+    def rnd(num_sql: str, den_sql: str) -> F.Column:
+        num = f"cast(({num_sql}) as bigint)"
+        den = f"cast(({den_sql}) as bigint)"
+        return F.expr(
+            f"CASE WHEN {den} = 0 THEN 0.0D ELSE "
+            f"cast((20000 * {num} + IF({num} >= 0, {den},"
+            f" -{den})) div (2 * {den}) as double) / 10000 END"
+        )
+
     return d.select(
         "doc_id",
         "n_tok",
-        F.round("stop_ratio", 4).alias("stop_ratio"),
-        F.round("punct_ratio", 4).alias("punct_ratio"),
-        F.round("mean_wl", 4).alias("mean_word_len"),
-        F.round("score", 4).alias("score"),
+        rnd("stop_cnt", "n_tok").alias("stop_ratio"),
+        rnd("punct_cnt", "n_ch").alias("punct_ratio"),
+        rnd("word_chars", "n_tok").alias("mean_word_len"),
+        rnd(
+            "2 * stop_cnt * 100 * n_ch - 3 * punct_cnt * 100 * n_tok"
+            " + least(n_tok, 100) * n_tok * n_ch"
+            " - 10 * abs(word_chars - 5 * n_tok) * n_ch",
+            "100 * n_tok * n_ch",
+        ).alias("score"),
     )
 
 
