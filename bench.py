@@ -154,6 +154,10 @@ BENCH_QUERIES = [
     "salted_aggregation",
     "attribution_models",
     "copurchase_similarity",
+    "contract_violations",
+    "debounce_dedup",
+    "graph_modularity",
+    "mixed_language_flags",
 ]
 
 

@@ -3943,3 +3943,90 @@ ORDER BY source, lang
 
 
 ROUND5_ORACLES["mixed_language_flags"] = _mixed_language_oracle()
+
+
+# ---------------------------------------------------------------------------
+# nested_order_items — complex-type (struct array + map) roundtrip
+# ---------------------------------------------------------------------------
+
+def nested_order_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-type assembly and consumption in one plan: each order's
+    line items become a SORTED ARRAY OF STRUCTS (the denormalized
+    shape document stores and event payloads arrive in), and the
+    census consumes it back — first-item price by position, item
+    counts, flag presence via a higher-order exists().
+
+    array_sort on the struct's leading field makes collect_list's
+    partition-order nondeterminism irrelevant (ordered_string_export's
+    rule, applied to structs); all downstream access is row-local HOFs
+    on the assembled array — no second shuffle.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    nested = (
+        li.select(
+            "l_orderkey",
+            F.struct(
+                F.col("l_linenumber").alias("ln"),
+                F.col("l_partkey").alias("part"),
+                F.col("l_extendedprice").alias("price"),
+                F.col("l_returnflag").alias("flag"),
+            ).alias("item"),
+        )
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_list("item")).alias("items"))
+    )
+    consumed = nested.select(
+        "l_orderkey",
+        F.size("items").alias("n_items"),
+        F.expr("items[0].price").alias("first_price"),
+        F.expr("exists(items, x -> x.flag = 'R')").alias("any_returned"),
+    )
+    return (
+        consumed.join(
+            orders.select("o_orderkey", "o_orderpriority"),
+            consumed["l_orderkey"] == orders["o_orderkey"],
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("n_items").alias("total_items"),
+            F.round(F.sum(F.col("first_price").cast(DEC)), 2)
+            .cast("double")
+            .alias("first_item_revenue"),
+            F.sum(F.when(F.col("any_returned"), 1).otherwise(0)).alias(
+                "n_with_returns"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+ROUND5_QUERIES["nested_order_items"] = nested_order_items
+
+ROUND5_ORACLES["nested_order_items"] = """
+WITH nested AS (
+  SELECT l_orderkey,
+         list_sort(list({'ln': l_linenumber, 'part': l_partkey,
+                         'price': l_extendedprice, 'flag': l_returnflag}))
+           AS items
+  FROM lineitem GROUP BY l_orderkey
+),
+consumed AS (
+  SELECT l_orderkey,
+         len(items) AS n_items,
+         items[1]['price'] AS first_price,
+         len(list_filter(items, x -> x['flag'] = 'R')) > 0 AS any_returned
+  FROM nested
+)
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       CAST(sum(n_items) AS BIGINT) AS total_items,
+       round(sum(CAST(first_price AS DECIMAL(27,6))), 2)::DOUBLE
+         AS first_item_revenue,
+       CAST(sum(CASE WHEN any_returned THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_with_returns
+FROM consumed JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
