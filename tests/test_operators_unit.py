@@ -689,3 +689,57 @@ def test_ann_pq_contract_and_recall(spark, sf_dir):
     # codebook on clustered data is where PQ recall gets respectable).
     # The floor just proves ADC is correlated with the true ranking.
     assert recall >= 0.05, f"PQ recall {recall:.2f} suspiciously low"
+
+
+def test_asof_tolerance_and_left_semantics(spark):
+    """Left retention keeps unmatched probes with nulls; the tolerance
+    nulls out matches staler than the bound; inner+tolerance drops
+    them entirely."""
+    import datetime as dt
+
+    from pyprima_spark.operators.asof import asof_join
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    left = spark.createDataFrame(
+        [(1, t0, "p1"), (2, t0, "p2"), (1, t0 + dt.timedelta(hours=2), "p3")],
+        "k long, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, t0 - dt.timedelta(minutes=10), 5.0)],
+        "k long, ts timestamp, v double",
+    )
+    tol = 30 * 60 * 1_000_000  # 30 min
+    out = {
+        r.tag: r
+        for r in asof_join(
+            left, right, "k", value_cols=["v"], how="left", tolerance_us=tol
+        ).collect()
+    }
+    assert out["p1"].v_asof == 5.0          # fresh match
+    assert out["p2"].v_asof is None         # no right rows for k=2
+    assert out["p3"].v_asof is None         # match exists but is 2h10m stale
+    inner = asof_join(
+        left, right, "k", value_cols=["v"], tolerance_us=tol
+    ).collect()
+    assert [r.tag for r in inner] == ["p1"]
+
+
+def test_sequence_packing_edges(spark, sf_dir):
+    """Greedy packing invariants: chunks are contiguous in doc order,
+    never exceed the budget unless a single doc alone does, and every
+    doc is packed exactly once."""
+    from pyprima_spark.plans.round5 import _PACK_BUDGET, sequence_packing
+
+    rows = sequence_packing(spark, sf_dir).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    for src, chunks in by_src.items():
+        assert [c.chunk_id for c in chunks] == list(range(len(chunks))), src
+        for c in chunks:
+            assert c.total_tokens <= _PACK_BUDGET or c.n_docs == 1, (src, c)
+    from pyprima_spark.catalog import load_table
+    import pyspark.sql.functions as F
+
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs
