@@ -4030,3 +4030,158 @@ FROM consumed JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
 """
+
+
+# ---------------------------------------------------------------------------
+# price_reconciliation — header-vs-lines financial audit
+# ---------------------------------------------------------------------------
+
+def price_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Financial reconciliation: does each order HEADER total match the
+    sum of its LINES (extprice·(1+tax)·(1−discount))?  The
+    header/detail consistency audit every finance pipeline runs — and
+    a deliberate synthetic-data honesty check: the census REPORTS the
+    mismatch rate rather than assuming the generator enforced the
+    invariant.
+
+    Per-line amounts are row-local doubles (identical op order both
+    engines), summed per order in DECIMAL; the header join is the
+    natural key SMJ; tolerance compare at one cent.  Census per order
+    priority: orders, mismatches, total absolute drift.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    line_tot = (
+        li.select(
+            "l_orderkey",
+            (
+                F.col("l_extendedprice")
+                * (1 + F.col("l_tax"))
+                * (1 - F.col("l_discount"))
+            )
+            .cast(DEC)
+            .alias("amt"),
+        )
+        .groupBy("l_orderkey")
+        .agg(F.sum("amt").alias("lines_total"))
+    )
+    j = orders.select("o_orderkey", "o_orderpriority", "o_totalprice").join(
+        line_tot, orders["o_orderkey"] == line_tot["l_orderkey"]
+    )
+    diff = F.abs(F.col("o_totalprice").cast(DEC) - F.col("lines_total"))
+    return (
+        j.select("o_orderpriority", diff.alias("drift"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.when(F.col("drift") > 0.01, 1).otherwise(0)).alias(
+                "n_mismatched"
+            ),
+            F.round(F.sum("drift"), 2).cast("double").alias("total_drift"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+ROUND5_QUERIES["price_reconciliation"] = price_reconciliation
+
+ROUND5_ORACLES["price_reconciliation"] = """
+WITH line_tot AS (
+  SELECT l_orderkey,
+         sum(CAST(l_extendedprice * (1 + l_tax) * (1 - l_discount)
+                  AS DECIMAL(27,6))) AS lines_total
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       CAST(sum(CASE WHEN abs(CAST(o_totalprice AS DECIMAL(27,6))
+                              - lines_total) > 0.01
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatched,
+       round(sum(abs(CAST(o_totalprice AS DECIMAL(27,6)) - lines_total)), 2)
+         ::DOUBLE AS total_drift
+FROM orders JOIN line_tot ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# pk_uniqueness_audit — natural-key uniqueness census
+# ---------------------------------------------------------------------------
+
+def pk_uniqueness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary/natural-key uniqueness audit across the lake's
+    load-bearing keys — the companion of fk_orphan_audit on the other
+    side of referential integrity (a duplicated key silently doubles
+    every downstream join).
+
+    Each relation is one map-combined key count + one tiny aggregate
+    of the duplicate census; lineitem is audited on its COMPOSITE
+    natural key (orderkey, linenumber).
+    """
+    def audit(df: DataFrame, cols: list, name: str) -> DataFrame:
+        per_key = df.groupBy(*cols).agg(F.count(F.lit(1)).alias("c"))
+        return per_key.agg(
+            F.lit(name).alias("relation"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("c").alias("n_rows"),
+            F.sum(F.when(F.col("c") > 1, 1).otherwise(0)).alias("n_dup_keys"),
+            F.coalesce(
+                F.sum(F.when(F.col("c") > 1, F.col("c") - 1)), F.lit(0)
+            ).alias("n_excess_rows"),
+        ).select("relation", "n_keys", "n_rows", "n_dup_keys", "n_excess_rows")
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cust = _t(spark, sf_dir, "customer")
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        audit(orders, ["o_orderkey"], "orders.o_orderkey")
+        .unionByName(audit(li, ["l_orderkey", "l_linenumber"],
+                           "lineitem.(o,line)"))
+        .unionByName(audit(cust, ["c_custkey"], "customer.c_custkey"))
+        .unionByName(audit(docs, ["doc_id"], "documents.doc_id"))
+        .orderBy("relation")
+    )
+
+
+ROUND5_QUERIES["pk_uniqueness_audit"] = pk_uniqueness_audit
+
+ROUND5_ORACLES["pk_uniqueness_audit"] = """
+WITH o AS (
+  SELECT count(*) AS n_keys, CAST(sum(c) AS BIGINT) AS n_rows,
+         CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_keys,
+         CAST(coalesce(sum(CASE WHEN c > 1 THEN c - 1 END), 0) AS BIGINT)
+           AS n_excess_rows
+  FROM (SELECT count(*) AS c FROM orders GROUP BY o_orderkey)
+),
+l AS (
+  SELECT count(*) AS n_keys, CAST(sum(c) AS BIGINT) AS n_rows,
+         CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_keys,
+         CAST(coalesce(sum(CASE WHEN c > 1 THEN c - 1 END), 0) AS BIGINT)
+           AS n_excess_rows
+  FROM (SELECT count(*) AS c FROM lineitem GROUP BY l_orderkey, l_linenumber)
+),
+c AS (
+  SELECT count(*) AS n_keys, CAST(sum(c) AS BIGINT) AS n_rows,
+         CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_keys,
+         CAST(coalesce(sum(CASE WHEN c > 1 THEN c - 1 END), 0) AS BIGINT)
+           AS n_excess_rows
+  FROM (SELECT count(*) AS c FROM customer GROUP BY c_custkey)
+),
+d AS (
+  SELECT count(*) AS n_keys, CAST(sum(c) AS BIGINT) AS n_rows,
+         CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_keys,
+         CAST(coalesce(sum(CASE WHEN c > 1 THEN c - 1 END), 0) AS BIGINT)
+           AS n_excess_rows
+  FROM (SELECT count(*) AS c FROM documents GROUP BY doc_id)
+)
+SELECT 'customer.c_custkey' AS relation, * FROM c
+UNION ALL
+SELECT 'documents.doc_id', * FROM d
+UNION ALL
+SELECT 'lineitem.(o,line)', * FROM l
+UNION ALL
+SELECT 'orders.o_orderkey', * FROM o
+ORDER BY relation
+"""
