@@ -158,6 +158,9 @@ BENCH_QUERIES = [
     "debounce_dedup",
     "graph_modularity",
     "mixed_language_flags",
+    "nested_order_items",
+    "price_reconciliation",
+    "pk_uniqueness_audit",
 ]
 
 
