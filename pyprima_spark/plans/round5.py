@@ -4185,3 +4185,156 @@ UNION ALL
 SELECT 'orders.o_orderkey', * FROM o
 ORDER BY relation
 """
+
+
+# ---------------------------------------------------------------------------
+# ppjoin_similarity — prefix-filtered exact set-similarity join
+# ---------------------------------------------------------------------------
+
+_PPJ_TAU_NUM, _PPJ_TAU_DEN = 1, 2  # Jaccard >= 1/2
+
+
+def ppjoin_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard set-similarity self-join with PREFIX FILTERING
+    (the PPJoin family): two docs with Jaccard ≥ τ MUST share a token
+    within the first |d|−⌈τ·|d|⌉+1 tokens of their canonical order
+    (global frequency ascending — rarest first), so only PREFIX tokens
+    are exploded into the candidate join and the filter is lossless.
+    Blocked additionally by (source, lang) — the standard
+    blocking+prefix composition.
+
+    Verification is row-local: the candidate join carries both docs'
+    distinct-token arrays and intersects them with one HOF — no second
+    shuffle — and the τ gate is integer cross-multiplied
+    ((num+den)·∩ ≥ num·(|a|+|b|)).  Fanout is Σ df² over PREFIX
+    tokens within a block: on Zipfian vocabularies the prefix holds
+    the rare tail and the bound collapses; this synthetic 31-word
+    corpus is the worst case and still block-bounded.  Unlike the
+    MinHash path this is EXACT — the choice when recall must be 100%.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id",
+            "source",
+            "lang",
+            F.array_distinct(F.expr(X.tokens_spark("text"))).alias("tokens"),
+        )
+        .filter(F.size("tokens") > 0)
+    )
+    df_tab = (
+        toks.select(F.explode("tokens").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    # canonical order: df asc, token asc — rebuilt per doc row-locally
+    # after a broadcast join of the (vocab-sized) df table
+    with_order = (
+        toks.select(
+            "doc_id", "source", "lang", F.explode("tokens").alias("token")
+        )
+        .join(F.broadcast(df_tab), "token")
+        .groupBy("doc_id", "source", "lang")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(df, token))),"
+                " x -> x.token)"
+            ).alias("ordered")
+        )
+        .select(
+            "doc_id",
+            "source",
+            "lang",
+            "ordered",
+            F.size("ordered").alias("n"),
+        )
+        .withColumn(
+            "prefix",
+            F.expr(
+                f"slice(ordered, 1, n - cast(({_PPJ_TAU_NUM} * n"
+                f" + {_PPJ_TAU_DEN} - 1) div {_PPJ_TAU_DEN} as int) + 1)"
+            ),
+        )
+    )
+    pre = with_order.select(
+        "doc_id", "source", "lang", "ordered", "n",
+        F.explode("prefix").alias("token"),
+    )
+    a = pre.select(
+        F.col("doc_id").alias("doc_a"), "source", "lang", "token",
+        F.col("ordered").alias("set_a"), F.col("n").alias("n_a"),
+    )
+    b = pre.select(
+        F.col("doc_id").alias("doc_b"), "source", "lang", "token",
+        F.col("ordered").alias("set_b"), F.col("n").alias("n_b"),
+    )
+    cands = (
+        a.join(b, ["source", "lang", "token"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "set_a", "set_b", "n_a", "n_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    inter = F.size(F.array_intersect("set_a", "set_b"))
+    verified = cands.select(
+        "doc_a",
+        "doc_b",
+        inter.alias("inter"),
+        (F.col("n_a") + F.col("n_b") - inter).alias("uni"),
+    ).filter(
+        (F.lit(_PPJ_TAU_NUM) + F.lit(_PPJ_TAU_DEN)) * F.col("inter")
+        >= F.lit(_PPJ_TAU_NUM) * (F.col("inter") + F.col("uni"))
+    )
+    return verified.orderBy("doc_a", "doc_b")
+
+
+ROUND5_QUERIES["ppjoin_similarity"] = ppjoin_similarity
+
+ROUND5_ORACLES["ppjoin_similarity"] = f"""
+WITH toks AS (
+  SELECT doc_id, source, lang,
+         list_distinct({X.tokens_duck('text')}) AS tokens
+  FROM documents
+  WHERE len(list_distinct({X.tokens_duck('text')})) > 0
+),
+df_tab AS (
+  SELECT token, count(*) AS df
+  FROM (SELECT doc_id, unnest(tokens) AS token FROM toks)
+  GROUP BY token
+),
+ordered AS (
+  SELECT doc_id, source, lang,
+         list_transform(
+           list_sort(list({{'df': df, 'token': token}})),
+           x -> x['token']) AS ordered
+  FROM (SELECT doc_id, source, lang, unnest(tokens) AS token FROM toks)
+  JOIN df_tab USING (token)
+  GROUP BY doc_id, source, lang
+),
+pre AS (
+  SELECT doc_id, source, lang, ordered, len(ordered) AS n,
+         unnest(ordered[1:len(ordered)
+                        - CAST(({_PPJ_TAU_NUM} * len(ordered)
+                                + {_PPJ_TAU_DEN} - 1) // {_PPJ_TAU_DEN} AS INT)
+                        + 1]) AS token
+  FROM ordered
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.ordered AS set_a, b.ordered AS set_b, a.n AS n_a, b.n AS n_b
+  FROM pre a JOIN pre b
+    ON a.source = b.source AND a.lang = b.lang AND a.token = b.token
+   AND a.doc_id < b.doc_id
+),
+verified AS (
+  SELECT doc_a, doc_b,
+         len(list_filter(set_a, x -> list_contains(set_b, x))) AS inter,
+         n_a + n_b - len(list_filter(set_a, x -> list_contains(set_b, x)))
+           AS uni
+  FROM cands
+)
+SELECT doc_a, doc_b, CAST(inter AS INT) AS inter, CAST(uni AS INT) AS uni
+FROM verified
+WHERE ({_PPJ_TAU_NUM} + {_PPJ_TAU_DEN}) * inter
+      >= {_PPJ_TAU_NUM} * (inter + uni)
+ORDER BY doc_a, doc_b
+"""
