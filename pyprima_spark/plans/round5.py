@@ -4338,3 +4338,159 @@ WHERE ({_PPJ_TAU_NUM} + {_PPJ_TAU_DEN}) * inter
       >= {_PPJ_TAU_NUM} * (inter + uni)
 ORDER BY doc_a, doc_b
 """
+
+
+# ---------------------------------------------------------------------------
+# bounce_rate — single-event-session share per day
+# ---------------------------------------------------------------------------
+
+_BOUNCE_GAP_US = 14_400_000_000  # 4h — the sessionize house gap
+
+
+def bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounce rate per day: the share of sessions containing exactly
+    one event — the engagement-quality headline on every product
+    dashboard, derived from the same gap rule as ``sessionize``.
+
+    Session ids are a running sum of gap breaks over the (user, time)
+    window (gaps-and-islands — one shuffle, shared with any other
+    per-user sequence op); the bounce census is two dim-sized
+    aggregations.  Sessions are attributed to their start day.
+    """
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        (
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+            >= F.lit(_BOUNCE_GAP_US)
+        )
+        .cast("int")
+        .alias("brk"),
+    ).select(
+        "user_id",
+        "ts",
+        F.sum(F.coalesce("brk", F.lit(0)))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("sess"),
+    )
+    sessions = marked.groupBy("user_id", "sess").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.to_date(F.min("ts")).alias("day"),
+    )
+    return (
+        sessions.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0)).alias(
+                "n_bounces"
+            ),
+        )
+        .select(
+            "day",
+            "n_sessions",
+            "n_bounces",
+            F.expr("cast(n_bounces * 10000 div n_sessions as int)").alias(
+                "bounce_bp"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+ROUND5_QUERIES["bounce_rate"] = bounce_rate
+
+ROUND5_ORACLES["bounce_rate"] = f"""
+WITH lagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                   >= {_BOUNCE_GAP_US} THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+marked AS (
+  SELECT user_id, ts,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sess
+  FROM lagged
+),
+sessions AS (
+  SELECT user_id, sess, count(*) AS n_events,
+         CAST(min(ts) AS DATE) AS day
+  FROM marked GROUP BY user_id, sess
+)
+SELECT day, count(*) AS n_sessions,
+       CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bounces,
+       CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 10000 // count(*)
+            AS INT) AS bounce_bp
+FROM sessions
+GROUP BY day
+ORDER BY day
+"""
+
+
+# ---------------------------------------------------------------------------
+# peak_concurrency — maximum simultaneous open incidents per day
+# ---------------------------------------------------------------------------
+
+def peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent open incidents per day (capacity planning: how
+    many fires burn at once, not just for how long — the max-overlap
+    companion of interval_union_coverage).
+
+    The classic endpoint sweep: +1 at each interval start, −1 at each
+    end, running sum over the per-day ordered endpoint stream, max.
+    All integer; ends sort before starts at the same instant (an
+    interval ending exactly when another starts does not overlap it —
+    half-open [s, e) semantics, pinned identically in both engines).
+    """
+    ev = _t(spark, sf_dir, "events")
+    iv = ev.filter(F.col("event_type") == "error").select(
+        F.to_date("ts").alias("day"),
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + _INCIDENT_LEN_US).alias("e"),
+    )
+    points = iv.select(
+        "day", F.col("s").alias("t"), F.lit(1).alias("d")
+    ).unionByName(
+        iv.select("day", F.col("e").alias("t"), F.lit(-1).alias("d"))
+    )
+    w = (
+        Window.partitionBy("day")
+        .orderBy("t", "d")  # d=-1 (end) sorts before d=+1 (start) at equal t
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    running = points.select("day", F.sum("d").over(w).alias("open_now"))
+    return (
+        running.groupBy("day")
+        .agg(F.max("open_now").alias("peak_open"))
+        .orderBy("day")
+    )
+
+
+ROUND5_QUERIES["peak_concurrency"] = peak_concurrency
+
+ROUND5_ORACLES["peak_concurrency"] = f"""
+WITH iv AS (
+  SELECT CAST(ts AS DATE) AS day, epoch_us(ts) AS s,
+         epoch_us(ts) + {_INCIDENT_LEN_US} AS e
+  FROM events WHERE event_type = 'error'
+),
+points AS (
+  SELECT day, s AS t, 1 AS d FROM iv
+  UNION ALL
+  SELECT day, e, -1 FROM iv
+),
+running AS (
+  SELECT day, sum(d) OVER (PARTITION BY day ORDER BY t, d
+                           ROWS UNBOUNDED PRECEDING) AS open_now
+  FROM points
+)
+SELECT day, CAST(max(open_now) AS BIGINT) AS peak_open
+FROM running
+GROUP BY day
+ORDER BY day
+"""
