@@ -161,6 +161,8 @@ BENCH_QUERIES = [
     "nested_order_items",
     "price_reconciliation",
     "pk_uniqueness_audit",
+    "bounce_rate",
+    "peak_concurrency",
 ]
 
 
