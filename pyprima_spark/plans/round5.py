@@ -4494,3 +4494,110 @@ FROM running
 GROUP BY day
 ORDER BY day
 """
+
+
+# ---------------------------------------------------------------------------
+# nearest_event_join — bidirectional (nearest-neighbor-in-time) as-of
+# ---------------------------------------------------------------------------
+
+def nearest_event_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas ``merge_asof(direction='nearest')`` semantics: each
+    purchase is annotated with the click NEAREST in time — before OR
+    after — with prior-click tie-break.  The backward pass is the
+    house as-of operator; the forward pass is the SAME operator on
+    negated time (a forward as-of IS a backward as-of on the reversed
+    axis — no new machinery); a row-local CASE picks the nearer side.
+
+    Two single-shuffle as-of plans on the same key; nothing pairwise.
+    """
+    from pyprima_spark.operators.asof import asof_join as _asof
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    back = _asof(purchases, clicks, "user_id", value_cols=["value"], how="left")
+    back = back.select(
+        "event_id", "user_id", "ts",
+        F.col("ts_asof").alias("ts_b"), F.col("value_asof").alias("v_b"),
+    )
+    neg = F.expr("timestamp_micros(-unix_micros(ts))")
+    p_neg = purchases.select("event_id", "user_id", neg.alias("ts"))
+    c_neg = clicks.select(
+        "user_id", neg.alias("ts"), F.col("value"),
+        F.unix_micros("ts").alias("orig_us"),
+    )
+    fwd = _asof(p_neg, c_neg, "user_id", value_cols=["value", "orig_us"],
+                how="left")
+    fwd = fwd.select(
+        "event_id",
+        F.col("orig_us_asof").alias("us_f"),
+        F.col("value_asof").alias("v_f"),
+    )
+    j = back.join(fwd, "event_id")
+    db = F.unix_micros("ts") - F.unix_micros("ts_b")
+    df_ = F.col("us_f") - F.unix_micros("ts")
+    pick_b = F.col("ts_b").isNotNull() & (
+        F.col("us_f").isNull() | (db <= df_)
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.when(pick_b, F.lit("before"))
+        .when(F.col("us_f").isNotNull(), F.lit("after"))
+        .otherwise(F.lit("none"))
+        .alias("direction"),
+        F.round(F.when(pick_b, F.col("v_b")).otherwise(F.col("v_f")), 2).alias(
+            "click_value"
+        ),
+        F.when(pick_b, db).otherwise(df_).alias("gap_us"),
+    ).orderBy("event_id")
+
+
+ROUND5_QUERIES["nearest_event_join"] = nearest_event_join
+
+ROUND5_ORACLES["nearest_event_join"] = """
+WITH p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT user_id, ts, value FROM (
+    SELECT user_id, ts, value,
+           row_number() OVER (PARTITION BY user_id, ts
+                              ORDER BY value DESC) AS rn
+    FROM events WHERE event_type = 'click'
+  ) WHERE rn = 1
+),
+back AS (
+  SELECT p.event_id, p.user_id, p.ts, c.ts AS ts_b, c.value AS v_b
+  FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+),
+-- forward as-of: first click at/after the purchase. DuckDB ASOF with
+-- <= picks the smallest c.ts >= p.ts; value ties at identical ts use
+-- the same greatest-value rule mirrored via the rn dedup above.
+fwd AS (
+  SELECT p.event_id, c.ts AS ts_f, c.value AS v_f
+  FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts <= c.ts
+)
+SELECT b.event_id, b.user_id,
+       CASE WHEN b.ts_b IS NOT NULL AND (f.ts_f IS NULL OR
+                 epoch_us(b.ts) - epoch_us(b.ts_b)
+                 <= epoch_us(f.ts_f) - epoch_us(b.ts))
+            THEN 'before'
+            WHEN f.ts_f IS NOT NULL THEN 'after'
+            ELSE 'none' END AS direction,
+       round(CASE WHEN b.ts_b IS NOT NULL AND (f.ts_f IS NULL OR
+                       epoch_us(b.ts) - epoch_us(b.ts_b)
+                       <= epoch_us(f.ts_f) - epoch_us(b.ts))
+                  THEN b.v_b ELSE f.v_f END, 2) AS click_value,
+       CASE WHEN b.ts_b IS NOT NULL AND (f.ts_f IS NULL OR
+                 epoch_us(b.ts) - epoch_us(b.ts_b)
+                 <= epoch_us(f.ts_f) - epoch_us(b.ts))
+            THEN epoch_us(b.ts) - epoch_us(b.ts_b)
+            ELSE epoch_us(f.ts_f) - epoch_us(b.ts) END AS gap_us
+FROM back b JOIN fwd f USING (event_id)
+ORDER BY b.event_id
+"""
