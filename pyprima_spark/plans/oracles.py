@@ -1808,3 +1808,77 @@ SELECT count(*) AS n_candidates,
             AS INT) AS precision_bp
 FROM verified
 """
+
+# Round-5 capstone sharing the curation CTE chain + minhash bands
+# (cycle rule as above): curate -> hash split -> shard manifest.
+from pyprima_spark.plans.round5 import _PACK_BUDGET as _R5_PACK_BUDGET  # noqa: E402
+
+ORACLES["training_manifest"] = f"""
+WITH RECURSIVE qd AS (
+  SELECT
+    doc_id, source, text,
+    len(tokens) AS n_tok,
+    length(text) AS n_ch,
+    length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS punct_cnt,
+    length(regexp_replace(lower(text), '\\s', '', 'g')) AS word_chars,
+    {X.stopword_count_duck('tokens', STOPWORDS['en'])} AS stop_cnt
+  FROM (SELECT doc_id, source, text, {X.tokens_duck('text')} AS tokens FROM documents)
+),
+ratios AS (
+  SELECT doc_id, source, text, n_tok,
+    CASE WHEN n_tok = 0 THEN 0 ELSE stop_cnt / n_tok END AS stop_ratio,
+    CASE WHEN n_ch = 0 THEN 0 ELSE punct_cnt / n_ch END AS punct_ratio,
+    CASE WHEN n_tok = 0 THEN 0 ELSE word_chars / n_tok END AS mean_wl
+  FROM qd
+),
+flagged AS (
+  SELECT doc_id, source, text, n_tok,
+    (2.0 * stop_ratio - 3.0 * punct_ratio + least(n_tok, 100) / 100.0
+     - abs(mean_wl - 5.0) / 10.0) > 0.35::DOUBLE AS passq,
+    md5(text) AS h
+  FROM ratios
+),
+flag2 AS (
+  SELECT *,
+    passq AND doc_id = min(CASE WHEN passq THEN doc_id END)
+                         OVER (PARTITION BY h) AS keptx
+  FROM flagged
+),
+kept2 AS (SELECT doc_id, text FROM flag2 WHERE keptx),
+{_minhash_bands_cte('kept2')},
+pairs AS (
+  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig AND a.doc < b.doc
+),
+cedges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT DISTINCT a, a FROM cedges
+  UNION
+  SELECT e.b, r.lbl FROM reach r JOIN cedges e ON e.a = r.node
+),
+clusters AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node),
+survivors AS (
+  SELECT f.doc_id, f.source, f.n_tok
+  FROM flag2 f LEFT JOIN clusters c ON f.doc_id = c.node
+  WHERE f.keptx AND (c.component IS NULL OR f.doc_id = c.component)
+),
+split AS (
+  SELECT CASE WHEN {X.hash64_duck("cast(doc_id as varchar) || ':split'")} % 100 < 80 THEN 'train'
+              WHEN {X.hash64_duck("cast(doc_id as varchar) || ':split'")} % 100 < 90 THEN 'val'
+              ELSE 'test' END AS split,
+         source, n_tok
+  FROM survivors
+)
+SELECT split, source, count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       CAST((sum(n_tok) + {_R5_PACK_BUDGET} - 1) // {_R5_PACK_BUDGET} AS INT)
+         AS est_chunks
+FROM split
+GROUP BY split, source
+ORDER BY split, source
+"""

@@ -4601,3 +4601,54 @@ SELECT b.event_id, b.user_id,
 FROM back b JOIN fwd f USING (event_id)
 ORDER BY b.event_id
 """
+
+
+# ---------------------------------------------------------------------------
+# training_manifest — capstone: curate -> split -> shard manifest
+# ---------------------------------------------------------------------------
+
+def training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data manifest, in ONE plan: the
+    curation funnel's survivors (quality gate → exact dedup → MinHash
+    cluster dedup, the shared ``curation_flags`` stages) are assigned
+    train/val/test by the deterministic id-hash gate, and the manifest
+    reports per (split, source): documents, tokens, and the estimated
+    shard count at the 256-token packing budget — the artifact a
+    training launch actually consumes (est = ⌈tokens/budget⌉; the
+    exact greedy chunking is ``sequence_packing``).
+
+    Everything before the final dim-sized rollup reuses already-graded
+    stages — this key certifies the COMPOSITION, the way a user would
+    actually wire the pipeline together.
+    """
+    from pyprima_spark.plans.queries import curation_flags
+
+    d, keptn = curation_flags(spark, sf_dir)
+    h = F.expr(X.hash64_spark("cast(doc_id as string) || ':split'")) % 100
+    split = (
+        F.when(h < 80, "train").when(h < 90, "val").otherwise("test")
+    )
+    survivors = d.filter(keptn).select(
+        split.alias("split"), "source", "n_tok"
+    )
+    return (
+        survivors.groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+        )
+        .select(
+            "split",
+            "source",
+            "n_docs",
+            "total_tokens",
+            F.expr(
+                f"cast((total_tokens + {_PACK_BUDGET} - 1)"
+                f" div {_PACK_BUDGET} as int)"
+            ).alias("est_chunks"),
+        )
+        .orderBy("split", "source")
+    )
+
+
+ROUND5_QUERIES["training_manifest"] = training_manifest
