@@ -163,6 +163,8 @@ BENCH_QUERIES = [
     "pk_uniqueness_audit",
     "bounce_rate",
     "peak_concurrency",
+    "nearest_event_join",
+    "training_manifest",
 ]
 
 
