@@ -165,6 +165,7 @@ BENCH_QUERIES = [
     "peak_concurrency",
     "nearest_event_join",
     "training_manifest",
+    "kmv_distinct_sketch",
 ]
 
 

@@ -4665,3 +4665,105 @@ def training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ROUND5_QUERIES["training_manifest"] = training_manifest
+
+
+# ---------------------------------------------------------------------------
+# kmv_distinct_sketch — k-minimum-values sketch built from primitives
+# ---------------------------------------------------------------------------
+
+_KMV_K = 16  # below the synthetic vocab size so the estimate path exercises
+_KMV_BITS = 40  # 60-bit md5 base hash >> 20 — keeps (k-1)·2^bits in bigint
+
+
+def kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A K-Minimum-Values distinct sketch IMPLEMENTED FROM PRIMITIVES
+    (not a built-in): per source, the k=16 smallest 40-bit token hashes
+    estimate the distinct count as (k−1)·2⁴⁰ / h₍ₖ₎ — the mergeable
+    sketch design (union = k smallest of the union) behind theta
+    sketches.  Unlike approx_count_distinct's HLL, every intermediate
+    here is a DETERMINISTIC integer, so the oracle checks the
+    ESTIMATE itself, not just an error band — the strongest possible
+    gate on a sketch implementation.
+
+    One map-combined distinct on (source, token-hash), a per-source
+    bottom-k window (WindowGroupLimit — partial bottom-k map-side),
+    and integer division.  At 100 TB the bottom-k becomes the
+    mergeable per-partition k-smallest + re-merge, same arithmetic.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    hashed = (
+        docs.select(
+            "source", F.explode(F.expr(X.tokens_spark("text"))).alias("token")
+        )
+        .select("source", "token")
+        .distinct()
+        .select(
+            "source",
+            F.expr(
+                f"shiftright({X.hash64_spark('token')}, {60 - _KMV_BITS})"
+            ).alias("h"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("source").orderBy("h")
+    bottomk = (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KMV_K)
+    )
+    exact = hashed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
+    kth = bottomk.groupBy("source").agg(
+        F.count(F.lit(1)).alias("k_used"), F.max("h").alias("kth")
+    )
+    est = F.when(
+        F.col("k_used") < _KMV_K, F.col("n_exact")  # fewer distincts than k
+    ).otherwise(
+        F.expr(f"cast(({_KMV_K} - 1) * cast(pow(2, {_KMV_BITS}) as bigint)"
+               f" div kth as bigint)")
+    )
+    return (
+        kth.join(exact, "source")
+        .select(
+            "source",
+            "n_exact",
+            est.alias("kmv_estimate"),
+            F.expr(
+                "cast(abs(kmv_estimate - n_exact) * 10000 div n_exact as int)"
+            ).alias("err_bp"),
+        )
+        .orderBy("source")
+    )
+
+
+ROUND5_QUERIES["kmv_distinct_sketch"] = kmv_distinct_sketch
+
+ROUND5_ORACLES["kmv_distinct_sketch"] = f"""
+WITH hashed AS (
+  SELECT DISTINCT source,
+         {X.hash64_duck('token')} >> {60 - _KMV_BITS} AS h
+  FROM (SELECT DISTINCT source, unnest({X.tokens_duck('text')}) AS token
+        FROM documents)
+),
+bottomk AS (
+  SELECT source, h FROM (
+    SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+    FROM hashed
+  ) WHERE rn <= {_KMV_K}
+),
+exact AS (SELECT source, count(*) AS n_exact FROM hashed GROUP BY source),
+kth AS (
+  SELECT source, count(*) AS k_used, max(h) AS kth FROM bottomk GROUP BY source
+),
+est AS (
+  SELECT source, n_exact,
+         CASE WHEN k_used < {_KMV_K} THEN n_exact
+              ELSE ({_KMV_K} - 1) * CAST(pow(2, {_KMV_BITS}) AS BIGINT) // kth
+         END AS kmv_estimate
+  FROM kth JOIN exact USING (source)
+)
+SELECT source, n_exact, CAST(kmv_estimate AS BIGINT) AS kmv_estimate,
+       CAST(abs(kmv_estimate - n_exact) * 10000 // n_exact AS INT) AS err_bp
+FROM est
+ORDER BY source
+"""
