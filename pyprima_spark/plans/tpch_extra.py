@@ -350,6 +350,8 @@ ORDER BY nation, o_year DESC
 # ---------------------------------------------------------------------------
 
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: returned-item revenue by customer, one quarter —
+    top-20 lost-revenue customers (BHJ dims, one fact shuffle)."""
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     orders = _t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-10-01"))
@@ -398,6 +400,8 @@ LIMIT 20
 # ---------------------------------------------------------------------------
 
 def q12_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12: shipmode-less adaptation — late-vs-on-time line
+    counts per order priority class over a one-year ship window."""
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01"))
         & (F.col("l_shipdate") < F.lit("1997-01-01"))
@@ -470,6 +474,8 @@ ORDER BY custdist DESC, c_count DESC
 # ---------------------------------------------------------------------------
 
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: promo-part revenue share for one month — conditional
+    DECIMAL sums over one broadcast part join, single division."""
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-09-01"))
         & (F.col("l_shipdate") < F.lit("1996-10-01"))
@@ -632,6 +638,9 @@ WHERE p_brand = 'Brand#3'
 # ---------------------------------------------------------------------------
 
 def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: large-volume orders (per-order quantity rollup as the
+    semi-join gate, then customer enrichment; quantity cut scaled to
+    the trimmed schema's basket sizes)."""
     li = _t(spark, sf_dir, "lineitem")
     big = (
         li.groupBy("l_orderkey")

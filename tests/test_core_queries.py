@@ -28,3 +28,15 @@ def test_catalog_and_oracles_cover_same_keys():
     assert set(QUERIES) == set(ORACLES), (
         sorted(set(QUERIES) ^ set(ORACLES))
     )
+
+
+def test_every_query_documents_itself():
+    """Every catalog operator must carry a real docstring (the scale
+    rationale and reference citations live there — an undocumented
+    operator is unreviewable)."""
+    thin = [
+        name
+        for name, fn in QUERIES.items()
+        if not (fn.__doc__ and len(fn.__doc__.strip()) >= 40)
+    ]
+    assert not thin, thin
