@@ -743,3 +743,59 @@ def test_sequence_packing_edges(spark, sf_dir):
 
     n_docs = load_table(spark, sf_dir, "documents").count()
     assert sum(r.n_docs for r in rows) == n_docs
+
+
+def test_observation_metrics_single_pass(spark, sf_dir):
+    """Spark's Observation API: pipeline health metrics (row count,
+    null count, total) captured DURING the action — no second scan.
+    The zero-cost form of the contract_violations audit for jobs that
+    already run anyway."""
+    from pyspark.sql import Observation
+    import pyspark.sql.functions as F
+
+    from pyprima_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    obs = Observation("ingest_health")
+    observed = ev.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("value").isNull(), 1).otherwise(0)).alias("n_null"),
+        F.round(F.sum(F.col("value").cast("decimal(27,6)")), 2)
+        .cast("double")
+        .alias("total"),
+    )
+    n = observed.filter(F.col("event_type") == "purchase").count()
+    got = obs.get
+    direct = ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum(F.col("value").cast("decimal(27,6)")), 2)
+        .cast("double")
+        .alias("total"),
+    ).collect()[0]
+    assert got["n_rows"] == direct.n_rows and got["n_null"] == 0
+    assert abs(got["total"] - direct.total) < 1e-6
+    assert 0 < n < got["n_rows"]
+
+
+def test_reliable_checkpoint_roundtrip(spark, sf_dir, tmp_path):
+    """The cluster-safe alternative the localCheckpoint docstrings
+    point to: a RELIABLE checkpoint to a checkpoint dir survives
+    executor loss (here: verifies the write/read path and that the
+    checkpointed plan is truncated and re-usable)."""
+    import pyspark.sql.functions as F
+
+    from pyprima_spark.catalog import load_table
+
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    docs = load_table(spark, sf_dir, "documents")
+    sig = docs.select(
+        "doc_id", F.md5("text").alias("h")
+    ).checkpoint(eager=True)
+    joined = sig.alias("a").join(
+        sig.alias("b"),
+        (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    assert joined.count() >= 0
+    # the checkpointed plan no longer references the parquet scan
+    assert "parquet" not in sig._jdf.queryExecution().optimizedPlan().toString().lower()
