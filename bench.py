@@ -166,6 +166,7 @@ BENCH_QUERIES = [
     "nearest_event_join",
     "training_manifest",
     "kmv_distinct_sketch",
+    "equidepth_histogram",
 ]
 
 

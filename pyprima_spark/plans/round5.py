@@ -4767,3 +4767,57 @@ SELECT source, n_exact, CAST(kmv_estimate AS BIGINT) AS kmv_estimate,
 FROM est
 ORDER BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# equidepth_histogram — NTILE-based equal-count buckets with boundaries
+# ---------------------------------------------------------------------------
+
+_EQUIDEPTH_BUCKETS = 10
+
+
+def equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram of order totals: ten equal-count buckets
+    with their value boundaries — the histogram shape a cost-based
+    optimizer actually stores (equi-width, price_histogram's shape,
+    wastes buckets on empty ranges under skew; equi-depth adapts).
+
+    One ntile window over the value order (range-partitioned sort at
+    scale — the same machinery as range_partition_bounds), then a
+    map-combined per-bucket rollup of count/min/max/DECIMAL sum.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.orderBy(F.asc("o_totalprice"), F.asc("o_orderkey"))
+    bucketed = orders.select(
+        F.col("o_totalprice").cast(DEC).alias("v"),
+        F.ntile(_EQUIDEPTH_BUCKETS).over(w).alias("bucket"),
+    )
+    return (
+        bucketed.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("v"), 2).cast("double").alias("lo"),
+            F.round(F.max("v"), 2).cast("double").alias("hi"),
+            F.round(F.sum("v"), 2).cast("double").alias("total"),
+        )
+        .orderBy("bucket")
+    )
+
+
+ROUND5_QUERIES["equidepth_histogram"] = equidepth_histogram
+
+ROUND5_ORACLES["equidepth_histogram"] = f"""
+WITH bucketed AS (
+  SELECT CAST(o_totalprice AS DECIMAL(27,6)) AS v,
+         ntile({_EQUIDEPTH_BUCKETS}) OVER (
+           ORDER BY o_totalprice ASC, o_orderkey ASC) AS bucket
+  FROM orders
+)
+SELECT bucket, count(*) AS n,
+       round(min(v), 2)::DOUBLE AS lo,
+       round(max(v), 2)::DOUBLE AS hi,
+       round(sum(v), 2)::DOUBLE AS total
+FROM bucketed
+GROUP BY bucket
+ORDER BY bucket
+"""
