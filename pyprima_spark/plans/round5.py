@@ -4821,3 +4821,65 @@ FROM bucketed
 GROUP BY bucket
 ORDER BY bucket
 """
+
+
+# ---------------------------------------------------------------------------
+# order_aging — open-order backlog aging buckets
+# ---------------------------------------------------------------------------
+
+_AGING_ASOF = "2001-09-01"
+
+
+def order_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backlog aging report: non-finalized orders (status O/P) bucketed
+    by age at the as-of date (30/90/365-day bands) with DECIMAL value
+    at risk — the receivables/ops aging census every order system
+    reports.
+
+    Row-local age banding over one scan, map-combined rollup per
+    (status, band).  The as-of date is a pinned literal (derivable
+    from max(o_orderdate) in production — kept literal so the oracle
+    is pure SQL).
+    """
+    orders = _t(spark, sf_dir, "orders")
+    age = F.datediff(F.lit(_AGING_ASOF).cast("date"), F.col("o_orderdate"))
+    band = (
+        F.when(age <= 30, "a_0_30d")
+        .when(age <= 90, "b_31_90d")
+        .when(age <= 365, "c_91_365d")
+        .otherwise("d_over_1y")
+    )
+    return (
+        orders.filter(F.col("o_orderstatus") != "F")
+        .select("o_orderstatus", band.alias("age_band"),
+                F.col("o_totalprice").cast(DEC).alias("v"))
+        .groupBy("o_orderstatus", "age_band")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("v"), 2).cast("double").alias("value_at_risk"),
+        )
+        .orderBy("o_orderstatus", "age_band")
+    )
+
+
+ROUND5_QUERIES["order_aging"] = order_aging
+
+ROUND5_ORACLES["order_aging"] = f"""
+WITH aged AS (
+  SELECT o_orderstatus,
+         CASE WHEN datediff('day', o_orderdate, DATE '{_AGING_ASOF}') <= 30
+              THEN 'a_0_30d'
+              WHEN datediff('day', o_orderdate, DATE '{_AGING_ASOF}') <= 90
+              THEN 'b_31_90d'
+              WHEN datediff('day', o_orderdate, DATE '{_AGING_ASOF}') <= 365
+              THEN 'c_91_365d'
+              ELSE 'd_over_1y' END AS age_band,
+         CAST(o_totalprice AS DECIMAL(27,6)) AS v
+  FROM orders WHERE o_orderstatus <> 'F'
+)
+SELECT o_orderstatus, age_band, count(*) AS n_orders,
+       round(sum(v), 2)::DOUBLE AS value_at_risk
+FROM aged
+GROUP BY o_orderstatus, age_band
+ORDER BY o_orderstatus, age_band
+"""
