@@ -167,6 +167,7 @@ BENCH_QUERIES = [
     "training_manifest",
     "kmv_distinct_sketch",
     "equidepth_histogram",
+    "order_aging",
 ]
 
 
