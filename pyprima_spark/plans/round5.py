@@ -1,13 +1,44 @@
-"""Round-5 operators: CDC snapshot diff, stratified sampling, bounded
-as-of joins, and further training-data-pipeline coverage.
+"""Round-5 operators (59 keys, SURVEY §2 #115–172 + streaming 39b).
+
+Families:
+- CDC / warehouse: snapshot_diff, incremental_agg_maintenance,
+  scd2_temporal_lookup (as-of rewrite proof), time_rollup_grouping_sets,
+  nested_order_items, equidepth_histogram, order_aging.
+- Sampling / splits: stratified_sample, holdout_contamination,
+  training_manifest (capstone composition).
+- Temporal joins: asof_tolerance_join, nearest_event_join,
+  interval_union_coverage, peak_concurrency, late_data_census,
+  debounce_dedup, rate_limit_flags (+ streaming_rate_limit online form).
+- Drift / stats: drift_tv_distance, ks_drift, cusum_changepoint,
+  streaming_hourly_drift, ab_test_chi2, weighted_median,
+  winsorized_mean, approx_quantile_bands, kmv_distinct_sketch.
+- Training-data text/embedding: sequence_packing, vocab_coverage,
+  bpe_token_count, bigram_lm_score, boilerplate_position,
+  mixed_language_flags, centroid_outliers, hard_negative_mining,
+  cluster_representatives, ppjoin_similarity (exact prefix-filtered),
+  ann_recall_eval, lsh_precision_eval.
+- Graph / CF: trade_reachability (native WITH RECURSIVE),
+  graph_modularity, copurchase_similarity, market_basket_pairs.
+- Audits / layout: fk_orphan_audit, pk_uniqueness_audit,
+  price_reconciliation, contract_violations, partition_pruning_stats,
+  key_gini, join_cardinality_estimate, salted_aggregation.
+- Business analytics: session_paths, funnel_with_timeout, cohort_ltv,
+  rfm_segments, attribution_models, bounce_rate, pareto_revenue,
+  props_variant_stats (Spark 4 VARIANT).
 
 Each query has an exact-match DuckDB oracle in ``ROUND5_ORACLES``.
 Determinism rules follow functions/agg.py: integer arithmetic wherever
 possible, DECIMAL sums for doubles, single correctly-rounded double
-divisions, rounding only at the output edge.
+divisions, rounding only at the output edge — and, after this round's
+sf0.1 boundary finds, half-away-from-zero rounding in exact integer
+space wherever a reported value is a rational of integer counts.
 
-Self-contained on purpose (imports catalog, not plans.queries) so
-plans.oracles can import this module without a circular chain.
+Self-contained on purpose (imports catalog, not plans.queries at
+module level) so plans.oracles can import this module without a
+circular chain; a few oracles that need shared CTE helpers live at the
+tail of plans/oracles.py instead (cluster_representatives,
+holdout_contamination, lsh_precision_eval, ann_recall_eval,
+training_manifest).
 """
 
 from __future__ import annotations
