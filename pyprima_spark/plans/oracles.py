@@ -1882,3 +1882,76 @@ FROM split
 GROUP BY split, source
 ORDER BY split, source
 """
+
+# Round-5 key sharing the curation CTE chain (cycle rule as above).
+ORACLES["dedup_savings"] = f"""
+WITH RECURSIVE qd AS (
+  SELECT
+    doc_id, source, text,
+    len(tokens) AS n_tok,
+    length(text) AS n_ch,
+    length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS punct_cnt,
+    length(regexp_replace(lower(text), '\\s', '', 'g')) AS word_chars,
+    {X.stopword_count_duck('tokens', STOPWORDS['en'])} AS stop_cnt
+  FROM (SELECT doc_id, source, text, {X.tokens_duck('text')} AS tokens FROM documents)
+),
+ratios AS (
+  SELECT doc_id, source, text, n_tok,
+    CASE WHEN n_tok = 0 THEN 0 ELSE stop_cnt / n_tok END AS stop_ratio,
+    CASE WHEN n_ch = 0 THEN 0 ELSE punct_cnt / n_ch END AS punct_ratio,
+    CASE WHEN n_tok = 0 THEN 0 ELSE word_chars / n_tok END AS mean_wl
+  FROM qd
+),
+flagged AS (
+  SELECT doc_id, source, text, n_tok,
+    (2.0 * stop_ratio - 3.0 * punct_ratio + least(n_tok, 100) / 100.0
+     - abs(mean_wl - 5.0) / 10.0) > 0.35::DOUBLE AS passq,
+    md5(text) AS h
+  FROM ratios
+),
+flag2 AS (
+  SELECT *,
+    passq AND doc_id = min(CASE WHEN passq THEN doc_id END)
+                         OVER (PARTITION BY h) AS keptx
+  FROM flagged
+),
+kept2 AS (SELECT doc_id, text FROM flag2 WHERE keptx),
+{_minhash_bands_cte('kept2')},
+pairs AS (
+  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig AND a.doc < b.doc
+),
+cedges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT DISTINCT a, a FROM cedges
+  UNION
+  SELECT e.b, r.lbl FROM reach r JOIN cedges e ON e.a = r.node
+),
+clusters AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node),
+sized AS (
+  SELECT f.source, f.passq, f.keptx,
+         f.keptx AND (c.component IS NULL OR f.doc_id = c.component) AS keptn,
+         d.n_chars
+  FROM flag2 f
+  LEFT JOIN clusters c ON f.doc_id = c.node
+  JOIN documents d ON d.doc_id = f.doc_id
+)
+SELECT source,
+  CAST(sum(n_chars) AS BIGINT) AS raw_chars,
+  CAST(coalesce(sum(CASE WHEN passq THEN n_chars END), 0) AS BIGINT)
+    AS quality_chars,
+  CAST(coalesce(sum(CASE WHEN keptx THEN n_chars END), 0) AS BIGINT)
+    AS exact_chars,
+  CAST(coalesce(sum(CASE WHEN keptn THEN n_chars END), 0) AS BIGINT)
+    AS final_chars,
+  CAST((sum(n_chars) - coalesce(sum(CASE WHEN keptn THEN n_chars END), 0))
+       * 10000 // sum(n_chars) AS INT) AS savings_bp
+FROM sized
+GROUP BY source
+ORDER BY source
+"""

@@ -4914,3 +4914,54 @@ FROM aged
 GROUP BY o_orderstatus, age_band
 ORDER BY o_orderstatus, age_band
 """
+
+
+# ---------------------------------------------------------------------------
+# dedup_savings — storage-savings projection of the dedup stack
+# ---------------------------------------------------------------------------
+
+def dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-savings projection per source: bytes (chars) retained
+    after the quality gate, after exact dedup, and after near-dup
+    cluster dedup — the cost-justification readout for running the
+    dedup stack at all (corpus_curation counts documents; storage
+    planning needs BYTES).
+
+    Reuses the shared curation stage flags — one wide per-doc plan,
+    integer char sums, savings in basis points with one integer
+    division against the raw total.
+    """
+    from pyprima_spark.plans.queries import curation_flags
+
+    d, keptn = curation_flags(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    sized = d.join(docs, "doc_id")
+    return (
+        sized.groupBy("source")
+        .agg(
+            F.sum("n_chars").alias("raw_chars"),
+            F.coalesce(
+                F.sum(F.when(F.col("passq"), F.col("n_chars"))), F.lit(0)
+            ).alias("quality_chars"),
+            F.coalesce(
+                F.sum(F.when(F.col("keptx"), F.col("n_chars"))), F.lit(0)
+            ).alias("exact_chars"),
+            F.coalesce(F.sum(F.when(keptn, F.col("n_chars"))), F.lit(0)).alias(
+                "final_chars"
+            ),
+        )
+        .select(
+            "source",
+            "raw_chars",
+            "quality_chars",
+            "exact_chars",
+            "final_chars",
+            F.expr(
+                "cast((raw_chars - final_chars) * 10000 div raw_chars as int)"
+            ).alias("savings_bp"),
+        )
+        .orderBy("source")
+    )
+
+
+ROUND5_QUERIES["dedup_savings"] = dedup_savings
