@@ -168,6 +168,7 @@ BENCH_QUERIES = [
     "kmv_distinct_sketch",
     "equidepth_histogram",
     "order_aging",
+    "dedup_savings",
 ]
 
 
