@@ -26,27 +26,34 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pyprima_spark.operators.checkpointing import materialize
+
 
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 50,
+    checkpoint_dir: "str | None" = None,
 ) -> DataFrame:
     """(node, component) with component = min node id reachable.
 
     ``edges`` is undirected input (each pair once, either order).
+    ``checkpoint_dir``: None (default) truncates per-round lineage with
+    localCheckpoint (local-mode fast path, non-reliable); a path flips
+    every round's boundary to a reliable checkpoint so a long-running
+    cluster job survives executor loss (operators/checkpointing).
     """
     sym = edges.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
     ).union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
     sym = sym.repartition("a").persist()
 
-    labels = (
+    labels = materialize(
         sym.select(F.col("a").alias("node"))
         .distinct()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint()
+        .withColumn("label", F.col("node")),
+        checkpoint_dir,
     )
 
     for _ in range(max_iter):
@@ -55,11 +62,11 @@ def connected_components(
             sym.join(labels.withColumnRenamed("node", "b"), "b")
             .select(F.col("a").alias("node"), "label")
         )
-        new_labels = (
+        new_labels = materialize(
             labels.union(prop)
             .groupBy("node")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint()
+            .agg(F.min("label").alias("label")),
+            checkpoint_dir,
         )
         changed = (
             new_labels.alias("n")

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from pyprima_spark.functions import text as X
+from pyprima_spark.operators.checkpointing import materialize
 from pyprima_spark.plans.constants import MINHASH_BANDS, MINHASH_N
 
 
@@ -106,24 +107,30 @@ def minhash_band_table(
     )
 
 
-def minhash_candidate_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def minhash_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    checkpoint_dir: "str | None" = None,
+) -> DataFrame:
     """Distinct candidate near-dup pairs sharing >= 1 LSH band.
 
-    The band table is materialized ONCE (eager localCheckpoint) before
-    the self-join. Exchange reuse does NOT deduplicate the two sides:
+    The band table is materialized ONCE (stage boundary) before the
+    self-join. Exchange reuse does NOT deduplicate the two sides:
     each side renames doc below its exchange, so the exchange children
     never canonicalize equal and the whole shingle+md5+minhash
     derivation runs twice (verified against the executed plan). At
     corpus scale the derivation dominates the join, so the stage
     boundary here is the 2x; in production this materialization is the
     signature-table parquet write every LSH pipeline persists anyway.
-    localCheckpoint is the LOCAL-MODE stand-in for that write: it is
-    non-reliable (executor loss loses blocks) and pins MEMORY_AND_DISK
-    blocks until the session GC's the plan, so the cluster path is a
-    reliable checkpoint dir or an explicit parquet round-trip of the
-    band table, not this call.
+    With the default ``checkpoint_dir=None`` the boundary is a
+    localCheckpoint — the LOCAL-MODE stand-in, non-reliable under
+    executor loss; pass a fault-tolerant directory to flip it to a
+    reliable checkpoint for the cluster path (operators/checkpointing).
     """
-    bands = minhash_band_table(df, id_col, text_col).localCheckpoint(eager=True)
+    bands = materialize(
+        minhash_band_table(df, id_col, text_col), checkpoint_dir
+    )
     a = bands.select(
         F.col("doc").alias("doc_a"), "band_idx", "band_sig"
     )
@@ -166,14 +173,20 @@ def simhash_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return bits.select("doc", F.expr(packed).alias("simhash"))
 
 
-def simhash_pair_hamming(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def simhash_pair_hamming(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    checkpoint_dir: "str | None" = None,
+) -> DataFrame:
     """Hamming distance for candidate pairs sharing a 15-bit chunk.
 
     Like minhash: the signature derivation is materialized once before
     the self-join (the per-side renames defeat exchange reuse, so
     without the stage boundary the token/bit-sum pass runs twice).
+    ``checkpoint_dir`` as in :func:`minhash_candidate_pairs`.
     """
-    sims = simhash_table(df, id_col, text_col).localCheckpoint(eager=True)
+    sims = materialize(simhash_table(df, id_col, text_col), checkpoint_dir)
     chunks = sims.select(
         "doc",
         "simhash",

@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pyprima_spark.operators.checkpointing import materialize
+
 RANK_DEC = "decimal(18,12)"
 
 
@@ -39,6 +41,7 @@ def pagerank(
     dst: str = "dst",
     iterations: int = 3,
     damping: float = 0.85,
+    checkpoint_dir: "str | None" = None,
 ) -> DataFrame:
     """(node, rank) after `iterations` synchronous PageRank rounds.
 
@@ -52,11 +55,11 @@ def pagerank(
     # table, and the adjacency all derive from the cache. Without this,
     # nodes and adj each re-run the caller's full edge pipeline.
     out = edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr")).persist()
-    nodes = (
+    nodes = materialize(
         out.select("node")
         .union(out.select(F.col("nbr").alias("node")))
-        .distinct()
-        .localCheckpoint()  # eager: pins O(V) rows, fills the out cache
+        .distinct(),
+        checkpoint_dir,  # eager: pins O(V) rows, fills the out cache
     )
     n_nodes = nodes.count()
     deg = out.groupBy("node").agg(F.count(F.lit(1)).alias("outdeg"))
@@ -87,8 +90,8 @@ def pagerank(
         # so only pay for it every few rounds (a 3-round plan is fine
         # to compile whole).
         if (i + 1) % 4 == 0 and i + 1 < iterations:
-            ranks = ranks.localCheckpoint()
-    ranks = ranks.localCheckpoint()  # pin result before dropping caches
+            ranks = materialize(ranks, checkpoint_dir)
+    ranks = materialize(ranks, checkpoint_dir)  # pin before dropping caches
     adj.unpersist()
     out.unpersist()
     return ranks

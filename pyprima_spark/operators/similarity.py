@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from pyprima_spark.functions import vectors as V
+from pyprima_spark.operators.checkpointing import materialize
 
 
 def with_double_vec(df: DataFrame, col: str = "embedding") -> DataFrame:
@@ -119,7 +120,12 @@ def ann_lsh(
     )
 
 
-def embedding_dedup(emb: DataFrame, tau: float, id_col: str = "vec_id") -> DataFrame:
+def embedding_dedup(
+    emb: DataFrame,
+    tau: float,
+    id_col: str = "vec_id",
+    checkpoint_dir: "str | None" = None,
+) -> DataFrame:
     """Near-dup pairs (cosine >= tau) via banded multi-table LSH.
 
     Candidate generation: a (vec_id, band, bucket) signature table —
@@ -160,9 +166,9 @@ def embedding_dedup(emb: DataFrame, tau: float, id_col: str = "vec_id") -> DataF
     # signature table is small (id, band, bucket — no vectors), which is
     # exactly why it is the thing to persist; on a cluster this is the
     # signature-table parquet write every LSH pipeline does
-    # (localCheckpoint is non-reliable under executor loss — local-mode
-    # stand-in only).
-    sig = sig.localCheckpoint(eager=True)
+    # (default localCheckpoint is non-reliable under executor loss —
+    # local-mode stand-in; pass checkpoint_dir for the cluster path).
+    sig = materialize(sig, checkpoint_dir)
     pairs = (
         sig.alias("a")
         .join(

@@ -2573,65 +2573,90 @@ def _register_rounds() -> None:
 
 _WINDOW_SIZE = 50
 
-# Round-4 window head (VERDICT r3 "Next round" items 1-2): the key whose
-# grade went stale (expand_multivalue, edited by the dec_avg sweep after
-# its r1-green row), the perf-regressed sessionize, every key whose last
-# green driver row dates from round 1 (shared infrastructure — the
-# catalog NTZ layer, dec_avg helpers — has evolved since), and
-# embedding_dedup (checkpoint layout touched this round). Round-4's NEW
-# keys (plans/round4.py) fill the remaining window slots.
-_R4_REGRADE_HEAD = [
-    "expand_multivalue",
-    "sessionize",
-    "q3_shipping_priority",
-    "q5_local_supplier",
-    "recode_group",
-    "shares_normalize",
-    "pivot_wide",
-    "unpivot_long",
-    "dedup_names",
-    "ffill_impute",
-    "clean_names_ascii",
-    "calendar_enrich",
-    "weighted_disaggregate",
-    "cohort_rollup",
-    "expansion_grid",
-    "dedup_exact",
-    "dedup_fingerprint",
-    "winnow_fingerprints",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "ann_topk",
-    "ann_lsh",
-    "quality_topk_per_source",
-    "deterministic_sample",
-    "rollup_sales",
-    "cube_sales",
-    "dedup_clusters",
-    "incremental_new_docs",
-    "cross_source_overlap",
-    "embedding_dedup",
+# Round-5 window (VERDICT r4 "Next round" items 1-2): quality_score
+# (driver grade stale — its exact-integer rounding rewrite landed after
+# the r2 row), golden_record (r4 row was VACUOUS at sf0.01; fingerprint
+# coarsened to the first-40-char normalized prefix so grading scale has
+# real clusters), sequence_packing (group key sharded this round), the
+# EIGHT late-r4 keys that have never had a driver row, and the 39 other
+# highest-value round-5 keys. The ~20 simplest round-5 keys
+# (percentile/flag/audit one-shots) plus the r2-stale backlog rotate
+# FIRST in round 6 — the explicit list below is asserted to be exactly
+# the window size so a drive-by key insertion can't silently evict a
+# planned regrade.
+_R5_WINDOW = [
+    # stale / previously-vacuous regrades
+    "quality_score",
+    "golden_record",
+    # late-r4 keys: implemented + judge-strict-verified r4, never graded
+    "point_in_polygon",
+    "polygon_zonal_stats",
+    "incremental_minhash_index",
+    "blocklist_filter",
+    "rolling_origin_backtest",
+    "ordered_string_export",
+    "ann_pq",
+    "graph_neighbor_jaccard",
+    # round-5 additions, highest value first: curation capstones,
+    # dedup/ANN evaluation loop, stateful/temporal, graph, then the
+    # heavier analytical ops
+    "sequence_packing",
+    "training_manifest",
+    "dedup_savings",
+    "cluster_representatives",
+    "holdout_contamination",
+    "ann_recall_eval",
+    "lsh_precision_eval",
+    "ppjoin_similarity",
+    "hard_negative_mining",
+    "centroid_outliers",
+    "vocab_coverage",
+    "bpe_token_count",
+    "bigram_lm_score",
+    "boilerplate_position",
+    "mixed_language_flags",
+    "stratified_sample",
+    "snapshot_diff",
+    "asof_tolerance_join",
+    "nearest_event_join",
+    "scd2_temporal_lookup",
+    "debounce_dedup",
+    "session_paths",
+    "funnel_with_timeout",
+    "streaming_rate_limit",
+    "streaming_hourly_drift",
+    "trade_reachability",
+    "graph_modularity",
+    "copurchase_similarity",
+    "market_basket_pairs",
+    "attribution_models",
+    "rfm_segments",
+    "incremental_agg_maintenance",
+    "salted_aggregation",
+    "time_rollup_grouping_sets",
+    "join_cardinality_estimate",
+    "contract_violations",
+    "price_reconciliation",
+    "nested_order_items",
+    "kmv_distinct_sketch",
+    "equidepth_histogram",
 ]
 
 
 def _order_grading_window() -> None:
-    """Rebuild QUERIES so the first ``_WINDOW_SIZE`` keys are the round-4
-    grading window: the re-grade head above, then this round's new
-    operators. Everything else keeps its current relative order after the
-    window. Asserts (rather than comments — see ADVICE r3 on the fragile
-    round-3 splice) that the head actually fits the window."""
-    from pyprima_spark.plans.round4 import ROUND4_QUERIES
-
-    head = list(_R4_REGRADE_HEAD)
-    head += [k for k in ROUND4_QUERIES if k not in head]
-    missing = [k for k in head if k not in QUERIES]
+    """Rebuild QUERIES so the first ``_WINDOW_SIZE`` keys are exactly
+    ``_R5_WINDOW``. Everything else keeps its current relative order
+    after the window. Asserts (rather than comments — see ADVICE r3 on
+    the fragile round-3 splice) that the list is exactly window-sized
+    and fully registered."""
+    missing = [k for k in _R5_WINDOW if k not in QUERIES]
     assert not missing, f"grading-window keys not registered: {missing}"
-    assert len(head) <= _WINDOW_SIZE, (
-        f"window head has {len(head)} keys; driver grades {_WINDOW_SIZE}"
+    assert len(_R5_WINDOW) == _WINDOW_SIZE, (
+        f"window has {len(_R5_WINDOW)} keys; driver grades {_WINDOW_SIZE}"
     )
     rest = dict(QUERIES)
     QUERIES.clear()
-    for key in head:
+    for key in _R5_WINDOW:
         QUERIES[key] = rest.pop(key)
     QUERIES.update(rest)
 

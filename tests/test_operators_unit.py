@@ -799,3 +799,50 @@ def test_reliable_checkpoint_roundtrip(spark, sf_dir, tmp_path):
     assert joined.count() >= 0
     # the checkpointed plan no longer references the parquet scan
     assert "parquet" not in sig._jdf.queryExecution().optimizedPlan().toString().lower()
+
+
+def test_reliable_checkpoint_operator_toggle(spark, sf_dir, tmp_path):
+    """The `checkpoint_dir` kwarg (VERDICT r4 item 4) end-to-end: the
+    LSH band-table self-join and the iterative components loop run
+    their stage boundaries as RELIABLE checkpoints when a dir is
+    given, produce the exact same results as the local fast path, and
+    actually write recovery state into the dir."""
+    import os
+
+    from pyprima_spark.catalog import load_table
+    from pyprima_spark.operators.components import connected_components
+    from pyprima_spark.operators.dedup import minhash_candidate_pairs
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    ckpt = str(tmp_path / "reliable_ckpt")
+
+    local_pairs = sorted(
+        (r.doc_a, r.doc_b)
+        for r in minhash_candidate_pairs(docs, "doc_id", "text").collect()
+    )
+    rel_pairs_df = minhash_candidate_pairs(
+        docs, "doc_id", "text", checkpoint_dir=ckpt
+    )
+    rel_pairs = sorted((r.doc_a, r.doc_b) for r in rel_pairs_df.collect())
+    assert rel_pairs == local_pairs
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 20)], ["src", "dst"]
+    )
+    local_cc = {
+        r.node: r.component for r in connected_components(edges).collect()
+    }
+    rel_cc = {
+        r.node: r.component
+        for r in connected_components(edges, checkpoint_dir=ckpt).collect()
+    }
+    assert rel_cc == local_cc == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20}
+
+    # reliable state was actually written (RDD checkpoint part files)
+    written = [
+        os.path.join(d, f)
+        for d, _, files in os.walk(ckpt)
+        for f in files
+        if f.startswith("part-")
+    ]
+    assert written, "no reliable checkpoint state written"
