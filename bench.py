@@ -191,17 +191,24 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - start, 4)
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "bench_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf else None,
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "bench_total_runtime",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": float(sf) if sf else None,
+        }
     )
+    print(line)
+    # BENCH_OUT=path also persists the JSON to a file — the r4 driver
+    # capture truncated the stdout line mid-dict, losing the per-query
+    # timings (VERDICT r4 item 5); a file write is atomic-enough and
+    # survives pipe buffering.
+    out_path = os.environ.get("BENCH_OUT")
+    if out_path:
+        with open(out_path, "w") as fh:
+            fh.write(line + "\n")
     spark.stop()
 
 

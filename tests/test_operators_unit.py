@@ -846,3 +846,43 @@ def test_reliable_checkpoint_operator_toggle(spark, sf_dir, tmp_path):
         if f.startswith("part-")
     ]
     assert written, "no reliable checkpoint state written"
+
+
+def test_half_up_rounding_sign_contract(spark, sf_dir):
+    """ADVICE r3/r4 (last open item): the exact-integer half-UP
+    rounding form `(200*num + den) div (2*den)` used by
+    seasonal_profile and grid_upsample_bilinear rounds half-up only
+    for NONNEGATIVE numerators (a negative would round half-down —
+    still cross-engine identical, since Spark `div` and DuckDB `//`
+    both truncate toward zero, but not the documented half-up). This
+    asserts the data contract those sites rely on.
+
+    * seasonal_profile: numerator is a per-group sum of integer cents
+      of events.value — nonneg iff value >= 0 holds in the data.
+    * grid_upsample_bilinear: numerator is sum(w*v) with w >= 0 by
+      construction and v = (y*31+x*17) % 97; Spark pmod-on-nonneg
+      keeps v in [0, 96], asserted via the operator's own output.
+    """
+    import pyspark.sql.functions as F
+
+    from pyprima_spark.catalog import load_table
+    from pyprima_spark.plans.round3 import grid_upsample_bilinear
+
+    ev_min = (
+        load_table(spark, sf_dir, "events")
+        .agg(F.min("value").alias("mn"))
+        .collect()[0]
+    )
+    assert ev_min.mn is not None and ev_min.mn >= 0, (
+        f"events.value contract violated: min={ev_min.mn}; "
+        "seasonal_profile's half-up rounding assumes nonneg cents"
+    )
+
+    bi_min = (
+        grid_upsample_bilinear(spark, sf_dir)
+        .agg(F.min("val").alias("mn"))
+        .collect()[0]
+    )
+    assert bi_min.mn >= 0, (
+        f"bilinear pixel values must be nonneg, got min={bi_min.mn}"
+    )
