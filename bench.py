@@ -169,6 +169,14 @@ BENCH_QUERIES = [
     "equidepth_histogram",
     "order_aging",
     "dedup_savings",
+    "decontaminate_ngrams",
+    "data_mixture_plan",
+    "deterministic_shuffle",
+    "pii_redact",
+    "compaction_plan",
+    "embedding_norm_audit",
+    "psi_drift",
+    "graph_k_core",
 ]
 
 

