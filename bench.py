@@ -177,6 +177,8 @@ BENCH_QUERIES = [
     "embedding_norm_audit",
     "psi_drift",
     "graph_k_core",
+    "kmv_source_overlap",
+    "doc_window_chunks",
 ]
 
 

@@ -98,25 +98,36 @@ def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_train",
         F.expr(X.shingles_spark("toks", _DECON_K)).alias("grams"),
     )
-    grams = base.select(
-        "doc_id",
-        "source",
-        "is_train",
-        F.explode("grams").alias("g"),
-    ).withColumn("gh", F.expr(X.hash64_spark("g"))).drop("g")
+    # The exploded hash table is the op's signature table: materialized
+    # ONCE (the parquet write a production decontamination persists),
+    # then the train set, the eval side, and the per-doc totals all
+    # read it — without the boundary the shingle+md5 derivation runs
+    # three times (explain-audited). Short-doc eval rows (no 8-grams)
+    # re-enter below from a metadata-only scan (doc_id/source — text is
+    # never read twice).
+    grams = materialize(
+        base.select(
+            "doc_id", "source", "is_train", F.explode("grams").alias("g")
+        )
+        .withColumn("gh", F.expr(X.hash64_spark("g")))
+        .drop("g")
+    )
 
     train_set = grams.filter("is_train").select("gh").distinct()
     eval_grams = grams.filter(~F.col("is_train"))
+    totals = eval_grams.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams")
+    )
     leaked = (
         eval_grams.join(train_set, "gh", "left_semi")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_leaked"))
     )
+    eval_docs = docs.select("doc_id", "source").filter(~(h < 80))
     per_doc = (
-        base.filter(~F.col("is_train"))
-        .select("doc_id", "source", F.size("grams").alias("n_grams"))
+        eval_docs.join(totals, "doc_id", "left")
         .join(leaked, "doc_id", "left")
-        .fillna({"n_leaked": 0})
+        .fillna({"n_grams": 0, "n_leaked": 0})
     )
     return (
         per_doc.groupBy("source")
@@ -210,6 +221,10 @@ def data_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     census = census.withColumn(
         "sqrt_tok", F.expr("cast(floor(sqrt(cast(tokens as double))) as bigint)")
     )
+    # Both the totals row and the final select read the census; the
+    # boundary keeps the corpus token scan single-pass (explain-audited
+    # — census is |sources| rows, the checkpoint is free).
+    census = materialize(census)
     totals = census.agg(
         F.sum("sqrt_tok").alias("total_sqrt"),
         F.sum("tokens").alias("total_tokens"),
@@ -524,12 +539,32 @@ def embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ANN oracles use, so min/max doubles are bit-identical across
     engines); no rounding anywhere — min/max of identical doubles is
     deterministic, unlike their mean.
+
+    The synthetic embeddings table is perfectly clean, so (pii_scan
+    precedent, round4.py:614) a deterministic planted-defect layer
+    gives the audit something real to find at every test scale:
+    vec_id % 97 == 0 is zeroed, vec_id % 101 == 0 loses its last
+    element — the audit itself is the operator.
     """
     emb = _t(spark, sf_dir, "embeddings")
-    audited = emb.select(
+    planted = emb.select(
+        "vec_id",
         "label",
-        F.size("embedding").alias("dim"),
-        F.expr(V.norm_spark(V.to_double_spark("embedding"))).alias("nrm"),
+        F.when(
+            F.col("vec_id") % 97 == 0,
+            F.expr("transform(embedding, x -> float(0.0))"),
+        )
+        .when(
+            F.col("vec_id") % 101 == 0,
+            F.expr("slice(embedding, 1, size(embedding) - 1)"),
+        )
+        .otherwise(F.col("embedding"))
+        .alias("body"),
+    )
+    audited = planted.select(
+        "label",
+        F.size("body").alias("dim"),
+        F.expr(V.norm_spark(V.to_double_spark("body"))).alias("nrm"),
     )
     return (
         audited.groupBy("label")
@@ -548,12 +583,21 @@ def embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 ROUND6_QUERIES["embedding_norm_audit"] = embedding_norm_audit
 
 # Dim known at plan time on the oracle side only through len();
-# norm_duck needs the per-row length, so use len(embedding) inline.
+# norm_duck needs the per-row length, so use len(body) inline.
 ROUND6_ORACLES["embedding_norm_audit"] = f"""
-WITH audited AS (
-  SELECT label, len(embedding) AS dim,
-         {V.norm_duck(V.to_double_duck('embedding'), 'len(embedding)')} AS nrm
+WITH planted AS (
+  SELECT label,
+         CASE WHEN vec_id % 97 = 0
+                THEN list_transform(embedding, x -> CAST(0.0 AS FLOAT))
+              WHEN vec_id % 101 = 0
+                THEN embedding[1:len(embedding) - 1]
+              ELSE embedding END AS body
   FROM embeddings
+),
+audited AS (
+  SELECT label, len(body) AS dim,
+         {V.norm_duck(V.to_double_duck('body'), 'len(body)')} AS nrm
+  FROM planted
 )
 SELECT label, count(*) AS n_vecs,
        min(dim) AS dim_min, max(dim) AS dim_max,
@@ -596,9 +640,14 @@ def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(_PSI_BINS - 1),
         ).alias("bin"),
     )
-    counts = binned.groupBy("event_type", "bin").agg(
-        F.sum(F.col("is_a").cast("int")).alias("c_a"),
-        F.sum((~F.col("is_a")).cast("int")).alias("c_b"),
+    # counts feeds both the per-type totals and the term table — the
+    # boundary keeps the events scan single-pass (counts is |types|×10
+    # rows, the checkpoint is free).
+    counts = materialize(
+        binned.groupBy("event_type", "bin").agg(
+            F.sum(F.col("is_a").cast("int")).alias("c_a"),
+            F.sum((~F.col("is_a")).cast("int")).alias("c_b"),
+        )
     )
     totals = counts.groupBy("event_type").agg(
         F.sum("c_a").alias("n_a"), F.sum("c_b").alias("n_b")
@@ -788,3 +837,293 @@ e{i + 1} AS MATERIALIZED (
 
 
 ROUND6_ORACLES["graph_k_core"] = _kcore_oracle()
+
+
+# ---------------------------------------------------------------------------
+# doc_window_chunks — overlapping token-window chunking census
+# ---------------------------------------------------------------------------
+
+_CHUNK_W = 96  # window width (tokens)
+_CHUNK_S = 64  # stride (tokens) -> 32-token overlap
+
+
+def doc_window_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-window chunking census (SURVEY §2 #183) — the
+    retrieval/RAG counterpart of sequence_packing: packing JOINS short
+    docs into fixed budgets, this SPLITS long docs into width-W
+    windows every S tokens (W−S token overlap keeps context across
+    boundaries). The census is what an embedding-index build needs to
+    size itself: windows per source, total windowed tokens (duplicated
+    overlap included), and the duplication factor the overlap costs.
+
+    Entirely row-local integer arithmetic — window count is a closed
+    form, the windowed-token total is one `aggregate` HOF over
+    sequence(0, n_windows−1) (no explode, nothing leaves the row until
+    the final one-shuffle census). At 100 TB this is the cheapest
+    possible shape: one narrow scan, one map-combined aggregation.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    W, S = _CHUNK_W, _CHUNK_S
+    per_doc = docs.select(
+        "source",
+        F.size(F.expr(X.tokens_spark("text"))).alias("n_tok"),
+    ).select(
+        "source",
+        "n_tok",
+        F.expr(
+            f"case when n_tok = 0 then 0 else "
+            f"1 + (greatest(n_tok - {W}, 0) + {S} - 1) div {S} end"
+        ).alias("n_windows"),
+    ).select(
+        "source",
+        "n_tok",
+        "n_windows",
+        # Guarded: sequence(0, -1) would generate a DESCENDING range.
+        F.expr(
+            f"case when n_windows = 0 then 0L else"
+            f" aggregate(sequence(0, n_windows - 1), 0L,"
+            f" (acc, i) -> acc + least({W}, n_tok - i * {S})) end"
+        ).alias("win_tokens"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("tokens"),
+            F.sum("n_windows").alias("windows"),
+            F.sum("win_tokens").alias("windowed_tokens"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "tokens",
+            "windows",
+            "windowed_tokens",
+            F.expr("cast(windowed_tokens * 10000 div tokens as int)").alias(
+                "dup_bp"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+ROUND6_QUERIES["doc_window_chunks"] = doc_window_chunks
+
+ROUND6_ORACLES["doc_window_chunks"] = f"""
+WITH per_doc AS (
+  SELECT source, n_tok,
+         CASE WHEN n_tok = 0 THEN 0 ELSE
+           1 + (greatest(n_tok - {_CHUNK_W}, 0) + {_CHUNK_S} - 1)
+               // {_CHUNK_S} END AS n_windows
+  FROM (
+    SELECT source, len({X.tokens_duck('text')}) AS n_tok FROM documents
+  )
+),
+w AS (
+  SELECT source, n_tok, n_windows,
+         CASE WHEN n_windows = 0 THEN 0 ELSE
+           list_sum(list_transform(generate_series(0, n_windows - 1),
+             i -> least({_CHUNK_W}, n_tok - i * {_CHUNK_S}))) END
+           AS win_tokens
+  FROM per_doc
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS tokens,
+       CAST(sum(n_windows) AS BIGINT) AS windows,
+       CAST(sum(win_tokens) AS BIGINT) AS windowed_tokens,
+       CAST(sum(win_tokens) * 10000 // sum(n_tok) AS INT) AS dup_bp
+FROM w GROUP BY source ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# kmv_source_overlap — KMV sketch ALGEBRA: pairwise vocabulary Jaccard
+# ---------------------------------------------------------------------------
+
+_KMVO_K = 16
+_KMVO_BITS = 40
+
+
+def kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source vocabulary overlap from KMV sketch ALGEBRA
+    (SURVEY §2 #182): kmv_distinct_sketch (#170) builds one sketch per
+    source; this is why sketches exist — MERGE them. For every source
+    pair, the union sketch is the k smallest of the two sketches'
+    union, the union cardinality is the usual (k−1)·2^b/h₍ₖ₎, and the
+    Jaccard estimate is the fraction of union-sketch members present
+    in BOTH input sketches (the theta-sketch intersection rule). The
+    exact Jaccard rides along (one equi-join on the token hash) so the
+    operator doubles as its own error evaluation, the ann_recall_eval
+    pattern.
+
+    Scale story: the exact side is the thing the sketch REPLACES at
+    100 TB — the sketch path touches only P sketch rows of k integers
+    (a broadcast-sized dim table even at thousands of partitions), so
+    cross-source overlap costs O(P²k) after one corpus scan, instead
+    of a corpus-sized self-join per pair. Every sketch value is a
+    deterministic integer; the oracle gates the ESTIMATES themselves.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    hashed = (
+        docs.select(
+            "source", F.explode(F.expr(X.tokens_spark("text"))).alias("token")
+        )
+        .select(
+            "source",
+            F.expr(
+                f"shiftright({X.hash64_spark('token')}, {60 - _KMVO_BITS})"
+            ).alias("h"),
+        )
+        .distinct()
+    )
+    hashed = materialize(hashed)  # feeds sketches AND the exact join
+    w = Window.partitionBy("source").orderBy("h")
+    sketches = (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KMVO_K)
+        .groupBy("source")
+        .agg(F.sort_array(F.collect_list("h")).alias("sk"))
+    )
+    pairs = (
+        sketches.select(
+            F.col("source").alias("source_a"), F.col("sk").alias("sk_a")
+        )
+        .crossJoin(
+            F.broadcast(
+                sketches.select(
+                    F.col("source").alias("source_b"), F.col("sk").alias("sk_b")
+                )
+            )
+        )
+        .filter(F.col("source_a") < F.col("source_b"))
+    )
+    est = pairs.select(
+        "source_a",
+        "source_b",
+        "sk_a",
+        "sk_b",
+        F.expr(
+            f"slice(array_sort(array_union(sk_a, sk_b)), 1, {_KMVO_K})"
+        ).alias("merged"),
+    ).select(
+        "source_a",
+        "source_b",
+        F.expr("size(merged)").alias("k_used"),
+        F.expr("element_at(merged, size(merged))").alias("kth"),
+        F.expr(
+            "size(filter(merged, v -> array_contains(sk_a, v)"
+            " and array_contains(sk_b, v)))"
+        ).alias("n_both"),
+    )
+    exact = (
+        hashed.alias("x")
+        .join(hashed.alias("y"), "h")
+        .filter(F.col("x.source") < F.col("y.source"))
+        .groupBy(
+            F.col("x.source").alias("source_a"),
+            F.col("y.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sizes = hashed.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        est.join(
+            F.broadcast(sizes.withColumnRenamed("source", "source_a")).withColumnRenamed(
+                "n", "n_a"
+            ),
+            "source_a",
+        )
+        .join(
+            F.broadcast(sizes.withColumnRenamed("source", "source_b")).withColumnRenamed(
+                "n", "n_b"
+            ),
+            "source_b",
+        )
+        .join(exact, ["source_a", "source_b"], "left")
+        .fillna({"n_inter": 0})
+        .select(
+            "source_a",
+            "source_b",
+            F.expr(
+                f"cast(case when k_used < {_KMVO_K} then k_used"
+                f" else ({_KMVO_K} - 1) * cast(pow(2, {_KMVO_BITS}) as bigint)"
+                f" div kth end as bigint)"
+            ).alias("union_est"),
+            F.expr("cast(n_a + n_b - n_inter as bigint)").alias("union_exact"),
+            F.expr("cast(n_both * 10000 div k_used as int)").alias(
+                "jaccard_est_bp"
+            ),
+            F.expr(
+                "cast(n_inter * 10000 div (n_a + n_b - n_inter) as int)"
+            ).alias("jaccard_exact_bp"),
+            F.expr(
+                "cast(abs(n_both * 10000 div k_used"
+                " - n_inter * 10000 div (n_a + n_b - n_inter)) as int)"
+            ).alias("err_bp"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+ROUND6_QUERIES["kmv_source_overlap"] = kmv_source_overlap
+
+ROUND6_ORACLES["kmv_source_overlap"] = f"""
+WITH hashed AS MATERIALIZED (
+  SELECT DISTINCT source,
+         ({X.hash64_duck('token')}) >> {60 - _KMVO_BITS} AS h
+  FROM (
+    SELECT source, unnest({X.tokens_duck('text')}) AS token FROM documents
+  )
+),
+sketches AS (
+  SELECT source, list_sort(list(h)) AS sk FROM (
+    SELECT source, h,
+           row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+    FROM hashed
+  ) WHERE rn <= {_KMVO_K}
+  GROUP BY source
+),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         a.sk AS sk_a, b.sk AS sk_b
+  FROM sketches a JOIN sketches b ON a.source < b.source
+),
+est AS (
+  SELECT source_a, source_b,
+         len(merged) AS k_used,
+         merged[len(merged)] AS kth,
+         len(list_filter(merged,
+             v -> list_contains(sk_a, v) AND list_contains(sk_b, v)))
+           AS n_both
+  FROM (
+    SELECT *,
+           list_sort(list_distinct(list_concat(sk_a, sk_b)))[1:{_KMVO_K}]
+             AS merged
+    FROM pairs
+  )
+),
+exact AS (
+  SELECT x.source AS source_a, y.source AS source_b,
+         count(*) AS n_inter
+  FROM hashed x JOIN hashed y ON x.h = y.h AND x.source < y.source
+  GROUP BY 1, 2
+),
+sizes AS (SELECT source, count(*) AS n FROM hashed GROUP BY source)
+SELECT e.source_a, e.source_b,
+       CAST(CASE WHEN k_used < {_KMVO_K} THEN k_used
+            ELSE ({_KMVO_K} - 1) * CAST(pow(2, {_KMVO_BITS}) AS BIGINT) // kth
+            END AS BIGINT) AS union_est,
+       CAST(sa.n + sb.n - coalesce(n_inter, 0) AS BIGINT) AS union_exact,
+       CAST(n_both * 10000 // k_used AS INT) AS jaccard_est_bp,
+       CAST(coalesce(n_inter, 0) * 10000
+            // (sa.n + sb.n - coalesce(n_inter, 0)) AS INT)
+         AS jaccard_exact_bp,
+       CAST(abs(n_both * 10000 // k_used
+            - coalesce(n_inter, 0) * 10000
+              // (sa.n + sb.n - coalesce(n_inter, 0))) AS INT) AS err_bp
+FROM est e
+JOIN sizes sa ON sa.source = e.source_a
+JOIN sizes sb ON sb.source = e.source_b
+LEFT JOIN exact x ON x.source_a = e.source_a AND x.source_b = e.source_b
+ORDER BY e.source_a, e.source_b
+"""
