@@ -891,6 +891,63 @@ def test_decontaminate_ngrams_bounds(spark, sf_dir):
         assert 0 <= r.leak_bp <= 10000, r
 
 
+def test_kmv_source_overlap_bounds(spark, sf_dir):
+    """Sketch-algebra sanity: Jaccard estimates live in [0, 10000] bp,
+    the union estimate is positive, and err_bp is exactly the absolute
+    difference of the two Jaccard columns."""
+    from pyprima_spark.plans.round6 import kmv_source_overlap
+
+    rows = kmv_source_overlap(spark, sf_dir).collect()
+    assert rows, "no source pairs"
+    for r in rows:
+        assert 0 <= r.jaccard_est_bp <= 10000, r
+        assert 0 <= r.jaccard_exact_bp <= 10000, r
+        assert r.union_est > 0 and r.union_exact > 0, r
+        assert r.err_bp == abs(r.jaccard_est_bp - r.jaccard_exact_bp), r
+
+
+def test_doc_window_chunks_duplication(spark, sf_dir):
+    """Overlap chunking invariants: windowed tokens always cover the
+    doc at least once (dup_bp >= 10000 whenever tokens > 0), and the
+    window count is consistent with the closed form for a spot doc."""
+    from pyprima_spark.plans.round6 import (
+        _CHUNK_S,
+        _CHUNK_W,
+        doc_window_chunks,
+    )
+
+    rows = doc_window_chunks(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        if r.tokens > 0:
+            assert r.windowed_tokens >= r.tokens, r
+            assert r.dup_bp >= 10000, r
+        assert r.windows >= r.n_docs, r  # every doc gets >= 1 window
+    # closed form spot check
+    n_tok = 200
+    expect = 1 + (max(n_tok - _CHUNK_W, 0) + _CHUNK_S - 1) // _CHUNK_S
+    assert expect == 3  # 96 + 64 + 40 covers 200 tokens
+
+
+def test_pii_redact_consistent_with_scan(spark, sf_dir):
+    """The redaction census must agree with pii_scan's detection counts
+    (same planted layer, same patterns): emails/phones redacted equal
+    matches found, and chars_removed is positive wherever anything was
+    redacted."""
+    from pyprima_spark.plans.round4 import pii_scan
+    from pyprima_spark.plans.round6 import pii_redact
+
+    scan = {r.source: r for r in pii_scan(spark, sf_dir).collect()}
+    red = {r.source: r for r in pii_redact(spark, sf_dir).collect()}
+    assert set(scan) == set(red)
+    for src, r in red.items():
+        s = scan[src]
+        assert r.emails_redacted == s.email_matches, src
+        assert r.phones_redacted == s.phone_matches, src
+        if r.emails_redacted + r.phones_redacted > 0:
+            assert r.chars_removed > 0, src
+
+
 def test_half_up_rounding_sign_contract(spark, sf_dir):
     """ADVICE r3/r4 (last open item): the exact-integer half-UP
     rounding form `(200*num + den) div (2*den)` used by
