@@ -83,31 +83,37 @@ def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = _t(spark, sf_dir, "documents")
     h = F.expr(X.hash64_spark("cast(doc_id as string) || ':split'")) % 100
-    # Tokens land as a COLUMN before shingling: shingles_spark indexes
-    # its input k times per position, so inlining the split expression
-    # would re-split the text 8x per gram (the minhash ops set the same
-    # precedent — dedup.py materializes tokens first).
-    base = docs.select(
-        "doc_id",
-        "source",
-        (h < 80).alias("is_train"),
-        F.expr(X.tokens_spark("text")).alias("toks"),
-    ).select(
-        "doc_id",
-        "source",
-        "is_train",
-        F.expr(X.shingles_spark("toks", _DECON_K)).alias("grams"),
-    )
-    # The exploded hash table is the op's signature table: materialized
-    # ONCE (the parquet write a production decontamination persists),
-    # then the train set, the eval side, and the per-doc totals all
-    # read it — without the boundary the shingle+md5 derivation runs
-    # three times (explain-audited). Short-doc eval rows (no 8-grams)
-    # re-enter below from a metadata-only scan (doc_id/source — text is
-    # never read twice).
+    # Shape matters enormously here (measured at sf0.1): tokens land as
+    # a COLUMN, a size filter sits between the token project and the
+    # generator, and explode takes the shingle EXPRESSION directly —
+    # 0.6 s. Staging the shingle array as its own column in a separate
+    # select lets project-collapse wrap the generator so the array
+    # expression re-evaluates per OUTPUT row: 46 s for the identical
+    # result (the minhash band table, dedup.py:60, documents the same
+    # trap family). The filter drops docs with < k tokens, whose
+    # shingle array is empty (explode drops them anyway); short eval
+    # docs re-enter the census from the metadata-only scan below.
+    #
+    # The exploded hash table is then the op's signature table:
+    # materialized ONCE (the parquet write a production
+    # decontamination persists), read by the train set, the eval side,
+    # and the per-doc totals — without the boundary the derivation
+    # runs three times (explain-audited).
     grams = materialize(
-        base.select(
-            "doc_id", "source", "is_train", F.explode("grams").alias("g")
+        docs.select(
+            "doc_id",
+            "source",
+            (h < 80).alias("is_train"),
+            F.expr(X.tokens_spark("text")).alias("toks"),
+        )
+        .filter(F.size("toks") >= _DECON_K)
+        .select(
+            "doc_id",
+            "source",
+            "is_train",
+            F.explode(
+                F.expr(X.shingles_spark("toks", _DECON_K))
+            ).alias("g"),
         )
         .withColumn("gh", F.expr(X.hash64_spark("g")))
         .drop("g")

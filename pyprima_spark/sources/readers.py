@@ -89,3 +89,31 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     """ORC scan — same columnar pushdown/pruning contract as parquet
     (PushedFilters + ReadSchema visible in `.explain`)."""
     return spark.read.orc(path)
+
+
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    max_bytes: int | None = None,
+) -> DataFrame:
+    """Raw-file ingest for the multimodal pipeline: Spark's built-in
+    ``binaryFile`` source yields (path, modificationTime, length,
+    content binary) per file — the standard way image/audio/video blobs
+    ENTER a lakehouse before landing as the opaque binary columns the
+    multimodal operators (operators/multimodal.py) process.
+
+    Scale contract: file listing is distributed, per-file rows split
+    across partitions, and a `length` predicate is pushed into the
+    SOURCE (binaryFile supports length/modificationTime pushdown — the
+    content of oversized files is never read). ``max_bytes`` applies
+    exactly that pushed filter; ``glob`` restricts by filename pattern
+    at listing time (``pathGlobFilter``), not by scanning.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.load(path)
+    if max_bytes is not None:
+        df = df.filter(F.col("length") <= max_bytes)
+    return df

@@ -76,3 +76,59 @@ def test_parquet_schema_evolution_mergeschema(spark, tmp_path):
     assert {f.name for f in df.schema.fields} >= {"id", "name", "score"}
     rows = {r.id: r for r in df.collect()}
     assert rows[1].score is None and abs(rows[3].score - 30.5) < 1e-9
+
+
+def test_binary_file_ingest_to_audio_features(spark, tmp_path):
+    """Raw-file multimodal ingest (sources/readers.read_binary_files):
+    real WAV files on disk enter through Spark's binaryFile source and
+    flow into the REAL audio decoder unchanged — the lakehouse ingest
+    step in front of operators/multimodal.py. Also checks the length
+    predicate excludes an oversized blob and the glob excludes foreign
+    extensions at listing time."""
+    import io
+    import wave as _wave
+
+    import numpy as np
+
+    from pyprima_spark.operators.multimodal import (
+        WAV_FRAMERATE,
+        audio_features_wav,
+    )
+    from pyprima_spark.sources.readers import read_binary_files
+
+    media_dir = tmp_path / "media"
+    media_dir.mkdir()
+    amps = {0: 2048, 1: 4096, 2: 8192}
+    for d, amp in amps.items():
+        n = 800
+        idx = np.arange(n)
+        samples = np.where((idx // 16) % 2 == 0, amp, -amp).astype("<i2")
+        buf = io.BytesIO()
+        with _wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(WAV_FRAMERATE)
+            w.writeframes(samples.tobytes())
+        (media_dir / f"clip_{d}.wav").write_bytes(buf.getvalue())
+    # decoys: a foreign extension and an oversized blob
+    (media_dir / "notes.txt").write_bytes(b"not audio")
+    (media_dir / "clip_big.wav").write_bytes(b"\x00" * 300_000)
+
+    import pyspark.sql.functions as F
+
+    raw = read_binary_files(
+        spark, str(media_dir), glob="*.wav", max_bytes=100_000
+    )
+    media = raw.select(
+        F.regexp_extract(F.col("path"), r"clip_(\d+)\.wav", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("content").alias("payload"),
+    )
+    feats = {r.doc_id: r for r in audio_features_wav(media).collect()}
+    assert set(feats) == set(amps)  # decoys excluded by glob + length
+    for d, amp in amps.items():
+        r = feats[d]
+        assert abs(r.peak - round(amp / 32768.0, 6)) < 1e-12, d
+        assert abs(r.rms - r.peak) < 1e-12, d  # square wave
+        assert abs(r.duration_s - round(800 / WAV_FRAMERATE, 6)) < 1e-12
