@@ -95,3 +95,25 @@ def pagerank(
     adj.unpersist()
     out.unpersist()
     return ranks
+
+
+def k_core_round(edges: DataFrame, k: int) -> DataFrame:
+    """ONE k-core peeling round: drop every node with degree < k and
+    every edge touching one. `edges` is an undirected edge list with
+    columns (a, b), each edge once. Iterating to a fixed point yields
+    the k-core; a fixed round count (plans/round6.graph_k_core) keeps
+    the census engine-deterministic. One degree aggregation + two
+    semi-joins — key-partitioned, O(E), no fanout.
+    """
+    deg = (
+        edges.select(F.col("a").alias("n"))
+        .union(edges.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    keep = deg.filter(F.col("d") >= k).select("n")
+    return (
+        edges.join(keep.withColumnRenamed("n", "a"), "a", "left_semi")
+        .join(keep.withColumnRenamed("n", "b"), "b", "left_semi")
+        .select("a", "b")
+    )

@@ -780,18 +780,9 @@ def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         if rnd == _KCORE_ROUNDS:
             break
-        deg = (
-            cur.select(F.col("a").alias("n"))
-            .union(cur.select(F.col("b").alias("n")))
-            .groupBy("n")
-            .agg(F.count(F.lit(1)).alias("d"))
-        )
-        keep = deg.filter(F.col("d") >= _KCORE_K).select("n")
-        cur = materialize(
-            cur.join(keep.withColumnRenamed("n", "a"), "a", "left_semi").join(
-                keep.withColumnRenamed("n", "b"), "b", "left_semi"
-            ).select("a", "b")
-        )
+        from pyprima_spark.operators.graph import k_core_round
+
+        cur = materialize(k_core_round(cur, _KCORE_K))
     out = census[0]
     for c in census[1:]:
         out = out.unionByName(c)

@@ -891,6 +891,116 @@ def test_decontaminate_ngrams_bounds(spark, sf_dir):
         assert 0 <= r.leak_bp <= 10000, r
 
 
+def test_k_core_round_property(spark):
+    """Property test: one Spark peeling round equals the brute-force
+    reference (drop deg<k nodes + incident edges) on random graphs,
+    and iterating to a fixed point yields exactly the brute-force
+    k-core."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from pyprima_spark.operators.graph import k_core_round
+
+    edge = st.tuples(
+        st.integers(min_value=0, max_value=9),
+        st.integers(min_value=0, max_value=9),
+    ).filter(lambda e: e[0] < e[1])
+
+    def brute_round(es, k):
+        from collections import Counter
+
+        deg = Counter()
+        for a, b in es:
+            deg[a] += 1
+            deg[b] += 1
+        keep = {n for n, d in deg.items() if d >= k}
+        return {(a, b) for a, b in es if a in keep and b in keep}
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(es=st.sets(edge, min_size=1, max_size=14))
+    def check(es):
+        k = 2
+        df = spark.createDataFrame(sorted(es), "a long, b long")
+        got = {(r.a, r.b) for r in k_core_round(df, k).collect()}
+        assert got == brute_round(es, k)
+        # fixed point == true k-core; compute the needed round count
+        # from the reference so the Spark chain stays short (each extra
+        # lazy round doubles the plan — the operator itself checkpoints
+        # per round, the test mimics that by bounding rounds instead)
+        cur, rounds = set(es), 0
+        while True:
+            nxt = brute_round(cur, k)
+            if nxt == cur:
+                break
+            cur, rounds = nxt, rounds + 1
+        spark_cur = df
+        for _ in range(rounds + 1):  # +1 proves the fixed point holds
+            spark_cur = k_core_round(spark_cur, k)
+        assert {(r.a, r.b) for r in spark_cur.collect()} == cur
+
+    check()
+
+
+def test_doc_window_chunk_closed_form_property():
+    """Property test (pure python): the closed-form window count and
+    the HOF windowed-token total used by doc_window_chunks equal
+    brute-force window enumeration for arbitrary doc lengths."""
+    from hypothesis import given
+    from hypothesis import strategies as st
+
+    from pyprima_spark.plans.round6 import _CHUNK_S, _CHUNK_W
+
+    @given(n_tok=st.integers(min_value=0, max_value=5000))
+    def check(n_tok):
+        W, S = _CHUNK_W, _CHUNK_S
+        # brute force: windows start at 0, S, 2S, ... while they
+        # contain at least one new token
+        starts = []
+        s = 0
+        if n_tok > 0:
+            while True:
+                starts.append(s)
+                if s + W >= n_tok:
+                    break
+                s += S
+        brute_windows = len(starts)
+        brute_tokens = sum(min(W, n_tok - s) for s in starts)
+        closed = (
+            0 if n_tok == 0 else 1 + (max(n_tok - W, 0) + S - 1) // S
+        )
+        hof = sum(min(W, n_tok - i * S) for i in range(closed))
+        assert closed == brute_windows, n_tok
+        assert hof == brute_tokens, n_tok
+
+    check()
+
+
+def test_kmv_merge_theorem_property():
+    """Property test (pure python): KMV mergeability — the bottom-k of
+    a union equals the bottom-k of the two sketches' union. This is
+    the theorem kmv_source_overlap's union sketch relies on."""
+    from hypothesis import given
+    from hypothesis import strategies as st
+
+    K = 16
+
+    def sketch(vals):
+        return sorted(set(vals))[:K]
+
+    @given(
+        a=st.sets(st.integers(min_value=0, max_value=10**9), max_size=60),
+        b=st.sets(st.integers(min_value=0, max_value=10**9), max_size=60),
+    )
+    def check(a, b):
+        assert sketch(a | b) == sketch(set(sketch(a)) | set(sketch(b)))
+
+    check()
+
+
 def test_kmv_source_overlap_bounds(spark, sf_dir):
     """Sketch-algebra sanity: Jaccard estimates live in [0, 10000] bp,
     the union estimate is positive, and err_bp is exactly the absolute
