@@ -179,6 +179,7 @@ BENCH_QUERIES = [
     "graph_k_core",
     "kmv_source_overlap",
     "doc_window_chunks",
+    "multimodal_image",
 ]
 
 

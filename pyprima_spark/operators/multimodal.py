@@ -1,12 +1,23 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata,
 processed with Arrow-batched ``mapInPandas``.
 
-Image/audio decode libraries are not available in this container, so the
-decode step is STUBBED: ``decode_media(..., real_decode=True)`` raises
-NotImplementedError, and the default path produces a deterministic fake
-(dimensions derived from the payload hash). Everything around the stub —
-schema, Arrow batch shape, partitioning — is real and tested, so
-swapping in a real decoder is a one-function change.
+Decode status per modality:
+- AUDIO: REAL end-to-end since round 4 — genuine RIFF/WAV PCM16
+  payloads synthesized and parsed back with the stdlib `wave` reader
+  (attach_wav_media / audio_features_wav).
+- IMAGE: REAL end-to-end since round 5 for PNG — spec-valid PNGs
+  encoded and decoded with stdlib zlib + struct (encode_png_rgb /
+  decode_png_rgb below), closed-form-oracled in plans/round6.py.
+  JPEG stays stubbed (needs libjpeg via PIL, absent here).
+- VIDEO: stubbed (needs ffmpeg, absent); frame_sample exercises the
+  real Arrow plumbing over fake payloads.
+
+``decode_media(..., real_decode=True)`` raises NotImplementedError for
+the library-dependent paths, and the default path produces a
+deterministic fake (dimensions derived from the payload hash).
+Everything around the stubs — schema, Arrow batch shape, partitioning —
+is real and tested, so swapping in a real decoder is a one-function
+change, twice demonstrated (wave, PNG).
 
 Scale design: ``mapInPandas`` streams Arrow batches through Python with
 no shuffle; payloads never leave their partition until the (tiny)
@@ -247,3 +258,159 @@ def audio_features_wav(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(batches, schema=AUDIO_SCHEMA)
+
+
+# -- REAL image path: PNG via stdlib zlib + struct ---------------------------
+# PIL is absent in this container, but PNG (non-interlaced 8-bit RGB)
+# needs only zlib (stdlib) and 30 lines of chunk parsing — the same
+# "real path via stdlib" upgrade audio got with `wave` in round 4. The
+# synthesizer writes spec-valid PNGs (deterministic gradient pattern
+# derived from doc_id); the decoder parses IHDR, inflates IDAT,
+# reverses scanline filters 0-2 (the ones an encoder of this pattern
+# emits), and computes exact integer channel statistics — so the
+# features are deterministic and oracle-able end to end.
+
+IMAGE_SCHEMA = (
+    "doc_id bigint, width int, height int, mean_r int, mean_g int, "
+    "mean_b int"
+)
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib as _zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", _zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png_rgb(arr) -> bytes:
+    """Minimal spec-valid PNG encoder: 8-bit RGB, filter 0 scanlines,
+    one IDAT. `arr` is an (h, w, 3) uint8 numpy array."""
+    import struct
+    import zlib as _zlib
+
+    h, w, _ = arr.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", _zlib.compress(raw, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png_rgb(payload: bytes):
+    """Parse a non-interlaced 8-bit RGB PNG into an (h, w, 3) uint8
+    array. Handles scanline filters 0 (None), 1 (Sub), 2 (Up) — raises
+    on anything else rather than decoding wrong."""
+    import struct
+    import zlib as _zlib
+
+    import numpy as np
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, w = 8, None
+    idat = b""
+    while pos < len(payload):
+        (ln,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + ln]
+        if tag == b"IHDR":
+            w, h, depth, ctype, _, _, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if (depth, ctype, interlace) != (8, 2, 0):
+                raise ValueError("only 8-bit RGB non-interlaced supported")
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    raw = _zlib.decompress(idat)
+    stride = w * 3
+    out = np.empty((h, w, 3), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).copy()
+        if f == 1:  # Sub: add left neighbour (per channel)
+            for x in range(3, stride):
+                line[x] = (int(line[x]) + int(line[x - 3])) & 0xFF
+        elif f == 2:  # Up: add the previous scanline
+            line = (line.astype(np.int16) + prev).astype(np.uint8)
+        elif f != 0:
+            raise ValueError(f"unsupported PNG filter {f}")
+        out[y] = line.reshape(w, 3)
+        prev = out[y].reshape(stride)
+    return out
+
+
+def attach_png_media(docs: DataFrame) -> DataFrame:
+    """Attach a REAL PNG payload per document: a deterministic RGB
+    gradient whose size and colors derive from doc_id. mapInPandas —
+    synthesis is per-partition, nothing shuffles."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w = 8 + d % 13
+                h = 6 + d % 9
+                yy, xx = np.mgrid[0:h, 0:w]
+                arr = np.stack(
+                    [
+                        (xx * 7 + d) % 256,
+                        (yy * 11 + 2 * d) % 256,
+                        (xx + yy + 3 * d) % 256,
+                    ],
+                    axis=-1,
+                ).astype(np.uint8)
+                payloads.append(encode_png_rgb(arr))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        batches, schema="doc_id bigint, payload binary"
+    )
+
+
+def image_features_png(media: DataFrame) -> DataFrame:
+    """REAL image feature extraction: decode each PNG with the stdlib
+    path above and report dimensions + per-channel integer means
+    (floor of the exact rational — deterministic, oracle-able). Same
+    Arrow mapInPandas shape as the stubbed decode_media."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: dict[str, list] = {
+                "doc_id": [], "width": [], "height": [],
+                "mean_r": [], "mean_g": [], "mean_b": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                arr = decode_png_rgb(bytes(payload))
+                h, w, _ = arr.shape
+                tot = arr.reshape(-1, 3).astype(np.int64).sum(axis=0)
+                rows["doc_id"].append(doc_id)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["mean_r"].append(int(tot[0] // (w * h)))
+                rows["mean_g"].append(int(tot[1] // (w * h)))
+                rows["mean_b"].append(int(tot[2] // (w * h)))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(batches, schema=IMAGE_SCHEMA)

@@ -934,6 +934,64 @@ FROM w GROUP BY source ORDER BY source
 
 
 # ---------------------------------------------------------------------------
+# multimodal_image — REAL PNG decode, closed-form oracle
+# ---------------------------------------------------------------------------
+
+def multimodal_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image feature extraction (SURVEY §2 #184): spec-valid PNGs
+    (stdlib zlib + struct encoder, deterministic doc_id-derived RGB
+    gradient) attached as the binary column, then decoded BACK by the
+    stdlib parser (IHDR/IDAT/inflate/scanline-unfilter) and reduced to
+    integer channel means — operators/multimodal.py. This upgrades the
+    image leg from "honestly stubbed, PIL absent" to the same standing
+    audio reached in round 4 via `wave`: a real codec round-trip in
+    pure stdlib, Arrow-batched, nothing shuffled until the feature
+    census.
+
+    The oracle never decodes a pixel: the gradient's channel sums have
+    CLOSED FORMS in doc_id (modular-arithmetic sums over
+    generate_series), so DuckDB independently predicts what the
+    decode must produce — the strongest end-to-end gate a binary
+    pipeline can have (a bug anywhere in encode, deflate, parse,
+    unfilter, or the statistics breaks the match).
+    """
+    from pyprima_spark.operators.multimodal import (
+        attach_png_media,
+        image_features_png,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return image_features_png(attach_png_media(docs)).orderBy("doc_id")
+
+
+ROUND6_QUERIES["multimodal_image"] = multimodal_image
+
+ROUND6_ORACLES["multimodal_image"] = """
+WITH dims AS (
+  SELECT doc_id,
+         8 + doc_id % 13 AS w,
+         6 + doc_id % 9 AS h
+  FROM documents
+)
+SELECT doc_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(list_sum(list_transform(generate_series(0, w - 1),
+              x -> (x * 7 + doc_id) % 256)) * h // (w * h) AS INT)
+         AS mean_r,
+       CAST(list_sum(list_transform(generate_series(0, h - 1),
+              y -> (y * 11 + 2 * doc_id) % 256)) * w // (w * h) AS INT)
+         AS mean_g,
+       CAST(list_sum(list_transform(generate_series(0, h - 1),
+              y -> list_sum(list_transform(generate_series(0, w - 1),
+                     x -> (x + y + 3 * doc_id) % 256)))) // (w * h) AS INT)
+         AS mean_b
+FROM dims
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # kmv_source_overlap — KMV sketch ALGEBRA: pairwise vocabulary Jaccard
 # ---------------------------------------------------------------------------
 
