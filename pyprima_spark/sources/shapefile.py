@@ -164,3 +164,41 @@ def write_point_shapefile(
         write,
         "n_features long, shp_bytes long, dbf_bytes long, shp_md5 string",
     )
+
+
+def read_point_shapefile(spark, base: str) -> "DataFrame":
+    """Ingest a point shapefile as a DataFrame: the .shp and .dbf land
+    through the binaryFile source and are parsed by the verifying
+    decoder inside mapInPandas (single file → single task, like the
+    write side; the driver only sees the resulting rows as a normal
+    DataFrame). Reference parity: pyPRIMA reads region/plant
+    shapefiles via geopandas/ogr at every pipeline entry."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    raw = (
+        spark.read.format("binaryFile")
+        .load([base + ".shp", base + ".dbf"])
+        .select("path", "content")
+    )
+
+    def parse(it):
+        parts: dict[str, bytes] = {}
+        for pdf in it:
+            for path, content in zip(pdf["path"], pdf["content"]):
+                parts[path.rsplit(".", 1)[-1]] = bytes(content)
+        pts, names, vals = decode_point_shapefile(
+            parts["shp"], parts["dbf"]
+        )
+        yield pd.DataFrame(
+            {
+                "x": [p[0] for p in pts],
+                "y": [p[1] for p in pts],
+                "name": names,
+                "value": vals,
+            }
+        )
+
+    return raw.coalesce(1).mapInPandas(
+        parse, "x double, y double, name string, value double"
+    )

@@ -214,3 +214,50 @@ def test_point_shapefile_export_roundtrip(spark, sf_dir, tmp_path):
     assert (len(shx) - 100) // 8 == len(expected)
     off0, clen0 = struct.unpack_from(">ii", shx, 100)
     assert off0 == 50 and clen0 == 10  # first record after the header
+
+
+def test_gis_read_back_through_spark(spark, sf_dir, tmp_path):
+    """Bidirectional GIS IO: the tiles written by write_raster_tiles
+    read back through read_raster_tiles (binaryFile + executor-side
+    parse) equal the source long table; the shapefile written by
+    write_point_shapefile reads back through read_point_shapefile."""
+    from pyprima_spark.catalog import load_table
+    from pyprima_spark.plans.queries import QUERIES
+    from pyprima_spark.sources.geotiff import (
+        read_raster_tiles,
+        write_raster_tiles,
+    )
+    from pyprima_spark.sources.shapefile import (
+        read_point_shapefile,
+        write_point_shapefile,
+    )
+
+    raster = QUERIES["region_mask_raster"](spark, sf_dir).select(
+        "latidx", "lonidx", F.col("pop_alloc").alias("value")
+    )
+    out = str(tmp_path / "tiles2")
+    write_raster_tiles(raster, out, tile_size=64).collect()
+    back = {
+        (r.latidx, r.lonidx): r.value
+        for r in read_raster_tiles(spark, out).collect()
+    }
+    src = {(r.latidx, r.lonidx): float(r.value) for r in raster.collect()}
+    assert set(back) == set(src)
+    for k in src:
+        assert abs(back[k] - src[k]) < 1e-5, k
+
+    sup = load_table(spark, sf_dir, "supplier").select(
+        (F.col("s_suppkey") % 360 - 180 + 0.5).cast("double").alias("x"),
+        (F.col("s_suppkey") % 180 - 90 + 0.25).cast("double").alias("y"),
+        F.col("s_name").alias("name"),
+        F.col("s_acctbal").cast("double").alias("value"),
+    )
+    base = str(tmp_path / "plants2")
+    n = write_point_shapefile(sup, base).collect()[0].n_features
+    got = read_point_shapefile(spark, base).collect()
+    assert len(got) == n
+    exp = {
+        (r.name[:16].strip(), r.x, r.y, round(float(r.value), 3))
+        for r in sup.collect()
+    }
+    assert {(r.name, r.x, r.y, r.value) for r in got} == exp
