@@ -261,3 +261,40 @@ def test_gis_read_back_through_spark(spark, sf_dir, tmp_path):
         for r in sup.collect()
     }
     assert {(r.name, r.x, r.y, r.value) for r in got} == exp
+
+
+def test_python_datasource_gis_formats(spark, sf_dir, tmp_path):
+    """Spark 4 Python DataSource API: the GIS parsers registered as
+    first-class formats — spark.read.format("shapefile"/"geotiff")
+    returns the same rows as the library readers; geotiff gets one
+    input partition per tile file."""
+    from pyprima_spark.catalog import load_table
+    from pyprima_spark.plans.queries import QUERIES
+    from pyprima_spark.sources.datasource_api import register_gis_sources
+    from pyprima_spark.sources.geotiff import write_raster_tiles
+    from pyprima_spark.sources.shapefile import write_point_shapefile
+
+    register_gis_sources(spark)
+
+    sup = load_table(spark, sf_dir, "supplier").select(
+        (F.col("s_suppkey") % 360 - 180 + 0.5).cast("double").alias("x"),
+        (F.col("s_suppkey") % 180 - 90 + 0.25).cast("double").alias("y"),
+        F.col("s_name").alias("name"),
+        F.col("s_acctbal").cast("double").alias("value"),
+    )
+    base = str(tmp_path / "fleet")
+    n = write_point_shapefile(sup, base).collect()[0].n_features
+    shp_df = spark.read.format("shapefile").load(base)
+    assert shp_df.count() == n
+    assert {f.name for f in shp_df.schema.fields} == {"x", "y", "name", "value"}
+
+    raster = QUERIES["region_mask_raster"](spark, sf_dir).select(
+        "latidx", "lonidx", F.col("pop_alloc").alias("value")
+    )
+    out = str(tmp_path / "fmt_tiles")
+    n_tiles = write_raster_tiles(raster, out, tile_size=64).count()
+    tif_df = spark.read.format("geotiff").load(out)
+    assert tif_df.rdd.getNumPartitions() == n_tiles  # partition per tile
+    back = {(r.latidx, r.lonidx): r.value for r in tif_df.collect()}
+    src = {(r.latidx, r.lonidx): float(r.value) for r in raster.collect()}
+    assert set(back) == set(src)
