@@ -2577,90 +2577,87 @@ def _register_rounds() -> None:
 
 _WINDOW_SIZE = 50
 
-# Round-5 window (VERDICT r4 "Next round" items 1-2): quality_score
-# (driver grade stale — its exact-integer rounding rewrite landed after
-# the r2 row), golden_record (r4 row was VACUOUS at sf0.01; fingerprint
-# coarsened to the first-40-char normalized prefix so grading scale has
-# real clusters), sequence_packing (group key sharded this round), the
-# EIGHT late-r4 keys that have never had a driver row, and the 39 other
-# highest-value round-5 keys. The ~20 simplest round-5 keys
-# (percentile/flag/audit one-shots) plus the r2-stale backlog rotate
-# FIRST in round 6 — the explicit list below is asserted to be exactly
-# the window size so a drive-by key insertion can't silently evict a
-# planned regrade.
-_R5_WINDOW = [
-    # stale / previously-vacuous regrades
-    "quality_score",
-    "golden_record",
-    # late-r4 keys: implemented + judge-strict-verified r4, never graded
-    "point_in_polygon",
-    "polygon_zonal_stats",
-    "incremental_minhash_index",
-    "blocklist_filter",
-    "rolling_origin_backtest",
-    "ordered_string_export",
-    "ann_pq",
-    "graph_neighbor_jaccard",
-    # round-5 additions, highest value first: curation capstones,
-    # dedup/ANN evaluation loop, stateful/temporal, graph, then the
-    # heavier analytical ops
-    "sequence_packing",
-    "training_manifest",
-    "dedup_savings",
-    "cluster_representatives",
-    "holdout_contamination",
-    "ann_recall_eval",
-    "lsh_precision_eval",
-    "ppjoin_similarity",
-    "hard_negative_mining",
-    "centroid_outliers",
-    "vocab_coverage",
-    "bpe_token_count",
-    "bigram_lm_score",
-    "boilerplate_position",
-    "mixed_language_flags",
-    "stratified_sample",
-    "snapshot_diff",
-    "asof_tolerance_join",
-    "nearest_event_join",
-    "scd2_temporal_lookup",
-    "debounce_dedup",
-    "session_paths",
-    "funnel_with_timeout",
-    "streaming_rate_limit",
-    "streaming_hourly_drift",
-    "trade_reachability",
-    "graph_modularity",
-    "copurchase_similarity",
-    "market_basket_pairs",
-    "attribution_models",
-    "rfm_segments",
-    "incremental_agg_maintenance",
-    "salted_aggregation",
-    "time_rollup_grouping_sets",
-    "join_cardinality_estimate",
-    "contract_violations",
-    "price_reconciliation",
-    "nested_order_items",
-    "kmv_distinct_sketch",
-    "equidepth_histogram",
+# Round-6 window (VERDICT r5 item 1 / SURVEY §7.18): the 37 keys whose
+# last driver row is r2 go FIRST — they sit on three generations of
+# evolved shared infra (catalog select-fold, table-plan memo, NTZ
+# normalization) and their driver evidence predates all of it — then
+# the 11 round-6 keys (#174–184, never driver-graded), then the two
+# remaining batch-drift keys (driver rows for the drift family
+# alongside psi_drift). The ~18 round-5 one-shots + the r3 generation
+# rotate in round 7. List is exact-size asserted below so a drive-by
+# key insertion can't silently evict a planned regrade.
+_R6_WINDOW = [
+    # (1) r2-stale backlog — TPC-H adaptations
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_values",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_part_supplier_counts",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q20_excess_suppliers",
+    "q21_sole_blame",
+    # (1) r2-stale backlog — cleaning / intermediate / pipeline keys
+    "mode_impute",
+    "gap_fill_trend",
+    "flh_pivot",
+    "profile_normalize",
+    "resample_hourly",
+    "canonical_edges",
+    "neighbor_expansion",
+    "transmission_attrs",
+    "export_demand_matrix",
+    "ngram_jaccard",
+    "ann_ivf",
+    "lang_id",
+    "latest_snapshot",
+    "region_overlap_disaggregate",
+    "grid_upsample",
+    "capped_distribution",
+    "supply_ts_assembly",
+    "streaming_sessions",
+    "multimodal_decode",
+    "multimodal_frames",
+    "multimodal_audio",
+    # (2) round-6 batch #174–184 — never driver-graded
+    "decontaminate_ngrams",
+    "data_mixture_plan",
+    "deterministic_shuffle",
+    "pii_redact",
+    "compaction_plan",
+    "embedding_norm_audit",
+    "psi_drift",
+    "graph_k_core",
+    "doc_window_chunks",
+    "multimodal_image",
+    "kmv_source_overlap",
+    # (3) batch drift family completion
+    "drift_tv_distance",
+    "ks_drift",
 ]
 
 
 def _order_grading_window() -> None:
     """Rebuild QUERIES so the first ``_WINDOW_SIZE`` keys are exactly
-    ``_R5_WINDOW``. Everything else keeps its current relative order
+    ``_R6_WINDOW``. Everything else keeps its current relative order
     after the window. Asserts (rather than comments — see ADVICE r3 on
     the fragile round-3 splice) that the list is exactly window-sized
     and fully registered."""
-    missing = [k for k in _R5_WINDOW if k not in QUERIES]
+    missing = [k for k in _R6_WINDOW if k not in QUERIES]
     assert not missing, f"grading-window keys not registered: {missing}"
-    assert len(_R5_WINDOW) == _WINDOW_SIZE, (
-        f"window has {len(_R5_WINDOW)} keys; driver grades {_WINDOW_SIZE}"
+    assert len(_R6_WINDOW) == _WINDOW_SIZE, (
+        f"window has {len(_R6_WINDOW)} keys; driver grades {_WINDOW_SIZE}"
     )
     rest = dict(QUERIES)
     QUERIES.clear()
-    for key in _R5_WINDOW:
+    for key in _R6_WINDOW:
         QUERIES[key] = rest.pop(key)
     QUERIES.update(rest)
 

@@ -3178,14 +3178,20 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     ntile, and the 27 (r, f, m) cells rolled into the classic
     champion / loyal / at-risk / other quadrants.
 
-    One shuffle on user_id for the per-user profile; the three ntile
-    windows share one global sort each over the USER table (dim-sized
-    relative to events — at larger scale these become
-    range-partitioned percentile cuts, same result).  Census output:
-    segment, n_users, revenue share in basis points.
+    One shuffle on user_id for the per-user profile.  VERDICT r5
+    rewrite: the terciles were three UNPARTITIONED ntile(3) windows —
+    each a single-partition sort of the whole user profile (unbounded
+    at 100 TB).  Now the six tercile cut values (1/3 and 2/3 per
+    dimension) come from one exact percentile_disc aggregation over
+    the profile (a partial-merge aggregate, not a sort window;
+    percentile_disc returns an actual data value so the cuts are
+    bit-identical across engines), the 1-row cut set is broadcast,
+    and tercile assignment is a row-local CASE — value ties share a
+    tercile, which is the stable, order-free semantics a distributed
+    segmentation wants.  Census output: segment, n_users, revenue
+    share in basis points.
     """
     ev = _t(spark, sf_dir, "events")
-    asof = F.lit(_RFM_ASOF).cast("timestamp")
     prof = (
         ev.filter(F.col("event_type") == "purchase")
         .groupBy("user_id")
@@ -3196,11 +3202,39 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast(DEC)).alias("monetary"),
         )
     )
-    prof = prof.select(
-        "*",
-        F.ntile(3).over(Window.orderBy(F.asc("recency_days"), F.asc("user_id"))).alias("r"),
-        F.ntile(3).over(Window.orderBy(F.desc("freq"), F.asc("user_id"))).alias("f"),
-        F.ntile(3).over(Window.orderBy(F.desc("monetary"), F.asc("user_id"))).alias("m"),
+    cuts = prof.agg(
+        *[
+            F.expr(
+                f"percentile_disc({q}) WITHIN GROUP (ORDER BY {col})"
+            ).alias(f"{name}{i}")
+            for col, name in (
+                ("recency_days", "cr"), ("freq", "cf"), ("monetary", "cm")
+            )
+            for i, q in ((1, 1 / 3), (2, 2 / 3))
+        ]
+    )
+    # Ascending cuts; recency tercile 1 = most recent (small values),
+    # freq/monetary tercile 1 = top third (large values).
+    prof = prof.crossJoin(F.broadcast(cuts)).select(
+        "user_id",
+        "recency_days",
+        "freq",
+        "monetary",
+        (
+            F.lit(1)
+            + (F.col("recency_days") > F.col("cr1")).cast("int")
+            + (F.col("recency_days") > F.col("cr2")).cast("int")
+        ).alias("r"),
+        (
+            F.lit(1)
+            + (F.col("freq") < F.col("cf2")).cast("int")
+            + (F.col("freq") < F.col("cf1")).cast("int")
+        ).alias("f"),
+        (
+            F.lit(1)
+            + (F.col("monetary") < F.col("cm2")).cast("int")
+            + (F.col("monetary") < F.col("cm1")).cast("int")
+        ).alias("m"),
     )
     seg = (
         F.when((F.col("r") == 1) & (F.col("f") == 1) & (F.col("m") == 1), "champion")
@@ -3242,12 +3276,24 @@ WITH prof AS (
   FROM events WHERE event_type = 'purchase'
   GROUP BY user_id
 ),
-cut AS (
-  SELECT *,
-         ntile(3) OVER (ORDER BY recency_days ASC, user_id ASC) AS r,
-         ntile(3) OVER (ORDER BY freq DESC, user_id ASC) AS f,
-         ntile(3) OVER (ORDER BY monetary DESC, user_id ASC) AS m
+cuts AS (
+  SELECT quantile_disc(recency_days, 1.0/3) AS cr1,
+         quantile_disc(recency_days, 2.0/3) AS cr2,
+         quantile_disc(freq, 1.0/3) AS cf1,
+         quantile_disc(freq, 2.0/3) AS cf2,
+         quantile_disc(monetary, 1.0/3) AS cm1,
+         quantile_disc(monetary, 2.0/3) AS cm2
   FROM prof
+),
+cut AS (
+  SELECT prof.*,
+         1 + CASE WHEN recency_days > cr1 THEN 1 ELSE 0 END
+           + CASE WHEN recency_days > cr2 THEN 1 ELSE 0 END AS r,
+         1 + CASE WHEN freq < cf2 THEN 1 ELSE 0 END
+           + CASE WHEN freq < cf1 THEN 1 ELSE 0 END AS f,
+         1 + CASE WHEN monetary < cm2 THEN 1 ELSE 0 END
+           + CASE WHEN monetary < cm1 THEN 1 ELSE 0 END AS m
+  FROM prof CROSS JOIN cuts
 ),
 seg AS (
   SELECT CASE WHEN r = 1 AND f = 1 AND m = 1 THEN 'champion'
@@ -4838,23 +4884,47 @@ _EQUIDEPTH_BUCKETS = 10
 
 
 def equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Equi-DEPTH histogram of order totals: ten equal-count buckets
-    with their value boundaries — the histogram shape a cost-based
-    optimizer actually stores (equi-width, price_histogram's shape,
-    wastes buckets on empty ranges under skew; equi-depth adapts).
+    """Equi-DEPTH histogram of order totals: ten near-equal-count
+    buckets with their value boundaries — the histogram shape a
+    cost-based optimizer actually stores (equi-width,
+    price_histogram's shape, wastes buckets on empty ranges under
+    skew; equi-depth adapts).
 
-    One ntile window over the value order (range-partitioned sort at
-    scale — the same machinery as range_partition_bounds), then a
-    map-combined per-bucket rollup of count/min/max/DECIMAL sum.
+    VERDICT r5 rewrite: the original plan ran ntile(10) over an
+    UNPARTITIONED window — a single-partition sort of the whole fact
+    table (Spark does NOT range-partition an unpartitioned ntile).
+    Now the 9 bucket boundaries come from percentile_disc over the
+    deterministic 4% md5-gated sample (the range_partition_bounds
+    machinery, round4.py — percentile_disc returns an actual data
+    value, bit-identical across engines; the sample bounds memory at
+    |table|/25 regardless of scale), the 1-row bound set is
+    broadcast, bucket assignment is a row-local CASE chain, and the
+    rollup is one map-combined aggregation. Bucket counts are
+    near-equal rather than exactly equal — which is what a sampled
+    equi-depth histogram IS (Spark's own RangePartitioner accepts the
+    same tolerance); the n column now doubles as the balance proof.
     """
     orders = _t(spark, sf_dir, "orders")
-    w = Window.orderBy(F.asc("o_totalprice"), F.asc("o_orderkey"))
-    bucketed = orders.select(
-        F.col("o_totalprice").cast(DEC).alias("v"),
-        F.ntile(_EQUIDEPTH_BUCKETS).over(w).alias("bucket"),
+    qs = [i / _EQUIDEPTH_BUCKETS for i in range(1, _EQUIDEPTH_BUCKETS)]
+    gate = F.expr(X.hash64_spark("cast(o_orderkey as string)")) % 100 < 4
+    bounds = orders.filter(gate).agg(
+        *[
+            F.expr(
+                f"percentile_disc({q}) WITHIN GROUP (ORDER BY o_totalprice)"
+            ).alias(f"b{i}")
+            for i, q in enumerate(qs, start=1)
+        ]
     )
+    bucket = F.lit(1)
+    for i in range(1, _EQUIDEPTH_BUCKETS):
+        bucket = bucket + (F.col("o_totalprice") > F.col(f"b{i}")).cast("int")
     return (
-        bucketed.groupBy("bucket")
+        orders.select(
+            "o_totalprice", F.col("o_totalprice").cast(DEC).alias("v")
+        )
+        .crossJoin(F.broadcast(bounds))
+        .select(bucket.alias("bucket"), "v")
+        .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.round(F.min("v"), 2).cast("double").alias("lo"),
@@ -4867,12 +4937,29 @@ def equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ROUND5_QUERIES["equidepth_histogram"] = equidepth_histogram
 
-ROUND5_ORACLES["equidepth_histogram"] = f"""
-WITH bucketed AS (
-  SELECT CAST(o_totalprice AS DECIMAL(27,6)) AS v,
-         ntile({_EQUIDEPTH_BUCKETS}) OVER (
-           ORDER BY o_totalprice ASC, o_orderkey ASC) AS bucket
-  FROM orders
+
+def _equidepth_oracle() -> str:
+    qs = [i / _EQUIDEPTH_BUCKETS for i in range(1, _EQUIDEPTH_BUCKETS)]
+    bound_cols = ", ".join(
+        f"quantile_disc(o_totalprice, {q}) AS b{i}"
+        for i, q in enumerate(qs, start=1)
+    )
+    bucket_expr = " + ".join(
+        ["1"]
+        + [
+            f"CASE WHEN o_totalprice > b{i} THEN 1 ELSE 0 END"
+            for i in range(1, _EQUIDEPTH_BUCKETS)
+        ]
+    )
+    gate = X.hash64_duck("cast(o_orderkey as VARCHAR)")
+    return f"""
+WITH bounds AS (
+  SELECT {bound_cols} FROM orders WHERE {gate} % 100 < 4
+),
+bucketed AS (
+  SELECT {bucket_expr} AS bucket,
+         CAST(o_totalprice AS DECIMAL(27,6)) AS v
+  FROM orders CROSS JOIN bounds
 )
 SELECT bucket, count(*) AS n,
        round(min(v), 2)::DOUBLE AS lo,
@@ -4882,6 +4969,9 @@ FROM bucketed
 GROUP BY bucket
 ORDER BY bucket
 """
+
+
+ROUND5_ORACLES["equidepth_histogram"] = _equidepth_oracle()
 
 
 # ---------------------------------------------------------------------------
