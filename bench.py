@@ -180,6 +180,70 @@ BENCH_QUERIES = [
     "kmv_source_overlap",
     "doc_window_chunks",
     "multimodal_image",
+    # Round-6 bench widening (VERDICT r5 item 4): full catalog except the
+    # exclusions listed at the end of this comment block.
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q10_returned_items",
+    "q11_important_values",
+    "q12_priority_lines",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_part_supplier_counts",
+    "q17_small_quantity",
+    "q19_disjunctive_revenue",
+    "q20_excess_suppliers",
+    "q22_inactive_customers",
+    "mode_impute",
+    "flh_pivot",
+    "profile_normalize",
+    "neighbor_expansion",
+    "transmission_attrs",
+    "export_demand_matrix",
+    "lang_id",
+    "time_weighted_avg",
+    "scd2_snapshot",
+    "token_entropy",
+    "funnel_conversion",
+    "retention_cohorts",
+    "interval_binning",
+    "label_centroids",
+    "expand_multivalue",
+    "recode_group",
+    "shares_normalize",
+    "pivot_wide",
+    "unpivot_long",
+    "dedup_names",
+    "ffill_impute",
+    "clean_names_ascii",
+    "calendar_enrich",
+    "cohort_rollup",
+    "expansion_grid",
+    "dedup_exact",
+    "dedup_fingerprint",
+    "winnow_fingerprints",
+    "quality_topk_per_source",
+    "deterministic_sample",
+    "champion_postings",
+    "oov_rate_sweep",
+    "k_anonymity_audit",
+    "blocking_quality_eval",
+    "chunk_boundary_dups",
+    # Excluded, with reasons (VERDICT r5 item 4 — one comment per key):
+    #   streaming_sessions / streaming_rate_limit / streaming_hourly_stats /
+    #   streaming_sliding_counts / streaming_hourly_drift — run the
+    #   Structured Streaming engine against a file-stream fixture; their
+    #   wall time measures micro-batch scheduling, not the plan.
+    #   multimodal_decode / multimodal_frames / multimodal_audio — attach
+    #   synthesized binary payloads in-memory before decoding; timing is
+    #   payload synthesis, not the operator (multimodal_image, which IS
+    #   benched, covers the real PNG decode path).
+    #   ppjoin_similarity — documented prefix-filter worst case on the
+    #   31-word synthetic vocab (114k true pairs at sf0.1); correctness-
+    #   gated at sf0.01 instead.
 ]
 
 

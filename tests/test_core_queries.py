@@ -40,3 +40,30 @@ def test_every_query_documents_itself():
         if not (fn.__doc__ and len(fn.__doc__.strip()) >= 40)
     ]
     assert not thin, thin
+
+
+def test_every_query_has_a_survey_row():
+    """Registry parity with the coverage checklist (VERDICT r5 item 3:
+    five operators once landed with no SURVEY §2 rows and were invisible
+    to the coverage audit). Every catalog key must appear backticked in
+    SURVEY.md; a key without a row fails here the moment it registers."""
+    import os
+
+    survey = open(
+        os.path.join(os.path.dirname(__file__), "..", "SURVEY.md")
+    ).read()
+    unlisted = [name for name in QUERIES if f"`{name}`" not in survey]
+    assert not unlisted, unlisted
+
+
+def test_every_query_is_benched_or_excluded():
+    """bench.py must either time a catalog key or name it in the
+    documented-exclusions comment block — silent bench gaps hide
+    per-round perf regressions (VERDICT r5 item 4)."""
+    import os
+
+    src = open(
+        os.path.join(os.path.dirname(__file__), "..", "bench.py")
+    ).read()
+    gaps = [name for name in QUERIES if name not in src]
+    assert not gaps, gaps

@@ -17,6 +17,158 @@ from pyprima_spark.plans.queries import QUERIES
 from pyprima_spark.session import build_session
 
 
+# --- Plan-shape regression gate (VERDICT r5 item 5) -----------------------
+#
+# The two unpartitioned-ntile findings that round were invisible to both
+# the correctness gate and the sf0.1 bench — only a plan read caught them.
+# This automates the read: walk every catalog key's physical plan and fail
+# on shapes that are fine at test scale but melt at 100 TB.
+#
+# Keys allowed an UNPARTITIONED window: each ranks over an input that is
+# an AGGREGATE bounded by a documented dimension (vocab size, part count,
+# key census, …) — the accepted WindowGroupLimit/top-k class from the r5
+# verdict. Anything else with a global window fails the gate.
+GLOBAL_WINDOW_ALLOWED = {
+    # bounded by |vocab| (distinct terms), documented in docstrings
+    "vocab_coverage",
+    "oov_rate_sweep",
+    "bpe_token_count",
+    "tfidf_top_terms",
+    "heavy_hitters",
+    "cooccurrence_pmi",
+    "champion_postings",
+    # bounded by |parts| / |keys| / histogram-bin census
+    "key_gini",
+    "pareto_revenue",
+    "key_skew_profile",
+    "price_histogram",
+    "equidepth_histogram",
+    "join_cardinality_estimate",
+    "market_basket_pairs",
+    "copurchase_similarity",
+    # bounded by cluster/sample/eval censuses
+    "cluster_representatives",
+    "ann_recall_eval",
+    "lsh_precision_eval",
+    "approx_quantile_bands",
+    "weighted_median",
+    "cusum_changepoint",
+    "ks_drift",
+    "drift_tv_distance",
+    "psi_drift",
+    "equidepth_histogram",
+    "skyline_pareto",
+    "capped_distribution",
+    "quantile_normalize",
+    "table_profile",
+    "table_profile_approx",
+    "grouped_regression",
+    "seasonal_profile",
+    "compaction_plan",
+    "data_mixture_plan",
+    "kmv_source_overlap",
+    "kmv_distinct_sketch",
+    "sequence_packing",
+    "ordered_string_export",
+    "deterministic_shuffle",
+    "graph_modularity",
+    "interval_union_coverage",
+    "peak_concurrency",
+    # bounded by |event_types|^3 path census (docstring)
+    "session_paths",
+}
+
+# BroadcastNestedLoopJoin build sides that are bounded by a PUSHED LITERAL
+# id filter (query set = first-N ids; PushedFilters [LessThan(doc_id, N)])
+# — real boundedness the tree walk can't prove without parsing filter
+# literals. One comment per key:
+BNLJ_BOUNDED_ALLOWED = {
+    "ann_topk",  # query side = doc_id < ANN_N_QUERIES pushed scan filter
+    "ann_ivf",  # same pushed query-set filter
+    "ann_lsh",  # same pushed query-set filter
+    "ann_recall_eval",  # evaluates the same pushed query set
+    "ann_pq",  # same pushed query-set filter
+    "hard_negative_mining",  # anchor set = pushed literal id filter
+    "embedding_dedup",  # verify join: broadcast side is the candidate-pair table (df-cutoff bounded)
+}
+
+
+def _walk(node):
+    """Yield every node of a physical plan tree (descending through AQE)."""
+    name = node.nodeName()
+    if name == "AdaptiveSparkPlan":
+        yield from _walk(node.initialPlan())
+        return
+    yield node
+    children = node.children()
+    for i in range(children.size()):
+        yield from _walk(children.apply(i))
+
+
+def _subtree_is_bounded(node) -> bool:
+    """True if a broadcast build side is visibly bounded: contains an
+    aggregate (1-row / census outputs), a LocalTableScan (literal dim),
+    or a scan of a bounded dim table."""
+    for n in _walk(node):
+        nm = n.nodeName()
+        if "Aggregate" in nm or nm in ("LocalTableScan", "Range"):
+            return True
+        # createDataFrame literal dims (fold cuts, query-term sets) plan
+        # as Scan ExistingRDD — only literal dims use that path here.
+        if "ExistingRDD" in nm:
+            return True
+        if nm.startswith("Scan") and any(
+            d in n.toString().split("\n")[0]
+            for d in ("region", "nation", "supplier", "part.")
+        ):
+            return True
+        if nm in ("ReusedExchange", "ReusedSubquery"):
+            return True
+    return False
+
+
+def shape_violations(spark, sf_dir: str, keys=None) -> list[str]:
+    """Return ['key: problem', ...] for plan shapes that break at scale:
+    (a) unpartitioned WindowExec/WindowGroupLimit outside the documented
+    bounded-input allowlist, (b) CartesianProduct anywhere, (c)
+    BroadcastNestedLoopJoin whose build side is not visibly bounded."""
+    problems: list[str] = []
+    for name in sorted(keys or QUERIES):
+        if name.startswith("streaming"):
+            continue
+        plan = QUERIES[name](spark, sf_dir)._jdf.queryExecution().executedPlan()
+        for node in _walk(plan):
+            nm = node.nodeName()
+            if nm == "CartesianProduct":
+                problems.append(f"{name}: CartesianProduct")
+            elif nm == "Window" and name not in GLOBAL_WINDOW_ALLOWED:
+                if node.partitionSpec().isEmpty() and not any(
+                    d.nodeName() in ("WindowGroupLimit", "TakeOrderedAndProject")
+                    for d in _walk(node)
+                ):
+                    # WindowGroupLimit / TakeOrderedAndProject below the
+                    # window = Spark's distributed top-k pushdown: each
+                    # map task keeps k rows, the single partition sees
+                    # k x n_partitions rows — the accepted global-rank
+                    # shape. Without one, the full input sorts on ONE
+                    # partition: the equidepth/rfm failure class.
+                    problems.append(f"{name}: unpartitioned {nm}")
+            elif (
+                nm == "BroadcastNestedLoopJoin"
+                and name not in BNLJ_BOUNDED_ALLOWED
+            ):
+                side = str(node.buildSide())
+                build = (
+                    node.right() if side.endswith("Right") else node.left()
+                )
+                if not _subtree_is_bounded(build):
+                    problems.append(
+                        f"{name}: BroadcastNestedLoopJoin with unbounded "
+                        f"{side} build side"
+                    )
+    return sorted(set(problems))
+
+
 def audit(sf_dir: str) -> None:
     spark = build_session("plan_audit")
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
