@@ -37,5 +37,29 @@ def materialize(
     """
     if checkpoint_dir is None:
         return df.localCheckpoint(eager=eager)
-    df.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+    sc = df.sparkSession.sparkContext
+    # setCheckpointDir appends a per-context UUID subdir; compare the
+    # PARENT of the effective dir to decide whether this is a retarget.
+    current = sc._jsc.sc().getCheckpointDir()
+    cur_parent = (
+        None
+        if current.isEmpty()
+        else current.get().split("://")[-1].removeprefix("file:").rsplit("/", 1)[0]
+    )
+    import os
+
+    want = os.path.abspath(checkpoint_dir).rstrip("/")
+    if cur_parent != want:
+        # The checkpoint dir is GLOBAL SparkContext state, consumed at
+        # ACTION time — with eager=False two operators pointing at
+        # different dirs could race and checkpoint into the wrong one
+        # (ADVICE r5). Set it once per session; a lazy checkpoint with a
+        # dir CHANGE is the racy combination, so refuse it.
+        if not eager and cur_parent is not None:
+            raise ValueError(
+                "materialize(eager=False) cannot retarget the session "
+                f"checkpoint dir ({cur_parent} -> {want}); "
+                "use eager=True or keep one dir per session"
+            )
+        sc.setCheckpointDir(checkpoint_dir)
     return df.checkpoint(eager=eager)

@@ -318,12 +318,17 @@ def decode_png_rgb(payload: bytes):
 
     if payload[:8] != _PNG_SIG:
         raise ValueError("not a PNG")
-    pos, w = 8, None
+    pos, w, h = 8, None, None
     idat = b""
     while pos < len(payload):
         (ln,) = struct.unpack(">I", payload[pos : pos + 4])
         tag = payload[pos + 4 : pos + 8]
         body = payload[pos + 8 : pos + 8 + ln]
+        (crc,) = struct.unpack(
+            ">I", payload[pos + 8 + ln : pos + 12 + ln]
+        )
+        if crc != _zlib.crc32(tag + body):
+            raise ValueError(f"PNG chunk CRC mismatch in {tag!r}")
         if tag == b"IHDR":
             w, h, depth, ctype, _, _, interlace = struct.unpack(
                 ">IIBBBBB", body
@@ -331,10 +336,16 @@ def decode_png_rgb(payload: bytes):
             if (depth, ctype, interlace) != (8, 2, 0):
                 raise ValueError("only 8-bit RGB non-interlaced supported")
         elif tag == b"IDAT":
+            if w is None:
+                # spec: IHDR must precede IDAT; without it w/h are
+                # unknown and a later NameError would mislead (ADVICE r5)
+                raise ValueError("missing IHDR before IDAT")
             idat += body
         elif tag == b"IEND":
             break
         pos += 12 + ln
+    if w is None or h is None:
+        raise ValueError("missing IHDR")
     raw = _zlib.decompress(idat)
     stride = w * 3
     out = np.empty((h, w, 3), dtype=np.uint8)

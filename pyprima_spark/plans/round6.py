@@ -214,10 +214,14 @@ def data_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     All reported numbers are exact integers: sqrt(bigint-valued
     double) is correctly rounded and floor()ed into integer space
-    before any ratio, every ratio is a single `div`, and the epoch
-    count is a ceiling division — no double ever rounds. The census is
-    one map-combined aggregation; the totals row joins back via a
-    broadcast of ONE row.
+    before any ratio, and the epoch count is a ceiling division — no
+    double ever rounds. The big products (2·total_tokens·sqrt_tok,
+    target_tokens·10000) are computed by EXACT split-integer
+    arithmetic — floor(a·b/c) = b·(a div c) + (b·(a mod c)) div c —
+    so no BIGINT intermediate exceeds ~2·total_tokens (ADVICE r5: the
+    naive products overflow long before 100 TB; the split form is
+    exact to exabyte-scale corpora). The census is one map-combined
+    aggregation; the totals row joins back via a broadcast of ONE row.
     """
     docs = _t(spark, sf_dir, "documents")
     census = docs.groupBy("source").agg(
@@ -245,7 +249,9 @@ def data_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "share_bp"
             ),
             F.expr(
-                "cast(2 * total_tokens * sqrt_tok div total_sqrt as bigint)"
+                "cast(2 * sqrt_tok * (total_tokens div total_sqrt)"
+                " + (2 * sqrt_tok * (total_tokens % total_sqrt))"
+                " div total_sqrt as bigint)"
             ).alias("target_tokens"),
         )
         .select(
@@ -254,9 +260,10 @@ def data_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tokens",
             "share_bp",
             "target_tokens",
-            F.expr("cast(target_tokens * 10000 div tokens as int)").alias(
-                "rate_bp"
-            ),
+            F.expr(
+                "cast((target_tokens div tokens) * 10000"
+                " + ((target_tokens % tokens) * 10000) div tokens as int)"
+            ).alias("rate_bp"),
             F.expr("cast((target_tokens + tokens - 1) div tokens as int)").alias(
                 "epochs"
             ),
@@ -281,16 +288,20 @@ tot AS (
   SELECT CAST(sum(sqrt_tok) AS BIGINT) AS total_sqrt,
          CAST(sum(tokens) AS BIGINT) AS total_tokens
   FROM s
+),
+targeted AS (
+  SELECT source, n_docs, tokens,
+         CAST(sqrt_tok * 10000 // total_sqrt AS INT) AS share_bp,
+         CAST(2 * sqrt_tok * (total_tokens // total_sqrt)
+              + (2 * sqrt_tok * (total_tokens % total_sqrt)) // total_sqrt
+              AS BIGINT) AS target_tokens
+  FROM s, tot
 )
-SELECT source, n_docs, tokens,
-       CAST(sqrt_tok * 10000 // total_sqrt AS INT) AS share_bp,
-       CAST(2 * total_tokens * sqrt_tok // total_sqrt AS BIGINT)
-         AS target_tokens,
-       CAST((2 * total_tokens * sqrt_tok // total_sqrt) * 10000 // tokens
-            AS INT) AS rate_bp,
-       CAST(((2 * total_tokens * sqrt_tok // total_sqrt) + tokens - 1)
-            // tokens AS INT) AS epochs
-FROM s, tot ORDER BY source
+SELECT source, n_docs, tokens, share_bp, target_tokens,
+       CAST((target_tokens // tokens) * 10000
+            + ((target_tokens % tokens) * 10000) // tokens AS INT) AS rate_bp,
+       CAST((target_tokens + tokens - 1) // tokens AS INT) AS epochs
+FROM targeted ORDER BY source
 """
 
 

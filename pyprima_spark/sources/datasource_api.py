@@ -20,6 +20,14 @@ tile file, so the parse parallelizes across executors exactly like the
 mapInPandas path; the shapefile source is single-partition by format
 nature (one file). Both decode with the verifying stdlib parsers —
 no GDAL anywhere.
+
+FILESYSTEM CONTRACT (ADVICE r5): these readers open paths with builtin
+``open()``/``glob`` INSIDE executor partitions — load() paths must be
+readable at the same location from every executor: local disk in
+local[k] (the tested env) or a shared mount (NFS / fuse-mounted object
+store) on a multi-node cluster. Raw HDFS/S3 URLs are not supported;
+the binaryFile-based `read_raster_tiles` covers remote filesystems for
+GeoTIFF ingest (Spark's own source handles the IO there).
 """
 
 from __future__ import annotations

@@ -173,7 +173,18 @@ def write_raster_tiles(
     collect, no global raster array). Missing cells within a tile are
     zero-filled; the tile grid is the shuffle key, so skew is bounded
     by tile population. Returns the manifest (tile ids, path, bytes,
-    checksum) — the census a catalog ingests."""
+    checksum) — the census a catalog ingests.
+
+    FILESYSTEM CONTRACT (ADVICE r5): tiles are written with builtin
+    ``open()`` FROM THE EXECUTOR — ``out_dir`` must therefore be a
+    filesystem every executor AND the manifest's consumers can reach
+    at the same path: local disk in local[k] (the tested env), or a
+    shared mount (NFS / fuse-mounted object store) on a multi-node
+    cluster. Raw HDFS/S3 URLs are NOT supported by this writer; for
+    those, target a mounted path or swap the ``open()`` for an
+    fsspec/Hadoop-FS client. ``latidx``/``lonidx`` must be >= 0
+    (validated below — a negative index would silently wrap into the
+    wrong tile row via numpy's negative indexing)."""
     import hashlib
     import os
 
@@ -196,6 +207,14 @@ def write_raster_tiles(
         arr = np.zeros((tile_size, tile_size), dtype="<f4")
         la = pdf["la"].to_numpy() - tla * tile_size
         lo = pdf["lo"].to_numpy() - tlo * tile_size
+        if (pdf["la"] < 0).any() or (pdf["lo"] < 0).any():
+            # Negative grid indices would flip sign under `div` and wrap
+            # through numpy fancy indexing into the WRONG tile row/col —
+            # corrupt output, not an error. Refuse instead (ADVICE r5).
+            raise ValueError(
+                f"negative {lat_col}/{lon_col} in tile ({tla},{tlo}); "
+                "grid indices must be >= 0"
+            )
         arr[la, lo] = pdf["v"].to_numpy().astype("<f4")
         west = origin_west + tlo * tile_size * pixel_size
         north = origin_north - tla * tile_size * pixel_size

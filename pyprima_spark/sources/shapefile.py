@@ -124,7 +124,14 @@ def write_point_shapefile(
     """Write `df` as `<out_base>.shp/.shx/.dbf` from ONE executor task
     (coalesce(1) + mapInPandas — the single-file CSV export pattern;
     the driver never holds the rows). Rows are sorted by (name, x, y)
-    for a deterministic record order. Returns a 1-row manifest."""
+    for a deterministic record order. Returns a 1-row manifest.
+
+    FILESYSTEM CONTRACT (ADVICE r5): the three files are written with
+    builtin ``open()`` FROM THE EXECUTOR — ``out_base``'s directory
+    must be reachable at the same path from every executor and from
+    the manifest's consumers: local disk in local[k] (the tested env)
+    or a shared mount on a multi-node cluster. Raw HDFS/S3 URLs are
+    not supported by this writer."""
     import hashlib
 
     import pandas as pd
