@@ -232,6 +232,7 @@ BENCH_QUERIES = [
     "k_anonymity_audit",
     "blocking_quality_eval",
     "chunk_boundary_dups",
+    "raster_export_manifest",
     # Excluded, with reasons (VERDICT r5 item 4 — one comment per key):
     #   streaming_sessions / streaming_rate_limit / streaming_hourly_stats /
     #   streaming_sliding_counts / streaming_hourly_drift — run the

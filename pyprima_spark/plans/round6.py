@@ -1642,3 +1642,109 @@ pairs AS (
 SELECT source_prev, source_next, count(*) AS n_pairs
 FROM pairs GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# raster_export_manifest — distributed GeoTIFF export through the catalog
+# ---------------------------------------------------------------------------
+
+_REM_TILE = 64
+
+
+def raster_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed GeoTIFF tile export driven through the catalog
+    (SURVEY §2 #190; VERDICT r5 item 6 — the GIS surface previously had
+    only pytest coverage): rasterize the region-mask grid (the
+    region_mask_raster overlay, value = overlapping-region count — an
+    integer, so the float32 tile samples are exact), export it tile by
+    tile with ``write_raster_tiles`` (TIFF 6.0 + WGS84 GeoKeys encoded
+    on the EXECUTORS, one applyInPandas group per tile), re-read every
+    tile with the verifying stdlib parser via Spark's binaryFile
+    source, and emit the per-tile census: cell count, value total, and
+    index bbox. A single corrupt byte in any encoder field breaks the
+    decode (CRC-checked chunks are PNG; here the verifying TIFF parser
+    rejects malformed tags), so the closed-form oracle — the same grid
+    arithmetic in pure SQL, no file anywhere — gates the full
+    encode→write→list→decode round trip.
+
+    Scale shape: the grid fanout is sequence+explode on executors
+    (region_mask_raster's audited plan), the tile write shuffles once
+    on the tile key, the read-back parallelizes per tile file via
+    binaryFile, and the census is one map-combined aggregation.
+    Reference parity: array2raster + the per-window raster exports of
+    input_maps.py (spatial_functions.py:190).
+    """
+    import tempfile
+
+    from pyprima_spark.sources.geotiff import (
+        read_raster_tiles,
+        write_raster_tiles,
+    )
+
+    reg = _t(spark, sf_dir, "region")
+    boxes = reg.select(
+        (F.col("r_regionkey") * 37 % 120).alias("la0"),
+        (F.col("r_regionkey") * 53 % 288).alias("lo0"),
+    )
+    cells = boxes.select(
+        F.explode(F.sequence(F.col("la0"), F.col("la0") + 39)).alias("latidx"),
+        "lo0",
+    ).select(
+        "latidx",
+        F.explode(F.sequence(F.col("lo0"), F.col("lo0") + 71)).alias("lonidx"),
+    )
+    grid = cells.groupBy("latidx", "lonidx").agg(
+        F.count(F.lit(1)).cast("double").alias("value")
+    )
+
+    out_dir = tempfile.mkdtemp(prefix="pyprima_raster_export_")
+    manifest = write_raster_tiles(grid, out_dir, tile_size=_REM_TILE)
+    # Force the distributed write before planning the read-back scan
+    # (binaryFile lists the directory at load time). One driver scalar,
+    # same class as the iterative-algorithm convergence counts.
+    manifest.count()
+
+    back = read_raster_tiles(spark, out_dir)
+    return (
+        back.groupBy(
+            F.expr(f"latidx div {_REM_TILE}").alias("tla"),
+            F.expr(f"lonidx div {_REM_TILE}").alias("tlo"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum(F.col("value").cast("bigint")).alias("total_value"),
+            F.min("latidx").alias("la_min"),
+            F.max("latidx").alias("la_max"),
+            F.min("lonidx").alias("lo_min"),
+            F.max("lonidx").alias("lo_max"),
+        )
+        .orderBy("tla", "tlo")
+    )
+
+
+ROUND6_QUERIES["raster_export_manifest"] = raster_export_manifest
+
+ROUND6_ORACLES["raster_export_manifest"] = f"""
+WITH boxes AS (
+  SELECT (r_regionkey * 37) % 120 AS la0,
+         (r_regionkey * 53) % 288 AS lo0
+  FROM region
+),
+cells AS (
+  SELECT la.latidx, lo.lonidx
+  FROM boxes,
+       unnest(generate_series(la0, la0 + 39)) la(latidx),
+       unnest(generate_series(lo0, lo0 + 71)) lo(lonidx)
+),
+grid AS (
+  SELECT latidx, lonidx, count(*) AS value FROM cells GROUP BY 1, 2
+)
+SELECT latidx // {_REM_TILE} AS tla,
+       lonidx // {_REM_TILE} AS tlo,
+       count(*) AS n_cells,
+       CAST(sum(value) AS BIGINT) AS total_value,
+       min(latidx) AS la_min, max(latidx) AS la_max,
+       min(lonidx) AS lo_min, max(lonidx) AS lo_max
+FROM grid
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
