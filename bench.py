@@ -233,6 +233,12 @@ BENCH_QUERIES = [
     "blocking_quality_eval",
     "chunk_boundary_dups",
     "raster_export_manifest",
+    "curriculum_phases",
+    "countmin_heavy_hitters",
+    "cluster_size_histogram",
+    "tokenizer_fertility",
+    "moving_average_decompose",
+    "contamination_attribution",
     # Excluded, with reasons (VERDICT r5 item 4 — one comment per key):
     #   streaming_sessions / streaming_rate_limit / streaming_hourly_stats /
     #   streaming_sliding_counts / streaming_hourly_drift — run the

@@ -1959,3 +1959,7 @@ FROM sized
 GROUP BY source
 ORDER BY source
 """
+
+from pyprima_spark.plans.round7 import ROUND7_ORACLES as _ROUND7_ORACLES
+
+ORACLES.update(_ROUND7_ORACLES)

@@ -2573,6 +2573,10 @@ def _register_rounds() -> None:
     from pyprima_spark.plans.round6 import ROUND6_QUERIES
 
     QUERIES.update(ROUND6_QUERIES)
+    # Round-7 additions: behind the round-6 batch.
+    from pyprima_spark.plans.round7 import ROUND7_QUERIES
+
+    QUERIES.update(ROUND7_QUERIES)
 
 
 _WINDOW_SIZE = 50
