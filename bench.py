@@ -239,6 +239,8 @@ BENCH_QUERIES = [
     "tokenizer_fertility",
     "moving_average_decompose",
     "contamination_attribution",
+    "woe_iv_binning",
+    "kaplan_meier_fulfillment",
     # Excluded, with reasons (VERDICT r5 item 4 — one comment per key):
     #   streaming_sessions / streaming_rate_limit / streaming_hourly_stats /
     #   streaming_sliding_counts / streaming_hourly_drift — run the

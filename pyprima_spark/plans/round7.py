@@ -588,3 +588,305 @@ SELECT train_source, eval_source,
 FROM eval_g JOIN train USING (gh)
 GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# woe_iv_binning — weight-of-evidence / information-value feature census
+# ---------------------------------------------------------------------------
+
+_WOE_BINS = 5
+
+
+def woe_iv_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-Evidence / Information-Value binning (SURVEY §2 #197)
+    — the credit-scoring / feature-selection staple: bin a continuous
+    feature (per-user total event value in cents), label each user by
+    an outcome (made >=1 purchase), and report per bin the WoE
+    ln(good share / bad share) and its IV contribution. The census
+    that ranks features before a model ever trains.
+
+    Scale shape: the per-user profile is one shuffle; the four
+    quintile cuts come from ONE exact percentile_disc aggregation
+    (broadcast-cut pattern — no sort window), bin assignment is
+    row-local, and the bin census is map-side combinable into
+    ``_WOE_BINS`` rows. Determinism: counts are exact integers;
+    WoE = ln of an exact integer rational with add-one smoothing
+    (psi_drift's guard for empty cells), truncated to DECIMAL(18,12)
+    (bigram_lm_score precedent) before any reuse; the IV term
+    multiplies that decimal by the exact share difference and
+    truncates again — one double cast per column at the output edge.
+    """
+    ev = _t(spark, sf_dir, "events")
+    prof = ev.groupBy("user_id").agg(
+        F.sum(F.expr("cast(round(value * 100) as bigint)")).alias("cents"),
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("good"),
+    )
+    qs = [i / _WOE_BINS for i in range(1, _WOE_BINS)]
+    cuts = prof.agg(
+        *[
+            F.expr(
+                f"percentile_disc({q}) WITHIN GROUP (ORDER BY cents)"
+            ).alias(f"c{i}")
+            for i, q in enumerate(qs, start=1)
+        ]
+    )
+    bin_col = F.lit(1)
+    for i in range(1, _WOE_BINS):
+        bin_col = bin_col + (F.col("cents") > F.col(f"c{i}")).cast("int")
+    binned = prof.crossJoin(F.broadcast(cuts)).select(
+        bin_col.alias("bin"), "good"
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("good").alias("n_good"),
+        F.sum(F.lit(1) - F.col("good")).alias("n_bad"),
+    )
+    tot = per_bin.agg(
+        F.sum("n_good").alias("tot_good"), F.sum("n_bad").alias("tot_bad")
+    )
+    smoothed = per_bin.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n_users",
+        "n_good",
+        "n_bad",
+        F.log(
+            (
+                (F.col("n_good") + 1)
+                * (F.col("tot_bad") + _WOE_BINS)
+            ).cast("double")
+            / (
+                (F.col("n_bad") + 1)
+                * (F.col("tot_good") + _WOE_BINS)
+            ).cast("double")
+        )
+        .cast("decimal(18,12)")
+        .alias("woe_d"),
+        (
+            (F.col("n_good") + 1).cast("double")
+            / (F.col("tot_good") + _WOE_BINS).cast("double")
+            - (F.col("n_bad") + 1).cast("double")
+            / (F.col("tot_bad") + _WOE_BINS).cast("double")
+        ).alias("share_diff"),
+    )
+    return (
+        smoothed.select(
+            "bin",
+            "n_users",
+            "n_good",
+            "n_bad",
+            F.col("woe_d").cast("double").alias("woe"),
+            (F.col("share_diff") * F.col("woe_d").cast("double"))
+            .cast("decimal(18,12)")
+            .cast("double")
+            .alias("iv_term"),
+        )
+        .orderBy("bin")
+    )
+
+
+ROUND7_QUERIES["woe_iv_binning"] = woe_iv_binning
+
+
+def _woe_oracle() -> str:
+    qs = [i / _WOE_BINS for i in range(1, _WOE_BINS)]
+    cut_cols = ", ".join(
+        f"quantile_disc(cents, {q}) AS c{i}" for i, q in enumerate(qs, start=1)
+    )
+    bin_expr = " + ".join(
+        ["1"]
+        + [
+            f"CASE WHEN cents > c{i} THEN 1 ELSE 0 END"
+            for i in range(1, _WOE_BINS)
+        ]
+    )
+    return f"""
+WITH prof AS (
+  SELECT user_id,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS good
+  FROM events GROUP BY user_id
+),
+cuts AS (SELECT {cut_cols} FROM prof),
+binned AS (
+  SELECT {bin_expr} AS bin, good FROM prof CROSS JOIN cuts
+),
+per_bin AS (
+  SELECT bin, count(*) AS n_users,
+         CAST(sum(good) AS BIGINT) AS n_good,
+         CAST(sum(1 - good) AS BIGINT) AS n_bad
+  FROM binned GROUP BY bin
+),
+tot AS (
+  SELECT CAST(sum(n_good) AS BIGINT) AS tot_good,
+         CAST(sum(n_bad) AS BIGINT) AS tot_bad
+  FROM per_bin
+),
+smoothed AS (
+  SELECT bin, n_users, n_good, n_bad,
+         CAST(ln(CAST((n_good + 1) * (tot_bad + {_WOE_BINS}) AS DOUBLE)
+                 / CAST((n_bad + 1) * (tot_good + {_WOE_BINS}) AS DOUBLE))
+              AS DECIMAL(18,12)) AS woe_d,
+         CAST(n_good + 1 AS DOUBLE) / CAST(tot_good + {_WOE_BINS} AS DOUBLE)
+           - CAST(n_bad + 1 AS DOUBLE) / CAST(tot_bad + {_WOE_BINS} AS DOUBLE)
+           AS share_diff
+  FROM per_bin CROSS JOIN tot
+)
+SELECT bin, n_users, n_good, n_bad,
+       woe_d::DOUBLE AS woe,
+       CAST(share_diff * woe_d::DOUBLE AS DECIMAL(18,12))::DOUBLE AS iv_term
+FROM smoothed ORDER BY bin
+"""
+
+
+ROUND7_ORACLES["woe_iv_binning"] = _woe_oracle()
+
+
+# ---------------------------------------------------------------------------
+# kaplan_meier_fulfillment — survival analysis of order fulfillment
+# ---------------------------------------------------------------------------
+
+_KM_CUTOFF = 60  # days; durations beyond are right-censored
+
+
+def kaplan_meier_fulfillment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival estimation of order fulfillment time per
+    priority (SURVEY §2 #198): duration = days from order to first
+    line shipment, right-censored at ``_KM_CUTOFF`` days; per
+    (priority, day) the at-risk count, events, and the cumulative
+    LOG-survival — the survival-analysis staple (time-to-event with
+    censoring) the catalog's distribution ops (histograms,
+    percentiles) cannot express because censored subjects leave the
+    risk set without an event.
+
+    Determinism: at-risk and event counts are exact integers; each
+    hazard term ln((n_t − d_t)/n_t) is ln of an exact integer rational
+    truncated to DECIMAL(18,12) (bigram_lm_score precedent) and the
+    cumulative sum is EXACT decimal addition via a rows-window — one
+    double cast at the output edge. Survival itself is exp(log_surv);
+    the log form is reported because decimal-summed logs are
+    engine-exact where a running product of doubles is not.
+
+    Scale shape: one join orders←min-ship-per-order (both sides
+    shuffle on orderkey once), a per-(priority, day) census bounded by
+    |priorities|·cutoff, and the at-risk/cumulative windows run over
+    that CENSUS partitioned by priority — never over the fact table.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    first_ship = li.groupBy("l_orderkey").agg(
+        F.min("l_shipdate").alias("ship")
+    )
+    dur = (
+        orders.join(first_ship, orders.o_orderkey == first_ship.l_orderkey)
+        .select(
+            "o_orderpriority",
+            F.datediff("ship", "o_orderdate").alias("t"),
+        )
+    )
+    per_t = (
+        dur.withColumn(
+            "t_obs",
+            F.when(F.col("t") <= _KM_CUTOFF, F.col("t")).otherwise(
+                F.lit(_KM_CUTOFF)
+            ),
+        )
+        .withColumn("event", (F.col("t") <= _KM_CUTOFF).cast("int"))
+        .groupBy("o_orderpriority", "t_obs")
+        .agg(
+            F.sum("event").alias("d"),
+            F.count(F.lit(1)).alias("leaving"),
+        )
+    )
+    w_cum = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("t_obs")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    at_risk = per_t.select(
+        "o_orderpriority",
+        "t_obs",
+        "d",
+        (
+            F.sum("leaving").over(
+                Window.partitionBy("o_orderpriority").orderBy("t_obs").rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            )
+            - F.coalesce(F.sum("leaving").over(w_cum), F.lit(0))
+        ).alias("n_risk"),
+    ).filter((F.col("d") > 0) & (F.col("n_risk") > F.col("d")))
+    # n_risk == d (everyone still at risk exits with an event — only
+    # possible in the terminal bucket) would make the hazard term
+    # ln(0) = -inf; that row means S(t) = 0 and is dropped on BOTH
+    # engines rather than ridden through a non-finite decimal.
+    hazard = at_risk.select(
+        "o_orderpriority",
+        "t_obs",
+        "n_risk",
+        "d",
+        F.log(
+            (F.col("n_risk") - F.col("d")).cast("double")
+            / F.col("n_risk").cast("double")
+        )
+        .cast("decimal(18,12)")
+        .alias("lh"),
+    )
+    w_surv = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("t_obs")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        hazard.select(
+            "o_orderpriority",
+            "t_obs",
+            "n_risk",
+            "d",
+            F.sum("lh").over(w_surv).cast("double").alias("log_surv"),
+        )
+        .orderBy("o_orderpriority", "t_obs")
+    )
+
+
+ROUND7_QUERIES["kaplan_meier_fulfillment"] = kaplan_meier_fulfillment
+
+ROUND7_ORACLES["kaplan_meier_fulfillment"] = f"""
+WITH first_ship AS (
+  SELECT l_orderkey, min(l_shipdate) AS ship FROM lineitem GROUP BY 1
+),
+dur AS (
+  SELECT o_orderpriority,
+         datediff('day', o_orderdate, ship) AS t
+  FROM orders JOIN first_ship ON o_orderkey = l_orderkey
+),
+per_t AS (
+  SELECT o_orderpriority,
+         CASE WHEN t <= {_KM_CUTOFF} THEN t ELSE {_KM_CUTOFF} END AS t_obs,
+         CAST(sum(CASE WHEN t <= {_KM_CUTOFF} THEN 1 ELSE 0 END) AS BIGINT)
+           AS d,
+         count(*) AS leaving
+  FROM dur GROUP BY 1, 2
+),
+at_risk AS (
+  SELECT o_orderpriority, t_obs, d,
+         sum(leaving) OVER (PARTITION BY o_orderpriority)
+           - coalesce(sum(leaving) OVER (
+               PARTITION BY o_orderpriority ORDER BY t_obs
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS n_risk
+  FROM per_t
+),
+hazard AS (
+  SELECT o_orderpriority, t_obs, n_risk, d,
+         CAST(ln(CAST(n_risk - d AS DOUBLE) / CAST(n_risk AS DOUBLE))
+              AS DECIMAL(18,12)) AS lh
+  FROM at_risk WHERE d > 0 AND n_risk > d
+)
+SELECT o_orderpriority, t_obs, CAST(n_risk AS BIGINT) AS n_risk, d,
+       CAST(sum(lh) OVER (
+         PARTITION BY o_orderpriority ORDER BY t_obs
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS log_surv
+FROM hazard
+ORDER BY o_orderpriority, t_obs
+"""

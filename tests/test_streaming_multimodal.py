@@ -383,3 +383,47 @@ def test_real_png_decode_roundtrip_and_filters(spark):
             + _png_chunk(b"IEND", b"")
         )
         assert (decode_png_rgb(png) == arr).all()
+
+
+def test_stream_stream_outer_join_matches_batch(spark, sf_dir, tmp_path):
+    """LEFT OUTER stream-stream join: matched pairs must equal the
+    batch inner set; null-extended rows may only appear for purchases
+    whose join-state eviction point the final watermark passed (engine
+    semantics: outer results emit when no match can still arrive), and
+    every one must be genuinely unmatched in the batch left join."""
+    import pandas as pd
+
+    from pyprima_spark.catalog import load_table
+    from pyprima_spark.streaming.joins import (
+        purchase_click_pairs,
+        purchase_click_pairs_outer,
+        run_purchase_click_outer_stream,
+    )
+
+    spark.conf.set(
+        "spark.sql.streaming.checkpointLocation", str(tmp_path / "ckpt_sso")
+    )
+    streamed = run_purchase_click_outer_stream(spark, sf_dir, "t_pco").toPandas()
+    ev = load_table(spark, sf_dir, "events")
+    batch_inner = purchase_click_pairs(ev).toPandas()
+    batch_outer = purchase_click_pairs_outer(ev).toPandas()
+
+    s_matched = streamed[streamed["c_ts"].notna()]
+    key = ["purchase_id", "c_ts"]
+    s = s_matched.sort_values(key).reset_index(drop=True)
+    b = batch_inner.sort_values(key).reset_index(drop=True)
+    assert len(s) == len(b) and len(s) > 0
+    assert (s["purchase_id"].values == b["purchase_id"].values).all()
+
+    s_null = streamed[streamed["c_ts"].isna()]
+    batch_unmatched = set(
+        batch_outer.loc[batch_outer["c_ts"].isna(), "purchase_id"]
+    )
+    # every emitted null-extended purchase is truly unmatched...
+    assert set(s_null["purchase_id"]).issubset(batch_unmatched)
+    # ...and the tail withheld by the final watermark is the ONLY gap
+    wm_cut = pd.to_datetime(ev.toPandas()["ts"].max()) - pd.Timedelta("2 hours")
+    missing = batch_unmatched - set(s_null["purchase_id"])
+    if missing:
+        late = batch_outer[batch_outer["purchase_id"].isin(missing)]
+        assert (pd.to_datetime(late["p_ts"]) >= wm_cut - pd.Timedelta("1 hour")).all()
