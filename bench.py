@@ -241,6 +241,7 @@ BENCH_QUERIES = [
     "contamination_attribution",
     "woe_iv_binning",
     "kaplan_meier_fulfillment",
+    "markov_attribution",
     # Excluded, with reasons (VERDICT r5 item 4 — one comment per key):
     #   streaming_sessions / streaming_rate_limit / streaming_hourly_stats /
     #   streaming_sliding_counts / streaming_hourly_drift — run the

@@ -1,4 +1,4 @@
-"""Round-7 operators (SURVEY §2 #191–196).
+"""Round-7 operators (SURVEY §2 #191–199).
 
 Families / what each adds that the existing 223 keys do not:
 
@@ -23,6 +23,15 @@ Families / what each adds that the existing 223 keys do not:
 - contamination_attribution: WHICH train sources leak into which eval
   sources — the actionable readout on top of decontaminate_ngrams'
   how-much census (same split gate, same 8-gram hash space).
+- woe_iv_binning: Weight-of-Evidence / Information-Value feature
+  binning — percentile cuts + DECIMAL-truncated ln of exact integer
+  rationals (the credit-scoring feature-ranking staple).
+- kaplan_meier_fulfillment: survival analysis with right-censoring —
+  time-to-event semantics plain distribution ops cannot express.
+- markov_attribution: first-order Markov removal-effect channel
+  attribution — scenario-keyed fixed-point mass propagation in exact
+  BIGINT fixed-point arithmetic, the data-driven counterpart of
+  attribution_models' rule-based splits.
 
 Each key has an exact-match DuckDB oracle in ``ROUND7_ORACLES``;
 determinism rules follow functions/agg.py (integer arithmetic at every
@@ -890,3 +899,276 @@ SELECT o_orderpriority, t_obs, CAST(n_risk AS BIGINT) AS n_risk, d,
 FROM hazard
 ORDER BY o_orderpriority, t_obs
 """
+
+
+# ---------------------------------------------------------------------------
+# markov_attribution — removal-effect channel attribution
+# ---------------------------------------------------------------------------
+
+_MK_SCALE = 10**12  # probability mass fixed-point denominator
+_MK_ITERS = 12
+_MK_CHANNELS = ["click", "error", "signup", "view"]
+
+
+def markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov removal-effect attribution (SURVEY §2 #199)
+    — the data-driven alternative to rule-based attribution_models
+    (first/last/linear): build the channel transition graph from user
+    journeys (truncated at first purchase → CONV absorber; abandoned
+    journeys → DROP absorber), estimate the conversion probability by
+    ``_MK_ITERS`` steps of fixed-point mass propagation, re-run with
+    each channel removed (its inbound edges redirect to DROP, outbound
+    edges deleted), and report each channel's REMOVAL EFFECT — how
+    much conversion disappears without it — normalized to basis
+    points. The Shapley-flavored readout ad-spend allocation actually
+    uses.
+
+    Determinism: probability mass rides as BIGINT numerators at a
+    fixed 10^12 denominator; each propagation term is
+    ``(v·c_ij) div c_i`` — integer truncation per TERM, so the sum is
+    order-free and both engines produce bit-identical mass (the same
+    scheme as the catalog's exact-integer ratios, applied iteratively;
+    truncation loss is a deterministic lower bound, and a removal
+    scenario can only LOSE paths, so effects are clamped at 0).
+    At 100 TB c_ij approaches the BIGINT product bound — the
+    data_mixture_plan split-integer form is the documented upgrade.
+
+    Scale shape: the only corpus-sized work is the journey pair
+    extraction (one shuffle on user_id, two windows sharing it); the
+    transition matrix is |channels+3|² per scenario — broadcast-sized
+    — and all ``_MK_ITERS`` iterations run on (scenario, state) keyed
+    tables of ≤ 35 rows, stage-bounded by materialize() every few
+    rounds. The oracle unrolls the identical iterations as chained
+    CTEs (graph_k_core precedent).
+    """
+    ev = _t(spark, sf_dir, "events")
+    w_u = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = ev.select(
+        "user_id", "event_type", F.row_number().over(w_u).alias("rn")
+    )
+    conv_rn = (
+        ranked.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("rn").alias("prn"))
+    )
+    kept = ranked.join(conv_rn, "user_id", "left").filter(
+        F.col("prn").isNull() | (F.col("rn") <= F.col("prn"))
+    )
+    w_k = Window.partitionBy("user_id").orderBy("rn")
+    paired = kept.select(
+        "user_id",
+        "rn",
+        F.col("event_type").alias("src_t"),
+        F.lead("event_type").over(w_k).alias("nxt"),
+    )
+    mapped = F.when(F.col("nxt").isNull(), "DROP").otherwise(
+        F.when(F.col("nxt") == "purchase", "CONV").otherwise(F.col("nxt"))
+    )
+    start_rows = paired.filter(F.col("rn") == 1).select(
+        F.lit("START").alias("src"),
+        F.when(F.col("src_t") == "purchase", "CONV")
+        .otherwise(F.col("src_t"))
+        .alias("dst"),
+    )
+    step_rows = paired.filter(F.col("src_t") != "purchase").select(
+        F.col("src_t").alias("src"), mapped.alias("dst")
+    )
+    # The transition census is <= |states|^2 rows — coalesce to ONE
+    # partition before the stage boundary so the 12 iteration joins
+    # below schedule one task each instead of inheriting the corpus
+    # stage's 32-partition layout 12 times over (measured: 30 s -> ~2 s
+    # at sf0.1; at any scale this table is matrix-sized, never bigger).
+    counts = materialize(
+        start_rows.unionByName(step_rows)
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .coalesce(1)
+    )
+
+    scenarios = spark.createDataFrame(
+        [("none",)] + [(ch,) for ch in _MK_CHANNELS], "scenario string"
+    )
+    strans = (
+        scenarios.crossJoin(F.broadcast(counts))
+        .filter(F.col("src") != F.col("scenario"))
+        .select(
+            "scenario",
+            "src",
+            F.when(F.col("dst") == F.col("scenario"), "DROP")
+            .otherwise(F.col("dst"))
+            .alias("dst"),
+            "c",
+        )
+        .groupBy("scenario", "src", "dst")
+        .agg(F.sum("c").alias("c"))
+    )
+    totals = strans.groupBy("scenario", "src").agg(F.sum("c").alias("ct"))
+    loops = scenarios.crossJoin(
+        spark.createDataFrame([("CONV",), ("DROP",)], "src string")
+    ).select(
+        "scenario", "src", F.col("src").alias("dst"),
+        F.lit(1).cast("bigint").alias("c"), F.lit(1).cast("bigint").alias("ct"),
+    )
+    trans = materialize(
+        strans.join(totals, ["scenario", "src"])
+        .unionByName(loops)
+        .coalesce(1)
+    )
+
+    v = scenarios.select(
+        "scenario",
+        F.lit("START").alias("state"),
+        F.lit(_MK_SCALE).cast("bigint").alias("v"),
+    )
+    for t in range(_MK_ITERS):
+        vv = v.select(
+            F.col("scenario").alias("v_scen"),
+            F.col("state").alias("v_state"),
+            "v",
+        )
+        v = (
+            vv.join(
+                F.broadcast(trans),
+                (F.col("v_scen") == F.col("scenario"))
+                & (F.col("v_state") == F.col("src")),
+            )
+            .select(
+                "scenario",
+                F.col("dst").alias("state"),
+                F.expr("(v * c) div ct").alias("term"),
+            )
+            .groupBy("scenario", "state")
+            .agg(F.sum("term").alias("v"))
+            .coalesce(1)
+        )
+        # Stage boundary EVERY round: v is <= |scenarios|*|states| rows,
+        # so each iteration is one sub-second job and the final plan
+        # never deepens past one join (graph_k_core's per-round
+        # discipline at matrix size).
+        v = materialize(v)
+    final = v.filter(F.col("state") == "CONV").select("scenario", "v")
+    base = final.filter(F.col("scenario") == "none").select(
+        F.col("v").alias("base_v")
+    )
+    effects = (
+        final.filter(F.col("scenario") != "none")
+        .crossJoin(F.broadcast(base))
+        .select(
+            F.col("scenario").alias("removed_channel"),
+            F.col("v").alias("conv_x1e12"),
+            F.greatest(F.col("base_v") - F.col("v"), F.lit(0)).alias(
+                "removal_effect_x1e12"
+            ),
+        )
+    )
+    tot = effects.agg(F.sum("removal_effect_x1e12").alias("te"))
+    return (
+        effects.crossJoin(F.broadcast(tot))
+        .select(
+            "removed_channel",
+            "conv_x1e12",
+            "removal_effect_x1e12",
+            F.expr(
+                "cast(CASE WHEN te = 0 THEN 0 ELSE"
+                " removal_effect_x1e12 * 10000 div te END as int)"
+            ).alias("attribution_bp"),
+        )
+        .orderBy("removed_channel")
+    )
+
+
+ROUND7_QUERIES["markov_attribution"] = markov_attribution
+
+
+def _markov_oracle() -> str:
+    chans = ", ".join(f"('{c}')" for c in _MK_CHANNELS)
+    iters = []
+    prev = "v0"
+    for t in range(1, _MK_ITERS + 1):
+        iters.append(
+            f"v{t} AS (\n"
+            f"  SELECT s.scenario, s.dst AS state,\n"
+            f"         CAST(sum((p.v * s.c) // s.ct) AS BIGINT) AS v\n"
+            f"  FROM {prev} p JOIN strans s\n"
+            f"    ON p.scenario = s.scenario AND p.state = s.src\n"
+            f"  GROUP BY 1, 2\n)"
+        )
+        prev = f"v{t}"
+    return f"""
+WITH ranked AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+conv_rn AS (
+  SELECT user_id, min(rn) AS prn FROM ranked
+  WHERE event_type = 'purchase' GROUP BY 1
+),
+kept AS (
+  SELECT r.user_id, r.event_type, r.rn
+  FROM ranked r LEFT JOIN conv_rn USING (user_id)
+  WHERE prn IS NULL OR rn <= prn
+),
+paired AS (
+  SELECT user_id, rn, event_type AS src_t,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY rn) AS nxt
+  FROM kept
+),
+base_trans AS (
+  SELECT 'START' AS src,
+         CASE WHEN src_t = 'purchase' THEN 'CONV' ELSE src_t END AS dst
+  FROM paired WHERE rn = 1
+  UNION ALL
+  SELECT src_t,
+         CASE WHEN nxt IS NULL THEN 'DROP'
+              WHEN nxt = 'purchase' THEN 'CONV' ELSE nxt END
+  FROM paired WHERE src_t <> 'purchase'
+),
+counts AS (SELECT src, dst, count(*) AS c FROM base_trans GROUP BY 1, 2),
+scenarios AS (
+  SELECT 'none' AS scenario UNION ALL
+  SELECT ch FROM (VALUES {chans}) t(ch)
+),
+redirected AS (
+  SELECT scenario, src,
+         CASE WHEN dst = scenario THEN 'DROP' ELSE dst END AS dst,
+         CAST(sum(c) AS BIGINT) AS c
+  FROM scenarios CROSS JOIN counts
+  WHERE src <> scenario
+  GROUP BY 1, 2, 3
+),
+totals AS (
+  SELECT scenario, src, CAST(sum(c) AS BIGINT) AS ct
+  FROM redirected GROUP BY 1, 2
+),
+strans AS (
+  SELECT scenario, src, dst, c, ct FROM redirected JOIN totals
+    USING (scenario, src)
+  UNION ALL
+  SELECT scenario, a, a, 1, 1
+  FROM scenarios, (VALUES ('CONV'), ('DROP')) ab(a)
+),
+v0 AS (
+  SELECT scenario, 'START' AS state,
+         CAST({_MK_SCALE} AS BIGINT) AS v
+  FROM scenarios
+),
+{',' .join(iters)},
+final AS (SELECT scenario, v FROM {prev} WHERE state = 'CONV'),
+base AS (SELECT v AS base_v FROM final WHERE scenario = 'none'),
+effects AS (
+  SELECT scenario AS removed_channel, v AS conv_x1e12,
+         greatest(base_v - v, 0) AS removal_effect_x1e12
+  FROM final CROSS JOIN base WHERE scenario <> 'none'
+),
+tot AS (SELECT CAST(sum(removal_effect_x1e12) AS BIGINT) AS te FROM effects)
+SELECT removed_channel, conv_x1e12, removal_effect_x1e12,
+       CAST(CASE WHEN te = 0 THEN 0
+                 ELSE removal_effect_x1e12 * 10000 // te END AS INT)
+         AS attribution_bp
+FROM effects CROSS JOIN tot
+ORDER BY removed_channel
+"""
+
+
+ROUND7_ORACLES["markov_attribution"] = _markov_oracle()
