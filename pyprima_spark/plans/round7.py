@@ -973,23 +973,33 @@ def markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     step_rows = paired.filter(F.col("src_t") != "purchase").select(
         F.col("src_t").alias("src"), mapped.alias("dst")
     )
-    # The transition census is <= |states|^2 rows — coalesce to ONE
-    # partition before the stage boundary so the 12 iteration joins
-    # below schedule one task each instead of inheriting the corpus
-    # stage's 32-partition layout 12 times over (measured: 30 s -> ~2 s
-    # at sf0.1; at any scale this table is matrix-sized, never bigger).
+    # The transition census is <= |states|^2 rows — REPARTITION (not
+    # coalesce: coalesce(1) here would narrow the corpus-wide journey
+    # stage itself to one task) to a single partition at the stage
+    # boundary so the 12 iteration joins below schedule one task each.
     counts = materialize(
         start_rows.unionByName(step_rows)
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("c"))
-        .coalesce(1)
+        .repartition(1)
     )
 
-    scenarios = spark.createDataFrame(
-        [("none",)] + [(ch,) for ch in _MK_CHANNELS], "scenario string"
-    )
+    # Scenario expansion is an EXPLODE of a literal array over the
+    # one-partition matrix — no join anywhere, and per-(scenario, src)
+    # outgoing totals come from a window over the same 115-row frame.
+    # (The first cut crossJoined two literal dims and joined totals
+    # back: three broadcast exchanges whose fixed costs dwarfed the
+    # data 100x at this size — measured 12-290 s vs 2 s for this form.)
+    scen_names = ["none"] + _MK_CHANNELS
     strans = (
-        scenarios.crossJoin(F.broadcast(counts))
+        counts.select(
+            F.explode(
+                F.array(*[F.lit(s) for s in scen_names])
+            ).alias("scenario"),
+            "src",
+            "dst",
+            "c",
+        )
         .filter(F.col("src") != F.col("scenario"))
         .select(
             "scenario",
@@ -1002,20 +1012,23 @@ def markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("scenario", "src", "dst")
         .agg(F.sum("c").alias("c"))
     )
-    totals = strans.groupBy("scenario", "src").agg(F.sum("c").alias("ct"))
-    loops = scenarios.crossJoin(
-        spark.createDataFrame([("CONV",), ("DROP",)], "src string")
-    ).select(
-        "scenario", "src", F.col("src").alias("dst"),
-        F.lit(1).cast("bigint").alias("c"), F.lit(1).cast("bigint").alias("ct"),
+    w_tot = Window.partitionBy("scenario", "src")
+    loops = spark.createDataFrame(
+        [(s, a, a, 1, 1) for s in scen_names for a in ("CONV", "DROP")],
+        "scenario string, src string, dst string, c long, ct long",
     )
     trans = materialize(
-        strans.join(totals, ["scenario", "src"])
+        strans.select(
+            "scenario", "src", "dst", "c",
+            F.sum("c").over(w_tot).alias("ct"),
+        )
         .unionByName(loops)
-        .coalesce(1)
+        .repartition(1)
     )
 
-    v = scenarios.select(
+    v = spark.createDataFrame(
+        [(s,) for s in scen_names], "scenario string"
+    ).select(
         "scenario",
         F.lit("START").alias("state"),
         F.lit(_MK_SCALE).cast("bigint").alias("v"),
@@ -1041,11 +1054,13 @@ def markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("term").alias("v"))
             .coalesce(1)
         )
-        # Stage boundary EVERY round: v is <= |scenarios|*|states| rows,
-        # so each iteration is one sub-second job and the final plan
-        # never deepens past one join (graph_k_core's per-round
-        # discipline at matrix size).
-        v = materialize(v)
+        # Stage boundary every SECOND round: v is <= |scenarios|*|states|
+        # rows, so each checkpointed job is sub-second and the plan never
+        # deepens past two chained joins (graph_k_core's per-round
+        # discipline at matrix size; halving the job count halves the
+        # scheduler overhead that dominates at this data size).
+        if t % 2 == 1:
+            v = materialize(v)
     final = v.filter(F.col("state") == "CONV").select("scenario", "v")
     base = final.filter(F.col("scenario") == "none").select(
         F.col("v").alias("base_v")
