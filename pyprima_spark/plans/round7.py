@@ -1187,3 +1187,105 @@ ORDER BY removed_channel
 
 
 ROUND7_ORACLES["markov_attribution"] = _markov_oracle()
+
+
+# ---------------------------------------------------------------------------
+# model_workbook_roundtrip — urbs/evrys xlsx format driven through catalog
+# ---------------------------------------------------------------------------
+
+
+def model_workbook_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The urbs/evrys model-WORKBOOK format exercised through the
+    correctness gate (SURVEY §2 #200; the xlsx counterpart of
+    raster_export_manifest's GeoTIFF closure): assemble the Site and
+    Commodity sheets of the model bundle (model_export_bundle's
+    lineage, round4.py), write them as ONE multi-sheet .xlsx from a
+    single executor task (stdlib ZIP/XML encoder — the reference's
+    generate_models.py output format, config.py:778), re-read every
+    sheet through the binaryFile + executor-side decoder, and emit a
+    per-sheet census. The oracle computes the same census from the
+    same relational lineage in pure SQL — any byte defect in the
+    workbook encoder/decoder breaks the match.
+
+    Determinism across the file hop: values cross the format as
+    ``repr(float)`` which round-trips doubles exactly; the census sums
+    CENTS (bigint) so no double addition order matters.
+    """
+    import tempfile
+
+    from pyprima_spark.functions.agg import dec_avg
+    from pyprima_spark.sources.xlsx import read_xlsx_sheet, write_xlsx_book
+
+    nat = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+
+    site = nat.select(
+        F.lit("site").alias("sheet"),
+        F.col("n_name").alias("site"),
+        F.lit("area").alias("attr"),
+        (F.col("n_nationkey") * 13 % 50 + 10).cast("double").alias("value"),
+    )
+    commodity = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy("n_name", "o_orderpriority")
+        .agg(dec_avg("o_totalprice", 2).alias("value"))
+        .select(
+            F.lit("commodity").alias("sheet"),
+            F.col("n_name").alias("site"),
+            F.col("o_orderpriority").alias("attr"),
+            "value",
+        )
+    )
+    book_path = tempfile.mkdtemp(prefix="pyprima_model_") + "/model.xlsx"
+    manifest = write_xlsx_book(
+        site.unionByName(commodity),
+        book_path,
+        order_by=["site", "attr"],
+    )
+    manifest.count()  # force the write before planning the read-back
+
+    schema = "site string, attr string, value double"
+    read_back = read_xlsx_sheet(
+        spark, book_path, "site", schema
+    ).withColumn("sheet", F.lit("site")).unionByName(
+        read_xlsx_sheet(spark, book_path, "commodity", schema).withColumn(
+            "sheet", F.lit("commodity")
+        )
+    )
+    return (
+        read_back.groupBy("sheet")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("site").alias("n_sites"),
+            F.sum(F.expr("cast(round(value * 100) as bigint)")).alias(
+                "value_cents"
+            ),
+        )
+        .orderBy("sheet")
+    )
+
+
+ROUND7_QUERIES["model_workbook_roundtrip"] = model_workbook_roundtrip
+
+ROUND7_ORACLES["model_workbook_roundtrip"] = """
+WITH site AS (
+  SELECT 'site' AS sheet, n_name AS site, 'area' AS attr,
+         CAST(n_nationkey * 13 % 50 + 10 AS DOUBLE) AS value
+  FROM nation
+),
+commodity AS (
+  SELECT 'commodity' AS sheet, n_name AS site, o_orderpriority AS attr,
+         round(sum(CAST(o_totalprice AS DECIMAL(27,6)))::DOUBLE
+               / count(o_totalprice), 2) AS value
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name, o_orderpriority
+),
+allrows AS (SELECT * FROM site UNION ALL SELECT * FROM commodity)
+SELECT sheet, count(*) AS n_rows,
+       count(DISTINCT site) AS n_sites,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM allrows GROUP BY sheet ORDER BY sheet
+"""

@@ -139,7 +139,65 @@ class _GeoTiffReader(DataSourceReader):
             yield (la0 + y, lo0 + x, float(arr[y, x]))
 
 
+class XlsxDataSource(DataSource):
+    """``spark.read.format("xlsx").schema(ddl).option("sheet", name)
+    .load(dir_or_file)`` — the urbs/evrys model-workbook format as a
+    first-class source. Schema is USER-SUPPLIED (a workbook has no
+    fixed layout); header cells map to schema fields by NAME, so sheet
+    column order does not matter. Every matching workbook is one input
+    partition (executor-parallel parse via the stdlib ZIP/XML
+    decoder)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "xlsx"
+
+    def schema(self) -> StructType:
+        raise NotImplementedError(
+            "xlsx requires an explicit .schema(...) — a workbook has no "
+            "self-describing types"
+        )
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return _XlsxReader(
+            self.options["path"], self.options.get("sheet", "Sheet1"), schema
+        )
+
+
+class _XlsxReader(DataSourceReader):
+    def __init__(self, path: str, sheet: str, schema: StructType) -> None:
+        self.path = path
+        self.sheet = sheet
+        self.fields = [f.name for f in schema.fields]
+
+    def partitions(self):
+        import glob as _glob
+        import os
+
+        if os.path.isdir(self.path):
+            paths = sorted(_glob.glob(os.path.join(self.path, "*.xlsx")))
+        else:
+            paths = [self.path]
+        return [_TilePartition(p) for p in paths]
+
+    def read(self, partition: "_TilePartition"):
+        from pyprima_spark.sources.xlsx import decode_xlsx
+
+        with open(partition.path, "rb") as fh:
+            book = decode_xlsx(fh.read())
+        if self.sheet not in book:
+            return
+        header, rows = book[self.sheet]
+        idx = {name: i for i, name in enumerate(header)}
+        for row in rows:
+            yield tuple(
+                row[idx[f]] if f in idx and idx[f] < len(row) else None
+                for f in self.fields
+            )
+
+
 def register_gis_sources(spark) -> None:
-    """Register both formats on the session (idempotent)."""
+    """Register the custom formats on the session (idempotent)."""
     spark.dataSource.register(ShapefileDataSource)
     spark.dataSource.register(GeoTiffDataSource)
+    spark.dataSource.register(XlsxDataSource)

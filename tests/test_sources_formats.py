@@ -298,3 +298,123 @@ def test_python_datasource_gis_formats(spark, sf_dir, tmp_path):
     back = {(r.latidx, r.lonidx): r.value for r in tif_df.collect()}
     src = {(r.latidx, r.lonidx): float(r.value) for r in raster.collect()}
     assert set(back) == set(src)
+
+
+def test_xlsx_roundtrip_through_spark(spark, sf_dir, tmp_path):
+    """urbs/evrys model-file format leg (reference writes its model
+    outputs as .xlsx workbooks, generate_models.py): write a frame as
+    a workbook from one executor task, read it back via binaryFile +
+    executor-side ZIP/XML parse, and demand exact value equality."""
+    from pyspark.sql import functions as F
+
+    from pyprima_spark.catalog import load_table
+    from pyprima_spark.sources.xlsx import read_xlsx_sheet, write_xlsx
+
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", (F.col("n_regionkey") * 1.5).alias("w")
+    )
+    path = str(tmp_path / "model.xlsx")
+    manifest = write_xlsx(nat, path, sheet_name="Site").collect()
+    assert manifest[0].n_rows == nat.count() and manifest[0].n_bytes > 0
+
+    back = read_xlsx_sheet(
+        spark, str(tmp_path), "Site",
+        "n_nationkey long, n_name string, w double",
+    )
+    b = {r.n_nationkey: (r.n_name, r.w) for r in back.collect()}
+    s = {r.n_nationkey: (r.n_name, float(r.w)) for r in nat.collect()}
+    assert b == s
+
+
+def test_xlsx_multi_sheet_and_shared_strings(tmp_path):
+    """The decoder must also read books OUR writer did not produce:
+    a hand-assembled workbook using a sharedStrings table (the layout
+    Excel and openpyxl emit), multiple sheets, sparse rows, boolean
+    and formula-cached cells."""
+    import zipfile
+
+    from pyprima_spark.sources.xlsx import decode_xlsx, encode_xlsx
+
+    # multi-sheet through our own encoder first
+    payload = encode_xlsx(
+        {
+            "Demand": (["site", "t", "MW"], [("a", 1, 2.5), ("b", 2, 3.25)]),
+            "Process": (["name", "on"], [("pp", True)]),
+        }
+    )
+    book = decode_xlsx(payload)
+    assert list(book) == ["Demand", "Process"]
+    assert book["Demand"][1] == [["a", 1, 2.5], ["b", 2, 3.25]]
+    assert book["Process"][1] == [["pp", True]]
+
+    # foreign layout: sharedStrings + sparse row + formula cache
+    ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    rel = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+    pkg = "http://schemas.openxmlformats.org/package/2006/relationships"
+    sheet = (
+        f'<worksheet xmlns="{ns}"><sheetData>'
+        '<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c></row>'
+        '<row r="2"><c r="A2" t="s"><v>2</v></c><c r="B2"><v>7.5</v></c></row>'
+        '<row r="3"><c r="B3" t="str"><v>cached</v></c></row>'
+        "</sheetData></worksheet>"
+    )
+    sst = (
+        f'<sst xmlns="{ns}"><si><t>name</t></si><si><t>load</t></si>'
+        "<si><t>plant one</t></si></sst>"
+    )
+    buf = tmp_path / "foreign.xlsx"
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr(
+            "[Content_Types].xml",
+            '<Types xmlns="http://schemas.openxmlformats.org/package/2006/'
+            'content-types"/>',
+        )
+        zf.writestr(
+            "_rels/.rels",
+            f'<Relationships xmlns="{pkg}"><Relationship Id="rId1" '
+            f'Type="{rel}/officeDocument" Target="xl/workbook.xml"/>'
+            "</Relationships>",
+        )
+        zf.writestr(
+            "xl/workbook.xml",
+            f'<workbook xmlns="{ns}" xmlns:r="{rel}"><sheets>'
+            '<sheet name="Load" sheetId="1" r:id="rId1"/></sheets></workbook>',
+        )
+        zf.writestr(
+            "xl/_rels/workbook.xml.rels",
+            f'<Relationships xmlns="{pkg}"><Relationship Id="rId1" '
+            f'Type="{rel}/worksheet" Target="worksheets/sheet1.xml"/>'
+            "</Relationships>",
+        )
+        zf.writestr("xl/sharedStrings.xml", sst)
+        zf.writestr("xl/worksheets/sheet1.xml", sheet)
+    header, rows = decode_xlsx(buf.read_bytes())["Load"]
+    assert header == ["name", "load"]
+    assert rows == [["plant one", 7.5], [None, "cached"]]
+
+
+def test_xlsx_datasource_api(spark, sf_dir, tmp_path):
+    """The xlsx format registered through the Spark 4 Python DataSource
+    API: explicit schema, sheet option, name-based column mapping."""
+    from pyspark.sql import functions as F
+
+    from pyprima_spark.catalog import load_table
+    from pyprima_spark.sources.datasource_api import register_gis_sources
+    from pyprima_spark.sources.xlsx import write_xlsx
+
+    reg = load_table(spark, sf_dir, "region").select(
+        "r_regionkey", "r_name", (F.col("r_regionkey") + 0.25).alias("score")
+    )
+    path = str(tmp_path / "regions.xlsx")
+    write_xlsx(reg, path, sheet_name="Regions").collect()
+
+    register_gis_sources(spark)
+    back = (
+        spark.read.format("xlsx")
+        .schema("r_regionkey long, r_name string, score double")
+        .option("sheet", "Regions")
+        .load(path)
+    )
+    b = {r.r_regionkey: (r.r_name, r.score) for r in back.collect()}
+    s = {r.r_regionkey: (r.r_name, float(r.score)) for r in reg.collect()}
+    assert b == s
