@@ -243,6 +243,8 @@ BENCH_QUERIES = [
     "kaplan_meier_fulfillment",
     "markov_attribution",
     "model_workbook_roundtrip",
+    "benford_digit_audit",
+    "hhi_concentration",
     # Excluded, with reasons (VERDICT r5 item 4 — one comment per key):
     #   streaming_sessions / streaming_rate_limit / streaming_hourly_stats /
     #   streaming_sliding_counts / streaming_hourly_drift — run the

@@ -1289,3 +1289,169 @@ SELECT sheet, count(*) AS n_rows,
        CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
 FROM allrows GROUP BY sheet ORDER BY sheet
 """
+
+
+# ---------------------------------------------------------------------------
+# benford_digit_audit — first-digit fraud screen
+# ---------------------------------------------------------------------------
+
+
+def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals (SURVEY §2
+    #201) — the forensic-accounting screen: natural financial amounts
+    follow P(d) = log10(1 + 1/d); fabricated ones rarely do. Reports
+    per leading digit the observed count, observed share (bp), the
+    Benford expectation (bp), and the absolute deviation — the
+    audit-flag layout.
+
+    Determinism: the leading digit comes from the INTEGER cents value
+    via string length math (``x div 10^(len-1)`` — double formatting
+    never touches the digit), shares are exact integer basis points,
+    and the nine Benford expectations are PINNED integer constants
+    (log10 evaluated once, here, not per engine). One map-combined
+    aggregation; output is 9 rows.
+    """
+    import math
+
+    orders = _t(spark, sf_dir, "orders")
+    expect = {
+        d: int(math.log10(1 + 1 / d) * 10000 + 0.5) for d in range(1, 10)
+    }
+    cents = "cast(round(o_totalprice * 100) as bigint)"
+    digit = F.expr(
+        f"cast({cents} div cast(pow(10, length(cast({cents} as string)) - 1)"
+        " as bigint) as int)"
+    )
+    per_digit = orders.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = per_digit.agg(F.sum("n").alias("t"))
+    expect_expr = "CASE digit " + " ".join(
+        f"WHEN {d} THEN {bp}" for d, bp in expect.items()
+    ) + " END"
+    return (
+        per_digit.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n",
+            F.expr("cast(n * 10000 div t as int)").alias("obs_bp"),
+            F.expr(expect_expr).cast("int").alias("benford_bp"),
+            F.expr(
+                f"cast(abs(n * 10000 div t - ({expect_expr})) as int)"
+            ).alias("abs_dev_bp"),
+        )
+        .orderBy("digit")
+    )
+
+
+ROUND7_QUERIES["benford_digit_audit"] = benford_digit_audit
+
+
+def _benford_oracle() -> str:
+    import math
+
+    expect = {
+        d: int(math.log10(1 + 1 / d) * 10000 + 0.5) for d in range(1, 10)
+    }
+    expect_expr = "CASE digit " + " ".join(
+        f"WHEN {d} THEN {bp}" for d, bp in expect.items()
+    ) + " END"
+    return f"""
+WITH cents AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders
+),
+digits AS (
+  SELECT CAST(c // CAST(pow(10, length(CAST(c AS VARCHAR)) - 1) AS BIGINT)
+              AS INT) AS digit
+  FROM cents
+),
+per_digit AS (SELECT digit, count(*) AS n FROM digits GROUP BY digit),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM per_digit)
+SELECT digit, n,
+       CAST(n * 10000 // t AS INT) AS obs_bp,
+       CAST({expect_expr} AS INT) AS benford_bp,
+       CAST(abs(n * 10000 // t - ({expect_expr})) AS INT) AS abs_dev_bp
+FROM per_digit CROSS JOIN tot
+ORDER BY digit
+"""
+
+
+ROUND7_ORACLES["benford_digit_audit"] = _benford_oracle()
+
+
+# ---------------------------------------------------------------------------
+# hhi_concentration — Herfindahl–Hirschman market concentration
+# ---------------------------------------------------------------------------
+
+
+def hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman concentration index per region (SURVEY §2
+    #202): sum of squared supplier market shares of part-supply value
+    — the antitrust/market-structure census (HHI > 2500 on the
+    0–10000 scale reads as highly concentrated). Complements key_gini
+    (inequality of a key census) with the economics-standard squared-
+    share form over a REAL value dimension.
+
+    Determinism: shares are integer basis points (value in cents,
+    ``s_bp = v*10000 div total``), HHI = Σ s_bp² div 10⁴ — exact
+    integers end to end. Scale shape: one join lineitem→supplier
+    (broadcast dim), a per-(region, supplier) cents census, then a
+    region-sized rollup; no windows.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    per_supp = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .groupBy("n_regionkey", "s_suppkey")
+        .agg(
+            F.sum(
+                F.expr("cast(round(l_extendedprice * 100) as bigint)")
+            ).alias("cents")
+        )
+    )
+    totals = per_supp.groupBy("n_regionkey").agg(
+        F.sum("cents").alias("total"), F.count(F.lit(1)).alias("n_suppliers")
+    )
+    return (
+        per_supp.join(F.broadcast(totals), "n_regionkey")
+        .select(
+            "n_regionkey",
+            "n_suppliers",
+            F.expr("cents * 10000 div total").alias("s_bp"),
+        )
+        .groupBy(F.col("n_regionkey").alias("regionkey"), "n_suppliers")
+        .agg(
+            F.expr("cast(sum(s_bp * s_bp) div 10000 as int)").alias("hhi"),
+            F.max("s_bp").cast("int").alias("top_share_bp"),
+        )
+        .orderBy("regionkey")
+    )
+
+
+ROUND7_QUERIES["hhi_concentration"] = hhi_concentration
+
+ROUND7_ORACLES["hhi_concentration"] = """
+WITH per_supp AS (
+  SELECT n_regionkey, s_suppkey,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  GROUP BY 1, 2
+),
+totals AS (
+  SELECT n_regionkey, CAST(sum(cents) AS BIGINT) AS total,
+         count(*) AS n_suppliers
+  FROM per_supp GROUP BY 1
+),
+shares AS (
+  SELECT p.n_regionkey, n_suppliers, cents * 10000 // total AS s_bp
+  FROM per_supp p JOIN totals t ON p.n_regionkey = t.n_regionkey
+)
+SELECT n_regionkey AS regionkey, n_suppliers,
+       CAST(sum(s_bp * s_bp) // 10000 AS INT) AS hhi,
+       CAST(max(s_bp) AS INT) AS top_share_bp
+FROM shares GROUP BY 1, 2 ORDER BY regionkey
+"""
