@@ -21,3 +21,47 @@ from tools.audit_plans import shape_violations
 def test_no_scale_breaking_plan_shapes(spark, sf_dir):
     problems = shape_violations(spark, sf_dir)
     assert not problems, "\n".join(problems)
+
+
+def test_gate_catches_planted_bad_shapes(spark, sf_dir):
+    """Negative control: the gate must actually FIRE on the shapes it
+    claims to catch — a planted unpartitioned ntile (the round-5
+    finding class), a cartesian product, and a genuinely-bounded
+    top-k global window that must PASS."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from pyprima_spark.catalog import load_table
+    from tools.audit_plans import dataframe_violations
+
+    orders = load_table(spark, sf_dir, "orders")
+
+    bad_window = orders.select(
+        F.ntile(10).over(Window.orderBy("o_totalprice")).alias("b")
+    )
+    assert any(
+        "unpartitioned Window" in p for p in dataframe_violations(bad_window)
+    )
+
+    nation = load_table(spark, sf_dir, "nation")
+    # a conditionless join against a DIM is legitimately bounded
+    assert dataframe_violations(orders.join(nation)) == []
+    # ...but against a FACT table it must flag (cartesian or
+    # unbounded-BNLJ, whichever the planner picks at this size)
+    events = load_table(spark, sf_dir, "events")
+    cart = orders.join(events.select("event_id"))
+    assert any(
+        "CartesianProduct" in p or "BroadcastNestedLoopJoin" in p
+        for p in dataframe_violations(cart)
+    )
+
+    topk = (
+        orders.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+            ),
+        )
+        .filter(F.col("rn") <= 5)
+    )
+    assert dataframe_violations(topk) == []  # WindowGroupLimit pushdown

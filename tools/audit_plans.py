@@ -127,45 +127,59 @@ def _subtree_is_bounded(node) -> bool:
     return False
 
 
+def dataframe_violations(
+    df,
+    allow_global_window: bool = False,
+    allow_bnlj: bool = False,
+) -> list[str]:
+    """Walk ONE DataFrame's physical plan and return scale-breaking
+    shapes: CartesianProduct, unpartitioned Window without a top-k
+    pushdown below it, BroadcastNestedLoopJoin with an unbounded build
+    side. The allow flags mirror the per-key allowlists."""
+    problems: list[str] = []
+    plan = df._jdf.queryExecution().executedPlan()
+    for node in _walk(plan):
+        nm = node.nodeName()
+        if nm == "CartesianProduct":
+            problems.append("CartesianProduct")
+        elif nm == "Window" and not allow_global_window:
+            if node.partitionSpec().isEmpty() and not any(
+                d.nodeName() in ("WindowGroupLimit", "TakeOrderedAndProject")
+                for d in _walk(node)
+            ):
+                # WindowGroupLimit / TakeOrderedAndProject below the
+                # window = Spark's distributed top-k pushdown: each
+                # map task keeps k rows, the single partition sees
+                # k x n_partitions rows — the accepted global-rank
+                # shape. Without one, the full input sorts on ONE
+                # partition: the equidepth/rfm failure class.
+                problems.append(f"unpartitioned {nm}")
+        elif nm == "BroadcastNestedLoopJoin" and not allow_bnlj:
+            side = str(node.buildSide())
+            build = node.right() if side.endswith("Right") else node.left()
+            if not _subtree_is_bounded(build):
+                problems.append(
+                    f"BroadcastNestedLoopJoin with unbounded {side} "
+                    "build side"
+                )
+    return problems
+
+
 def shape_violations(spark, sf_dir: str, keys=None) -> list[str]:
-    """Return ['key: problem', ...] for plan shapes that break at scale:
-    (a) unpartitioned WindowExec/WindowGroupLimit outside the documented
-    bounded-input allowlist, (b) CartesianProduct anywhere, (c)
-    BroadcastNestedLoopJoin whose build side is not visibly bounded."""
+    """Return ['key: problem', ...] for every catalog key whose plan
+    has a scale-breaking shape (see dataframe_violations), honoring
+    the documented bounded-input allowlists."""
     problems: list[str] = []
     for name in sorted(keys or QUERIES):
         if name.startswith("streaming"):
             continue
-        plan = QUERIES[name](spark, sf_dir)._jdf.queryExecution().executedPlan()
-        for node in _walk(plan):
-            nm = node.nodeName()
-            if nm == "CartesianProduct":
-                problems.append(f"{name}: CartesianProduct")
-            elif nm == "Window" and name not in GLOBAL_WINDOW_ALLOWED:
-                if node.partitionSpec().isEmpty() and not any(
-                    d.nodeName() in ("WindowGroupLimit", "TakeOrderedAndProject")
-                    for d in _walk(node)
-                ):
-                    # WindowGroupLimit / TakeOrderedAndProject below the
-                    # window = Spark's distributed top-k pushdown: each
-                    # map task keeps k rows, the single partition sees
-                    # k x n_partitions rows — the accepted global-rank
-                    # shape. Without one, the full input sorts on ONE
-                    # partition: the equidepth/rfm failure class.
-                    problems.append(f"{name}: unpartitioned {nm}")
-            elif (
-                nm == "BroadcastNestedLoopJoin"
-                and name not in BNLJ_BOUNDED_ALLOWED
-            ):
-                side = str(node.buildSide())
-                build = (
-                    node.right() if side.endswith("Right") else node.left()
-                )
-                if not _subtree_is_bounded(build):
-                    problems.append(
-                        f"{name}: BroadcastNestedLoopJoin with unbounded "
-                        f"{side} build side"
-                    )
+        df = QUERIES[name](spark, sf_dir)
+        for p in dataframe_violations(
+            df,
+            allow_global_window=name in GLOBAL_WINDOW_ALLOWED,
+            allow_bnlj=name in BNLJ_BOUNDED_ALLOWED,
+        ):
+            problems.append(f"{name}: {p}")
     return sorted(set(problems))
 
 
