@@ -245,6 +245,8 @@ BENCH_QUERIES = [
     "model_workbook_roundtrip",
     "benford_digit_audit",
     "hhi_concentration",
+    "theil_sen_trend",
+    "neyman_allocation",
     # Excluded, with reasons (VERDICT r5 item 4 — one comment per key):
     #   streaming_sessions / streaming_rate_limit / streaming_hourly_stats /
     #   streaming_sliding_counts / streaming_hourly_drift — run the

@@ -1455,3 +1455,170 @@ SELECT n_regionkey AS regionkey, n_suppliers,
        CAST(max(s_bp) AS INT) AS top_share_bp
 FROM shares GROUP BY 1, 2 ORDER BY regionkey
 """
+
+
+# ---------------------------------------------------------------------------
+# theil_sen_trend — robust median-slope trend per series
+# ---------------------------------------------------------------------------
+
+
+def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend per event_type (SURVEY §2 #203): the
+    median of all pairwise slopes of the daily value series — the
+    outlier-resistant alternative to grouped_regression's OLS (one
+    corrupted day moves OLS arbitrarily; Theil–Sen tolerates ~29%
+    contamination). The robust-statistics member the stats family
+    (outlier_mad, winsorized_mean, weighted_median) was missing for
+    TRENDS.
+
+    Determinism: daily totals are integer cents; each slope is one
+    double division of exact integers (identical operands → identical
+    IEEE result on both engines); the median slope is percentile_disc
+    — an ELEMENT PICK, not an interpolation — so the reported double
+    is bit-identical. Scale shape: the pairwise self-join runs on the
+    per-(type, day) CENSUS (bounded by series length, never the fact
+    table) keyed by event_type; O(T²) pairs per series is the
+    classical Theil–Sen bound — for year-plus series the windowed
+    repeated-median variant bounds pairs per point, same plan shape.
+    """
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("d"),
+        )
+        .agg(
+            F.sum(F.expr("cast(round(value * 100) as bigint)")).alias(
+                "cents"
+            )
+        )
+    )
+    daily = materialize(daily)
+    a = daily.select(
+        "event_type", F.col("d").alias("d1"), F.col("cents").alias("c1")
+    )
+    b = daily.select(
+        "event_type", F.col("d").alias("d2"), F.col("cents").alias("c2")
+    )
+    slopes = (
+        a.join(b, "event_type")
+        .filter(F.col("d1") < F.col("d2"))
+        .select(
+            "event_type",
+            (
+                (F.col("c2") - F.col("c1")).cast("double")
+                / (F.col("d2") - F.col("d1")).cast("double")
+            ).alias("slope"),
+        )
+    )
+    return (
+        slopes.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.expr(
+                "percentile_disc(0.5) WITHIN GROUP (ORDER BY slope)"
+            ).alias("slope_cents_per_day"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ROUND7_QUERIES["theil_sen_trend"] = theil_sen_trend
+
+ROUND7_ORACLES["theil_sen_trend"] = """
+WITH daily AS (
+  SELECT event_type,
+         datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+),
+slopes AS (
+  SELECT a.event_type,
+         CAST(b.cents - a.cents AS DOUBLE) / CAST(b.d - a.d AS DOUBLE)
+           AS slope
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.d < b.d
+)
+SELECT event_type, count(*) AS n_pairs,
+       quantile_disc(slope, 0.5) AS slope_cents_per_day
+FROM slopes GROUP BY event_type ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# neyman_allocation — optimal stratified-sample design
+# ---------------------------------------------------------------------------
+
+_NEYMAN_N = 1000
+
+
+def neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sample allocation (SURVEY §2 #204):
+    split a sampling budget across strata proportionally to
+    N_h·S_h (stratum size × stratum std) — the design that minimizes
+    estimator variance, and the planning step BEFORE
+    stratified_sample/deterministic_sample draw anything.
+
+    Determinism: per-stratum sufficient statistics in integer cents
+    (n, Σc, Σc²), the population-variance NUMERATOR n·Σc² − (Σc)² is
+    an exact BIGINT, and N_h·S_h = √(that numerator) floors into
+    integer space (data_mixture_plan's floor(sqrt) pattern) before the
+    single allocation division. Σc² bounds BIGINT up to ~3e18 — at
+    petabyte scale the census upgrades to DECIMAL(38,0), documented
+    here. One map-combined aggregation; |strata| rows.
+    """
+    ev = _t(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.expr("cast(round(value * 100) as bigint)")).alias("s1"),
+        F.sum(
+            F.expr(
+                "cast(round(value * 100) as bigint)"
+                " * cast(round(value * 100) as bigint)"
+            )
+        ).alias("s2"),
+    )
+    stats = stats.withColumn(
+        "w",
+        F.expr(
+            "cast(floor(sqrt(cast(n * s2 - s1 * s1 as double))) as bigint)"
+        ),
+    )
+    tot = stats.agg(F.sum("w").alias("tw"))
+    return (
+        stats.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("event_type").alias("stratum"),
+            "n",
+            "w",
+            F.expr(
+                f"cast({_NEYMAN_N} * w div tw as int)"
+            ).alias("alloc"),
+            F.expr("cast(w * 10000 div tw as int)").alias("share_bp"),
+        )
+        .orderBy("stratum")
+    )
+
+
+ROUND7_QUERIES["neyman_allocation"] = neyman_allocation
+
+ROUND7_ORACLES["neyman_allocation"] = f"""
+WITH stats AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s1,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)
+                  * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s2
+  FROM events GROUP BY event_type
+),
+weighted AS (
+  SELECT event_type, n,
+         CAST(floor(sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE))) AS BIGINT) AS w
+  FROM stats
+),
+tot AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM weighted)
+SELECT event_type AS stratum, n, w,
+       CAST({_NEYMAN_N} * w // tw AS INT) AS alloc,
+       CAST(w * 10000 // tw AS INT) AS share_bp
+FROM weighted CROSS JOIN tot
+ORDER BY stratum
+"""
