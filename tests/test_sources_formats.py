@@ -418,3 +418,26 @@ def test_xlsx_datasource_api(spark, sf_dir, tmp_path):
     b = {r.r_regionkey: (r.r_name, r.score) for r in back.collect()}
     s = {r.r_regionkey: (r.r_name, float(r.score)) for r in reg.collect()}
     assert b == s
+
+
+def test_xlsx_edge_cases():
+    """Codec edges: zero-row sheet, >26 columns (AA-style refs),
+    unicode + XML-special characters, None cells."""
+    from pyprima_spark.sources.xlsx import _col_letter, decode_xlsx, encode_xlsx
+
+    assert [_col_letter(i) for i in (0, 25, 26, 27, 51, 52, 701, 702)] == [
+        "A", "Z", "AA", "AB", "AZ", "BA", "ZZ", "AAA",
+    ]
+
+    header = [f"c{i}" for i in range(30)]
+    row = list(range(29)) + ["ünï <&> 'quote\""]
+    payload = encode_xlsx(
+        {"Wide": (header, [row]), "Empty": (["a", "b"], [])}
+    )
+    book = decode_xlsx(payload)
+    assert book["Wide"][0] == header
+    assert book["Wide"][1] == [row]
+    assert book["Empty"] == (["a", "b"], [])
+
+    payload2 = encode_xlsx({"S": (["x"], [(None,), (1.5,)])})
+    assert decode_xlsx(payload2)["S"][1] == [[], [1.5]]
