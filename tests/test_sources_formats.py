@@ -441,3 +441,83 @@ def test_xlsx_edge_cases():
 
     payload2 = encode_xlsx({"S": (["x"], [(None,), (1.5,)])})
     assert decode_xlsx(payload2)["S"][1] == [[], [1.5]]
+
+
+def test_xlsx_roundtrip_property():
+    """Property test: encode_xlsx/decode_xlsx round-trip arbitrary
+    mixed-type sheets — strings (incl. XML specials and unicode),
+    ints, floats, bools, and Nones — exactly."""
+    import math
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pyprima_spark.sources.xlsx import decode_xlsx, encode_xlsx
+
+    cell = st.one_of(
+        st.none(),
+        st.booleans(),
+        st.integers(min_value=-(10**15), max_value=10**15),
+        st.floats(allow_nan=False, allow_infinity=False, width=64),
+        st.text(
+            alphabet=st.characters(
+                codec="utf-8",
+                exclude_categories=("Cs", "Cc"),
+            ),
+            max_size=24,
+        ),
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        ncols=st.integers(min_value=1, max_value=6),
+        data=st.data(),
+    )
+    def check(ncols, data):
+        header = [f"col_{i}" for i in range(ncols)]
+        rows = data.draw(
+            st.lists(
+                st.tuples(*[cell] * ncols), min_size=0, max_size=8
+            )
+        )
+        book = decode_xlsx(encode_xlsx({"S": (header, rows)})) 
+        got_header, got_rows = book["S"]
+        assert got_header == header
+        assert len(got_rows) == len(rows)
+        for want, got in zip(rows, got_rows):
+            # rows decode at their occupied width; trailing Nones drop
+            padded = list(got) + [None] * (ncols - len(got))
+            for w, g in zip(want, padded):
+                if isinstance(w, float) and not isinstance(w, bool):
+                    if w == int(w) and abs(w) < 2**53:
+                        # integral floats come back as ints (xlsx has
+                        # one number type); value equality is the spec
+                        assert g == w
+                    else:
+                        assert isinstance(g, float) and math.isclose(
+                            g, w, rel_tol=0, abs_tol=0
+                        ), (w, g)
+                else:
+                    assert g == w, (w, g)
+
+    check()
+
+
+def test_split_integer_floor_identity_property():
+    """Property test for the overflow-safe split-integer form used by
+    data_mixture_plan and markov_attribution:
+    b*(a div c) + (b*(a mod c)) div c == floor(a*b/c) exactly
+    (Python bignums as ground truth)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    pos = st.integers(min_value=1, max_value=10**12)
+    nonneg = st.integers(min_value=0, max_value=10**12)
+
+    @settings(max_examples=200, deadline=None)
+    @given(a=nonneg, b=nonneg, c=pos)
+    def check(a, b, c):
+        split = b * (a // c) + (b * (a % c)) // c
+        assert split == (a * b) // c
+
+    check()
