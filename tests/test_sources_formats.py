@@ -521,3 +521,26 @@ def test_split_integer_floor_identity_property():
         assert split == (a * b) // c
 
     check()
+
+
+def test_xml_source_sink_roundtrip(spark, sf_dir, tmp_path):
+    """Spark 4 built-in XML source/sink (SPARK-44265): write the
+    nation dim as row-tagged XML, read it back with an explicit
+    schema, and demand exact equality — the config/interchange format
+    leg next to JSONL/ORC/CSV/xlsx."""
+    from pyprima_spark.catalog import load_table
+
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    path = str(tmp_path / "nation_xml")
+    nat.write.format("xml").option("rowTag", "nation").save(path)
+    back = (
+        spark.read.format("xml")
+        .schema("n_nationkey long, n_name string, n_regionkey long")
+        .option("rowTag", "nation")
+        .load(path)
+    )
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, nat.collect())
+    )
