@@ -1622,3 +1622,143 @@ SELECT event_type AS stratum, n, w,
 FROM weighted CROSS JOIN tot
 ORDER BY stratum
 """
+
+
+# ---------------------------------------------------------------------------
+# label_propagation — synchronous LPA community detection
+# ---------------------------------------------------------------------------
+
+_LPA_ROUNDS = 4
+
+
+def label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label-propagation community DETECTION on the
+    sparsified trade graph (SURVEY §2 #205) — the missing half of the
+    community story: graph_modularity SCORES a given partition, LPA
+    produces one. ``_LPA_ROUNDS`` deterministic sync rounds: every
+    node adopts the most frequent label among its neighbors, ties
+    broken toward the SMALLEST label (classic LPA is tie-random; the
+    pinned tie-break makes the fixed point engine-reproducible).
+
+    Scale shape: per round ONE shuffle — neighbor-label counts keyed
+    by node — and the arg-max is a struct-max aggregate (no window,
+    no single-partition sort); label state is O(V) per round with a
+    materialize() stage boundary (the connected-components/k-core
+    discipline). The oracle unrolls identical rounds as chained CTEs
+    with a row_number pick that matches the struct-max tie-break.
+    """
+    from pyprima_spark.plans.queries import _edge_aggregate
+
+    edges = _edge_aggregate(spark, sf_dir).select(
+        "edge_a", "edge_b", "n_lines"
+    )
+    tot = edges.agg(
+        F.sum("n_lines").alias("tot"), F.count(F.lit(1)).alias("ne")
+    )
+    sparse = (
+        edges.crossJoin(F.broadcast(tot))
+        .filter(F.col("n_lines") * F.col("ne") * 10 >= 11 * F.col("tot"))
+        .select("edge_a", "edge_b")
+    )
+    sym = materialize(
+        sparse.unionByName(
+            sparse.select(
+                F.col("edge_b").alias("edge_a"),
+                F.col("edge_a").alias("edge_b"),
+            )
+        ).distinct()
+    )
+    nodes = sym.select(F.col("edge_a").alias("node")).distinct()
+    labels = nodes.select("node", F.col("node").alias("label"))
+    for _ in range(_LPA_ROUNDS):
+        counts = (
+            sym.join(labels, sym.edge_a == labels.node)
+            .groupBy(F.col("edge_b").alias("v"), "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        picked = (
+            counts.groupBy("v")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("c"),
+                        (-F.col("label")).alias("neg"),
+                        F.col("label").alias("lab"),
+                    )
+                ).alias("m")
+            )
+            .select(F.col("v").alias("node"), F.col("m.lab").alias("new_label"))
+        )
+        labels = materialize(
+            nodes.join(picked, "node", "left").select(
+                "node", F.coalesce("new_label", "node").alias("label")
+            )
+        )
+    return (
+        labels.groupBy(F.col("label").alias("community"))
+        .agg(F.count(F.lit(1)).alias("n_nodes"), F.min("node").alias("min_node"))
+        .orderBy("community")
+    )
+
+
+ROUND7_QUERIES["label_propagation"] = label_propagation
+
+
+def _lpa_oracle() -> str:
+    rounds = []
+    prev = "l0"
+    for r in range(1, _LPA_ROUNDS + 1):
+        rounds.append(f"""
+c{r} AS MATERIALIZED (
+  SELECT e.edge_b AS v, l.label, count(*) AS c
+  FROM sym e JOIN {prev} l ON e.edge_a = l.node
+  GROUP BY 1, 2
+),
+p{r} AS MATERIALIZED (
+  SELECT v AS node, label AS new_label FROM (
+    SELECT v, label,
+           row_number() OVER (PARTITION BY v ORDER BY c DESC, label ASC)
+             AS rn
+    FROM c{r}
+  ) WHERE rn = 1
+),
+l{r} AS MATERIALIZED (
+  SELECT n.node, coalesce(p.new_label, n.node) AS label
+  FROM nodes n LEFT JOIN p{r} p USING (node)
+)""")
+        prev = f"l{r}"
+    return f"""
+WITH pairs AS MATERIALIZED (
+  SELECT c_nationkey AS cn, s_nationkey AS sn
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  WHERE c_nationkey <> s_nationkey
+),
+agg AS MATERIALIZED (
+  SELECT least(cn, sn) AS edge_a, greatest(cn, sn) AS edge_b,
+         count(*) AS n_lines
+  FROM pairs GROUP BY 1, 2
+),
+tot AS (SELECT CAST(sum(n_lines) AS BIGINT) AS tot, count(*) AS ne FROM agg),
+sparse AS MATERIALIZED (
+  SELECT edge_a, edge_b FROM agg CROSS JOIN tot
+  WHERE n_lines * ne * 10 >= 11 * tot
+),
+sym AS MATERIALIZED (
+  SELECT edge_a, edge_b FROM sparse
+  UNION
+  SELECT edge_b, edge_a FROM sparse
+),
+nodes AS MATERIALIZED (SELECT DISTINCT edge_a AS node FROM sym),
+l0 AS MATERIALIZED (SELECT node, node AS label FROM nodes),
+{','.join(rounds)}
+SELECT label AS community, count(*) AS n_nodes,
+       CAST(min(node) AS BIGINT) AS min_node
+FROM {prev}
+GROUP BY label ORDER BY community
+"""
+
+
+ROUND7_ORACLES["label_propagation"] = _lpa_oracle()
