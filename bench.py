@@ -248,6 +248,7 @@ BENCH_QUERIES = [
     "theil_sen_trend",
     "neyman_allocation",
     "label_propagation",
+    "interpolate_linear",
     # Excluded, with reasons (VERDICT r5 item 4 — one comment per key):
     #   streaming_sessions / streaming_rate_limit / streaming_hourly_stats /
     #   streaming_sliding_counts / streaming_hourly_drift — run the

@@ -1762,3 +1762,137 @@ GROUP BY label ORDER BY community
 
 
 ROUND7_ORACLES["label_propagation"] = _lpa_oracle()
+
+
+# ---------------------------------------------------------------------------
+# interpolate_linear — bracketing linear interpolation of series gaps
+# ---------------------------------------------------------------------------
+
+_INTERP_BUCKET_S = 900  # 15-minute grid
+
+
+def interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear gap interpolation on a dense 15-minute grid per
+    event_type (SURVEY §2 #206) — pandas ``interpolate(method=
+    'linear')`` parity, the imputation semantics gap_fill_trend
+    (previous-day trend fill, the ENTSO-E recipe) deliberately does
+    NOT provide: each missing bucket takes the value linearly between
+    its BRACKETING observations; leading/trailing gaps (no bracket)
+    stay unfilled. Reported as a per-series census so the output is
+    |series|-sized.
+
+    Determinism: bucket values are integer cents; the interpolation
+    ``(prev·(nᵢ−i) + next·(i−pᵢ)) div (nᵢ−pᵢ)`` floors in exact
+    integer space. Scale shape: the dense grid is sequence+explode on
+    executors, brackets come from four IGNORE NULLS window columns
+    over the SAME per-series exchange+sort (one shuffle, state
+    bounded per key — no self-join of observations), and the census
+    is map-combined.
+    """
+    ev = _t(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        "event_type",
+        F.expr(
+            f"cast(unix_timestamp(ts) as bigint) div {_INTERP_BUCKET_S}"
+        ).alias("i"),
+    ).agg(
+        F.sum(F.expr("cast(round(value * 100) as bigint)")).alias("c")
+    )
+    bounds = obs.agg(F.min("i").alias("imin"), F.max("i").alias("imax"))
+    grid = bounds.select(
+        F.explode(F.expr("sequence(imin, imax)")).alias("i")
+    ).crossJoin(F.broadcast(obs.select("event_type").distinct()))
+    dense = grid.join(obs, ["event_type", "i"], "left")
+
+    w_before = (
+        Window.partitionBy("event_type")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_after = (
+        Window.partitionBy("event_type")
+        .orderBy("i")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    obs_i = F.when(F.col("c").isNotNull(), F.col("i"))
+    staged = dense.select(
+        "event_type",
+        "i",
+        "c",
+        F.last("c", ignorenulls=True).over(w_before).alias("pc"),
+        F.last(obs_i, ignorenulls=True).over(w_before).alias("pi"),
+        F.first("c", ignorenulls=True).over(w_after).alias("nc"),
+        F.first(obs_i, ignorenulls=True).over(w_after).alias("ni"),
+    )
+    fillable = (
+        F.col("c").isNull()
+        & F.col("pc").isNotNull()
+        & F.col("nc").isNotNull()
+    )
+    filled = F.when(
+        fillable,
+        F.expr("(pc * (ni - i) + nc * (i - pi)) div (ni - pi)"),
+    )
+    return (
+        staged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum(F.col("c").isNotNull().cast("int")).alias("n_observed"),
+            F.sum(F.col("c").isNull().cast("int")).alias("n_gaps"),
+            F.sum(fillable.cast("int")).alias("n_filled"),
+            F.sum("c").alias("observed_cents"),
+            F.sum(filled).alias("filled_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ROUND7_QUERIES["interpolate_linear"] = interpolate_linear
+
+ROUND7_ORACLES["interpolate_linear"] = f"""
+WITH obs AS MATERIALIZED (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) // {_INTERP_BUCKET_S} AS i,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT min(i) AS imin, max(i) AS imax FROM obs),
+grid AS (
+  SELECT t.event_type, g.i
+  FROM (SELECT DISTINCT event_type FROM obs) t,
+       (SELECT unnest(generate_series((SELECT imin FROM bounds),
+                                      (SELECT imax FROM bounds))) AS i) g
+),
+dense AS (
+  SELECT grid.event_type, grid.i, obs.c
+  FROM grid LEFT JOIN obs USING (event_type, i)
+),
+staged AS (
+  SELECT event_type, i, c,
+         last_value(c IGNORE NULLS) OVER w_before AS pc,
+         last_value(CASE WHEN c IS NOT NULL THEN i END IGNORE NULLS)
+           OVER w_before AS pi,
+         first_value(c IGNORE NULLS) OVER w_after AS nc,
+         first_value(CASE WHEN c IS NOT NULL THEN i END IGNORE NULLS)
+           OVER w_after AS ni
+  FROM dense
+  WINDOW
+    w_before AS (PARTITION BY event_type ORDER BY i
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+    w_after AS (PARTITION BY event_type ORDER BY i
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+)
+SELECT event_type,
+       count(*) AS n_buckets,
+       CAST(sum(CASE WHEN c IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_observed,
+       CAST(sum(CASE WHEN c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps,
+       CAST(sum(CASE WHEN c IS NULL AND pc IS NOT NULL AND nc IS NOT NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+       CAST(sum(c) AS BIGINT) AS observed_cents,
+       CAST(sum(CASE WHEN c IS NULL AND pc IS NOT NULL AND nc IS NOT NULL
+                THEN (pc * (ni - i) + nc * (i - pi)) // (ni - pi)
+                END) AS BIGINT) AS filled_cents
+FROM staged
+GROUP BY event_type ORDER BY event_type
+"""
