@@ -249,6 +249,7 @@ BENCH_QUERIES = [
     "neyman_allocation",
     "label_propagation",
     "interpolate_linear",
+    "hll_distinct_sketch",
     # Excluded, with reasons (VERDICT r5 item 4 — one comment per key):
     #   streaming_sessions / streaming_rate_limit / streaming_hourly_stats /
     #   streaming_sliding_counts / streaming_hourly_drift — run the

@@ -1896,3 +1896,157 @@ SELECT event_type,
 FROM staged
 GROUP BY event_type ORDER BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# hll_distinct_sketch — HyperLogLog from primitives, mergeable, self-eval
+# ---------------------------------------------------------------------------
+
+_HLL_M = 256  # 2^8 buckets; 52-bit rho field from the 60-bit md5 hash
+# floor(alpha_256 * 1e9) * m^2 * 2^53  with  alpha_256 = 0.7213/(1+1.079/m)
+_HLL_NUMERATOR = 423993302343383768578933129216
+_HLL_DENOM_SCALE = 1_000_000_000
+
+
+def hll_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count sketch IMPLEMENTED FROM PRIMITIVES
+    (SURVEY §2 #207): distinct active customers per order-YEAR, plus a
+    '__union__' row whose registers are the by-bucket MAX of the yearly
+    registers — the register-merge design behind Spark's own
+    approx_count_distinct, built so every intermediate is a
+    DETERMINISTIC integer and the oracle checks the ESTIMATE itself
+    (kmv_distinct_sketch's gate applied to the mergeable sketch; the
+    family now covers KMV, Count-Min, Bloom, and HLL).
+
+    Per (year, customer-hash): bucket = h mod 256, rho = 1 + leading
+    zeros of the remaining 52-bit field (``53 − bitlen`` via
+    ``length(bin(w))`` — exact on both engines).  Registers are the
+    per-bucket MAX rho; mergeability is why HLL is the cluster-scale
+    distinct sketch (a 1000-executor union is a 256-row shuffle, not a
+    re-scan — exactly what the '__union__' row exercises).  The raw
+    estimate ``alpha·m²·2⁵³ div Σ 2^(53−M_j)`` is one truncated
+    DECIMAL(38,0) division (HUGEINT in the oracle) with alpha pinned at
+    parts-per-billion; no float touches a reported value.  Small-range
+    linear counting is deliberately NOT applied — empty_registers rides
+    along so a consumer can, and err_bp reports the raw bias honestly
+    (at sf0.01 every year has ~1.3k customers, inside the raw regime).
+
+    Scale shape: the only fact-sized stage is the map-combined
+    (year, custkey) distinct; registers are 256·|years| rows,
+    materialize()d once and reused by the union branch.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    hashed = materialize(
+        orders.select(
+            F.year("o_orderdate").cast("string").alias("period"),
+            F.col("o_custkey"),
+        )
+        .distinct()
+        .select(
+            "period",
+            F.expr(
+                X.hash64_spark("cast(o_custkey as string)")
+            ).alias("h"),
+        )
+        .distinct()
+    )
+    rho = F.expr(
+        "CASE WHEN h div 256 = 0 THEN 53"
+        " ELSE 53 - length(bin(h div 256)) END"
+    )
+    regs = materialize(
+        hashed.select("period", F.expr("h % 256").alias("bucket"), rho.alias("r"))
+        .groupBy("period", "bucket")
+        .agg(F.max("r").alias("m"))
+    )
+    union_regs = (
+        regs.groupBy("bucket")
+        .agg(F.max("m").alias("m"))
+        .select(F.lit("__union__").alias("period"), "bucket", "m")
+    )
+    stats = (
+        regs.unionByName(union_regs)
+        .groupBy("period")
+        .agg(
+            F.expr(
+                "sum(shiftleft(cast(1 as bigint), 53 - m))"
+                f" + ({_HLL_M} - count(1)) * shiftleft(cast(1 as bigint), 53)"
+            ).alias("s"),
+            F.expr(f"cast({_HLL_M} - count(1) as int)").alias(
+                "empty_registers"
+            ),
+        )
+    )
+    exact = hashed.groupBy("period").agg(
+        F.count(F.lit(1)).alias("n_exact")
+    ).unionByName(
+        hashed.select("h")
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .select(F.lit("__union__").alias("period"), "n_exact")
+    )
+    return (
+        stats.join(exact, "period")
+        .select(
+            "period",
+            "n_exact",
+            F.expr(
+                f"cast(cast('{_HLL_NUMERATOR}' as decimal(38,0))"
+                f" div (cast(s as decimal(38,0)) * {_HLL_DENOM_SCALE})"
+                " as bigint)"
+            ).alias("hll_estimate"),
+            F.expr(
+                "cast(abs(hll_estimate - n_exact) * 10000 div n_exact as int)"
+            ).alias("err_bp"),
+            "empty_registers",
+        )
+        .orderBy("period")
+    )
+
+
+ROUND7_QUERIES["hll_distinct_sketch"] = hll_distinct_sketch
+
+ROUND7_ORACLES["hll_distinct_sketch"] = f"""
+WITH hashed AS MATERIALIZED (
+  SELECT DISTINCT CAST(year(o_orderdate) AS VARCHAR) AS period,
+         {X.hash64_duck("cast(o_custkey as varchar)")} AS h
+  FROM orders
+),
+regs AS MATERIALIZED (
+  SELECT period, h % 256 AS bucket,
+         max(CASE WHEN h // 256 = 0 THEN 53
+                  ELSE 53 - length(bin(h // 256)) END) AS m
+  FROM hashed GROUP BY 1, 2
+),
+all_regs AS (
+  SELECT period, bucket, m FROM regs
+  UNION ALL
+  SELECT '__union__' AS period, bucket, max(m) AS m
+  FROM regs GROUP BY bucket
+),
+stats AS (
+  SELECT period,
+         sum(1::BIGINT << (53 - m))
+           + ({_HLL_M} - count(*)) * (1::BIGINT << 53) AS s,
+         CAST({_HLL_M} - count(*) AS INT) AS empty_registers
+  FROM all_regs GROUP BY period
+),
+exact AS (
+  SELECT period, count(*) AS n_exact FROM hashed GROUP BY period
+  UNION ALL
+  SELECT '__union__' AS period, count(DISTINCT h) AS n_exact FROM hashed
+),
+est AS (
+  SELECT period, n_exact,
+         CAST({_HLL_NUMERATOR}::HUGEINT
+              // (s::HUGEINT * {_HLL_DENOM_SCALE}) AS BIGINT)
+           AS hll_estimate,
+         empty_registers
+  FROM stats JOIN exact USING (period)
+)
+SELECT period, CAST(n_exact AS BIGINT) AS n_exact, hll_estimate,
+       CAST(abs(hll_estimate - n_exact) * 10000 // n_exact AS INT) AS err_bp,
+       empty_registers
+FROM est
+ORDER BY period
+"""
