@@ -250,6 +250,8 @@ BENCH_QUERIES = [
     "label_propagation",
     "interpolate_linear",
     "hll_distinct_sketch",
+    "skyline_2d",
+    "jackknife_variance",
     # Excluded, with reasons (VERDICT r5 item 4 — one comment per key):
     #   streaming_sessions / streaming_rate_limit / streaming_hourly_stats /
     #   streaming_sliding_counts / streaming_hourly_drift — run the

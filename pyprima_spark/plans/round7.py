@@ -2050,3 +2050,209 @@ SELECT period, CAST(n_exact AS BIGINT) AS n_exact, hll_estimate,
 FROM est
 ORDER BY period
 """
+
+
+# ---------------------------------------------------------------------------
+# skyline_2d — dominance skyline via a distributed two-level prefix scan
+# ---------------------------------------------------------------------------
+
+_SKY_BUCKET_CENTS = 512  # ~$5.12 price stripes; domain-bounded census
+
+
+def skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D dominance SKYLINE (pareto-optimal frontier) over parts —
+    minimize (retail price, size) jointly (SURVEY §2 #208): a part is
+    on the skyline iff no other part is ≤ in BOTH dimensions and < in
+    at least one.  The multi-objective query plain top-k/percentile
+    ops cannot express (pareto_revenue is a 1-D concentration curve;
+    this is the frontier itself).
+
+    NOT the quadratic NOT EXISTS: the frontier is a price-ordered
+    staircase, so dominance reduces to "min size over all strictly
+    cheaper prices" — a prefix-min.  That prefix-min is computed as a
+    DISTRIBUTED two-level scan (the pattern that survives 100 TB where
+    a global ordered window cannot): (1) per-price pre-agg (map-
+    combined); (2) WITHIN price-stripe running min — window PARTITIONED
+    by stripe, all stripes in parallel; (3) ACROSS-stripe cumulative
+    min over the stripe census (single-partition window over the
+    ~20-row domain-bounded stripe table only — the accepted
+    aggregated-census bound); (4) broadcast the census back, effective
+    prefix = least(across-stripe, within-stripe).  Same-price ties:
+    only the per-price min size survives; equal (price, size)
+    duplicates are all non-dominated and all returned via the final
+    equi-join back to the fact rows.
+    """
+    part = _t(spark, sf_dir, "part")
+    base = part.select(
+        "p_partkey",
+        F.expr("cast(round(p_retailprice * 100) as bigint)").alias("cents"),
+        F.col("p_size").alias("size"),
+    )
+    g = base.groupBy("cents").agg(F.min("size").alias("msize"))
+    g = g.withColumn("stripe", F.expr(f"cents div {_SKY_BUCKET_CENTS}"))
+    w_in = (
+        Window.partitionBy("stripe")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    g = g.withColumn("prev_in", F.min("msize").over(w_in))
+    census = g.groupBy("stripe").agg(F.min("msize").alias("smin"))
+    w_across = (
+        Window.orderBy("stripe").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    census = census.select(
+        "stripe", F.min("smin").over(w_across).alias("prev_across")
+    )
+    staged = g.join(F.broadcast(census), "stripe")
+    frontier = staged.filter(
+        F.expr("least(coalesce(prev_in, 2147483647),"
+               " coalesce(prev_across, 2147483647)) > msize")
+    ).select("cents", F.col("msize").alias("size"))
+    return (
+        base.join(F.broadcast(frontier), ["cents", "size"])
+        .select("p_partkey", F.col("cents").alias("price_cents"), "size")
+        .orderBy("price_cents", "p_partkey")
+    )
+
+
+ROUND7_QUERIES["skyline_2d"] = skyline_2d
+
+ROUND7_ORACLES["skyline_2d"] = """
+WITH base AS (
+  SELECT p_partkey, CAST(round(p_retailprice * 100) AS BIGINT) AS cents,
+         p_size AS size
+  FROM part
+),
+g AS (
+  SELECT cents, min(size) AS msize FROM base GROUP BY cents
+),
+staged AS (
+  SELECT cents, msize,
+         min(msize) OVER (ORDER BY cents
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS prev
+  FROM g
+)
+SELECT b.p_partkey, b.cents AS price_cents, CAST(b.size AS INT) AS size
+FROM base b
+JOIN staged s ON b.cents = s.cents AND b.size = s.msize
+WHERE s.prev IS NULL OR s.prev > s.msize
+ORDER BY price_cents, p_partkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# jackknife_variance — leave-one-stratum-out variance of a ratio estimator
+# ---------------------------------------------------------------------------
+
+
+def jackknife_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one-group JACKKNIFE of the ratio estimator "overall
+    discount rate" (Σ discount value / Σ gross value over lineitem),
+    strata = ship-year (SURVEY §2 #209): the survey-statistics
+    uncertainty machinery for NON-LINEAR estimators — a plain
+    variance-of-rows is wrong for a ratio; the jackknife resamples by
+    deleting whole strata and re-computing, which distributes for free
+    because every θ₍ᵢ₎ is algebra over the per-stratum sufficient
+    statistics, never a re-scan (the grouped_regression sufficient-
+    statistic lesson applied to resampling).
+
+    Exact arithmetic end-to-end: per-stratum cent sums map-combined;
+    totals via unpartitioned window over the |years| census only;
+    every ratio a truncated DECIMAL(38,0) division to parts-per-
+    billion; variance `(n−1)·Σ(θᵢ−θ̄)² div n` in BIGINT; SE =
+    floor(sqrt) (IEEE-exact below 2⁵², the neyman_allocation
+    pattern).  Pseudo-values `n·θ̂ − (n−1)·θ₍ᵢ₎` ride along per
+    stratum — the bias-corrected readout.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    strata = li.groupBy(F.year("l_shipdate").alias("yr")).agg(
+        F.expr(
+            "sum(cast(round(l_extendedprice * 100) as bigint))"
+        ).alias("g"),
+        F.expr(
+            "sum(cast(round(l_extendedprice * l_discount * 100) as bigint))"
+        ).alias("d"),
+    )
+    w_all = Window.partitionBy()
+    census = strata.select(
+        "yr",
+        "g",
+        "d",
+        F.sum("g").over(w_all).alias("tg"),
+        F.sum("d").over(w_all).alias("td"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    ).select(
+        "yr",
+        "n",
+        F.expr(
+            "cast(cast(td as decimal(38,0)) * 1000000000 div tg as bigint)"
+        ).alias("theta_full"),
+        F.expr(
+            "cast(cast(td - d as decimal(38,0)) * 1000000000"
+            " div (tg - g) as bigint)"
+        ).alias("theta_loo_ppb"),
+    )
+    summary = census.groupBy("n", "theta_full").agg(
+        F.expr("sum(theta_loo_ppb) div n").alias("theta_bar")
+    )
+    staged = census.join(F.broadcast(summary), ["n", "theta_full"])
+    var = staged.groupBy("n", "theta_full", "theta_bar").agg(
+        F.expr(
+            "(n - 1) * sum((theta_loo_ppb - theta_bar)"
+            " * (theta_loo_ppb - theta_bar)) div n"
+        ).alias("jk_var")
+    )
+    return (
+        staged.join(F.broadcast(var), ["n", "theta_full", "theta_bar"])
+        .select(
+            F.col("yr").alias("stratum_year"),
+            "theta_loo_ppb",
+            F.expr(
+                "n * theta_full - (n - 1) * theta_loo_ppb"
+            ).alias("pseudo_ppb"),
+            F.expr(
+                "cast(floor(sqrt(cast(jk_var as double))) as bigint)"
+            ).alias("jk_se_ppb"),
+        )
+        .orderBy("stratum_year")
+    )
+
+
+ROUND7_QUERIES["jackknife_variance"] = jackknife_variance
+
+ROUND7_ORACLES["jackknife_variance"] = """
+WITH strata AS (
+  SELECT year(l_shipdate) AS yr,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS g,
+         sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT)) AS d
+  FROM lineitem GROUP BY 1
+),
+census AS (
+  SELECT yr,
+         count(*) OVER () AS n,
+         CAST(sum(d) OVER ()::HUGEINT * 1000000000
+              // sum(g) OVER ()::HUGEINT AS BIGINT) AS theta_full,
+         CAST((sum(d) OVER () - d)::HUGEINT * 1000000000
+              // (sum(g) OVER () - g)::HUGEINT AS BIGINT) AS theta_loo_ppb
+  FROM strata
+),
+summary AS (
+  SELECT n, theta_full, sum(theta_loo_ppb) // n AS theta_bar
+  FROM census GROUP BY n, theta_full
+),
+var AS (
+  SELECT n, theta_full, theta_bar,
+         (n - 1) * sum((theta_loo_ppb - theta_bar)
+                       * (theta_loo_ppb - theta_bar)) // n AS jk_var
+  FROM census JOIN summary USING (n, theta_full)
+  GROUP BY n, theta_full, theta_bar
+)
+SELECT c.yr AS stratum_year,
+       c.theta_loo_ppb,
+       CAST(c.n * c.theta_full - (c.n - 1) * c.theta_loo_ppb AS BIGINT)
+         AS pseudo_ppb,
+       CAST(floor(sqrt(CAST(v.jk_var AS DOUBLE))) AS BIGINT) AS jk_se_ppb
+FROM census c, var v
+ORDER BY stratum_year
+"""

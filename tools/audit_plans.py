@@ -76,6 +76,12 @@ GLOBAL_WINDOW_ALLOWED = {
     "peak_concurrency",
     # bounded by |event_types|^3 path census (docstring)
     "session_paths",
+    # across-stripe cumulative min over the ~20-row domain-bounded price-
+    # stripe census; the fact-sized prefix scan is the PARTITIONED
+    # within-stripe window (docstring)
+    "skyline_2d",
+    # totals/mean/variance windows over the |ship-years| strata census
+    "jackknife_variance",
 }
 
 # BroadcastNestedLoopJoin build sides that are bounded by a PUSHED LITERAL
