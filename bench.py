@@ -252,6 +252,9 @@ BENCH_QUERIES = [
     "hll_distinct_sketch",
     "skyline_2d",
     "jackknife_variance",
+    "fuzzy_name_match",
+    "l_diversity_audit",
+    "triangle_count",
     # Excluded, with reasons (VERDICT r5 item 4 — one comment per key):
     #   streaming_sessions / streaming_rate_limit / streaming_hourly_stats /
     #   streaming_sliding_counts / streaming_hourly_drift — run the

@@ -2256,3 +2256,299 @@ SELECT c.yr AS stratum_year,
 FROM census c, var v
 ORDER BY stratum_year
 """
+
+
+# ---------------------------------------------------------------------------
+# fuzzy_name_match — multi-pass blocked edit-distance similarity join
+# ---------------------------------------------------------------------------
+
+
+def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked EDIT-DISTANCE similarity join over part names (SURVEY
+    §2 #210) — the record-linkage primitive the token-set family
+    (ngram_jaccard / ppjoin) cannot express: levenshtein tolerates
+    in-token typos and transposed characters, not just token overlap.
+    Both engines evaluate the SAME built-in ``levenshtein`` (JVM-side
+    in Spark — no UDF).
+
+    Scale design — the edit-distance work NEVER touches fact×fact:
+    names are first collapsed to their distinct-value census with
+    multiplicities (the name domain is adjective×noun bounded, unlike
+    the part table), candidate pairs come from TWO blocking passes
+    (same noun OR same adjective — multi-pass blocking, the standard
+    recall hedge for single-key blocking misses), deduplicated, THEN
+    scored; matched pairs re-attribute to fact scale by multiplicity
+    product.  At 100 TB the census groupBy is the only fact-sized
+    stage and is map-combined.
+    """
+    part = _t(spark, sf_dir, "part")
+    names = materialize(
+        part.groupBy("p_name")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "p_name",
+            "cnt",
+            F.expr("element_at(split(p_name, ' '), 1)").alias("adj"),
+            F.expr("element_at(split(p_name, ' '), -1)").alias("noun"),
+        )
+    )
+    a = names.select(
+        F.col("p_name").alias("name_a"),
+        F.col("cnt").alias("cnt_a"),
+        F.col("adj").alias("adj_a"),
+        F.col("noun").alias("noun_a"),
+    )
+    b = names.select(
+        F.col("p_name").alias("name_b"),
+        F.col("cnt").alias("cnt_b"),
+        F.col("adj").alias("adj_b"),
+        F.col("noun").alias("noun_b"),
+    )
+    by_noun = a.join(b, (F.col("noun_a") == F.col("noun_b")))
+    by_adj = a.join(b, (F.col("adj_a") == F.col("adj_b")))
+    cand = (
+        by_noun.unionByName(by_adj)
+        .filter(F.col("name_a") < F.col("name_b"))
+        .select("name_a", "name_b", "cnt_a", "cnt_b")
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "dist", F.levenshtein("name_a", "name_b")
+        )
+        .filter(F.col("dist") <= 2)
+        .select(
+            "name_a",
+            "name_b",
+            "dist",
+            F.expr("cnt_a * cnt_b").alias("pair_count"),
+        )
+        .orderBy("name_a", "name_b")
+    )
+
+
+ROUND7_QUERIES["fuzzy_name_match"] = fuzzy_name_match
+
+ROUND7_ORACLES["fuzzy_name_match"] = """
+WITH names AS MATERIALIZED (
+  SELECT p_name, count(*) AS cnt,
+         string_split(p_name, ' ')[1] AS adj,
+         string_split(p_name, ' ')[-1] AS noun
+  FROM part GROUP BY p_name
+),
+cand AS (
+  SELECT DISTINCT a.p_name AS name_a, b.p_name AS name_b,
+         a.cnt AS cnt_a, b.cnt AS cnt_b
+  FROM names a JOIN names b
+    ON (a.noun = b.noun OR a.adj = b.adj) AND a.p_name < b.p_name
+)
+SELECT name_a, name_b,
+       CAST(levenshtein(name_a, name_b) AS INT) AS dist,
+       CAST(cnt_a * cnt_b AS BIGINT) AS pair_count
+FROM cand
+WHERE levenshtein(name_a, name_b) <= 2
+ORDER BY name_a, name_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# l_diversity_audit — sensitive-value diversity within QI groups
+# ---------------------------------------------------------------------------
+
+_LDIV_L = 3
+
+
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct l-DIVERSITY audit (SURVEY §2 #211): within each
+    quasi-identifier group (lang, 50-char size bucket) count DISTINCT
+    values of the sensitive attribute (source) and report, per lang,
+    the groups whose diversity falls below l = {l} — the privacy gate
+    k-anonymity cannot provide: a group can be large (k-anonymous) yet
+    expose its members completely when every row shares ONE sensitive
+    value (the homogeneity attack l-diversity was introduced against;
+    Machanavajjhala et al., complements k_anonymity_audit's group-SIZE
+    census on the same corpus).
+
+    Scale shape: one exact two-level groupBy chain, every stage
+    map-side combinable; the QI census is bounded by the QI-space
+    cardinality, the report by |langs|. No joins, no windows.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    groups = docs.groupBy(
+        "lang", F.expr("n_chars div 50").alias("size_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("source").alias("l_div"),
+    )
+    below = F.col("l_div") < _LDIV_L
+    return (
+        groups.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum("n").alias("n_rows"),
+            F.sum(below.cast("int")).alias("groups_below_l"),
+            F.sum(F.when(below, F.col("n")).otherwise(0)).alias(
+                "rows_below_l"
+            ),
+            F.min("l_div").alias("min_diversity"),
+        )
+        .orderBy("lang")
+    )
+
+
+l_diversity_audit.__doc__ = l_diversity_audit.__doc__.format(l=_LDIV_L)
+
+ROUND7_QUERIES["l_diversity_audit"] = l_diversity_audit
+
+ROUND7_ORACLES["l_diversity_audit"] = f"""
+WITH groups AS (
+  SELECT lang, n_chars // 50 AS size_bucket, count(*) AS n,
+         count(DISTINCT source) AS l_div
+  FROM documents GROUP BY 1, 2
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(n) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN l_div < {_LDIV_L} THEN 1 ELSE 0 END) AS BIGINT)
+         AS groups_below_l,
+       CAST(sum(CASE WHEN l_div < {_LDIV_L} THEN n ELSE 0 END) AS BIGINT)
+         AS rows_below_l,
+       CAST(min(l_div) AS BIGINT) AS min_diversity
+FROM groups GROUP BY lang ORDER BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# triangle_count — degree-oriented wedge join with DOULION edge sampling
+# ---------------------------------------------------------------------------
+
+_TRI_Q = 8  # keep 1/8 of edges; DOULION estimate multiplier q^3 = 512
+
+
+def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed TRIANGLE COUNTING on the co-purchase projection
+    (parts sharing an order), per root-part brand (SURVEY §2 #212) —
+    the clustering-structure primitive the existing graph family
+    (k-core, PageRank, LPA, modularity, reachability) does not cover.
+
+    Two published scale techniques compose here:
+    (1) DEGREE ORIENTATION — every edge points from its lower-
+    (degree, id) endpoint to the higher, so wedge enumeration joins
+    out-edges on their root and out-degrees are O(√E)-bounded: the
+    Σd² blowup of naive wedge counting cannot happen, and each
+    triangle is found exactly once at its unique root.
+    (2) DOULION edge sparsification (Tsourakakis et al., KDD'09) —
+    a DETERMINISTIC hash keeps 1/{q} of the canonical edges before
+    any join; triangles survive with probability q⁻³, so
+    ``estimate = found · {q}³`` rides along with the exact sampled
+    count.  Determinism makes the oracle exact: both engines keep the
+    identical edge subset (same md5 gate as deterministic_sample).
+
+    Scale shape: per-order pair expansion is bounded by line-count²
+    per order (market_basket_pairs' bound); everything downstream runs
+    on the sampled edge table (materialize()d once) via key-
+    partitioned equi-joins; the brand rollup joins the part dim.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    lp = li.select("l_orderkey", "l_partkey").distinct()
+    a = lp.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = lp.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .select("pa", "pb")
+        .distinct()
+        .filter(
+            F.expr(
+                X.hash64_spark(
+                    "cast(pa as string) || ':' || cast(pb as string)"
+                )
+            )
+            % _TRI_Q
+            == 0
+        )
+    )
+    edges = materialize(edges)
+    deg = (
+        edges.select(F.col("pa").alias("node"))
+        .unionAll(edges.select(F.col("pb").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    oriented = (
+        edges.join(deg.withColumnRenamed("node", "pa").withColumnRenamed("deg", "da"), "pa")
+        .join(deg.withColumnRenamed("node", "pb").withColumnRenamed("deg", "db"), "pb")
+        .select(
+            F.when(
+                F.struct("da", "pa") < F.struct("db", "pb"), F.col("pa")
+            ).otherwise(F.col("pb")).alias("src"),
+            F.when(
+                F.struct("da", "pa") < F.struct("db", "pb"), F.col("pb")
+            ).otherwise(F.col("pa")).alias("dst"),
+        )
+    )
+    oriented = materialize(oriented)
+    w1 = oriented.select("src", F.col("dst").alias("v1"))
+    w2 = oriented.select("src", F.col("dst").alias("v2"))
+    wedges = w1.join(w2, "src").filter(F.col("v1") < F.col("v2"))
+    tri = wedges.join(
+        edges,
+        (F.col("v1") == F.col("pa")) & (F.col("v2") == F.col("pb")),
+    ).select(F.col("src").alias("root"))
+    part = _t(spark, sf_dir, "part")
+    return (
+        tri.join(part.select(F.col("p_partkey").alias("root"), "p_brand"), "root")
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_triangles_sampled"))
+        .select(
+            "p_brand",
+            "n_triangles_sampled",
+            F.expr(
+                f"n_triangles_sampled * {_TRI_Q * _TRI_Q * _TRI_Q}"
+            ).alias("doulion_estimate"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+ROUND7_QUERIES["triangle_count"] = triangle_count
+
+ROUND7_ORACLES["triangle_count"] = f"""
+WITH lp AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+edges AS MATERIALIZED (
+  SELECT pa, pb FROM (
+    SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+    FROM lp a JOIN lp b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  )
+  WHERE {X.hash64_duck("cast(pa as varchar) || ':' || cast(pb as varchar)")}
+        % {_TRI_Q} = 0
+),
+deg AS MATERIALIZED (
+  SELECT node, count(*) AS deg FROM (
+    SELECT pa AS node FROM edges UNION ALL SELECT pb FROM edges
+  ) GROUP BY node
+),
+oriented AS MATERIALIZED (
+  SELECT CASE WHEN (da, pa) < (db, pb) THEN pa ELSE pb END AS src,
+         CASE WHEN (da, pa) < (db, pb) THEN pb ELSE pa END AS dst
+  FROM edges
+  JOIN deg x ON x.node = edges.pa
+  JOIN deg y ON y.node = edges.pb,
+  LATERAL (SELECT x.deg AS da, y.deg AS db) d
+),
+tri AS (
+  SELECT w1.src AS root
+  FROM oriented w1
+  JOIN oriented w2 ON w1.src = w2.src AND w1.dst < w2.dst
+  JOIN edges e ON e.pa = w1.dst AND e.pb = w2.dst
+)
+SELECT p.p_brand,
+       CAST(count(*) AS BIGINT) AS n_triangles_sampled,
+       CAST(count(*) * {_TRI_Q * _TRI_Q * _TRI_Q} AS BIGINT)
+         AS doulion_estimate
+FROM tri JOIN part p ON p.p_partkey = tri.root
+GROUP BY p.p_brand ORDER BY p.p_brand
+"""
