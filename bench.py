@@ -255,6 +255,9 @@ BENCH_QUERIES = [
     "fuzzy_name_match",
     "l_diversity_audit",
     "triangle_count",
+    "zorder_layout_plan",
+    "phrase_search",
+    "rrf_fusion",
     # Excluded, with reasons (VERDICT r5 item 4 — one comment per key):
     #   streaming_sessions / streaming_rate_limit / streaming_hourly_stats /
     #   streaming_sliding_counts / streaming_hourly_drift — run the

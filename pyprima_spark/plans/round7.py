@@ -2552,3 +2552,311 @@ SELECT p.p_brand,
 FROM tri JOIN part p ON p.p_partkey = tri.root
 GROUP BY p.p_brand ORDER BY p.p_brand
 """
+
+
+# ---------------------------------------------------------------------------
+# zorder_layout_plan — bit-interleaved multi-dimensional data layout
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 8          # 256 buckets per dimension -> 16-bit z-values
+_Z_FILE_SHIFT = 10   # 2^16 z-space div 2^10 = 64 planned files
+
+
+def _z_interleave(xb: str, yb: str, spark_syntax: bool) -> str:
+    """Interleave the low 8 bits of two bucket columns into a z-value.
+    Emitted as an explicit 16-term sum so BOTH engines evaluate the
+    same integer expression (Spark: shiftleft/shiftright builtins;
+    DuckDB: native shift operators)."""
+    terms = []
+    for i in range(_Z_BITS):
+        if spark_syntax:
+            terms.append(f"shiftleft(shiftright({xb}, {i}) & 1, {2 * i})")
+            terms.append(f"shiftleft(shiftright({yb}, {i}) & 1, {2 * i + 1})")
+        else:
+            terms.append(f"((({xb} >> {i}) & 1) << {2 * i})")
+            terms.append(f"((({yb} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+def zorder_layout_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER data-layout planning over orders (SURVEY §2 #213) — the
+    multi-dimensional clustering step behind Delta/Iceberg
+    ``OPTIMIZE ZORDER BY (custkey, orderdate)``: queries filter orders
+    by customer OR by date, a single-column sort serves only one, and
+    the space-filling curve serves both.  Each row's (custkey,
+    order-day) is min-max scaled to 8-bit buckets (bounds from one
+    broadcast 1-row aggregate), the buckets BIT-INTERLEAVED into a
+    16-bit z-value — an explicit 16-term shift/mask sum, identical
+    integer arithmetic on both engines — and rows assigned to 64
+    planned files by z-range.  The report is the layout QUALITY
+    census: per planned file, row count plus the custkey and day spans
+    actually covered — tight spans on BOTH dimensions are precisely
+    what makes file-level min/max skipping effective at 100 TB.
+
+    Scale shape: bounds agg + map-side z computation + one
+    map-combinable groupBy to the 64-row census; no sort, no window,
+    no shuffle beyond the final tiny aggregation.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_custkey",
+        F.expr("datediff(o_orderdate, date'1990-01-01')").alias("day"),
+    )
+    bounds = base.agg(
+        F.min("o_custkey").alias("minc"),
+        F.max("o_custkey").alias("maxc"),
+        F.min("day").alias("mind"),
+        F.max("day").alias("maxd"),
+    )
+    scaled = base.join(F.broadcast(bounds)).select(
+        "o_custkey",
+        "day",
+        F.expr(
+            "(o_custkey - minc) * 256 div (maxc - minc + 1)"
+        ).alias("xb"),
+        F.expr("(day - mind) * 256 div (maxd - mind + 1)").alias("yb"),
+    )
+    z = _z_interleave("xb", "yb", spark_syntax=True)
+    return (
+        scaled.select(
+            "o_custkey",
+            "day",
+            F.expr(f"({z}) div {2 ** _Z_FILE_SHIFT}").alias("file_id"),
+        )
+        .groupBy("file_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.expr("max(o_custkey) - min(o_custkey)").alias("cust_span"),
+            F.expr("max(day) - min(day)").alias("day_span"),
+        )
+        .orderBy("file_id")
+    )
+
+
+ROUND7_QUERIES["zorder_layout_plan"] = zorder_layout_plan
+
+ROUND7_ORACLES["zorder_layout_plan"] = f"""
+WITH base AS (
+  SELECT o_custkey, datediff('day', DATE '1990-01-01', o_orderdate) AS day
+  FROM orders
+),
+bounds AS (
+  SELECT min(o_custkey) AS minc, max(o_custkey) AS maxc,
+         min(day) AS mind, max(day) AS maxd
+  FROM base
+),
+scaled AS (
+  SELECT o_custkey, day,
+         (o_custkey - minc) * 256 // (maxc - minc + 1) AS xb,
+         (day - mind) * 256 // (maxd - mind + 1) AS yb
+  FROM base, bounds
+)
+SELECT ({_z_interleave('xb', 'yb', spark_syntax=False)})
+         // {2 ** _Z_FILE_SHIFT} AS file_id,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(max(o_custkey) - min(o_custkey) AS BIGINT) AS cust_span,
+       CAST(max(day) - min(day) AS BIGINT) AS day_span
+FROM scaled
+GROUP BY 1 ORDER BY file_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# phrase_search — positional postings + adjacency join
+# ---------------------------------------------------------------------------
+
+_PHRASE_TOPQ = 5
+
+
+def phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional-index PHRASE SEARCH (SURVEY §2 #214): exact
+    two-word-phrase retrieval via a POSITIONAL postings table and an
+    adjacency self-join — the IR capability champion_postings' (term →
+    doc) index cannot answer (bag-of-words indexes lose order; "hot
+    gear" ≠ "gear hot").  Queries are self-generated for determinism:
+    the top-{q} corpus bigrams (count desc, phrase asc) are answered
+    through the index, reporting per phrase the matching-doc and
+    total-occurrence counts — so the key also validates that the
+    index AGREES with the direct bigram census it was picked from.
+
+    Scale shape: postings = posexplode (fact-sized, map-side); the
+    phrase table is {q} rows broadcast to BOTH sides so term pruning
+    happens before the adjacency join; the join key is (doc, position)
+    — key-partitioned, never term-keyed (no hot-term skew).
+    """
+    docs = _t(spark, sf_dir, "documents")
+    postings = docs.select(
+        "doc_id",
+        F.posexplode(F.expr(X.tokens_spark("text"))).alias("pos", "term"),
+    )
+    postings = materialize(postings)
+    bigrams = (
+        postings.alias("a")
+        .join(
+            postings.alias("b"),
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("b.pos") == F.col("a.pos") + 1),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id"),
+            F.col("a.pos").alias("pos"),
+            F.col("a.term").alias("w1"),
+            F.col("b.term").alias("w2"),
+        )
+    )
+    bigrams = materialize(bigrams)
+    queries = (
+        bigrams.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_total"))
+        .orderBy(F.desc("n_total"), "w1", "w2")
+        .limit(_PHRASE_TOPQ)
+        .select("w1", "w2")
+    )
+    return (
+        bigrams.join(F.broadcast(queries), ["w1", "w2"])
+        .groupBy("w1", "w2")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .select(
+            F.expr("w1 || ' ' || w2").alias("phrase"),
+            "n_docs",
+            "n_occurrences",
+        )
+        .orderBy("phrase")
+    )
+
+
+ROUND7_QUERIES["phrase_search"] = phrase_search
+
+ROUND7_ORACLES["phrase_search"] = f"""
+WITH toks AS (
+  SELECT doc_id, {X.tokens_duck('text')} AS ts FROM documents
+),
+postings AS MATERIALIZED (
+  SELECT doc_id, pos, ts[pos + 1] AS term FROM (
+    SELECT doc_id, ts, unnest(range(len(ts))) AS pos FROM toks
+  )
+),
+bigrams AS MATERIALIZED (
+  SELECT a.doc_id, a.pos, a.term AS w1, b.term AS w2
+  FROM postings a
+  JOIN postings b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+),
+queries AS (
+  SELECT w1, w2 FROM (
+    SELECT w1, w2, count(*) AS n_total
+    FROM bigrams GROUP BY w1, w2
+    ORDER BY n_total DESC, w1, w2 LIMIT {_PHRASE_TOPQ}
+  )
+)
+SELECT w1 || ' ' || w2 AS phrase,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_occurrences
+FROM bigrams JOIN queries USING (w1, w2)
+GROUP BY w1, w2 ORDER BY phrase
+"""
+
+
+# ---------------------------------------------------------------------------
+# rrf_fusion — reciprocal rank fusion of two retrieval rankings
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60          # the standard RRF damping constant
+_RRF_SCALE = 10**9   # 1/(k+r) as floor(1e9/(k+r)) — exact on both engines
+_RRF_TOPN = 10
+
+
+def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECIPROCAL RANK FUSION (SURVEY §2 #215) — the standard
+    score-free method for combining heterogeneous retrieval rankings
+    (Cormack et al., SIGIR'09; what hybrid BM25+vector search engines
+    run): per language, documents are ranked by two independent
+    signals (char length; distinct-token count — rank-only fusion is
+    the point: the signals' scales never have to be commensurable),
+    and fused by ``Σ floor(10⁹ div (60 + rankᵢ))`` — the reciprocal
+    sum in EXACT integer space, so fused scores and the final top-10
+    are engine-identical.  Ties pinned by doc_id at every ranking
+    stage.
+
+    Scale shape: both rankings and the fused re-rank are windows
+    PARTITIONED by lang; the final cut is row_number ≤ 10 →
+    WindowGroupLimit pushes the partial top-k map-side.  One
+    fact-sized token census (map-combined), no self-joins.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "lang",
+        "doc_id",
+        "n_chars",
+        F.expr(f"size(array_distinct({X.tokens_spark('text')}))").alias(
+            "n_types"
+        ),
+    )
+    w_a = Window.partitionBy("lang").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    w_b = Window.partitionBy("lang").orderBy(
+        F.desc("n_types"), F.asc("doc_id")
+    )
+    ranked = base.select(
+        "lang",
+        "doc_id",
+        F.row_number().over(w_a).alias("ra"),
+        F.row_number().over(w_b).alias("rb"),
+    )
+    scored = ranked.select(
+        "lang",
+        "doc_id",
+        F.expr(
+            f"{_RRF_SCALE} div ({_RRF_K} + ra)"
+            f" + {_RRF_SCALE} div ({_RRF_K} + rb)"
+        ).alias("rrf_score"),
+    )
+    w_f = Window.partitionBy("lang").orderBy(
+        F.desc("rrf_score"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("fused_rank", F.row_number().over(w_f))
+        .filter(F.col("fused_rank") <= _RRF_TOPN)
+        .select("lang", "fused_rank", "doc_id", "rrf_score")
+        .orderBy("lang", "fused_rank")
+    )
+
+
+ROUND7_QUERIES["rrf_fusion"] = rrf_fusion
+
+ROUND7_ORACLES["rrf_fusion"] = f"""
+WITH base AS (
+  SELECT lang, doc_id, n_chars,
+         len(list_distinct({X.tokens_duck('text')})) AS n_types
+  FROM documents
+),
+ranked AS (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n_chars DESC, doc_id) AS ra,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n_types DESC, doc_id) AS rb
+  FROM base
+),
+scored AS (
+  SELECT lang, doc_id,
+         {_RRF_SCALE} // ({_RRF_K} + ra)
+           + {_RRF_SCALE} // ({_RRF_K} + rb) AS rrf_score
+  FROM ranked
+)
+SELECT lang,
+       CAST(fused_rank AS INT) AS fused_rank,
+       doc_id,
+       CAST(rrf_score AS BIGINT) AS rrf_score
+FROM (
+  SELECT lang, doc_id, rrf_score,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY rrf_score DESC, doc_id) AS fused_rank
+  FROM scored
+)
+WHERE fused_rank <= {_RRF_TOPN}
+ORDER BY lang, fused_rank
+"""
