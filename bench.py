@@ -258,6 +258,11 @@ BENCH_QUERIES = [
     "zorder_layout_plan",
     "phrase_search",
     "rrf_fusion",
+    "randomized_response_audit",
+    "ngram_containment",
+    "random_projection_sketch",
+    "ndcg_eval",
+    "sorted_neighborhood_pairs",
     # Excluded, with reasons (VERDICT r5 item 4 — one comment per key):
     #   streaming_sessions / streaming_rate_limit / streaming_hourly_stats /
     #   streaming_sliding_counts / streaming_hourly_drift — run the

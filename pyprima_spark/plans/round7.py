@@ -2860,3 +2860,535 @@ FROM (
 WHERE fused_rank <= {_RRF_TOPN}
 ORDER BY lang, fused_rank
 """
+
+
+# ---------------------------------------------------------------------------
+# randomized_response_audit — local differential privacy release
+# ---------------------------------------------------------------------------
+
+
+def randomized_response_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-DP RANDOMIZED RESPONSE release + debias audit (SURVEY §2
+    #216) — Warner 1965, the mechanism local-DP telemetry systems
+    (RAPPOR-class) build on, and the missing RELEASE leg of the
+    privacy family: pii_scan/pii_redact find and remove explicit
+    identifiers, k_anonymity/l_diversity audit implicit linkability,
+    this key actually PRIVATIZES a sensitive bit and measures the
+    utility cost.  Each document reports its sensitive bit (lang =
+    'en') truthfully with p = 3/4, else a fair coin — eps = ln(3)
+    local DP.  Both coins are md5-derived (deterministic, engine-
+    identical).  The unbiased estimator (R - n/8)/(3/4) is kept in
+    EXACT integer space as est_x6 = 8R - n (six times the estimate),
+    and the audit reports the per-source absolute debias error
+    err_x6 = |est_x6 - 6*true| — so the utility/privacy readout is
+    exact on both engines, no float anywhere.
+
+    Scale shape: one map-side coin flip per row + one map-combinable
+    groupBy(source); no joins, no windows.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    keep = F.expr(X.hash64_spark("cast(doc_id as string) || ':rrkeep'")) % 4 < 3
+    rnd = F.expr(X.hash64_spark("cast(doc_id as string) || ':rrbit'")) % 2
+    s = F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0))
+    reported = F.when(keep, s).otherwise(rnd)
+    return (
+        docs.select("source", s.alias("s"), reported.alias("r"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("s").alias("true_cnt"),
+            F.sum("r").alias("reported_cnt"),
+        )
+        .select(
+            "source",
+            "n",
+            "true_cnt",
+            "reported_cnt",
+            (F.col("reported_cnt") * 8 - F.col("n")).alias("est_x6"),
+            F.abs(
+                F.col("reported_cnt") * 8 - F.col("n") - F.col("true_cnt") * 6
+            ).alias("err_x6"),
+        )
+        .orderBy("source")
+    )
+
+
+ROUND7_QUERIES["randomized_response_audit"] = randomized_response_audit
+
+_RR_KEEP = X.hash64_duck("CAST(doc_id AS VARCHAR) || ':rrkeep'")
+_RR_BIT = X.hash64_duck("CAST(doc_id AS VARCHAR) || ':rrbit'")
+
+ROUND7_ORACLES["randomized_response_audit"] = f"""
+WITH flips AS (
+  SELECT source,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS s,
+         CASE WHEN ({_RR_KEEP}) % 4 < 3
+              THEN CASE WHEN lang = 'en' THEN 1 ELSE 0 END
+              ELSE ({_RR_BIT}) % 2 END AS r
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(s) AS BIGINT) AS true_cnt,
+       CAST(sum(r) AS BIGINT) AS reported_cnt,
+       CAST(sum(r) * 8 - count(*) AS BIGINT) AS est_x6,
+       CAST(abs(sum(r) * 8 - count(*) - sum(s) * 6) AS BIGINT) AS err_x6
+FROM flips
+GROUP BY source ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# ngram_containment — asymmetric subset-duplication detection
+# ---------------------------------------------------------------------------
+
+_CONT_K = 5        # word-shingle width
+_CONT_DF_MAX = 8   # stop-gram cutoff: grams in more docs carry no signal
+_CONT_TAU = 60     # containment percent threshold
+
+
+def ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-5-gram CONTAINMENT pairs (SURVEY §2 #217) — the asymmetric
+    near-dup measure (Broder 1997's other resemblance statistic):
+    containment = |grams(A) ∩ grams(B)| / |grams(smaller)| catches a
+    short document EMBEDDED in a long one (quotes, boilerplate
+    inclusion, chunk-of-another-doc), which symmetric Jaccard
+    (ngram_jaccard) structurally misses — the union denominator drowns
+    the short side.  Deliberately UNBANDED by length (length banding
+    is exactly wrong for subset duplication) and cross-source.
+
+    Scale shape: distinct (doc, gram-hash) table with a document-
+    frequency cutoff (df <= {_CONT_DF_MAX}) BEFORE the self-join, so
+    per-gram fanout is df-bounded (each surviving gram yields at most
+    df*(df-1)/2 pairs); per-doc set sizes ride a tiny per-doc count
+    joined onto the aggregated pairs.  Containment kept as an exact
+    integer percent: (100*shared) div least(size_a, size_b).
+    """
+    docs = _t(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(X.shingles_spark(X.tokens_spark("text"), _CONT_K))
+        ).alias("g"),
+    ).select("doc_id", F.expr(X.hash64_spark("g")).alias("gh"))
+    grams = materialize(grams)
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("gsize"))
+    df_ok = (
+        grams.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= _CONT_DF_MAX)
+        .select("gh")
+    )
+    kept = grams.join(df_ok, "gh")
+    a = kept.select(F.col("doc_id").alias("doc_a"), "gh")
+    b = kept.select(F.col("doc_id").alias("doc_b"), "gh")
+    shared = (
+        a.join(b, "gh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        shared.join(
+            sizes.select(
+                F.col("doc_id").alias("doc_a"), F.col("gsize").alias("size_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("doc_b"), F.col("gsize").alias("size_b")
+            ),
+            "doc_b",
+        )
+        .withColumn(
+            "cont_pct",
+            F.expr("(100 * shared) div least(size_a, size_b)"),
+        )
+        .filter(F.col("cont_pct") >= _CONT_TAU)
+        .select("doc_a", "doc_b", "shared", "size_a", "size_b", "cont_pct")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+ROUND7_QUERIES["ngram_containment"] = ngram_containment
+
+ROUND7_ORACLES["ngram_containment"] = f"""
+WITH grams AS MATERIALIZED (
+  SELECT doc_id, {X.hash64_duck('g')} AS gh
+  FROM (
+    SELECT doc_id,
+           unnest({X.shingles_duck(X.tokens_duck('text'), _CONT_K)}) AS g
+    FROM documents
+  )
+),
+sizes AS (
+  SELECT doc_id, count(*) AS gsize FROM grams GROUP BY doc_id
+),
+df_ok AS (
+  SELECT gh FROM grams GROUP BY gh HAVING count(*) <= {_CONT_DF_MAX}
+),
+kept AS (
+  SELECT doc_id, gh FROM grams JOIN df_ok USING (gh)
+),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+  FROM kept a JOIN kept b ON a.gh = b.gh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(shared AS BIGINT) AS shared,
+       CAST(sa.gsize AS BIGINT) AS size_a,
+       CAST(sb.gsize AS BIGINT) AS size_b,
+       CAST((100 * shared) // least(sa.gsize, sb.gsize) AS BIGINT)
+         AS cont_pct
+FROM shared
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE (100 * shared) // least(sa.gsize, sb.gsize) >= {_CONT_TAU}
+ORDER BY doc_a, doc_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# random_projection_sketch — Johnson-Lindenstrauss ±1 projection
+# ---------------------------------------------------------------------------
+
+_RP_DIMS = 8        # projected dimensionality
+_RP_QSCALE = 1000   # fixed-point quantization of the float components
+
+
+def random_projection_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss RANDOM PROJECTION sketch (SURVEY §2 #218)
+    — Achlioptas 2001's database-friendly ±1 projection, the
+    dimensionality-reduction leg of the embedding family (ann_* search
+    it, vector_quantize_sq compresses components, this key compresses
+    DIMENSIONS: 64 -> 8 while approximately preserving distances).
+    The projection matrix is never materialized: sign(d, j) =
+    1 - 2*(md5(d:j) mod 2) is recomputed map-side on both engines, and
+    components are fixed-point quantized (floor(e*1000)) FIRST so every
+    projected value is an exact BIGINT — float sum order can never
+    diverge.  Report: per (label, projected dim) census of the
+    projected mass (n, sum, min, max) — the downstream sanity check
+    that each sketch dimension is balanced and label-separated.
+
+    Scale shape: posexplode (map-side) -> x8 sign expansion (map-side
+    transform, no join) → one groupBy(vec_id, j) keyed on the vector id
+    (co-partitioned with the source), then the tiny label x 8 rollup.
+    No window, no self-join; matrix-free exactly like the hyperplane-
+    LSH stages.
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    elems = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("d", "e"),
+    ).select(
+        "vec_id",
+        "label",
+        "d",
+        F.expr(
+            f"cast(floor(cast(e as double) * {_RP_QSCALE}) as bigint)"
+        ).alias("q"),
+    )
+    sign_h = X.hash64_spark(
+        "cast(d as string) || ':' || cast(j as string)"
+    )
+    signed = elems.select(
+        "vec_id",
+        "label",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {_RP_DIMS - 1}), "
+                f"j -> q * (1 - 2 * (({sign_h}) % 2)))"
+            )
+        ).alias("j", "v"),
+    )
+    proj = signed.groupBy("vec_id", "label", "j").agg(
+        F.sum("v").alias("p")
+    )
+    return (
+        proj.groupBy("label", "j")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("p").alias("sum_p"),
+            F.min("p").alias("min_p"),
+            F.max("p").alias("max_p"),
+        )
+        .orderBy("label", "j")
+    )
+
+
+ROUND7_QUERIES["random_projection_sketch"] = random_projection_sketch
+
+_RP_SIGN_DUCK = X.hash64_duck("CAST(d AS VARCHAR) || ':' || CAST(j AS VARCHAR)")
+
+ROUND7_ORACLES["random_projection_sketch"] = f"""
+WITH elems AS (
+  SELECT vec_id, label, d,
+         CAST(floor(CAST(e[d + 1] AS DOUBLE) * {_RP_QSCALE}) AS BIGINT) AS q
+  FROM (
+    SELECT vec_id, label, embedding AS e,
+           unnest(range(len(embedding))) AS d
+    FROM embeddings
+  )
+),
+signed AS (
+  SELECT vec_id, label, j,
+         q * (1 - 2 * (({_RP_SIGN_DUCK}) % 2)) AS v
+  FROM elems, (SELECT unnest(range({_RP_DIMS})) AS j)
+),
+proj AS (
+  SELECT vec_id, label, j, sum(v) AS p
+  FROM signed GROUP BY 1, 2, 3
+)
+SELECT label,
+       CAST(j AS INT) AS j,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(p) AS BIGINT) AS sum_p,
+       CAST(min(p) AS BIGINT) AS min_p,
+       CAST(max(p) AS BIGINT) AS max_p
+FROM proj
+GROUP BY label, j ORDER BY label, j
+"""
+
+
+# ---------------------------------------------------------------------------
+# ndcg_eval — graded ranking quality in exact integer space
+# ---------------------------------------------------------------------------
+
+# floor-free integer nDCG: discount weights round(1e9 / log2(r+1)) are
+# precomputed ONCE here and inlined as literals into BOTH dialects, so
+# no engine ever evaluates log2 — the classic cross-libm divergence.
+_NDCG_W = [
+    1000000000, 630929754, 500000000, 430676558, 386852807,
+    356207187, 333333333, 315464877, 301029996, 289064826,
+]
+_NDCG_AT = len(_NDCG_W)
+
+
+def ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@10 ranking-quality evaluation (SURVEY §2 #219) —
+    Järvelin & Kekäläinen 2002, the graded-relevance metric the
+    retrieval family reports in practice (ann_recall_eval checks
+    set overlap, lsh_precision_eval checks pair quality, rrf_fusion
+    produces rankings — this key SCORES a ranking against graded
+    labels).  Per label group, vectors are ranked by their exact
+    quantized squared norm; graded relevance (0–3) is md5-derived per
+    vec_id.  DCG and ideal-DCG are exact BIGINT dot products with the
+    precomputed discount literals (no log2 at query time on either
+    engine), and nDCG is published parts-per-million:
+    (1e6 * dcg) div idcg.
+
+    Scale shape: norm census is one map-side aggregate per vector;
+    both rankings are windows PARTITIONED by label with row_number <=
+    10 -> WindowGroupLimit partial top-k map-side; final rollup is
+    label-sized.
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        "label",
+        F.expr(
+            "aggregate(embedding, 0L, (acc, e) -> "
+            "acc + cast(floor(cast(e as double) * 1000) as bigint) "
+            "* cast(floor(cast(e as double) * 1000) as bigint))"
+        ).alias("norm2q"),
+        (
+            F.expr(X.hash64_spark("cast(vec_id as string) || ':rel'")) % 4
+        ).alias("rel"),
+    )
+    w_rank = Window.partitionBy("label").orderBy(
+        F.desc("norm2q"), F.asc("vec_id")
+    )
+    w_ideal = Window.partitionBy("label").orderBy(
+        F.desc("rel"), F.asc("vec_id")
+    )
+    ranked = base.select(
+        "label",
+        "rel",
+        F.row_number().over(w_rank).alias("r"),
+        F.row_number().over(w_ideal).alias("ir"),
+    )
+    wmap = F.expr(
+        "element_at(array({}), cast(r as int))".format(
+            ", ".join(f"{w}L" for w in _NDCG_W)
+        )
+    )
+    iwmap = F.expr(
+        "element_at(array({}), cast(ir as int))".format(
+            ", ".join(f"{w}L" for w in _NDCG_W)
+        )
+    )
+    gain = F.expr("cast(pow(2, rel) as bigint) - 1")
+    scored = ranked.select(
+        "label",
+        F.when(F.col("r") <= _NDCG_AT, gain * wmap)
+        .otherwise(F.lit(0))
+        .alias("dg"),
+        F.when(F.col("ir") <= _NDCG_AT, gain * iwmap)
+        .otherwise(F.lit(0))
+        .alias("ig"),
+    )
+    return (
+        scored.groupBy("label")
+        .agg(F.sum("dg").alias("dcg_x"), F.sum("ig").alias("idcg_x"))
+        .filter(F.col("idcg_x") > 0)
+        .select(
+            "label",
+            "dcg_x",
+            "idcg_x",
+            F.expr("(1000000 * dcg_x) div idcg_x").alias("ndcg_ppm"),
+        )
+        .orderBy("label")
+    )
+
+
+ROUND7_QUERIES["ndcg_eval"] = ndcg_eval
+
+_NDCG_W_SQL = ", ".join(str(w) for w in _NDCG_W)
+_NDCG_REL_DUCK = X.hash64_duck("CAST(vec_id AS VARCHAR) || ':rel'")
+
+ROUND7_ORACLES["ndcg_eval"] = f"""
+WITH base AS (
+  SELECT vec_id, label,
+         list_sum(list_transform(embedding, e ->
+           CAST(floor(CAST(e AS DOUBLE) * 1000) AS BIGINT)
+           * CAST(floor(CAST(e AS DOUBLE) * 1000) AS BIGINT))) AS norm2q,
+         ({_NDCG_REL_DUCK}) % 4 AS rel
+  FROM embeddings
+),
+ranked AS (
+  SELECT label, rel,
+         row_number() OVER (PARTITION BY label
+                            ORDER BY norm2q DESC, vec_id) AS r,
+         row_number() OVER (PARTITION BY label
+                            ORDER BY rel DESC, vec_id) AS ir
+  FROM base
+),
+scored AS (
+  SELECT label,
+         CASE WHEN r <= {_NDCG_AT}
+              THEN ((1::BIGINT << rel) - 1) * ([{_NDCG_W_SQL}])[r]
+              ELSE 0 END AS dg,
+         CASE WHEN ir <= {_NDCG_AT}
+              THEN ((1::BIGINT << rel) - 1) * ([{_NDCG_W_SQL}])[ir]
+              ELSE 0 END AS ig
+  FROM ranked
+)
+SELECT label,
+       CAST(sum(dg) AS BIGINT) AS dcg_x,
+       CAST(sum(ig) AS BIGINT) AS idcg_x,
+       CAST((1000000 * sum(dg)) // sum(ig) AS BIGINT) AS ndcg_ppm
+FROM scored
+GROUP BY label HAVING sum(ig) > 0
+ORDER BY label
+"""
+
+
+# ---------------------------------------------------------------------------
+# sorted_neighborhood_pairs — sliding-window ER blocking census
+# ---------------------------------------------------------------------------
+
+_SNM_W = 4        # sliding-window width (each name pairs with the next w-1)
+_SNM_EDIT = 2     # match threshold: levenshtein <= 2
+
+
+def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SORTED-NEIGHBORHOOD blocking census (SURVEY §2 #220) —
+    Hernández & Stolfo 1995, the OTHER classic entity-resolution
+    blocking scheme next to key blocking (fuzzy_name_match blocks on
+    equal noun/adjective; sorted neighborhood sorts on a key and
+    pairs each record with its w-1 successors, catching near-misses
+    that share NO exact block key).  Names are collapsed to the
+    domain-bounded distinct census first, sorted within their 2-char
+    prefix block, candidates generated by lead(1..3) windows, and
+    scored with built-in ``levenshtein`` <= 2.  Report: per block,
+    the names/candidates/matches funnel — the blocking-efficiency
+    readout (pairs considered vs pairs matched) that decides the
+    window width in production ER.
+
+    Scale shape: the census groupBy is the only fact-sized stage
+    (map-combined); the sort is a WINDOW PARTITIONED by the 2-char
+    prefix (never a global sort — block count grows with the key
+    domain, not the fact table); lead() is O(w) per row; the final
+    rollup is block-sized.
+    """
+    part = _t(spark, sf_dir, "part")
+    names = part.groupBy("p_name").agg(F.count(F.lit(1)).alias("cnt"))
+    names = names.withColumn("block", F.expr("substring(p_name, 1, 2)"))
+    w = Window.partitionBy("block").orderBy("p_name")
+    laggy = names.select(
+        "block",
+        "p_name",
+        *[
+            F.lead("p_name", i).over(w).alias(f"nxt{i}")
+            for i in range(1, _SNM_W)
+        ],
+    )
+    cand = laggy.select(
+        "block",
+        "p_name",
+        F.explode(
+            F.array(*[F.col(f"nxt{i}") for i in range(1, _SNM_W)])
+        ).alias("p_other"),
+    ).filter(F.col("p_other").isNotNull())
+    scored = cand.select(
+        "block",
+        F.when(
+            F.levenshtein("p_name", "p_other") <= _SNM_EDIT, 1
+        ).otherwise(0).alias("is_match"),
+    )
+    blocks = names.groupBy("block").agg(F.count(F.lit(1)).alias("n_names"))
+    funnel = scored.groupBy("block").agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.sum("is_match").alias("n_matches"),
+    )
+    return (
+        blocks.join(funnel, "block", "left")
+        .select(
+            "block",
+            "n_names",
+            F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
+            F.coalesce("n_matches", F.lit(0)).alias("n_matches"),
+        )
+        .orderBy("block")
+    )
+
+
+ROUND7_QUERIES["sorted_neighborhood_pairs"] = sorted_neighborhood_pairs
+
+ROUND7_ORACLES["sorted_neighborhood_pairs"] = f"""
+WITH names AS (
+  SELECT p_name, count(*) AS cnt, substring(p_name, 1, 2) AS block
+  FROM part GROUP BY p_name
+),
+laggy AS (
+  SELECT block, p_name,
+         {", ".join(
+             f"lead(p_name, {i}) OVER (PARTITION BY block ORDER BY p_name)"
+             f" AS nxt{i}" for i in range(1, _SNM_W)
+         )}
+  FROM names
+),
+cand AS (
+  SELECT block, p_name, p_other
+  FROM laggy,
+       unnest([{", ".join(f"nxt{i}" for i in range(1, _SNM_W))}])
+         AS t(p_other)
+  WHERE p_other IS NOT NULL
+),
+funnel AS (
+  SELECT block, count(*) AS n_candidates,
+         sum(CASE WHEN levenshtein(p_name, p_other) <= {_SNM_EDIT}
+                  THEN 1 ELSE 0 END) AS n_matches
+  FROM cand GROUP BY block
+)
+SELECT b.block,
+       CAST(b.n_names AS BIGINT) AS n_names,
+       CAST(coalesce(f.n_candidates, 0) AS BIGINT) AS n_candidates,
+       CAST(coalesce(f.n_matches, 0) AS BIGINT) AS n_matches
+FROM (SELECT block, count(*) AS n_names FROM names GROUP BY block) b
+LEFT JOIN funnel f USING (block)
+ORDER BY block
+"""
