@@ -263,6 +263,9 @@ BENCH_QUERIES = [
     "random_projection_sketch",
     "ndcg_eval",
     "sorted_neighborhood_pairs",
+    "longest_prefix_route",
+    "bitmap_flag_index",
+    "image_phash_groups",
     # Excluded, with reasons (VERDICT r5 item 4 — one comment per key):
     #   streaming_sessions / streaming_rate_limit / streaming_hourly_stats /
     #   streaming_sliding_counts / streaming_hourly_drift — run the

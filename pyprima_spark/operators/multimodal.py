@@ -425,3 +425,45 @@ def image_features_png(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(batches, schema=IMAGE_SCHEMA)
+
+
+AHASH_SCHEMA = "doc_id bigint, hash_hi bigint, hash_lo bigint"
+
+
+def image_ahash_png(media: DataFrame) -> DataFrame:
+    """Average-hash (aHash) each PNG from its REAL decoded pixels: the
+    image is grayscaled ((R+G+B) div 3, exact integers), resampled to
+    8x8 by nearest-neighbor at (x*w div 8, y*h div 8), and each cell
+    compared to the integer mean (sum div 64) — bit set iff cell >
+    mean. The 64 bits are published as two 32-bit halves (rows 0-3 ->
+    hash_hi, rows 4-7 -> hash_lo) so values stay positive BIGINTs on
+    every engine. Same Arrow mapInPandas shape as image_features_png;
+    every step is integer-exact, so a closed-form oracle can predict
+    the hash without decoding a pixel."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: dict[str, list] = {"doc_id": [], "hash_hi": [], "hash_lo": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                arr = decode_png_rgb(bytes(payload))
+                h, w, _ = arr.shape
+                cells = []
+                for y in range(8):
+                    for x in range(8):
+                        ys, xs = (y * h) // 8, (x * w) // 8
+                        r, g, b = (int(v) for v in arr[ys, xs])
+                        cells.append((r + g + b) // 3)
+                m = sum(cells) // 64
+                hi = lo = 0
+                for i, c in enumerate(cells):
+                    if c > m:
+                        if i < 32:
+                            hi |= 1 << i
+                        else:
+                            lo |= 1 << (i - 32)
+                rows["doc_id"].append(doc_id)
+                rows["hash_hi"].append(hi)
+                rows["hash_lo"].append(lo)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(batches, schema=AHASH_SCHEMA)

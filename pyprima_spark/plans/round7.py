@@ -3392,3 +3392,322 @@ FROM (SELECT block, count(*) AS n_names FROM names GROUP BY block) b
 LEFT JOIN funnel f USING (block)
 ORDER BY block
 """
+
+
+# ---------------------------------------------------------------------------
+# longest_prefix_route — hierarchical most-specific-match enrichment
+# ---------------------------------------------------------------------------
+
+
+def longest_prefix_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LONGEST-PREFIX-MATCH route enrichment (SURVEY §2 #221) — the
+    IP-geolocation / CIDR-routing join: a point key matches routes at
+    SEVERAL prefix granularities and the MOST SPECIFIC wins.  This is
+    a different join semantic from flat interval overlap
+    (incident_window_join): matches are nested, not merely
+    overlapping, and resolution is argmax-by-prefix-length, not
+    collect-all.  Synthetic-but-deterministic address space: each
+    event gets a 16-bit address md5-derived from its user; the fine
+    route table (first octet -> nation, 25 routes) and the coarse one
+    (first nibble -> region, 5 routes) are derived from the dim
+    tables.  dest = fine match, else coarse match, else 'default'.
+
+    Scale shape: each prefix level is an EQUI-join on the truncated
+    address (addr div 256 / addr div 4096) — never a range or nested-
+    loop join; both route tables are dim-sized and broadcast.  At
+    million-route scale the same plan holds per level (routes stay a
+    broadcastable fraction of facts, or fall back to a shuffled
+    equi-join per level + argmax groupBy); LPM never needs a cross
+    join because prefix truncation manufactures the equi-key.
+    """
+    ev = _t(spark, sf_dir, "events")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    pts = ev.select(
+        "event_id",
+        "user_id",
+        (
+            F.expr(X.hash64_spark("cast(user_id as string) || ':ip'"))
+            % 65536
+        ).alias("addr"),
+    )
+    fine = nation.select(
+        F.expr("(n_nationkey * 9 + 1) % 256").alias("octet"),
+        F.col("n_name").alias("fine_dest"),
+    )
+    coarse = region.select(
+        F.expr("(r_regionkey * 3 + 1) % 16").alias("nibble"),
+        F.col("r_name").alias("coarse_dest"),
+    )
+    routed = (
+        pts.withColumn("octet", F.expr("addr div 256"))
+        .withColumn("nibble", F.expr("addr div 4096"))
+        .join(F.broadcast(fine), "octet", "left")
+        .join(F.broadcast(coarse), "nibble", "left")
+        .select(
+            "event_id",
+            "user_id",
+            F.coalesce("fine_dest", "coarse_dest", F.lit("default")).alias(
+                "dest"
+            ),
+            F.when(F.col("fine_dest").isNotNull(), 8)
+            .when(F.col("coarse_dest").isNotNull(), 4)
+            .otherwise(0)
+            .alias("prefix_len"),
+        )
+    )
+    return (
+        routed.groupBy("dest", "prefix_len")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("dest")
+    )
+
+
+ROUND7_QUERIES["longest_prefix_route"] = longest_prefix_route
+
+_LPR_ADDR = X.hash64_duck("CAST(user_id AS VARCHAR) || ':ip'")
+
+ROUND7_ORACLES["longest_prefix_route"] = f"""
+WITH pts AS (
+  SELECT event_id, user_id, ({_LPR_ADDR}) % 65536 AS addr FROM events
+),
+fine AS (
+  SELECT (n_nationkey * 9 + 1) % 256 AS octet, n_name AS fine_dest
+  FROM nation
+),
+coarse AS (
+  SELECT (r_regionkey * 3 + 1) % 16 AS nibble, r_name AS coarse_dest
+  FROM region
+),
+routed AS (
+  SELECT p.event_id, p.user_id,
+         coalesce(f.fine_dest, c.coarse_dest, 'default') AS dest,
+         CASE WHEN f.fine_dest IS NOT NULL THEN 8
+              WHEN c.coarse_dest IS NOT NULL THEN 4
+              ELSE 0 END AS prefix_len
+  FROM pts p
+  LEFT JOIN fine f ON p.addr // 256 = f.octet
+  LEFT JOIN coarse c ON p.addr // 4096 = c.nibble
+)
+SELECT dest,
+       CAST(prefix_len AS INT) AS prefix_len,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM routed
+GROUP BY dest, prefix_len ORDER BY dest
+"""
+
+
+# ---------------------------------------------------------------------------
+# bitmap_flag_index — roaring-style bitmap index from primitives
+# ---------------------------------------------------------------------------
+
+_BM_WORD = 60  # docs per bitmap word (low 60 bits keep BIGINT positive)
+
+
+def bitmap_flag_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BITMAP FLAG INDEX from primitives (SURVEY §2 #222) — the
+    compressed-bitmap-index / deletion-vector mechanic (roaring
+    bitmaps, Delta deletion vectors, Iceberg positional deletes)
+    expressed with nothing but ``bit_or`` aggregates and bitwise ops:
+    per (source, word = doc_id div 60) each boolean flag becomes one
+    BIGINT whose bit (doc_id mod 60) is set, and multi-flag set
+    algebra (AND / OR / NOT-within-existing) is evaluated by
+    ``bit_count`` over the combined words — set intersection without
+    touching a row.  Each bitmap-derived count travels NEXT TO its
+    direct rowwise count, so the result row itself proves the index
+    agrees with the ground truth on both engines.
+
+    Scale shape: one map-combinable groupBy builds the word table
+    (60:1 compression over row ids); the set algebra is a second tiny
+    rollup over words.  No joins, no windows — exactly why engines
+    push deletes/filters down as bitmaps at 100 TB.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    bit = f"shiftleft(1L, cast(doc_id % {_BM_WORD} as int))"
+    words = (
+        docs.select(
+            "source",
+            F.expr(f"doc_id div {_BM_WORD}").alias("word"),
+            F.expr(bit).alias("b"),
+            F.when(F.col("lang") == "en", 1).otherwise(0).alias("f_en"),
+            F.when(F.col("n_chars") >= 300, 1).otherwise(0).alias("f_long"),
+            F.when(F.expr("text rlike '[0-9]'"), 1).otherwise(0).alias(
+                "f_digit"
+            ),
+        )
+        .groupBy("source", "word")
+        .agg(
+            F.expr("bit_or(b)").alias("b_all"),
+            F.expr("bit_or(case when f_en = 1 then b else 0 end)").alias(
+                "b_en"
+            ),
+            F.expr("bit_or(case when f_long = 1 then b else 0 end)").alias(
+                "b_long"
+            ),
+            F.expr("bit_or(case when f_digit = 1 then b else 0 end)").alias(
+                "b_digit"
+            ),
+            F.sum(F.expr("f_en * f_long")).alias("d_en_long"),
+            F.sum(F.expr("least(f_long + f_digit, 1)")).alias(
+                "d_long_or_digit"
+            ),
+            F.sum(F.expr("f_en * (1 - f_digit)")).alias("d_en_not_digit"),
+        )
+    )
+    return (
+        words.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.expr("sum(bit_count(b_all))").alias("n_docs"),
+            F.expr("sum(bit_count(b_en & b_long))").alias("en_and_long"),
+            F.expr("sum(d_en_long)").alias("en_and_long_direct"),
+            F.expr("sum(bit_count(b_long | b_digit))").alias(
+                "long_or_digit"
+            ),
+            F.expr("sum(d_long_or_digit)").alias("long_or_digit_direct"),
+            F.expr("sum(bit_count(b_en & (b_all ^ b_digit)))").alias(
+                "en_not_digit"
+            ),
+            F.expr("sum(d_en_not_digit)").alias("en_not_digit_direct"),
+        )
+        .orderBy("source")
+    )
+
+
+ROUND7_QUERIES["bitmap_flag_index"] = bitmap_flag_index
+
+ROUND7_ORACLES["bitmap_flag_index"] = f"""
+WITH flagged AS (
+  SELECT source,
+         doc_id // {_BM_WORD} AS word,
+         (1::BIGINT << CAST(doc_id % {_BM_WORD} AS INT)) AS b,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS f_en,
+         CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS f_long,
+         CASE WHEN regexp_matches(text, '[0-9]') THEN 1 ELSE 0 END AS f_digit
+  FROM documents
+),
+words AS (
+  SELECT source, word,
+         bit_or(b) AS b_all,
+         bit_or(CASE WHEN f_en = 1 THEN b ELSE 0 END) AS b_en,
+         bit_or(CASE WHEN f_long = 1 THEN b ELSE 0 END) AS b_long,
+         bit_or(CASE WHEN f_digit = 1 THEN b ELSE 0 END) AS b_digit,
+         sum(f_en * f_long) AS d_en_long,
+         sum(least(f_long + f_digit, 1)) AS d_long_or_digit,
+         sum(f_en * (1 - f_digit)) AS d_en_not_digit
+  FROM flagged GROUP BY source, word
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(bit_count(b_all)) AS BIGINT) AS n_docs,
+       CAST(sum(bit_count(b_en & b_long)) AS BIGINT) AS en_and_long,
+       CAST(sum(d_en_long) AS BIGINT) AS en_and_long_direct,
+       CAST(sum(bit_count(b_long | b_digit)) AS BIGINT) AS long_or_digit,
+       CAST(sum(d_long_or_digit) AS BIGINT) AS long_or_digit_direct,
+       CAST(sum(bit_count(b_en & xor(b_all, b_digit))) AS BIGINT)
+         AS en_not_digit,
+       CAST(sum(d_en_not_digit) AS BIGINT) AS en_not_digit_direct
+FROM words
+GROUP BY source ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# image_phash_groups — perceptual-hash duplicate census from real pixels
+# ---------------------------------------------------------------------------
+
+
+def _ahash_g(x: int, y: int) -> str:
+    """Closed-form sampled grayscale for the oracle: the deterministic
+    RGB gradient (attach_png_media) evaluated at the 8x8 nearest-
+    neighbor sample point, grayscaled in exact integers. Mirrors
+    operators/multimodal.py:image_ahash_png bit for bit."""
+    return (
+        f"((((({x} * w) // 8) * 7 + d) % 256) + "
+        f"(((({y} * h) // 8) * 11 + 2 * d) % 256) + "
+        f"(((({x} * w) // 8) + (({y} * h) // 8) + 3 * d) % 256)) // 3"
+    )
+
+
+def image_phash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCEPTUAL-HASH image duplicate groups (SURVEY §2 #223) — the
+    standard near-duplicate-image primitive (aHash: grayscale, 8x8
+    nearest-neighbor resample, threshold against the mean) run over
+    REAL pixels: PNGs are synthesized, encoded (zlib/struct), decoded
+    back by the stdlib parser, and hashed from the decoded array —
+    extending the multimodal leg from per-image features
+    (multimodal_image) to CROSS-image dedup.  Every step is integer-
+    exact, so the DuckDB oracle predicts each 64-bit hash in closed
+    form without touching a pixel: a bug anywhere in encode, deflate,
+    unfilter, resample, or bit packing breaks the match.
+
+    The report is the duplicate-group census (hash -> n_images,
+    first doc): hash-equality grouping is the scale-safe primitive —
+    one map-combinable groupBy on a 64-bit key, no pairs ever
+    materialized (the gradient corpus is heavily self-similar, so a
+    banded hamming join would fan out exactly like stop-grams; the
+    near-dup extension at scale is dedup_simhash's banded plan with
+    df-cutoffs, already in the catalog).
+    """
+    from pyprima_spark.operators.multimodal import (
+        attach_png_media,
+        image_ahash_png,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    hashes = image_ahash_png(attach_png_media(docs))
+    return (
+        hashes.groupBy("hash_hi", "hash_lo")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_images") >= 2)
+        .orderBy("hash_hi", "hash_lo")
+    )
+
+
+ROUND7_QUERIES["image_phash_groups"] = image_phash_groups
+
+_AHASH_TOTAL = " + ".join(_ahash_g(x, y) for y in range(8) for x in range(8))
+_AHASH_HI = " + ".join(
+    f"(CASE WHEN ({_ahash_g(x, y)}) > m THEN (1::BIGINT << {y * 8 + x}) "
+    f"ELSE 0 END)"
+    for y in range(4)
+    for x in range(8)
+)
+_AHASH_LO = " + ".join(
+    f"(CASE WHEN ({_ahash_g(x, y)}) > m THEN (1::BIGINT << {(y - 4) * 8 + x}) "
+    f"ELSE 0 END)"
+    for y in range(4, 8)
+    for x in range(8)
+)
+
+ROUND7_ORACLES["image_phash_groups"] = f"""
+WITH dims AS (
+  SELECT doc_id, doc_id AS d,
+         8 + doc_id % 13 AS w,
+         6 + doc_id % 9 AS h
+  FROM documents
+),
+means AS (
+  SELECT doc_id, d, w, h, ({_AHASH_TOTAL}) // 64 AS m FROM dims
+),
+hashes AS (
+  SELECT doc_id,
+         CAST(({_AHASH_HI}) AS BIGINT) AS hash_hi,
+         CAST(({_AHASH_LO}) AS BIGINT) AS hash_lo
+  FROM means
+)
+SELECT hash_hi, hash_lo,
+       CAST(count(*) AS BIGINT) AS n_images,
+       CAST(min(doc_id) AS BIGINT) AS first_doc
+FROM hashes
+GROUP BY hash_hi, hash_lo
+HAVING count(*) >= 2
+ORDER BY hash_hi, hash_lo
+"""
