@@ -266,6 +266,9 @@ BENCH_QUERIES = [
     "longest_prefix_route",
     "bitmap_flag_index",
     "image_phash_groups",
+    "replica_checksum_audit",
+    "erasure_cascade",
+    "rendezvous_sharding",
     # Excluded, with reasons (VERDICT r5 item 4 — one comment per key):
     #   streaming_sessions / streaming_rate_limit / streaming_hourly_stats /
     #   streaming_sliding_counts / streaming_hourly_drift — run the

@@ -3711,3 +3711,311 @@ GROUP BY hash_hi, hash_lo
 HAVING count(*) >= 2
 ORDER BY hash_hi, hash_lo
 """
+
+
+# ---------------------------------------------------------------------------
+# replica_checksum_audit — order-independent content signatures
+# ---------------------------------------------------------------------------
+
+_CK_MASK = (1 << 60) - 1  # keep the summed signature a positive BIGINT
+
+
+def replica_checksum_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REPLICA RECONCILIATION via order-independent content checksums
+    (SURVEY §2 #224) — the aggregate-signature pattern (Delta CRC
+    files, Debezium incremental snapshots, DynamoDB global-table
+    verification): two copies of a table are compared by per-partition
+    COMMUTATIVE checksums (sum of row hashes mod 2^60), so divergence
+    localizes to a partition WITHOUT a row-level diff — snapshot_diff
+    is the row-level escalation once a partition flags.  The replica
+    is the same corpus with a deterministic simulated drift (every
+    97th doc re-edited), and each source row reports both signatures,
+    the divergence flag, and the true diff count riding along as its
+    own ground truth.
+
+    Scale shape: two map-combinable groupBys (a sum is commutative and
+    associative — exactly why the pattern exists) + one dim-sized
+    join of 20-row signature tables.  No sort, no window, no
+    fact-fact join.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    rowh = X.hash64_spark("cast(doc_id as string) || ':' || md5(text)")
+    base = docs.select(
+        "source", F.expr(f"({rowh}) & {_CK_MASK}").alias("rh")
+    )
+    replica_docs = docs.select(
+        "source",
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 97 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    repl = replica_docs.select(
+        "source", F.expr(f"({rowh}) & {_CK_MASK}").alias("rh")
+    )
+    # 60-bit row hashes summed in DECIMAL(38,0) — int64 would overflow
+    # after ~8 rows; DuckDB's BIGINT sum widens to HUGEINT automatically.
+    dec_mod = f"cast(sum(cast(rh as decimal(38,0))) % {_CK_MASK + 1} as bigint)"
+    base_ck = base.groupBy("source").agg(
+        F.expr(dec_mod).alias("base_ck"),
+        F.count(F.lit(1)).alias("base_rows"),
+    )
+    repl_ck = repl.groupBy("source").agg(
+        F.expr(dec_mod).alias("replica_ck")
+    )
+    diffs = (
+        docs.filter(F.col("doc_id") % 97 == 0)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_diff_docs"))
+    )
+    return (
+        base_ck.join(repl_ck, "source")
+        .join(diffs, "source", "left")
+        .select(
+            "source",
+            "base_rows",
+            "base_ck",
+            "replica_ck",
+            F.when(F.col("base_ck") != F.col("replica_ck"), 1)
+            .otherwise(0)
+            .alias("divergent"),
+            F.coalesce("n_diff_docs", F.lit(0)).alias("n_diff_docs"),
+        )
+        .orderBy("source")
+    )
+
+
+ROUND7_QUERIES["replica_checksum_audit"] = replica_checksum_audit
+
+_CK_ROWH = X.hash64_duck("CAST(doc_id AS VARCHAR) || ':' || md5(text)")
+_CK_ROWH_V2 = X.hash64_duck(
+    "CAST(doc_id AS VARCHAR) || ':' || "
+    "md5(CASE WHEN doc_id % 97 = 0 THEN text || ' v2' ELSE text END)"
+)
+
+ROUND7_ORACLES["replica_checksum_audit"] = f"""
+WITH base AS (
+  SELECT source,
+         sum(({_CK_ROWH}) & {_CK_MASK}) % {_CK_MASK + 1} AS base_ck,
+         count(*) AS base_rows
+  FROM documents GROUP BY source
+),
+repl AS (
+  SELECT source,
+         sum(({_CK_ROWH_V2}) & {_CK_MASK}) % {_CK_MASK + 1} AS replica_ck
+  FROM documents GROUP BY source
+),
+diffs AS (
+  SELECT source, count(*) AS n_diff_docs
+  FROM documents WHERE doc_id % 97 = 0 GROUP BY source
+)
+SELECT b.source,
+       CAST(b.base_rows AS BIGINT) AS base_rows,
+       CAST(b.base_ck AS BIGINT) AS base_ck,
+       CAST(r.replica_ck AS BIGINT) AS replica_ck,
+       CAST(CASE WHEN b.base_ck <> r.replica_ck THEN 1 ELSE 0 END AS INT)
+         AS divergent,
+       CAST(coalesce(d.n_diff_docs, 0) AS BIGINT) AS n_diff_docs
+FROM base b
+JOIN repl r USING (source)
+LEFT JOIN diffs d ON d.source = b.source
+ORDER BY b.source
+"""
+
+
+# ---------------------------------------------------------------------------
+# erasure_cascade — right-to-be-forgotten delete propagation
+# ---------------------------------------------------------------------------
+
+
+def erasure_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR ERASURE CASCADE manifest (SURVEY §2 #225) — right-to-be-
+    forgotten propagation: a deletion-request set (every 101st
+    customer key) cascades through every table referencing the
+    subject, directly (orders.o_custkey, events.user_id) or
+    transitively (lineitem through its order), and the audit manifest
+    reports per table the before / erased / after counts — the
+    compliance artifact an erasure job must produce.  blocklist_filter
+    is the content-keyed cousin; this key is SUBJECT-keyed with a
+    transitive hop.
+
+    Scale shape: the request set is a dim-bounded key list — joined
+    BROADCAST to each fact (the deletion-vector pattern bitmap_
+    flag_index demonstrates at the storage layer); the lineitem hop
+    reuses the already-filtered orders keys (ids only, never rows);
+    per-table counts are map-combinable; the manifest is 3 rows via
+    unionByName of three tiny aggregates.
+    """
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    ev = _t(spark, sf_dir, "events")
+    requests = cust.filter(F.col("c_custkey") % 101 == 0).select("c_custkey")
+    hit_orders = orders.join(
+        F.broadcast(requests), orders.o_custkey == requests.c_custkey
+    ).select("o_orderkey")
+    n_orders = orders.agg(F.count(F.lit(1)).alias("before")).withColumn(
+        "erased",
+        F.lit(None).cast("long"),
+    )
+
+    def manifest(name, total_df, erased_df):
+        t = total_df.agg(F.count(F.lit(1)).alias("before"))
+        e = erased_df.agg(F.count(F.lit(1)).alias("erased"))
+        return (
+            t.join(e)
+            .select(
+                F.lit(name).alias("table_name"),
+                "before",
+                "erased",
+                (F.col("before") - F.col("erased")).alias("after"),
+            )
+        )
+
+    rows = (
+        manifest("orders", orders, hit_orders)
+        .unionByName(
+            manifest(
+                "lineitem",
+                li,
+                li.join(
+                    F.broadcast(hit_orders),
+                    li.l_orderkey == hit_orders.o_orderkey,
+                ),
+            )
+        )
+        .unionByName(
+            manifest(
+                "events",
+                ev,
+                ev.join(
+                    F.broadcast(requests),
+                    ev.user_id == requests.c_custkey,
+                ),
+            )
+        )
+    )
+    return rows.orderBy("table_name")
+
+
+ROUND7_QUERIES["erasure_cascade"] = erasure_cascade
+
+ROUND7_ORACLES["erasure_cascade"] = """
+WITH requests AS (
+  SELECT c_custkey FROM customer WHERE c_custkey % 101 = 0
+),
+hit_orders AS (
+  SELECT o_orderkey FROM orders JOIN requests ON o_custkey = c_custkey
+)
+SELECT * FROM (
+  SELECT 'orders' AS table_name,
+         CAST((SELECT count(*) FROM orders) AS BIGINT) AS before,
+         CAST((SELECT count(*) FROM hit_orders) AS BIGINT) AS erased,
+         CAST((SELECT count(*) FROM orders)
+              - (SELECT count(*) FROM hit_orders) AS BIGINT) AS after
+  UNION ALL
+  SELECT 'lineitem',
+         CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+         CAST((SELECT count(*) FROM lineitem
+               JOIN hit_orders ON l_orderkey = o_orderkey) AS BIGINT),
+         CAST((SELECT count(*) FROM lineitem)
+              - (SELECT count(*) FROM lineitem
+                 JOIN hit_orders ON l_orderkey = o_orderkey) AS BIGINT)
+  UNION ALL
+  SELECT 'events',
+         CAST((SELECT count(*) FROM events) AS BIGINT),
+         CAST((SELECT count(*) FROM events
+               JOIN requests ON user_id = c_custkey) AS BIGINT),
+         CAST((SELECT count(*) FROM events)
+              - (SELECT count(*) FROM events
+                 JOIN requests ON user_id = c_custkey) AS BIGINT)
+)
+ORDER BY table_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# rendezvous_sharding — HRW shard assignment + resize stability
+# ---------------------------------------------------------------------------
+
+_HRW_SHARDS = 8
+
+
+def rendezvous_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RENDEZVOUS (highest-random-weight) SHARDING stability audit
+    (SURVEY §2 #226) — Thaler & Ravishankar 1996, the consistent-
+    routing primitive behind cache rings and shard maps: each key
+    goes to argmax over shards of hash(key, shard), so adding a shard
+    moves only ~1/(n+1) of keys, never reshuffles everything (the
+    property hash-mod sharding lacks: doc_id % n remaps nearly ALL
+    keys on resize).  Documents are assigned under 8 and 9
+    shards and the census reports per new-shard counts plus how many
+    arrived (moved) vs stayed — the migration-cost readout a resize
+    plan needs.  Both assignments are pure md5 integer argmaxes,
+    engine-identical, ties impossible modulo md5 collisions on
+    distinct strings.
+
+    Scale shape: the per-key argmax is a map-side expression over a
+    literal shard sequence (aggregate over an 8-element array — no
+    explode, no join, no window); the census is one map-combinable
+    groupBy.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    wh = X.hash64_spark("cast(doc_id as string) || '#' || cast(s as string)")
+
+    def argmax_expr(n: int) -> str:
+        return (
+            f"aggregate(sequence(0, {n - 1}), "
+            f"struct(cast(-1 as bigint) as s, cast(-1 as bigint) as w), "
+            f"(acc, s) -> CASE WHEN ({wh}) > acc.w "
+            f"THEN struct(cast(s as bigint) as s, ({wh}) as w) "
+            f"ELSE acc END).s"
+        )
+
+    assigned = docs.select(
+        "doc_id",
+        F.expr(argmax_expr(_HRW_SHARDS)).alias("shard_old"),
+        F.expr(argmax_expr(_HRW_SHARDS + 1)).alias("shard_new"),
+    )
+    return (
+        assigned.groupBy("shard_new")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("shard_old") != F.col("shard_new"), 1).otherwise(
+                    0
+                )
+            ).alias("n_moved"),
+        )
+        .orderBy("shard_new")
+    )
+
+
+ROUND7_QUERIES["rendezvous_sharding"] = rendezvous_sharding
+
+_HRW_DUCK = X.hash64_duck("CAST(doc_id AS VARCHAR) || '#' || CAST(s AS VARCHAR)")
+
+
+def _hrw_argmax_duck(n: int) -> str:
+    return (
+        f"(SELECT s FROM (SELECT unnest(range({n})) AS s) shards "
+        f"ORDER BY ({_HRW_DUCK}) DESC LIMIT 1)"
+    )
+
+
+ROUND7_ORACLES["rendezvous_sharding"] = f"""
+WITH assigned AS (
+  SELECT doc_id,
+         {_hrw_argmax_duck(_HRW_SHARDS)} AS shard_old,
+         {_hrw_argmax_duck(_HRW_SHARDS + 1)} AS shard_new
+  FROM documents
+)
+SELECT CAST(shard_new AS BIGINT) AS shard_new,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN shard_old <> shard_new THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_moved
+FROM assigned
+GROUP BY shard_new ORDER BY shard_new
+"""
