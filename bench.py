@@ -269,6 +269,7 @@ BENCH_QUERIES = [
     "replica_checksum_audit",
     "erasure_cascade",
     "rendezvous_sharding",
+    "fixed_width_roundtrip",
     # Excluded, with reasons (VERDICT r5 item 4 — one comment per key):
     #   streaming_sessions / streaming_rate_limit / streaming_hourly_stats /
     #   streaming_sliding_counts / streaming_hourly_drift — run the

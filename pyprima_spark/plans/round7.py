@@ -4019,3 +4019,73 @@ SELECT CAST(shard_new AS BIGINT) AS shard_new,
 FROM assigned
 GROUP BY shard_new ORDER BY shard_new
 """
+
+
+# ---------------------------------------------------------------------------
+# fixed_width_roundtrip — the fwf format leg through the catalog
+# ---------------------------------------------------------------------------
+
+_FWF_SPECS = [("nation", 16, "l"), ("n_orders", 10, "r"), ("sum_cents", 16, "r")]
+
+
+def fixed_width_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIXED-WIDTH text format leg through the correctness gate
+    (SURVEY §2 #227; the fwf counterpart of model_workbook_roundtrip's
+    xlsx closure — pandas' read_fwf surface, the mainframe /
+    statistical-agency interchange the reference's pandas ingest
+    lineage covers): the per-nation order census is rendered as one
+    fixed-width file (single-task write, sources/fixedwidth.py),
+    re-read DISTRIBUTED via spark.read.text + JVM-side substring/trim
+    casts (no Python in the read path — the parse pipelines into
+    whole-stage codegen), and returned.  The oracle computes the same
+    census in pure SQL straight from the relational lineage — a
+    padding, alignment, offset, or cast defect anywhere in the format
+    hop breaks the match.
+
+    Determinism across the hop: money crosses as exact integer CENTS
+    (DECIMAL-derived), never as formatted floats.
+    """
+    import tempfile
+
+    from pyprima_spark.sources.fixedwidth import (
+        read_fixed_width,
+        write_fixed_width,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    census = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.expr("cast(o_totalprice as decimal(18,2)) * 100")
+            ).cast("bigint").alias("sum_cents"),
+        )
+    )
+    path = tempfile.mkdtemp(prefix="pyprima_fwf_") + "/census.fwf"
+    write_fixed_width(census, path, _FWF_SPECS, order_by=["nation"]).count()
+    return read_fixed_width(
+        spark,
+        path,
+        _FWF_SPECS,
+        {"nation": "string", "n_orders": "bigint", "sum_cents": "bigint"},
+    ).orderBy("nation")
+
+
+ROUND7_QUERIES["fixed_width_roundtrip"] = fixed_width_roundtrip
+
+ROUND7_ORACLES["fixed_width_roundtrip"] = """
+SELECT n_name AS nation,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+         AS sum_cents
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY nation
+"""

@@ -544,3 +544,41 @@ def test_xml_source_sink_roundtrip(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, back.collect())) == sorted(
         map(tuple, nat.collect())
     )
+
+
+def test_fixed_width_roundtrip_and_edges(spark, tmp_path):
+    """Fixed-width contract: pad/align/trim round-trips values exactly,
+    nulls cross as blanks, and an over-wide value is REFUSED (silent
+    truncation would corrupt the record stream)."""
+    import pytest
+
+    from pyprima_spark.sources.fixedwidth import (
+        read_fixed_width,
+        write_fixed_width,
+    )
+
+    specs = [("name", 8, "l"), ("qty", 6, "r")]
+    df = spark.createDataFrame(
+        [("alpha", 42), ("beta", None), ("gamma", 100000)],
+        "name string, qty bigint",
+    )
+    path = str(tmp_path / "t.fwf")
+    manifest = write_fixed_width(df, path, specs).collect()
+    assert manifest[0]["n_rows"] == 3
+    raw = open(path).read().splitlines()
+    assert raw[0] == "alpha   " + "    42" and len(raw[1]) == 14
+    back = read_fixed_width(
+        spark, path, specs, {"name": "string", "qty": "bigint"}
+    )
+    got = {r["name"]: r["qty"] for r in back.collect()}
+    assert got == {"alpha": 42, "beta": None, "gamma": 100000}
+
+    too_wide = spark.createDataFrame(
+        [("this-name-is-far-too-long", 1)], "name string, qty bigint"
+    )
+    with pytest.raises(Exception, match="exceeds width"):
+        write_fixed_width(too_wide, str(tmp_path / "bad.fwf"), specs).collect()
+
+    empty = df.filter("qty < 0")
+    m = write_fixed_width(empty, str(tmp_path / "e.fwf"), specs).collect()
+    assert m[0]["n_rows"] == 0 and m[0]["n_bytes"] == 0
