@@ -270,6 +270,8 @@ BENCH_QUERIES = [
     "erasure_cascade",
     "rendezvous_sharding",
     "fixed_width_roundtrip",
+    "slo_burn_rate",
+    "luhn_check_audit",
     # Excluded, with reasons (VERDICT r5 item 4 — one comment per key):
     #   streaming_sessions / streaming_rate_limit / streaming_hourly_stats /
     #   streaming_sliding_counts / streaming_hourly_drift — run the

@@ -4089,3 +4089,205 @@ JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name
 ORDER BY nation
 """
+
+
+# ---------------------------------------------------------------------------
+# slo_burn_rate — hourly p95 SLO attainment + error-budget burn
+# ---------------------------------------------------------------------------
+
+_SLO_P95_MAX = 160.0  # hourly p95 latency objective
+
+
+def slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLO ATTAINMENT + ERROR-BUDGET BURN (SURVEY §2 #228) — the SRE
+    reliability readout (Google SRE workbook's burn-rate alerts):
+    hourly p95 latency is held against the objective, each day reports
+    its violating hours, and the running burn (cumulative bad hours
+    over cumulative hours, basis points) shows when the error budget
+    crosses its line — the operational counterpart of the drift family
+    (distribution monitoring) applied to a quantile objective.
+    p95 is ``percentile_disc`` — BOTH engines pick an actual data
+    value, so the compliance flag is engine-exact with no
+    interpolation arithmetic; the burn ratios are exact integer basis
+    points.
+
+    Scale shape: the hourly census is one map-combinable groupBy
+    (percentile_disc shuffles only (hour) keys); the day rollup and
+    the running burn operate on the HOUR/DAY census — time-bounded
+    (24 rows/day, 30 days here), the documented bounded-input class
+    for the unpartitioned cumulative window.
+    """
+    ev = _t(spark, sf_dir, "events")
+    hourly = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg(
+            F.expr(
+                "percentile_disc(0.95) WITHIN GROUP (ORDER BY value)"
+            ).alias("p95")
+        )
+        .select(
+            F.date_format("h", "yyyy-MM-dd").alias("day"),
+            F.when(F.col("p95") > _SLO_P95_MAX, 1).otherwise(0).alias("bad"),
+        )
+    )
+    daily = hourly.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum("bad").alias("bad_hours"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        daily.select(
+            "day",
+            "n_hours",
+            "bad_hours",
+            F.expr("(10000 * bad_hours) div n_hours").alias("bad_bp"),
+            F.sum("bad_hours").over(w).alias("cum_bad"),
+            F.sum("n_hours").over(w).alias("cum_hours"),
+        )
+        .select(
+            "day",
+            "n_hours",
+            "bad_hours",
+            "bad_bp",
+            F.expr("(10000 * cum_bad) div cum_hours").alias("cum_burn_bp"),
+        )
+        .orderBy("day")
+    )
+
+
+ROUND7_QUERIES["slo_burn_rate"] = slo_burn_rate
+
+ROUND7_ORACLES["slo_burn_rate"] = f"""
+WITH hourly AS (
+  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d') AS day,
+         CASE WHEN quantile_disc(value, 0.95) > {_SLO_P95_MAX}
+              THEN 1 ELSE 0 END AS bad
+  FROM events WHERE event_type = 'view'
+  GROUP BY date_trunc('hour', ts)
+),
+daily AS (
+  SELECT day, count(*) AS n_hours, sum(bad) AS bad_hours
+  FROM hourly GROUP BY day
+)
+SELECT day,
+       CAST(n_hours AS BIGINT) AS n_hours,
+       CAST(bad_hours AS BIGINT) AS bad_hours,
+       CAST((10000 * bad_hours) // n_hours AS BIGINT) AS bad_bp,
+       CAST((10000 * sum(bad_hours) OVER w)
+            // (sum(n_hours) OVER w) AS BIGINT) AS cum_burn_bp
+FROM daily
+WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+ORDER BY day
+"""
+
+
+# ---------------------------------------------------------------------------
+# luhn_check_audit — check-digit format validation at scale
+# ---------------------------------------------------------------------------
+
+
+def _luhn_sum(idcol: str, div: str) -> str:
+    """Luhn mod-10 sum over the 12 digits of ``idcol`` — digit i is
+    ``(id div 10^i) % 10``, every ODD position (counting from the
+    check digit at i=0) is doubled with the >9 fold-back. ``div`` is
+    the engine's integer-division operator. Generated once here so
+    both dialects evaluate the identical 12-term expression."""
+    terms = []
+    for i in range(12):
+        d = f"(({idcol} {div} {10 ** i}) % 10)"
+        if i % 2 == 1:
+            terms.append(f"(CASE WHEN {d} > 4 THEN 2 * {d} - 9 ELSE 2 * {d} END)")
+        else:
+            terms.append(d)
+    return " + ".join(terms)
+
+
+def luhn_check_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECK-DIGIT (Luhn mod-10) format validation census (SURVEY §2
+    #229) — the ingest-quality primitive behind card/IMEI/national-id
+    validation, and the missing FORMAT leg of the constraint-audit
+    family (pk_uniqueness = identity, fk_orphan = reference,
+    contract_violations = domain; this key = checksum VALIDITY).
+    Account ids are synthesized deterministically per customer: an
+    11-digit md5-derived payload gets its true Luhn digit, and every
+    customer whose corruption coin lands 0 mod 10 ships with the digit
+    bumped (+1 mod 10 — provably always invalid, the sum shifts by
+    ±1·... ≠ 0 mod 10), so the expected invalid count rides along as
+    in-row ground truth next to what the validator actually caught.
+
+    Scale shape: synthesis and the 12-term validation sum are pure
+    map-side integer expressions; one broadcast dim join
+    (customer→nation) and one map-combinable groupBy.
+    """
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    pay = X.hash64_spark("cast(c_custkey as string) || ':acct'")
+    coin = X.hash64_spark("cast(c_custkey as string) || ':corrupt'")
+    # check digit c over payload p: Luhn requires sum(p*10 + c) ≡ 0
+    psum = _luhn_sum(f"(({pay}) % {10 ** 11}) * 10", "div")
+    ids = cust.select(
+        "c_nationkey",
+        F.expr(
+            f"(({pay}) % {10 ** 11}) * 10"
+            f" + (CASE WHEN ({coin}) % 10 = 0 THEN ((10 - (({psum}) % 10)) % 10 + 1) % 10"
+            f" ELSE (10 - (({psum}) % 10)) % 10 END)"
+        ).alias("acct_id"),
+        F.when(F.expr(f"({coin}) % 10 = 0"), 1).otherwise(0).alias("corrupted"),
+    )
+    vsum = _luhn_sum("acct_id", "div")
+    checked = ids.select(
+        "c_nationkey",
+        "corrupted",
+        F.when(F.expr(f"({vsum}) % 10 = 0"), 0).otherwise(1).alias("invalid"),
+    )
+    return (
+        checked.join(F.broadcast(nat), checked.c_nationkey == nat.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_ids"),
+            F.sum("invalid").alias("n_invalid"),
+            F.sum("corrupted").alias("expected_invalid"),
+        )
+        .select(
+            "nation",
+            "n_ids",
+            "n_invalid",
+            "expected_invalid",
+            F.expr("(10000 * n_invalid) div n_ids").alias("invalid_bp"),
+        )
+        .orderBy("nation")
+    )
+
+
+ROUND7_QUERIES["luhn_check_audit"] = luhn_check_audit
+
+_LUHN_PAY = X.hash64_duck("CAST(c_custkey AS VARCHAR) || ':acct'")
+_LUHN_COIN = X.hash64_duck("CAST(c_custkey AS VARCHAR) || ':corrupt'")
+_LUHN_PSUM = _luhn_sum(f"(({_LUHN_PAY}) % {10 ** 11}) * 10", "//")
+_LUHN_VSUM = _luhn_sum("acct_id", "//")
+
+ROUND7_ORACLES["luhn_check_audit"] = f"""
+WITH ids AS (
+  SELECT c_nationkey,
+         (({_LUHN_PAY}) % {10 ** 11}) * 10
+           + (CASE WHEN ({_LUHN_COIN}) % 10 = 0
+                   THEN ((10 - (({_LUHN_PSUM}) % 10)) % 10 + 1) % 10
+                   ELSE (10 - (({_LUHN_PSUM}) % 10)) % 10 END) AS acct_id,
+         CASE WHEN ({_LUHN_COIN}) % 10 = 0 THEN 1 ELSE 0 END AS corrupted
+  FROM customer
+),
+checked AS (
+  SELECT c_nationkey, corrupted,
+         CASE WHEN ({_LUHN_VSUM}) % 10 = 0 THEN 0 ELSE 1 END AS invalid
+  FROM ids
+)
+SELECT n_name AS nation,
+       CAST(count(*) AS BIGINT) AS n_ids,
+       CAST(sum(invalid) AS BIGINT) AS n_invalid,
+       CAST(sum(corrupted) AS BIGINT) AS expected_invalid,
+       CAST((10000 * sum(invalid)) // count(*) AS BIGINT) AS invalid_bp
+FROM checked
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name ORDER BY nation
+"""
