@@ -179,3 +179,39 @@ def test_merge_upsert_last_writer_wins(spark, tmp_path):
         (r.id, r.v, r.p) for r in spark.read.parquet(path).collect()
     }
     assert got == {(1, "a", "x"), (2, "B", "x"), (3, "c", "x"), (4, "d", "y")}
+
+
+def test_python_streaming_datasource_exactly_once(spark, tmp_path):
+    """Spark 4 Python STREAMING DataSource (SimpleDataSourceStreamReader):
+    the deterministic ticker source delivers contiguous seqs with no
+    gaps or dups across micro-batches (offset cursor = exactly-once),
+    and values match the pure function of seq."""
+    import time
+
+    from pyprima_spark.sources.datasource_api import register_gis_sources
+
+    register_gis_sources(spark)
+    stream = (
+        spark.readStream.format("ticker_stream")
+        .option("rowsPerBatch", "7")
+        .load()
+    )
+    seen: list[tuple[int, int]] = []
+
+    def sink(batch_df, batch_id):
+        seen.extend((r["seq"], r["value"]) for r in batch_df.collect())
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+    deadline = time.time() + 60
+    while time.time() < deadline and len(seen) < 21:
+        time.sleep(0.5)
+    q.stop()
+    assert len(seen) >= 21, f"only {len(seen)} rows arrived"
+    seqs = sorted(s for s, _ in seen)
+    assert seqs == list(range(len(seqs))), "gaps or dups in the cursor"
+    assert all(v == (s * 7) % 100 for s, v in seen)
