@@ -4291,3 +4291,208 @@ FROM checked
 JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name ORDER BY nation
 """
+
+
+# ---------------------------------------------------------------------------
+# cohens_kappa — inter-annotator agreement in exact rational space
+# ---------------------------------------------------------------------------
+
+_KAPPA_LANGS = ["de", "en", "es", "fr", "zh"]
+
+
+def cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COHEN'S KAPPA inter-annotator agreement (SURVEY §2 #231) —
+    Cohen 1960, the labeling-QA statistic every annotation pipeline
+    reports (raw percent agreement is inflated by chance; kappa
+    removes the marginal-product baseline).  Annotator A is the stored
+    lang label; annotator B is a deterministic noisy relabeler (keeps
+    A's label unless its md5 coin lands < 15%, then draws uniformly
+    from the label set) — the standard synthetic-agreement fixture.
+    kappa = (n·Σagree − Σ mᵢ·kᵢ) / (n² − Σ mᵢ·kᵢ) is computed as ONE
+    exact integer rational and published in parts-per-million
+    (div-truncated), alongside observed/chance agreement in ppm — no
+    float crosses an engine boundary.
+
+    Scale shape: relabel is map-side; the confusion marginals are two
+    label-bounded groupBys joined at label-set size (25 cells max);
+    the final kappa is a 1-row exact-integer reduction.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    coin = X.hash64_spark("cast(doc_id as string) || ':anno'")
+    pick = X.hash64_spark("cast(doc_id as string) || ':pick'")
+    arr = "array(" + ", ".join(f"'{l}'" for l in _KAPPA_LANGS) + ")"
+    labeled = docs.select(
+        F.col("lang").alias("a"),
+        F.expr(
+            f"CASE WHEN ({coin}) % 100 < 15 "
+            f"THEN element_at({arr}, cast(({pick}) % {len(_KAPPA_LANGS)} as int) + 1) "
+            f"ELSE lang END"
+        ).alias("b"),
+    )
+    cells = labeled.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c"))
+    stats = cells.agg(
+        F.sum("c").alias("n"),
+        F.sum(F.when(F.col("a") == F.col("b"), F.col("c")).otherwise(0)).alias(
+            "agree"
+        ),
+    )
+    ma = cells.groupBy("a").agg(F.sum("c").alias("m"))
+    kb = cells.groupBy("b").agg(F.sum("c").alias("k"))
+    chance = (
+        ma.join(kb, ma.a == kb.b)
+        .agg(F.sum(F.expr("m * k")).alias("mk"))
+    )
+    return (
+        stats.join(chance)
+        .select(
+            "n",
+            "agree",
+            F.expr("(1000000 * agree) div n").alias("po_ppm"),
+            F.expr("(1000000 * mk) div (n * n)").alias("pe_ppm"),
+            F.expr(
+                "(1000000 * (n * agree - mk)) div (n * n - mk)"
+            ).alias("kappa_ppm"),
+        )
+    )
+
+
+ROUND7_QUERIES["cohens_kappa"] = cohens_kappa
+
+_KAPPA_COIN = X.hash64_duck("CAST(doc_id AS VARCHAR) || ':anno'")
+_KAPPA_PICK = X.hash64_duck("CAST(doc_id AS VARCHAR) || ':pick'")
+_KAPPA_ARR = "[" + ", ".join(f"'{l}'" for l in _KAPPA_LANGS) + "]"
+
+ROUND7_ORACLES["cohens_kappa"] = f"""
+WITH labeled AS (
+  SELECT lang AS a,
+         CASE WHEN ({_KAPPA_COIN}) % 100 < 15
+              THEN ({_KAPPA_ARR})[CAST(({_KAPPA_PICK}) % {len(_KAPPA_LANGS)} AS INT) + 1]
+              ELSE lang END AS b
+  FROM documents
+),
+cells AS (
+  SELECT a, b, count(*) AS c FROM labeled GROUP BY a, b
+),
+stats AS (
+  SELECT sum(c) AS n,
+         sum(CASE WHEN a = b THEN c ELSE 0 END) AS agree
+  FROM cells
+),
+chance AS (
+  SELECT sum(m * k) AS mk FROM
+    (SELECT a, sum(c) AS m FROM cells GROUP BY a) ma
+    JOIN (SELECT b, sum(c) AS k FROM cells GROUP BY b) kb ON ma.a = kb.b
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(agree AS BIGINT) AS agree,
+       CAST((1000000 * agree) // n AS BIGINT) AS po_ppm,
+       CAST((1000000 * mk) // (n * n) AS BIGINT) AS pe_ppm,
+       CAST((1000000 * (n * agree - mk)) // (n * n - mk) AS BIGINT)
+         AS kappa_ppm
+FROM stats, chance
+"""
+
+
+# ---------------------------------------------------------------------------
+# mutual_nn_mining — reciprocal best-match bitext-style pairing
+# ---------------------------------------------------------------------------
+
+
+def mutual_nn_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MUTUAL NEAREST-NEIGHBOR mining (SURVEY §2 #232) — the bitext /
+    parallel-pair mining primitive (LASER-style margin mining's
+    reciprocal core): across two embedding populations, keep only
+    pairs where each side is the OTHER side's top-1 — one-directional
+    top-1 (ann_topk) over-matches hubs; mutuality is the precision
+    gate corpus-alignment pipelines rely on.  Similarity is the exact
+    integer dot product of fixed-point-quantized components
+    (floor(e*1000) — float sum order can never diverge); each side's
+    best is a WindowGroupLimit row_number over its own partition; the
+    mutual join is an equi-join on the candidate pair.
+
+    Scale shape: the exact cross-score here mirrors ann_topk's brute-
+    force-baseline precedent (label-0 × label-1 at test scale); at
+    100 TB the candidate pairs come from the banded hyperplane-LSH
+    buckets (ann_lsh / embedding_dedup machinery) and everything from
+    the per-side top-1 election on stays IDENTICAL — mutuality never
+    needs more than the candidate table.
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    q = (
+        "transform(embedding, e -> "
+        "cast(floor(cast(e as double) * 1000) as bigint))"
+    )
+    a = emb.filter(F.col("label") == 0).select(
+        F.col("vec_id").alias("a_id"), F.expr(q).alias("qa")
+    )
+    b = emb.filter(F.col("label") == 1).select(
+        F.col("vec_id").alias("b_id"), F.expr(q).alias("qb")
+    )
+    scored = a.join(F.broadcast(b)).select(
+        "a_id",
+        "b_id",
+        F.expr(
+            "aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (s, v) -> s + v)"
+        ).alias("dot"),
+    )
+    scored = materialize(scored)
+    wa = Window.partitionBy("a_id").orderBy(F.desc("dot"), F.asc("b_id"))
+    wb = Window.partitionBy("b_id").orderBy(F.desc("dot"), F.asc("a_id"))
+    best_a = (
+        scored.withColumn("r", F.row_number().over(wa))
+        .filter(F.col("r") == 1)
+        .select("a_id", "b_id", "dot")
+    )
+    best_b = (
+        scored.withColumn("r", F.row_number().over(wb))
+        .filter(F.col("r") == 1)
+        .select(
+            F.col("a_id").alias("a2"), F.col("b_id").alias("b2")
+        )
+    )
+    return (
+        best_a.join(
+            best_b,
+            (best_a.a_id == best_b.a2) & (best_a.b_id == best_b.b2),
+        )
+        .select("a_id", "b_id", "dot")
+        .orderBy("a_id")
+    )
+
+
+ROUND7_QUERIES["mutual_nn_mining"] = mutual_nn_mining
+
+ROUND7_ORACLES["mutual_nn_mining"] = """
+WITH q AS (
+  SELECT vec_id, label,
+         list_transform(embedding, e ->
+           CAST(floor(CAST(e AS DOUBLE) * 1000) AS BIGINT)) AS qv
+  FROM embeddings WHERE label IN (0, 1)
+),
+scored AS MATERIALIZED (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         list_sum(list_transform(range(len(a.qv)),
+           i -> a.qv[i + 1] * b.qv[i + 1])) AS dot
+  FROM (SELECT * FROM q WHERE label = 0) a,
+       (SELECT * FROM q WHERE label = 1) b
+),
+best_a AS (
+  SELECT a_id, b_id, dot FROM (
+    SELECT a_id, b_id, dot,
+           row_number() OVER (PARTITION BY a_id
+                              ORDER BY dot DESC, b_id) AS r
+    FROM scored
+  ) WHERE r = 1
+),
+best_b AS (
+  SELECT a_id, b_id FROM (
+    SELECT a_id, b_id,
+           row_number() OVER (PARTITION BY b_id
+                              ORDER BY dot DESC, a_id) AS r
+    FROM scored
+  ) WHERE r = 1
+)
+SELECT a.a_id, a.b_id, CAST(a.dot AS BIGINT) AS dot
+FROM best_a a JOIN best_b b ON a.a_id = b.a_id AND a.b_id = b.b_id
+ORDER BY a.a_id
+"""
