@@ -259,7 +259,6 @@ BENCH_QUERIES = [
     "phrase_search",
     "rrf_fusion",
     "randomized_response_audit",
-    "ngram_containment",
     "random_projection_sketch",
     "ndcg_eval",
     "sorted_neighborhood_pairs",

@@ -2939,118 +2939,6 @@ GROUP BY source ORDER BY source
 
 
 # ---------------------------------------------------------------------------
-# ngram_containment — asymmetric subset-duplication detection
-# ---------------------------------------------------------------------------
-
-_CONT_K = 5        # word-shingle width
-_CONT_DF_MAX = 8   # stop-gram cutoff: grams in more docs carry no signal
-_CONT_TAU = 60     # containment percent threshold
-
-
-def ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Word-5-gram CONTAINMENT pairs (SURVEY §2 #217) — the asymmetric
-    near-dup measure (Broder 1997's other resemblance statistic):
-    containment = |grams(A) ∩ grams(B)| / |grams(smaller)| catches a
-    short document EMBEDDED in a long one (quotes, boilerplate
-    inclusion, chunk-of-another-doc), which symmetric Jaccard
-    (ngram_jaccard) structurally misses — the union denominator drowns
-    the short side.  Deliberately UNBANDED by length (length banding
-    is exactly wrong for subset duplication) and cross-source.
-
-    Scale shape: distinct (doc, gram-hash) table with a document-
-    frequency cutoff (df <= {_CONT_DF_MAX}) BEFORE the self-join, so
-    per-gram fanout is df-bounded (each surviving gram yields at most
-    df*(df-1)/2 pairs); per-doc set sizes ride a tiny per-doc count
-    joined onto the aggregated pairs.  Containment kept as an exact
-    integer percent: (100*shared) div least(size_a, size_b).
-    """
-    docs = _t(spark, sf_dir, "documents")
-    grams = docs.select(
-        "doc_id",
-        F.explode(
-            F.expr(X.shingles_spark(X.tokens_spark("text"), _CONT_K))
-        ).alias("g"),
-    ).select("doc_id", F.expr(X.hash64_spark("g")).alias("gh"))
-    grams = materialize(grams)
-    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("gsize"))
-    df_ok = (
-        grams.groupBy("gh")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= _CONT_DF_MAX)
-        .select("gh")
-    )
-    kept = grams.join(df_ok, "gh")
-    a = kept.select(F.col("doc_id").alias("doc_a"), "gh")
-    b = kept.select(F.col("doc_id").alias("doc_b"), "gh")
-    shared = (
-        a.join(b, "gh")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
-    return (
-        shared.join(
-            sizes.select(
-                F.col("doc_id").alias("doc_a"), F.col("gsize").alias("size_a")
-            ),
-            "doc_a",
-        )
-        .join(
-            sizes.select(
-                F.col("doc_id").alias("doc_b"), F.col("gsize").alias("size_b")
-            ),
-            "doc_b",
-        )
-        .withColumn(
-            "cont_pct",
-            F.expr("(100 * shared) div least(size_a, size_b)"),
-        )
-        .filter(F.col("cont_pct") >= _CONT_TAU)
-        .select("doc_a", "doc_b", "shared", "size_a", "size_b", "cont_pct")
-        .orderBy("doc_a", "doc_b")
-    )
-
-
-ROUND7_QUERIES["ngram_containment"] = ngram_containment
-
-ROUND7_ORACLES["ngram_containment"] = f"""
-WITH grams AS MATERIALIZED (
-  SELECT doc_id, {X.hash64_duck('g')} AS gh
-  FROM (
-    SELECT doc_id,
-           unnest({X.shingles_duck(X.tokens_duck('text'), _CONT_K)}) AS g
-    FROM documents
-  )
-),
-sizes AS (
-  SELECT doc_id, count(*) AS gsize FROM grams GROUP BY doc_id
-),
-df_ok AS (
-  SELECT gh FROM grams GROUP BY gh HAVING count(*) <= {_CONT_DF_MAX}
-),
-kept AS (
-  SELECT doc_id, gh FROM grams JOIN df_ok USING (gh)
-),
-shared AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
-  FROM kept a JOIN kept b ON a.gh = b.gh AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-)
-SELECT doc_a, doc_b,
-       CAST(shared AS BIGINT) AS shared,
-       CAST(sa.gsize AS BIGINT) AS size_a,
-       CAST(sb.gsize AS BIGINT) AS size_b,
-       CAST((100 * shared) // least(sa.gsize, sb.gsize) AS BIGINT)
-         AS cont_pct
-FROM shared
-JOIN sizes sa ON sa.doc_id = doc_a
-JOIN sizes sb ON sb.doc_id = doc_b
-WHERE (100 * shared) // least(sa.gsize, sb.gsize) >= {_CONT_TAU}
-ORDER BY doc_a, doc_b
-"""
-
-
-# ---------------------------------------------------------------------------
 # random_projection_sketch — Johnson-Lindenstrauss ±1 projection
 # ---------------------------------------------------------------------------
 
