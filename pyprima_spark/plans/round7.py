@@ -2592,6 +2592,10 @@ def zorder_layout_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     census: per planned file, row count plus the custkey and day spans
     actually covered — tight spans on BOTH dimensions are precisely
     what makes file-level min/max skipping effective at 100 TB.
+    (morton_tiles, round3.py, demos the same interleave primitive on a
+    FIXED generated raster grid; this key is the OPTIMIZE step proper:
+    data-derived min-max bucket scaling on real fact columns and the
+    per-file span census that grades the layout.)
 
     Scale shape: bounds agg + map-side z computation + one
     map-combinable groupBy to the 64-row census; no sort, no window,
