@@ -4388,3 +4388,204 @@ SELECT a.a_id, a.b_id, CAST(a.dot AS BIGINT) AS dot
 FROM best_a a JOIN best_b b ON a.a_id = b.a_id AND a.b_id = b.b_id
 ORDER BY a.a_id
 """
+
+
+# ---------------------------------------------------------------------------
+# ipf_raking — iterative proportional fitting (one full sweep)
+# ---------------------------------------------------------------------------
+
+_IPF_SCALE = 10**6  # weights in parts-per-million
+
+
+def ipf_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IPF / RAKING calibration weights (SURVEY §2 #233) — Deming &
+    Stephan 1940, the survey-statistics rebalancer dataset curation
+    borrows when a corpus must match TWO marginal targets at once
+    (lang share AND source share): data_mixture_plan reweights ONE
+    marginal; raking alternates proportional fits so both approach
+    their targets.  One full sweep (rows then columns) runs in exact
+    integer ppm arithmetic: w = (target_row ppm-fit) then column-
+    corrected, every division a truncating div so both engines agree
+    bit for bit.  Targets are the UNIFORM marginals (equal share per
+    lang, per source) — the standard balance objective.  The report
+    is the (lang, source) cell census with its raked weight and the
+    achieved column share after the sweep, the readout that decides
+    whether another sweep is worth running.
+
+    Scale shape: one fact-sized groupBy to the (lang × source) cell
+    census (bounded: |langs|·|sources|), then every IPF step is
+    arithmetic between the cell table and two broadcast marginal
+    aggregates — iteration cost is independent of the fact table.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    cells = materialize(cells)
+    tot = cells.agg(
+        F.sum("n").alias("total"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+    # row fit: scale each lang row to the uniform lang target
+    row_m = cells.groupBy("lang").agg(F.sum("n").alias("row_n"))
+    w1 = (
+        cells.join(F.broadcast(row_m), "lang")
+        .join(F.broadcast(tot))
+        .select(
+            "lang",
+            "source",
+            "n",
+            "n_sources",
+            F.expr(
+                f"(cast(total as bigint) * {_IPF_SCALE}) div (n_langs * row_n)"
+            ).alias("w_row"),
+        )
+    )
+    # column fit: correct each source column to the uniform source target
+    col_m = w1.groupBy("source").agg(
+        F.sum(F.expr("n * w_row")).alias("col_mass")
+    )
+    total_mass = w1.agg(F.sum(F.expr("n * w_row")).alias("all_mass"))
+    return (
+        w1.join(F.broadcast(col_m), "source")
+        .join(F.broadcast(total_mass))
+        .select(
+            "lang",
+            "source",
+            "n",
+            F.expr(
+                f"(w_row * (all_mass div n_sources)) div col_mass"
+            ).alias("w_ppm"),
+            F.expr(
+                f"(10000 * col_mass) div all_mass"
+            ).alias("col_share_before_bp"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+ROUND7_QUERIES["ipf_raking"] = ipf_raking
+
+ROUND7_ORACLES["ipf_raking"] = f"""
+WITH cells AS MATERIALIZED (
+  SELECT lang, source, count(*) AS n FROM documents GROUP BY lang, source
+),
+tot AS (
+  SELECT sum(n) AS total,
+         count(DISTINCT lang) AS n_langs,
+         count(DISTINCT source) AS n_sources
+  FROM cells
+),
+w1 AS (
+  SELECT c.lang, c.source, c.n, t.n_sources,
+         (CAST(t.total AS BIGINT) * {_IPF_SCALE})
+           // (t.n_langs * r.row_n) AS w_row
+  FROM cells c
+  JOIN (SELECT lang, sum(n) AS row_n FROM cells GROUP BY lang) r
+    ON c.lang = r.lang
+  CROSS JOIN tot t
+),
+col_m AS (
+  SELECT source, sum(n * w_row) AS col_mass FROM w1 GROUP BY source
+),
+tm AS (
+  SELECT sum(n * w_row) AS all_mass FROM w1
+)
+SELECT w1.lang, w1.source AS source,
+       CAST(w1.n AS BIGINT) AS n,
+       CAST((w_row * (all_mass // n_sources)) // col_mass AS BIGINT)
+         AS w_ppm,
+       CAST((10000 * col_mass) // all_mass AS BIGINT)
+         AS col_share_before_bp
+FROM w1 JOIN col_m ON w1.source = col_m.source CROSS JOIN tm
+ORDER BY w1.lang, w1.source
+"""
+
+
+# ---------------------------------------------------------------------------
+# arrival_disorder_census — out-of-order ingestion measurement
+# ---------------------------------------------------------------------------
+
+
+def arrival_disorder_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARRIVAL-DISORDER census (SURVEY §2 #234) — the measurement a
+    watermark delay is TUNED from (Streaming-systems disorder metric:
+    how far event time runs behind arrival order), complementing
+    late_data_census (which counts drops GIVEN a watermark, this key
+    measures the disorder that CHOOSES one): per user, events in
+    arrival order (event_id) are checked against event-time order —
+    an INVERSION is an adjacent arrival pair whose timestamps regress
+    — and the per-event-type census reports inversion share (bp) and
+    the maximum regression in seconds, the direct watermark-delay
+    lower bound.
+
+    Scale shape: one user-partitioned lag window (arrival order),
+    then a map-combinable groupBy; exact integers throughout
+    (epoch-second arithmetic, truncating div).
+    """
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    seq = ev.select(
+        "event_type",
+        F.expr("cast(unix_micros(ts) as bigint)").alias("us"),
+        F.lag(F.expr("cast(unix_micros(ts) as bigint)")).over(w).alias(
+            "prev_us"
+        ),
+    )
+    return (
+        seq.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.when(
+                    F.col("prev_us").isNotNull()
+                    & (F.col("us") < F.col("prev_us")),
+                    1,
+                ).otherwise(0)
+            ).alias("n_inversions"),
+            F.max(
+                F.when(
+                    F.col("prev_us").isNotNull(),
+                    F.greatest(
+                        F.col("prev_us") - F.col("us"), F.lit(0)
+                    ),
+                ).otherwise(0)
+            ).alias("max_regress_us"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "n_inversions",
+            F.expr("(10000 * n_inversions) div n_events").alias(
+                "inversion_bp"
+            ),
+            F.expr("max_regress_us div 1000000").alias("max_regress_s"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ROUND7_QUERIES["arrival_disorder_census"] = arrival_disorder_census
+
+ROUND7_ORACLES["arrival_disorder_census"] = """
+WITH seq AS (
+  SELECT event_type,
+         epoch_us(ts) AS us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id)
+           AS prev_us
+  FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN prev_us IS NOT NULL AND us < prev_us
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_inversions,
+       CAST((10000 * sum(CASE WHEN prev_us IS NOT NULL AND us < prev_us
+                              THEN 1 ELSE 0 END)) // count(*) AS BIGINT)
+         AS inversion_bp,
+       CAST(max(CASE WHEN prev_us IS NOT NULL
+                     THEN greatest(prev_us - us, 0) ELSE 0 END)
+            // 1000000 AS BIGINT) AS max_regress_s
+FROM seq
+GROUP BY event_type ORDER BY event_type
+"""

@@ -73,6 +73,9 @@ GLOBAL_WINDOW_ALLOWED = {
     "deterministic_shuffle",
     "graph_modularity",
     "interval_union_coverage",
+    # cumulative burn over the DAY census (time-bounded: 24 rows/day
+    # of hourly p95s -> ~30 input rows; the fact table never rides it)
+    "slo_burn_rate",
     "peak_concurrency",
     # bounded by |event_types|^3 path census (docstring)
     "session_paths",
