@@ -275,6 +275,8 @@ BENCH_QUERIES = [
     "mutual_nn_mining",
     "ipf_raking",
     "arrival_disorder_census",
+    "kendall_tau_topk",
+    "decile_lift",
     # Excluded, with reasons (VERDICT r5 item 4 — one comment per key):
     #   streaming_sessions / streaming_rate_limit / streaming_hourly_stats /
     #   streaming_sliding_counts / streaming_hourly_drift — run the

@@ -4589,3 +4589,243 @@ SELECT event_type,
 FROM seq
 GROUP BY event_type ORDER BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# kendall_tau_topk — rank correlation between two signals
+# ---------------------------------------------------------------------------
+
+_TAU_K = 50
+
+
+def kendall_tau_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KENDALL TAU rank correlation over the per-lang top-{k}
+    (SURVEY §2 #235) — the third leg of the ranking-eval family:
+    ndcg_eval scores one ranking against graded labels, rrf_fusion
+    merges rankings, tau measures how much two ranking SIGNALS agree
+    before anyone fuses them (Kendall 1938; concordant minus
+    discordant pairs).  Within each lang the top-{k} docs by signal A
+    (char length, doc_id-pinned) are taken as the item set, both
+    signals are compared on every item pair, and tau-a is published
+    ppm from exact integer C/D counts, with tied pairs counted
+    separately (ties join neither C nor D — the report shows exactly
+    what was dropped).
+
+    Scale shape: the top-{k} election is a lang-partitioned
+    WindowGroupLimit; the pair join is RANK-BOUNDED ({k}·({k}−1)/2
+    pairs per lang regardless of corpus size) and lang-keyed — never
+    fact×fact.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "lang",
+        "doc_id",
+        F.col("n_chars").alias("sa"),
+        F.expr(f"size(array_distinct({X.tokens_spark('text')}))").alias("sb"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("sa"), F.asc("doc_id"))
+    top = (
+        base.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= _TAU_K)
+        .select("lang", "doc_id", "sa", "sb")
+    )
+    top = materialize(top)
+    a = top.select("lang", F.col("doc_id").alias("i"), F.col("sa").alias("sa_i"), F.col("sb").alias("sb_i"))
+    b = top.select("lang", F.col("doc_id").alias("j"), F.col("sa").alias("sa_j"), F.col("sb").alias("sb_j"))
+    pairs = a.join(b, "lang").filter(F.col("i") < F.col("j"))
+    scored = pairs.select(
+        "lang",
+        F.when(
+            (F.col("sa_i") != F.col("sa_j")) & (F.col("sb_i") != F.col("sb_j")),
+            F.when(
+                (F.col("sa_i") > F.col("sa_j")) == (F.col("sb_i") > F.col("sb_j")),
+                1,
+            ).otherwise(-1),
+        )
+        .otherwise(0)
+        .alias("cd"),
+    )
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.when(F.col("cd") == 1, 1).otherwise(0)).alias("concordant"),
+            F.sum(F.when(F.col("cd") == -1, 1).otherwise(0)).alias("discordant"),
+            F.sum(F.when(F.col("cd") == 0, 1).otherwise(0)).alias("tied"),
+        )
+        .withColumn(
+            "tau_ppm",
+            F.expr("(1000000 * (concordant - discordant)) div n_pairs"),
+        )
+        .orderBy("lang")
+    )
+
+
+ROUND7_QUERIES["kendall_tau_topk"] = kendall_tau_topk
+
+ROUND7_ORACLES["kendall_tau_topk"] = f"""
+WITH base AS (
+  SELECT lang, doc_id, n_chars AS sa,
+         len(list_distinct({X.tokens_duck('text')})) AS sb
+  FROM documents
+),
+top AS MATERIALIZED (
+  SELECT lang, doc_id, sa, sb FROM (
+    SELECT lang, doc_id, sa, sb,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY sa DESC, doc_id) AS r
+    FROM base
+  ) WHERE r <= {_TAU_K}
+),
+scored AS (
+  SELECT a.lang,
+         CASE WHEN a.sa <> b.sa AND a.sb <> b.sb
+              THEN CASE WHEN (a.sa > b.sa) = (a.sb > b.sb)
+                        THEN 1 ELSE -1 END
+              ELSE 0 END AS cd
+  FROM top a JOIN top b ON a.lang = b.lang AND a.doc_id < b.doc_id
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(CASE WHEN cd = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS concordant,
+       CAST(sum(CASE WHEN cd = -1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS discordant,
+       CAST(sum(CASE WHEN cd = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tied,
+       CAST((1000000 * (sum(CASE WHEN cd = 1 THEN 1 ELSE 0 END)
+             - sum(CASE WHEN cd = -1 THEN 1 ELSE 0 END))) // count(*)
+            AS BIGINT) AS tau_ppm
+FROM scored
+GROUP BY lang ORDER BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# decile_lift — gains chart via broadcast percentile cuts
+# ---------------------------------------------------------------------------
+
+
+def decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECILE LIFT / cumulative-gains chart (SURVEY §2 #236) — the
+    score-quality readout campaign and churn models actually ship
+    with (does the top decile capture outsized response?): customers
+    are scored by FIRST-half spend, the outcome is SECOND-half
+    activity, scores cut into deciles by the broadcast percentile-cut
+    pattern (the r5-verdict prescription — percentile_disc boundaries
+    broadcast back, bucket assignment map-side, NO global ntile sort),
+    and each decile reports its responder capture plus the cumulative
+    share in exact basis points.
+
+    Scale shape: two per-customer aggregates (map-combined), 9 cut
+    values from one percentile_disc aggregate broadcast to the
+    assignment projection, the final cumulative window over the
+    10-row decile census.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    first = orders.filter(
+        F.expr("o_orderdate < date'1995-01-01'")
+    ).groupBy(F.col("o_custkey").alias("cust")).agg(
+        F.sum(F.expr("cast(o_totalprice as decimal(18,2)) * 100"))
+        .cast("bigint")
+        .alias("spend_cents")
+    )
+    second = (
+        orders.filter(F.expr("o_orderdate >= date'1995-01-01'"))
+        .select(F.col("o_custkey").alias("cust"))
+        .distinct()
+        .withColumn("responded", F.lit(1))
+    )
+    cuts = first.agg(
+        *[
+            F.expr(
+                f"percentile_disc(0.{d}) WITHIN GROUP (ORDER BY spend_cents)"
+            ).alias(f"c{d}")
+            for d in range(1, 10)
+        ]
+    )
+    cut_case = "CASE " + " ".join(
+        f"WHEN spend_cents <= c{d} THEN {d}" for d in range(1, 10)
+    ) + " ELSE 10 END"
+    assigned = (
+        first.join(F.broadcast(cuts))
+        .join(second, "cust", "left")
+        .select(
+            F.expr(cut_case).alias("decile"),
+            F.coalesce("responded", F.lit(0)).alias("responded"),
+        )
+    )
+    census = assigned.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("responded").alias("n_responders"),
+    )
+    w = Window.orderBy(F.desc("decile")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = census.agg(F.sum("n_responders").alias("all_resp"))
+    return (
+        census.join(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_customers",
+            "n_responders",
+            F.expr("(10000 * n_responders) div n_customers").alias(
+                "response_bp"
+            ),
+            F.expr(
+                "(10000 * sum(n_responders) over ("
+                "order by decile desc rows between unbounded preceding "
+                "and current row)) div all_resp"
+            ).alias("cum_capture_bp"),
+        )
+        .orderBy(F.desc("decile"))
+    )
+
+
+ROUND7_QUERIES["decile_lift"] = decile_lift
+
+ROUND7_ORACLES["decile_lift"] = """
+WITH first_half AS (
+  SELECT o_custkey AS cust,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+           AS spend_cents
+  FROM orders WHERE o_orderdate < DATE '1995-01-01'
+  GROUP BY o_custkey
+),
+second_half AS (
+  SELECT DISTINCT o_custkey AS cust, 1 AS responded
+  FROM orders WHERE o_orderdate >= DATE '1995-01-01'
+),
+cuts AS (
+  SELECT {cuts} FROM first_half
+),
+assigned AS (
+  SELECT {cut_case} AS decile,
+         coalesce(s.responded, 0) AS responded
+  FROM first_half f CROSS JOIN cuts LEFT JOIN second_half s USING (cust)
+),
+census AS (
+  SELECT decile, count(*) AS n_customers, sum(responded) AS n_responders
+  FROM assigned GROUP BY decile
+),
+tot AS (SELECT sum(n_responders) AS all_resp FROM census)
+SELECT decile,
+       CAST(n_customers AS BIGINT) AS n_customers,
+       CAST(n_responders AS BIGINT) AS n_responders,
+       CAST((10000 * n_responders) // n_customers AS BIGINT)
+         AS response_bp,
+       CAST((10000 * sum(n_responders) OVER (ORDER BY decile DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+            // all_resp AS BIGINT) AS cum_capture_bp
+FROM census CROSS JOIN tot
+ORDER BY decile DESC
+""".replace(
+    "{cuts}",
+    ", ".join(
+        f"quantile_disc(spend_cents, 0.{d}) AS c{d}" for d in range(1, 10)
+    ),
+).replace(
+    "{cut_case}",
+    "CASE "
+    + " ".join(f"WHEN spend_cents <= c{d} THEN {d}" for d in range(1, 10))
+    + " ELSE 10 END",
+)

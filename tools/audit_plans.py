@@ -76,6 +76,9 @@ GLOBAL_WINDOW_ALLOWED = {
     # cumulative burn over the DAY census (time-bounded: 24 rows/day
     # of hourly p95s -> ~30 input rows; the fact table never rides it)
     "slo_burn_rate",
+    # cumulative capture over the 10-row DECILE census (bucket count is
+    # a constant of the operator; assignment itself is map-side cuts)
+    "decile_lift",
     "peak_concurrency",
     # bounded by |event_types|^3 path census (docstring)
     "session_paths",
