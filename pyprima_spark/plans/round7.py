@@ -4829,3 +4829,104 @@ ORDER BY decile DESC
     + " ".join(f"WHEN spend_cents <= c{d} THEN {d}" for d in range(1, 10))
     + " ELSE 10 END",
 )
+
+
+# ---------------------------------------------------------------------------
+# quantile_rollup_gap — the p95-of-p95s aggregation fallacy, measured
+# ---------------------------------------------------------------------------
+
+
+def quantile_rollup_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUANTILE ROLLUP GAP audit (SURVEY §2 #237) — percentiles do not
+    compose: the p95 of hourly p95s is NOT the daily p95, yet tiered
+    dashboards roll quantiles up constantly (the classic monitoring
+    bug; Gil Tene's "coordinated omission" family).  This key
+    measures the fallacy on real data instead of assuming it: per
+    (day, event_type), the TRUE daily p95 over raw values next to the
+    ROLLED p95-of-hourly-p95s, the signed gap in integer cents, and
+    the relative error in basis points — the evidence that decides
+    whether a tiered quantile pipeline needs sketch MERGING
+    (approx_quantile_bands' KLL path) instead of quantile-of-quantile.
+
+    Scale shape: both aggregations are percentile_disc groupBys keyed
+    by bounded (day/hour × type) censuses — engine-exact selected
+    values, no interpolation; the join is census-sized.
+    """
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.date_format("ts", "yyyy-MM-dd HH").alias("hour"),
+        "event_type",
+        F.expr("cast(cast(value as decimal(18,2)) * 100 as bigint)").alias(
+            "cents"
+        ),
+    )
+    true_p = base.groupBy("day", "event_type").agg(
+        F.expr(
+            "cast(percentile_disc(0.95) WITHIN GROUP (ORDER BY cents)"
+            " as bigint)"
+        ).alias("true_p95_cents")
+    )
+    hourly = base.groupBy("day", "hour", "event_type").agg(
+        F.expr(
+            "cast(percentile_disc(0.95) WITHIN GROUP (ORDER BY cents)"
+            " as bigint)"
+        ).alias("hp95")
+    )
+    rolled = hourly.groupBy("day", "event_type").agg(
+        F.expr(
+            "cast(percentile_disc(0.95) WITHIN GROUP (ORDER BY hp95)"
+            " as bigint)"
+        ).alias("rolled_p95_cents")
+    )
+    return (
+        true_p.join(rolled, ["day", "event_type"])
+        .select(
+            "day",
+            "event_type",
+            "true_p95_cents",
+            "rolled_p95_cents",
+            (F.col("rolled_p95_cents") - F.col("true_p95_cents")).alias(
+                "gap_cents"
+            ),
+            F.expr(
+                "(10000 * abs(rolled_p95_cents - true_p95_cents))"
+                " div true_p95_cents"
+            ).alias("abs_err_bp"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+ROUND7_QUERIES["quantile_rollup_gap"] = quantile_rollup_gap
+
+ROUND7_ORACLES["quantile_rollup_gap"] = """
+WITH base AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day,
+         strftime(ts, '%Y-%m-%d %H') AS hour,
+         event_type,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM events
+),
+true_p AS (
+  SELECT day, event_type,
+         quantile_disc(cents, 0.95) AS true_p95_cents
+  FROM base GROUP BY day, event_type
+),
+hourly AS (
+  SELECT day, hour, event_type, quantile_disc(cents, 0.95) AS hp95
+  FROM base GROUP BY day, hour, event_type
+),
+rolled AS (
+  SELECT day, event_type, quantile_disc(hp95, 0.95) AS rolled_p95_cents
+  FROM hourly GROUP BY day, event_type
+)
+SELECT t.day AS day, t.event_type AS event_type,
+       CAST(true_p95_cents AS BIGINT) AS true_p95_cents,
+       CAST(rolled_p95_cents AS BIGINT) AS rolled_p95_cents,
+       CAST(rolled_p95_cents - true_p95_cents AS BIGINT) AS gap_cents,
+       CAST((10000 * abs(rolled_p95_cents - true_p95_cents))
+            // true_p95_cents AS BIGINT) AS abs_err_bp
+FROM true_p t JOIN rolled r ON t.day = r.day AND t.event_type = r.event_type
+ORDER BY t.day, t.event_type
+"""
