@@ -4930,3 +4930,140 @@ SELECT t.day AS day, t.event_type AS event_type,
 FROM true_p t JOIN rolled r ON t.day = r.day AND t.event_type = r.event_type
 ORDER BY t.day, t.event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# rank_matched_pairs — stratified rank matching + balance audit
+# ---------------------------------------------------------------------------
+
+
+def rank_matched_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRATIFIED RANK MATCHING + covariate-balance audit (SURVEY §2
+    #238) — the observational-causal-inference preprocessing step
+    (Rubin's matched sampling; rank matching is the deterministic,
+    engine-exact stand-in for propensity pairing): customers split
+    into treatment/control by an md5 coin, and WITHIN each nation
+    stratum the k-th highest-spend treated customer is paired with the
+    k-th highest-spend control — rank alignment as an equi-join on
+    (stratum, rank).  The audit reports, per nation, the group sizes,
+    matched-pair count (min of the two), and mean spend gap in cents
+    BEFORE matching vs WITHIN matched pairs — the balance improvement
+    that justifies the design.  All money exact integer cents; means
+    as div-truncated rationals.
+
+    Scale shape: one per-customer aggregate; both rank elections are
+    windows PARTITIONED by (nation, arm); the pairing is a keyed
+    equi-join on (nation, rank) — no global sort, no cross join.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    spend = (
+        orders.groupBy(F.col("o_custkey").alias("cust"))
+        .agg(
+            F.sum(F.expr("cast(o_totalprice as decimal(18,2)) * 100"))
+            .cast("bigint")
+            .alias("cents")
+        )
+        .join(cust, F.col("cust") == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .select(
+            "cust",
+            "cents",
+            F.col("n_name").alias("nation"),
+            (
+                F.expr(X.hash64_spark("cast(cust as string) || ':arm'")) % 2
+            ).alias("treated"),
+        )
+    )
+    spend = materialize(spend)
+    w = Window.partitionBy("nation", "treated").orderBy(
+        F.desc("cents"), F.asc("cust")
+    )
+    ranked = spend.withColumn("r", F.row_number().over(w))
+    t = ranked.filter(F.col("treated") == 1).select(
+        "nation", "r", F.col("cents").alias("t_cents")
+    )
+    c = ranked.filter(F.col("treated") == 0).select(
+        "nation", "r", F.col("cents").alias("c_cents")
+    )
+    pairs = t.join(c, ["nation", "r"])
+    before = spend.groupBy("nation").agg(
+        F.sum(F.when(F.col("treated") == 1, 1).otherwise(0)).alias("n_t"),
+        F.sum(F.when(F.col("treated") == 0, 1).otherwise(0)).alias("n_c"),
+        F.sum(F.when(F.col("treated") == 1, F.col("cents")).otherwise(0)).alias("sum_t"),
+        F.sum(F.when(F.col("treated") == 0, F.col("cents")).otherwise(0)).alias("sum_c"),
+    )
+    matched = pairs.groupBy("nation").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.expr("abs(t_cents - c_cents)")).alias("sum_abs_gap"),
+    )
+    return (
+        before.join(matched, "nation")
+        .select(
+            "nation",
+            "n_t",
+            "n_c",
+            "n_pairs",
+            F.expr("abs(sum_t div n_t - sum_c div n_c)").alias(
+                "mean_gap_before_cents"
+            ),
+            F.expr("sum_abs_gap div n_pairs").alias(
+                "mean_gap_matched_cents"
+            ),
+        )
+        .orderBy("nation")
+    )
+
+
+ROUND7_QUERIES["rank_matched_pairs"] = rank_matched_pairs
+
+_RMP_ARM = X.hash64_duck("CAST(cust AS VARCHAR) || ':arm'")
+
+ROUND7_ORACLES["rank_matched_pairs"] = f"""
+WITH spend AS MATERIALIZED (
+  SELECT cust, cents, n_name AS nation, ({_RMP_ARM}) % 2 AS treated
+  FROM (
+    SELECT o_custkey AS cust,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+             AS cents
+    FROM orders GROUP BY o_custkey
+  )
+  JOIN customer ON cust = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+),
+ranked AS (
+  SELECT nation, treated, cents,
+         row_number() OVER (PARTITION BY nation, treated
+                            ORDER BY cents DESC, cust) AS r
+  FROM spend
+),
+pairs AS (
+  SELECT t.nation, t.cents AS t_cents, c.cents AS c_cents
+  FROM (SELECT * FROM ranked WHERE treated = 1) t
+  JOIN (SELECT * FROM ranked WHERE treated = 0) c
+    ON t.nation = c.nation AND t.r = c.r
+),
+before AS (
+  SELECT nation,
+         sum(CASE WHEN treated = 1 THEN 1 ELSE 0 END) AS n_t,
+         sum(CASE WHEN treated = 0 THEN 1 ELSE 0 END) AS n_c,
+         sum(CASE WHEN treated = 1 THEN cents ELSE 0 END) AS sum_t,
+         sum(CASE WHEN treated = 0 THEN cents ELSE 0 END) AS sum_c
+  FROM spend GROUP BY nation
+),
+matched AS (
+  SELECT nation, count(*) AS n_pairs,
+         sum(abs(t_cents - c_cents)) AS sum_abs_gap
+  FROM pairs GROUP BY nation
+)
+SELECT b.nation AS nation,
+       CAST(n_t AS BIGINT) AS n_t,
+       CAST(n_c AS BIGINT) AS n_c,
+       CAST(n_pairs AS BIGINT) AS n_pairs,
+       CAST(abs(sum_t // n_t - sum_c // n_c) AS BIGINT)
+         AS mean_gap_before_cents,
+       CAST(sum_abs_gap // n_pairs AS BIGINT) AS mean_gap_matched_cents
+FROM before b JOIN matched m ON b.nation = m.nation
+ORDER BY b.nation
+"""
