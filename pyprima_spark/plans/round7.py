@@ -5067,3 +5067,106 @@ SELECT b.nation AS nation,
 FROM before b JOIN matched m ON b.nation = m.nation
 ORDER BY b.nation
 """
+
+
+# ---------------------------------------------------------------------------
+# encoding_advisor — columnar encoding suitability census
+# ---------------------------------------------------------------------------
+
+
+def encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLUMNAR ENCODING ADVISOR (SURVEY §2 #239) — the storage-layout
+    decision Parquet/ORC writers make per column (RLE vs dictionary vs
+    plain), surfaced as a measurable census instead of a heuristic:
+    for each profiled orders column, the distinct ratio and the RUN
+    structure in storage order (runs counted with a lag window inside
+    each order-date partition — runs only mean anything in the order
+    rows are laid out, and the date partition is the layout unit
+    compaction_plan/zorder_layout_plan manage).  avg run length and
+    distinct share are exact integer rationals; the verdict thresholds
+    are explicit literals, so the recommendation is reproducible —
+    the input a table-maintenance job (OPTIMIZE ... ZORDER, rewrite
+    with dictionary encoding) acts on.
+
+    Scale shape: one unpivot projection (map-side ×4), one lag window
+    PARTITIONED by (column, date) — bounded layout units, never a
+    global sort — and two map-combinable rollups.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    cols = ["o_orderstatus", "o_orderpriority", "o_custkey", "o_totalprice"]
+    stack = ", ".join(f"'{c}', cast({c} as string)" for c in cols)
+    long = orders.select(
+        "o_orderkey",
+        F.col("o_orderdate").alias("d"),
+        F.expr(f"stack({len(cols)}, {stack}) as (col_name, val)"),
+    )
+    w = Window.partitionBy("col_name", "d").orderBy("o_orderkey")
+    runs = long.select(
+        "col_name",
+        "val",
+        F.when(
+            F.lag("val").over(w).isNull()
+            | (F.lag("val").over(w) != F.col("val")),
+            1,
+        )
+        .otherwise(0)
+        .alias("run_start"),
+    )
+    return (
+        runs.groupBy("col_name")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("val").alias("n_distinct"),
+            F.sum("run_start").alias("n_runs"),
+        )
+        .select(
+            "col_name",
+            "n",
+            "n_distinct",
+            F.expr("(10000 * n_distinct) div n").alias("distinct_bp"),
+            "n_runs",
+            F.expr("(100 * n) div n_runs").alias("avg_run_x100"),
+            F.expr(
+                "CASE WHEN (100 * n) div n_runs >= 300 THEN 'RLE' "
+                "WHEN (10000 * n_distinct) div n <= 200 THEN 'DICT' "
+                "ELSE 'PLAIN' END"
+            ).alias("recommend"),
+        )
+        .orderBy("col_name")
+    )
+
+
+ROUND7_QUERIES["encoding_advisor"] = encoding_advisor
+
+ROUND7_ORACLES["encoding_advisor"] = """
+WITH long AS (
+  SELECT o_orderkey, o_orderdate AS d, col_name, val
+  FROM orders,
+       LATERAL (VALUES
+         ('o_orderstatus', CAST(o_orderstatus AS VARCHAR)),
+         ('o_orderpriority', CAST(o_orderpriority AS VARCHAR)),
+         ('o_custkey', CAST(o_custkey AS VARCHAR)),
+         ('o_totalprice', CAST(o_totalprice AS VARCHAR))
+       ) AS t(col_name, val)
+),
+runs AS (
+  SELECT col_name, val,
+         CASE WHEN lag(val) OVER (PARTITION BY col_name, d
+                                  ORDER BY o_orderkey) IS DISTINCT FROM val
+              THEN 1 ELSE 0 END AS run_start
+  FROM long
+)
+SELECT col_name,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT val) AS BIGINT) AS n_distinct,
+       CAST((10000 * count(DISTINCT val)) // count(*) AS BIGINT)
+         AS distinct_bp,
+       CAST(sum(run_start) AS BIGINT) AS n_runs,
+       CAST((100 * count(*)) // sum(run_start) AS BIGINT) AS avg_run_x100,
+       CASE WHEN (100 * count(*)) // sum(run_start) >= 300 THEN 'RLE'
+            WHEN (10000 * count(DISTINCT val)) // count(*) <= 200
+              THEN 'DICT'
+            ELSE 'PLAIN' END AS recommend
+FROM runs
+GROUP BY col_name ORDER BY col_name
+"""
