@@ -4723,14 +4723,14 @@ def decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     orders = _t(spark, sf_dir, "orders")
     first = orders.filter(
-        F.expr("o_orderdate < date'1995-01-01'")
+        F.expr("o_orderdate < date'1998-07-01'")
     ).groupBy(F.col("o_custkey").alias("cust")).agg(
         F.sum(F.expr("cast(o_totalprice as decimal(18,2)) * 100"))
         .cast("bigint")
         .alias("spend_cents")
     )
     second = (
-        orders.filter(F.expr("o_orderdate >= date'1995-01-01'"))
+        orders.filter(F.expr("o_orderdate >= date'1998-07-01'"))
         .select(F.col("o_custkey").alias("cust"))
         .distinct()
         .withColumn("responded", F.lit(1))
@@ -4788,12 +4788,12 @@ WITH first_half AS (
   SELECT o_custkey AS cust,
          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
            AS spend_cents
-  FROM orders WHERE o_orderdate < DATE '1995-01-01'
+  FROM orders WHERE o_orderdate < DATE '1998-07-01'
   GROUP BY o_custkey
 ),
 second_half AS (
   SELECT DISTINCT o_custkey AS cust, 1 AS responded
-  FROM orders WHERE o_orderdate >= DATE '1995-01-01'
+  FROM orders WHERE o_orderdate >= DATE '1998-07-01'
 ),
 cuts AS (
   SELECT {cuts} FROM first_half
