@@ -331,7 +331,7 @@ FROM d GROUP BY 1, 2 ORDER BY 1, 2
 # ---------------------------------------------------------------------------
 
 def churn_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Customer churn/retention between 1994 and 1995 via set operators
+    """Customer churn/retention between 1995 and 1996 via set operators
     (EXCEPT DISTINCT / INTERSECT DISTINCT), rolled up per nation.
 
     Spark compiles both set ops to hash aggregates on the full row — a
@@ -351,7 +351,7 @@ def churn_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
         )
 
-    y94, y95 = year_keys(1994), year_keys(1995)
+    y94, y95 = year_keys(1995), year_keys(1996)
     churned = y94.subtract(y95).withColumn("op", F.lit("churned"))
     retained = y94.intersect(y95).withColumn("op", F.lit("retained"))
     moved = churned.unionByName(retained)
@@ -367,13 +367,13 @@ def churn_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
 ROUND3_ORACLES["churn_setops"] = """
 WITH y94 AS (
   SELECT DISTINCT o_custkey FROM orders
-  WHERE o_orderdate >= TIMESTAMP '1994-01-01'
-    AND o_orderdate < TIMESTAMP '1995-01-01'
+  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+    AND o_orderdate < TIMESTAMP '1996-01-01'
 ),
 y95 AS (
   SELECT DISTINCT o_custkey FROM orders
-  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
-    AND o_orderdate < TIMESTAMP '1996-01-01'
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '1997-01-01'
 ),
 moved AS (
   SELECT o_custkey, 'churned' AS op FROM (SELECT * FROM y94 EXCEPT SELECT * FROM y95)

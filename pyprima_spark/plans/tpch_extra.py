@@ -853,7 +853,11 @@ LIMIT 100
 
 def q22_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customers in 3 'country code' buckets (nationkey mod 7) with an
-    above-average balance and no orders at all."""
+    above-average balance and no RECENT orders (none on/after
+    1999-01-01 — TPC-H Q22's 'have not placed orders for 7 years'
+    predicate anchored inside the 1995–2001 data span; the earlier
+    no-orders-ever form was vacuously empty because every synthetic
+    customer has at least one order)."""
     cust = _t(spark, sf_dir, "customer").withColumn(
         "cntrycode", F.col("c_nationkey") % 7
     ).filter(F.col("cntrycode").isin(1, 2, 3))
@@ -862,7 +866,11 @@ def q22_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c_acctbal") > 0)
         .agg((F.sum(F.col("c_acctbal").cast(DEC)).cast("double") / F.count("c_acctbal")).alias("avg_bal"))
     )
-    orders = _t(spark, sf_dir, "orders").select("o_custkey")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1999-01-01"))
+        .select("o_custkey")
+    )
     return (
         cust.join(F.broadcast(avg_bal))
         .filter(F.col("c_acctbal") > F.col("avg_bal"))
@@ -882,7 +890,8 @@ SELECT c_nationkey % 7 AS cntrycode, count(*) AS numcust,
 FROM customer
 WHERE c_nationkey % 7 IN (1, 2, 3)
   AND c_acctbal > (SELECT sum(CAST(c_acctbal AS DECIMAL(27,6)))::DOUBLE / count(c_acctbal) FROM customer WHERE c_acctbal > 0)
-  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '1999-01-01')
 GROUP BY 1
 ORDER BY 1
 """

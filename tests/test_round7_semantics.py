@@ -65,3 +65,40 @@ def test_luhn_validator_catches_exactly_the_planted(spark, sf_dir):
     )
     for r in rows:
         assert r.n_invalid == r.expected_invalid
+
+
+def test_no_oracle_is_vacuous_at_sf001():
+    """Every oracled key must produce at least one row at sf0.01: an
+    empty result hash-matches an empty oracle, so the correctness gate
+    is blind to operators whose predicates miss the data entirely
+    (caught live three times: decile_lift split at the corpus MIN
+    date, churn_setops comparing an empty 1994 cohort,
+    q22's no-orders-ever predicate on a corpus where everyone
+    ordered). DuckDB-only — no Spark session, runs in seconds."""
+    import duckdb
+
+    from pyprima_spark.plans.oracles import ORACLES as _  # noqa: F401
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__",
+        __file__.rsplit("/", 2)[0] + "/__spark_entry__.py",
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    oracles = mod.oracle_sql()
+    con = duckdb.connect()
+    tables = (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split()
+    for t in tables:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('/root/testdata/sf0.01/{t}.parquet')"
+        )
+    empty = [
+        k for k, sql in sorted(oracles.items())
+        if not con.execute(sql).fetchall()
+    ]
+    assert not empty, f"vacuous at sf0.01: {empty}"
