@@ -280,6 +280,8 @@ BENCH_QUERIES = [
     "quantile_rollup_gap",
     "rank_matched_pairs",
     "encoding_advisor",
+    "majority_vote_repair",
+    "similarity_band_census",
     # Excluded, with reasons (VERDICT r5 item 4 — one comment per key):
     #   streaming_sessions / streaming_rate_limit / streaming_hourly_stats /
     #   streaming_sliding_counts / streaming_hourly_drift — run the

@@ -5170,3 +5170,263 @@ SELECT col_name,
 FROM runs
 GROUP BY col_name ORDER BY col_name
 """
+
+
+# ---------------------------------------------------------------------------
+# majority_vote_repair — quorum read-repair across three replicas
+# ---------------------------------------------------------------------------
+
+
+def majority_vote_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUORUM READ-REPAIR (SURVEY §2 #240) — the Dynamo/Cassandra
+    anti-entropy step downstream of detection
+    (replica_checksum_audit finds divergent partitions; this key
+    RESOLVES rows): three replicas of the document payload hash are
+    synthesized with independent deterministic corruption (replica i
+    corrupts where its own md5 coin lands 0 mod 23), each row is
+    repaired by 2-of-3 MAJORITY vote, and the census proves the
+    mechanism — repaired counts equal planted-single-corruption
+    counts, and the unrecoverable column (all three disagree) counts
+    exactly the double corruptions.  Everything rides per-row
+    map-side CASE arithmetic; no replica ever joins another (in a
+    real topology each replica is a table and this is a 3-way keyed
+    equi-join — the vote logic is identical).
+
+    Scale shape: one projection + one map-combinable groupBy; exact
+    integers only.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    truth = X.hash64_spark("cast(doc_id as string) || ':payload'")
+    reps = []
+    for i in range(3):
+        coin = X.hash64_spark(f"cast(doc_id as string) || ':r{i}'")
+        reps.append(
+            f"CASE WHEN ({coin}) % 23 = 0 THEN ({truth}) + {i} + 1 "
+            f"ELSE ({truth}) END"
+        )
+    r0, r1, r2 = reps
+    voted = docs.select(
+        "source",
+        F.expr(
+            f"CASE WHEN ({r0}) = ({r1}) OR ({r0}) = ({r2}) THEN ({r0}) "
+            f"WHEN ({r1}) = ({r2}) THEN ({r1}) ELSE NULL END"
+        ).alias("repaired_val"),
+        F.expr(f"({truth})").alias("true_val"),
+        F.expr(
+            "cast(({c0}) % 23 = 0 as int) + cast(({c1}) % 23 = 0 as int)"
+            " + cast(({c2}) % 23 = 0 as int)".format(
+                c0=X.hash64_spark("cast(doc_id as string) || ':r0'"),
+                c1=X.hash64_spark("cast(doc_id as string) || ':r1'"),
+                c2=X.hash64_spark("cast(doc_id as string) || ':r2'"),
+            )
+        ).alias("n_corrupt"),
+    )
+    return (
+        voted.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.expr("cast(n_corrupt >= 1 as int)")).alias(
+                "n_divergent"
+            ),
+            F.sum(
+                F.expr(
+                    "cast(repaired_val is not null"
+                    " and repaired_val = true_val as int)"
+                )
+            ).alias("n_repaired_correct"),
+            F.sum(F.expr("cast(repaired_val is null as int)")).alias(
+                "n_unrecoverable"
+            ),
+            F.sum(F.expr("cast(n_corrupt >= 2 as int)")).alias(
+                "n_double_corrupt"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+ROUND7_QUERIES["majority_vote_repair"] = majority_vote_repair
+
+_MVR_TRUTH = X.hash64_duck("CAST(doc_id AS VARCHAR) || ':payload'")
+
+
+def _mvr_coin_duck(i: int) -> str:
+    return X.hash64_duck(f"CAST(doc_id AS VARCHAR) || ':r{i}'")
+
+
+_MVR_REPS = [
+    f"CASE WHEN ({_mvr_coin_duck(i)}) % 23 = 0 "
+    f"THEN ({_MVR_TRUTH}) + {i} + 1 ELSE ({_MVR_TRUTH}) END"
+    for i in range(3)
+]
+_MVR_COINS = [f"({_mvr_coin_duck(i)}) % 23 = 0" for i in range(3)]
+
+ROUND7_ORACLES["majority_vote_repair"] = f"""
+WITH voted AS (
+  SELECT source,
+         CASE WHEN ({_MVR_REPS[0]}) = ({_MVR_REPS[1]})
+                OR ({_MVR_REPS[0]}) = ({_MVR_REPS[2]}) THEN ({_MVR_REPS[0]})
+              WHEN ({_MVR_REPS[1]}) = ({_MVR_REPS[2]}) THEN ({_MVR_REPS[1]})
+              ELSE NULL END AS repaired_val,
+         ({_MVR_TRUTH}) AS true_val,
+         CAST({_MVR_COINS[0]} AS INT) + CAST({_MVR_COINS[1]} AS INT)
+           + CAST({_MVR_COINS[2]} AS INT) AS n_corrupt
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(n_corrupt >= 1 AS INT)) AS BIGINT) AS n_divergent,
+       CAST(sum(CAST(repaired_val IS NOT NULL
+                AND repaired_val = true_val AS INT)) AS BIGINT)
+         AS n_repaired_correct,
+       CAST(sum(CAST(repaired_val IS NULL AS INT)) AS BIGINT)
+         AS n_unrecoverable,
+       CAST(sum(CAST(n_corrupt >= 2 AS INT)) AS BIGINT)
+         AS n_double_corrupt
+FROM voted
+GROUP BY source ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# similarity_band_census — the dedup-threshold tuning curve
+# ---------------------------------------------------------------------------
+
+
+def similarity_band_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIMILARITY BAND CENSUS (SURVEY §2 #241) — the tuning curve
+    UNDER the dedup family's thresholds: ngram_jaccard ships pairs
+    above NGRAM_JACCARD_TAU and lsh_precision_eval scores one
+    operating point, but choosing tau in the first place needs the
+    DISTRIBUTION of candidate-pair similarity — this key buckets every
+    df-bounded candidate pair into ten Jaccard deciles per source and
+    reports pair counts and cumulative share (basis points), the
+    histogram a dedup rollout reads to pick its threshold.  Jaccard
+    is the exact integer rational (100·shared) div (union), bucketed
+    by integer percent — no float crosses an engine.
+
+    Scale shape: identical candidate discipline to ngram_jaccard
+    (char-3-gram table, per-(source, len-band) df cutoff, materialized
+    once before the self-join); the census collapses pairs immediately
+    to 10 buckets per source — the output is bounded regardless of
+    pair count, and the cumulative window runs over that bounded
+    census.
+    """
+    from pyprima_spark.operators.dedup import gram_set_sizes, ngram_gram_table
+    from pyprima_spark.plans.constants import NGRAM_DF_MAX, NGRAM_LEN_BAND
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "len_band", F.floor(F.length("text") / NGRAM_LEN_BAND)
+    )
+    grams = ngram_gram_table(
+        docs, "doc_id", "text", ["source", "len_band"], df_max=NGRAM_DF_MAX
+    ).localCheckpoint(eager=True)
+    sizes = gram_set_sizes(grams)
+    a = grams.select(F.col("doc").alias("doc_a"), "source", "len_band", "gram")
+    b = grams.select(F.col("doc").alias("doc_b"), "source", "len_band", "gram")
+    shared = (
+        a.join(b, ["source", "len_band", "gram"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("source", "doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    pairs = (
+        shared.join(
+            sizes.select(
+                F.col("doc").alias("doc_a"), F.col("gset_size").alias("sa")
+            ),
+            "doc_a",
+        )
+        .join(
+            sizes.select(
+                F.col("doc").alias("doc_b"), F.col("gset_size").alias("sb")
+            ),
+            "doc_b",
+        )
+        .select(
+            "source",
+            F.expr(
+                "least((100 * shared) div (sa + sb - shared), 99) div 10"
+            ).alias("band"),
+        )
+    )
+    census = pairs.groupBy("source", "band").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("band")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = census.groupBy("source").agg(F.sum("n_pairs").alias("src_pairs"))
+    return (
+        census.join(tot, "source")
+        .select(
+            "source",
+            "band",
+            "n_pairs",
+            F.expr(
+                "(10000 * sum(n_pairs) over (partition by source"
+                " order by band desc rows between unbounded preceding"
+                " and current row)) div src_pairs"
+            ).alias("cum_ge_bp"),
+        )
+        .orderBy("source", F.desc("band"))
+    )
+
+
+ROUND7_QUERIES["similarity_band_census"] = similarity_band_census
+
+from pyprima_spark.plans.constants import (  # noqa: E402 - oracle literals
+    NGRAM_DF_MAX,
+    NGRAM_LEN_BAND,
+)
+
+ROUND7_ORACLES["similarity_band_census"] = f"""
+WITH docs AS (
+  SELECT doc_id, source,
+         cast(floor(length(text) / {NGRAM_LEN_BAND}) AS bigint) AS len_band,
+         {X.char_ngrams_duck(X.normtext_duck('text'))} AS grams
+  FROM documents
+),
+exploded AS (
+  SELECT doc_id AS doc, source, len_band, unnest(grams) AS gram
+  FROM docs WHERE len(grams) > 0
+),
+kept AS (
+  SELECT doc, source, len_band, gram FROM (
+    SELECT *, count(*) OVER (PARTITION BY source, len_band, gram) AS df
+    FROM exploded
+  ) WHERE df <= {NGRAM_DF_MAX}
+),
+grams AS (
+  SELECT *, count(*) OVER (PARTITION BY doc) AS gset_size FROM kept
+),
+shared AS (
+  SELECT a.source, a.doc AS doc_a, b.doc AS doc_b, a.gset_size AS sa,
+         b.gset_size AS sb, count(*) AS shared
+  FROM grams a JOIN grams b
+    ON a.source = b.source AND a.len_band = b.len_band
+   AND a.gram = b.gram AND a.doc < b.doc
+  GROUP BY 1, 2, 3, 4, 5
+),
+pairs AS (
+  SELECT source,
+         least((100 * shared) // (sa + sb - shared), 99) // 10 AS band
+  FROM shared
+),
+census AS (
+  SELECT source, band, count(*) AS n_pairs
+  FROM pairs GROUP BY source, band
+),
+tot AS (
+  SELECT source, sum(n_pairs) AS src_pairs FROM census GROUP BY source
+)
+SELECT c.source AS source,
+       CAST(band AS BIGINT) AS band,
+       CAST(n_pairs AS BIGINT) AS n_pairs,
+       CAST((10000 * sum(n_pairs) OVER (PARTITION BY c.source
+              ORDER BY band DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+            // src_pairs AS BIGINT) AS cum_ge_bp
+FROM census c JOIN tot t ON c.source = t.source
+ORDER BY c.source, band DESC
+"""
