@@ -102,3 +102,28 @@ def test_no_oracle_is_vacuous_at_sf001():
         if not con.execute(sql).fetchall()
     ]
     assert not empty, f"vacuous at sf0.01: {empty}"
+
+
+def test_majority_vote_repair_accounting(spark, sf_dir):
+    """2-of-3 with per-replica distinct wrong values: repaired_correct
+    and unrecoverable must partition the table, and unrecoverable rows
+    are exactly the double corruptions."""
+    rows = QUERIES["majority_vote_repair"](spark, sf_dir).collect()
+    for r in rows:
+        assert r.n_repaired_correct + r.n_unrecoverable == r.n_rows
+        assert r.n_unrecoverable == r.n_double_corrupt
+        assert r.n_divergent >= r.n_double_corrupt
+
+
+def test_similarity_band_census_saturates(spark, sf_dir):
+    """Cumulative >=band share must reach 100% at each source's lowest
+    band and be monotone along descending bands."""
+    rows = QUERIES["similarity_band_census"](spark, sf_dir).collect()
+    by_src: dict[str, list] = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    assert by_src
+    for src, rs in by_src.items():
+        caps = [r.cum_ge_bp for r in rs]  # already band-descending
+        assert caps == sorted(caps), src
+        assert caps[-1] == 10000, src
