@@ -582,3 +582,29 @@ def test_fixed_width_roundtrip_and_edges(spark, tmp_path):
     empty = df.filter("qty < 0")
     m = write_fixed_width(empty, str(tmp_path / "e.fwf"), specs).collect()
     assert m[0]["n_rows"] == 0 and m[0]["n_bytes"] == 0
+
+
+def test_parquet_schema_evolution_mergeschema(spark, tmp_path):
+    """Schema evolution contract: a column added in a later batch is
+    surfaced by mergeSchema=true with NULLs for old files, and pruning
+    still reaches the scan (evolution must not break pushdown)."""
+    out = str(tmp_path / "evolving")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id bigint, v string"
+    ).write.parquet(out + "/batch=0")
+    spark.createDataFrame(
+        [(3, "c", 30), (4, "d", 40)], "id bigint, v string, score bigint"
+    ).write.parquet(out + "/batch=1")
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        out + "/batch=0", out + "/batch=1"
+    )
+    assert set(merged.columns) == {"id", "v", "score"}
+    rows = {r.id: r.score for r in merged.collect()}
+    assert rows == {1: None, 2: None, 3: 30, 4: 40}
+    plan = (
+        merged.filter(F.col("id") > 2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [IsNotNull(id), GreaterThan(id,2)]" in plan
