@@ -5430,3 +5430,138 @@ SELECT c.source AS source,
 FROM census c JOIN tot t ON c.source = t.source
 ORDER BY c.source, band DESC
 """
+
+
+# ---------------------------------------------------------------------------
+# mrl_truncation_eval — Matryoshka dimension-truncation recall
+# ---------------------------------------------------------------------------
+
+_MRL_DIMS = 16      # truncated prefix length under evaluation
+_MRL_K = 10         # recall@k
+_MRL_N_QUERIES = 20
+
+
+def mrl_truncation_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATRYOSHKA TRUNCATION recall eval (SURVEY §2 #242) — Kusupati
+    et al. 2022 (MRL): modern embedding models are trained so a
+    PREFIX of the vector is itself a usable embedding, and the
+    deployment question is how much retrieval quality the first
+    16 of 64 dims keep.  Ground truth is exact top-10 under the
+    full vector; the candidate ranking repeats under the truncated
+    prefix, and recall@10 per query is published in exact basis
+    points — the dimension-budget counterpart of ann_recall_eval
+    (which evaluates INDEX approximation at full width).  Dot
+    products are exact BIGINTs over fixed-point-quantized components
+    (the mutual_nn_mining discipline), ranks pinned by vec_id.
+
+    Scale shape: query side bounded (20 vectors, broadcast);
+    both rankings are query-partitioned WindowGroupLimit elections
+    over the same scored table (scored ONCE, both dots in one pass);
+    the overlap join is on (query, candidate) top-10 pairs.
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    q = (
+        "transform(embedding, e -> "
+        "cast(floor(cast(e as double) * 1000) as bigint))"
+    )
+    base = emb.select("vec_id", F.expr(q).alias("qv"))
+    queries = base.filter(F.col("vec_id") < _MRL_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("qq")
+    )
+    scored = base.join(F.broadcast(queries)).filter(
+        F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "vec_id",
+        F.expr(
+            "aggregate(zip_with(qq, qv, (x, y) -> x * y), 0L, (s, v) -> s + v)"
+        ).alias("dot_full"),
+        F.expr(
+            f"aggregate(zip_with(slice(qq, 1, {_MRL_DIMS}),"
+            f" slice(qv, 1, {_MRL_DIMS}), (x, y) -> x * y),"
+            " 0L, (s, v) -> s + v)"
+        ).alias("dot_trunc"),
+    )
+    scored = materialize(scored)
+    wf = Window.partitionBy("query_id").orderBy(
+        F.desc("dot_full"), F.asc("vec_id")
+    )
+    wt = Window.partitionBy("query_id").orderBy(
+        F.desc("dot_trunc"), F.asc("vec_id")
+    )
+    top_full = (
+        scored.withColumn("r", F.row_number().over(wf))
+        .filter(F.col("r") <= _MRL_K)
+        .select("query_id", "vec_id")
+    )
+    top_trunc = (
+        scored.withColumn("r", F.row_number().over(wt))
+        .filter(F.col("r") <= _MRL_K)
+        .select("query_id", "vec_id")
+    )
+    hits = top_full.join(top_trunc, ["query_id", "vec_id"]).groupBy(
+        "query_id"
+    ).agg(F.count(F.lit(1)).alias("n_hits"))
+    return (
+        top_full.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            F.expr(
+                f"(10000 * coalesce(n_hits, 0)) div {_MRL_K}"
+            ).alias("recall_bp"),
+        )
+        .orderBy("query_id")
+    )
+
+
+ROUND7_QUERIES["mrl_truncation_eval"] = mrl_truncation_eval
+
+ROUND7_ORACLES["mrl_truncation_eval"] = f"""
+WITH base AS (
+  SELECT vec_id,
+         list_transform(embedding, e ->
+           CAST(floor(CAST(e AS DOUBLE) * 1000) AS BIGINT)) AS qv
+  FROM embeddings
+),
+scored AS MATERIALIZED (
+  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+         list_sum(list_transform(range(len(q.qv)),
+           i -> q.qv[i + 1] * c.qv[i + 1])) AS dot_full,
+         list_sum(list_transform(range({_MRL_DIMS}),
+           i -> q.qv[i + 1] * c.qv[i + 1])) AS dot_trunc
+  FROM (SELECT * FROM base WHERE vec_id < {_MRL_N_QUERIES}) q
+  JOIN base c ON c.vec_id <> q.vec_id
+),
+top_full AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY dot_full DESC, vec_id) AS r
+    FROM scored
+  ) WHERE r <= {_MRL_K}
+),
+top_trunc AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY dot_trunc DESC, vec_id) AS r
+    FROM scored
+  ) WHERE r <= {_MRL_K}
+),
+hits AS (
+  SELECT f.query_id, count(*) AS n_hits
+  FROM top_full f JOIN top_trunc t
+    ON f.query_id = t.query_id AND f.vec_id = t.vec_id
+  GROUP BY f.query_id
+)
+SELECT f.query_id,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST((10000 * coalesce(h.n_hits, 0)) // {_MRL_K} AS BIGINT)
+         AS recall_bp
+FROM (SELECT query_id, count(*) AS k FROM top_full GROUP BY query_id) f
+LEFT JOIN hits h ON f.query_id = h.query_id
+ORDER BY f.query_id
+"""
