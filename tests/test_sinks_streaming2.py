@@ -215,3 +215,44 @@ def test_python_streaming_datasource_exactly_once(spark, tmp_path):
     seqs = sorted(s for s, _ in seen)
     assert seqs == list(range(len(seqs))), "gaps or dups in the cursor"
     assert all(v == (s * 7) % 100 for s, v in seen)
+
+
+def test_ticker_stream_event_time_windowed_agg(spark, tmp_path):
+    """Composition: the Python streaming source feeds the normal
+    event-time machinery — seqs become timestamps, a 10s tumbling
+    window aggregates them, and every closed interior window holds
+    exactly 10 seqs (the source's contiguity surfacing through the
+    windowed agg)."""
+    import time
+
+    from pyprima_spark.sources.datasource_api import register_gis_sources
+
+    register_gis_sources(spark)
+    stream = (
+        spark.readStream.format("ticker_stream")
+        .option("rowsPerBatch", "9")
+        .load()
+        .withColumn("ts", F.expr("timestamp_seconds(1700000000 + seq)"))
+    )
+    agg = stream.groupBy(F.window("ts", "10 seconds")).count()
+    windows: dict = {}
+
+    def sink(batch_df, batch_id):
+        for r in batch_df.collect():
+            windows[r["window"].start] = r["count"]
+
+    q = (
+        agg.writeStream.outputMode("complete")
+        .foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+    deadline = time.time() + 60
+    while time.time() < deadline and sum(windows.values()) < 30:
+        time.sleep(0.5)
+    q.stop()
+    assert len(windows) >= 3
+    # every window except the still-open last one must hold exactly 10
+    closed = sorted(windows)[:-1]
+    assert closed and all(windows[w] == 10 for w in closed)
