@@ -283,6 +283,8 @@ BENCH_QUERIES = [
     "majority_vote_repair",
     "similarity_band_census",
     "mrl_truncation_eval",
+    "roc_auc_rank",
+    "acf_lags",
     # Excluded, with reasons (VERDICT r5 item 4 — one comment per key):
     #   streaming_sessions / streaming_rate_limit / streaming_hourly_stats /
     #   streaming_sliding_counts / streaming_hourly_drift — run the

@@ -1963,3 +1963,7 @@ ORDER BY source
 from pyprima_spark.plans.round7 import ROUND7_ORACLES as _ROUND7_ORACLES
 
 ORACLES.update(_ROUND7_ORACLES)
+
+from pyprima_spark.plans.round8 import ROUND8_ORACLES as _ROUND8_ORACLES
+
+ORACLES.update(_ROUND8_ORACLES)

@@ -2577,6 +2577,10 @@ def _register_rounds() -> None:
     from pyprima_spark.plans.round7 import ROUND7_QUERIES
 
     QUERIES.update(ROUND7_QUERIES)
+    # Round-8 additions: newest, last in rotation order.
+    from pyprima_spark.plans.round8 import ROUND8_QUERIES
+
+    QUERIES.update(ROUND8_QUERIES)
 
 
 _WINDOW_SIZE = 50

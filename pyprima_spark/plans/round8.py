@@ -1,0 +1,279 @@
+"""Round-8 operators (SURVEY §2 #243–).
+
+Families / what each adds that the existing 272 keys do not:
+
+- roc_auc_rank: exact ROC-AUC (Mann-Whitney U) per segment — the
+  threshold-free classifier-quality readout. decile_lift reports
+  capture at ten fixed cut points; AUC integrates over EVERY cut.
+  Computed from the (segment, score) census, never a per-row global
+  rank: ties handled by the standard half-credit rule, all integer.
+- acf_lags: autocorrelation of the daily-revenue series at lags
+  1/7/14 — the periodicity detector that motivates seasonal_profile's
+  day-of-week split (seasonal_profile ASSUMES weekly structure; the
+  ACF MEASURES it). Exact integer arithmetic end to end: the series
+  is quantized to k$ so the n·Σxy−ΣxΣy cross-moments and their
+  squared ratio stay inside DECIMAL(38,0)/HUGEINT on both engines;
+  the published statistic is sign(cov)·10000·cov²/(varx·vary) — a
+  signed r² in basis points with no float ever materialized.
+
+Each key has an exact-match DuckDB oracle in ``ROUND8_ORACLES``;
+determinism rules follow functions/agg.py (integer arithmetic at every
+reported edge; `div`/`//` truncation on both engines; DECIMAL(38,0)
+accumulation where int64 would overflow — DuckDB widens to HUGEINT
+automatically, Spark must be told).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pyprima_spark.catalog import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+ROUND8_QUERIES: dict = {}
+ROUND8_ORACLES: dict[str, str] = {}
+
+
+# ---------------------------------------------------------------------------
+# roc_auc_rank — exact ROC-AUC via the grouped rank-sum identity
+# ---------------------------------------------------------------------------
+
+
+def roc_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC per market segment (SURVEY §2 #243) — the
+    Mann-Whitney/rank-sum form of the classifier-quality curve, the
+    threshold-free companion of decile_lift's ten-point gains chart
+    (same score = first-half spend, same outcome = second-half
+    activity; decile_lift answers "what does the top decile capture",
+    AUC answers "does the score order responders above non-responders
+    AT ALL cuts").  AUC·2PN = Σ_s pos_s·(2·neg_below_s + neg_s) — the
+    tie-aware pair count — evaluated on the (segment, score) CENSUS,
+    published in exact basis points.
+
+    Scale shape: two map-combined aggregates build the census; the
+    only window is the cumulative-negatives prefix sum over that
+    census, PARTITIONED by segment and bounded by |distinct scores|
+    per segment (integer cents; quantize coarser to tighten the bound
+    at 100 TB) — no per-row global rank ever exists, which is exactly
+    why this beats the textbook rank(x) formulation on a cluster.
+    All-integer: u2 = 2·AUC·P·N fits BIGINT through 1e9 scored
+    customers per segment.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("cust"), F.col("c_mktsegment").alias("segment")
+    )
+    first = (
+        orders.filter(F.expr("o_orderdate < timestamp'1998-07-01'"))
+        .groupBy(F.col("o_custkey").alias("cust"))
+        .agg(
+            F.sum(F.expr("cast(o_totalprice as decimal(18,2)) * 100"))
+            .cast("bigint")
+            .alias("score")
+        )
+    )
+    second = (
+        orders.filter(F.expr("o_orderdate >= timestamp'1998-07-01'"))
+        .select(F.col("o_custkey").alias("cust"))
+        .distinct()
+        .withColumn("pos", F.lit(1))
+    )
+    scored = (
+        first.join(cust, "cust")
+        .join(second, "cust", "left")
+        .select("segment", "score", F.coalesce("pos", F.lit(0)).alias("pos"))
+    )
+    census = scored.groupBy("segment", "score").agg(
+        F.sum("pos").alias("n_pos"),
+        F.sum(F.lit(1) - F.col("pos")).alias("n_neg"),
+    )
+    w = (
+        Window.partitionBy("segment")
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    contrib = census.withColumn(
+        "neg_lt", F.coalesce(F.sum("n_neg").over(w), F.lit(0))
+    )
+    return (
+        contrib.groupBy("segment")
+        .agg(
+            F.sum("n_pos").cast("bigint").alias("n_pos"),
+            F.sum("n_neg").cast("bigint").alias("n_neg"),
+            F.sum(F.col("n_pos") * (2 * F.col("neg_lt") + F.col("n_neg")))
+            .cast("bigint")
+            .alias("u2"),
+        )
+        .withColumn("auc_bp", F.expr("(10000 * u2) div (2 * n_pos * n_neg)"))
+        .orderBy("segment")
+    )
+
+
+ROUND8_QUERIES["roc_auc_rank"] = roc_auc_rank
+
+ROUND8_ORACLES["roc_auc_rank"] = """
+WITH first_half AS (
+  SELECT o_custkey AS cust,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+           AS score
+  FROM orders
+  WHERE o_orderdate < TIMESTAMP '1998-07-01'
+  GROUP BY o_custkey
+),
+second_half AS (
+  SELECT DISTINCT o_custkey AS cust, 1 AS pos
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1998-07-01'
+),
+scored AS (
+  SELECT c.c_mktsegment AS segment, f.score,
+         coalesce(s.pos, 0) AS pos
+  FROM first_half f
+  JOIN customer c ON c.c_custkey = f.cust
+  LEFT JOIN second_half s ON s.cust = f.cust
+),
+census AS (
+  SELECT segment, score,
+         sum(pos) AS n_pos,
+         sum(1 - pos) AS n_neg
+  FROM scored GROUP BY segment, score
+),
+contrib AS (
+  SELECT segment, n_pos, n_neg,
+         coalesce(sum(n_neg) OVER (PARTITION BY segment ORDER BY score
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS neg_lt
+  FROM census
+)
+SELECT segment,
+       CAST(sum(n_pos) AS BIGINT) AS n_pos,
+       CAST(sum(n_neg) AS BIGINT) AS n_neg,
+       CAST(sum(n_pos * (2 * neg_lt + n_neg)) AS BIGINT) AS u2,
+       CAST((10000 * sum(n_pos * (2 * neg_lt + n_neg)))
+            // (2 * sum(n_pos) * sum(n_neg)) AS BIGINT) AS auc_bp
+FROM contrib
+GROUP BY segment ORDER BY segment
+"""
+
+
+# ---------------------------------------------------------------------------
+# acf_lags — autocorrelation of the daily revenue series, exact integers
+# ---------------------------------------------------------------------------
+
+_ACF_LAGS = (1, 7, 14)
+
+
+def acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function at lags 1/7/14 over the daily-revenue
+    series (SURVEY §2 #244) — the periodicity MEASUREMENT under
+    seasonal_profile's day-of-week ASSUMPTION and daily_anomaly's
+    residual thresholds (a weekly cycle shows as r(7) ≫ r(1)).  The
+    series is the per-day revenue census quantized to k$; for each lag
+    the (x_t, x_{t−L}) pairs come from positional lag windows over
+    that census, and the statistic is the signed squared Pearson
+    correlation in basis points: sign(cov)·(10000·cov²) div
+    (varx·vary) with cov/var in the n·Σxy − Σx·Σy cross-moment form —
+    every intermediate an exact integer (DECIMAL(38,0) on Spark,
+    HUGEINT on DuckDB; k$ quantization keeps cov² under 1e38 through
+    ~1e6 days of 1e9-$/day revenue).
+
+    Scale shape: the fact table collapses to the DAY census in one
+    map-combined aggregate; the unpartitioned lag window runs over
+    that census (|days| rows — time-bounded, the fact table never
+    rides it; allowlisted in tools/audit_plans.py), and the stacked
+    pair table is 3·|days| rows into a 3-group aggregate.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(F.expr("cast(o_orderdate as date)").alias("day"))
+        .agg(
+            F.sum(F.expr("cast(o_totalprice as decimal(18,2)) * 100"))
+            .cast("bigint")
+            .alias("cents")
+        )
+        .select("day", F.expr("cents div 100000").alias("rev_k"))
+    )
+    w = Window.orderBy("day")
+    lagged = daily.select(
+        "rev_k",
+        *[F.lag("rev_k", L).over(w).alias(f"lag{L}") for L in _ACF_LAGS],
+    )
+    stack_args = ", ".join(f"{L}, lag{L}" for L in _ACF_LAGS)
+    pairs = lagged.selectExpr(
+        "rev_k as x", f"stack({len(_ACF_LAGS)}, {stack_args}) as (lag, y)"
+    ).filter(F.col("y").isNotNull())
+    moments = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.expr("cast(x as decimal(38,0))")).alias("sx"),
+        F.sum(F.expr("cast(y as decimal(38,0))")).alias("sy"),
+        F.sum(F.expr("cast(x as decimal(38,0)) * y")).alias("sxy"),
+        F.sum(F.expr("cast(x as decimal(38,0)) * x")).alias("sxx"),
+        F.sum(F.expr("cast(y as decimal(38,0)) * y")).alias("syy"),
+    )
+    return (
+        moments.select(
+            "lag",
+            "n_pairs",
+            F.expr("n_pairs * sxy - sx * sy").alias("cov_n"),
+            F.expr("n_pairs * sxx - sx * sx").alias("varx_n"),
+            F.expr("n_pairs * syy - sy * sy").alias("vary_n"),
+        )
+        .select(
+            "lag",
+            "n_pairs",
+            F.col("cov_n").cast("bigint").alias("cov_n"),
+            F.expr(
+                "cast(case when cov_n < 0 then -1 else 1 end"
+                " * ((10000 * cov_n * cov_n) div (varx_n * vary_n))"
+                " as bigint)"
+            ).alias("r2_signed_bp"),
+        )
+        .orderBy("lag")
+    )
+
+
+ROUND8_QUERIES["acf_lags"] = acf_lags
+
+ROUND8_ORACLES["acf_lags"] = f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+           // 100000 AS rev_k
+  FROM orders GROUP BY 1
+),
+lagged AS (
+  SELECT rev_k AS x,
+         {", ".join(f"lag(rev_k, {L}) OVER (ORDER BY day) AS lag{L}" for L in _ACF_LAGS)}
+  FROM daily
+),
+pairs AS (
+  {" UNION ALL ".join(f"SELECT {L} AS lag, x, lag{L} AS y FROM lagged WHERE lag{L} IS NOT NULL" for L in _ACF_LAGS)}
+),
+moments AS (
+  SELECT lag,
+         count(*) AS n_pairs,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM pairs GROUP BY lag
+),
+cross_moments AS (
+  SELECT lag, n_pairs,
+         n_pairs * sxy - sx * sy AS cov_n,
+         n_pairs * sxx - sx * sx AS varx_n,
+         n_pairs * syy - sy * sy AS vary_n
+  FROM moments
+)
+SELECT lag,
+       CAST(n_pairs AS BIGINT) AS n_pairs,
+       CAST(cov_n AS BIGINT) AS cov_n,
+       CAST((CASE WHEN cov_n < 0 THEN -1 ELSE 1 END)
+            * ((10000 * cov_n * cov_n) // (varx_n * vary_n))
+            AS BIGINT) AS r2_signed_bp
+FROM cross_moments
+ORDER BY lag
+"""

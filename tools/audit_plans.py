@@ -88,6 +88,9 @@ GLOBAL_WINDOW_ALLOWED = {
     "skyline_2d",
     # totals/mean/variance windows over the |ship-years| strata census
     "jackknife_variance",
+    # positional lag windows over the DAY census (|days| rows,
+    # time-bounded; the fact table collapses to it map-side first)
+    "acf_lags",
 }
 
 # BroadcastNestedLoopJoin build sides that are bounded by a PUSHED LITERAL
