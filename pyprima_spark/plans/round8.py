@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pyprima_spark.catalog import load_table
+from pyprima_spark.functions import text as X
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -276,4 +277,225 @@ SELECT lag,
             AS BIGINT) AS r2_signed_bp
 FROM cross_moments
 ORDER BY lag
+"""
+
+
+# ---------------------------------------------------------------------------
+# ams_f2_sketch — tug-of-war second frequency moment, error eval riding along
+# ---------------------------------------------------------------------------
+
+_AMS_K = 32  # estimators; 4 groups of 8 for median-of-means
+_AMS_G = 8
+
+
+def ams_f2_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS tug-of-war F2 sketch (SURVEY §2 #245; Alon-Matias-Szegedy
+    1996) — the SECOND frequency moment joins the sketch family
+    (kmv = distinct count F0, countmin = point frequencies, hll = F0
+    again; F2 = Σf² is the self-join size / repeat-rate statistic none
+    of them gives).  Per event_type, {k} independent ±1 estimators are
+    drawn from the shared 60-bit md5 bridge (sign = hash parity over
+    (user_id, estimator)), each Z_e = Σ sign accumulates map-side, and
+    the published estimate is the median of {g}-estimator means (lower
+    median by row_number — engine-stable on even counts), with the
+    EXACT F2 computed alongside and the error in basis points: the
+    sketch ships with its own trust readout, the kmv_distinct_sketch
+    pattern applied to frequency moments.
+
+    Scale shape: the ×{k} estimator expansion is map-side explode into
+    a map-combined (event_type, estimator) partial-sum aggregate — the
+    shuffle carries |event_types|·{k} rows, never the fact table; the
+    median election windows ride the 4-row-per-type group census.  At
+    100 TB the exact leg (per-user counts) is the expensive half — the
+    sketch leg alone is one pass, which is the point.
+    """
+    ev = _t(spark, sf_dir, "events").select("event_type", "user_id")
+    sign_expr = (
+        "cast(2 * pmod("
+        + X.hash64_spark("concat(cast(user_id as string), ':', cast(e as string))")
+        + ", 2) - 1 as bigint)"
+    )
+    z = (
+        ev.select("event_type", "user_id", F.expr(f"explode(sequence(0, {_AMS_K - 1}))").alias("e"))
+        .select("event_type", "e", F.expr(sign_expr).alias("sign"))
+        .groupBy("event_type", "e")
+        .agg(F.sum("sign").alias("z"))
+    )
+    grp = (
+        z.groupBy("event_type", F.expr(f"e div {_AMS_G}").alias("grp"))
+        .agg(F.expr(f"sum(z * z) div {_AMS_G}").alias("mean_z2"))
+    )
+    wmed = Window.partitionBy("event_type").orderBy("mean_z2", "grp")
+    est = (
+        grp.withColumn("rn", F.row_number().over(wmed))
+        .filter(F.col("rn") == _AMS_K // _AMS_G // 2)
+        .select("event_type", F.col("mean_z2").alias("f2_est"))
+    )
+    exact = (
+        ev.groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .groupBy("event_type")
+        .agg(F.sum(F.expr("f * f")).alias("f2_exact"))
+    )
+    return (
+        exact.join(est, "event_type")
+        .select(
+            "event_type",
+            "f2_exact",
+            "f2_est",
+            F.expr("(10000 * abs(f2_est - f2_exact)) div f2_exact").alias("err_bp"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ROUND8_QUERIES["ams_f2_sketch"] = ams_f2_sketch
+
+_ams_sign_duck = (
+    "CASE WHEN "
+    + X.hash64_duck("(CAST(user_id AS VARCHAR) || ':' || CAST(e AS VARCHAR))")
+    + " % 2 = 1 THEN 1 ELSE -1 END"
+)
+
+ROUND8_ORACLES["ams_f2_sketch"] = f"""
+WITH expanded AS (
+  SELECT ev.event_type, ev.user_id, t.e
+  FROM events ev, (SELECT unnest(range({_AMS_K})) AS e) t
+),
+z AS (
+  SELECT event_type, e, sum({_ams_sign_duck}) AS z
+  FROM expanded GROUP BY event_type, e
+),
+grp AS (
+  SELECT event_type, e // {_AMS_G} AS grp,
+         sum(z * z) // {_AMS_G} AS mean_z2
+  FROM z GROUP BY event_type, e // {_AMS_G}
+),
+est AS (
+  SELECT event_type, mean_z2 AS f2_est FROM (
+    SELECT event_type, grp, mean_z2,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY mean_z2, grp) AS rn
+    FROM grp
+  ) WHERE rn = {_AMS_K // _AMS_G // 2}
+),
+exact AS (
+  SELECT event_type, sum(f * f) AS f2_exact FROM (
+    SELECT event_type, user_id, count(*) AS f
+    FROM events GROUP BY event_type, user_id
+  ) GROUP BY event_type
+)
+SELECT x.event_type,
+       CAST(x.f2_exact AS BIGINT) AS f2_exact,
+       CAST(e.f2_est AS BIGINT) AS f2_est,
+       CAST((10000 * abs(e.f2_est - x.f2_exact)) // x.f2_exact AS BIGINT)
+         AS err_bp
+FROM exact x JOIN est e ON x.event_type = e.event_type
+ORDER BY x.event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# pps_systematic_sample — probability-proportional-to-size systematic draw
+# ---------------------------------------------------------------------------
+
+_PPS_TARGET = 100  # target sample size per source
+_PPS_SHARD = 1000  # doc_ids per prefix-sum shard
+
+
+def pps_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPS SYSTEMATIC sampling (SURVEY §2 #246; Madow 1949 — the
+    survey-sampling workhorse): every ~(W/{n})-th unit of cumulative
+    n_chars weight is selected, so inclusion probability is
+    proportional to size WITHOUT any per-row random draw — the
+    deterministic complement of deterministic_sample's Bernoulli hash
+    (uniform over rows), stratified_sample's per-stratum counts, and
+    neyman_allocation's variance-optimal budgets.  A doc crosses
+    multiple step boundaries when its weight exceeds the step; it is
+    selected once and the crossing multiplicity is published
+    (n_boundaries vs n_selected — the classic PPS large-unit caveat,
+    measured not hidden).  Selection membership is pinned exactly by a
+    doc_id checksum.
+
+    Scale shape: the prefix sum is SHARDED (the sequence_packing
+    pattern): within-(source, doc_id div {s}) running sums are
+    fact-sized but shard-bounded, shard offsets come from a census
+    window over the |shards| aggregate, and the final census is one
+    map-combined groupBy.  No unpartitioned fact-sized window
+    anywhere; the census window is allowlisted-by-shape (partitioned
+    by source over the shard census).
+    """
+    docs = _t(spark, sf_dir, "documents").select(
+        "source", "doc_id", F.col("n_chars").alias("w")
+    )
+    docs = docs.withColumn("shard", F.expr(f"doc_id div {_PPS_SHARD}"))
+    w_in = Window.partitionBy("source", "shard").orderBy("doc_id")
+    inner = docs.withColumn("cum_in", F.sum("w").over(w_in))
+    shard_tot = docs.groupBy("source", "shard").agg(F.sum("w").alias("tot"))
+    w_off = (
+        Window.partitionBy("source")
+        .orderBy("shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = shard_tot.withColumn(
+        "off", F.coalesce(F.sum("tot").over(w_off), F.lit(0))
+    ).select("source", "shard", "off")
+    totals = shard_tot.groupBy("source").agg(F.sum("tot").alias("w_total"))
+    cum = (
+        inner.join(offsets, ["source", "shard"])
+        .join(F.broadcast(totals), "source")
+        .withColumn("cum", F.col("off") + F.col("cum_in"))
+        .withColumn("step", F.expr(f"greatest(w_total div {_PPS_TARGET}, 1)"))
+        .withColumn(
+            "n_cross",
+            F.expr("(cum div step) - ((cum - w) div step)"),
+        )
+    )
+    return (
+        cum.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.expr("case when n_cross > 0 then 1 else 0 end")).alias(
+                "n_selected"
+            ),
+            F.sum("n_cross").alias("n_boundaries"),
+            F.max("w_total").alias("w_total"),
+            F.sum(F.expr("case when n_cross > 0 then w else 0 end")).alias(
+                "w_selected"
+            ),
+            F.sum(F.expr("case when n_cross > 0 then doc_id else 0 end")).alias(
+                "docid_checksum"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+ROUND8_QUERIES["pps_systematic_sample"] = pps_systematic_sample
+
+ROUND8_ORACLES["pps_systematic_sample"] = f"""
+WITH cum AS (
+  SELECT source, doc_id, n_chars AS w,
+         sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id) AS c,
+         sum(n_chars) OVER (PARTITION BY source) AS w_total
+  FROM documents
+),
+marked AS (
+  SELECT source, doc_id, w, w_total,
+         (c // greatest(w_total // {_PPS_TARGET}, 1))
+         - ((c - w) // greatest(w_total // {_PPS_TARGET}, 1)) AS n_cross
+  FROM cum
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN n_cross > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_selected,
+       CAST(sum(n_cross) AS BIGINT) AS n_boundaries,
+       CAST(max(w_total) AS BIGINT) AS w_total,
+       CAST(sum(CASE WHEN n_cross > 0 THEN w ELSE 0 END) AS BIGINT)
+         AS w_selected,
+       CAST(sum(CASE WHEN n_cross > 0 THEN doc_id ELSE 0 END) AS BIGINT)
+         AS docid_checksum
+FROM marked
+GROUP BY source ORDER BY source
 """
