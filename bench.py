@@ -287,6 +287,8 @@ BENCH_QUERIES = [
     "acf_lags",
     "ams_f2_sketch",
     "pps_systematic_sample",
+    "weighted_shortest_path",
+    "conformal_interval_eval",
     # Excluded, with reasons (VERDICT r5 item 4 — one comment per key):
     #   streaming_sessions / streaming_rate_limit / streaming_hourly_stats /
     #   streaming_sliding_counts / streaming_hourly_drift — run the

@@ -499,3 +499,225 @@ SELECT source,
 FROM marked
 GROUP BY source ORDER BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# weighted_shortest_path — hop-bounded Bellman-Ford over the trade graph
+# ---------------------------------------------------------------------------
+
+_WSP_HOPS = 6
+_WSP_SRC = 0
+
+
+def weighted_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop-bounded weighted single-source shortest paths (SURVEY §2
+    #247) — the COST metric over the same sparsified high-volume trade
+    graph trade_reachability walks (reachability says WHETHER ≤3 hops
+    connect two nations; this says HOW CHEAPLY ≤{h} hops do, with edge
+    cost = greatest(1e6 div n_lines, 1), i.e. heavier trade = cheaper
+    edge).  Exactly {h} Bellman-Ford relaxation rounds: after round i
+    every node holds the min cost over walks of ≤ i edges, so the
+    fixed-round loop IS the ≤{h}-hop shortest-path semantics — a
+    deterministic loop with no driver-side convergence scalar, the
+    iterative complement of trade_reachability's declarative WITH
+    RECURSIVE (reference parity: pyPRIMA's interconnection network
+    distances, code/lib/spatial_functions.py).
+
+    Scale shape: the fact table collapses once into the edge aggregate
+    (shared _edge_aggregate pipeline), which is dim-bounded
+    (|nations|²) and checkpoint-materialized so the relaxation loop
+    never re-derives it; each round is a broadcast join of the
+    dist table against the edge dim plus a map-combined min.
+    """
+    from pyprima_spark.operators.checkpointing import materialize
+    from pyprima_spark.plans.queries import _edge_aggregate
+
+    edges = _edge_aggregate(spark, sf_dir).select("edge_a", "edge_b", "n_lines")
+    tot = edges.agg(F.sum("n_lines").alias("tot"), F.count(F.lit(1)).alias("ne"))
+    sparse = (
+        edges.crossJoin(F.broadcast(tot))
+        .filter(F.col("n_lines") * F.col("ne") * 10 >= 11 * F.col("tot"))
+        .select(
+            "edge_a",
+            "edge_b",
+            F.expr("greatest(1000000 div n_lines, 1)").alias("cost"),
+        )
+    )
+    sym = materialize(
+        sparse.select(
+            F.col("edge_a").alias("a"), F.col("edge_b").alias("b"), "cost"
+        ).unionByName(
+            sparse.select(
+                F.col("edge_b").alias("a"), F.col("edge_a").alias("b"), "cost"
+            )
+        )
+    )
+    nation = _t(spark, sf_dir, "nation")
+    dist = (
+        nation.filter(F.col("n_nationkey") == _WSP_SRC)
+        .select(F.col("n_nationkey").alias("node"))
+        .withColumn("dist", F.lit(0).cast("bigint"))
+    )
+    for _ in range(_WSP_HOPS):
+        relaxed = (
+            dist.join(F.broadcast(sym), dist["node"] == sym["a"])
+            .select(
+                F.col("b").alias("node"),
+                (F.col("dist") + F.col("cost")).alias("dist"),
+            )
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+    return (
+        dist.join(
+            nation.select(F.col("n_nationkey").alias("node"), "n_name"), "node"
+        )
+        .select(F.col("node").alias("nationkey"), "n_name", F.col("dist").alias("cost"))
+        .orderBy("nationkey")
+    )
+
+
+ROUND8_QUERIES["weighted_shortest_path"] = weighted_shortest_path
+
+ROUND8_ORACLES["weighted_shortest_path"] = f"""
+WITH RECURSIVE pairs AS (
+  SELECT least(c_nationkey, s_nationkey) AS edge_a,
+         greatest(c_nationkey, s_nationkey) AS edge_b
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  WHERE c_nationkey <> s_nationkey
+),
+edges AS (
+  SELECT edge_a, edge_b, count(*) AS n_lines FROM pairs GROUP BY 1, 2
+),
+tot AS (SELECT sum(n_lines) AS tot, count(*) AS ne FROM edges),
+sparse AS (
+  SELECT edge_a, edge_b, greatest(1000000 // n_lines, 1) AS cost
+  FROM edges CROSS JOIN tot
+  WHERE n_lines * ne * 10 >= 11 * tot
+),
+sym AS (
+  SELECT edge_a AS a, edge_b AS b, cost FROM sparse
+  UNION ALL
+  SELECT edge_b, edge_a, cost FROM sparse
+),
+walk(node, dist, lvl) AS (
+  SELECT {_WSP_SRC}, CAST(0 AS BIGINT), 0
+  UNION
+  SELECT e.b, w.dist + e.cost, w.lvl + 1
+  FROM walk w JOIN sym e ON e.a = w.node
+  WHERE w.lvl < {_WSP_HOPS}
+)
+SELECT n.n_nationkey AS nationkey, n.n_name,
+       CAST(min(w.dist) AS BIGINT) AS cost
+FROM walk w JOIN nation n ON n.n_nationkey = w.node
+GROUP BY 1, 2 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# conformal_interval_eval — split-conformal coverage, all integer
+# ---------------------------------------------------------------------------
+
+
+def conformal_interval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals with empirical coverage
+    (SURVEY §2 #248; Vovk et al. / Lei et al. — the
+    distribution-free uncertainty wrapper every deployed regressor
+    needs): orders split deterministically into train / calibration /
+    test thirds by o_orderkey mod 3, a per-priority mean-price model
+    fits on train (exact integer cents, `div` mean), the 90th
+    percentile of absolute calibration residuals becomes the interval
+    half-width q̂ (percentile_disc — an actual element, engine-stable),
+    and the TEST third reports empirical coverage in basis points —
+    the "is my 90% interval really 90%?" audit, per priority.
+
+    Scale shape: three disjoint pushed-filter passes over the fact
+    table, each collapsing map-side (model = 5-row dim; q̂ = 5-row
+    percentile_disc aggregate; coverage = map-combined census); both
+    small sides broadcast back.  No windows, no per-row state.
+    """
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.expr("pmod(o_orderkey, 3)").alias("split"),
+        F.expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)").alias(
+            "cents"
+        ),
+    )
+    model = (
+        orders.filter(F.col("split") == 0)
+        .groupBy("o_orderpriority")
+        .agg(F.expr("sum(cents) div count(cents)").alias("pred"))
+    )
+    calib = (
+        orders.filter(F.col("split") == 1)
+        .join(F.broadcast(model), "o_orderpriority")
+        .select("o_orderpriority", F.expr("abs(cents - pred)").alias("resid"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.expr(
+                "cast(percentile_disc(0.9) WITHIN GROUP (ORDER BY resid)"
+                " as bigint)"
+            ).alias("q_cents")
+        )
+    )
+    test = (
+        orders.filter(F.col("split") == 2)
+        .join(F.broadcast(model), "o_orderpriority")
+        .join(F.broadcast(calib), "o_orderpriority")
+    )
+    return (
+        test.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.max("q_cents").alias("q_cents"),
+            F.sum(
+                F.expr("case when abs(cents - pred) <= q_cents then 1 else 0 end")
+            ).alias("n_covered"),
+        )
+        .withColumn("coverage_bp", F.expr("(10000 * n_covered) div n_test"))
+        .orderBy("o_orderpriority")
+    )
+
+
+ROUND8_QUERIES["conformal_interval_eval"] = conformal_interval_eval
+
+ROUND8_ORACLES["conformal_interval_eval"] = """
+WITH base AS (
+  SELECT o_orderpriority,
+         o_orderkey % 3 AS split,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+),
+model AS (
+  SELECT o_orderpriority, sum(cents) // count(cents) AS pred
+  FROM base WHERE split = 0 GROUP BY o_orderpriority
+),
+calib AS (
+  SELECT b.o_orderpriority,
+         quantile_disc(abs(b.cents - m.pred), 0.9) AS q_cents
+  FROM base b JOIN model m USING (o_orderpriority)
+  WHERE b.split = 1 GROUP BY b.o_orderpriority
+),
+test AS (
+  SELECT b.o_orderpriority, b.cents, m.pred, c.q_cents
+  FROM base b JOIN model m USING (o_orderpriority)
+              JOIN calib c USING (o_orderpriority)
+  WHERE b.split = 2
+)
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_test,
+       CAST(max(q_cents) AS BIGINT) AS q_cents,
+       CAST(sum(CASE WHEN abs(cents - pred) <= q_cents THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_covered,
+       CAST((10000 * sum(CASE WHEN abs(cents - pred) <= q_cents
+                              THEN 1 ELSE 0 END)) // count(*) AS BIGINT)
+         AS coverage_bp
+FROM test
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
