@@ -289,6 +289,8 @@ BENCH_QUERIES = [
     "pps_systematic_sample",
     "weighted_shortest_path",
     "conformal_interval_eval",
+    "embedding_covariance",
+    "hybrid_skew_join",
     # Excluded, with reasons (VERDICT r5 item 4 — one comment per key):
     #   streaming_sessions / streaming_rate_limit / streaming_hourly_stats /
     #   streaming_sliding_counts / streaming_hourly_drift — run the

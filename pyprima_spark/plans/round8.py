@@ -721,3 +721,198 @@ SELECT o_orderpriority,
 FROM test
 GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
+
+
+# ---------------------------------------------------------------------------
+# embedding_covariance — one-pass covariance matrix of the embedding prefix
+# ---------------------------------------------------------------------------
+
+_COV_D = 8  # leading dims; 36 upper-triangle entries
+_COV_SCALE = 1000000
+
+
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass covariance matrix over the leading {d} embedding
+    dimensions (SURVEY §2 #249) — the PCA/whitening precursor the
+    vector stack was missing (embedding_norm_audit checks per-VECTOR
+    hygiene, centroid_outliers per-CLUSTER spread; the covariance
+    matrix is the cross-DIMENSION structure that decides whether a
+    random-projection or PQ codebook is even well-conditioned).
+    Components are floor-quantized to 1e-6 units (identical doubles →
+    identical floor on both engines), and each upper-triangle entry is
+    published as cov_q2 = sign·(|n·Σxy − Σx·Σy| div n²) — exact
+    integer cross-moments in DECIMAL(38,0)/HUGEINT, sign handled
+    outside the division so the truncation direction can never differ
+    between engines.
+
+    Scale shape: ONE map-combined aggregate computes all {d} sums and
+    {p} product sums in the same pass (no explode, no self-join, no
+    shuffle beyond the single agg); the {p}-entry matrix then unstacks
+    driver-free via a literal stack projection.  This is the textbook
+    gramian trick: X^T X via partial sums, never pairwise rows.
+    """
+    emb = _t(spark, sf_dir, "embeddings").select(
+        *[
+            F.expr(
+                f"cast(floor(cast(element_at(embedding, {i + 1}) as double)"
+                f" * {_COV_SCALE}) as bigint)"
+            ).alias(f"q{i}")
+            for i in range(_COV_D)
+        ]
+    )
+    aggs = [F.count(F.lit(1)).alias("n")]
+    aggs += [
+        F.sum(F.expr(f"cast(q{i} as decimal(38,0))")).alias(f"s{i}")
+        for i in range(_COV_D)
+    ]
+    pairs = [(i, j) for i in range(_COV_D) for j in range(i, _COV_D)]
+    aggs += [
+        F.sum(F.expr(f"cast(q{i} as decimal(38,0)) * q{j}")).alias(f"p{i}_{j}")
+        for i, j in pairs
+    ]
+    moments = emb.agg(*aggs)
+    stack_args = ", ".join(
+        f"{i}, {j}, n * p{i}_{j} - s{i} * s{j}" for i, j in pairs
+    )
+    return (
+        moments.selectExpr(
+            "n", f"stack({len(pairs)}, {stack_args}) as (dim_i, dim_j, cov_n)"
+        )
+        .selectExpr(
+            "dim_i",
+            "dim_j",
+            "cast(count(1) over () as bigint) as n_entries",  # constant 36
+            "cast(case when cov_n < 0 then -1 else 1 end"
+            " * (abs(cov_n) div (cast(n as decimal(38,0)) * n)) as bigint)"
+            " as cov_q2",
+        )
+        .drop("n_entries")
+        .orderBy("dim_i", "dim_j")
+    )
+
+
+ROUND8_QUERIES["embedding_covariance"] = embedding_covariance
+
+_cov_pairs = [(i, j) for i in range(_COV_D) for j in range(i, _COV_D)]
+
+ROUND8_ORACLES["embedding_covariance"] = f"""
+WITH q AS (
+  SELECT {", ".join(f"CAST(floor((embedding)[{i + 1}]::DOUBLE * {_COV_SCALE}) AS BIGINT) AS q{i}" for i in range(_COV_D))}
+  FROM embeddings
+),
+moments AS (
+  SELECT count(*) AS n,
+         {", ".join(f"sum(q{i}) AS s{i}" for i in range(_COV_D))},
+         {", ".join(f"sum(q{i} * q{j}) AS p{i}_{j}" for i, j in _cov_pairs)}
+  FROM q
+),
+entries AS (
+  {" UNION ALL ".join(f"SELECT {i} AS dim_i, {j} AS dim_j, n, n * p{i}_{j} - s{i} * s{j} AS cov_n FROM moments" for i, j in _cov_pairs)}
+)
+SELECT dim_i, dim_j,
+       CAST((CASE WHEN cov_n < 0 THEN -1 ELSE 1 END)
+            * (abs(cov_n) // (n * n)) AS BIGINT) AS cov_q2
+FROM entries
+ORDER BY dim_i, dim_j
+"""
+
+
+# ---------------------------------------------------------------------------
+# hybrid_skew_join — explicit hot/cold two-path join plan
+# ---------------------------------------------------------------------------
+
+
+def hybrid_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit HOT/COLD two-path skew join (SURVEY §2 #250) — the
+    differentiated-join production pattern that complements
+    salted_skew_join's salting (salting spreads ONE shuffle; the
+    two-path plan removes the hot keys from the shuffle entirely):
+    custkeys whose order count is ≥ 3× the mean (integer-form relative
+    threshold, no top-k window) form the hot set; hot orders join
+    their customer rows via BROADCAST (the hot dim slice is by
+    construction ≤ |keys|/3 rows, here a handful), cold orders take
+    the ordinary shuffle join, and the union must equal the plain join
+    — the census publishes the hot share so the equivalence is
+    auditable, per segment.  This is the static form of what AQE
+    skew-join does at runtime; materializing it as a plan makes the
+    strategy testable and hintable.
+
+    Scale shape: hot-set derivation is one map-combined key census +
+    a broadcast of the (tiny) hot key list; the hot path's build side
+    is the hot slice of the dim, never the fact; the cold path's
+    shuffle is the original join minus its heaviest keys — strictly
+    better partition balance than the naive plan at any scale.
+    """
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("cust"),
+        F.expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)").alias(
+            "cents"
+        ),
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("cust"), F.col("c_mktsegment").alias("segment")
+    )
+    census = orders.groupBy("cust").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = census.agg(
+        F.sum("cnt").alias("tot"), F.count(F.lit(1)).alias("nk")
+    )
+    hot_keys = (
+        census.crossJoin(F.broadcast(tot))
+        .filter(F.col("cnt") * F.col("nk") >= 3 * F.col("tot"))
+        .select("cust")
+    )
+    orders_hot = orders.join(F.broadcast(hot_keys), "cust", "left_semi")
+    orders_cold = orders.join(F.broadcast(hot_keys), "cust", "left_anti")
+    hot_dim = cust.join(F.broadcast(hot_keys), "cust", "left_semi")
+    joined_hot = orders_hot.join(F.broadcast(hot_dim), "cust").withColumn(
+        "is_hot", F.lit(1)
+    )
+    joined_cold = orders_cold.join(cust, "cust").withColumn("is_hot", F.lit(0))
+    return (
+        joined_hot.unionByName(joined_cold)
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("rev_cents"),
+            F.sum("is_hot").alias("n_hot_orders"),
+            F.countDistinct(F.when(F.col("is_hot") == 1, F.col("cust"))).alias(
+                "n_hot_keys"
+            ),
+        )
+        .withColumn("hot_share_bp", F.expr("(10000 * n_hot_orders) div n_orders"))
+        .orderBy("segment")
+    )
+
+
+ROUND8_QUERIES["hybrid_skew_join"] = hybrid_skew_join
+
+ROUND8_ORACLES["hybrid_skew_join"] = """
+WITH orders_c AS (
+  SELECT o_custkey AS cust,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+),
+census AS (
+  SELECT cust, count(*) AS cnt FROM orders_c GROUP BY cust
+),
+tot AS (SELECT sum(cnt) AS tot, count(*) AS nk FROM census),
+hot_keys AS (
+  SELECT cust FROM census CROSS JOIN tot WHERE cnt * nk >= 3 * tot
+),
+joined AS (
+  SELECT c.c_mktsegment AS segment, o.cust, o.cents,
+         CASE WHEN h.cust IS NOT NULL THEN 1 ELSE 0 END AS is_hot
+  FROM orders_c o
+  JOIN customer c ON c.c_custkey = o.cust
+  LEFT JOIN hot_keys h ON h.cust = o.cust
+)
+SELECT segment,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(cents) AS BIGINT) AS rev_cents,
+       CAST(sum(is_hot) AS BIGINT) AS n_hot_orders,
+       CAST(count(DISTINCT CASE WHEN is_hot = 1 THEN cust END) AS BIGINT)
+         AS n_hot_keys,
+       CAST((10000 * sum(is_hot)) // count(*) AS BIGINT) AS hot_share_bp
+FROM joined
+GROUP BY segment ORDER BY segment
+"""
