@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from pyprima_spark.catalog import load_table
 from pyprima_spark.functions import text as X
+from pyprima_spark.operators.checkpointing import materialize
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -915,4 +916,269 @@ SELECT segment,
        CAST((10000 * sum(is_hot)) // count(*) AS BIGINT) AS hot_share_bp
 FROM joined
 GROUP BY segment ORDER BY segment
+"""
+
+
+# ---------------------------------------------------------------------------
+# binary_hamming_recall — sign-bit quantization + Hamming retrieval eval
+# ---------------------------------------------------------------------------
+
+_BHR_K = 10
+_BHR_BITS = 60  # sign bits packed into one non-negative BIGINT
+
+
+def binary_hamming_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BINARY-QUANTIZATION retrieval eval (SURVEY §2 #251) — the
+    1-bit-per-dimension compression every modern vector store ships
+    (sign-bit codes + Hamming distance; Indyk-Motwani SRP-LSH is the
+    theory, "binary quantization" the product name): each embedding's
+    leading 60 dims collapse to one BIGINT of sign bits (60 not 64 so
+    the packed code stays non-negative on both engines), candidates
+    are ranked by ``bit_count(xor(codes))``, and recall@10 against
+    the exact fixed-point dot-product top-10 is published per query
+    in basis points — the memory-vs-fidelity readout that decides
+    whether a 32x smaller index is shippable.  Completes the vector
+    compression family: vector_quantize_sq (8-bit components), ann_pq
+    (subspace codebooks), random_projection_sketch (fewer dims),
+    mrl_truncation_eval (prefix dims) — this is the 1-bit extreme.
+
+    Scale shape: codes are built map-side in one projection (no
+    shuffle); the query side is a bounded broadcast (vec_id % 25 = 3);
+    both rankings are query-partitioned WindowGroupLimit elections
+    over ONE scored pass (dot and hamming computed together);
+    at 100 TB the same plan holds because the candidate side never
+    shuffles and the per-query state is the top-k heap.  Hamming
+    ties are pinned by vec_id on both engines.
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, e -> "
+            "cast(floor(cast(e as double) * 1000) as bigint))"
+        ).alias("qv"),
+        F.expr(
+            f"aggregate(sequence(0, {_BHR_BITS - 1}), 0L, (acc, i) -> acc + "
+            "CASE WHEN cast(element_at(embedding, i + 1) as double) >= 0 "
+            "THEN shiftleft(1L, i) ELSE 0L END)"
+        ).alias("code"),
+    )
+    queries = base.filter(F.expr("vec_id % 25 = 3")).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qv").alias("qq"),
+        F.col("code").alias("qcode"),
+    )
+    scored = (
+        base.join(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.expr(
+                "aggregate(zip_with(qq, qv, (x, y) -> x * y), 0L,"
+                " (s, v) -> s + v)"
+            ).alias("dot"),
+            F.expr("bit_count(qcode ^ code)").alias("ham"),
+        )
+    )
+    scored = materialize(scored)
+    wd = Window.partitionBy("query_id").orderBy(F.desc("dot"), F.asc("vec_id"))
+    wh = Window.partitionBy("query_id").orderBy(F.asc("ham"), F.asc("vec_id"))
+    top_exact = (
+        scored.withColumn("r", F.row_number().over(wd))
+        .filter(F.col("r") <= _BHR_K)
+        .select("query_id", "vec_id")
+    )
+    top_ham = (
+        scored.withColumn("r", F.row_number().over(wh))
+        .filter(F.col("r") <= _BHR_K)
+        .select("query_id", "vec_id", "ham")
+    )
+    hits = top_exact.join(
+        top_ham.select("query_id", "vec_id"), ["query_id", "vec_id"]
+    ).groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hits"))
+    radius = top_ham.groupBy("query_id").agg(F.max("ham").alias("ham_radius"))
+    return (
+        top_exact.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .join(hits, "query_id", "left")
+        .join(radius, "query_id")
+        .select(
+            "query_id",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            F.expr(f"(10000 * coalesce(n_hits, 0)) div {_BHR_K}").alias(
+                "recall_bp"
+            ),
+            F.col("ham_radius").cast("bigint").alias("ham_radius"),
+        )
+        .orderBy("query_id")
+    )
+
+
+ROUND8_QUERIES["binary_hamming_recall"] = binary_hamming_recall
+
+ROUND8_ORACLES["binary_hamming_recall"] = f"""
+WITH base AS (
+  SELECT vec_id,
+         list_transform(embedding, e ->
+           CAST(floor(CAST(e AS DOUBLE) * 1000) AS BIGINT)) AS qv,
+         CAST(list_sum(list_transform(range({_BHR_BITS}), i ->
+           CASE WHEN CAST(embedding[i + 1] AS DOUBLE) >= 0
+                THEN (1::BIGINT << i) ELSE 0::BIGINT END)) AS BIGINT) AS code
+  FROM embeddings
+),
+scored AS MATERIALIZED (
+  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+         list_sum(list_transform(range(len(q.qv)),
+           i -> q.qv[i + 1] * c.qv[i + 1])) AS dot,
+         bit_count(xor(q.code, c.code)) AS ham
+  FROM (SELECT * FROM base WHERE vec_id % 25 = 3) q
+  JOIN base c ON c.vec_id <> q.vec_id
+),
+top_exact AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY dot DESC, vec_id) AS r
+    FROM scored
+  ) WHERE r <= {_BHR_K}
+),
+top_ham AS (
+  SELECT query_id, vec_id, ham FROM (
+    SELECT query_id, vec_id, ham,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY ham, vec_id) AS r
+    FROM scored
+  ) WHERE r <= {_BHR_K}
+),
+hits AS (
+  SELECT e.query_id, count(*) AS n_hits
+  FROM top_exact e JOIN top_ham h
+    ON e.query_id = h.query_id AND e.vec_id = h.vec_id
+  GROUP BY e.query_id
+)
+SELECT e.query_id,
+       CAST(coalesce(hi.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST((10000 * coalesce(hi.n_hits, 0)) // {_BHR_K} AS BIGINT)
+         AS recall_bp,
+       CAST(r.ham_radius AS BIGINT) AS ham_radius
+FROM (SELECT query_id, count(*) AS k FROM top_exact GROUP BY query_id) e
+LEFT JOIN hits hi ON e.query_id = hi.query_id
+JOIN (SELECT query_id, max(ham) AS ham_radius FROM top_ham GROUP BY query_id) r
+  ON r.query_id = e.query_id
+ORDER BY e.query_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# priority_sample_estimate — Duffield-Lund-Thorup priority sampling
+# ---------------------------------------------------------------------------
+
+_PSE_K = 100
+_PSE_U = 1 << 30  # 30-bit uniforms keep w * 2^30 div u inside BIGINT
+
+
+def priority_sample_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRIORITY SAMPLING with the subset-sum estimator audit (SURVEY
+    §2 #252) — Duffield/Lund/Thorup (JACM 2007): draw ONE weighted
+    sample of k documents (priority q_i = w_i/u_i, u_i uniform), and
+    thereafter estimate the total weight of ANY subset — here each
+    source's character mass — as Σ max(w_i, τ) over the subset's
+    sampled members, τ = the (k+1)-th priority.  The sampling leg the
+    family lacked: deterministic_sample is Bernoulli-uniform,
+    pps_systematic is inclusion-∝-size with NO estimator,
+    neyman_allocation plans strata budgets — priority sampling is the
+    one-sample-serves-all-subsets design with a provably near-optimal
+    variance.  All integer: u = (60-bit md5 & (2^30-1)) + 1, priority
+    q = (w · 2^30) div u in BIGINT on both engines (30-bit uniforms
+    chosen precisely so the scaled priority can never overflow
+    int64), τ taken from the (k+1)-row head, per-source error
+    published in basis points.
+
+    Scale shape: the top-(k+1) election is a map-side partial top-k
+    merged at the driver (TakeOrderedAndProject — no global sort, no
+    single-partition window); the 101-row head is materialized once
+    and its last element removed by an anti-filter on the broadcast
+    (τ, doc_id) pair, not a window; truth and estimate are
+    map-combined aggs.  At 100 TB: the same election costs one scan.
+    """
+    u_expr = f"({X.hash64_spark('cast(doc_id as string)')} & {_PSE_U - 1}) + 1"
+    pri = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.col("n_chars").alias("w"),
+        F.expr(f"(n_chars * {_PSE_U}) div ({u_expr})").alias("q"),
+    )
+    top = materialize(
+        pri.orderBy(F.desc("q"), F.asc("doc_id")).limit(_PSE_K + 1)
+    )
+    tau_row = (
+        top.orderBy(F.asc("q"), F.desc("doc_id"))
+        .limit(1)
+        .select(F.col("q").alias("tau"), F.col("doc_id").alias("tau_doc"))
+    )
+    sample = top.crossJoin(F.broadcast(tau_row)).filter(
+        ~((F.col("q") == F.col("tau")) & (F.col("doc_id") == F.col("tau_doc")))
+    )
+    est = sample.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum(F.expr("greatest(w, tau)")).alias("est_chars"),
+    )
+    truth = (
+        _t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.sum("n_chars").alias("true_chars"))
+    )
+    return (
+        truth.join(est, "source", "left")
+        .select(
+            "source",
+            F.coalesce("n_sampled", F.lit(0)).cast("bigint").alias("n_sampled"),
+            F.col("true_chars").cast("bigint").alias("true_chars"),
+            F.coalesce("est_chars", F.lit(0)).cast("bigint").alias("est_chars"),
+            F.expr(
+                "cast((10000 * abs(coalesce(est_chars, 0) - true_chars))"
+                " div true_chars as bigint)"
+            ).alias("err_bp"),
+        )
+        .orderBy("source")
+    )
+
+
+ROUND8_QUERIES["priority_sample_estimate"] = priority_sample_estimate
+
+ROUND8_ORACLES["priority_sample_estimate"] = f"""
+WITH pri AS (
+  SELECT doc_id, source, n_chars AS w,
+         (n_chars * {_PSE_U})
+           // (({X.hash64_duck('CAST(doc_id AS VARCHAR)')} & {_PSE_U - 1}) + 1)
+           AS q
+  FROM documents
+),
+top AS (
+  SELECT * FROM pri ORDER BY q DESC, doc_id LIMIT {_PSE_K + 1}
+),
+tau_row AS (
+  SELECT q AS tau, doc_id AS tau_doc FROM top
+  ORDER BY q, doc_id DESC LIMIT 1
+),
+sample AS (
+  SELECT t.* , x.tau FROM top t CROSS JOIN tau_row x
+  WHERE NOT (t.q = x.tau AND t.doc_id = x.tau_doc)
+),
+est AS (
+  SELECT source, count(*) AS n_sampled,
+         sum(greatest(w, tau)) AS est_chars
+  FROM sample GROUP BY source
+)
+SELECT d.source,
+       CAST(coalesce(e.n_sampled, 0) AS BIGINT) AS n_sampled,
+       CAST(sum(d.n_chars) AS BIGINT) AS true_chars,
+       CAST(coalesce(e.est_chars, 0) AS BIGINT) AS est_chars,
+       CAST((10000 * abs(coalesce(e.est_chars, 0) - sum(d.n_chars)))
+            // sum(d.n_chars) AS BIGINT) AS err_bp
+FROM documents d
+LEFT JOIN est e ON e.source = d.source
+GROUP BY d.source, e.n_sampled, e.est_chars
+ORDER BY d.source
 """
