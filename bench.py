@@ -293,6 +293,8 @@ BENCH_QUERIES = [
     "hybrid_skew_join",
     "binary_hamming_recall",
     "priority_sample_estimate",
+    "dup_span_census",
+    "calibration_ece",
     # Excluded, with reasons (VERDICT r5 item 4 — one comment per key):
     #   streaming_sessions / streaming_rate_limit / streaming_hourly_stats /
     #   streaming_sliding_counts / streaming_hourly_drift — run the

@@ -1182,3 +1182,255 @@ LEFT JOIN est e ON e.source = d.source
 GROUP BY d.source, e.n_sampled, e.est_chars
 ORDER BY d.source
 """
+
+
+# ---------------------------------------------------------------------------
+# dup_span_census — consecutive duplicated n-gram runs (substring dedup)
+# ---------------------------------------------------------------------------
+
+_DSC_K = 8  # word n-gram width
+_DSC_DF_CUT = 8  # grams in more docs than this are boilerplate, dropped
+
+
+def dup_span_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DUPLICATED-SPAN census (SURVEY §2 #253) — the positional form
+    of substring dedup (Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better", which used suffix arrays): two
+    docs sharing a RUN of word 8-grams at consecutive positions share
+    a verbatim span of run+7 words.  The set-based keys can't see
+    this: ngram_containment counts DISTINCT shared grams (no
+    positions), chunk_boundary_dups stitches chunk hashes,
+    decontaminate_ngrams counts cross-split leakage per doc.  Here
+    matched gram positions are grouped by their DIAGONAL
+    (pos_a − pos_b) and runs found with the classic island trick
+    (pos − row_number), yielding per-source-pair span counts, the
+    longest verbatim span in words, and total duplicated gram mass.
+
+    Scale shape: grams ride as 60-bit hashes with positions; a
+    document-frequency cutoff (df > 8 docs dropped — boilerplate
+    grams, the documented cap that keeps the self-join linear in true
+    duplication, the ngram_jaccard discipline) is applied BEFORE the
+    hash-partitioned self-equi-join; the only windows are partitioned
+    by (doc_a, doc_b, diagonal) — per-pair-per-offset state, never
+    global.  The census output is bounded by source-pair cardinality.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    gram_struct = (
+        f"transform(sequence(0, size(toks) - {_DSC_K}), i -> "
+        "struct(i as pos, "
+        + " || ' ' || ".join(f"toks[i + {j}]" for j in range(_DSC_K))
+        + " as g))"
+    )
+    grams = materialize(
+        docs.select(
+            "doc_id",
+            "source",
+            F.expr(X.tokens_spark("text")).alias("toks"),
+        )
+        .filter(F.size("toks") >= _DSC_K)
+        .select("doc_id", "source", F.explode(F.expr(gram_struct)).alias("pg"))
+        .select(
+            "doc_id",
+            "source",
+            F.col("pg.pos").alias("pos"),
+            F.expr(X.hash64_spark("pg.g")).alias("gh"),
+        )
+    )
+    rare = (
+        grams.groupBy("gh")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") <= _DSC_DF_CUT)
+        .select("gh")
+    )
+    g = grams.join(rare, "gh", "left_semi")
+    a = g.select(
+        F.col("gh"),
+        F.col("doc_id").alias("doc_a"),
+        F.col("source").alias("source_a"),
+        F.col("pos").alias("pos_a"),
+    )
+    b = g.select(
+        F.col("gh"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("source").alias("source_b"),
+        F.col("pos").alias("pos_b"),
+    )
+    matches = a.join(b, "gh").filter(F.col("doc_a") < F.col("doc_b"))
+    w = Window.partitionBy(
+        "doc_a", "doc_b", F.col("pos_a") - F.col("pos_b")
+    ).orderBy("pos_a")
+    runs = (
+        matches.withColumn("grp", F.col("pos_a") - F.row_number().over(w))
+        .groupBy(
+            "source_a",
+            "source_b",
+            "doc_a",
+            "doc_b",
+            (F.col("pos_a") - F.col("pos_b")).alias("diag"),
+            "grp",
+        )
+        .agg(F.count(F.lit(1)).alias("run_grams"))
+    )
+    return (
+        runs.groupBy("source_a", "source_b")
+        .agg(
+            F.countDistinct("doc_a", "doc_b").alias("n_pairs"),
+            F.count(F.lit(1)).alias("n_spans"),
+            (F.max("run_grams") + F.lit(_DSC_K - 1)).alias("max_span_words"),
+            F.sum("run_grams").alias("dup_grams"),
+        )
+        .select(
+            "source_a",
+            "source_b",
+            F.col("n_pairs").cast("bigint").alias("n_pairs"),
+            F.col("n_spans").cast("bigint").alias("n_spans"),
+            F.col("max_span_words").cast("bigint").alias("max_span_words"),
+            F.col("dup_grams").cast("bigint").alias("dup_grams"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+ROUND8_QUERIES["dup_span_census"] = dup_span_census
+
+_dsc_gram = " || ' ' || ".join(f"toks[i + {j}]" for j in range(_DSC_K))
+
+ROUND8_ORACLES["dup_span_census"] = f"""
+WITH tok AS (
+  SELECT doc_id, source, {X.tokens_duck('text')} AS toks
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, source,
+         unnest(list_transform(generate_series(1, len(toks) - {_DSC_K - 1}),
+                               i -> i - 1)) AS pos,
+         unnest(list_transform(generate_series(1, len(toks) - {_DSC_K - 1}),
+                               i -> {X.hash64_duck(_dsc_gram)})) AS gh
+  FROM tok WHERE len(toks) >= {_DSC_K}
+),
+rare AS (
+  SELECT gh FROM (SELECT gh, count(DISTINCT doc_id) AS df FROM grams GROUP BY gh)
+  WHERE df <= {_DSC_DF_CUT}
+),
+g AS (SELECT * FROM grams WHERE gh IN (SELECT gh FROM rare)),
+matches AS (
+  SELECT a.source AS source_a, a.doc_id AS doc_a, a.pos AS pos_a,
+         b.source AS source_b, b.doc_id AS doc_b, b.pos AS pos_b
+  FROM g a JOIN g b ON a.gh = b.gh AND a.doc_id < b.doc_id
+),
+runs AS (
+  SELECT source_a, source_b, doc_a, doc_b, pos_a - pos_b AS diag,
+         pos_a - row_number() OVER (
+           PARTITION BY doc_a, doc_b, pos_a - pos_b ORDER BY pos_a) AS grp
+  FROM matches
+),
+spans AS (
+  SELECT source_a, source_b, doc_a, doc_b, diag, grp,
+         count(*) AS run_grams
+  FROM runs GROUP BY ALL
+)
+SELECT source_a, source_b,
+       CAST(count(DISTINCT (doc_a, doc_b)) AS BIGINT) AS n_pairs,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(max(run_grams) + {_DSC_K - 1} AS BIGINT) AS max_span_words,
+       CAST(sum(run_grams) AS BIGINT) AS dup_grams
+FROM spans
+GROUP BY source_a, source_b
+ORDER BY source_a, source_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# calibration_ece — reliability bins / expected-calibration-error audit
+# ---------------------------------------------------------------------------
+
+
+def calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CALIBRATION reliability bins (SURVEY §2 #254) — the third leg
+    of the classic model-eval triptych the catalog already has two
+    of: roc_auc_rank asks "does the score RANK positives first",
+    decile_lift asks "what does the top decile CAPTURE", this asks
+    "when the model says 70%, does it happen 70% of the time"
+    (Guo et al. 2017's ECE readout, the production gate for any
+    probability that feeds a downstream threshold).  The model is the
+    honest split-sample construct: finished-order rates per hashed
+    customer-cohort bucket (custkey % 200 — the standard hashed
+    high-cardinality feature encoding) learned on a hash-half of
+    orders, evaluated on the other half; predictions are exact basis
+    points, binned into 10 reliability buckets, and each bucket
+    publishes its exact |avg predicted − observed| gap in bp.
+
+    Scale shape: the train pass is one map-combined (clerk) agg; the
+    prediction join is a hash-partitioned equi-join on clerk (the
+    clerk dim grows with the fact table — NOT broadcast by design);
+    the reliability census is a second map-combined agg over ≤11
+    bins.  No windows anywhere; exact integers at every edge
+    (pred_bp = 10000·pos div n, gaps via |Σpred_bp − 10000·pos|).
+    """
+    split = (
+        F.expr(X.hash64_spark("cast(o_orderkey as string) || ':cal'")) % 2
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        F.expr("o_custkey % 200").alias("grp"),
+        (split == 0).alias("is_train"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("y"),
+    )
+    model = (
+        orders.filter("is_train")
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("n_tr"), F.sum("y").alias("pos_tr"))
+        .select(
+            "grp",
+            F.expr("(10000 * pos_tr) div n_tr").alias("pred_bp"),
+        )
+    )
+    test = orders.filter(~F.col("is_train")).join(model, "grp")
+    return (
+        test.groupBy(F.expr("pred_bp div 1000").alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("pred_bp").alias("sum_pred_bp"),
+            F.sum("y").alias("n_pos"),
+        )
+        .select(
+            F.col("bin").cast("bigint").alias("bin"),
+            F.col("n").cast("bigint").alias("n"),
+            F.expr("sum_pred_bp div n").cast("bigint").alias("avg_pred_bp"),
+            F.col("n_pos").cast("bigint").alias("n_pos"),
+            F.expr("(10000 * n_pos) div n").cast("bigint").alias("obs_bp"),
+            F.expr("abs(sum_pred_bp - 10000 * n_pos) div n")
+            .cast("bigint")
+            .alias("gap_bp"),
+        )
+        .orderBy("bin")
+    )
+
+
+ROUND8_QUERIES["calibration_ece"] = calibration_ece
+
+ROUND8_ORACLES["calibration_ece"] = f"""
+WITH base AS (
+  SELECT o_custkey % 200 AS grp,
+         (cast('0x' || substring(md5(CAST(o_orderkey AS VARCHAR) || ':cal'), 1, 15) as BIGINT)) % 2 = 0
+           AS is_train,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+  FROM orders
+),
+model AS (
+  SELECT grp, (10000 * sum(y)) // count(*) AS pred_bp
+  FROM base WHERE is_train GROUP BY grp
+),
+test AS (
+  SELECT b.y, m.pred_bp FROM base b JOIN model m ON b.grp = m.grp
+  WHERE NOT b.is_train
+)
+SELECT CAST(pred_bp // 1000 AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(pred_bp) // count(*) AS BIGINT) AS avg_pred_bp,
+       CAST(sum(y) AS BIGINT) AS n_pos,
+       CAST((10000 * sum(y)) // count(*) AS BIGINT) AS obs_bp,
+       CAST(abs(sum(pred_bp) - 10000 * sum(y)) // count(*) AS BIGINT)
+         AS gap_bp
+FROM test
+GROUP BY bin ORDER BY bin
+"""
