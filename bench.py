@@ -295,6 +295,8 @@ BENCH_QUERIES = [
     "priority_sample_estimate",
     "dup_span_census",
     "calibration_ece",
+    "silhouette_eval",
+    "padding_waste_buckets",
     # Excluded, with reasons (VERDICT r5 item 4 — one comment per key):
     #   streaming_sessions / streaming_rate_limit / streaming_hourly_stats /
     #   streaming_sliding_counts / streaming_hourly_drift — run the

@@ -1434,3 +1434,276 @@ SELECT CAST(pred_bp // 1000 AS BIGINT) AS bin,
 FROM test
 GROUP BY bin ORDER BY bin
 """
+
+
+# ---------------------------------------------------------------------------
+# silhouette_eval — exact-integer simplified silhouette per label
+# ---------------------------------------------------------------------------
+
+
+def silhouette_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIMPLIFIED SILHOUETTE cluster-quality eval (SURVEY §2 #255) —
+    the unsupervised readout the cluster family lacked: ann_recall /
+    lsh_precision grade INDEXES, centroid_outliers grades points
+    against their OWN cluster, hard_negative_mining finds cross-label
+    near pairs — the silhouette (Rousseeuw 1987; the centroid
+    "simplified" form of Vendramin et al. 2010) is the single number
+    that says whether the labeling itself separates: per point,
+    a² = squared distance to own centroid, b² = min squared distance
+    to any foreign centroid, s = (b²−a²)/max(a²,b²) published in
+    exact basis points with the sign OUTSIDE the integer division
+    (the embedding_covariance discipline — Spark div truncates toward
+    zero, DuckDB // floors, so a signed division can never cross the
+    engines identically; |x| div n with a separate sign always does).
+
+    Scale shape: components quantized to ints map-side; centroids are
+    one (label, dim) agg (bounded: labels × 64 rows) floor-quantized
+    to milli-units sign-safely and BROADCAST back onto the exploded
+    point-dim table; per-(point, label) distances aggregate with
+    DECIMAL(38,0) accumulators (squared milli-components overflow
+    int64 by design, not by accident); b² is a value-min (no window,
+    no argmin tie surface).  At 100 TB: linear in N·dims·labels with
+    the only shuffles being the two keyed aggs.
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(
+            F.expr(
+                "transform(embedding, e -> "
+                "cast(floor(cast(e as double) * 1000) as bigint))"
+            )
+        ).alias("dim", "xq"),
+    )
+    cent = (
+        pts.groupBy(F.col("label").alias("clabel"), "dim")
+        .agg(
+            F.sum(F.expr("cast(xq as decimal(38,0))")).alias("sq"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "clabel",
+            "dim",
+            F.expr(
+                "cast(case when sq < 0 then -1 else 1 end"
+                " * (abs(sq * 1000) div n) as bigint)"
+            ).alias("cq"),
+        )
+    )
+    d2 = (
+        pts.join(F.broadcast(cent), "dim")
+        .groupBy("vec_id", "label", "clabel")
+        .agg(
+            F.sum(
+                F.expr(
+                    "cast(xq * 1000 - cq as decimal(38,0))"
+                    " * cast(xq * 1000 - cq as decimal(38,0))"
+                )
+            ).alias("d2")
+        )
+    )
+    per_point = d2.groupBy("vec_id", "label").agg(
+        F.sum(F.expr("CASE WHEN clabel = label THEN d2 END")).alias("a2"),
+        F.min(F.expr("CASE WHEN clabel <> label THEN d2 END")).alias("b2"),
+    )
+    scored = per_point.select(
+        "label",
+        F.expr(
+            "cast(case when b2 < a2 then -1 else 1 end"
+            " * ((abs(b2 - a2) * 10000) div greatest(greatest(a2, b2), 1))"
+            " as bigint)"
+        ).alias("s2_bp"),
+    )
+    return (
+        scored.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("s2_bp") < 0).cast("int")).alias("n_misplaced"),
+            F.sum("s2_bp").alias("sum_s2"),
+        )
+        .select(
+            F.col("label").cast("bigint").alias("label"),
+            F.col("n").cast("bigint").alias("n"),
+            F.col("n_misplaced").cast("bigint").alias("n_misplaced"),
+            F.expr(
+                "cast(case when sum_s2 < 0 then -1 else 1 end"
+                " * (abs(sum_s2) div n) as bigint)"
+            ).alias("mean_s2_bp"),
+        )
+        .orderBy("label")
+    )
+
+
+ROUND8_QUERIES["silhouette_eval"] = silhouette_eval
+
+ROUND8_ORACLES["silhouette_eval"] = """
+WITH pts AS (
+  SELECT vec_id, label, i - 1 AS dim,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS xq
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+),
+cent AS (
+  SELECT label AS clabel, dim,
+         CAST((CASE WHEN sum(xq) < 0 THEN -1 ELSE 1 END)
+              * (abs(sum(xq) * 1000) // count(*)) AS BIGINT) AS cq
+  FROM pts GROUP BY label, dim
+),
+d2 AS (
+  SELECT p.vec_id, p.label, c.clabel,
+         sum((p.xq * 1000 - c.cq)::HUGEINT * (p.xq * 1000 - c.cq)) AS d2
+  FROM pts p JOIN cent c ON p.dim = c.dim
+  GROUP BY p.vec_id, p.label, c.clabel
+),
+per_point AS (
+  SELECT vec_id, label,
+         sum(CASE WHEN clabel = label THEN d2 END) AS a2,
+         min(CASE WHEN clabel <> label THEN d2 END) AS b2
+  FROM d2 GROUP BY vec_id, label
+),
+scored AS (
+  SELECT label,
+         CAST((CASE WHEN b2 < a2 THEN -1 ELSE 1 END)
+              * ((abs(b2 - a2) * 10000)
+                 // greatest(greatest(a2, b2), 1)) AS BIGINT) AS s2_bp
+  FROM per_point
+)
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN s2_bp < 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_misplaced,
+       CAST((CASE WHEN sum(s2_bp) < 0 THEN -1 ELSE 1 END)
+            * (abs(sum(s2_bp)) // count(*)) AS BIGINT) AS mean_s2_bp
+FROM scored
+GROUP BY label ORDER BY label
+"""
+
+
+# ---------------------------------------------------------------------------
+# padding_waste_buckets — length-bucketed batching padding-waste planner
+# ---------------------------------------------------------------------------
+
+
+def padding_waste_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PADDING-WASTE planner for length-bucketed batching (SURVEY §2
+    #256) — the OTHER half of the batch-shaping problem
+    sequence_packing solves: packing CONCATENATES short docs to fill
+    a context window; bucketed batching GROUPS similar-length docs so
+    per-batch padding to the bucket max wastes fewer tokens (the
+    bucketing every production training/inference dataloader ships).
+    Three plans are costed against each other on the same corpus:
+    one global bucket (pad everything to the corpus max), quartile
+    buckets, and decile buckets — each publishing padded token mass,
+    wasted tokens (pad-to-bucket-max upper bound), and waste in bp,
+    so the readout IS the bucketing decision.
+
+    Scale shape: per-doc lengths are one map-side projection; ALL
+    twelve cut points (9 deciles + 3 quartiles) come from ONE exact
+    percentile_disc aggregation (element-valued, engine-stable — the
+    decile_lift / curriculum discipline) broadcast back; bucket
+    assignment is map-side CASE; each strategy is a bounded-key agg
+    over ≤10 buckets.  No windows, no sort, exact integers.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    lens = docs.select(
+        F.expr(f"size({X.tokens_spark('text')})").alias("len")
+    ).filter("len > 0")
+    aggs = [
+        F.expr(
+            f"percentile_disc(0.{d}) WITHIN GROUP (ORDER BY len)"
+        ).alias(f"c{d}")
+        for d in range(1, 10)
+    ] + [
+        F.expr(
+            f"percentile_disc({q}) WITHIN GROUP (ORDER BY len)"
+        ).alias(f"q{i}")
+        for i, q in ((1, "0.25"), (2, "0.5"), (3, "0.75"))
+    ]
+    cuts = lens.agg(*aggs)
+    dec_case = "CASE " + " ".join(
+        f"WHEN len <= c{d} THEN {d}" for d in range(1, 10)
+    ) + " ELSE 10 END"
+    qua_case = "CASE " + " ".join(
+        f"WHEN len <= q{i} THEN {i}" for i in range(1, 4)
+    ) + " ELSE 4 END"
+    assigned = lens.crossJoin(F.broadcast(cuts)).select(
+        "len",
+        F.lit(1).alias("b_global"),
+        F.expr(qua_case).alias("b_quart"),
+        F.expr(dec_case).alias("b_dec"),
+    )
+
+    def strategy(bucket_col: str, name: str) -> DataFrame:
+        per = assigned.groupBy(bucket_col).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("len").alias("mx"),
+            F.sum("len").alias("tot"),
+        )
+        return per.agg(
+            F.lit(name).alias("strategy"),
+            F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+            F.sum(F.expr("n * mx")).cast("bigint").alias("padded_tokens"),
+            F.sum(F.expr("n * mx - tot")).cast("bigint").alias("waste_tokens"),
+            F.expr(
+                "cast((10000 * sum(n * mx - tot)) div sum(n * mx) as bigint)"
+            ).alias("waste_bp"),
+        )
+
+    return (
+        strategy("b_global", "global1")
+        .unionByName(strategy("b_quart", "quartile4"))
+        .unionByName(strategy("b_dec", "decile10"))
+        .orderBy("strategy")
+    )
+
+
+ROUND8_QUERIES["padding_waste_buckets"] = padding_waste_buckets
+
+_PWB_DEC_CASE = "CASE " + " ".join(
+    f"WHEN len <= c{d} THEN {d}" for d in range(1, 10)
+) + " ELSE 10 END"
+_PWB_QUA_CASE = "CASE " + " ".join(
+    f"WHEN len <= q{i} THEN {i}" for i in range(1, 4)
+) + " ELSE 4 END"
+
+ROUND8_ORACLES["padding_waste_buckets"] = f"""
+WITH lens AS (
+  SELECT len({X.tokens_duck('text')}) AS len FROM documents
+  WHERE len({X.tokens_duck('text')}) > 0
+),
+cuts AS (
+  SELECT {", ".join(f"quantile_disc(len, 0.{d}) AS c{d}" for d in range(1, 10))},
+         quantile_disc(len, 0.25) AS q1,
+         quantile_disc(len, 0.5) AS q2,
+         quantile_disc(len, 0.75) AS q3
+  FROM lens
+),
+assigned AS (
+  SELECT len, 1 AS b_global,
+         {_PWB_QUA_CASE} AS b_quart,
+         {_PWB_DEC_CASE} AS b_dec
+  FROM lens CROSS JOIN cuts
+),
+per_g AS (SELECT b_global AS b, count(*) AS n, max(len) AS mx, sum(len) AS tot
+          FROM assigned GROUP BY b_global),
+per_q AS (SELECT b_quart AS b, count(*) AS n, max(len) AS mx, sum(len) AS tot
+          FROM assigned GROUP BY b_quart),
+per_d AS (SELECT b_dec AS b, count(*) AS n, max(len) AS mx, sum(len) AS tot
+          FROM assigned GROUP BY b_dec)
+SELECT 'global1' AS strategy, CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(sum(n * mx) AS BIGINT) AS padded_tokens,
+       CAST(sum(n * mx - tot) AS BIGINT) AS waste_tokens,
+       CAST((10000 * sum(n * mx - tot)) // sum(n * mx) AS BIGINT) AS waste_bp
+FROM per_g
+UNION ALL
+SELECT 'quartile4', CAST(count(*) AS BIGINT), CAST(sum(n * mx) AS BIGINT),
+       CAST(sum(n * mx - tot) AS BIGINT),
+       CAST((10000 * sum(n * mx - tot)) // sum(n * mx) AS BIGINT)
+FROM per_q
+UNION ALL
+SELECT 'decile10', CAST(count(*) AS BIGINT), CAST(sum(n * mx) AS BIGINT),
+       CAST(sum(n * mx - tot) AS BIGINT),
+       CAST((10000 * sum(n * mx - tot)) // sum(n * mx) AS BIGINT)
+FROM per_d
+ORDER BY strategy
+"""
