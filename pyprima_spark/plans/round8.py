@@ -1101,6 +1101,10 @@ def priority_sample_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     and its last element removed by an anti-filter on the broadcast
     (τ, doc_id) pair, not a window; truth and estimate are
     map-combined aggs.  At 100 TB: the same election costs one scan.
+    Contract: the corpus must exceed k docs (always true past toy
+    scale) — below that the head IS the corpus and removing its last
+    row under-counts; the DLT tau=0 exact case is deliberately not
+    special-cased to keep the plan one election.
     """
     u_expr = f"({X.hash64_spark('cast(doc_id as string)')} & {_PSE_U - 1}) + 1"
     pri = _t(spark, sf_dir, "documents").select(
