@@ -297,6 +297,8 @@ BENCH_QUERIES = [
     "calibration_ece",
     "silhouette_eval",
     "padding_waste_buckets",
+    "nearest_centroid_confusion",
+    "fd_discovery",
     # Excluded, with reasons (VERDICT r5 item 4 — one comment per key):
     #   streaming_sessions / streaming_rate_limit / streaming_hourly_stats /
     #   streaming_sliding_counts / streaming_hourly_drift — run the

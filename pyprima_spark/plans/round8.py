@@ -1711,3 +1711,216 @@ SELECT 'decile10', CAST(count(*) AS BIGINT), CAST(sum(n * mx) AS BIGINT),
 FROM per_d
 ORDER BY strategy
 """
+
+
+# ---------------------------------------------------------------------------
+# nearest_centroid_confusion — split-sample centroid classifier eval
+# ---------------------------------------------------------------------------
+
+
+def nearest_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-CENTROID holdout confusion matrix (SURVEY §2 #257) —
+    the supervised split-sample eval next to silhouette_eval's
+    unsupervised readout (deliberate cross-reference: both ride the
+    same exact-integer centroid-distance primitive, but silhouette
+    asks "do the labels separate IN PLACE" on all points while this
+    trains Rocchio centroids on a hash-half and asks "do they
+    GENERALIZE" — the confusion census on the other half, the
+    cheapest honest classifier baseline any embedding pipeline should
+    publish before training anything bigger).
+
+    Scale shape: train centroids are one (label, dim) agg (bounded)
+    floor-quantized sign-safely and broadcast; test distances are
+    linear in N·dims·labels with DECIMAL(38,0) accumulators; argmin
+    is a value-min + equi-join back + min(label) tie-break (NO struct
+    ordering, NO window — struct min is the one comparison surface
+    the two engines don't share bit-for-bit, so it never appears at a
+    reported edge).  Output bounded by label², each row carrying its
+    within-true-label share in bp.
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    split = F.expr(X.hash64_spark("cast(vec_id as string) || ':nc'")) % 2
+    pts = emb.select(
+        "vec_id",
+        "label",
+        (split == 0).alias("is_train"),
+        F.posexplode(
+            F.expr(
+                "transform(embedding, e -> "
+                "cast(floor(cast(e as double) * 1000) as bigint))"
+            )
+        ).alias("dim", "xq"),
+    )
+    cent = (
+        pts.filter("is_train")
+        .groupBy(F.col("label").alias("clabel"), "dim")
+        .agg(
+            F.sum(F.expr("cast(xq as decimal(38,0))")).alias("sq"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "clabel",
+            "dim",
+            F.expr(
+                "cast(case when sq < 0 then -1 else 1 end"
+                " * (abs(sq * 1000) div n) as bigint)"
+            ).alias("cq"),
+        )
+    )
+    d2 = (
+        pts.filter(~F.col("is_train"))
+        .join(F.broadcast(cent), "dim")
+        .groupBy("vec_id", "label", "clabel")
+        .agg(
+            F.sum(
+                F.expr(
+                    "cast(xq * 1000 - cq as decimal(38,0))"
+                    " * cast(xq * 1000 - cq as decimal(38,0))"
+                )
+            ).alias("d2")
+        )
+    )
+    best = d2.groupBy("vec_id", "label").agg(F.min("d2").alias("min_d2"))
+    assigned = (
+        d2.join(best, ["vec_id", "label"])
+        .filter(F.col("d2") == F.col("min_d2"))
+        .groupBy("vec_id", "label")
+        .agg(F.min("clabel").alias("assigned"))
+    )
+    per_true = assigned.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_true")
+    )
+    return (
+        assigned.groupBy("label", "assigned")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .join(per_true, "label")
+        .select(
+            F.col("label").cast("bigint").alias("true_label"),
+            F.col("assigned").cast("bigint").alias("assigned_label"),
+            F.col("n").cast("bigint").alias("n"),
+            F.expr("cast((10000 * n) div n_true as bigint)").alias("share_bp"),
+        )
+        .orderBy("true_label", "assigned_label")
+    )
+
+
+ROUND8_QUERIES["nearest_centroid_confusion"] = nearest_centroid_confusion
+
+ROUND8_ORACLES["nearest_centroid_confusion"] = f"""
+WITH pts AS (
+  SELECT vec_id, label,
+         ({X.hash64_duck("CAST(vec_id AS VARCHAR) || ':nc'")}) % 2 = 0
+           AS is_train,
+         i - 1 AS dim,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS xq
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+),
+cent AS (
+  SELECT label AS clabel, dim,
+         CAST((CASE WHEN sum(xq) < 0 THEN -1 ELSE 1 END)
+              * (abs(sum(xq) * 1000) // count(*)) AS BIGINT) AS cq
+  FROM pts WHERE is_train GROUP BY label, dim
+),
+d2 AS (
+  SELECT p.vec_id, p.label, c.clabel,
+         sum((p.xq * 1000 - c.cq)::HUGEINT * (p.xq * 1000 - c.cq)) AS d2
+  FROM pts p JOIN cent c ON p.dim = c.dim
+  WHERE NOT p.is_train
+  GROUP BY p.vec_id, p.label, c.clabel
+),
+best AS (
+  SELECT vec_id, label, min(d2) AS min_d2 FROM d2 GROUP BY vec_id, label
+),
+assigned AS (
+  SELECT d.vec_id, d.label, min(d.clabel) AS assigned
+  FROM d2 d JOIN best b
+    ON d.vec_id = b.vec_id AND d.label = b.label AND d.d2 = b.min_d2
+  GROUP BY d.vec_id, d.label
+),
+per_true AS (
+  SELECT label, count(*) AS n_true FROM assigned GROUP BY label
+)
+SELECT CAST(a.label AS BIGINT) AS true_label,
+       CAST(a.assigned AS BIGINT) AS assigned_label,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST((10000 * count(*)) // any_value(t.n_true) AS BIGINT) AS share_bp
+FROM assigned a JOIN per_true t ON a.label = t.label
+GROUP BY a.label, a.assigned
+ORDER BY true_label, assigned_label
+"""
+
+
+# ---------------------------------------------------------------------------
+# fd_discovery — functional-dependency validation census
+# ---------------------------------------------------------------------------
+
+_FD_CANDIDATES = [
+    ("orders", "o_orderkey", "o_custkey"),
+    ("orders", "o_custkey", "o_orderpriority"),
+    ("lineitem", "l_orderkey", "l_returnflag"),
+    ("lineitem", "l_partkey", "l_suppkey"),
+    ("customer", "c_nationkey", "c_mktsegment"),
+    ("nation", "n_nationkey", "n_regionkey"),
+    ("part", "p_brand", "p_type"),
+    ("part", "p_partkey", "p_brand"),
+]
+
+
+def fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUNCTIONAL-DEPENDENCY validation census (SURVEY §2 #258) — the
+    cross-COLUMN profiling leg the quality family lacked:
+    table_profile is per-column stats, pk_uniqueness_audit is key
+    multiplicity, contract_violations is row-local predicates — an FD
+    A→B is a relationship BETWEEN columns (does every A value map to
+    exactly one B?), the building block of schema normalization and
+    of FD-discovery systems (Papenbrock et al. 2015's validation
+    phase, run here over a declared candidate lattice slice spanning
+    four tables, mixing known-true key FDs with expected violations).
+
+    Scale shape: each candidate is ONE map-combined
+    (lhs → count distinct rhs) agg followed by a tiny census of the
+    violating groups; candidates are independent plans unioned at the
+    8-row result — no joins, no windows, and each agg shuffles only
+    its own key.  Violation mass (extra rhs values beyond the first
+    per lhs) is published so "how broken" is visible, not just
+    whether.
+    """
+    parts = []
+    for table, lhs, rhs in _FD_CANDIDATES:
+        per = (
+            _t(spark, sf_dir, table)
+            .groupBy(lhs)
+            .agg(F.countDistinct(rhs).alias("nd"))
+        )
+        parts.append(
+            per.agg(
+                F.lit(f"{table}: {lhs} -> {rhs}").alias("fd"),
+                F.count(F.lit(1)).cast("bigint").alias("n_lhs"),
+                F.sum((F.col("nd") > 1).cast("int"))
+                .cast("bigint")
+                .alias("n_violating"),
+                F.sum(F.expr("nd - 1")).cast("bigint").alias("extra_rhs"),
+                F.max("nd").cast("bigint").alias("max_rhs"),
+                (F.max("nd") == 1).cast("int").cast("bigint").alias("holds"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("fd")
+
+
+ROUND8_QUERIES["fd_discovery"] = fd_discovery
+
+ROUND8_ORACLES["fd_discovery"] = "\nUNION ALL\n".join(
+    f"""
+SELECT '{t}: {l} -> {r}' AS fd,
+       CAST(count(*) AS BIGINT) AS n_lhs,
+       CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violating,
+       CAST(sum(nd - 1) AS BIGINT) AS extra_rhs,
+       CAST(max(nd) AS BIGINT) AS max_rhs,
+       CAST(CASE WHEN max(nd) = 1 THEN 1 ELSE 0 END AS BIGINT) AS holds
+FROM (SELECT {l}, count(DISTINCT {r}) AS nd FROM {t} GROUP BY {l})
+""" for t, l, r in _FD_CANDIDATES
+) + "\nORDER BY fd"
