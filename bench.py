@@ -299,6 +299,8 @@ BENCH_QUERIES = [
     "padding_waste_buckets",
     "nearest_centroid_confusion",
     "fd_discovery",
+    "prefix_cache_hits",
+    "ips_policy_eval",
     # Excluded, with reasons (VERDICT r5 item 4 — one comment per key):
     #   streaming_sessions / streaming_rate_limit / streaming_hourly_stats /
     #   streaming_sliding_counts / streaming_hourly_drift — run the

@@ -1924,3 +1924,199 @@ SELECT '{t}: {l} -> {r}' AS fd,
 FROM (SELECT {l}, count(DISTINCT {r}) AS nd FROM {t} GROUP BY {l})
 """ for t, l, r in _FD_CANDIDATES
 ) + "\nORDER BY fd"
+
+
+# ---------------------------------------------------------------------------
+# prefix_cache_hits — KV-cache prefix-sharing census
+# ---------------------------------------------------------------------------
+
+_PCH_LENS = (4, 8, 16)
+
+
+def prefix_cache_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PREFIX-CACHE sharing census (SURVEY §2 #259) — the
+    inference-side cost planner the serving stack runs before turning
+    on prefix caching (vLLM/SGLang style KV reuse: requests sharing a
+    verbatim token PREFIX recompute it once): for prefix lengths
+    4/8/16, documents are grouped by the hash of their first-P
+    tokens, every group of n sharers makes (n−1)·P tokens cacheable,
+    and the hit rate over eligible prompt tokens is published in bp
+    per length — the readout that says which cache granularity pays.
+    Positional and anchored at position 0, which is what distinguishes
+    it from every fingerprint key (winnowing/simhash/minhash sample
+    the WHOLE doc; dup_span_census finds spans ANYWHERE; the KV cache
+    only ever reuses a prefix).
+
+    Scale shape: one token projection; per length, a map-side prefix
+    hash then ONE (hash → count, sum len) agg and a tiny census —
+    grams never materialize as strings past the hash, groups are
+    bounded by corpus cardinality, no windows, no joins.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.expr(X.tokens_spark("text")).alias("toks")
+    ).select("toks", F.size("toks").alias("len"))
+    parts = []
+    for p in _PCH_LENS:
+        grp = (
+            toks.filter(F.col("len") >= p)
+            .select(
+                "len",
+                F.expr(
+                    X.hash64_spark(f"array_join(slice(toks, 1, {p}), ' ')")
+                ).alias("ph"),
+            )
+            .groupBy("ph")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("len").alias("tok"))
+        )
+        parts.append(
+            grp.agg(
+                F.lit(f"p{p:02d}").alias("prefix_len"),
+                F.sum("n").cast("bigint").alias("n_eligible"),
+                F.sum((F.col("n") >= 2).cast("int"))
+                .cast("bigint")
+                .alias("n_shared_groups"),
+                F.sum(F.expr("CASE WHEN n >= 2 THEN n ELSE 0 END"))
+                .cast("bigint")
+                .alias("shared_docs"),
+                F.sum(F.expr(f"(n - 1) * {p}"))
+                .cast("bigint")
+                .alias("cacheable_tokens"),
+                F.expr(
+                    f"cast((10000 * sum((n - 1) * {p})) div sum(tok)"
+                    " as bigint)"
+                ).alias("hit_bp"),
+            )
+        )
+    out = parts[0]
+    for q in parts[1:]:
+        out = out.unionByName(q)
+    return out.orderBy("prefix_len")
+
+
+ROUND8_QUERIES["prefix_cache_hits"] = prefix_cache_hits
+
+ROUND8_ORACLES["prefix_cache_hits"] = "\nUNION ALL\n".join(
+    f"""
+SELECT 'p{p:02d}' AS prefix_len,
+       CAST(sum(n) AS BIGINT) AS n_eligible,
+       CAST(sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_shared_groups,
+       CAST(sum(CASE WHEN n >= 2 THEN n ELSE 0 END) AS BIGINT) AS shared_docs,
+       CAST(sum((n - 1) * {p}) AS BIGINT) AS cacheable_tokens,
+       CAST((10000 * sum((n - 1) * {p})) // sum(tok) AS BIGINT) AS hit_bp
+FROM (
+  SELECT count(*) AS n, sum(len) AS tok FROM (
+    SELECT {X.hash64_duck(f"array_to_string(toks[1:{p}], ' ')")} AS ph,
+           len(toks) AS len
+    FROM (SELECT {X.tokens_duck('text')} AS toks FROM documents)
+    WHERE len(toks) >= {p}
+  ) GROUP BY ph
+)
+""" for p in _PCH_LENS
+) + "\nORDER BY prefix_len"
+
+
+# ---------------------------------------------------------------------------
+# ips_policy_eval — inverse-propensity off-policy evaluation (replay)
+# ---------------------------------------------------------------------------
+
+
+def ips_policy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OFF-POLICY evaluation by inverse-propensity replay (SURVEY §2
+    #260; Li et al. 2011's replay method / Horvitz-Thompson IPS) —
+    the counterfactual-eval family nothing in the catalog touches:
+    the log was collected by a UNIFORM random 3-arm policy (propensity
+    exactly 1/3 per event, a hash draw), the TARGET policy picks its
+    arm from context (event_type), and the target's reward rate is
+    estimated from the log alone as 3·Σ(matched rewards)/N — events
+    where the logged arm happens to equal the target's choice, scaled
+    by the inverse propensity.  Because the reward simulator is a
+    known arm-dependent formula, the TRUE target value is also
+    computable, so every row publishes estimate vs truth — the
+    estimator audits itself (the priority_sample_estimate
+    discipline).
+
+    Scale shape: one scan, everything row-local (hash arms, exact
+    integer propensity scaling — 1/3 inverted as a literal ·3, never
+    a float), one (event_type) map-combined agg; 5-row output.
+    """
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(
+            "cast(cast(value as decimal(18,2)) * 100 as bigint)"
+        ).alias("cents"),
+        (
+            F.expr(X.hash64_spark("cast(event_id as string) || ':arm'")) % 3
+        ).alias("a_log"),
+        (F.expr(X.hash64_spark("event_type")) % 3).alias("a_tgt"),
+    ).select(
+        "event_type",
+        "a_log",
+        "a_tgt",
+        F.expr(
+            "CASE WHEN (cents + 37 * a_log) % 100 >= 50 THEN 1 ELSE 0 END"
+        ).alias("r_log"),
+        F.expr(
+            "CASE WHEN (cents + 37 * a_tgt) % 100 >= 50 THEN 1 ELSE 0 END"
+        ).alias("r_tgt"),
+    )
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("a_log") == F.col("a_tgt")).cast("int")).alias(
+                "n_matched"
+            ),
+            F.sum(
+                F.expr("CASE WHEN a_log = a_tgt THEN r_log ELSE 0 END")
+            ).alias("r_matched"),
+            F.sum("r_tgt").alias("r_true"),
+        )
+        .select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n"),
+            F.col("n_matched").cast("bigint").alias("n_matched"),
+            F.expr("cast((30000 * r_matched) div n as bigint)").alias(
+                "ips_bp"
+            ),
+            F.expr("cast((10000 * r_true) div n as bigint)").alias("true_bp"),
+            F.expr(
+                "cast(abs((30000 * r_matched) div n"
+                " - (10000 * r_true) div n) as bigint)"
+            ).alias("err_bp"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ROUND8_QUERIES["ips_policy_eval"] = ips_policy_eval
+
+ROUND8_ORACLES["ips_policy_eval"] = f"""
+WITH ev AS (
+  SELECT event_type,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+         ({X.hash64_duck("CAST(event_id AS VARCHAR) || ':arm'")}) % 3
+           AS a_log,
+         ({X.hash64_duck("event_type")}) % 3 AS a_tgt
+  FROM events
+),
+scored AS (
+  SELECT event_type, a_log, a_tgt,
+         CASE WHEN (cents + 37 * a_log) % 100 >= 50 THEN 1 ELSE 0 END AS r_log,
+         CASE WHEN (cents + 37 * a_tgt) % 100 >= 50 THEN 1 ELSE 0 END AS r_tgt
+  FROM ev
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN a_log = a_tgt THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_matched,
+       CAST((30000 * sum(CASE WHEN a_log = a_tgt THEN r_log ELSE 0 END))
+            // count(*) AS BIGINT) AS ips_bp,
+       CAST((10000 * sum(r_tgt)) // count(*) AS BIGINT) AS true_bp,
+       CAST(abs((30000 * sum(CASE WHEN a_log = a_tgt THEN r_log ELSE 0 END))
+                // count(*)
+              - (10000 * sum(r_tgt)) // count(*)) AS BIGINT) AS err_bp
+FROM scored
+GROUP BY event_type ORDER BY event_type
+"""
