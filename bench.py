@@ -301,6 +301,8 @@ BENCH_QUERIES = [
     "fd_discovery",
     "prefix_cache_hits",
     "ips_policy_eval",
+    "diff_in_diff",
+    "hashing_trick_collisions",
     # Excluded, with reasons (VERDICT r5 item 4 — one comment per key):
     #   streaming_sessions / streaming_rate_limit / streaming_hourly_stats /
     #   streaming_sliding_counts / streaming_hourly_drift — run the

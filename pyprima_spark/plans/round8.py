@@ -2120,3 +2120,205 @@ SELECT event_type,
 FROM scored
 GROUP BY event_type ORDER BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# diff_in_diff — two-period difference-in-differences census
+# ---------------------------------------------------------------------------
+
+
+def diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIFFERENCE-IN-DIFFERENCES census (SURVEY §2 #261; Card &
+    Krueger's two-period design — the workhorse of observational
+    causal inference) — the causal leg next to the catalog's
+    experimental one (ab_test_chi2 assumes randomized assignment;
+    DiD instead differences OUT the stable group gap using the
+    pre-period): users hash-split into treated/control, events into
+    pre/post at the period midpoint, and per event_type the four
+    cell means and the DiD estimate
+    (ΔT,post−pre) − (ΔC,post−pre) are published in exact cents —
+    the parallel-trends ledger every DiD writeup tabulates first.
+
+    Scale shape: one scan, row-local cell assignment (hash + date
+    literal — no percentile pass needed for a fixed design cut), one
+    (event_type) map-combined agg carrying all four cells as
+    conditional sums; cell means floor-quantized (sum div n) so the
+    published DiD is pure BIGINT differences — no division ever runs
+    on a negative number.
+    """
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("cast(cast(value as decimal(18,2)) * 100 as bigint)").alias(
+            "cents"
+        ),
+        (
+            F.expr(X.hash64_spark("cast(user_id as string) || ':did'")) % 2
+            == 0
+        ).alias("treated"),
+        (F.col("ts") >= F.lit("2024-01-16").cast("timestamp")).alias("post"),
+    )
+    cells = [
+        ("t1", "treated AND post"),
+        ("t0", "treated AND NOT post"),
+        ("c1", "NOT treated AND post"),
+        ("c0", "NOT treated AND NOT post"),
+    ]
+    aggs = []
+    for name, cond in cells:
+        aggs.append(
+            F.sum(F.expr(f"CASE WHEN {cond} THEN 1 ELSE 0 END")).alias(
+                f"n_{name}"
+            )
+        )
+        aggs.append(
+            F.sum(F.expr(f"CASE WHEN {cond} THEN cents ELSE 0 END")).alias(
+                f"s_{name}"
+            )
+        )
+    mean_cols = [
+        F.expr(f"s_{n} div n_{n}").cast("bigint").alias(f"mean_{n}")
+        for n, _ in cells
+    ]
+    return (
+        ev.groupBy("event_type")
+        .agg(*aggs)
+        .select(
+            "event_type",
+            *[F.col(f"n_{n}").cast("bigint").alias(f"n_{n}") for n, _ in cells],
+            *mean_cols,
+        )
+        .withColumn(
+            "did_cents",
+            F.expr("(mean_t1 - mean_t0) - (mean_c1 - mean_c0)").cast("bigint"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ROUND8_QUERIES["diff_in_diff"] = diff_in_diff
+
+ROUND8_ORACLES["diff_in_diff"] = f"""
+WITH ev AS (
+  SELECT event_type,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+         ({X.hash64_duck("CAST(user_id AS VARCHAR) || ':did'")}) % 2 = 0
+           AS treated,
+         ts >= TIMESTAMP '2024-01-16' AS post
+  FROM events
+),
+cells AS (
+  SELECT event_type,
+         sum(CASE WHEN treated AND post THEN 1 ELSE 0 END) AS n_t1,
+         sum(CASE WHEN treated AND post THEN cents ELSE 0 END) AS s_t1,
+         sum(CASE WHEN treated AND NOT post THEN 1 ELSE 0 END) AS n_t0,
+         sum(CASE WHEN treated AND NOT post THEN cents ELSE 0 END) AS s_t0,
+         sum(CASE WHEN NOT treated AND post THEN 1 ELSE 0 END) AS n_c1,
+         sum(CASE WHEN NOT treated AND post THEN cents ELSE 0 END) AS s_c1,
+         sum(CASE WHEN NOT treated AND NOT post THEN 1 ELSE 0 END) AS n_c0,
+         sum(CASE WHEN NOT treated AND NOT post THEN cents ELSE 0 END) AS s_c0
+  FROM ev GROUP BY event_type
+)
+SELECT event_type,
+       CAST(n_t1 AS BIGINT) AS n_t1, CAST(n_t0 AS BIGINT) AS n_t0,
+       CAST(n_c1 AS BIGINT) AS n_c1, CAST(n_c0 AS BIGINT) AS n_c0,
+       CAST(s_t1 // n_t1 AS BIGINT) AS mean_t1,
+       CAST(s_t0 // n_t0 AS BIGINT) AS mean_t0,
+       CAST(s_c1 // n_c1 AS BIGINT) AS mean_c1,
+       CAST(s_c0 // n_c0 AS BIGINT) AS mean_c0,
+       CAST((s_t1 // n_t1 - s_t0 // n_t0)
+          - (s_c1 // n_c1 - s_c0 // n_c0) AS BIGINT) AS did_cents
+FROM cells ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# hashing_trick_collisions — feature-hashing bucket collision audit
+# ---------------------------------------------------------------------------
+
+_HTC_BITS = (8, 12, 16)
+
+
+def hashing_trick_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FEATURE-HASHING collision audit (SURVEY §2 #262; Weinberger et
+    al. 2009's hashing trick — the standard encoding for unbounded
+    categorical features): the (user × event_type) feature vocabulary
+    is hashed into 2^b buckets for b = 8/12/16 and each width
+    publishes distinct features, occupied buckets, colliding buckets,
+    features lost to collisions, and the event MASS riding collided
+    buckets in bp — the readout that picks the hash width (collision
+    loss vs parameter count), which no existing key gives
+    (key_skew_profile profiles REAL keys; this profiles the
+    synthetic-bucket aliasing the trick introduces).
+
+    Scale shape: the feature census (feature → weight) is one
+    map-combined agg; per width, a map-side ``& (2^b − 1)`` then ONE
+    (bucket → distinct features, weight) agg and a tiny census; no
+    joins, no windows, bounded output.
+    """
+    feats = (
+        _t(spark, sf_dir, "events")
+        .select(
+            F.expr("'u:' || user_id || ':' || event_type").alias("feat")
+        )
+        .groupBy("feat")
+        .agg(F.count(F.lit(1)).alias("weight"))
+        .select(
+            F.expr(X.hash64_spark("feat")).alias("fh"),
+            "weight",
+        )
+    )
+    feats = materialize(feats)
+    parts = []
+    for b in _HTC_BITS:
+        per = (
+            feats.select(
+                F.expr(f"fh & {(1 << b) - 1}").alias("bucket"), "weight"
+            )
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("weight").alias("w"))
+        )
+        parts.append(
+            per.agg(
+                F.lit(f"b{b:02d}").alias("width"),
+                F.sum("n").cast("bigint").alias("n_features"),
+                F.count(F.lit(1)).cast("bigint").alias("buckets_used"),
+                F.sum((F.col("n") >= 2).cast("int"))
+                .cast("bigint")
+                .alias("colliding_buckets"),
+                F.sum(F.expr("n - 1")).cast("bigint").alias("features_lost"),
+                F.expr(
+                    "cast((10000 * sum(CASE WHEN n >= 2 THEN w ELSE 0 END))"
+                    " div sum(w) as bigint)"
+                ).alias("collided_mass_bp"),
+            )
+        )
+    out = parts[0]
+    for q in parts[1:]:
+        out = out.unionByName(q)
+    return out.orderBy("width")
+
+
+ROUND8_QUERIES["hashing_trick_collisions"] = hashing_trick_collisions
+
+ROUND8_ORACLES["hashing_trick_collisions"] = "\nUNION ALL\n".join(
+    f"""
+SELECT 'b{b:02d}' AS width,
+       CAST(sum(n) AS BIGINT) AS n_features,
+       CAST(count(*) AS BIGINT) AS buckets_used,
+       CAST(sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS colliding_buckets,
+       CAST(sum(n - 1) AS BIGINT) AS features_lost,
+       CAST((10000 * sum(CASE WHEN n >= 2 THEN w ELSE 0 END)) // sum(w)
+            AS BIGINT) AS collided_mass_bp
+FROM (
+  SELECT fh & {(1 << b) - 1} AS bucket, count(*) AS n, sum(weight) AS w
+  FROM (
+    SELECT {X.hash64_duck("feat")} AS fh, weight FROM (
+      SELECT 'u:' || user_id || ':' || event_type AS feat,
+             count(*) AS weight
+      FROM events GROUP BY feat
+    )
+  ) GROUP BY bucket
+)
+""" for b in _HTC_BITS
+) + "\nORDER BY width"
