@@ -2322,3 +2322,322 @@ FROM (
 )
 """ for b in _HTC_BITS
 ) + "\nORDER BY width"
+
+
+# ---------------------------------------------------------------------------
+# doubly_robust_eval — doubly-robust off-policy evaluation
+# ---------------------------------------------------------------------------
+
+
+def doubly_robust_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOUBLY-ROBUST off-policy evaluation (SURVEY §2 #263; Dudík,
+    Langford & Li 2011) — the production OPE estimator, completing
+    the counterfactual pair with ips_policy_eval: IPS alone is
+    unbiased but high-variance (it only uses the ~1/3 of events where
+    the logged arm matches the target's choice); DR adds a DIRECT
+    MODEL of the reward (here: the per-(event_type, arm) logged rate,
+    learned from the log itself) and uses IPS only on the model's
+    RESIDUAL — per event, dr = r̂(x, π(x)) + 3·1[a_log = π(x)]·
+    (r − r̂(x, a_log)), everything in exact basis points.  Both
+    estimators are published against the KNOWN simulator truth per
+    event_type, so the variance-reduction claim is itself auditable
+    row by row.
+
+    Scale shape: the model is a bounded (event_type × 3 arms) agg
+    BROADCAST back (15 rows); scoring is row-local; one map-combined
+    (event_type) agg ends the plan.  The only divisions are
+    floor-quantized rates and the final sign-outside mean (per-event
+    DR residuals are legitimately negative, so the sum's sign is
+    handled outside the div — the embedding_covariance discipline).
+    """
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("cast(cast(value as decimal(18,2)) * 100 as bigint)").alias(
+            "cents"
+        ),
+        (
+            F.expr(X.hash64_spark("cast(event_id as string) || ':arm'")) % 3
+        ).alias("a_log"),
+        (F.expr(X.hash64_spark("event_type")) % 3).alias("a_tgt"),
+    ).select(
+        "event_type",
+        "a_log",
+        "a_tgt",
+        F.expr(
+            "CASE WHEN (cents + 37 * a_log) % 100 >= 50 THEN 1 ELSE 0 END"
+        ).alias("r_log"),
+        F.expr(
+            "CASE WHEN (cents + 37 * a_tgt) % 100 >= 50 THEN 1 ELSE 0 END"
+        ).alias("r_tgt"),
+    )
+    model = (
+        ev.groupBy(
+            F.col("event_type").alias("m_type"), F.col("a_log").alias("m_arm")
+        )
+        .agg(
+            F.expr("(10000 * sum(r_log)) div count(1)").alias("rhat_bp")
+        )
+    )
+    scored = (
+        ev.join(
+            F.broadcast(model),
+            (F.col("event_type") == F.col("m_type"))
+            & (F.col("a_tgt") == F.col("m_arm")),
+        )
+        .drop("m_type", "m_arm")
+        .withColumnRenamed("rhat_bp", "rhat_tgt_bp")
+        .join(
+            F.broadcast(model.withColumnRenamed("rhat_bp", "rhat_log_bp")),
+            (F.col("event_type") == F.col("m_type"))
+            & (F.col("a_log") == F.col("m_arm")),
+        )
+        .drop("m_type", "m_arm")
+        .withColumn(
+            "dr_bp",
+            F.expr(
+                "rhat_tgt_bp + CASE WHEN a_log = a_tgt"
+                " THEN 3 * (10000 * r_log - rhat_log_bp) ELSE 0 END"
+            ),
+        )
+    )
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("dr_bp").alias("dr_sum"),
+            F.sum(
+                F.expr("CASE WHEN a_log = a_tgt THEN 30000 * r_log ELSE 0 END")
+            ).alias("ips_sum"),
+            F.sum("r_tgt").alias("r_true"),
+        )
+        .select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n"),
+            F.expr(
+                "cast(case when dr_sum < 0 then -1 else 1 end"
+                " * (abs(dr_sum) div n) as bigint)"
+            ).alias("dr_bp"),
+            F.expr("cast(ips_sum div n as bigint)").alias("ips_bp"),
+            F.expr("cast((10000 * r_true) div n as bigint)").alias("true_bp"),
+        )
+        .withColumn(
+            "dr_err_bp", F.expr("cast(abs(dr_bp - true_bp) as bigint)")
+        )
+        .withColumn(
+            "ips_err_bp", F.expr("cast(abs(ips_bp - true_bp) as bigint)")
+        )
+        .orderBy("event_type")
+    )
+
+
+ROUND8_QUERIES["doubly_robust_eval"] = doubly_robust_eval
+
+ROUND8_ORACLES["doubly_robust_eval"] = f"""
+WITH ev AS (
+  SELECT event_type,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+         ({X.hash64_duck("CAST(event_id AS VARCHAR) || ':arm'")}) % 3
+           AS a_log,
+         ({X.hash64_duck("event_type")}) % 3 AS a_tgt
+  FROM events
+),
+scored0 AS (
+  SELECT event_type, a_log, a_tgt,
+         CASE WHEN (cents + 37 * a_log) % 100 >= 50 THEN 1 ELSE 0 END AS r_log,
+         CASE WHEN (cents + 37 * a_tgt) % 100 >= 50 THEN 1 ELSE 0 END AS r_tgt
+  FROM ev
+),
+model AS (
+  SELECT event_type AS m_type, a_log AS m_arm,
+         (10000 * sum(r_log)) // count(*) AS rhat_bp
+  FROM scored0 GROUP BY event_type, a_log
+),
+scored AS (
+  SELECT s.*, mt.rhat_bp AS rhat_tgt_bp, ml.rhat_bp AS rhat_log_bp,
+         mt.rhat_bp + CASE WHEN s.a_log = s.a_tgt
+             THEN 3 * (10000 * s.r_log - ml.rhat_bp) ELSE 0 END AS dr_bp
+  FROM scored0 s
+  JOIN model mt ON mt.m_type = s.event_type AND mt.m_arm = s.a_tgt
+  JOIN model ml ON ml.m_type = s.event_type AND ml.m_arm = s.a_log
+),
+agg AS (
+  SELECT event_type, count(*) AS n, sum(dr_bp) AS dr_sum,
+         sum(CASE WHEN a_log = a_tgt THEN 30000 * r_log ELSE 0 END) AS ips_sum,
+         sum(r_tgt) AS r_true
+  FROM scored GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       CAST((CASE WHEN dr_sum < 0 THEN -1 ELSE 1 END)
+            * (abs(dr_sum) // n) AS BIGINT) AS dr_bp,
+       CAST(ips_sum // n AS BIGINT) AS ips_bp,
+       CAST((10000 * r_true) // n AS BIGINT) AS true_bp,
+       CAST(abs((CASE WHEN dr_sum < 0 THEN -1 ELSE 1 END)
+                * (abs(dr_sum) // n)
+              - (10000 * r_true) // n) AS BIGINT) AS dr_err_bp,
+       CAST(abs(ips_sum // n - (10000 * r_true) // n) AS BIGINT)
+         AS ips_err_bp
+FROM agg ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# qini_uplift — treatment-aware uplift deciles with the Qini curve
+# ---------------------------------------------------------------------------
+
+
+def qini_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QINI / UPLIFT-BY-DECILE curve (SURVEY §2 #264; Radcliffe 2007
+    — the standard readout of uplift modeling) — the causal cousin of
+    decile_lift (same score = first-half spend, same outcome =
+    second-half activity, same broadcast percentile-cut deciles) with
+    the treatment dimension diff_in_diff introduced: customers are
+    hash-split treated/control, each decile publishes BOTH arms'
+    response rates and their difference (the uplift), and the running
+    Qini statistic cum_r_t·cum_n_c − cum_r_c·cum_n_t (the
+    integer-exact numerator of the Qini curve, positive when
+    targeting by score beats random targeting) accumulates from the
+    best decile down.  decile_lift asks "does the top decile
+    respond"; this asks "does TREATING the top decile CAUSE
+    response" — the question campaign budgets actually turn on.
+
+    Scale shape: identical to decile_lift (two per-customer aggs,
+    one percentile_disc cut agg broadcast, map-side assignment); the
+    only window is the cumulative sum over the 10-row decile census
+    (bounded by the constant bucket count — allowlisted with
+    decile_lift/slo_burn_rate).  Qini is published as the exact
+    cross-multiplied numerator plus a sign-outside bp form.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    first = orders.filter(
+        F.expr("o_orderdate < date'1998-07-01'")
+    ).groupBy(F.col("o_custkey").alias("cust")).agg(
+        F.sum(F.expr("cast(o_totalprice as decimal(18,2)) * 100"))
+        .cast("bigint")
+        .alias("spend_cents")
+    )
+    second = (
+        orders.filter(F.expr("o_orderdate >= date'1998-07-01'"))
+        .select(F.col("o_custkey").alias("cust"))
+        .distinct()
+        .withColumn("responded", F.lit(1))
+    )
+    cuts = first.agg(
+        *[
+            F.expr(
+                f"percentile_disc(0.{d}) WITHIN GROUP (ORDER BY spend_cents)"
+            ).alias(f"c{d}")
+            for d in range(1, 10)
+        ]
+    )
+    cut_case = "CASE " + " ".join(
+        f"WHEN spend_cents <= c{d} THEN {d}" for d in range(1, 10)
+    ) + " ELSE 10 END"
+    assigned = (
+        first.join(F.broadcast(cuts))
+        .join(second, "cust", "left")
+        .select(
+            F.expr(cut_case).alias("decile"),
+            (
+                F.expr(X.hash64_spark("cast(cust as string) || ':up'")) % 2
+                == 0
+            ).cast("int").alias("treated"),
+            F.coalesce("responded", F.lit(0)).alias("responded"),
+        )
+    )
+    census = assigned.groupBy("decile").agg(
+        F.sum("treated").alias("n_t"),
+        F.sum(F.expr("treated * responded")).alias("r_t"),
+        F.sum(F.expr("1 - treated")).alias("n_c"),
+        F.sum(F.expr("(1 - treated) * responded")).alias("r_c"),
+    )
+    w = "order by decile desc rows between unbounded preceding and current row"
+    return (
+        census.select(
+            "decile",
+            F.col("n_t").cast("bigint").alias("n_t"),
+            F.col("r_t").cast("bigint").alias("r_t"),
+            F.col("n_c").cast("bigint").alias("n_c"),
+            F.col("r_c").cast("bigint").alias("r_c"),
+            F.expr(
+                "cast((10000 * r_t) div n_t - (10000 * r_c) div n_c"
+                " as bigint)"
+            ).alias("uplift_bp"),
+            F.expr(f"sum(r_t) over ({w})").alias("cum_r_t"),
+            F.expr(f"sum(n_t) over ({w})").alias("cum_n_t"),
+            F.expr(f"sum(r_c) over ({w})").alias("cum_r_c"),
+            F.expr(f"sum(n_c) over ({w})").alias("cum_n_c"),
+        )
+        .select(
+            "decile",
+            "n_t",
+            "r_t",
+            "n_c",
+            "r_c",
+            "uplift_bp",
+            F.expr(
+                "cast(cum_r_t * cum_n_c - cum_r_c * cum_n_t as bigint)"
+            ).alias("qini_num"),
+            F.expr(
+                "cast(case when cum_r_t * cum_n_c - cum_r_c * cum_n_t < 0"
+                " then -1 else 1 end"
+                " * ((10000 * abs(cum_r_t * cum_n_c - cum_r_c * cum_n_t))"
+                " div (cum_n_t * cum_n_c)) as bigint)"
+            ).alias("qini_bp"),
+        )
+        .orderBy(F.desc("decile"))
+    )
+
+
+ROUND8_QUERIES["qini_uplift"] = qini_uplift
+
+ROUND8_ORACLES["qini_uplift"] = f"""
+WITH first_half AS (
+  SELECT o_custkey AS cust,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+           AS spend_cents
+  FROM orders WHERE o_orderdate < DATE '1998-07-01'
+  GROUP BY o_custkey
+),
+second_half AS (
+  SELECT DISTINCT o_custkey AS cust, 1 AS responded
+  FROM orders WHERE o_orderdate >= DATE '1998-07-01'
+),
+cuts AS (
+  SELECT {", ".join(f"quantile_disc(spend_cents, 0.{d}) AS c{d}" for d in range(1, 10))}
+  FROM first_half
+),
+assigned AS (
+  SELECT CASE {" ".join(f"WHEN spend_cents <= c{d} THEN {d}" for d in range(1, 10))}
+              ELSE 10 END AS decile,
+         CASE WHEN ({X.hash64_duck("CAST(f.cust AS VARCHAR) || ':up'")}) % 2 = 0
+              THEN 1 ELSE 0 END AS treated,
+         coalesce(s.responded, 0) AS responded
+  FROM first_half f CROSS JOIN cuts
+  LEFT JOIN second_half s ON s.cust = f.cust
+),
+census AS (
+  SELECT decile,
+         sum(treated) AS n_t, sum(treated * responded) AS r_t,
+         sum(1 - treated) AS n_c, sum((1 - treated) * responded) AS r_c
+  FROM assigned GROUP BY decile
+),
+cum AS (
+  SELECT decile, n_t, r_t, n_c, r_c,
+         sum(r_t) OVER w AS cum_r_t, sum(n_t) OVER w AS cum_n_t,
+         sum(r_c) OVER w AS cum_r_c, sum(n_c) OVER w AS cum_n_c
+  FROM census
+  WINDOW w AS (ORDER BY decile DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT decile,
+       CAST(n_t AS BIGINT) AS n_t, CAST(r_t AS BIGINT) AS r_t,
+       CAST(n_c AS BIGINT) AS n_c, CAST(r_c AS BIGINT) AS r_c,
+       CAST((10000 * r_t) // n_t - (10000 * r_c) // n_c AS BIGINT)
+         AS uplift_bp,
+       CAST(cum_r_t * cum_n_c - cum_r_c * cum_n_t AS BIGINT) AS qini_num,
+       CAST((CASE WHEN cum_r_t * cum_n_c - cum_r_c * cum_n_t < 0
+                  THEN -1 ELSE 1 END)
+            * ((10000 * abs(cum_r_t * cum_n_c - cum_r_c * cum_n_t))
+               // (cum_n_t * cum_n_c)) AS BIGINT) AS qini_bp
+FROM cum ORDER BY decile DESC
+"""

@@ -79,6 +79,8 @@ GLOBAL_WINDOW_ALLOWED = {
     # cumulative capture over the 10-row DECILE census (bucket count is
     # a constant of the operator; assignment itself is map-side cuts)
     "decile_lift",
+    # same 10-row decile census, plus the treated/control split
+    "qini_uplift",
     "peak_concurrency",
     # bounded by |event_types|^3 path census (docstring)
     "session_paths",
