@@ -2641,3 +2641,270 @@ SELECT decile,
                // (cum_n_t * cum_n_c)) AS BIGINT) AS qini_bp
 FROM cum ORDER BY decile DESC
 """
+
+
+# ---------------------------------------------------------------------------
+# wasserstein_drift — earth-mover (W1) drift over the binned ECDF
+# ---------------------------------------------------------------------------
+
+_W1_SPLIT = "2024-01-16 00:00:00"  # the ks_drift/psi_drift period cut
+
+
+def wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WASSERSTEIN-1 (earth mover) drift per event type (SURVEY §2
+    #266) — the drift family's integral member: TV (drift_tv) counts
+    mass that moved, KS (ks_drift) takes the worst single ECDF gap,
+    PSI (psi_drift) log-weights bin ratios; W1 = ∫|F_a − F_b| dx is
+    the only one that knows HOW FAR the mass moved (a +1-cent shift
+    and a +100-cent shift have equal TV but 100× different W1 —
+    embedding/feature monitoring's preferred metric for exactly that
+    reason).  Same 1000-bin grid and period cut as ks_drift; the
+    integral is exact on the binned ECDF: Σ |cum_a·n_b − cum_b·n_a| ·
+    (next_bin − bin), where the lead() gap weighting is what makes
+    SPARSE bin tables correct (an ECDF gap persists across empty
+    bins; KS's max doesn't care, an integral must).
+
+    Scale shape: identical to ks_drift — one (type, bin) agg, then
+    per-type partitioned windows over the bounded bin table (never
+    raw events), DECIMAL(38,0) cross-products so petabyte-scale
+    n_a·n_b cannot overflow, one trailing division (all terms
+    non-negative).  Published in exact half-bin units and cents.
+    """
+    ev = _t(spark, sf_dir, "events")
+    binned = ev.select(
+        "event_type",
+        F.when(F.col("ts") < F.lit(_W1_SPLIT).cast("timestamp"), 0)
+        .otherwise(1)
+        .alias("p"),
+        F.least(F.lit(999), F.floor(F.col("value") * 2).cast("int")).alias(
+            "bin"
+        ),
+    )
+    counts = binned.groupBy("event_type", "bin").agg(
+        F.sum(F.when(F.col("p") == 0, 1).otherwise(0)).alias("c_a"),
+        F.sum(F.when(F.col("p") == 1, 1).otherwise(0)).alias("c_b"),
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("event_type")
+    wlead = Window.partitionBy("event_type").orderBy("bin")
+    scored = counts.select(
+        "event_type",
+        F.sum("c_a").over(wcum).alias("cum_a"),
+        F.sum("c_b").over(wcum).alias("cum_b"),
+        F.sum("c_a").over(wall).alias("n_a"),
+        F.sum("c_b").over(wall).alias("n_b"),
+        (F.lead("bin", 1, None).over(wlead) - F.col("bin")).alias("gap"),
+    ).filter(F.col("gap").isNotNull())
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.max("n_a").alias("n_a"),
+            F.max("n_b").alias("n_b"),
+            F.sum(
+                F.expr(
+                    "cast(abs(cast(cum_a as decimal(38,0)) * n_b"
+                    " - cast(cum_b as decimal(38,0)) * n_a) * gap"
+                    " as decimal(38,0))"
+                )
+            ).alias("w1_num"),
+        )
+        .select(
+            "event_type",
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.expr(
+                "cast((50 * w1_num) div (cast(n_a as decimal(38,0)) * n_b)"
+                " as bigint)"
+            ).alias("w1_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ROUND8_QUERIES["wasserstein_drift"] = wasserstein_drift
+
+ROUND8_ORACLES["wasserstein_drift"] = f"""
+WITH binned AS (
+  SELECT event_type,
+         CASE WHEN ts < TIMESTAMP '{_W1_SPLIT}' THEN 0 ELSE 1 END AS p,
+         least(999, CAST(floor(value * 2) AS INT)) AS bin
+  FROM events
+),
+counts AS (
+  SELECT event_type, bin,
+         sum(CASE WHEN p = 0 THEN 1 ELSE 0 END) AS c_a,
+         sum(CASE WHEN p = 1 THEN 1 ELSE 0 END) AS c_b
+  FROM binned GROUP BY event_type, bin
+),
+scored AS (
+  SELECT event_type,
+         sum(c_a) OVER (PARTITION BY event_type ORDER BY bin
+                        ROWS UNBOUNDED PRECEDING) AS cum_a,
+         sum(c_b) OVER (PARTITION BY event_type ORDER BY bin
+                        ROWS UNBOUNDED PRECEDING) AS cum_b,
+         sum(c_a) OVER (PARTITION BY event_type) AS n_a,
+         sum(c_b) OVER (PARTITION BY event_type) AS n_b,
+         lead(bin) OVER (PARTITION BY event_type ORDER BY bin) - bin AS gap
+  FROM counts
+)
+SELECT event_type,
+       CAST(max(n_a) AS BIGINT) AS n_a,
+       CAST(max(n_b) AS BIGINT) AS n_b,
+       CAST((50 * sum(abs(cum_a::HUGEINT * n_b - cum_b::HUGEINT * n_a) * gap))
+            // (max(n_a)::HUGEINT * max(n_b)) AS BIGINT) AS w1_cents
+FROM scored
+WHERE gap IS NOT NULL
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# poisson_bootstrap_ci — one-pass Poisson bootstrap confidence intervals
+# ---------------------------------------------------------------------------
+
+import math as _math
+
+_PBC_B = 32  # bootstrap replicates
+# P(Poisson(1) <= k) * 2^60 as integer literals, k = 0..5: the hash
+# uniform u in [0, 2^60) is compared against these ONCE-computed
+# cutpoints (embedded identically in both dialects — no runtime float,
+# no libm call ever crosses an engine boundary). Weights are truncated
+# at 6 (P(X > 6) ~ 8e-5, the standard bounded-weight bootstrap cut).
+_PBC_CUTS = [
+    int(_math.exp(-1.0) * sum(1.0 / _math.factorial(j) for j in range(k + 1))
+        * (1 << 60))
+    for k in range(6)
+]
+
+
+def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-PASS POISSON BOOTSTRAP confidence intervals (SURVEY §2
+    #265) — the resampling scheme that actually scales (Chamandy et
+    al., Google 2012, "Estimating Uncertainty for Massive Data
+    Streams"): instead of materializing B resamples, every row
+    carries B independent Poisson(1) weights and all B replicate
+    estimates accumulate in ONE aggregation pass.  Completes the
+    uncertainty family: jackknife_variance is leave-one-GROUP-out,
+    conformal_interval_eval wraps predictions — this bootstraps the
+    estimator itself (per-type mean order value) with a 95% interval
+    from the 32-replicate percentile spread.  Weights are drawn by
+    comparing a 60-bit hash against precomputed integer CDF
+    cutpoints — deterministic, replayable, and float-free on both
+    engines.
+
+    Scale shape: the ×32 replicate fan-out happens map-side and
+    collapses map-side too (groupBy(type, b) partial agg — per
+    partition the state is types × 32 cells, never rows × 32); the
+    final percentile_disc runs per type over a 32-row census.  No
+    windows, no joins except the broadcast of the 5-row point
+    estimate.
+    """
+    cuts_expr = " + ".join(
+        f"(CASE WHEN u >= {t} THEN 1 ELSE 0 END)" for t in _PBC_CUTS
+    )
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("cast(cast(value as decimal(18,2)) * 100 as bigint)").alias(
+            "cents"
+        ),
+        F.col("event_id"),
+    )
+    reps = (
+        ev.select(
+            "event_type",
+            "cents",
+            F.explode(F.expr(f"sequence(0, {_PBC_B - 1})")).alias("b"),
+            "event_id",
+        )
+        .withColumn(
+            "u",
+            F.expr(
+                X.hash64_spark("cast(event_id as string) || ':pb' || b")
+            ),
+        )
+        .withColumn("w", F.expr(cuts_expr))
+        .groupBy("event_type", "b")
+        .agg(
+            F.sum("w").alias("n_b"),
+            F.sum(F.expr("w * cents")).alias("s_b"),
+        )
+        .select("event_type", "b", F.expr("s_b div n_b").alias("mean_b"))
+    )
+    point = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("sum(cents) div count(1)").alias("point_cents"),
+    )
+    ci = reps.groupBy("event_type").agg(
+        F.expr(
+            "percentile_disc(0.025) WITHIN GROUP (ORDER BY mean_b)"
+        ).alias("ci_lo_cents"),
+        F.expr(
+            "percentile_disc(0.975) WITHIN GROUP (ORDER BY mean_b)"
+        ).alias("ci_hi_cents"),
+    )
+    return (
+        point.join(F.broadcast(ci), "event_type")
+        .select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n"),
+            F.col("point_cents").cast("bigint").alias("point_cents"),
+            F.col("ci_lo_cents").cast("bigint").alias("ci_lo_cents"),
+            F.col("ci_hi_cents").cast("bigint").alias("ci_hi_cents"),
+            F.expr("cast(ci_hi_cents - ci_lo_cents as bigint)").alias(
+                "width_cents"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+ROUND8_QUERIES["poisson_bootstrap_ci"] = poisson_bootstrap_ci
+
+ROUND8_ORACLES["poisson_bootstrap_ci"] = f"""
+WITH ev AS (
+  SELECT event_type,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+         event_id
+  FROM events
+),
+reps AS (
+  SELECT event_type, b,
+         sum(w) AS n_b, sum(w * cents) AS s_b
+  FROM (
+    SELECT event_type, cents,
+           unnest(generate_series(0, {_PBC_B - 1})) AS b, event_id
+    FROM ev
+  ) t,
+  LATERAL (
+    SELECT {" + ".join(f"(CASE WHEN u >= {t} THEN 1 ELSE 0 END)" for t in _PBC_CUTS)} AS w
+    FROM (SELECT {X.hash64_duck("CAST(event_id AS VARCHAR) || ':pb' || b")} AS u)
+  )
+  GROUP BY event_type, b
+),
+means AS (
+  SELECT event_type, s_b // n_b AS mean_b FROM reps
+),
+point AS (
+  SELECT event_type, count(*) AS n, sum(cents) // count(*) AS point_cents
+  FROM ev GROUP BY event_type
+),
+ci AS (
+  SELECT event_type,
+         quantile_disc(mean_b, 0.025) AS ci_lo_cents,
+         quantile_disc(mean_b, 0.975) AS ci_hi_cents
+  FROM means GROUP BY event_type
+)
+SELECT p.event_type,
+       CAST(p.n AS BIGINT) AS n,
+       CAST(p.point_cents AS BIGINT) AS point_cents,
+       CAST(c.ci_lo_cents AS BIGINT) AS ci_lo_cents,
+       CAST(c.ci_hi_cents AS BIGINT) AS ci_hi_cents,
+       CAST(c.ci_hi_cents - c.ci_lo_cents AS BIGINT) AS width_cents
+FROM point p JOIN ci c ON p.event_type = c.event_type
+ORDER BY p.event_type
+"""
