@@ -307,6 +307,8 @@ BENCH_QUERIES = [
     "qini_uplift",
     "poisson_bootstrap_ci",
     "wasserstein_drift",
+    "cuped_adjustment",
+    "postings_compression_estimate",
     # Excluded, with reasons (VERDICT r5 item 4 — one comment per key):
     #   streaming_sessions / streaming_rate_limit / streaming_hourly_stats /
     #   streaming_sliding_counts / streaming_hourly_drift — run the

@@ -2908,3 +2908,236 @@ SELECT p.event_type,
 FROM point p JOIN ci c ON p.event_type = c.event_type
 ORDER BY p.event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# cuped_adjustment — CUPED variance-reduced experiment readout
+# ---------------------------------------------------------------------------
+
+
+def cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (SURVEY §2 #267; Deng, Xu, Kohavi &
+    Walker 2013 — the adjustment every large experimentation platform
+    applies before reading an A/B metric): the PRE-period covariate
+    absorbs between-user variance, adjusted = post − θ·(pre − pre̅)
+    with θ = cov(pre, post)/var(pre) pooled across arms.  Completes
+    the experimentation shelf: ab_test_chi2 tests proportions,
+    diff_in_diff handles non-random assignment, qini_uplift ranks by
+    score — CUPED is the precision lever on the randomized readout
+    itself.  θ rides the embedding_covariance moment discipline
+    (exact DECIMAL(38,0) cross-moments, sign outside the division,
+    θ published in basis points), and the adjustment applies
+    floor-quantized means only — no float, no per-row regression.
+
+    Scale shape: one per-customer two-period agg (map-combined), ONE
+    1-row pooled moment aggregate broadcast back, one 2-row arm agg.
+    The moments never leave DECIMAL(38,0); the only per-row work is
+    hash-arm assignment.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (
+        orders.groupBy(F.col("o_custkey").alias("cust"))
+        .agg(
+            F.sum(
+                F.expr(
+                    "CASE WHEN o_orderdate < date'1998-07-01'"
+                    " THEN cast(cast(o_totalprice as decimal(18,2)) * 100"
+                    " as bigint) ELSE 0 END"
+                )
+            ).alias("pre"),
+            F.sum(
+                F.expr(
+                    "CASE WHEN o_orderdate >= date'1998-07-01'"
+                    " THEN cast(cast(o_totalprice as decimal(18,2)) * 100"
+                    " as bigint) ELSE 0 END"
+                )
+            ).alias("post"),
+        )
+        .withColumn(
+            "arm",
+            F.expr(X.hash64_spark("cast(cust as string) || ':cuped'")) % 2,
+        )
+    )
+    moments = per_cust.agg(
+        F.count(F.lit(1)).alias("nn"),
+        F.sum(F.expr("cast(pre as decimal(38,0))")).alias("sp"),
+        F.sum(F.expr("cast(post as decimal(38,0))")).alias("so"),
+        F.sum(F.expr("cast(pre as decimal(38,0)) * post")).alias("spo"),
+        F.sum(F.expr("cast(pre as decimal(38,0)) * pre")).alias("spp"),
+    ).select(
+        "nn",
+        "sp",
+        F.expr(
+            "cast(case when nn * spo - sp * so < 0 then -1 else 1 end"
+            " * ((10000 * abs(nn * spo - sp * so))"
+            " div (nn * spp - sp * sp)) as bigint)"
+        ).alias("theta_bp"),
+    )
+    return (
+        per_cust.crossJoin(F.broadcast(moments))
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("pre").alias("pr_a"),
+            F.sum("post").alias("po_a"),
+            F.max("theta_bp").alias("theta_bp"),
+            F.max("nn").alias("nn"),
+            F.max("sp").alias("sp"),
+        )
+        .select(
+            F.col("arm").cast("bigint").alias("arm"),
+            F.col("n").cast("bigint").alias("n"),
+            F.expr("cast(po_a div n as bigint)").alias("raw_mean_cents"),
+            F.expr(
+                "cast(po_a div n - case when"
+                " theta_bp * (pr_a div n - cast(sp div nn as bigint)) < 0"
+                " then -1 else 1 end"
+                " * (abs(theta_bp * (pr_a div n - cast(sp div nn as bigint)))"
+                " div 10000) as bigint)"
+            ).alias("adj_mean_cents"),
+            F.col("theta_bp").cast("bigint").alias("theta_bp"),
+        )
+        .orderBy("arm")
+    )
+
+
+ROUND8_QUERIES["cuped_adjustment"] = cuped_adjustment
+
+ROUND8_ORACLES["cuped_adjustment"] = f"""
+WITH per_cust AS (
+  SELECT o_custkey AS cust,
+         sum(CASE WHEN o_orderdate < DATE '1998-07-01'
+             THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+             ELSE 0 END) AS pre,
+         sum(CASE WHEN o_orderdate >= DATE '1998-07-01'
+             THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+             ELSE 0 END) AS post,
+         ({X.hash64_duck("CAST(o_custkey AS VARCHAR) || ':cuped'")}) % 2
+           AS arm
+  FROM orders GROUP BY o_custkey
+),
+moments AS (
+  SELECT count(*) AS nn, sum(pre)::HUGEINT AS sp,
+         CAST((CASE WHEN count(*)::HUGEINT * sum(pre::HUGEINT * post)
+                         - sum(pre)::HUGEINT * sum(post) < 0
+                    THEN -1 ELSE 1 END)
+              * ((10000 * abs(count(*)::HUGEINT * sum(pre::HUGEINT * post)
+                              - sum(pre)::HUGEINT * sum(post)))
+                 // (count(*)::HUGEINT * sum(pre::HUGEINT * pre)
+                     - sum(pre)::HUGEINT * sum(pre))) AS BIGINT) AS theta_bp
+  FROM per_cust
+)
+SELECT CAST(arm AS BIGINT) AS arm,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(post) // count(*) AS BIGINT) AS raw_mean_cents,
+       CAST(sum(post) // count(*)
+            - (CASE WHEN m.theta_bp * (sum(pre) // count(*)
+                       - CAST(m.sp // m.nn AS BIGINT)) < 0
+                    THEN -1 ELSE 1 END)
+              * (abs(m.theta_bp * (sum(pre) // count(*)
+                       - CAST(m.sp // m.nn AS BIGINT))) // 10000)
+            AS BIGINT) AS adj_mean_cents,
+       CAST(m.theta_bp AS BIGINT) AS theta_bp
+FROM per_cust CROSS JOIN moments m
+GROUP BY arm, m.theta_bp, m.sp, m.nn
+ORDER BY arm
+"""
+
+
+# ---------------------------------------------------------------------------
+# postings_compression_estimate — delta+varint index size planning
+# ---------------------------------------------------------------------------
+
+
+def postings_compression_estimate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """POSTING-LIST compression estimate (SURVEY §2 #268) — the index
+    SIZE planner next to champion_postings' index PRUNER: classic IR
+    delta-gap + varint coding (Zobel & Moffat 2006) costed exactly,
+    per df-magnitude bucket: postings (term, sorted doc ids) become
+    gaps via lag(), each gap costs length(bin(gap)) bits — the exact
+    ⌊log₂⌋+1 with no floating log anywhere — and ⌈bits/7⌉ varint
+    bytes; each log₂(df) bucket publishes raw vs compressed bytes in
+    bp.  The planning readout is WHERE compression pays: long lists
+    have small gaps (dense → near-1-byte codes), rare terms don't —
+    the economics behind every search index's postings format.
+
+    Scale shape: postings are distinct (term-hash, doc) pairs; the
+    gap window partitions BY TERM (millions of small partitions —
+    the scalable direction); the census folds to ≤13 log₂ buckets
+    map-combined.  Terms ride as 60-bit hashes, never strings.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    postings = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.expr(f"array_distinct({X.tokens_spark('text')})")
+            ).alias("term"),
+        )
+        .select(F.expr(X.hash64_spark("term")).alias("th"), "doc_id")
+    )
+    wt = Window.partitionBy("th").orderBy("doc_id")
+    sized = postings.select(
+        "th",
+        "doc_id",
+        F.coalesce(
+            F.col("doc_id") - F.lag("doc_id", 1).over(wt),
+            F.col("doc_id") + 1,
+        ).alias("delta"),
+        F.count(F.lit(1)).over(Window.partitionBy("th")).alias("df"),
+    ).select(
+        "th",
+        "df",
+        F.expr("length(bin(delta))").alias("bits"),
+    )
+    return (
+        sized.groupBy(F.expr("length(bin(df))").alias("df_log2"))
+        .agg(
+            F.countDistinct("th").alias("n_terms"),
+            F.count(F.lit(1)).alias("n_postings"),
+            F.sum("bits").alias("delta_bits"),
+            F.sum(F.expr("(bits + 6) div 7")).alias("varint_bytes"),
+        )
+        .select(
+            F.col("df_log2").cast("bigint").alias("df_log2"),
+            F.col("n_terms").cast("bigint").alias("n_terms"),
+            F.col("n_postings").cast("bigint").alias("n_postings"),
+            F.col("delta_bits").cast("bigint").alias("delta_bits"),
+            F.col("varint_bytes").cast("bigint").alias("varint_bytes"),
+            F.expr(
+                "cast((10000 * varint_bytes) div (8 * n_postings) as bigint)"
+            ).alias("size_vs_raw_bp"),
+        )
+        .orderBy("df_log2")
+    )
+
+
+ROUND8_QUERIES["postings_compression_estimate"] = postings_compression_estimate
+
+ROUND8_ORACLES["postings_compression_estimate"] = f"""
+WITH postings AS (
+  SELECT DISTINCT {X.hash64_duck('term')} AS th, doc_id
+  FROM (
+    SELECT doc_id, unnest(list_distinct({X.tokens_duck('text')})) AS term
+    FROM documents
+  )
+),
+sized AS (
+  SELECT th,
+         count(*) OVER (PARTITION BY th) AS df,
+         length(bin(coalesce(doc_id - lag(doc_id) OVER
+           (PARTITION BY th ORDER BY doc_id), doc_id + 1))) AS bits
+  FROM postings
+)
+SELECT CAST(length(bin(df)) AS BIGINT) AS df_log2,
+       CAST(count(DISTINCT th) AS BIGINT) AS n_terms,
+       CAST(count(*) AS BIGINT) AS n_postings,
+       CAST(sum(bits) AS BIGINT) AS delta_bits,
+       CAST(sum((bits + 6) // 7) AS BIGINT) AS varint_bytes,
+       CAST((10000 * sum((bits + 6) // 7)) // (8 * count(*)) AS BIGINT)
+         AS size_vs_raw_bp
+FROM sized
+GROUP BY df_log2 ORDER BY df_log2
+"""
