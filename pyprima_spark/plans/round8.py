@@ -3141,3 +3141,257 @@ SELECT CAST(length(bin(df)) AS BIGINT) AS df_log2,
 FROM sized
 GROUP BY df_log2 ORDER BY df_log2
 """
+
+
+# ---------------------------------------------------------------------------
+# source_selection_greedy — greedy max-coverage data acquisition
+# ---------------------------------------------------------------------------
+
+_SSG_K = 3  # greedy rounds
+_SSG_GRAM = 8
+
+
+def source_selection_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GREEDY MAX-COVERAGE source selection (SURVEY §2 #269) — the
+    data-acquisition question the mixture/dedup keys stop short of:
+    "which 3 sources should we license/crawl FIRST to cover the most
+    distinct content?"  Coverage of a source set = distinct word
+    8-grams it contains; the greedy algorithm (pick the source with
+    the largest MARGINAL gain each round) carries Nemhauser's
+    (1 − 1/e) guarantee precisely because coverage is submodular —
+    the same structure data_mixture_plan weights by tokens but never
+    optimizes.  Three rounds, each publishing the chosen source, its
+    marginal distinct grams, and cumulative coverage in bp.
+
+    Scale shape: the distinct (source, gram-hash) table materializes
+    ONCE; each round is one left-anti equi-join on the hash (covered
+    grams removed) + one map-combined per-source distinct count; the
+    per-round argmax is a 1-row TakeOrdered collected as a DRIVER
+    SCALAR — the accepted iterative-algorithm class (pagerank /
+    components convergence checks), k=3 rounds bounded by the
+    operator's constant, never by data.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    grams = materialize(
+        docs.select(
+            "source", F.expr(X.tokens_spark("text")).alias("toks")
+        )
+        .filter(F.size("toks") >= _SSG_GRAM)
+        .select(
+            "source",
+            F.explode(
+                F.expr(X.shingles_spark("toks", _SSG_GRAM))
+            ).alias("g"),
+        )
+        .select("source", F.expr(X.hash64_spark("g")).alias("gh"))
+        .distinct()
+    )
+    total = grams.select("gh").distinct().count()
+    chosen: list[str] = []
+    rows = []
+    covered = None
+    cum = 0
+    for step in range(1, _SSG_K + 1):
+        cand = grams.filter(~F.col("source").isin(chosen))
+        if covered is not None:
+            cand = cand.join(covered, "gh", "left_anti")
+        best = (
+            cand.groupBy("source")
+            .agg(F.countDistinct("gh").alias("marginal"))
+            .orderBy(F.desc("marginal"), F.asc("source"))
+            .limit(1)
+            .collect()[0]
+        )
+        chosen.append(best["source"])
+        cum += best["marginal"]
+        rows.append((step, best["source"], best["marginal"], cum))
+        covered = grams.filter(F.col("source").isin(chosen)).select(
+            "gh"
+        ).distinct()
+    return spark.createDataFrame(
+        [
+            (s, src, m, c, (10000 * c) // total)
+            for s, src, m, c in rows
+        ],
+        "step bigint, source string, marginal_grams bigint,"
+        " cum_grams bigint, coverage_bp bigint",
+    ).orderBy("step")
+
+
+ROUND8_QUERIES["source_selection_greedy"] = source_selection_greedy
+
+_ssg_grams_cte = f"""
+grams AS (
+  SELECT DISTINCT source, {X.hash64_duck('g')} AS gh
+  FROM (
+    SELECT source, unnest({X.shingles_duck('toks', _SSG_GRAM)}) AS g
+    FROM (SELECT source, {X.tokens_duck('text')} AS toks FROM documents)
+    WHERE len(toks) >= {_SSG_GRAM}
+  )
+),
+total AS (SELECT count(DISTINCT gh) AS t FROM grams),
+s1 AS (
+  SELECT source, count(*) AS marginal FROM grams GROUP BY source
+  ORDER BY marginal DESC, source LIMIT 1
+),
+cov1 AS (SELECT DISTINCT gh FROM grams WHERE source = (SELECT source FROM s1)),
+s2 AS (
+  SELECT g.source, count(DISTINCT g.gh) AS marginal
+  FROM grams g
+  WHERE g.source <> (SELECT source FROM s1)
+    AND g.gh NOT IN (SELECT gh FROM cov1)
+  GROUP BY g.source ORDER BY marginal DESC, source LIMIT 1
+),
+cov2 AS (
+  SELECT DISTINCT gh FROM grams
+  WHERE source IN ((SELECT source FROM s1), (SELECT source FROM s2))
+),
+s3 AS (
+  SELECT g.source, count(DISTINCT g.gh) AS marginal
+  FROM grams g
+  WHERE g.source NOT IN ((SELECT source FROM s1), (SELECT source FROM s2))
+    AND g.gh NOT IN (SELECT gh FROM cov2)
+  GROUP BY g.source ORDER BY marginal DESC, source LIMIT 1
+)
+"""
+
+ROUND8_ORACLES["source_selection_greedy"] = f"""
+WITH {_ssg_grams_cte}
+SELECT 1 AS step, source, CAST(marginal AS BIGINT) AS marginal_grams,
+       CAST(marginal AS BIGINT) AS cum_grams,
+       CAST((10000 * marginal) // (SELECT t FROM total) AS BIGINT)
+         AS coverage_bp
+FROM s1
+UNION ALL
+SELECT 2, s2.source, CAST(s2.marginal AS BIGINT),
+       CAST(s1.marginal + s2.marginal AS BIGINT),
+       CAST((10000 * (s1.marginal + s2.marginal)) // (SELECT t FROM total)
+            AS BIGINT)
+FROM s1, s2
+UNION ALL
+SELECT 3, s3.source, CAST(s3.marginal AS BIGINT),
+       CAST(s1.marginal + s2.marginal + s3.marginal AS BIGINT),
+       CAST((10000 * (s1.marginal + s2.marginal + s3.marginal))
+            // (SELECT t FROM total) AS BIGINT)
+FROM s1, s2, s3
+ORDER BY step
+"""
+
+
+# ---------------------------------------------------------------------------
+# coverage_decay_curve — static coverage curve over the size ordering
+# ---------------------------------------------------------------------------
+
+
+def coverage_decay_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COVERAGE DECAY CURVE (SURVEY §2 #270) — the static, window-free
+    companion of source_selection_greedy: rank sources by token mass
+    (the ordering a naive acquisition plan uses), attribute every
+    distinct 8-gram to its EARLIEST source in that ordering, and
+    publish marginal + cumulative coverage at every k — the full
+    curve whose first-3-points-vs-greedy gap quantifies how much the
+    submodular optimization actually buys (diminishing returns made
+    visible).  One pass, no driver loop: "coverage at k" for ALL k
+    simultaneously is exactly a min-rank census.
+
+    Scale shape: the source ranking is a bounded census (broadcast);
+    each gram's first-source rank is one map-combined min; the curve
+    is a cumulative sum over the ≤|sources| rank census (bounded —
+    the decile_lift window class).  Grams ride as hashes, the
+    gram→rank attribution is the only big agg.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    ranks = (
+        docs.groupBy("source")
+        .agg(F.sum(F.expr(f"size({X.tokens_spark('text')})")).alias("mass"))
+        .select(
+            "source",
+            "mass",
+            F.expr(
+                "row_number() over (order by mass desc, source)"
+            ).alias("rk"),
+        )
+    )
+    grams = (
+        docs.select(
+            "source", F.expr(X.tokens_spark("text")).alias("toks")
+        )
+        .filter(F.size("toks") >= 8)
+        .select(
+            "source",
+            F.explode(F.expr(X.shingles_spark("toks", 8))).alias("g"),
+        )
+        .select("source", F.expr(X.hash64_spark("g")).alias("gh"))
+    )
+    first_rank = (
+        grams.join(F.broadcast(ranks), "source")
+        .groupBy("gh")
+        .agg(F.min("rk").alias("first_rk"))
+    )
+    census = first_rank.groupBy("first_rk").agg(
+        F.count(F.lit(1)).alias("marginal")
+    )
+    w = "order by first_rk rows between unbounded preceding and current row"
+    tot = "sum(marginal) over ()"
+    return (
+        census.select(
+            F.col("first_rk").cast("bigint").alias("k"),
+            F.col("marginal").cast("bigint").alias("marginal_grams"),
+            F.expr(f"cast(sum(marginal) over ({w}) as bigint)").alias(
+                "cum_grams"
+            ),
+            F.expr(
+                f"cast((10000 * sum(marginal) over ({w})) div {tot}"
+                " as bigint)"
+            ).alias("coverage_bp"),
+        )
+        .join(
+            F.broadcast(
+                ranks.select(
+                    F.col("rk").cast("bigint").alias("k"), "source"
+                )
+            ),
+            "k",
+        )
+        .select("k", "source", "marginal_grams", "cum_grams", "coverage_bp")
+        .orderBy("k")
+    )
+
+
+ROUND8_QUERIES["coverage_decay_curve"] = coverage_decay_curve
+
+ROUND8_ORACLES["coverage_decay_curve"] = f"""
+WITH ranks AS (
+  SELECT source, row_number() OVER (ORDER BY mass DESC, source) AS rk
+  FROM (
+    SELECT source, sum(len({X.tokens_duck('text')})) AS mass
+    FROM documents GROUP BY source
+  )
+),
+grams AS (
+  SELECT source, {X.hash64_duck('g')} AS gh
+  FROM (
+    SELECT source, unnest({X.shingles_duck('toks', 8)}) AS g
+    FROM (SELECT source, {X.tokens_duck('text')} AS toks FROM documents)
+    WHERE len(toks) >= 8
+  )
+),
+first_rank AS (
+  SELECT g.gh, min(r.rk) AS first_rk
+  FROM grams g JOIN ranks r ON g.source = r.source
+  GROUP BY g.gh
+),
+census AS (
+  SELECT first_rk, count(*) AS marginal FROM first_rank GROUP BY first_rk
+)
+SELECT CAST(c.first_rk AS BIGINT) AS k,
+       r.source,
+       CAST(c.marginal AS BIGINT) AS marginal_grams,
+       CAST(sum(c.marginal) OVER (ORDER BY c.first_rk
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_grams,
+       CAST((10000 * sum(c.marginal) OVER (ORDER BY c.first_rk
+            ROWS UNBOUNDED PRECEDING)) // (sum(c.marginal) OVER ())
+            AS BIGINT) AS coverage_bp
+FROM census c JOIN ranks r ON r.rk = c.first_rk
+ORDER BY k
+"""

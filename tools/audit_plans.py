@@ -81,6 +81,8 @@ GLOBAL_WINDOW_ALLOWED = {
     "decile_lift",
     # same 10-row decile census, plus the treated/control split
     "qini_uplift",
+    # windows over the <=|sources| rank census (bounded: 20 sources)
+    "coverage_decay_curve",
     "peak_concurrency",
     # bounded by |event_types|^3 path census (docstring)
     "session_paths",
