@@ -3395,3 +3395,261 @@ SELECT CAST(c.first_rk AS BIGINT) AS k,
 FROM census c JOIN ranks r ON r.rk = c.first_rk
 ORDER BY k
 """
+
+
+# ---------------------------------------------------------------------------
+# grid_density_clusters — distributed grid-DBSCAN density clustering
+# ---------------------------------------------------------------------------
+
+_GDC_RES = 20  # cells per unit: floor(e * 20)
+_GDC_MINPTS = 4
+
+
+def grid_density_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRID-DBSCAN density clustering (SURVEY §2 #271) — the density
+    family the catalog lacked (label_centroids/silhouette assume
+    GIVEN labels; ann_ivf partitions by nearest centroid; nothing
+    DISCOVERS clusters from density): the standard distributed DBSCAN
+    approximation (cell-based DBSCAN, Gunawan 2013 / GriDBSCAN) on
+    the leading two embedding dims — points land in 1/{res}-unit grid
+    cells map-side, cells with ≥ {minpts} points are CORE, core cells
+    connect to their 8-neighbors, and connected components of the
+    core-cell graph are the clusters (border/noise points = non-core
+    cells, published as the noise row).  Component labels come from
+    the shared hash-min machinery (operators/components.py — the
+    dedup_clusters iterative class, driver-scalar convergence).
+
+    Scale shape: the point→cell census is one map-combined agg; the
+    core-cell table is bounded by GRID RESOLUTION (a constant), so
+    the 8-neighbor expansion (explode of 8 offsets + equi-join, never
+    a range join) and the component iterations run on dim-sized
+    state no matter how many points arrive.  Oracle: recursive-CTE
+    transitive closure over the same core-cell graph.
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    cells = (
+        emb.select(
+            F.expr(
+                f"cast(floor(cast(element_at(embedding, 1) as double)"
+                f" * {_GDC_RES}) as bigint)"
+            ).alias("cx"),
+            F.expr(
+                f"cast(floor(cast(element_at(embedding, 2) as double)"
+                f" * {_GDC_RES}) as bigint)"
+            ).alias("cy"),
+        )
+        .groupBy("cx", "cy")
+        .agg(F.count(F.lit(1)).alias("n_pts"))
+        .withColumn("cell", F.expr("(cx + 100) * 1000 + (cy + 100)"))
+    )
+    cells = materialize(cells)
+    core = cells.filter(F.col("n_pts") >= _GDC_MINPTS)
+    offsets = spark.createDataFrame(
+        [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+         if (dx, dy) != (0, 0)],
+        "dx int, dy int",
+    )
+    nbr = (
+        core.select("cell", "cx", "cy")
+        .crossJoin(F.broadcast(offsets))
+        .select(
+            F.col("cell").alias("src"),
+            F.expr("(cx + dx + 100) * 1000 + (cy + dy + 100)").alias("dst"),
+        )
+    )
+    edges = nbr.join(
+        core.select(F.col("cell").alias("dst")), "dst", "left_semi"
+    ).filter(F.col("src") < F.col("dst"))
+    from pyprima_spark.operators.components import connected_components
+
+    comp = connected_components(edges.select("src", "dst"))
+    labeled = core.join(
+        comp.withColumnRenamed("node", "cell"), "cell", "left"
+    ).select(
+        F.coalesce("component", "cell").alias("cluster_id"), "n_pts"
+    )
+    clusters = labeled.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("n_pts").alias("n_points"),
+    )
+    noise = cells.filter(F.col("n_pts") < _GDC_MINPTS).agg(
+        F.lit(-1).cast("bigint").alias("cluster_id"),
+        F.count(F.lit(1)).alias("n_cells"),
+        F.coalesce(F.sum("n_pts"), F.lit(0)).alias("n_points"),
+    )
+    return (
+        clusters.select(
+            F.col("cluster_id").cast("bigint").alias("cluster_id"),
+            F.col("n_cells").cast("bigint").alias("n_cells"),
+            F.col("n_points").cast("bigint").alias("n_points"),
+        )
+        .unionByName(
+            noise.select(
+                F.col("cluster_id"),
+                F.col("n_cells").cast("bigint").alias("n_cells"),
+                F.col("n_points").cast("bigint").alias("n_points"),
+            )
+        )
+        .orderBy(F.desc("n_points"), "cluster_id")
+    )
+
+
+ROUND8_QUERIES["grid_density_clusters"] = grid_density_clusters
+
+ROUND8_ORACLES["grid_density_clusters"] = f"""
+WITH RECURSIVE cells AS (
+  SELECT cx, cy, count(*) AS n_pts, (cx + 100) * 1000 + (cy + 100) AS cell
+  FROM (
+    SELECT CAST(floor(CAST(embedding[1] AS DOUBLE) * {_GDC_RES}) AS BIGINT)
+             AS cx,
+           CAST(floor(CAST(embedding[2] AS DOUBLE) * {_GDC_RES}) AS BIGINT)
+             AS cy
+    FROM embeddings
+  ) GROUP BY cx, cy
+),
+core AS (SELECT * FROM cells WHERE n_pts >= {_GDC_MINPTS}),
+edges AS (
+  SELECT a.cell AS src, b.cell AS dst
+  FROM core a JOIN core b
+    ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+   AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+   AND a.cell < b.cell
+),
+sym AS (
+  SELECT src AS a, dst AS b FROM edges
+  UNION SELECT dst, src FROM edges
+),
+reach AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+),
+labels AS (
+  SELECT c.cell, least(c.cell, coalesce(min(r.b), c.cell)) AS cluster_id
+  FROM core c LEFT JOIN reach r ON r.a = c.cell
+  GROUP BY c.cell
+),
+clusters AS (
+  SELECT l.cluster_id, count(*) AS n_cells, sum(c.n_pts) AS n_points
+  FROM labels l JOIN core c ON c.cell = l.cell
+  GROUP BY l.cluster_id
+)
+SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+       CAST(n_cells AS BIGINT) AS n_cells,
+       CAST(n_points AS BIGINT) AS n_points
+FROM clusters
+UNION ALL
+SELECT -1, CAST(count(*) AS BIGINT),
+       CAST(coalesce(sum(n_pts), 0) AS BIGINT)
+FROM cells WHERE n_pts < {_GDC_MINPTS}
+ORDER BY n_points DESC, cluster_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# simpson_paradox_audit — aggregation-reversal detector
+# ---------------------------------------------------------------------------
+
+
+def simpson_paradox_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIMPSON'S-PARADOX audit (SURVEY §2 #272) — the
+    aggregation-reversal detector every self-serve analytics layer
+    needs in front of a "treated vs control" readout: assignment here
+    is OBSERVATIONAL by construction (the exposure rate varies by
+    market segment — the classic confounded setup), and the audit
+    publishes, per segment, both arms' mean order values and the
+    within-segment effect sign next to the POOLED effect, flagging
+    every stratum whose direction contradicts the aggregate (the
+    Berkeley-admissions shape).  Complements the causal shelf: DiD
+    and CUPED CORRECT confounding; this one DETECTS when the pooled
+    number is lying about the strata.
+
+    Scale shape: one customer-dim equi-join for the stratum, one
+    (segment) map-combined agg carrying both arms as conditional
+    sums, one 1-row pooled agg broadcast back; the reversal flag is
+    a sign comparison of floor-quantized means — exact, windowless.
+    """
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("cust"),
+        F.expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)")
+        .alias("cents"),
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("cust"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    base = orders.join(cust, "cust").select(
+        "segment",
+        "cents",
+        (
+            F.expr(X.hash64_spark("cast(cust as string) || ':sp'")) % 100
+            < F.expr(f"20 + 12 * ({X.hash64_spark('segment')} % 5)")
+        ).cast("int").alias("treated"),
+    )
+    per_seg = base.groupBy("segment").agg(
+        F.sum("treated").alias("n_t"),
+        F.sum(F.expr("treated * cents")).alias("s_t"),
+        F.sum(F.expr("1 - treated")).alias("n_c"),
+        F.sum(F.expr("(1 - treated) * cents")).alias("s_c"),
+    )
+    pooled = per_seg.agg(
+        F.expr("sum(s_t) div sum(n_t) - sum(s_c) div sum(n_c)").alias(
+            "pooled_diff"
+        )
+    )
+    return (
+        per_seg.crossJoin(F.broadcast(pooled))
+        .select(
+            "segment",
+            F.col("n_t").cast("bigint").alias("n_t"),
+            F.col("n_c").cast("bigint").alias("n_c"),
+            F.expr("cast(s_t div n_t as bigint)").alias("mean_t_cents"),
+            F.expr("cast(s_c div n_c as bigint)").alias("mean_c_cents"),
+            F.expr("cast(s_t div n_t - s_c div n_c as bigint)").alias(
+                "diff_cents"
+            ),
+            F.col("pooled_diff").cast("bigint").alias("pooled_diff_cents"),
+            F.expr(
+                "cast(CASE WHEN (s_t div n_t - s_c div n_c) * pooled_diff < 0"
+                " THEN 1 ELSE 0 END as bigint)"
+            ).alias("reversed"),
+        )
+        .orderBy("segment")
+    )
+
+
+ROUND8_QUERIES["simpson_paradox_audit"] = simpson_paradox_audit
+
+ROUND8_ORACLES["simpson_paradox_audit"] = f"""
+WITH base AS (
+  SELECT c.c_mktsegment AS segment,
+         CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           AS cents,
+         CASE WHEN ({X.hash64_duck("CAST(o.o_custkey AS VARCHAR) || ':sp'")})
+                   % 100
+                 < 20 + 12 * (({X.hash64_duck('c.c_mktsegment')}) % 5)
+              THEN 1 ELSE 0 END AS treated
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+),
+per_seg AS (
+  SELECT segment,
+         sum(treated) AS n_t, sum(treated * cents) AS s_t,
+         sum(1 - treated) AS n_c, sum((1 - treated) * cents) AS s_c
+  FROM base GROUP BY segment
+),
+pooled AS (
+  SELECT sum(s_t) // sum(n_t) - sum(s_c) // sum(n_c) AS pooled_diff
+  FROM per_seg
+)
+SELECT segment,
+       CAST(n_t AS BIGINT) AS n_t,
+       CAST(n_c AS BIGINT) AS n_c,
+       CAST(s_t // n_t AS BIGINT) AS mean_t_cents,
+       CAST(s_c // n_c AS BIGINT) AS mean_c_cents,
+       CAST(s_t // n_t - s_c // n_c AS BIGINT) AS diff_cents,
+       CAST(pooled_diff AS BIGINT) AS pooled_diff_cents,
+       CAST(CASE WHEN (s_t // n_t - s_c // n_c) * pooled_diff < 0
+                 THEN 1 ELSE 0 END AS BIGINT) AS reversed
+FROM per_seg CROSS JOIN pooled
+ORDER BY segment
+"""
