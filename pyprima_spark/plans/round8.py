@@ -3653,3 +3653,213 @@ SELECT segment,
 FROM per_seg CROSS JOIN pooled
 ORDER BY segment
 """
+
+
+# ---------------------------------------------------------------------------
+# p99_attribution — who drives the global tail
+# ---------------------------------------------------------------------------
+
+
+def p99_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLOBAL-TAIL attribution census (SURVEY §2 #273) — the on-call
+    question slo_burn_rate stops short of: the p99 burned, but WHICH
+    event type is the tail made of?  The global p99 of ``value``
+    comes from one exact percentile_disc aggregate (element-valued,
+    engine-stable) broadcast back; each event type then publishes its
+    row count, its rows above the global cut, its share of the whole
+    tail in bp, and its over-representation ratio vs its population
+    share (tail_share/pop_share, in bp) — the number that says "5% of
+    traffic, 40% of the tail".
+
+    Scale shape: one percentile aggregate + broadcast, one map-side
+    comparison, one (type) agg, one 1-row total broadcast — no
+    windows, no sort of raw events anywhere.
+    """
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("cast(cast(value as decimal(18,2)) * 100 as bigint)").alias(
+            "cents"
+        ),
+    )
+    cut = ev.agg(
+        F.expr(
+            "percentile_disc(0.99) WITHIN GROUP (ORDER BY cents)"
+        ).alias("p99_cents")
+    )
+    flagged = ev.crossJoin(F.broadcast(cut)).select(
+        "event_type",
+        "p99_cents",
+        (F.col("cents") > F.col("p99_cents")).cast("int").alias("in_tail"),
+    )
+    per_type = flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("in_tail").alias("n_tail"),
+        F.max("p99_cents").alias("p99_cents"),
+    )
+    totals = per_type.agg(
+        F.sum("n").alias("tot_n"), F.sum("n_tail").alias("tot_tail")
+    )
+    return (
+        per_type.crossJoin(F.broadcast(totals))
+        .select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n"),
+            F.col("n_tail").cast("bigint").alias("n_tail"),
+            F.col("p99_cents").cast("bigint").alias("p99_cents"),
+            F.expr("cast((10000 * n_tail) div tot_tail as bigint)").alias(
+                "tail_share_bp"
+            ),
+            F.expr(
+                "cast(((10000 * n_tail) div tot_tail) * 10000"
+                " div ((10000 * n) div tot_n) as bigint)"
+            ).alias("over_rep_bp"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ROUND8_QUERIES["p99_attribution"] = p99_attribution
+
+ROUND8_ORACLES["p99_attribution"] = """
+WITH ev AS (
+  SELECT event_type,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM events
+),
+cut AS (SELECT quantile_disc(cents, 0.99) AS p99_cents FROM ev),
+per_type AS (
+  SELECT event_type, count(*) AS n,
+         sum(CASE WHEN cents > (SELECT p99_cents FROM cut)
+                  THEN 1 ELSE 0 END) AS n_tail
+  FROM ev GROUP BY event_type
+),
+totals AS (SELECT sum(n) AS tot_n, sum(n_tail) AS tot_tail FROM per_type)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n,
+       CAST(n_tail AS BIGINT) AS n_tail,
+       CAST((SELECT p99_cents FROM cut) AS BIGINT) AS p99_cents,
+       CAST((10000 * n_tail) // tot_tail AS BIGINT) AS tail_share_bp,
+       CAST(((10000 * n_tail) // tot_tail) * 10000
+            // ((10000 * n) // tot_n) AS BIGINT) AS over_rep_bp
+FROM per_type CROSS JOIN totals
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# interpolation_search_error — learned-index (RMI) feasibility readout
+# ---------------------------------------------------------------------------
+
+_ISE_BUCKETS = 16
+
+
+def interpolation_search_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEARNED-INDEX error census (SURVEY §2 #274; Kraska et al. 2018
+    — "The Case for Learned Index Structures"): within each
+    range-partition bucket of the sorted orderkey domain, predict a
+    key's position by LINEAR INTERPOLATION between the bucket's
+    min/max and measure |predicted − actual| — exactly the per-model
+    error bound an RMI leaf must search, and therefore the readout
+    that says whether a learned index (vs a B-tree page walk) pays
+    for this key distribution.  Errors are exact integers: pred =
+    (key − min)·(n − 1) div (max − min), actual = the rank within the
+    bucket.
+
+    Scale shape: bucket boundaries are one exact percentile_disc
+    aggregate broadcast back (the range_partition_bounds machinery —
+    NO global sort); ranks come from row_number windows PARTITIONED
+    BY BUCKET (each a bounded slice, the scalable direction); the
+    census folds to 16 rows with max/mean error per bucket.
+    """
+    keys = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k")
+    )
+    qs = [i / _ISE_BUCKETS for i in range(1, _ISE_BUCKETS)]
+    cuts = keys.agg(
+        *[
+            F.expr(
+                f"percentile_disc({q}) WITHIN GROUP (ORDER BY k)"
+            ).alias(f"c{i}")
+            for i, q in enumerate(qs, start=1)
+        ]
+    )
+    bucket_case = "CASE " + " ".join(
+        f"WHEN k <= c{i} THEN {i}" for i in range(1, _ISE_BUCKETS)
+    ) + f" ELSE {_ISE_BUCKETS} END"
+    assigned = keys.crossJoin(F.broadcast(cuts)).select(
+        "k", F.expr(bucket_case).alias("bucket")
+    )
+    wb = Window.partitionBy("bucket")
+    scored = assigned.select(
+        "bucket",
+        "k",
+        F.row_number()
+        .over(Window.partitionBy("bucket").orderBy("k"))
+        .alias("rn"),
+        F.min("k").over(wb).alias("bmin"),
+        F.max("k").over(wb).alias("bmax"),
+        F.count(F.lit(1)).over(wb).alias("cnt"),
+    ).select(
+        "bucket",
+        "cnt",
+        F.expr(
+            "abs(CASE WHEN bmax = bmin THEN 0"
+            " ELSE cast((k - bmin) as decimal(38,0)) * (cnt - 1)"
+            " div (bmax - bmin) END - (rn - 1))"
+        ).alias("err"),
+    )
+    return (
+        scored.groupBy("bucket")
+        .agg(
+            F.max("cnt").alias("n"),
+            F.max("err").alias("max_err"),
+            F.sum("err").alias("sum_err"),
+        )
+        .select(
+            F.col("bucket").cast("bigint").alias("bucket"),
+            F.col("n").cast("bigint").alias("n"),
+            F.col("max_err").cast("bigint").alias("max_err"),
+            F.expr("cast((1000 * sum_err) div n as bigint)").alias(
+                "mean_err_milli"
+            ),
+        )
+        .orderBy("bucket")
+    )
+
+
+ROUND8_QUERIES["interpolation_search_error"] = interpolation_search_error
+
+_ise_qs = [i / _ISE_BUCKETS for i in range(1, _ISE_BUCKETS)]
+
+ROUND8_ORACLES["interpolation_search_error"] = f"""
+WITH keys AS (SELECT o_orderkey AS k FROM orders),
+cuts AS (
+  SELECT {", ".join(f"quantile_disc(k, {q}) AS c{i}" for i, q in enumerate(_ise_qs, start=1))}
+  FROM keys
+),
+assigned AS (
+  SELECT k,
+         CASE {" ".join(f"WHEN k <= c{i} THEN {i}" for i in range(1, _ISE_BUCKETS))}
+              ELSE {_ISE_BUCKETS} END AS bucket
+  FROM keys CROSS JOIN cuts
+),
+scored AS (
+  SELECT bucket,
+         count(*) OVER (PARTITION BY bucket) AS cnt,
+         abs(CASE WHEN max(k) OVER (PARTITION BY bucket)
+                     = min(k) OVER (PARTITION BY bucket) THEN 0
+              ELSE (k - min(k) OVER (PARTITION BY bucket))::HUGEINT
+                   * (count(*) OVER (PARTITION BY bucket) - 1)
+                   // (max(k) OVER (PARTITION BY bucket)
+                       - min(k) OVER (PARTITION BY bucket)) END
+             - (row_number() OVER (PARTITION BY bucket ORDER BY k) - 1))
+           AS err
+  FROM assigned
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(max(cnt) AS BIGINT) AS n,
+       CAST(max(err) AS BIGINT) AS max_err,
+       CAST((1000 * sum(err)) // max(cnt) AS BIGINT) AS mean_err_milli
+FROM scored
+GROUP BY bucket ORDER BY bucket
+"""
