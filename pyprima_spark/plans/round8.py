@@ -3863,3 +3863,319 @@ SELECT CAST(bucket AS BIGINT) AS bucket,
 FROM scored
 GROUP BY bucket ORDER BY bucket
 """
+
+
+# ---------------------------------------------------------------------------
+# aa_test_fpr — A/A-test false-positive-rate sweep
+# ---------------------------------------------------------------------------
+
+_AA_B = 32
+# chi-square(1df) 95% critical value, milli-scaled literal (3.841459);
+# computed once, embedded identically in both dialects.
+_AA_CRIT_MILLI = 3841
+
+
+def aa_test_fpr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/A-TEST false-positive sweep (SURVEY §2 #275) — the
+    experimentation-platform hygiene check that validates the TESTING
+    MACHINERY itself (Kohavi's standard prescription: run the test
+    harness on splits with NO real effect; a healthy α = 5% cut should
+    flag ~5% of them): 32 independent hash A/A splits of customers,
+    each scored by the 2×2 chi-square statistic on conversion
+    (responded in the second half), published per replicate in
+    milli-units with its over-critical flag, so the false-positive
+    RATE and every offending replicate are both visible.  The chi²
+    statistic is exact until the single trailing milli-division:
+    N·(ad − bc)² / (row and column margins), all in DECIMAL(38,0).
+
+    Scale shape: one per-customer outcome agg; the ×32 replicate
+    fan-out collapses map-side (the poisson_bootstrap_ci shape —
+    replicate cells, never replicated rows, survive the shuffle);
+    32-row output.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (
+        orders.groupBy(F.col("o_custkey").alias("cust"))
+        .agg(
+            F.max(
+                (F.expr("o_orderdate >= date'1998-07-01'")).cast("int")
+            ).alias("conv")
+        )
+    )
+    reps = (
+        per_cust.select(
+            "cust",
+            "conv",
+            F.explode(F.expr(f"sequence(0, {_AA_B - 1})")).alias("b"),
+        )
+        .withColumn(
+            "arm",
+            F.expr(X.hash64_spark("cast(cust as string) || ':aa' || b")) % 2,
+        )
+        .groupBy("b")
+        .agg(
+            F.sum(F.expr("CASE WHEN arm = 0 THEN conv ELSE 0 END")).alias(
+                "a"
+            ),
+            F.sum(
+                F.expr("CASE WHEN arm = 0 THEN 1 - conv ELSE 0 END")
+            ).alias("bb"),
+            F.sum(F.expr("CASE WHEN arm = 1 THEN conv ELSE 0 END")).alias(
+                "c"
+            ),
+            F.sum(
+                F.expr("CASE WHEN arm = 1 THEN 1 - conv ELSE 0 END")
+            ).alias("d"),
+        )
+    )
+    chi = (
+        "(1000 * cast(a + bb + c + d as decimal(38,0))"
+        " * (cast(a as decimal(38,0)) * d - cast(bb as decimal(38,0)) * c)"
+        " * (cast(a as decimal(38,0)) * d - cast(bb as decimal(38,0)) * c))"
+        " div ((cast(a as decimal(38,0)) + bb) * (c + d)"
+        " * (cast(a as decimal(38,0)) + c) * (bb + d))"
+    )
+    return (
+        reps.select(
+            F.col("b").cast("bigint").alias("replicate"),
+            F.expr("cast(a + bb as bigint)").alias("n_arm0"),
+            F.expr("cast(c + d as bigint)").alias("n_arm1"),
+            F.expr(f"cast({chi} as bigint)").alias("chi2_milli"),
+            F.expr(
+                f"cast(CASE WHEN {chi} > {_AA_CRIT_MILLI}"
+                " THEN 1 ELSE 0 END as bigint)"
+            ).alias("false_positive"),
+        )
+        .orderBy("replicate")
+    )
+
+
+ROUND8_QUERIES["aa_test_fpr"] = aa_test_fpr
+
+_aa_chi_duck = (
+    "(1000 * (a + bb + c + d)::HUGEINT"
+    " * (a::HUGEINT * d - bb::HUGEINT * c)"
+    " * (a::HUGEINT * d - bb::HUGEINT * c))"
+    " // ((a::HUGEINT + bb) * (c + d) * (a::HUGEINT + c) * (bb + d))"
+)
+
+ROUND8_ORACLES["aa_test_fpr"] = f"""
+WITH per_cust AS (
+  SELECT o_custkey AS cust,
+         max(CASE WHEN o_orderdate >= DATE '1998-07-01'
+                  THEN 1 ELSE 0 END) AS conv
+  FROM orders GROUP BY o_custkey
+),
+reps AS (
+  SELECT b,
+         sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS a,
+         sum(CASE WHEN arm = 0 THEN 1 - conv ELSE 0 END) AS bb,
+         sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS c,
+         sum(CASE WHEN arm = 1 THEN 1 - conv ELSE 0 END) AS d
+  FROM (
+    SELECT conv, b,
+           ({X.hash64_duck("CAST(cust AS VARCHAR) || ':aa' || b")}) % 2 AS arm
+    FROM per_cust, unnest(generate_series(0, {_AA_B - 1})) AS t(b)
+  ) GROUP BY b
+)
+SELECT CAST(b AS BIGINT) AS replicate,
+       CAST(a + bb AS BIGINT) AS n_arm0,
+       CAST(c + d AS BIGINT) AS n_arm1,
+       CAST({_aa_chi_duck} AS BIGINT) AS chi2_milli,
+       CAST(CASE WHEN {_aa_chi_duck} > {_AA_CRIT_MILLI}
+                 THEN 1 ELSE 0 END AS BIGINT) AS false_positive
+FROM reps ORDER BY replicate
+"""
+
+
+# ---------------------------------------------------------------------------
+# curve_locality_compare — Hilbert vs Morton vs row-major locality
+# ---------------------------------------------------------------------------
+
+_CLC_BITS = 8  # 256 x 256 grid
+
+
+def _hilbert_stages(bits: int, spark_syntax: bool):
+    """Unrolled xy→d Hilbert transform as per-dialect expression
+    stages (the classic rotate-and-accumulate loop, one (s = 2^i)
+    round per bit, highest first). Each round is two projections:
+    derive the quadrant bits (rx, ry), then accumulate d and apply
+    the reflection+swap rotation. Both dialects share every
+    expression except the XOR spelling."""
+    xor = (
+        (lambda a, b: f"(({a}) ^ ({b}))")
+        if spark_syntax
+        else (lambda a, b: f"xor({a}, {b})")
+    )
+    stages = []
+    for i in range(bits - 1, -1, -1):
+        s = 1 << i
+        stages.append(
+            {
+                "x": "x",
+                "y": "y",
+                "d": "d",
+                "rx": f"CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END",
+                "ry": f"CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END",
+            }
+        )
+        stages.append(
+            {
+                "d": f"d + {s * s} * ({xor('3 * rx', 'ry')})",
+                "x": f"CASE WHEN ry = 0 THEN (CASE WHEN rx = 1"
+                f" THEN {s - 1} - y ELSE y END) ELSE x END",
+                "y": f"CASE WHEN ry = 0 THEN (CASE WHEN rx = 1"
+                f" THEN {s - 1} - x ELSE x END) ELSE y END",
+            }
+        )
+    return stages
+
+
+def curve_locality_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPACE-FILLING-CURVE locality comparison (SURVEY §2 #276) — the
+    measurement that closes the layout family's open question:
+    zorder_layout_plan PLANS a Morton layout and morton_tiles
+    demonstrates the interleave, but neither says how much better
+    Hilbert's rotation actually is.  Here the same occupied 256×256
+    cell set is linearized four ways — row-major, Morton
+    (_z_interleave, the shared round-7 primitive), HILBERT (the
+    unrolled rotate-and-accumulate transform, 8 exact integer rounds,
+    no recursion), and a hash-order baseline (the no-layout worst
+    case) — and each curve publishes the average L1 jump between
+    rank-consecutive cells in milli-cells: the locality number that
+    predicts range-scan I/O clustering (Moon et al. 2001's classic
+    result: Hilbert < Morton < row-major << random).
+
+    Scale shape: the cell census is one distinct agg (bounded by the
+    grid constant, 65536); all four codes are map-side integer
+    expressions; the consecutive-jump windows partition BY CURVE over
+    the bounded cell table.  Nothing data-sized is ever sorted.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    cells = (
+        orders.select(
+            (
+                F.expr(X.hash64_spark("cast(o_orderkey as string) || ':x'"))
+                % 256
+            ).alias("cx"),
+            (
+                F.expr(X.hash64_spark("cast(o_orderkey as string) || ':y'"))
+                % 256
+            ).alias("cy"),
+        )
+        .distinct()
+    )
+    hdf = cells.selectExpr(
+        "cx", "cy", "cx as x", "cy as y", "cast(0 as bigint) as d"
+    )
+    for stage in _hilbert_stages(_CLC_BITS, spark_syntax=True):
+        hdf = hdf.selectExpr(
+            "cx", "cy", *[f"{expr} as {col}" for col, expr in stage.items()]
+        )
+    z = _z_interleave_r8("cx", "cy", spark_syntax=True)
+    coded = hdf.selectExpr(
+        "cx",
+        "cy",
+        "d as code_hilbert",
+        f"cast(cx as bigint) * 256 + cy as code_rowmajor",
+        f"cast({z} as bigint) as code_morton",
+        X.hash64_spark("cast(cx as string) || ':' || cy") + " as code_hash",
+    )
+    curves = None
+    for name, col in (
+        ("1_hilbert", "code_hilbert"),
+        ("2_morton", "code_morton"),
+        ("3_rowmajor", "code_rowmajor"),
+        ("4_hashorder", "code_hash"),
+    ):
+        part = coded.select(
+            F.lit(name).alias("curve"),
+            F.col(col).alias("code"),
+            "cx",
+            "cy",
+        )
+        curves = part if curves is None else curves.unionByName(part)
+    w = Window.partitionBy("curve").orderBy("code", "cx", "cy")
+    jumps = curves.select(
+        "curve",
+        (
+            F.abs(F.col("cx") - F.lag("cx").over(w))
+            + F.abs(F.col("cy") - F.lag("cy").over(w))
+        ).alias("l1"),
+    ).filter(F.col("l1").isNotNull())
+    return (
+        jumps.groupBy("curve")
+        .agg(F.count(F.lit(1)).alias("n_steps"), F.sum("l1").alias("total_l1"))
+        .select(
+            "curve",
+            F.col("n_steps").cast("bigint").alias("n_steps"),
+            F.col("total_l1").cast("bigint").alias("total_l1"),
+            F.expr("cast((1000 * total_l1) div n_steps as bigint)").alias(
+                "avg_l1_milli"
+            ),
+        )
+        .orderBy("curve")
+    )
+
+
+def _z_interleave_r8(xb: str, yb: str, spark_syntax: bool) -> str:
+    """Round-7's _z_interleave, re-emitted here to keep round8
+    import-light (same 16-term sum, both dialects; round7.py:2565)."""
+    terms = []
+    for i in range(_CLC_BITS):
+        if spark_syntax:
+            terms.append(f"shiftleft(shiftright({xb}, {i}) & 1, {2 * i})")
+            terms.append(f"shiftleft(shiftright({yb}, {i}) & 1, {2 * i + 1})")
+        else:
+            terms.append(f"((({xb} >> {i}) & 1) << {2 * i})")
+            terms.append(f"((({yb} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+ROUND8_QUERIES["curve_locality_compare"] = curve_locality_compare
+
+
+def _clc_oracle() -> str:
+    q = f"""SELECT cx, cy, cx AS x, cy AS y, CAST(0 AS BIGINT) AS d FROM (
+  SELECT DISTINCT
+    ({X.hash64_duck("CAST(o_orderkey AS VARCHAR) || ':x'")}) % 256 AS cx,
+    ({X.hash64_duck("CAST(o_orderkey AS VARCHAR) || ':y'")}) % 256 AS cy
+  FROM orders)"""
+    for stage in _hilbert_stages(_CLC_BITS, spark_syntax=False):
+        cols = ", ".join(f"{expr} AS {col}" for col, expr in stage.items())
+        q = f"SELECT cx, cy, {cols} FROM ({q})"
+    z = _z_interleave_r8("cx", "cy", spark_syntax=False)
+    h = X.hash64_duck("cx || ':' || cy")
+    return f"""
+WITH coded AS (
+  SELECT cx, cy, d AS code_hilbert,
+         cx::BIGINT * 256 + cy AS code_rowmajor,
+         CAST({z} AS BIGINT) AS code_morton,
+         {h} AS code_hash
+  FROM ({q})
+),
+curves AS (
+  SELECT '1_hilbert' AS curve, code_hilbert AS code, cx, cy FROM coded
+  UNION ALL
+  SELECT '2_morton', code_morton, cx, cy FROM coded
+  UNION ALL
+  SELECT '3_rowmajor', code_rowmajor, cx, cy FROM coded
+  UNION ALL
+  SELECT '4_hashorder', code_hash, cx, cy FROM coded
+),
+jumps AS (
+  SELECT curve,
+         abs(cx - lag(cx) OVER w) + abs(cy - lag(cy) OVER w) AS l1
+  FROM curves
+  WINDOW w AS (PARTITION BY curve ORDER BY code, cx, cy)
+)
+SELECT curve,
+       CAST(count(*) AS BIGINT) AS n_steps,
+       CAST(sum(l1) AS BIGINT) AS total_l1,
+       CAST((1000 * sum(l1)) // count(*) AS BIGINT) AS avg_l1_milli
+FROM jumps WHERE l1 IS NOT NULL
+GROUP BY curve ORDER BY curve
+"""
+
+
+ROUND8_ORACLES["curve_locality_compare"] = _clc_oracle()
