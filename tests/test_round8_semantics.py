@@ -169,3 +169,84 @@ SELECT
     assert padded_q <= padded_g
     assert padded_d <= padded_g
     assert min(padded_g, padded_q, padded_d) >= total
+
+
+# --- round-8 second batch: Hilbert unroll, chi-square, Poisson weights ----
+
+from pyprima_spark.plans.round8 import (
+    _AA_CRIT_MILLI,
+    _PBC_CUTS,
+    _hilbert_stages,
+)
+
+
+def test_hilbert_unroll_is_the_hilbert_curve():
+    """The unrolled SQL transform is a bijection on the 256x256 grid
+    AND has the defining Hilbert property: consecutive d along the
+    curve are exactly L1-distance-1 apart, for ALL 65536 steps."""
+    con = duckdb.connect()
+    q = ("SELECT cx, cy, cx AS x, cy AS y, CAST(0 AS BIGINT) AS d "
+         "FROM (SELECT a.r AS cx, b.r AS cy FROM "
+         "(SELECT unnest(generate_series(0, 255)) AS r) a, "
+         "(SELECT unnest(generate_series(0, 255)) AS r) b)")
+    for stage in _hilbert_stages(8, spark_syntax=False):
+        cols = ", ".join(f"{e} AS {c}" for c, e in stage.items())
+        q = f"SELECT cx, cy, {cols} FROM ({q})"
+    n, dmin, dmax, nd = con.execute(
+        f"SELECT count(*), min(d), max(d), count(DISTINCT d) FROM ({q})"
+    ).fetchone()
+    assert (n, dmin, dmax, nd) == (65536, 0, 65535, 65536)
+    bad = con.execute(f"""
+        SELECT count(*) FROM (
+          SELECT abs(cx - lag(cx) OVER (ORDER BY d))
+               + abs(cy - lag(cy) OVER (ORDER BY d)) AS l1
+          FROM ({q})
+        ) WHERE l1 IS NOT NULL AND l1 <> 1
+    """).fetchone()[0]
+    assert bad == 0
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    a=st.integers(min_value=1, max_value=5000),
+    b=st.integers(min_value=1, max_value=5000),
+    c=st.integers(min_value=1, max_value=5000),
+    d=st.integers(min_value=1, max_value=5000),
+)
+def test_integer_chi2_matches_float_reference(a, b, c, d):
+    """aa_test_fpr's all-integer milli-chi² agrees with the float
+    formula to within the 1-milli truncation granularity."""
+    con = duckdb.connect()
+    got = con.execute(f"""
+        SELECT (1000 * ({a} + {b} + {c} + {d})::HUGEINT
+                * ({a}::HUGEINT * {d} - {b}::HUGEINT * {c})
+                * ({a}::HUGEINT * {d} - {b}::HUGEINT * {c}))
+               // (({a}::HUGEINT + {b}) * ({c} + {d})
+                   * ({a}::HUGEINT + {c}) * ({b} + {d}))
+    """).fetchone()[0]
+    n = a + b + c + d
+    want = 1000 * n * (a * d - b * c) ** 2 / (
+        (a + b) * (c + d) * (a + c) * (b + d)
+    )
+    assert got <= want < got + 1 + 1e-6
+    assert _AA_CRIT_MILLI == 3841  # the embedded critical literal
+
+
+def test_poisson_cutpoints_weight_mean_is_one():
+    """The hash-vs-cutpoint weights behave like Poisson(1): mean
+    within 3% of 1 and max weight <= 6 over 20k hashed ids."""
+    con = duckdb.connect()
+    cuts = " + ".join(
+        f"(CASE WHEN u >= {t} THEN 1 ELSE 0 END)" for t in _PBC_CUTS
+    )
+    mean, mx = con.execute(f"""
+        SELECT avg(w), max(w) FROM (
+          SELECT {cuts} AS w FROM (
+            SELECT CAST('0x' || substring(md5(i::VARCHAR), 1, 15) AS BIGINT)
+                   AS u
+            FROM (SELECT unnest(generate_series(1, 20000)) AS i)
+          )
+        )
+    """).fetchone()
+    assert abs(mean - 1.0) < 0.03
+    assert mx <= 6
