@@ -111,7 +111,15 @@ def roc_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("u2"),
         )
-        .withColumn("auc_bp", F.expr("(10000 * u2) div (2 * n_pos * n_neg)"))
+        .withColumn(
+            "auc_bp",
+            # one-class segments (possible at tiny SF) have no defined
+            # AUC: publish the -1 sentinel instead of dividing by zero
+            F.expr(
+                "CASE WHEN n_pos = 0 OR n_neg = 0 THEN -1"
+                " ELSE (10000 * u2) div (2 * n_pos * n_neg) END"
+            ),
+        )
         .orderBy("segment")
     )
 
@@ -156,8 +164,9 @@ SELECT segment,
        CAST(sum(n_pos) AS BIGINT) AS n_pos,
        CAST(sum(n_neg) AS BIGINT) AS n_neg,
        CAST(sum(n_pos * (2 * neg_lt + n_neg)) AS BIGINT) AS u2,
-       CAST((10000 * sum(n_pos * (2 * neg_lt + n_neg)))
-            // (2 * sum(n_pos) * sum(n_neg)) AS BIGINT) AS auc_bp
+       CAST(CASE WHEN sum(n_pos) = 0 OR sum(n_neg) = 0 THEN -1
+                 ELSE (10000 * sum(n_pos * (2 * neg_lt + n_neg)))
+                      // (2 * sum(n_pos) * sum(n_neg)) END AS BIGINT) AS auc_bp
 FROM contrib
 GROUP BY segment ORDER BY segment
 """
@@ -4179,3 +4188,354 @@ GROUP BY curve ORDER BY curve
 
 
 ROUND8_ORACLES["curve_locality_compare"] = _clc_oracle()
+
+
+# ---------------------------------------------------------------------------
+# isotonic_calibration — PAV calibration via the max-min identity
+# ---------------------------------------------------------------------------
+
+# Score levels: first-half customer spend in $50k steps, capped so the
+# census is <= _ISO_LEVELS + 1 rows regardless of data scale.
+_ISO_LEVELS = 40
+
+
+def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISOTONIC (PAV) calibration fit (SURVEY §2 #277) — the repair
+    step for the miscalibration calibration_ece only MEASURES: fit the
+    best monotone non-decreasing conversion-rate curve over the spend
+    score (Zadrozny-Elkan 2002, the standard post-hoc calibrator next
+    to Platt scaling), published next to the raw per-level rate so the
+    violation pools are visible.  Pool-adjacent-violators is inherently
+    sequential, so this uses the exact MAX-MIN identity instead:
+    iso(s) = max_{i<=s} min_{j>=s} rate(i..j) — embarrassingly
+    parallel over the (i, j) interval lattice.  Rates are
+    milli-quantized BEFORE the lattice; floor division is monotone, so
+    floor commutes with min/max and the quantized fit equals the
+    quantized exact fit (no cross-engine rational comparison needed).
+
+    Scale shape: one map-combined per-customer agg, one census agg to
+    <= 41 score levels — everything after runs on censuses: the
+    interval lattice is census x census x census (<= 41^2 bounded
+    pairs, each summed over <= 41 member rows) via broadcast joins, NO
+    window anywhere and no unbounded side.  At 100 TB only the two
+    fact-table aggs grow; the lattice is a constant of the operator.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = orders.groupBy(F.col("o_custkey").alias("cust")).agg(
+        F.expr(
+            "cast(sum(CASE WHEN o_orderdate < date'1998-01-01'"
+            " THEN cast(o_totalprice as decimal(18,2)) * 100"
+            " ELSE 0 END) as bigint)"
+        ).alias("spend_c"),
+        F.max(
+            F.expr("o_orderdate >= date'1998-01-01'").cast("int")
+        ).alias("y"),
+    )
+    census = (
+        per_cust.select(
+            F.expr(
+                f"least(cast(spend_c div 5000000 as int), {_ISO_LEVELS})"
+            ).alias("lvl"),
+            "y",
+        )
+        .groupBy("lvl")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("y").alias("pos"),
+        )
+    )
+    lo = census.select(F.col("lvl").alias("i"))
+    hi = census.select(F.col("lvl").alias("j"))
+    member = census.select(
+        F.col("lvl").alias("m"), F.col("n").alias("mn"), F.col("pos").alias("mpos")
+    )
+    intervals = (
+        lo.join(hi, F.col("j") >= F.col("i"))
+        .join(member, (F.col("m") >= F.col("i")) & (F.col("m") <= F.col("j")))
+        .groupBy("i", "j")
+        .agg(
+            F.expr("cast((1000 * sum(mpos)) div sum(mn) as bigint)").alias(
+                "avg_milli"
+            )
+        )
+    )
+    s_levels = census.select(F.col("lvl").alias("s"))
+    inner = (
+        s_levels.join(
+            intervals, (F.col("i") <= F.col("s")) & (F.col("j") >= F.col("s"))
+        )
+        .groupBy("s", "i")
+        .agg(F.min("avg_milli").alias("mmin"))
+    )
+    iso = inner.groupBy("s").agg(F.max("mmin").alias("iso_milli"))
+    return (
+        census.join(iso, census.lvl == iso.s)
+        .select(
+            F.col("lvl").cast("bigint").alias("score_level"),
+            F.col("n").cast("bigint").alias("n_customers"),
+            F.col("pos").cast("bigint").alias("n_converted"),
+            F.expr("cast((1000 * pos) div n as bigint)").alias("rate_milli"),
+            F.col("iso_milli").cast("bigint").alias("iso_milli"),
+        )
+        .orderBy("score_level")
+    )
+
+
+ROUND8_QUERIES["isotonic_calibration"] = isotonic_calibration
+
+ROUND8_ORACLES["isotonic_calibration"] = f"""
+WITH per_cust AS (
+  SELECT o_custkey AS cust,
+         CAST(sum(CASE WHEN o_orderdate < DATE '1998-01-01'
+                       THEN CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                       ELSE 0 END) AS BIGINT) AS spend_c,
+         max(CASE WHEN o_orderdate >= DATE '1998-01-01'
+                  THEN 1 ELSE 0 END) AS y
+  FROM orders GROUP BY o_custkey
+),
+census AS (
+  SELECT least(CAST(spend_c // 5000000 AS INT), {_ISO_LEVELS}) AS lvl,
+         count(*) AS n, sum(y) AS pos
+  FROM per_cust GROUP BY 1
+),
+intervals AS (
+  SELECT a.lvl AS i, b.lvl AS j,
+         CAST((1000 * sum(m.pos)) // sum(m.n) AS BIGINT) AS avg_milli
+  FROM census a
+  JOIN census b ON b.lvl >= a.lvl
+  JOIN census m ON m.lvl BETWEEN a.lvl AND b.lvl
+  GROUP BY a.lvl, b.lvl
+),
+inner_min AS (
+  SELECT s.lvl AS s, iv.i, min(iv.avg_milli) AS mmin
+  FROM census s
+  JOIN intervals iv ON iv.i <= s.lvl AND iv.j >= s.lvl
+  GROUP BY s.lvl, iv.i
+),
+iso AS (
+  SELECT s, max(mmin) AS iso_milli FROM inner_min GROUP BY s
+)
+SELECT CAST(c.lvl AS BIGINT) AS score_level,
+       CAST(c.n AS BIGINT) AS n_customers,
+       CAST(c.pos AS BIGINT) AS n_converted,
+       CAST((1000 * c.pos) // c.n AS BIGINT) AS rate_milli,
+       CAST(iso.iso_milli AS BIGINT) AS iso_milli
+FROM census c JOIN iso ON iso.s = c.lvl
+ORDER BY score_level
+"""
+
+
+# ---------------------------------------------------------------------------
+# bh_fdr_control — Benjamini-Hochberg step-up over the segment x region grid
+# ---------------------------------------------------------------------------
+
+# The test grid is fixed by design: 5 market segments x 5 regions = 25
+# simultaneous chi-square(1df) tests. Critical values chi2_{1}(1 - k*a/m)
+# for the step-up ladder (and the Bonferroni rung a/m) are precomputed
+# once from the stdlib normal inverse CDF (chi2_1 quantile = z^2) and
+# embedded as identical milli literals in BOTH dialects.
+_BH_M = 25
+_BH_ALPHA = 0.05
+
+
+def _chi2_1_crit_milli(p: float) -> int:
+    from statistics import NormalDist
+
+    z = NormalDist().inv_cdf(1.0 - p / 2.0)
+    return round(1000.0 * z * z)
+
+
+_BH_LADDER_MILLI = [
+    _chi2_1_crit_milli(_BH_ALPHA * k / _BH_M) for k in range(1, _BH_M + 1)
+]
+_BONF_CRIT_MILLI = _BH_LADDER_MILLI[0]
+
+
+def bh_fdr_control(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENJAMINI-HOCHBERG false-discovery control (SURVEY §2 #278) —
+    the multiple-testing layer the experimentation family was missing:
+    aa_test_fpr shows single tests false-positive at ~alpha, and any
+    dashboard that slices one experiment 25 ways inflates that 25x;
+    BH (1995) is the standard step-up repair.  The grid is the 5x5
+    market-segment x region cross, each cell an exact-integer 2x2
+    chi-square of balance-cohort exposure (acctbal >= 5000) vs late
+    conversion — real covariates, so some cells carry real effects and
+    the step-up ladder visibly rejects MORE than Bonferroni at the
+    same alpha (the whole point of FDR control).  chi2 ranks replace
+    p-value ranks (chi2 is monotone in 1/p), so no CDF is evaluated at
+    query time: rank k rejects iff chi2 >= ladder[k], ladder
+    precomputed as 25 milli literals from the stdlib normal quantile.
+
+    Scale shape: one fact-sized map-combined agg to the 25x4 cell
+    census; ranks via census self-join counting (25x25 — windowless);
+    the step-up cutoff k_max is a 1-row aggregate broadcast back.  At
+    100 TB only the first agg grows.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .join(
+            _t(spark, sf_dir, "nation"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            _t(spark, sf_dir, "region"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(
+            F.col("c_custkey").alias("cust"),
+            F.col("c_mktsegment").alias("segment"),
+            F.col("r_name").alias("region"),
+            F.expr("CASE WHEN c_acctbal >= 5000 THEN 1 ELSE 0 END").alias(
+                "exposed"
+            ),
+        )
+    )
+    per_cust = orders.groupBy(F.col("o_custkey").alias("cust")).agg(
+        F.max(
+            F.expr("o_orderdate >= date'1998-01-01'").cast("int")
+        ).alias("conv")
+    )
+    cells = (
+        per_cust.join(cust, "cust")
+        .groupBy("segment", "region")
+        .agg(
+            F.sum(F.expr("CASE WHEN exposed = 1 THEN conv ELSE 0 END")).alias("a"),
+            F.sum(F.expr("CASE WHEN exposed = 1 THEN 1 - conv ELSE 0 END")).alias("bb"),
+            F.sum(F.expr("CASE WHEN exposed = 0 THEN conv ELSE 0 END")).alias("c"),
+            F.sum(F.expr("CASE WHEN exposed = 0 THEN 1 - conv ELSE 0 END")).alias("d"),
+        )
+    )
+    chi = (
+        "(1000 * cast(a + bb + c + d as decimal(38,0))"
+        " * (cast(a as decimal(38,0)) * d - cast(bb as decimal(38,0)) * c)"
+        " * (cast(a as decimal(38,0)) * d - cast(bb as decimal(38,0)) * c))"
+        " div (nullif((cast(a as decimal(38,0)) + bb) * (c + d)"
+        " * (cast(a as decimal(38,0)) + c) * (bb + d), 0))"
+    )
+    tests = cells.select(
+        "segment",
+        "region",
+        F.expr("cast(a + bb + c + d as bigint)").alias("n"),
+        F.expr(f"coalesce(cast({chi} as bigint), 0)").alias("chi2_milli"),
+    )
+    other = tests.select(
+        F.col("chi2_milli").alias("o_chi"),
+        F.col("segment").alias("o_seg"),
+        F.col("region").alias("o_reg"),
+    )
+    ranked = (
+        tests.join(
+            F.broadcast(other),
+            F.expr(
+                "o_chi > chi2_milli OR (o_chi = chi2_milli AND"
+                " (o_seg < segment OR (o_seg = segment AND o_reg <= region)))"
+            ),
+        )
+        .groupBy("segment", "region", "n", "chi2_milli")
+        .agg(F.count(F.lit(1)).alias("p_rank"))
+    )
+    ladder = ", ".join(str(v) for v in _BH_LADDER_MILLI)
+    with_crit = ranked.withColumn(
+        "crit_milli",
+        F.expr(f"element_at(array({ladder}), cast(p_rank as int))"),
+    )
+    kmax = with_crit.agg(
+        F.coalesce(
+            F.max(
+                F.expr("CASE WHEN chi2_milli >= crit_milli THEN p_rank END")
+            ),
+            F.lit(0),
+        ).alias("k_max")
+    )
+    return (
+        with_crit.crossJoin(F.broadcast(kmax))
+        .select(
+            "segment",
+            "region",
+            F.col("n").cast("bigint").alias("n"),
+            F.col("chi2_milli").cast("bigint").alias("chi2_milli"),
+            F.col("p_rank").cast("bigint").alias("p_rank"),
+            F.col("crit_milli").cast("bigint").alias("crit_milli"),
+            F.expr(
+                "cast(CASE WHEN p_rank <= k_max THEN 1 ELSE 0 END as bigint)"
+            ).alias("rejected_bh"),
+            F.expr(
+                f"cast(CASE WHEN chi2_milli >= {_BONF_CRIT_MILLI}"
+                " THEN 1 ELSE 0 END as bigint)"
+            ).alias("rejected_bonferroni"),
+        )
+        .orderBy("segment", "region")
+    )
+
+
+ROUND8_QUERIES["bh_fdr_control"] = bh_fdr_control
+
+_bh_chi_duck = (
+    "(1000 * (a + bb + c + d)::HUGEINT"
+    " * (a::HUGEINT * d - bb::HUGEINT * c)"
+    " * (a::HUGEINT * d - bb::HUGEINT * c))"
+    " // nullif((a::HUGEINT + bb) * (c + d) * (a::HUGEINT + c) * (bb + d), 0)"
+)
+
+ROUND8_ORACLES["bh_fdr_control"] = f"""
+WITH cust AS (
+  SELECT c_custkey AS cust, c_mktsegment AS segment, r_name AS region,
+         CASE WHEN c_acctbal >= 5000 THEN 1 ELSE 0 END AS exposed
+  FROM customer
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+),
+per_cust AS (
+  SELECT o_custkey AS cust,
+         max(CASE WHEN o_orderdate >= DATE '1998-01-01'
+                  THEN 1 ELSE 0 END) AS conv
+  FROM orders GROUP BY o_custkey
+),
+cells AS (
+  SELECT segment, region,
+         sum(CASE WHEN exposed = 1 THEN conv ELSE 0 END) AS a,
+         sum(CASE WHEN exposed = 1 THEN 1 - conv ELSE 0 END) AS bb,
+         sum(CASE WHEN exposed = 0 THEN conv ELSE 0 END) AS c,
+         sum(CASE WHEN exposed = 0 THEN 1 - conv ELSE 0 END) AS d
+  FROM per_cust JOIN cust USING (cust)
+  GROUP BY segment, region
+),
+tests AS (
+  SELECT segment, region,
+         CAST(a + bb + c + d AS BIGINT) AS n,
+         coalesce(CAST({_bh_chi_duck} AS BIGINT), 0) AS chi2_milli
+  FROM cells
+),
+ranked AS (
+  SELECT t.segment, t.region, t.n, t.chi2_milli,
+         count(*) AS p_rank
+  FROM tests t
+  JOIN tests o ON o.chi2_milli > t.chi2_milli
+       OR (o.chi2_milli = t.chi2_milli AND
+           (o.segment < t.segment OR
+            (o.segment = t.segment AND o.region <= t.region)))
+  GROUP BY t.segment, t.region, t.n, t.chi2_milli
+),
+with_crit AS (
+  SELECT *, ([{', '.join(str(v) for v in _BH_LADDER_MILLI)}])[p_rank]
+           AS crit_milli
+  FROM ranked
+),
+kmax AS (
+  SELECT coalesce(max(CASE WHEN chi2_milli >= crit_milli THEN p_rank END), 0)
+           AS k_max
+  FROM with_crit
+)
+SELECT segment, region,
+       CAST(n AS BIGINT) AS n,
+       CAST(chi2_milli AS BIGINT) AS chi2_milli,
+       CAST(p_rank AS BIGINT) AS p_rank,
+       CAST(crit_milli AS BIGINT) AS crit_milli,
+       CAST(CASE WHEN p_rank <= k_max THEN 1 ELSE 0 END AS BIGINT)
+         AS rejected_bh,
+       CAST(CASE WHEN chi2_milli >= {_BONF_CRIT_MILLI} THEN 1 ELSE 0 END
+            AS BIGINT) AS rejected_bonferroni
+FROM with_crit CROSS JOIN kmax
+ORDER BY segment, region
+"""
