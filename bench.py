@@ -319,6 +319,8 @@ BENCH_QUERIES = [
     "curve_locality_compare",
     "isotonic_calibration",
     "bh_fdr_control",
+    "shapley_attribution",
+    "average_precision_eval",
     # Excluded, with reasons (VERDICT r5 item 4 — one comment per key):
     #   streaming_sessions / streaming_rate_limit / streaming_hourly_stats /
     #   streaming_sliding_counts / streaming_hourly_drift — run the
@@ -340,6 +342,13 @@ def main() -> None:
     spark = build_session("pyprima_spark_bench")
 
     names = [n for n in BENCH_QUERIES if n in QUERIES]
+    # Optional comma-separated subset for fast pre-commit probes of just
+    # the changed keys; the driver never sets this, so its per-round run
+    # still covers the full list.
+    only = os.environ.get("BENCH_KEYS")
+    if only:
+        wanted = {k.strip() for k in only.split(",") if k.strip()}
+        names = [n for n in names if n in wanted]
     # Warm the JVM + parquet footers once so timings measure the plans.
     QUERIES[names[0]](spark, sf_dir).count()
 

@@ -4244,6 +4244,9 @@ def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("y").alias("pos"),
         )
     )
+    # The <=41-row census fans out to five lattice roles below; without
+    # this the two fact-table aggs would re-run once per role.
+    census = materialize(census)
     lo = census.select(F.col("lvl").alias("i"))
     hi = census.select(F.col("lvl").alias("j"))
     member = census.select(
@@ -4413,11 +4416,15 @@ def bh_fdr_control(spark: SparkSession, sf_dir: str) -> DataFrame:
         " div (nullif((cast(a as decimal(38,0)) + bb) * (c + d)"
         " * (cast(a as decimal(38,0)) + c) * (bb + d), 0))"
     )
-    tests = cells.select(
-        "segment",
-        "region",
-        F.expr("cast(a + bb + c + d as bigint)").alias("n"),
-        F.expr(f"coalesce(cast({chi} as bigint), 0)").alias("chi2_milli"),
+    # 25-row test census, reused as both self-join sides AND the k_max
+    # branch — materialize so the fact agg runs once.
+    tests = materialize(
+        cells.select(
+            "segment",
+            "region",
+            F.expr("cast(a + bb + c + d as bigint)").alias("n"),
+            F.expr(f"coalesce(cast({chi} as bigint), 0)").alias("chi2_milli"),
+        )
     )
     other = tests.select(
         F.col("chi2_milli").alias("o_chi"),
@@ -4538,4 +4545,295 @@ SELECT segment, region,
             AS BIGINT) AS rejected_bonferroni
 FROM with_crit CROSS JOIN kmax
 ORDER BY segment, region
+"""
+
+
+# ---------------------------------------------------------------------------
+# shapley_attribution — exact Shapley channel credit over the coalition lattice
+# ---------------------------------------------------------------------------
+
+# 4 touch channels (purchase is the conversion, not a channel); the
+# coalition lattice is 2^4 = 16 sets and the factorial weights
+# |S|!(4-|S|-1)! for |S| = 0..3, scaled by 4! = 24 to stay integer.
+_SHAP_CHANNELS = [("click", 1), ("error", 2), ("signup", 4), ("view", 8)]
+_SHAP_W24 = [6, 2, 2, 6]
+
+
+def shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Shapley-value channel attribution (SURVEY §2 #279) — the
+    game-theoretic credit split (Shapley 1953; Zhao et al. 2018 for
+    marketing) completing the attribution triptych: attribution_models
+    gives the positional heuristics, markov_attribution the
+    order-aware removal effects, and this the ORDER-FREE axiomatic
+    split (efficiency: credits sum exactly to v(full) - v(empty)).
+    Journeys are user-days; v(S) = converted journeys whose touched
+    channel set is a SUBSET of S; phi_c = sum over coalitions S not
+    containing c of |S|!(n-|S|-1)! * (v(S u c) - v(S)), published x24
+    (= 4!) so every intermediate is an exact integer.
+
+    Scale shape: one fact-sized map-combined agg to user-day journeys
+    (bit_or channel mask + conversion flag), one census agg to <= 16
+    mask rows — the coalition lattice (16 x 16 subset join, 4 x 8
+    marginal join) runs entirely on broadcast censuses.  The
+    exponential Shapley sum is exponential in CHANNELS (a design
+    constant), never in data.
+    """
+    events = _t(spark, sf_dir, "events")
+    mask_expr = " + ".join(
+        f"CASE WHEN event_type = '{name}' THEN {bit} ELSE 0 END"
+        for name, bit in _SHAP_CHANNELS
+    )
+    journeys = (
+        events.groupBy(
+            "user_id", F.expr("cast(ts as date)").alias("day")
+        )
+        .agg(
+            F.expr(f"bit_or({mask_expr})").alias("mask"),
+            F.max(
+                F.expr("CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END")
+            ).alias("conv"),
+        )
+    )
+    mask_census = journeys.groupBy("mask").agg(F.sum("conv").alias("n_conv"))
+    coalitions = spark.range(16).select(F.col("id").cast("int").alias("s"))
+    v = (
+        coalitions.join(
+            F.broadcast(mask_census),
+            F.expr("(mask & s) = mask"),
+            "left",
+        )
+        .groupBy("s")
+        .agg(F.coalesce(F.sum("n_conv"), F.lit(0)).alias("v"))
+    )
+    # 16-row coalition values feed both marginal-join sides; one pass
+    # over the events agg instead of two.
+    v = materialize(v)
+    chan_rows = ", ".join(
+        f"named_struct('channel', '{name}', 'cbit', {bit})"
+        for name, bit in _SHAP_CHANNELS
+    )
+    channels = spark.range(1).select(
+        F.explode(F.expr(f"array({chan_rows})")).alias("c")
+    ).select("c.channel", "c.cbit")
+    w24 = ", ".join(str(w) for w in _SHAP_W24)
+    vs = v.select(F.col("s").alias("s0"), F.col("v").alias("v0"))
+    vf = v.select(F.col("s").alias("s1"), F.col("v").alias("v1"))
+    phi = (
+        channels.join(F.broadcast(vs), F.expr("(s0 & cbit) = 0"))
+        .join(F.broadcast(vf), F.expr("s1 = (s0 | cbit)"))
+        .groupBy("channel")
+        .agg(
+            F.sum(
+                F.expr(
+                    f"element_at(array({w24}), bit_count(s0) + 1) * (v1 - v0)"
+                )
+            ).alias("phi_x24")
+        )
+    )
+    phi = materialize(phi)
+    total = phi.agg(F.sum("phi_x24").alias("tot"))
+    return (
+        phi.crossJoin(F.broadcast(total))
+        .select(
+            "channel",
+            F.col("phi_x24").cast("bigint").alias("phi_x24"),
+            F.expr(
+                "cast(coalesce((10000 * phi_x24) div nullif(tot, 0), -1)"
+                " as bigint)"
+            ).alias("share_bp"),
+        )
+        .orderBy("channel")
+    )
+
+
+ROUND8_QUERIES["shapley_attribution"] = shapley_attribution
+
+_shap_mask_duck = " + ".join(
+    f"CASE WHEN event_type = '{name}' THEN {bit} ELSE 0 END"
+    for name, bit in _SHAP_CHANNELS
+)
+_shap_chan_values = ", ".join(
+    f"('{name}', {bit})" for name, bit in _SHAP_CHANNELS
+)
+
+ROUND8_ORACLES["shapley_attribution"] = f"""
+WITH journeys AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         bit_or({_shap_mask_duck}) AS mask,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY user_id, CAST(ts AS DATE)
+),
+mask_census AS (
+  SELECT mask, sum(conv) AS n_conv FROM journeys GROUP BY mask
+),
+coalitions AS (
+  SELECT CAST(s AS INT) AS s FROM unnest(generate_series(0, 15)) AS t(s)
+),
+v AS (
+  SELECT s, coalesce(sum(n_conv), 0) AS v
+  FROM coalitions LEFT JOIN mask_census ON (mask & s) = mask
+  GROUP BY s
+),
+channels(channel, cbit) AS (VALUES {_shap_chan_values}),
+phi AS (
+  SELECT channel,
+         sum(([{', '.join(str(w) for w in _SHAP_W24)}])[bit_count(v0.s) + 1]
+             * (v1.v - v0.v)) AS phi_x24
+  FROM channels
+  JOIN v v0 ON (v0.s & cbit) = 0
+  JOIN v v1 ON v1.s = (v0.s | cbit)
+  GROUP BY channel
+),
+total AS (SELECT sum(phi_x24) AS tot FROM phi)
+SELECT channel,
+       CAST(phi_x24 AS BIGINT) AS phi_x24,
+       CAST(coalesce((10000 * phi_x24) // nullif(tot, 0), -1) AS BIGINT)
+         AS share_bp
+FROM phi CROSS JOIN total
+ORDER BY channel
+"""
+
+
+# ---------------------------------------------------------------------------
+# average_precision_eval — PR-curve summary per segment (AP + trapezoid AUC)
+# ---------------------------------------------------------------------------
+
+
+def average_precision_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRECISION-RECALL summary per market segment (SURVEY §2 #280) —
+    the imbalance-robust companion of roc_auc_rank: ROC-AUC is blind
+    to base rate (a 0.1%-positive segment can score 0.95 AUC while
+    every alert pages a human for nothing); average precision and
+    PR-AUC (Davis-Goadrich 2006) weight exactly the positive class.
+    Same honest construct as the calibration keys (score = first-half
+    spend, outcome = second-half conversion), evaluated at score-LEVEL
+    granularity: AP = sum_b pos_b * prec(cut_b) / R (tie-block step
+    form) and trapezoid PR-AUC over the level boundaries, both
+    micro-quantized with identical floor division on both engines.
+
+    Scale shape: one fact agg to per-customer rows, one census agg to
+    <= 41 levels x 5 segments; cumulative windows run PARTITIONED by
+    segment over that census (never the fact table), and R arrives by
+    a census-level groupBy join.  Published milli values quantize
+    per-term at 1e6 scale before the final division, so the
+    cross-engine surface is integer end to end.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("cust"), F.col("c_mktsegment").alias("segment")
+    )
+    per_cust = orders.groupBy(F.col("o_custkey").alias("cust")).agg(
+        F.expr(
+            "cast(sum(CASE WHEN o_orderdate < date'1998-01-01'"
+            " THEN cast(o_totalprice as decimal(18,2)) * 100"
+            " ELSE 0 END) as bigint)"
+        ).alias("spend_c"),
+        F.max(
+            F.expr("o_orderdate >= date'1998-01-01'").cast("int")
+        ).alias("y"),
+    )
+    census = (
+        per_cust.join(cust, "cust")
+        .select(
+            "segment",
+            F.expr(
+                f"least(cast(spend_c div 5000000 as int), {_ISO_LEVELS})"
+            ).alias("lvl"),
+            "y",
+        )
+        .groupBy("segment", "lvl")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("pos"))
+    )
+    w = (
+        Window.partitionBy("segment")
+        .orderBy(F.desc("lvl"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wl = Window.partitionBy("segment").orderBy(F.desc("lvl"))
+    curve = (
+        census.withColumn("cum_n", F.sum("n").over(w))
+        .withColumn("cum_pos", F.sum("pos").over(w))
+        .withColumn(
+            "prec_micro", F.expr("(1000000 * cum_pos) div cum_n")
+        )
+        .withColumn(
+            "prec_prev_micro",
+            F.coalesce(F.lag("prec_micro").over(wl), F.col("prec_micro")),
+        )
+    )
+    return (
+        curve.groupBy("segment")
+        .agg(
+            F.sum("n").cast("bigint").alias("n"),
+            F.sum("pos").cast("bigint").alias("n_pos"),
+            F.sum(F.expr("pos * prec_micro")).alias("ap_num"),
+            F.sum(F.expr("pos * (prec_micro + prec_prev_micro)")).alias(
+                "auc_num"
+            ),
+        )
+        .select(
+            "segment",
+            "n",
+            "n_pos",
+            F.expr("cast((1000 * n_pos) div n as bigint)").alias(
+                "base_rate_milli"
+            ),
+            F.expr(
+                "cast(coalesce(ap_num div nullif(1000 * n_pos, 0), -1)"
+                " as bigint)"
+            ).alias("ap_milli"),
+            F.expr(
+                "cast(coalesce(auc_num div nullif(2000 * n_pos, 0), -1)"
+                " as bigint)"
+            ).alias("prauc_milli"),
+        )
+        .orderBy("segment")
+    )
+
+
+ROUND8_QUERIES["average_precision_eval"] = average_precision_eval
+
+ROUND8_ORACLES["average_precision_eval"] = f"""
+WITH per_cust AS (
+  SELECT o_custkey AS cust,
+         CAST(sum(CASE WHEN o_orderdate < DATE '1998-01-01'
+                       THEN CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                       ELSE 0 END) AS BIGINT) AS spend_c,
+         max(CASE WHEN o_orderdate >= DATE '1998-01-01'
+                  THEN 1 ELSE 0 END) AS y
+  FROM orders GROUP BY o_custkey
+),
+census AS (
+  SELECT c.c_mktsegment AS segment,
+         least(CAST(spend_c // 5000000 AS INT), {_ISO_LEVELS}) AS lvl,
+         count(*) AS n, sum(y) AS pos
+  FROM per_cust p JOIN customer c ON c.c_custkey = p.cust
+  GROUP BY 1, 2
+),
+curve AS (
+  SELECT segment, lvl, n, pos,
+         (1000000 * sum(pos) OVER w) // (sum(n) OVER w) AS prec_micro
+  FROM census
+  WINDOW w AS (PARTITION BY segment ORDER BY lvl DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+curve2 AS (
+  SELECT segment, n, pos, prec_micro,
+         coalesce(lag(prec_micro) OVER
+                    (PARTITION BY segment ORDER BY lvl DESC),
+                  prec_micro) AS prec_prev_micro
+  FROM curve
+)
+SELECT segment,
+       CAST(sum(n) AS BIGINT) AS n,
+       CAST(sum(pos) AS BIGINT) AS n_pos,
+       CAST((1000 * sum(pos)) // sum(n) AS BIGINT) AS base_rate_milli,
+       CAST(coalesce(sum(pos * prec_micro)
+                     // nullif(1000 * sum(pos), 0), -1) AS BIGINT)
+         AS ap_milli,
+       CAST(coalesce(sum(pos * (prec_micro + prec_prev_micro))
+                     // nullif(2000 * sum(pos), 0), -1) AS BIGINT)
+         AS prauc_milli
+FROM curve2
+GROUP BY segment ORDER BY segment
 """
