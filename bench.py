@@ -321,6 +321,8 @@ BENCH_QUERIES = [
     "bh_fdr_control",
     "shapley_attribution",
     "average_precision_eval",
+    "consistent_hash_ring",
+    "brier_decomposition",
     # Excluded, with reasons (VERDICT r5 item 4 — one comment per key):
     #   streaming_sessions / streaming_rate_limit / streaming_hourly_stats /
     #   streaming_sliding_counts / streaming_hourly_drift — run the

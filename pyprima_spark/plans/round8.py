@@ -4837,3 +4837,341 @@ SELECT segment,
 FROM curve2
 GROUP BY segment ORDER BY segment
 """
+
+
+# ---------------------------------------------------------------------------
+# consistent_hash_ring — ring placement vs mod-rehash churn census
+# ---------------------------------------------------------------------------
+
+# 8 -> 9 nodes, 32 virtual nodes per physical node (Karger 1997 /
+# DynamoDB-style). Ring positions are pure hash literals of
+# (node, vnode) — no data ever builds the ring.
+_RING_NODES = 8
+_RING_VNODES = 32
+
+
+def consistent_hash_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONSISTENT-HASHING ring placement audit (SURVEY §2 #281) — the
+    classic Karger ring with virtual nodes, the OTHER canonical
+    distributed placement scheme next to rendezvous_sharding's HRW
+    argmax: assign every customer key to its clockwise-successor
+    vnode on an 8-node/32-vnode ring, add a 9th node, and publish the
+    per-node churn — consistent hashing moves ~1/9 of keys (all INTO
+    the new node), while the naive mod-rehash baseline column moves
+    ~8/9.  Successor lookup is array algebra over the 256/288-entry
+    position list (array_min of the filtered suffix, wrap to the ring
+    minimum) — the ring is a literal, so the lookup is map-side and
+    embarrassingly parallel; owner node comes back via a broadcast
+    equi-join on the owning position against the vnode census.
+
+    Scale shape: the vnode table is 288 literal rows; keys take one
+    map-side assignment pass, one explode to (role, node) pairs, and
+    one map-combined 9x4-group aggregate.  No windows, no fact-sized
+    shuffle beyond the combine.  At 100 TB the ring stays 288 entries;
+    only the key scan grows.
+    """
+    total_v = (_RING_NODES + 1) * _RING_VNODES
+    vnodes = spark.range(total_v).select(
+        F.expr(f"cast(id div {_RING_VNODES} as int)").alias("node"),
+        F.expr(
+            X.hash64_spark(
+                f"'node:' || cast(id div {_RING_VNODES} as string)"
+                f" || ':' || cast(id % {_RING_VNODES} as string)"
+            )
+        ).alias("pos"),
+    )
+    ring8 = vnodes.filter(F.col("node") < _RING_NODES).agg(
+        F.sort_array(F.collect_list("pos")).alias("ring8")
+    )
+    ring9 = vnodes.agg(F.sort_array(F.collect_list("pos")).alias("ring9"))
+    keys = (
+        _t(spark, sf_dir, "customer")
+        .select(
+            F.expr(
+                X.hash64_spark("'ring:' || cast(c_custkey as string)")
+            ).alias("kpos")
+        )
+        .crossJoin(F.broadcast(ring8))
+        .crossJoin(F.broadcast(ring9))
+        .select(
+            "kpos",
+            F.expr(
+                "coalesce(array_min(filter(ring8, p -> p >= kpos)),"
+                " array_min(ring8))"
+            ).alias("own8_pos"),
+            F.expr(
+                "coalesce(array_min(filter(ring9, p -> p >= kpos)),"
+                " array_min(ring9))"
+            ).alias("own9_pos"),
+        )
+    )
+    v8 = vnodes.select(F.col("pos").alias("p8"), F.col("node").alias("node8"))
+    v9 = vnodes.select(F.col("pos").alias("p9"), F.col("node").alias("node9"))
+    assigned = (
+        keys.join(F.broadcast(v8), F.col("own8_pos") == F.col("p8"))
+        .join(F.broadcast(v9), F.col("own9_pos") == F.col("p9"))
+        .select(
+            "node8",
+            "node9",
+            F.expr(f"cast(kpos % {_RING_NODES} as int)").alias("mod8"),
+            F.expr(f"cast(kpos % {_RING_NODES + 1} as int)").alias("mod9"),
+        )
+    )
+    pairs = assigned.select(
+        F.explode(
+            F.expr(
+                "array(named_struct('role', 'load8', 'node', node8),"
+                " named_struct('role', 'load9', 'node', node9),"
+                " named_struct('role', 'ring_gained', 'node',"
+                "   CASE WHEN node9 != node8 THEN node9 END),"
+                " named_struct('role', 'mod_gained', 'node',"
+                "   CASE WHEN mod9 != mod8 THEN mod9 END))"
+            )
+        ).alias("pr")
+    ).select("pr.role", "pr.node").filter(F.col("node").isNotNull())
+    return (
+        pairs.groupBy("node")
+        .agg(
+            F.sum(F.expr("CASE WHEN role = 'load8' THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias("load8"),
+            F.sum(F.expr("CASE WHEN role = 'load9' THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias("load9"),
+            F.sum(F.expr("CASE WHEN role = 'ring_gained' THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias("ring_gained"),
+            F.sum(F.expr("CASE WHEN role = 'mod_gained' THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias("mod_gained"),
+        )
+        .select(
+            F.col("node").cast("bigint").alias("node"),
+            "load8",
+            "load9",
+            "ring_gained",
+            "mod_gained",
+        )
+        .orderBy("node")
+    )
+
+
+ROUND8_QUERIES["consistent_hash_ring"] = consistent_hash_ring
+
+_ring_pos_duck = X.hash64_duck(
+    f"'node:' || CAST(i // {_RING_VNODES} AS VARCHAR)"
+    f" || ':' || CAST(i % {_RING_VNODES} AS VARCHAR)"
+)
+
+ROUND8_ORACLES["consistent_hash_ring"] = f"""
+WITH vnodes AS (
+  SELECT CAST(i // {_RING_VNODES} AS INT) AS node,
+         {_ring_pos_duck} AS pos
+  FROM unnest(generate_series(0, {(_RING_NODES + 1) * _RING_VNODES - 1}))
+       AS t(i)
+),
+rings AS (
+  SELECT (SELECT list_sort(list(pos)) FROM vnodes
+          WHERE node < {_RING_NODES}) AS ring8,
+         (SELECT list_sort(list(pos)) FROM vnodes) AS ring9
+),
+keys AS (
+  SELECT {X.hash64_duck("'ring:' || CAST(c_custkey AS VARCHAR)")} AS kpos
+  FROM customer
+),
+owned AS (
+  SELECT kpos,
+         coalesce(list_min(list_filter(ring8, p -> p >= kpos)),
+                  list_min(ring8)) AS own8_pos,
+         coalesce(list_min(list_filter(ring9, p -> p >= kpos)),
+                  list_min(ring9)) AS own9_pos
+  FROM keys CROSS JOIN rings
+),
+assigned AS (
+  SELECT v8.node AS node8, v9.node AS node9,
+         CAST(kpos % {_RING_NODES} AS INT) AS mod8,
+         CAST(kpos % {_RING_NODES + 1} AS INT) AS mod9
+  FROM owned
+  JOIN vnodes v8 ON v8.pos = own8_pos
+  JOIN vnodes v9 ON v9.pos = own9_pos
+),
+pairs AS (
+  SELECT 'load8' AS role, node8 AS node FROM assigned
+  UNION ALL SELECT 'load9', node9 FROM assigned
+  UNION ALL SELECT 'ring_gained', node9 FROM assigned WHERE node9 != node8
+  UNION ALL SELECT 'mod_gained', mod9 FROM assigned WHERE mod9 != mod8
+)
+SELECT CAST(node AS BIGINT) AS node,
+       CAST(sum(CASE WHEN role = 'load8' THEN 1 ELSE 0 END) AS BIGINT)
+         AS load8,
+       CAST(sum(CASE WHEN role = 'load9' THEN 1 ELSE 0 END) AS BIGINT)
+         AS load9,
+       CAST(sum(CASE WHEN role = 'ring_gained' THEN 1 ELSE 0 END) AS BIGINT)
+         AS ring_gained,
+       CAST(sum(CASE WHEN role = 'mod_gained' THEN 1 ELSE 0 END) AS BIGINT)
+         AS mod_gained
+FROM pairs
+GROUP BY node ORDER BY node
+"""
+
+
+# ---------------------------------------------------------------------------
+# brier_decomposition — Murphy REL/RES/UNC split of the Brier score
+# ---------------------------------------------------------------------------
+
+
+def brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BRIER-SCORE Murphy decomposition per segment (SURVEY §2 #282)
+    — the diagnosis layer over calibration_ece's single gap number
+    (Murphy 1973): BS = reliability − resolution + uncertainty, so a
+    bad score visibly splits into "the probabilities are off" (REL,
+    what isotonic_calibration repairs) vs "the model can't separate"
+    (RES, what roc_auc_rank ranks) vs "the outcome is just noisy"
+    (UNC, irreducible).  Same honest construct as calibration_ece
+    (cohort-rate model learned on a hash-half of orders, disjoint
+    ':brier' split tag), decomposed at DISTINCT-PREDICTION granularity
+    where Murphy's identity is exact in rationals; published values
+    floor bin means at 1e6 scale first (identical on both engines),
+    keeping every intermediate under DECIMAL(38,0) through 1e12
+    instances (n·(1e6)² ≤ 1e24 — the overflow-audited bound).
+
+    Scale shape: train/test are two passes over orders (map-combined
+    aggs); the model join is a 200-row broadcast; the decomposition
+    runs over the (segment, pred) census (≤ 5×200 rows).  One dim
+    join to customer for the segment; no windows anywhere.
+    """
+    split = (
+        F.expr(X.hash64_spark("cast(o_orderkey as string) || ':brier'")) % 2
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("cust"),
+        F.expr("o_custkey % 200").alias("grp"),
+        (split == 0).alias("is_train"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("y"),
+    )
+    model = (
+        orders.filter("is_train")
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("n_tr"), F.sum("y").alias("pos_tr"))
+        .select("grp", F.expr("(10000 * pos_tr) div n_tr").alias("pred_bp"))
+    )
+    segments = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("cust"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    test = (
+        orders.filter(~F.col("is_train"))
+        .join(F.broadcast(model), "grp")
+        .join(segments, "cust")
+    )
+    census = test.groupBy("segment", "pred_bp").agg(
+        F.count(F.lit(1)).alias("n_k"), F.sum("y").alias("sy_k")
+    )
+    per_seg = census.groupBy("segment").agg(
+        F.sum("n_k").alias("n"), F.sum("sy_k").alias("sy")
+    )
+    joined = census.join(F.broadcast(per_seg), "segment").select(
+        "segment",
+        "n_k",
+        "sy_k",
+        "n",
+        "sy",
+        F.expr("pred_bp * 100").alias("pred_e6"),
+        F.expr("(1000000 * sy_k) div n_k").alias("ybar_k_e6"),
+        F.expr("(1000000 * sy) div n").alias("ybar_e6"),
+    )
+    return (
+        joined.groupBy("segment", "n", "sy", "ybar_e6")
+        .agg(
+            F.sum(
+                F.expr(
+                    "cast(sy_k as decimal(38,0))"
+                    " * (pred_e6 - 1000000) * (pred_e6 - 1000000)"
+                    " + cast(n_k - sy_k as decimal(38,0))"
+                    " * pred_e6 * pred_e6"
+                )
+            ).alias("bs_num"),
+            F.sum(
+                F.expr(
+                    "cast(n_k as decimal(38,0))"
+                    " * (pred_e6 - ybar_k_e6) * (pred_e6 - ybar_k_e6)"
+                )
+            ).alias("rel_num"),
+            F.sum(
+                F.expr(
+                    "cast(n_k as decimal(38,0))"
+                    " * (ybar_k_e6 - ybar_e6) * (ybar_k_e6 - ybar_e6)"
+                )
+            ).alias("res_num"),
+        )
+        .select(
+            "segment",
+            F.col("n").cast("bigint").alias("n"),
+            F.col("sy").cast("bigint").alias("n_pos"),
+            F.expr("cast(bs_num div (n * 10000) as bigint)").alias("bs_e8"),
+            F.expr("cast(rel_num div (n * 10000) as bigint)").alias(
+                "rel_e8"
+            ),
+            F.expr("cast(res_num div (n * 10000) as bigint)").alias(
+                "res_e8"
+            ),
+            F.expr(
+                "cast((cast(ybar_e6 as decimal(38,0))"
+                " * (1000000 - ybar_e6)) div 10000 as bigint)"
+            ).alias("unc_e8"),
+        )
+        .orderBy("segment")
+    )
+
+
+ROUND8_QUERIES["brier_decomposition"] = brier_decomposition
+
+ROUND8_ORACLES["brier_decomposition"] = f"""
+WITH orders_t AS (
+  SELECT o_custkey AS cust, o_custkey % 200 AS grp,
+         ({X.hash64_duck("CAST(o_orderkey AS VARCHAR) || ':brier'")}) % 2 = 0
+           AS is_train,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+  FROM orders
+),
+model AS (
+  SELECT grp, (10000 * sum(y)) // count(*) AS pred_bp
+  FROM orders_t WHERE is_train GROUP BY grp
+),
+test AS (
+  SELECT c.c_mktsegment AS segment, o.y, m.pred_bp
+  FROM orders_t o
+  JOIN model m USING (grp)
+  JOIN customer c ON c.c_custkey = o.cust
+  WHERE NOT o.is_train
+),
+census AS (
+  SELECT segment, pred_bp, count(*) AS n_k, sum(y) AS sy_k
+  FROM test GROUP BY segment, pred_bp
+),
+per_seg AS (
+  SELECT segment, sum(n_k) AS n, sum(sy_k) AS sy FROM census GROUP BY segment
+),
+joined AS (
+  SELECT c.segment, c.n_k, c.sy_k, s.n, s.sy,
+         c.pred_bp * 100 AS pred_e6,
+         (1000000 * c.sy_k) // c.n_k AS ybar_k_e6,
+         (1000000 * s.sy) // s.n AS ybar_e6
+  FROM census c JOIN per_seg s USING (segment)
+)
+SELECT segment,
+       CAST(n AS BIGINT) AS n,
+       CAST(sy AS BIGINT) AS n_pos,
+       CAST(sum(sy_k::HUGEINT * (pred_e6 - 1000000) * (pred_e6 - 1000000)
+                + (n_k - sy_k)::HUGEINT * pred_e6 * pred_e6)
+            // (n * 10000) AS BIGINT) AS bs_e8,
+       CAST(sum(n_k::HUGEINT * (pred_e6 - ybar_k_e6)
+                * (pred_e6 - ybar_k_e6)) // (n * 10000) AS BIGINT) AS rel_e8,
+       CAST(sum(n_k::HUGEINT * (ybar_k_e6 - ybar_e6)
+                * (ybar_k_e6 - ybar_e6)) // (n * 10000) AS BIGINT) AS res_e8,
+       CAST((ybar_e6::HUGEINT * (1000000 - ybar_e6)) // 10000 AS BIGINT)
+         AS unc_e8
+FROM joined
+GROUP BY segment, n, sy, ybar_e6
+ORDER BY segment
+"""
