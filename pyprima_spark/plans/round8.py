@@ -5175,3 +5175,250 @@ FROM joined
 GROUP BY segment, n, sy, ybar_e6
 ORDER BY segment
 """
+
+
+# ---------------------------------------------------------------------------
+# rank_biased_overlap — top-weighted ranking similarity (RBO, p = 0.9)
+# ---------------------------------------------------------------------------
+
+_RBO_K = 20
+_RBO_P9 = [9**d for d in range(_RBO_K)]  # exact 9^(d-1) numerators
+
+
+def rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANK-BIASED OVERLAP between the 1997 and 1998 brand-revenue
+    rankings (SURVEY §2 #283) — Webber 2010's top-weighted list
+    similarity, the modern replacement for kendall_tau_topk's
+    unweighted pair counting (RBO weights depth d by p^(d-1), so a
+    swap at rank 2 matters ~8x a swap at rank 19, and it is defined
+    on TRUNCATED lists where tau needs conjoint ones).  Published per
+    depth: the overlap X_d, agreement X_d/d in milli, and the
+    cumulative RBO_min prefix sum in 1e6 units — every p^d kept exact
+    as 9^d/10^d integer pairs (9^19·1e6·20 ≈ 3e25, inside
+    DECIMAL(38,0)), per-term floored identically on both engines.
+
+    Scale shape: the fact table collapses to the 25-row brand x year
+    census in one map-combined agg; ranks come from windows
+    PARTITIONED by year over that census; depth terms and the
+    cumulative sum are bounded self-joins (20 x 25 and 20 x 20) on
+    broadcast censuses — windowless below the census, nothing global.
+    """
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.expr("year(o_orderdate)").alias("yr")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey",
+        F.expr(
+            "cast(cast(l_extendedprice as decimal(18,2)) * 100 as bigint)"
+        ).alias("cents"),
+    )
+    part = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), F.col("p_brand").alias("brand")
+    )
+    census = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("yr").isin(1997, 1998))
+        .join(F.broadcast(part), "l_partkey")
+        .groupBy("yr", "brand")
+        .agg(F.sum("cents").alias("rev"))
+    )
+    w = Window.partitionBy("yr").orderBy(F.desc("rev"), F.asc("brand"))
+    ranked = census.select("yr", "brand", F.row_number().over(w).alias("rk"))
+    a = ranked.filter(F.col("yr") == 1997).select(
+        "brand", F.col("rk").alias("ra")
+    )
+    b = ranked.filter(F.col("yr") == 1998).select(
+        "brand", F.col("rk").alias("rb")
+    )
+    joined = materialize(
+        a.join(b, "brand").select(
+            F.expr("greatest(ra, rb)").alias("maxr")
+        )
+    )
+    depths = spark.range(1, _RBO_K + 1).select(
+        F.col("id").cast("int").alias("d")
+    )
+    xd = (
+        depths.join(F.broadcast(joined), F.expr("maxr <= d"), "left")
+        .groupBy("d")
+        .agg(F.count("maxr").alias("x_d"))
+    )
+    p9 = ", ".join(str(v) for v in _RBO_P9)
+    p10 = ", ".join(str(10**d) for d in range(1, _RBO_K + 1))
+    terms = materialize(
+        xd.select(
+            "d",
+            "x_d",
+            F.expr("cast((1000 * x_d) div d as bigint)").alias(
+                "agree_milli"
+            ),
+            F.expr(
+                f"cast((1000000 * cast(element_at(array({p9}), d)"
+                f" as decimal(38,0)) * x_d)"
+                f" div (cast(element_at(array({p10}), d)"
+                f" as decimal(38,0)) * d) as bigint)"
+            ).alias("term_e6"),
+        )
+    )
+    prior = terms.select(
+        F.col("d").alias("d2"), F.col("term_e6").alias("t2")
+    )
+    return (
+        terms.join(F.broadcast(prior), F.expr("d2 <= d"))
+        .groupBy("d", "x_d", "agree_milli")
+        .agg(F.sum("t2").alias("cum"))
+        .select(
+            F.col("d").cast("bigint").alias("depth"),
+            F.col("x_d").cast("bigint").alias("overlap"),
+            F.col("agree_milli").cast("bigint").alias("agree_milli"),
+            F.expr("cast(cum as bigint)").alias("rbo_min_e6"),
+        )
+        .orderBy("depth")
+    )
+
+
+ROUND8_QUERIES["rank_biased_overlap"] = rank_biased_overlap
+
+ROUND8_ORACLES["rank_biased_overlap"] = f"""
+WITH census AS (
+  SELECT year(o_orderdate) AS yr, p.p_brand AS brand,
+         sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+           AS rev
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE year(o_orderdate) IN (1997, 1998)
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT yr, brand,
+         row_number() OVER (PARTITION BY yr ORDER BY rev DESC, brand) AS rk
+  FROM census
+),
+joined AS (
+  SELECT greatest(a.rk, b.rk) AS maxr
+  FROM ranked a JOIN ranked b ON a.brand = b.brand
+  WHERE a.yr = 1997 AND b.yr = 1998
+),
+depths AS (
+  SELECT CAST(d AS INT) AS d FROM unnest(generate_series(1, {_RBO_K})) AS t(d)
+),
+xd AS (
+  SELECT d, count(maxr) AS x_d
+  FROM depths LEFT JOIN joined ON maxr <= d
+  GROUP BY d
+),
+terms AS (
+  SELECT d, x_d,
+         CAST((1000 * x_d) // d AS BIGINT) AS agree_milli,
+         CAST((1000000 * ([{', '.join(str(v) for v in _RBO_P9)}])[d]::HUGEINT
+               * x_d)
+              // (([{', '.join(str(10**d) for d in range(1, _RBO_K + 1))}])[d]::HUGEINT
+                  * d) AS BIGINT) AS term_e6
+  FROM xd
+)
+SELECT CAST(t.d AS BIGINT) AS depth,
+       CAST(t.x_d AS BIGINT) AS overlap,
+       CAST(t.agree_milli AS BIGINT) AS agree_milli,
+       CAST(sum(p.term_e6) AS BIGINT) AS rbo_min_e6
+FROM terms t JOIN terms p ON p.d <= t.d
+GROUP BY t.d, t.x_d, t.agree_milli
+ORDER BY depth
+"""
+
+
+# ---------------------------------------------------------------------------
+# heavy_change_detection — cross-period frequency-change census
+# ---------------------------------------------------------------------------
+
+# A part is a heavy changer when its |f1 - f2| exceeds 50 bp of the
+# total L1 change mass (the phi threshold of the sketch literature,
+# evaluated here exactly on the dim-bounded part census).
+_HCD_PHI_BP = 50
+
+
+def heavy_change_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HEAVY-CHANGE detection across adjacent periods (SURVEY §2 #284)
+    — Cormode-Muthukrishnan's "what's new" question, the DELTA
+    companion of countmin_heavy_hitters' single-period "what's big":
+    a part can be a heavy hitter in both halves yet change little,
+    or small in both yet double — ops cares about the movers.  Ship
+    volume per part in 1997-H1 vs 1997-H2; change mass = |f1 - f2|;
+    heavy changers are parts holding > 50 bp of the TOTAL L1 change,
+    published with direction and both periods so the reader sees
+    grow-vs-shrink.  Computed exactly on the part census (what the
+    sketch approximates in one pass at 100 TB; the census here is
+    dim-bounded, so exact IS the scale answer).
+
+    Scale shape: one map-combined two-conditional-sum agg over
+    lineitem to the part census; the threshold is a 1-row aggregate
+    broadcast back; no windows, no sort of anything fact-sized (the
+    output ordering sorts only the ~dozens of over-threshold rows).
+    """
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.expr(
+            "CASE WHEN l_shipdate >= date'1997-01-01'"
+            " AND l_shipdate < date'1997-07-01' THEN 1 ELSE 0 END"
+        ).alias("in1"),
+        F.expr(
+            "CASE WHEN l_shipdate >= date'1997-07-01'"
+            " AND l_shipdate < date'1998-01-01' THEN 1 ELSE 0 END"
+        ).alias("in2"),
+    )
+    census = (
+        li.filter(F.expr("in1 = 1 OR in2 = 1"))
+        .groupBy("l_partkey")
+        .agg(F.sum("in1").alias("f1"), F.sum("in2").alias("f2"))
+        .withColumn("delta", F.expr("abs(f1 - f2)"))
+    )
+    total = census.agg(F.sum("delta").alias("tot"))
+    return (
+        census.crossJoin(F.broadcast(total))
+        .filter(F.expr(f"10000 * delta > {_HCD_PHI_BP} * tot"))
+        .select(
+            F.col("l_partkey").cast("bigint").alias("partkey"),
+            F.col("f1").cast("bigint").alias("f1"),
+            F.col("f2").cast("bigint").alias("f2"),
+            F.col("delta").cast("bigint").alias("delta"),
+            F.expr("cast((10000 * delta) div tot as bigint)").alias(
+                "change_share_bp"
+            ),
+            F.expr(
+                "CASE WHEN f2 > f1 THEN 'grew' ELSE 'shrank' END"
+            ).alias("direction"),
+        )
+        .orderBy(F.desc("delta"), F.asc("partkey"))
+    )
+
+
+ROUND8_QUERIES["heavy_change_detection"] = heavy_change_detection
+
+ROUND8_ORACLES["heavy_change_detection"] = f"""
+WITH census AS (
+  SELECT l_partkey,
+         sum(CASE WHEN l_shipdate >= DATE '1997-01-01'
+                   AND l_shipdate < DATE '1997-07-01'
+                  THEN 1 ELSE 0 END) AS f1,
+         sum(CASE WHEN l_shipdate >= DATE '1997-07-01'
+                   AND l_shipdate < DATE '1998-01-01'
+                  THEN 1 ELSE 0 END) AS f2
+  FROM lineitem
+  WHERE (l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1997-07-01')
+     OR (l_shipdate >= DATE '1997-07-01' AND l_shipdate < DATE '1998-01-01')
+  GROUP BY l_partkey
+),
+with_delta AS (
+  SELECT *, abs(f1 - f2) AS delta FROM census
+),
+total AS (SELECT sum(delta) AS tot FROM with_delta)
+SELECT CAST(l_partkey AS BIGINT) AS partkey,
+       CAST(f1 AS BIGINT) AS f1,
+       CAST(f2 AS BIGINT) AS f2,
+       CAST(delta AS BIGINT) AS delta,
+       CAST((10000 * delta) // tot AS BIGINT) AS change_share_bp,
+       CASE WHEN f2 > f1 THEN 'grew' ELSE 'shrank' END AS direction
+FROM with_delta CROSS JOIN total
+WHERE 10000 * delta > {_HCD_PHI_BP} * tot
+ORDER BY delta DESC, partkey
+"""
