@@ -325,6 +325,8 @@ BENCH_QUERIES = [
     "brier_decomposition",
     "rank_biased_overlap",
     "heavy_change_detection",
+    "importance_weight_ess",
+    "runs_test_residuals",
     # Excluded, with reasons (VERDICT r5 item 4 — one comment per key):
     #   streaming_sessions / streaming_rate_limit / streaming_hourly_stats /
     #   streaming_sliding_counts / streaming_hourly_drift — run the

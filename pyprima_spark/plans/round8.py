@@ -5422,3 +5422,291 @@ FROM with_delta CROSS JOIN total
 WHERE 10000 * delta > {_HCD_PHI_BP} * tot
 ORDER BY delta DESC, partkey
 """
+
+
+# ---------------------------------------------------------------------------
+# importance_weight_ess — covariate-shift reweighting + Kish effective n
+# ---------------------------------------------------------------------------
+
+
+def importance_weight_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMPORTANCE-WEIGHTING audit with Kish effective sample size
+    (SURVEY §2 #285) — the covariate-shift REPAIR next to the drift
+    DETECTORS (psi_drift/ks_drift say the H1 and H2 order mixes
+    differ; this computes the density-ratio weights that reweight H1
+    to H2 per (segment x priority) cell, Shimodaira 2000) and the
+    price tag: Kish's ESS = (sum w)^2 / sum w^2 (1965), published as
+    ess_milli = 1000*ESS/n so a segment whose weights are skewed
+    shows its effective-data loss directly — the "your 1M reweighted
+    rows are worth 300k" number every mixture rebalance needs.
+    Weights are exact bp ratios ((n_tgt*N_src) div (n_src*N_tgt));
+    ESS folds over the cell census in DECIMAL(38,0) ((1e12*1e4)^2 =
+    1e32 headroom documented).
+
+    Scale shape: one map-combined agg to the (segment, priority, half)
+    cell census; per-segment totals by a census groupBy joined back
+    broadcast; everything after the first agg is census-sized.  No
+    windows.  Empty target cells get weight 0 (those source rows drop,
+    the standard convention); empty SOURCE cells contribute nothing.
+    """
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.expr("o_orderdate >= date'1997-01-01'")
+        & F.expr("o_orderdate < date'1998-01-01'")
+    ).select(
+        F.col("o_orderpriority").alias("prio"),
+        "o_custkey",
+        F.expr(
+            "CASE WHEN o_orderdate < date'1997-07-01' THEN 1 ELSE 0 END"
+        ).alias("in_src"),
+        F.expr(
+            "CASE WHEN o_orderdate >= date'1997-07-01' THEN 1 ELSE 0 END"
+        ).alias("in_tgt"),
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    cells = (
+        orders.join(cust, "o_custkey")
+        .groupBy("segment", "prio")
+        .agg(F.sum("in_src").alias("n_src"), F.sum("in_tgt").alias("n_tgt"))
+    )
+    seg = cells.groupBy("segment").agg(
+        F.sum("n_src").alias("ns"), F.sum("n_tgt").alias("nt")
+    )
+    weighted = cells.join(F.broadcast(seg), "segment").select(
+        "segment",
+        "n_src",
+        "n_tgt",
+        F.expr(
+            "coalesce((10000 * cast(n_tgt as decimal(38,0)) * ns)"
+            " div (nullif(cast(n_src as decimal(38,0)) * nt, 0)), 0)"
+        ).alias("w_bp"),
+    )
+    return (
+        weighted.groupBy("segment")
+        .agg(
+            F.sum("n_src").cast("bigint").alias("n_src"),
+            F.sum("n_tgt").cast("bigint").alias("n_tgt"),
+            F.max("w_bp").cast("bigint").alias("max_weight_bp"),
+            F.expr(
+                "cast(coalesce((1000 * sum(cast(n_src as decimal(38,0))"
+                " * w_bp) * sum(cast(n_src as decimal(38,0)) * w_bp))"
+                " div (nullif(sum(cast(n_src as decimal(38,0)) * w_bp"
+                " * w_bp) * sum(n_src), 0)), -1) as bigint)"
+            ).alias("ess_milli"),
+        )
+        .orderBy("segment")
+    )
+
+
+ROUND8_QUERIES["importance_weight_ess"] = importance_weight_ess
+
+ROUND8_ORACLES["importance_weight_ess"] = """
+WITH orders_w AS (
+  SELECT o_orderpriority AS prio, o_custkey,
+         CASE WHEN o_orderdate < DATE '1997-07-01' THEN 1 ELSE 0 END
+           AS in_src,
+         CASE WHEN o_orderdate >= DATE '1997-07-01' THEN 1 ELSE 0 END
+           AS in_tgt
+  FROM orders
+  WHERE o_orderdate >= DATE '1997-01-01' AND o_orderdate < DATE '1998-01-01'
+),
+cells AS (
+  SELECT c.c_mktsegment AS segment, o.prio,
+         sum(in_src) AS n_src, sum(in_tgt) AS n_tgt
+  FROM orders_w o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY 1, 2
+),
+seg AS (
+  SELECT segment, sum(n_src) AS ns, sum(n_tgt) AS nt
+  FROM cells GROUP BY segment
+),
+weighted AS (
+  SELECT c.segment, c.n_src, c.n_tgt,
+         coalesce((10000 * c.n_tgt::HUGEINT * s.ns)
+                  // nullif(c.n_src::HUGEINT * s.nt, 0), 0) AS w_bp
+  FROM cells c JOIN seg s USING (segment)
+)
+SELECT segment,
+       CAST(sum(n_src) AS BIGINT) AS n_src,
+       CAST(sum(n_tgt) AS BIGINT) AS n_tgt,
+       CAST(max(w_bp) AS BIGINT) AS max_weight_bp,
+       CAST(coalesce((1000 * sum(n_src::HUGEINT * w_bp)
+                      * sum(n_src::HUGEINT * w_bp))
+                     // nullif(sum(n_src::HUGEINT * w_bp * w_bp)
+                               * sum(n_src), 0), -1) AS BIGINT) AS ess_milli
+FROM weighted
+GROUP BY segment ORDER BY segment
+"""
+
+
+# ---------------------------------------------------------------------------
+# runs_test_residuals — Wald-Wolfowitz randomness test on trend residuals
+# ---------------------------------------------------------------------------
+
+
+def runs_test_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WALD-WOLFOWITZ runs test on detrended daily revenue
+    (SURVEY §2 #286) — the residual-DIAGNOSTIC the regression family
+    was missing: grouped_regression fits the line and theil_sen_trend
+    robustifies the slope, but neither asks whether what's LEFT is
+    random (autocorrelated residuals make every OLS confidence claim
+    a lie — the Anscombe lesson).  Per year: exact integer least
+    squares on the day census, residual SIGNS via the cross-multiplied
+    comparison den*(N*y_t - Sy) vs num*(N*x_t - Sx) (no division ever
+    happens, so no rounding can flip a sign), runs counted by a lag
+    over the day census, and the z^2 statistic in the closed rational
+    form (R*N - 2PM - N)^2 * (N-1) / (2PM * (2PM - N)) published in
+    milli against the 3.841 literal.
+
+    Scale shape: the fact table collapses to the |days|-per-year
+    census in one map-combined agg; the OLS moments are a second
+    census-level agg broadcast back; the only window is the lag over
+    the day census PARTITIONED BY YEAR (time-bounded rows — the
+    acf_lags class).  Revenue is quantized to k$ so den*N*y stays
+    ~1e26 << DECIMAL(38,0) even at 1e15-cents/day scale.
+    """
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.expr("o_orderdate >= date'1995-01-01'")
+        & F.expr("o_orderdate < date'1998-01-01'")
+    )
+    daily = orders.groupBy(
+        F.expr("year(o_orderdate)").alias("yr"),
+        F.expr("cast(o_orderdate as date)").alias("day"),
+    ).agg(
+        F.expr(
+            "cast(sum(cast(o_totalprice as decimal(18,2)) * 100)"
+            " div 100000 as bigint)"
+        ).alias("y")
+    ).withColumn(
+        "x", F.expr("datediff(day, date'1995-01-01')")
+    )
+    moments = daily.groupBy("yr").agg(
+        F.count(F.lit(1)).alias("nn"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("cast(x as decimal(38,0)) * x")).alias("sxx"),
+        F.sum(F.expr("cast(x as decimal(38,0)) * y")).alias("sxy"),
+    ).select(
+        "yr",
+        "nn",
+        "sx",
+        "sy",
+        F.expr("nn * sxy - sx * sy").alias("num"),
+        F.expr("nn * sxx - sx * sx").alias("den"),
+    )
+    signed = daily.join(F.broadcast(moments), "yr").select(
+        "yr",
+        "day",
+        F.expr(
+            "CASE WHEN den * (nn * cast(y as decimal(38,0)) - sy)"
+            " - num * (nn * cast(x as decimal(38,0)) - sx) > 0"
+            " THEN 1 ELSE 0 END"
+        ).alias("sgn"),
+    )
+    runs = signed.withColumn(
+        "chg",
+        F.expr(
+            "CASE WHEN lag(sgn) OVER"
+            " (PARTITION BY yr ORDER BY day) IS NULL THEN 1"
+            " WHEN lag(sgn) OVER (PARTITION BY yr ORDER BY day) != sgn"
+            " THEN 1 ELSE 0 END"
+        ),
+    )
+    return (
+        runs.groupBy("yr")
+        .agg(
+            F.count(F.lit(1)).alias("nn2"),
+            F.sum("sgn").alias("pp"),
+            F.sum(F.expr("1 - sgn")).alias("mm"),
+            F.sum("chg").alias("rr"),
+        )
+        .select(
+            F.col("yr").cast("bigint").alias("year"),
+            F.col("nn2").cast("bigint").alias("n_days"),
+            F.col("pp").cast("bigint").alias("n_pos"),
+            F.col("mm").cast("bigint").alias("n_neg"),
+            F.col("rr").cast("bigint").alias("runs"),
+            F.expr(
+                "cast(coalesce((1000 * (cast(rr as decimal(38,0)) * nn2"
+                " - 2 * pp * mm - nn2) * (cast(rr as decimal(38,0)) * nn2"
+                " - 2 * pp * mm - nn2) * (nn2 - 1))"
+                " div nullif(2 * cast(pp as decimal(38,0)) * mm"
+                " * (2 * cast(pp as decimal(38,0)) * mm - nn2), 0), -1)"
+                " as bigint)"
+            ).alias("z2_milli"),
+        )
+        .withColumn(
+            "random_ok",
+            F.expr(
+                "cast(CASE WHEN z2_milli >= 0 AND z2_milli <= 3841"
+                " THEN 1 ELSE 0 END as bigint)"
+            ),
+        )
+        .orderBy("year")
+    )
+
+
+ROUND8_QUERIES["runs_test_residuals"] = runs_test_residuals
+
+ROUND8_ORACLES["runs_test_residuals"] = """
+WITH daily AS (
+  SELECT year(o_orderdate) AS yr, CAST(o_orderdate AS DATE) AS day,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+              // 100000 AS y,
+         datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS x
+  FROM orders
+  WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1998-01-01'
+  GROUP BY 1, 2, 4
+),
+moments AS (
+  SELECT yr, count(*) AS nn, sum(x) AS sx, sum(y) AS sy,
+         count(*)::HUGEINT * sum(x::HUGEINT * y) - sum(x)::HUGEINT * sum(y)
+           AS num,
+         count(*)::HUGEINT * sum(x::HUGEINT * x) - sum(x)::HUGEINT * sum(x)
+           AS den
+  FROM daily GROUP BY yr
+),
+signed AS (
+  SELECT d.yr, d.day,
+         CASE WHEN m.den * (m.nn * d.y::HUGEINT - m.sy)
+                   - m.num * (m.nn * d.x::HUGEINT - m.sx) > 0
+              THEN 1 ELSE 0 END AS sgn
+  FROM daily d JOIN moments m USING (yr)
+),
+runs AS (
+  SELECT yr, sgn,
+         CASE WHEN lag(sgn) OVER (PARTITION BY yr ORDER BY day) IS NULL
+              THEN 1
+              WHEN lag(sgn) OVER (PARTITION BY yr ORDER BY day) != sgn
+              THEN 1 ELSE 0 END AS chg
+  FROM signed
+),
+stats AS (
+  SELECT yr, count(*) AS nn2, sum(sgn) AS pp, sum(1 - sgn) AS mm,
+         sum(chg) AS rr
+  FROM runs GROUP BY yr
+)
+SELECT CAST(yr AS BIGINT) AS year,
+       CAST(nn2 AS BIGINT) AS n_days,
+       CAST(pp AS BIGINT) AS n_pos,
+       CAST(mm AS BIGINT) AS n_neg,
+       CAST(rr AS BIGINT) AS runs,
+       CAST(coalesce((1000 * (rr::HUGEINT * nn2 - 2 * pp * mm - nn2)
+                      * (rr::HUGEINT * nn2 - 2 * pp * mm - nn2)
+                      * (nn2 - 1))
+                     // nullif(2 * pp::HUGEINT * mm
+                               * (2 * pp::HUGEINT * mm - nn2), 0), -1)
+            AS BIGINT) AS z2_milli,
+       CAST(CASE WHEN coalesce((1000 * (rr::HUGEINT * nn2 - 2 * pp * mm
+                                        - nn2)
+                                * (rr::HUGEINT * nn2 - 2 * pp * mm - nn2)
+                                * (nn2 - 1))
+                               // nullif(2 * pp::HUGEINT * mm
+                                         * (2 * pp::HUGEINT * mm - nn2), 0),
+                               -1)
+                 BETWEEN 0 AND 3841 THEN 1 ELSE 0 END AS BIGINT)
+         AS random_ok
+FROM stats ORDER BY year
+"""
