@@ -327,6 +327,8 @@ BENCH_QUERIES = [
     "heavy_change_detection",
     "importance_weight_ess",
     "runs_test_residuals",
+    "hits_hubs_authorities",
+    "newsvendor_stock_level",
     # Excluded, with reasons (VERDICT r5 item 4 — one comment per key):
     #   streaming_sessions / streaming_rate_limit / streaming_hourly_stats /
     #   streaming_sliding_counts / streaming_hourly_drift — run the
@@ -355,6 +357,8 @@ def main() -> None:
     if only:
         wanted = {k.strip() for k in only.split(",") if k.strip()}
         names = [n for n in names if n in wanted]
+        if not names:
+            raise SystemExit(f"BENCH_KEYS matched no benched queries: {only}")
     # Warm the JVM + parquet footers once so timings measure the plans.
     QUERIES[names[0]](spark, sf_dir).count()
 

@@ -5710,3 +5710,260 @@ SELECT CAST(yr AS BIGINT) AS year,
          AS random_ok
 FROM stats ORDER BY year
 """
+
+
+# ---------------------------------------------------------------------------
+# hits_hubs_authorities — integer-normalized HITS over the directed trade graph
+# ---------------------------------------------------------------------------
+
+_HITS_ROUNDS = 3
+_HITS_SCALE = 1000000  # scores renormalized to sum ~1e6 each half-step
+
+
+def hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs-and-authorities (SURVEY §2 #287) — Kleinberg 1999's
+    TWO-score eigen pair over the DIRECTED supplier→customer nation
+    trade graph, completing the graph-centrality family:
+    pagerank_nations ranks the symmetrized graph with one score; HITS
+    separates "ships to the important buyers" (hub) from "buys from
+    the important shippers" (authority), which a directed trade
+    imbalance makes genuinely different.  Three synchronous rounds,
+    each half-step renormalized to sum ≈ 1e6 by exact integer floor
+    division — the published ppm scores are integers end to end, so
+    no float drift can diverge the engines (the oracle unrolls the
+    identical rounds as CTEs).
+
+    Scale shape: the fact join collapses to the ≤25×24 DISTINCT
+    directed edge census in one agg (materialized once); every
+    iteration is two census-sized joins + aggregates.  Iteration
+    count is a design constant; nothing fact-sized ever re-enters the
+    loop — the pagerank/graph.py contract.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    edges = materialize(
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .filter(F.expr("s_nationkey != c_nationkey"))
+        .select(
+            F.col("s_nationkey").alias("src"),
+            F.col("c_nationkey").alias("dst"),
+        )
+        .distinct()
+    )
+    nodes = materialize(
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    h = nodes.withColumn("h", F.lit(_HITS_SCALE).cast("bigint"))
+
+    def _norm(df: DataFrame, col: str) -> DataFrame:
+        tot = df.agg(F.sum(col).alias("tot"))
+        return materialize(
+            df.crossJoin(F.broadcast(tot)).select(
+                "node",
+                F.expr(f"({_HITS_SCALE} * {col}) div tot").alias(col),
+            )
+        )
+
+    for _ in range(_HITS_ROUNDS):
+        a_raw = (
+            edges.join(h, edges.src == h.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("h").alias("a_raw"))
+        )
+        a = _norm(
+            nodes.join(a_raw, "node", "left").select(
+                "node", F.coalesce("a_raw", F.lit(0)).alias("a")
+            ),
+            "a",
+        )
+        h_raw = (
+            edges.join(a, edges.dst == a.node)
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("a").alias("h_raw"))
+        )
+        h = _norm(
+            nodes.join(h_raw, "node", "left").select(
+                "node", F.coalesce("h_raw", F.lit(0)).alias("h")
+            ),
+            "h",
+        )
+    return (
+        nodes.join(h, "node")
+        .join(a, "node")
+        .select(
+            F.col("node").cast("bigint").alias("nationkey"),
+            F.col("h").cast("bigint").alias("hub_ppm"),
+            F.col("a").cast("bigint").alias("auth_ppm"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+ROUND8_QUERIES["hits_hubs_authorities"] = hits_hubs_authorities
+
+
+def _hits_oracle() -> str:
+    rounds = []
+    prev_h = "h0"
+    for r in range(1, _HITS_ROUNDS + 1):
+        rounds.append(f"""
+a{r}_raw AS MATERIALIZED (
+  SELECT n.node, coalesce(sum(p.h), 0) AS a
+  FROM nodes n
+  LEFT JOIN dpairs e ON e.dst = n.node
+  LEFT JOIN {prev_h} p ON p.node = e.src
+  GROUP BY n.node
+),
+a{r} AS MATERIALIZED (
+  SELECT node, ({_HITS_SCALE} * a) // (SELECT sum(a) FROM a{r}_raw) AS a
+  FROM a{r}_raw
+),
+h{r}_raw AS MATERIALIZED (
+  SELECT n.node, coalesce(sum(p.a), 0) AS h
+  FROM nodes n
+  LEFT JOIN dpairs e ON e.src = n.node
+  LEFT JOIN a{r} p ON p.node = e.dst
+  GROUP BY n.node
+),
+h{r} AS MATERIALIZED (
+  SELECT node, ({_HITS_SCALE} * h) // (SELECT sum(h) FROM h{r}_raw) AS h
+  FROM h{r}_raw
+)""")
+        prev_h = f"h{r}"
+    body = ",".join(rounds)
+    return f"""
+WITH dpairs AS MATERIALIZED (
+  SELECT DISTINCT s_nationkey AS src, c_nationkey AS dst
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  WHERE s_nationkey <> c_nationkey
+),
+nodes AS MATERIALIZED (
+  SELECT src AS node FROM dpairs UNION SELECT dst FROM dpairs
+),
+h0 AS MATERIALIZED (SELECT node, {_HITS_SCALE}::BIGINT AS h FROM nodes),{body}
+SELECT CAST(n.node AS BIGINT) AS nationkey,
+       CAST(h{_HITS_ROUNDS}.h AS BIGINT) AS hub_ppm,
+       CAST(a{_HITS_ROUNDS}.a AS BIGINT) AS auth_ppm
+FROM nodes n
+JOIN h{_HITS_ROUNDS} ON h{_HITS_ROUNDS}.node = n.node
+JOIN a{_HITS_ROUNDS} ON a{_HITS_ROUNDS}.node = n.node
+ORDER BY nationkey
+"""
+
+
+ROUND8_ORACLES["hits_hubs_authorities"] = _hits_oracle()
+
+
+# ---------------------------------------------------------------------------
+# newsvendor_stock_level — critical-fractile stocking from weekly demand
+# ---------------------------------------------------------------------------
+
+
+def newsvendor_stock_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEWSVENDOR critical-fractile stocking per brand (SURVEY §2
+    #288) — the classic single-period inventory quantile (Arrow-
+    Harris-Marschak 1951): stock the q-th demand quantile where
+    q = cu/(cu+co).  Underage cost is the forgone margin (the 30%
+    list markup minus the brand's observed mean discount), overage is
+    a 10%-of-price holding cost, so the fractile
+    (3000 - d_bp)/(4000 - d_bp) genuinely varies per brand with its
+    discount culture — deep-discount brands rationally stock LOWER
+    quantiles.  The quantile itself is an exact order statistic
+    selected by rank k = ceil(q * n_weeks) over the weekly-demand
+    census — percentile_disc cannot take a PER-GROUP fraction, the
+    rank-selection form can, and it is engine-exact by construction
+    (an actual demand value, never interpolated).
+
+    Scale shape: one map-combined agg to the (brand, week) census
+    (|brands| x |weeks| — both dim/time-bounded), the discount census
+    by a parallel agg broadcast back, ranks via windows PARTITIONED by
+    brand over the weekly census.  The fact table never rides a
+    window.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), F.col("p_brand").alias("brand")
+    )
+    joined = li.join(F.broadcast(part), "l_partkey").select(
+        "brand",
+        F.expr("cast(weekofyear(l_shipdate) as int)").alias("wk"),
+        F.expr("year(l_shipdate)").alias("yr"),
+        F.expr("cast(l_quantity as bigint)").alias("qty"),
+        F.expr("cast(cast(l_discount as decimal(4,2)) * 10000 as bigint)")
+        .alias("disc_bp"),
+    )
+    weekly = joined.groupBy("brand", "yr", "wk").agg(
+        F.sum("qty").alias("demand")
+    )
+    fract = joined.groupBy("brand").agg(
+        F.expr(
+            "cast((10000 * (3000 - sum(disc_bp) div count(*)))"
+            " div (4000 - sum(disc_bp) div count(*)) as bigint)"
+        ).alias("q_bp")
+    )
+    w = Window.partitionBy("brand").orderBy("demand", "yr", "wk")
+    ranked = weekly.withColumn("rk", F.row_number().over(w))
+    counts = weekly.groupBy("brand").agg(F.count(F.lit(1)).alias("n_weeks"))
+    return (
+        ranked.join(F.broadcast(counts), "brand")
+        .join(F.broadcast(fract), "brand")
+        .filter(F.expr("rk = (q_bp * n_weeks + 9999) div 10000"))
+        .select(
+            "brand",
+            F.col("n_weeks").cast("bigint").alias("n_weeks"),
+            F.col("q_bp").cast("bigint").alias("fractile_bp"),
+            F.col("demand").cast("bigint").alias("stock_level"),
+        )
+        .orderBy("brand")
+    )
+
+
+ROUND8_QUERIES["newsvendor_stock_level"] = newsvendor_stock_level
+
+ROUND8_ORACLES["newsvendor_stock_level"] = """
+WITH joined AS (
+  SELECT p.p_brand AS brand,
+         CAST(weekofyear(l_shipdate) AS INT) AS wk,
+         year(l_shipdate) AS yr,
+         CAST(l_quantity AS BIGINT) AS qty,
+         CAST(CAST(l_discount AS DECIMAL(4,2)) * 10000 AS BIGINT) AS disc_bp
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+),
+weekly AS (
+  SELECT brand, yr, wk, sum(qty) AS demand
+  FROM joined GROUP BY brand, yr, wk
+),
+fract AS (
+  SELECT brand,
+         CAST((10000 * (3000 - sum(disc_bp) // count(*)))
+              // (4000 - sum(disc_bp) // count(*)) AS BIGINT) AS q_bp
+  FROM joined GROUP BY brand
+),
+ranked AS (
+  SELECT brand, yr, wk, demand,
+         row_number() OVER (PARTITION BY brand
+                            ORDER BY demand, yr, wk) AS rk
+  FROM weekly
+),
+counts AS (
+  SELECT brand, count(*) AS n_weeks FROM weekly GROUP BY brand
+)
+SELECT r.brand,
+       CAST(c.n_weeks AS BIGINT) AS n_weeks,
+       CAST(f.q_bp AS BIGINT) AS fractile_bp,
+       CAST(r.demand AS BIGINT) AS stock_level
+FROM ranked r
+JOIN counts c ON c.brand = r.brand
+JOIN fract f ON f.brand = r.brand
+WHERE r.rk = (f.q_bp * c.n_weeks + 9999) // 10000
+ORDER BY r.brand
+"""
