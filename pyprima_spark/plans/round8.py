@@ -5967,3 +5967,276 @@ JOIN fract f ON f.brand = r.brand
 WHERE r.rk = (f.q_bp * c.n_weeks + 9999) // 10000
 ORDER BY r.brand
 """
+
+
+# ---------------------------------------------------------------------------
+# regression_discontinuity — local-linear jump estimate at a date cutoff
+# ---------------------------------------------------------------------------
+
+_RD_CUTOFF = "date'1997-07-01'"
+_RD_BW_DAYS = 90
+
+
+def regression_discontinuity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REGRESSION-DISCONTINUITY jump estimate (SURVEY §2 #289) — the
+    third identification strategy next to diff_in_diff (parallel
+    trends) and cuped_adjustment (pre-period variance): when a policy
+    switches ON at a date, the causal jump is the gap between two
+    LOCAL LINEAR fits meeting at the cutoff (Thistlethwaite-Campbell
+    1960; Imbens-Lemieux 2008 prescribe local linear over global
+    polynomials).  Per segment: daily k$-revenue census within ±90
+    days, exact integer OLS moments per side, and the jump = intercept
+    difference at x = 0 published in milli-k$ via one trailing
+    DECIMAL(38,0) division — the intercept numerators (Σy·Σx² − Σx·Σxy
+    ≈ 1e12) and the 1000·num·den cross terms (~1e23) stay inside the
+    documented 38-digit budget.
+
+    Scale shape: one map-combined agg to the (segment, side, day)
+    census (≤ 5·2·90 rows), one census agg to per-side moments, one
+    5-row join — windowless, nothing fact-sized after the first agg.
+    """
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.expr(
+            f"o_orderdate >= {_RD_CUTOFF} - interval {_RD_BW_DAYS} days"
+            f" AND o_orderdate < {_RD_CUTOFF} + interval {_RD_BW_DAYS} days"
+        )
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    daily = (
+        orders.join(cust, "o_custkey")
+        .groupBy(
+            "segment",
+            F.expr(f"datediff(cast(o_orderdate as date), {_RD_CUTOFF})")
+            .alias("x"),
+        )
+        .agg(
+            F.expr(
+                "cast(sum(cast(o_totalprice as decimal(18,2)) * 100)"
+                " as decimal(38,0)) div 100000"
+            ).alias("y")
+        )
+        .withColumn("side", F.expr("CASE WHEN x < 0 THEN 'L' ELSE 'R' END"))
+    )
+    moments = daily.groupBy("segment", "side").agg(
+        F.count(F.lit(1)).alias("nn"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("cast(x as decimal(38,0)) * x")).alias("sxx"),
+        F.sum(F.expr("cast(x as decimal(38,0)) * y")).alias("sxy"),
+    ).select(
+        "segment",
+        "side",
+        "nn",
+        F.expr("sy * sxx - sx * sxy").alias("a_num"),
+        F.expr("nn * sxx - sx * sx").alias("den"),
+    )
+    left = moments.filter(F.col("side") == "L").select(
+        "segment",
+        F.col("nn").alias("n_left"),
+        F.col("a_num").alias("al_num"),
+        F.col("den").alias("dl"),
+    )
+    right = moments.filter(F.col("side") == "R").select(
+        "segment",
+        F.col("nn").alias("n_right"),
+        F.col("a_num").alias("ar_num"),
+        F.col("den").alias("dr"),
+    )
+    return (
+        left.join(right, "segment")
+        .select(
+            "segment",
+            F.col("n_left").cast("bigint").alias("n_left"),
+            F.col("n_right").cast("bigint").alias("n_right"),
+            F.expr(
+                "cast((1000 * al_num) div dl as bigint)"
+            ).alias("intercept_left_milli"),
+            F.expr(
+                "cast((1000 * ar_num) div dr as bigint)"
+            ).alias("intercept_right_milli"),
+            F.expr(
+                "cast((1000 * (ar_num * dl - al_num * dr))"
+                " div (dr * dl) as bigint)"
+            ).alias("jump_milli"),
+        )
+        .orderBy("segment")
+    )
+
+
+ROUND8_QUERIES["regression_discontinuity"] = regression_discontinuity
+
+ROUND8_ORACLES["regression_discontinuity"] = f"""
+WITH daily AS (
+  SELECT c.c_mktsegment AS segment,
+         datediff('day', DATE '1997-07-01', CAST(o_orderdate AS DATE)) AS x,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS HUGEINT)
+           // 100000 AS y
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  WHERE o_orderdate >= DATE '1997-07-01' - INTERVAL {_RD_BW_DAYS} DAY
+    AND o_orderdate < DATE '1997-07-01' + INTERVAL {_RD_BW_DAYS} DAY
+  GROUP BY 1, 2
+),
+moments AS (
+  SELECT segment, CASE WHEN x < 0 THEN 'L' ELSE 'R' END AS side,
+         count(*) AS nn,
+         sum(y)::HUGEINT * sum(x::HUGEINT * x)
+           - sum(x)::HUGEINT * sum(x::HUGEINT * y) AS a_num,
+         count(*)::HUGEINT * sum(x::HUGEINT * x)
+           - sum(x)::HUGEINT * sum(x) AS den
+  FROM daily GROUP BY 1, 2
+)
+SELECT l.segment,
+       CAST(l.nn AS BIGINT) AS n_left,
+       CAST(r.nn AS BIGINT) AS n_right,
+       CAST((1000 * l.a_num) // l.den AS BIGINT) AS intercept_left_milli,
+       CAST((1000 * r.a_num) // r.den AS BIGINT) AS intercept_right_milli,
+       CAST((1000 * (r.a_num * l.den - l.a_num * r.den))
+            // (r.den * l.den) AS BIGINT) AS jump_milli
+FROM moments l JOIN moments r ON l.segment = r.segment
+WHERE l.side = 'L' AND r.side = 'R'
+ORDER BY l.segment
+"""
+
+
+# ---------------------------------------------------------------------------
+# disparate_impact_audit — four-fifths-rule fairness census
+# ---------------------------------------------------------------------------
+
+
+def disparate_impact_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISPARATE-IMPACT audit (SURVEY §2 #290) — the four-fifths rule
+    (EEOC 1978; Feldman et al. 2015 for the ML framing), the fairness
+    census the pipeline family was missing: within each market
+    segment, the late-1997 conversion rate per REGION (the protected
+    attribute stand-in) against the best-performing region, flagged
+    when the ratio falls under 80%.  The reference group is the exact
+    argmax by CROSS-MULTIPLIED rate comparison (pos_i·n_j > pos_j·n_i
+    — no floored rate ever decides the winner), and the published
+    ratio is the exact di_bp = (10000·pos_g·n_ref) div (n_g·pos_ref),
+    so a group sitting at 79.99% cannot round up past the rule.
+
+    Scale shape: one fact agg to the 25-cell (segment, region) census;
+    the reference election is a 25×25 broadcast self-join (windowless
+    argmax); everything after the first agg is census-sized.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .join(
+            _t(spark, sf_dir, "nation"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            _t(spark, sf_dir, "region"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(
+            F.col("c_custkey").alias("cust"),
+            F.col("c_mktsegment").alias("segment"),
+            F.col("r_name").alias("region"),
+        )
+    )
+    per_cust = orders.groupBy(F.col("o_custkey").alias("cust")).agg(
+        F.max(
+            F.expr("o_orderdate >= date'1997-07-01'").cast("int")
+        ).alias("conv")
+    )
+    cells = materialize(
+        per_cust.join(cust, "cust")
+        .groupBy("segment", "region")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("conv").alias("pos"))
+    )
+    other = cells.select(
+        F.col("segment").alias("o_seg"),
+        F.col("region").alias("o_reg"),
+        F.col("n").alias("o_n"),
+        F.col("pos").alias("o_pos"),
+    )
+    # reference = exact-rate argmax per segment, ties to the first
+    # region name; a cell loses if any other cell has a strictly
+    # higher cross-multiplied rate (or equal rate and earlier name).
+    ref = (
+        cells.join(
+            F.broadcast(other),
+            F.expr(
+                "segment = o_seg AND (o_pos * n > pos * o_n"
+                " OR (o_pos * n = pos * o_n AND o_reg < region))"
+            ),
+            "left_anti",
+        )
+        .select(
+            F.col("segment"),
+            F.col("region").alias("ref_region"),
+            F.col("n").alias("ref_n"),
+            F.col("pos").alias("ref_pos"),
+        )
+    )
+    return (
+        cells.join(F.broadcast(ref), "segment")
+        .select(
+            "segment",
+            "region",
+            F.col("n").cast("bigint").alias("n"),
+            F.expr("cast((10000 * pos) div n as bigint)").alias("rate_bp"),
+            "ref_region",
+            F.expr(
+                "cast(coalesce((10000 * cast(pos as decimal(38,0)) * ref_n)"
+                " div nullif(cast(n as decimal(38,0)) * ref_pos, 0), -1)"
+                " as bigint)"
+            ).alias("di_bp"),
+            F.expr(
+                "cast(CASE WHEN (10000 * cast(pos as decimal(38,0)) * ref_n)"
+                " div nullif(cast(n as decimal(38,0)) * ref_pos, 0)"
+                " >= 8000 THEN 1 ELSE 0 END as bigint)"
+            ).alias("four_fifths_ok"),
+        )
+        .orderBy("segment", "region")
+    )
+
+
+ROUND8_QUERIES["disparate_impact_audit"] = disparate_impact_audit
+
+ROUND8_ORACLES["disparate_impact_audit"] = """
+WITH cust AS (
+  SELECT c_custkey AS cust, c_mktsegment AS segment, r_name AS region
+  FROM customer
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+),
+per_cust AS (
+  SELECT o_custkey AS cust,
+         max(CASE WHEN o_orderdate >= DATE '1997-07-01'
+                  THEN 1 ELSE 0 END) AS conv
+  FROM orders GROUP BY o_custkey
+),
+cells AS (
+  SELECT segment, region, count(*) AS n, sum(conv) AS pos
+  FROM per_cust JOIN cust USING (cust)
+  GROUP BY segment, region
+),
+ref AS (
+  SELECT c.segment, c.region AS ref_region, c.n AS ref_n, c.pos AS ref_pos
+  FROM cells c
+  WHERE NOT EXISTS (
+    SELECT 1 FROM cells o
+    WHERE o.segment = c.segment
+      AND (o.pos * c.n > c.pos * o.n
+           OR (o.pos * c.n = c.pos * o.n AND o.region < c.region))
+  )
+)
+SELECT c.segment, c.region,
+       CAST(c.n AS BIGINT) AS n,
+       CAST((10000 * c.pos) // c.n AS BIGINT) AS rate_bp,
+       r.ref_region,
+       CAST(coalesce((10000 * c.pos::HUGEINT * r.ref_n)
+                     // nullif(c.n::HUGEINT * r.ref_pos, 0), -1) AS BIGINT)
+         AS di_bp,
+       CAST(CASE WHEN (10000 * c.pos::HUGEINT * r.ref_n)
+                      // nullif(c.n::HUGEINT * r.ref_pos, 0) >= 8000
+                 THEN 1 ELSE 0 END AS BIGINT) AS four_fifths_ok
+FROM cells c JOIN ref r USING (segment)
+ORDER BY c.segment, c.region
+"""
