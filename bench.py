@@ -331,6 +331,8 @@ BENCH_QUERIES = [
     "newsvendor_stock_level",
     "regression_discontinuity",
     "disparate_impact_audit",
+    "merkle_tree_diff",
+    "t_closeness_audit",
     # Excluded, with reasons (VERDICT r5 item 4 — one comment per key):
     #   streaming_sessions / streaming_rate_limit / streaming_hourly_stats /
     #   streaming_sliding_counts / streaming_hourly_drift — run the

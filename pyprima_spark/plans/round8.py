@@ -6240,3 +6240,361 @@ SELECT c.segment, c.region,
 FROM cells c JOIN ref r USING (segment)
 ORDER BY c.segment, c.region
 """
+
+
+# ---------------------------------------------------------------------------
+# merkle_tree_diff — anti-entropy hash-tree divergence walk
+# ---------------------------------------------------------------------------
+
+# 3-level tree over the customer key space: 1024-key leaves, fanout 16.
+_MKL_LEAF = 1024
+_MKL_FAN = 16
+
+
+def merkle_tree_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERKLE-TREE anti-entropy diff (SURVEY §2 #291) — the
+    Dynamo/Cassandra replica-repair walk, localizing WHERE two
+    replicas diverge where replica_checksum_audit only says THAT they
+    do: row hashes xor-folded into 1024-key leaves, leaves folded 16:1
+    into two more levels, and the diff descends ONLY under differing
+    parents — the published per-level compare counts show the
+    bandwidth story (compare 16 roots' children, not a million rows).
+    Replica B is replica A with deterministic planted divergence
+    (hash-selected ~0.2% of keys mutated, ~0.1% dropped — the
+    luhn/blocklist planted-truth pattern).  bit_xor is commutative and
+    associative, so every fold is map-side combinable and
+    order-independent — no sort anywhere.
+
+    Scale shape: two map-combined xor aggs build all levels (leaf agg,
+    then census-sized folds); the walk is three census joins.  Output:
+    divergent leaves with both sides' counts, plus the per-level
+    compare/diff censuses as audit columns.
+    """
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.expr(
+            "cast(cast(c_acctbal as decimal(12,2)) * 100 as bigint)"
+        ).alias("bal_c"),
+    )
+    sel = X.hash64_spark("cast(c_custkey as string) || ':corrupt'")
+    rows_a = cust.select(
+        "c_custkey",
+        F.expr(
+            X.hash64_spark("cast(c_custkey as string) || ':' || bal_c")
+        ).alias("rh"),
+    )
+    rows_b = (
+        cust.filter(F.expr(f"({sel}) % 1000 != 2"))
+        .select(
+            "c_custkey",
+            F.expr("bal_c"),
+            F.expr(f"({sel}) % 1000").alias("m"),
+        )
+        .select(
+            "c_custkey",
+            F.expr(
+                X.hash64_spark(
+                    "cast(c_custkey as string) || ':' ||"
+                    " (CASE WHEN m < 2 THEN bal_c + 1 ELSE bal_c END)"
+                )
+            ).alias("rh"),
+        )
+    )
+
+    def levels(rows: DataFrame, tag: str) -> DataFrame:
+        leaf = rows.groupBy(
+            F.expr(f"c_custkey div {_MKL_LEAF}").alias("leaf")
+        ).agg(
+            F.expr("bit_xor(rh)").alias(f"h_{tag}"),
+            F.count(F.lit(1)).alias(f"n_{tag}"),
+        )
+        return materialize(leaf)
+
+    la, lb = levels(rows_a, "a"), levels(rows_b, "b")
+    leaves = materialize(
+        la.join(lb, "leaf", "full")
+        .select(
+            "leaf",
+            F.coalesce("h_a", F.lit(0)).alias("h_a"),
+            F.coalesce("h_b", F.lit(0)).alias("h_b"),
+            F.coalesce("n_a", F.lit(0)).alias("n_a"),
+            F.coalesce("n_b", F.lit(0)).alias("n_b"),
+        )
+    )
+    l1 = materialize(
+        leaves.groupBy(F.expr(f"leaf div {_MKL_FAN}").alias("p1")).agg(
+            F.expr("bit_xor(h_a)").alias("h1a"),
+            F.expr("bit_xor(h_b)").alias("h1b"),
+        )
+    )
+    l2 = l1.groupBy(F.expr(f"p1 div {_MKL_FAN}").alias("p2")).agg(
+        F.expr("bit_xor(h1a)").alias("h2a"),
+        F.expr("bit_xor(h1b)").alias("h2b"),
+    )
+    stats = (
+        l2.agg(
+            F.count(F.lit(1)).alias("l2_compared"),
+            F.sum(F.expr("CASE WHEN h2a != h2b THEN 1 ELSE 0 END")).alias(
+                "l2_diff"
+            ),
+        )
+        .crossJoin(
+            l1.join(
+                F.broadcast(
+                    l2.filter("h2a != h2b").select(F.col("p2").alias("d2"))
+                ),
+                F.expr(f"p1 div {_MKL_FAN} = d2"),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("l1_compared"),
+                F.sum(
+                    F.expr("CASE WHEN h1a != h1b THEN 1 ELSE 0 END")
+                ).alias("l1_diff"),
+            )
+        )
+    )
+    bad_l1 = l1.filter("h1a != h1b").select(F.col("p1").alias("d1"))
+    return (
+        leaves.join(F.broadcast(bad_l1), F.expr(f"leaf div {_MKL_FAN} = d1"))
+        .filter("h_a != h_b")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col("leaf").cast("bigint").alias("leaf"),
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.col("l2_compared").cast("bigint").alias("l2_compared"),
+            F.col("l2_diff").cast("bigint").alias("l2_diff"),
+            F.col("l1_compared").cast("bigint").alias("l1_compared"),
+            F.col("l1_diff").cast("bigint").alias("l1_diff"),
+        )
+        .orderBy("leaf")
+    )
+
+
+ROUND8_QUERIES["merkle_tree_diff"] = merkle_tree_diff
+
+_mkl_sel_duck = X.hash64_duck("CAST(c_custkey AS VARCHAR) || ':corrupt'")
+
+ROUND8_ORACLES["merkle_tree_diff"] = f"""
+WITH base AS MATERIALIZED (
+  SELECT c_custkey,
+         CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS bal_c,
+         ({_mkl_sel_duck}) % 1000 AS m
+  FROM customer
+),
+rows_a AS (
+  SELECT c_custkey,
+         {X.hash64_duck("CAST(c_custkey AS VARCHAR) || ':' || bal_c")} AS rh
+  FROM base
+),
+rows_b AS (
+  SELECT c_custkey,
+         {X.hash64_duck("CAST(c_custkey AS VARCHAR) || ':' || (CASE WHEN m < 2 THEN bal_c + 1 ELSE bal_c END)")}
+           AS rh
+  FROM base WHERE m != 2
+),
+la AS MATERIALIZED (
+  SELECT c_custkey // {_MKL_LEAF} AS leaf, bit_xor(rh) AS h_a,
+         count(*) AS n_a
+  FROM rows_a GROUP BY 1
+),
+lb AS MATERIALIZED (
+  SELECT c_custkey // {_MKL_LEAF} AS leaf, bit_xor(rh) AS h_b,
+         count(*) AS n_b
+  FROM rows_b GROUP BY 1
+),
+leaves AS MATERIALIZED (
+  SELECT coalesce(la.leaf, lb.leaf) AS leaf,
+         coalesce(h_a, 0) AS h_a, coalesce(h_b, 0) AS h_b,
+         coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+  FROM la FULL JOIN lb ON la.leaf = lb.leaf
+),
+l1 AS MATERIALIZED (
+  SELECT leaf // {_MKL_FAN} AS p1,
+         bit_xor(h_a) AS h1a, bit_xor(h_b) AS h1b
+  FROM leaves GROUP BY 1
+),
+l2 AS MATERIALIZED (
+  SELECT p1 // {_MKL_FAN} AS p2,
+         bit_xor(h1a) AS h2a, bit_xor(h1b) AS h2b
+  FROM l1 GROUP BY 1
+),
+stats AS MATERIALIZED (
+  SELECT (SELECT count(*) FROM l2) AS l2_compared,
+         (SELECT count(*) FROM l2 WHERE h2a != h2b) AS l2_diff,
+         (SELECT count(*) FROM l1
+           WHERE p1 // {_MKL_FAN} IN (SELECT p2 FROM l2 WHERE h2a != h2b))
+           AS l1_compared,
+         (SELECT count(*) FROM l1
+           WHERE h1a != h1b
+             AND p1 // {_MKL_FAN} IN (SELECT p2 FROM l2 WHERE h2a != h2b))
+           AS l1_diff
+)
+SELECT CAST(leaf AS BIGINT) AS leaf,
+       CAST(n_a AS BIGINT) AS n_a,
+       CAST(n_b AS BIGINT) AS n_b,
+       CAST(l2_compared AS BIGINT) AS l2_compared,
+       CAST(l2_diff AS BIGINT) AS l2_diff,
+       CAST(l1_compared AS BIGINT) AS l1_compared,
+       CAST(l1_diff AS BIGINT) AS l1_diff
+FROM leaves CROSS JOIN stats
+WHERE h_a != h_b
+  AND leaf // {_MKL_FAN} IN (SELECT p1 FROM l1 WHERE h1a != h1b)
+ORDER BY leaf
+"""
+
+
+# ---------------------------------------------------------------------------
+# t_closeness_audit — ordered-EMD distance of group vs global distributions
+# ---------------------------------------------------------------------------
+
+# 10 fixed acctbal buckets (literal cuts over the [-999.99, 9999.99]
+# domain) and the published t threshold (0.20 => 200 milli).
+_TCL_BUCKETS = 10
+_TCL_T_MILLI = 200
+
+
+def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T-CLOSENESS audit (SURVEY §2 #292) — the third rung of the
+    anonymization ladder the catalog already climbs twice
+    (k_anonymity_audit: groups too small; l_diversity_audit: sensitive
+    values too uniform): Li-Li-Venkatasubramanian 2007's requirement
+    that each quasi-identifier group's SENSITIVE-value distribution
+    sit within EMD t of the global one — l-diversity passes a group
+    whose 10 distinct balances are all in the top decile; t-closeness
+    is what catches that skew.  For the ORDERED balance attribute the
+    EMD has the closed prefix form (1/(m-1))·Σ|cum(P−Q)|, computed
+    exactly in cross-multiplied integers: cum_i = Σ_{j<=i}(n_gj·N −
+    N_j·n_g), emd_milli = (1000·Σ|cum_i|) div ((m−1)·n_g·N) — one
+    trailing division, DECIMAL(38,0) headroom to ~1e12 rows per side.
+
+    Scale shape: one fact agg to the (segment, nation, bucket) census;
+    global bucket census broadcast back; the prefix sum runs over the
+    ≤10-row bucket axis PARTITIONED by group.  Windowless below the
+    census; the quasi-ID group count bounds everything.
+    """
+    cust = _t(spark, sf_dir, "customer").join(
+        _t(spark, sf_dir, "nation"),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("n_name").alias("nation"),
+        F.expr(
+            "least(greatest(cast((cast(cast(c_acctbal as decimal(12,2))"
+            f" * 100 as bigint) + 100000) div 110000 as int), 0),"
+            f" {_TCL_BUCKETS - 1})"
+        ).alias("bucket"),
+    )
+    census = materialize(
+        cust.groupBy("segment", "nation", "bucket").agg(
+            F.count(F.lit(1)).alias("n_gj")
+        )
+    )
+    groups = census.groupBy("segment", "nation").agg(
+        F.sum("n_gj").alias("n_g")
+    )
+    glob = census.groupBy("bucket").agg(F.sum("n_gj").alias("n_j"))
+    total = census.agg(F.sum("n_gj").alias("nn"))
+    # dense (group x bucket) frame so empty buckets still contribute
+    # their cumulative deficit
+    buckets = spark.range(_TCL_BUCKETS).select(
+        F.col("id").cast("int").alias("bucket")
+    )
+    dense = (
+        groups.crossJoin(F.broadcast(buckets))
+        .join(census, ["segment", "nation", "bucket"], "left")
+        .join(F.broadcast(glob), "bucket")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "segment",
+            "nation",
+            "bucket",
+            "n_g",
+            "nn",
+            F.expr(
+                "cast(coalesce(n_gj, 0) as decimal(38,0)) * nn"
+                " - cast(n_j as decimal(38,0)) * n_g"
+            ).alias("diff"),
+        )
+    )
+    w = (
+        Window.partitionBy("segment", "nation")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cums = dense.withColumn("cum", F.sum("diff").over(w))
+    return (
+        cums.groupBy("segment", "nation", "n_g", "nn")
+        .agg(F.sum(F.expr("abs(cum)")).alias("sum_abs"))
+        .select(
+            "segment",
+            "nation",
+            F.col("n_g").cast("bigint").alias("n"),
+            F.expr(
+                f"cast((1000 * sum_abs) div ({_TCL_BUCKETS - 1}"
+                " * cast(n_g as decimal(38,0)) * nn) as bigint)"
+            ).alias("emd_milli"),
+            F.expr(
+                f"cast(CASE WHEN (1000 * sum_abs) div ({_TCL_BUCKETS - 1}"
+                " * cast(n_g as decimal(38,0)) * nn)"
+                f" <= {_TCL_T_MILLI} THEN 1 ELSE 0 END as bigint)"
+            ).alias("t_close_ok"),
+        )
+        .orderBy("segment", "nation")
+    )
+
+
+ROUND8_QUERIES["t_closeness_audit"] = t_closeness_audit
+
+ROUND8_ORACLES["t_closeness_audit"] = f"""
+WITH cust AS MATERIALIZED (
+  SELECT c_mktsegment AS segment, n_name AS nation,
+         least(greatest(CAST((CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100
+                              AS BIGINT) + 100000) // 110000 AS INT), 0),
+               {_TCL_BUCKETS - 1}) AS bucket
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+),
+census AS MATERIALIZED (
+  SELECT segment, nation, bucket, count(*) AS n_gj
+  FROM cust GROUP BY 1, 2, 3
+),
+groups AS (
+  SELECT segment, nation, sum(n_gj) AS n_g FROM census GROUP BY 1, 2
+),
+gbl AS (SELECT bucket, sum(n_gj) AS n_j FROM census GROUP BY bucket),
+total AS (SELECT sum(n_gj) AS nn FROM census),
+buckets AS (
+  SELECT CAST(b AS INT) AS bucket
+  FROM unnest(generate_series(0, {_TCL_BUCKETS - 1})) AS t(b)
+),
+dense AS (
+  SELECT g.segment, g.nation, b.bucket, g.n_g, t.nn,
+         coalesce(c.n_gj, 0)::HUGEINT * t.nn
+           - gl.n_j::HUGEINT * g.n_g AS diff
+  FROM groups g
+  CROSS JOIN buckets b
+  LEFT JOIN census c ON c.segment = g.segment AND c.nation = g.nation
+                    AND c.bucket = b.bucket
+  JOIN gbl gl ON gl.bucket = b.bucket
+  CROSS JOIN total t
+),
+cums AS (
+  SELECT segment, nation, n_g, nn,
+         sum(diff) OVER (PARTITION BY segment, nation ORDER BY bucket
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM dense
+)
+SELECT segment, nation,
+       CAST(n_g AS BIGINT) AS n,
+       CAST((1000 * sum(abs(cum)))
+            // ({_TCL_BUCKETS - 1} * n_g::HUGEINT * nn) AS BIGINT)
+         AS emd_milli,
+       CAST(CASE WHEN (1000 * sum(abs(cum)))
+                      // ({_TCL_BUCKETS - 1} * n_g::HUGEINT * nn)
+                      <= {_TCL_T_MILLI}
+                 THEN 1 ELSE 0 END AS BIGINT) AS t_close_ok
+FROM cums
+GROUP BY segment, nation, n_g, nn
+ORDER BY segment, nation
+"""
