@@ -6598,3 +6598,320 @@ FROM cums
 GROUP BY segment, nation, n_g, nn
 ORDER BY segment, nation
 """
+
+
+# ---------------------------------------------------------------------------
+# rake_keywords — RAKE keyphrase extraction per source
+# ---------------------------------------------------------------------------
+
+from pyprima_spark.plans.constants import STOPWORDS as _STOPWORDS
+
+_RAKE_STOPS = sorted(set(w for ws in _STOPWORDS.values() for w in ws))
+_RAKE_TOPK = 5
+_RAKE_MAXLEN = 4
+
+
+def rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (SURVEY §2 #293) — Rose et al. 2010's
+    Rapid Automatic Keyword Extraction, the PHRASE-level summarizer
+    next to tfidf_top_terms' single tokens (tf-idf cannot surface
+    "supply chain risk" as a unit; RAKE's whole point is that
+    keyphrases are maximal stopword-free runs): candidate phrases are
+    token runs split at stopwords/punctuation, word scores are
+    deg(w)/freq(w) over the source's candidates, a phrase scores the
+    sum of its words — per-word milli-floored (deterministic on both
+    engines), top-5 phrases per source.
+
+    Scale shape: tokenization explodes per document with windows
+    PARTITIONED BY doc (document-length bounded — the sequence-ops
+    class); word stats are one vocab-bounded agg; the top-k election
+    is a WindowGroupLimit-partitioned rank per source.  The corpus
+    never sorts globally.
+    """
+    stops = ", ".join(f"'{w}'" for w in _RAKE_STOPS)
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.expr(
+            "filter(split(lower(text), '[^a-z]+'), t -> t <> '')"
+        ).alias("toks"),
+    )
+    pos = docs.select(
+        "doc_id",
+        "source",
+        F.posexplode("toks").alias("pos", "tok"),
+    ).withColumn("is_stop", F.expr(f"tok IN ({stops})").cast("int"))
+    wseg = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    words = (
+        pos.withColumn("phrase_id", F.sum("is_stop").over(wseg))
+        .filter("is_stop = 0")
+    )
+    phrases = materialize(
+        words.groupBy("doc_id", "source", "phrase_id")
+        .agg(
+            F.expr(
+                "array_join(transform(array_sort(collect_list("
+                "struct(pos, tok))), s -> s.tok), ' ')"
+            ).alias("phrase"),
+            F.count(F.lit(1)).alias("plen"),
+            F.collect_list("tok").alias("ptoks"),
+        )
+        .filter(F.expr(f"plen BETWEEN 2 AND {_RAKE_MAXLEN}"))
+    )
+    pwords = phrases.select(
+        "source", "phrase", "plen", F.explode("ptoks").alias("tok")
+    )
+    wstats = pwords.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).alias("freq"), F.sum("plen").alias("deg")
+    )
+    scored = (
+        pwords.join(wstats, ["source", "tok"])
+        .groupBy("source", "phrase")
+        .agg(
+            F.sum(F.expr("(1000 * deg) div freq")).alias("score_sum"),
+            F.count(F.lit(1)).alias("n_words_obs"),
+        )
+    )
+    # score per occurrence is identical (word stats are source-level),
+    # so the summed score divided by occurrence count IS the phrase
+    # score; then rank per source.
+    final = (
+        phrases.groupBy("source", "phrase", "plen")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .join(
+            scored.select("source", "phrase", "score_sum"),
+            ["source", "phrase"],
+        )
+        .select(
+            "source",
+            "phrase",
+            "plen",
+            "n_occurrences",
+            F.expr(
+                "cast(score_sum div n_occurrences as bigint)"
+            ).alias("score_milli"),
+        )
+    )
+    wtop = Window.partitionBy("source").orderBy(
+        F.desc("score_milli"), F.asc("phrase")
+    )
+    return (
+        final.withColumn("rk", F.row_number().over(wtop))
+        .filter(f"rk <= {_RAKE_TOPK}")
+        .select(
+            "source",
+            F.col("rk").cast("bigint").alias("rank"),
+            "phrase",
+            F.col("plen").cast("bigint").alias("n_words"),
+            F.col("n_occurrences").cast("bigint").alias("n_occurrences"),
+            F.col("score_milli").cast("bigint").alias("score_milli"),
+        )
+        .orderBy("source", "rank")
+    )
+
+
+ROUND8_QUERIES["rake_keywords"] = rake_keywords
+
+_rake_stops_sql = ", ".join(f"'{w}'" for w in _RAKE_STOPS)
+
+ROUND8_ORACLES["rake_keywords"] = f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                     t -> t <> '') AS toks
+  FROM documents
+),
+pos AS MATERIALIZED (
+  SELECT doc_id, source, p - 1 AS pos, toks[p] AS tok,
+         CASE WHEN toks[p] IN ({_rake_stops_sql}) THEN 1 ELSE 0 END
+           AS is_stop
+  FROM toks, unnest(generate_series(1, len(toks))) AS t(p)
+),
+words AS MATERIALIZED (
+  SELECT doc_id, source, pos, tok,
+         sum(is_stop) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS phrase_id
+  FROM pos
+  QUALIFY is_stop = 0
+),
+phrases AS MATERIALIZED (
+  SELECT doc_id, source, phrase_id,
+         string_agg(tok, ' ' ORDER BY pos) AS phrase,
+         count(*) AS plen,
+         list(tok ORDER BY pos) AS ptoks
+  FROM words GROUP BY doc_id, source, phrase_id
+  HAVING count(*) BETWEEN 2 AND {_RAKE_MAXLEN}
+),
+pwords AS MATERIALIZED (
+  SELECT source, phrase, plen, unnest(ptoks) AS tok FROM phrases
+),
+wstats AS MATERIALIZED (
+  SELECT source, tok, count(*) AS freq, sum(plen) AS deg
+  FROM pwords GROUP BY source, tok
+),
+scored AS MATERIALIZED (
+  SELECT p.source, p.phrase,
+         sum((1000 * w.deg) // w.freq) AS score_sum,
+         count(*) AS n_words_obs
+  FROM pwords p JOIN wstats w ON w.source = p.source AND w.tok = p.tok
+  GROUP BY p.source, p.phrase
+),
+final AS (
+  SELECT f.source, f.phrase, f.plen, f.n_occurrences,
+         CAST(s.score_sum // f.n_occurrences AS BIGINT) AS score_milli
+  FROM (
+    SELECT source, phrase, plen, count(*) AS n_occurrences
+    FROM phrases GROUP BY source, phrase, plen
+  ) f
+  JOIN scored s ON s.source = f.source AND s.phrase = f.phrase
+)
+SELECT source,
+       CAST(row_number() OVER (PARTITION BY source
+                               ORDER BY score_milli DESC, phrase)
+            AS BIGINT) AS rank,
+       phrase,
+       CAST(plen AS BIGINT) AS n_words,
+       CAST(n_occurrences AS BIGINT) AS n_occurrences,
+       CAST(score_milli AS BIGINT) AS score_milli
+FROM final
+QUALIFY rank <= {_RAKE_TOPK}
+ORDER BY source, rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# abc_xyz_inventory — revenue-importance x demand-variability matrix
+# ---------------------------------------------------------------------------
+
+
+def abc_xyz_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC-XYZ inventory classification (SURVEY §2 #294) — the
+    standard two-axis stocking policy matrix (Dickie 1951's ABC
+    Pareto cut crossed with the demand-variability XYZ cut): ABC
+    classes parts by cumulative revenue share (A ≤ 80%, B ≤ 95%,
+    C rest — the pareto_revenue machinery turned into a label), XYZ
+    by the squared coefficient of variation of weekly demand in exact
+    bp (X ≤ 2500, Y ≤ 10000, Z above — cv² = (nΣq²−(Σq)²)/(Σq)²,
+    cross-multiplied so no mean is ever floored before the compare).
+    newsvendor_stock_level prices ONE part's quantile; this says which
+    parts deserve that treatment at all (AX: automate; CZ: make to
+    order).  Published as the 3×3 census with part counts and revenue
+    share.
+
+    Scale shape: two map-combined aggs to the part census (revenue +
+    weekly moments); the cumulative-share window runs over the
+    DIM-BOUNDED part census (the pareto_revenue/key_gini allowlisted
+    class); the output is 9 rows.
+    """
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.expr(
+            "cast(cast(l_extendedprice as decimal(18,2)) * 100 as bigint)"
+        ).alias("cents"),
+        F.expr("cast(l_quantity as bigint)").alias("qty"),
+        F.expr("year(l_shipdate)").alias("yr"),
+        F.expr("cast(weekofyear(l_shipdate) as int)").alias("wk"),
+    )
+    weekly = li.groupBy("l_partkey", "yr", "wk").agg(
+        F.sum("qty").alias("demand")
+    )
+    var_census = weekly.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("nw"),
+        F.sum("demand").alias("sq"),
+        F.sum(F.expr("cast(demand as decimal(38,0)) * demand")).alias("sqq"),
+    )
+    rev_census = li.groupBy("l_partkey").agg(F.sum("cents").alias("rev"))
+    total = rev_census.agg(F.sum("rev").alias("tot"))
+    w = Window.orderBy(F.desc("rev"), F.asc("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    classed = (
+        rev_census.withColumn("cum", F.sum("rev").over(w))
+        .crossJoin(F.broadcast(total))
+        .join(var_census, "l_partkey")
+        .select(
+            "l_partkey",
+            "rev",
+            F.expr(
+                "CASE WHEN (10000 * cum) div tot <= 8000 THEN 'A'"
+                " WHEN (10000 * cum) div tot <= 9500 THEN 'B'"
+                " ELSE 'C' END"
+            ).alias("abc"),
+            F.expr(
+                "CASE WHEN 10000 * (nw * sqq - cast(sq as decimal(38,0))"
+                " * sq) <= 2500 * cast(sq as decimal(38,0)) * sq THEN 'X'"
+                " WHEN 10000 * (nw * sqq - cast(sq as decimal(38,0))"
+                " * sq) <= 10000 * cast(sq as decimal(38,0)) * sq THEN 'Y'"
+                " ELSE 'Z' END"
+            ).alias("xyz"),
+        )
+    )
+    return (
+        classed.crossJoin(F.broadcast(total))
+        .groupBy("abc", "xyz")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.expr(
+                "cast((10000 * sum(rev)) div any_value(tot) as bigint)"
+            ).alias("revenue_share_bp"),
+        )
+        .orderBy("abc", "xyz")
+    )
+
+
+ROUND8_QUERIES["abc_xyz_inventory"] = abc_xyz_inventory
+
+ROUND8_ORACLES["abc_xyz_inventory"] = """
+WITH li AS MATERIALIZED (
+  SELECT l_partkey,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           AS cents,
+         CAST(l_quantity AS BIGINT) AS qty,
+         year(l_shipdate) AS yr,
+         CAST(weekofyear(l_shipdate) AS INT) AS wk
+  FROM lineitem
+),
+weekly AS (
+  SELECT l_partkey, yr, wk, sum(qty) AS demand
+  FROM li GROUP BY 1, 2, 3
+),
+var_census AS MATERIALIZED (
+  SELECT l_partkey, count(*) AS nw, sum(demand) AS sq,
+         sum(demand::HUGEINT * demand) AS sqq
+  FROM weekly GROUP BY 1
+),
+rev_census AS MATERIALIZED (
+  SELECT l_partkey, sum(cents) AS rev FROM li GROUP BY 1
+),
+total AS (SELECT sum(rev) AS tot FROM rev_census),
+classed AS (
+  SELECT r.l_partkey, r.rev,
+         CASE WHEN (10000 * sum(r.rev) OVER (ORDER BY r.rev DESC,
+                    r.l_partkey ROWS BETWEEN UNBOUNDED PRECEDING AND
+                    CURRENT ROW)) // t.tot <= 8000 THEN 'A'
+              WHEN (10000 * sum(r.rev) OVER (ORDER BY r.rev DESC,
+                    r.l_partkey ROWS BETWEEN UNBOUNDED PRECEDING AND
+                    CURRENT ROW)) // t.tot <= 9500 THEN 'B'
+              ELSE 'C' END AS abc,
+         CASE WHEN 10000 * (v.nw * v.sqq - v.sq::HUGEINT * v.sq)
+                   <= 2500 * v.sq::HUGEINT * v.sq THEN 'X'
+              WHEN 10000 * (v.nw * v.sqq - v.sq::HUGEINT * v.sq)
+                   <= 10000 * v.sq::HUGEINT * v.sq THEN 'Y'
+              ELSE 'Z' END AS xyz,
+         t.tot
+  FROM rev_census r
+  JOIN var_census v USING (l_partkey)
+  CROSS JOIN total t
+)
+SELECT abc, xyz,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       CAST((10000 * sum(rev)) // any_value(tot) AS BIGINT)
+         AS revenue_share_bp
+FROM classed
+GROUP BY abc, xyz ORDER BY abc, xyz
+"""

@@ -40,6 +40,7 @@ GLOBAL_WINDOW_ALLOWED = {
     # bounded by |parts| / |keys| / histogram-bin census
     "key_gini",
     "pareto_revenue",
+    "abc_xyz_inventory",  # cumulative-share window over the part census
     "key_skew_profile",
     "price_histogram",
     "equidepth_histogram",
