@@ -335,6 +335,8 @@ BENCH_QUERIES = [
     "t_closeness_audit",
     "rake_keywords",
     "abc_xyz_inventory",
+    "mmr_diversification",
+    "query_expansion_prf",
     # Excluded, with reasons (VERDICT r5 item 4 — one comment per key):
     #   streaming_sessions / streaming_rate_limit / streaming_hourly_stats /
     #   streaming_sliding_counts / streaming_hourly_drift — run the

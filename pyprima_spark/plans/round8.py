@@ -6915,3 +6915,384 @@ SELECT abc, xyz,
 FROM classed
 GROUP BY abc, xyz ORDER BY abc, xyz
 """
+
+
+# ---------------------------------------------------------------------------
+# mmr_diversification — maximal marginal relevance re-ranking
+# ---------------------------------------------------------------------------
+
+from pyprima_spark.functions import vectors as V
+
+_MMR_QUERIES = 3
+_MMR_CANDS = 8
+_MMR_SELECT = 4
+_MMR_LAMBDA_TENTHS = 7  # lambda = 0.7
+
+
+def mmr_diversification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAXIMAL-MARGINAL-RELEVANCE re-ranking (SURVEY §2 #295) —
+    Carbonell-Goldstein 1998, the diversity pass every production
+    retrieval stack runs between ANN and the user: pure cosine top-k
+    (ann_topk) happily returns four near-duplicates of the best hit;
+    MMR greedily picks argmax lambda*rel - (1-lambda)*max-sim-to-
+    selected, trading relevance against redundancy (rrf_fusion merges
+    ACROSS rankers; this diversifies WITHIN one).  Greedy is
+    inherently sequential, but the selection depth is a design
+    constant (4 of 8 per query), so the rounds UNROLL: each is a
+    census-sized argmax — the same unrolled-iteration contract as
+    HITS/Hilbert.  Cosines are 4-dp rounded then lifted to integer
+    ppm BEFORE the greedy, so every argmax compares exact integers
+    and no 1-ulp float wobble can flip a pick between engines.
+
+    Scale shape: the query set is a pushed literal id filter (the ANN
+    contract); one narrow pass ranks the big table per query
+    (WindowGroupLimit top-k per query); the candidate table (3x8 rows,
+    with vectors) and its 8x8 sim matrix are materialized once and
+    every greedy round touches only them.
+    """
+    from pyprima_spark.operators.similarity import with_vec_norm
+
+    emb = with_vec_norm(_t(spark, sf_dir, "embeddings"))
+    q = emb.filter(F.col("vec_id") < _MMR_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("nrm").alias("qn"),
+    )
+    c = emb.filter(F.col("vec_id") >= _MMR_QUERIES).select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("vec").alias("cvec"),
+        F.col("nrm").alias("cn"),
+    )
+    dot = V.dot_spark("qvec", "cvec")
+    cos = (
+        f"round(CASE WHEN qn = 0D OR cn = 0D THEN 0D"
+        f" ELSE ({dot}) / (qn * cn) END, 4)"
+    )
+    scored = c.crossJoin(F.broadcast(q)).withColumn(
+        "rel_ppm", F.expr(f"cast({cos} * 1000000 as bigint)")
+    )
+    wtop = Window.partitionBy("query_id").orderBy(
+        F.desc("rel_ppm"), F.asc("cand_id")
+    )
+    cands = materialize(
+        scored.withColumn("rk", F.row_number().over(wtop))
+        .filter(f"rk <= {_MMR_CANDS}")
+        .select("query_id", "cand_id", "rel_ppm", "cvec", "cn")
+    )
+    a = cands.select(
+        "query_id",
+        F.col("cand_id").alias("ca"),
+        F.col("cvec").alias("va"),
+        F.col("cn").alias("na"),
+    )
+    b = cands.select(
+        "query_id",
+        F.col("cand_id").alias("cb"),
+        F.col("cvec").alias("vb"),
+        F.col("cn").alias("nb"),
+    )
+    pdot = V.dot_spark("va", "vb")
+    psim = (
+        f"round(CASE WHEN na = 0D OR nb = 0D THEN 0D"
+        f" ELSE ({pdot}) / (na * nb) END, 4)"
+    )
+    sims = materialize(
+        a.join(b, "query_id")
+        .filter("ca != cb")
+        .select(
+            "query_id",
+            "ca",
+            "cb",
+            F.expr(f"cast({psim} * 1000000 as bigint)").alias("sim_ppm"),
+        )
+    )
+    lam = _MMR_LAMBDA_TENTHS
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.desc("rel_ppm"), F.asc("cand_id")
+    )
+    sel = materialize(
+        cands.withColumn("rn", F.row_number().over(w1))
+        .filter("rn = 1")
+        .select(
+            "query_id",
+            "cand_id",
+            F.lit(1).alias("mmr_rank"),
+            "rel_ppm",
+            F.lit(0).cast("bigint").alias("redundancy_ppm"),
+        )
+    )
+    for r in range(2, _MMR_SELECT + 1):
+        remaining = cands.join(
+            sel.select("query_id", "cand_id"), ["query_id", "cand_id"],
+            "left_anti",
+        ).select("query_id", "cand_id", "rel_ppm")
+        sel_ids = sel.select(
+            F.col("query_id").alias("sq"), F.col("cand_id").alias("sc")
+        )
+        sims_to_sel = (
+            sims.join(
+                sel_ids,
+                (sims.query_id == F.col("sq")) & (sims.cb == F.col("sc")),
+            )
+            .select(
+                F.col("query_id").alias("mq"),
+                F.col("ca").alias("mc"),
+                "sim_ppm",
+            )
+        )
+        redund = (
+            remaining.join(
+                sims_to_sel,
+                (remaining.query_id == F.col("mq"))
+                & (remaining.cand_id == F.col("mc")),
+            )
+            .groupBy("query_id", "cand_id", "rel_ppm")
+            .agg(F.max("sim_ppm").alias("max_sim_ppm"))
+        )
+        wr = Window.partitionBy("query_id").orderBy(
+            F.desc("score_ppm"), F.asc("cand_id")
+        )
+        pick = materialize(
+            redund.withColumn(
+                "score_ppm",
+                F.expr(
+                    f"({lam} * rel_ppm - {10 - lam} * max_sim_ppm) div 10"
+                ),
+            )
+            .withColumn("rn", F.row_number().over(wr))
+            .filter("rn = 1")
+            .select(
+                "query_id",
+                "cand_id",
+                F.lit(r).alias("mmr_rank"),
+                "rel_ppm",
+                F.col("max_sim_ppm").alias("redundancy_ppm"),
+            )
+        )
+        sel = materialize(sel.unionByName(pick))
+    return sel.select(
+        F.col("query_id").cast("bigint").alias("query_id"),
+        F.col("mmr_rank").cast("bigint").alias("mmr_rank"),
+        F.col("cand_id").cast("bigint").alias("cand_id"),
+        F.col("rel_ppm").cast("bigint").alias("rel_ppm"),
+        F.col("redundancy_ppm").cast("bigint").alias("redundancy_ppm"),
+    ).orderBy("query_id", "mmr_rank")
+
+
+ROUND8_QUERIES["mmr_diversification"] = mmr_diversification
+
+
+def _mmr_oracle() -> str:
+    dim = V.EMB_DIM
+    cos_qc = V.cosine_duck("qvec", "cvec", dim)
+    cos_ab = V.cosine_duck("va", "vb", dim)
+    lam = _MMR_LAMBDA_TENTHS
+    rounds = []
+    prev = "sel1"
+    for r in range(2, _MMR_SELECT + 1):
+        rounds.append(f"""
+rem{r} AS MATERIALIZED (
+  SELECT c.* FROM cands c
+  LEFT JOIN {prev} s ON s.query_id = c.query_id AND s.cand_id = c.cand_id
+  WHERE s.cand_id IS NULL
+),
+red{r} AS MATERIALIZED (
+  SELECT r.query_id, r.cand_id, r.rel_ppm, max(m.sim_ppm) AS max_sim_ppm
+  FROM rem{r} r
+  JOIN sims m ON m.query_id = r.query_id AND m.ca = r.cand_id
+  JOIN {prev} s ON s.query_id = m.query_id AND s.cand_id = m.cb
+  GROUP BY r.query_id, r.cand_id, r.rel_ppm
+),
+pick{r} AS MATERIALIZED (
+  SELECT query_id, cand_id, {r} AS mmr_rank, rel_ppm,
+         max_sim_ppm AS redundancy_ppm
+  FROM red{r}
+  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY
+    ({lam} * rel_ppm - {10 - lam} * max_sim_ppm) // 10 DESC, cand_id) = 1
+),
+sel{r} AS MATERIALIZED (
+  SELECT * FROM {prev} UNION ALL SELECT * FROM pick{r}
+)""")
+        prev = f"sel{r}"
+    body = ",".join(rounds)
+    return f"""
+WITH emb AS MATERIALIZED (
+  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+),
+scored AS MATERIALIZED (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         CAST(round({cos_qc.replace('qvec', 'q.vec').replace('cvec', 'c.vec')}, 4)
+              * 1000000 AS BIGINT) AS rel_ppm,
+         c.vec AS cvec
+  FROM emb q CROSS JOIN emb c
+  WHERE q.vec_id < {_MMR_QUERIES} AND c.vec_id >= {_MMR_QUERIES}
+),
+cands AS MATERIALIZED (
+  SELECT query_id, cand_id, rel_ppm, cvec
+  FROM scored
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY rel_ppm DESC, cand_id)
+          <= {_MMR_CANDS}
+),
+sims AS MATERIALIZED (
+  SELECT a.query_id, a.cand_id AS ca, b.cand_id AS cb,
+         CAST(round({cos_ab.replace('va', 'a.cvec').replace('vb', 'b.cvec')}, 4)
+              * 1000000 AS BIGINT) AS sim_ppm
+  FROM cands a JOIN cands b ON a.query_id = b.query_id
+  WHERE a.cand_id != b.cand_id
+),
+sel1 AS MATERIALIZED (
+  SELECT query_id, cand_id, 1 AS mmr_rank, rel_ppm,
+         0::BIGINT AS redundancy_ppm
+  FROM cands
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY rel_ppm DESC, cand_id) = 1
+),{body}
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(mmr_rank AS BIGINT) AS mmr_rank,
+       CAST(cand_id AS BIGINT) AS cand_id,
+       CAST(rel_ppm AS BIGINT) AS rel_ppm,
+       CAST(redundancy_ppm AS BIGINT) AS redundancy_ppm
+FROM sel{_MMR_SELECT}
+ORDER BY query_id, mmr_rank
+"""
+
+
+ROUND8_ORACLES["mmr_diversification"] = _mmr_oracle()
+
+
+# ---------------------------------------------------------------------------
+# query_expansion_prf — Rocchio pseudo-relevance-feedback expansion
+# ---------------------------------------------------------------------------
+
+_PRF_TERMS = ["join", "hash", "scan", "merge"]  # bm25_ranking's query
+_PRF_TOPK_DOCS = 10
+_PRF_TOPK_TERMS = 10
+_PRF_BETA_MILLI = 750  # beta = 0.75, alpha = 1
+
+
+def query_expansion_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROCCHIO pseudo-relevance-feedback expansion (SURVEY §2 #296) —
+    the query-UNDERSTANDING step in front of bm25_ranking (Rocchio
+    1971; Buckley's SMART PRF): take the query's top-10 documents as
+    pseudo-relevant, fold their term mass back into the query with
+    w(t) = alpha·[t in q] + beta·avg tf(t, topdocs), and emit the
+    top-10 expansion terms — the classic fix for vocabulary mismatch
+    (a "hash join" query learns "bucket"/"probe" without a thesaurus).
+    Same query literal as bm25_ranking so the two keys read as one
+    retrieval pipeline.  Weights are exact milli integers
+    (1000·[t∈q] + (750·Σtf) div k); relevance for doc selection is
+    the integer query-term tf sum (no logs at selection time).
+
+    Scale shape: the token explode joins the broadcast 4-term query
+    BEFORE any shuffle (the bm25 contract); top-10 docs and top-10
+    terms are global row_number ranks with the filter BELOW them, so
+    Spark plans WindowGroupLimit — the distributed top-k shape the
+    plan gate accepts; the feedback term census is bounded by the 10
+    selected docs' vocabularies.
+    """
+    from pyprima_spark.functions.text import tokens_spark
+
+    stops = ", ".join(f"'{w}'" for w in _RAKE_STOPS)
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(tokens_spark("text")).alias("toks")
+    )
+    toks = docs.select("doc_id", F.explode("toks").alias("term"))
+    qterms = spark.createDataFrame(
+        [(t,) for t in _PRF_TERMS], "term string"
+    )
+    rel = (
+        toks.join(F.broadcast(qterms), "term")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("matches"))
+    )
+    wtop = Window.orderBy(F.desc("matches"), F.asc("doc_id"))
+    topdocs = materialize(
+        rel.withColumn("rk", F.row_number().over(wtop))
+        .filter(f"rk <= {_PRF_TOPK_DOCS}")
+        .select("doc_id")
+    )
+    feedback = (
+        toks.join(F.broadcast(topdocs), "doc_id")
+        .filter(F.expr(f"term NOT IN ({stops})"))
+        .filter(F.expr("term rlike '^[a-z]{2,}$'"))
+        .groupBy("term")
+        .agg(
+            F.sum(F.lit(1)).alias("tf_sum"),
+            F.countDistinct("doc_id").alias("df_topk"),
+        )
+    )
+    weighted = feedback.select(
+        "term",
+        "tf_sum",
+        "df_topk",
+        F.expr(
+            f"CASE WHEN term IN ({', '.join(repr(t) for t in _PRF_TERMS)})"
+            " THEN 1 ELSE 0 END"
+        ).alias("in_original"),
+        F.expr(
+            f"1000 * CASE WHEN term IN"
+            f" ({', '.join(repr(t) for t in _PRF_TERMS)})"
+            f" THEN 1 ELSE 0 END"
+            f" + ({_PRF_BETA_MILLI} * tf_sum) div {_PRF_TOPK_DOCS}"
+        ).alias("weight_milli"),
+    )
+    wrank = Window.orderBy(F.desc("weight_milli"), F.asc("term"))
+    return (
+        weighted.withColumn("rank", F.row_number().over(wrank))
+        .filter(f"rank <= {_PRF_TOPK_TERMS}")
+        .select(
+            F.col("rank").cast("bigint").alias("rank"),
+            "term",
+            F.col("weight_milli").cast("bigint").alias("weight_milli"),
+            F.col("df_topk").cast("bigint").alias("df_topk"),
+            F.col("in_original").cast("bigint").alias("in_original"),
+        )
+        .orderBy("rank")
+    )
+
+
+ROUND8_QUERIES["query_expansion_prf"] = query_expansion_prf
+
+_prf_terms_sql = ", ".join(f"'{t}'" for t in _PRF_TERMS)
+
+ROUND8_ORACLES["query_expansion_prf"] = f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, unnest({X.tokens_duck('text')}) AS term FROM documents
+),
+rel AS (
+  SELECT doc_id, count(*) AS matches
+  FROM toks WHERE term IN ({_prf_terms_sql})
+  GROUP BY doc_id
+),
+topdocs AS MATERIALIZED (
+  SELECT doc_id FROM rel
+  QUALIFY row_number() OVER (ORDER BY matches DESC, doc_id)
+          <= {_PRF_TOPK_DOCS}
+),
+feedback AS (
+  SELECT term, count(*) AS tf_sum, count(DISTINCT t.doc_id) AS df_topk
+  FROM toks t JOIN topdocs d ON d.doc_id = t.doc_id
+  WHERE term NOT IN ({_rake_stops_sql})
+    AND regexp_matches(term, '^[a-z]{{2,}}$')
+  GROUP BY term
+),
+weighted AS (
+  SELECT term, tf_sum, df_topk,
+         CASE WHEN term IN ({_prf_terms_sql}) THEN 1 ELSE 0 END
+           AS in_original,
+         1000 * CASE WHEN term IN ({_prf_terms_sql}) THEN 1 ELSE 0 END
+           + ({_PRF_BETA_MILLI} * tf_sum) // {_PRF_TOPK_DOCS}
+           AS weight_milli
+  FROM feedback
+)
+SELECT CAST(row_number() OVER (ORDER BY weight_milli DESC, term) AS BIGINT)
+         AS rank,
+       term,
+       CAST(weight_milli AS BIGINT) AS weight_milli,
+       CAST(df_topk AS BIGINT) AS df_topk,
+       CAST(in_original AS BIGINT) AS in_original
+FROM weighted
+QUALIFY rank <= {_PRF_TOPK_TERMS}
+ORDER BY rank
+"""
