@@ -7212,8 +7212,12 @@ def query_expansion_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(f"rk <= {_PRF_TOPK_DOCS}")
         .select("doc_id")
     )
+    # semi-join BEFORE the explode: only the 10 selected docs ever
+    # re-tokenize (the corpus-wide explode above exists only for the
+    # query-filtered relevance pass)
     feedback = (
-        toks.join(F.broadcast(topdocs), "doc_id")
+        docs.join(F.broadcast(topdocs), "doc_id", "left_semi")
+        .select("doc_id", F.explode("toks").alias("term"))
         .filter(F.expr(f"term NOT IN ({stops})"))
         .filter(F.expr("term rlike '^[a-z]{2,}$'"))
         .groupBy("term")
