@@ -337,6 +337,8 @@ BENCH_QUERIES = [
     "abc_xyz_inventory",
     "mmr_diversification",
     "query_expansion_prf",
+    "capture_recapture_dups",
+    "mann_kendall_trend",
     # Excluded, with reasons (VERDICT r5 item 4 — one comment per key):
     #   streaming_sessions / streaming_rate_limit / streaming_hourly_stats /
     #   streaming_sliding_counts / streaming_hourly_drift — run the

@@ -7300,3 +7300,281 @@ FROM weighted
 QUALIFY rank <= {_PRF_TOPK_TERMS}
 ORDER BY rank
 """
+
+
+# ---------------------------------------------------------------------------
+# capture_recapture_dups — Lincoln-Petersen/Chapman dedup-recall estimate
+# ---------------------------------------------------------------------------
+
+
+def capture_recapture_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CAPTURE-RECAPTURE estimate of the true near-dup population
+    (SURVEY §2 #297) — the ecology estimator (Lincoln-Petersen;
+    Chapman's unbiased form) answering the question every dedup
+    pipeline dodges: "how many near-dup pairs did we MISS?" —
+    lsh_precision_eval measures precision against brute force at test
+    scale, but at 100 TB there is no brute-force truth; two
+    INDEPENDENT capture passes (LSH bands 0-1 vs bands 2-3 of the
+    shared 16-minhash signature) each catch a sample of the dup
+    population, and the overlap calibrates the total:
+    N-hat = (n_a+1)(n_b+1)/(m+1) - 1.  The published coverage_bp of
+    the full 4-band index against N-hat is the label-free RECALL
+    estimate.
+
+    Scale shape: the shared minhash band table (materialized once,
+    the dedup_minhash_lsh machinery); candidate pairs from band-bucket
+    equi-joins only (never all-pairs); the four censuses fold to one
+    output row.
+    """
+    from pyprima_spark.operators.dedup import minhash_band_table
+
+    docs = _t(spark, sf_dir, "documents")
+    bands = materialize(minhash_band_table(docs, "doc_id", "text"))
+    left = bands.select(
+        "band_idx", "band_sig", F.col("doc").alias("d1")
+    )
+    right = bands.select(
+        F.col("band_idx").alias("bi2"),
+        F.col("band_sig").alias("bs2"),
+        F.col("doc").alias("d2"),
+    )
+    pairs = materialize(
+        left.join(
+            right,
+            (F.col("band_idx") == F.col("bi2"))
+            & (F.col("band_sig") == F.col("bs2"))
+            & (F.col("d1") < F.col("d2")),
+        ).select("band_idx", "d1", "d2")
+    )
+    pa = pairs.filter("band_idx < 2").select("d1", "d2").distinct()
+    pb = pairs.filter("band_idx >= 2").select("d1", "d2").distinct()
+    pu = pairs.select("d1", "d2").distinct()
+    na = pa.agg(F.count(F.lit(1)).alias("n_a"))
+    nb = pb.agg(F.count(F.lit(1)).alias("n_b"))
+    m = pa.join(pb, ["d1", "d2"]).agg(F.count(F.lit(1)).alias("overlap"))
+    nu = pu.agg(F.count(F.lit(1)).alias("n_union"))
+    return (
+        na.crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(nu))
+        .select(
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.col("overlap").cast("bigint").alias("overlap"),
+            F.col("n_union").cast("bigint").alias("n_union"),
+            F.expr(
+                "cast(((n_a + 1) * (n_b + 1)) div (overlap + 1) - 1"
+                " as bigint)"
+            ).alias("chapman_estimate"),
+            F.expr(
+                "cast(coalesce((10000 * n_union) div nullif(((n_a + 1)"
+                " * (n_b + 1)) div (overlap + 1) - 1, 0), -1) as bigint)"
+            ).alias("union_coverage_bp"),
+        )
+    )
+
+
+ROUND8_QUERIES["capture_recapture_dups"] = capture_recapture_dups
+
+from pyprima_spark.plans.constants import MINHASH_BANDS as _CRD_NBANDS
+
+# Local copy of the shared minhash band CTE (oracles.py owns the
+# canonical one, but importing it here would be a circular import —
+# oracles.py imports ROUND8_ORACLES from this module).
+_CRD_BANDS_CTE = f"""sigs AS (
+  SELECT doc_id AS doc,
+         {X.bands_duck(X.minhashes_duck('bh'), _CRD_NBANDS)} AS bands
+  FROM (
+    SELECT doc_id, {X.base_hashes_duck('shingles')} AS bh
+    FROM (
+      SELECT doc_id, {X.shingles_duck(X.tokens_duck('text'))} AS shingles
+      FROM documents
+    )
+    WHERE len(shingles) > 0
+  )
+),
+bands AS (
+  SELECT doc, unnest(bands) AS band_sig,
+         unnest(generate_series(1, len(bands))) AS band_idx
+  FROM sigs
+)"""
+
+ROUND8_ORACLES["capture_recapture_dups"] = f"""
+WITH {_CRD_BANDS_CTE},
+pairs AS MATERIALIZED (
+  SELECT a.band_idx, a.doc AS d1, b.doc AS d2
+  FROM bands a
+  JOIN bands b ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+              AND a.doc < b.doc
+),
+pa AS MATERIALIZED (
+  SELECT DISTINCT d1, d2 FROM pairs WHERE band_idx <= 2
+),
+pb AS MATERIALIZED (
+  SELECT DISTINCT d1, d2 FROM pairs WHERE band_idx > 2
+),
+pu AS (SELECT DISTINCT d1, d2 FROM pairs),
+counts AS (
+  SELECT (SELECT count(*) FROM pa) AS n_a,
+         (SELECT count(*) FROM pb) AS n_b,
+         (SELECT count(*) FROM pa JOIN pb USING (d1, d2)) AS overlap,
+         (SELECT count(*) FROM pu) AS n_union
+)
+SELECT CAST(n_a AS BIGINT) AS n_a,
+       CAST(n_b AS BIGINT) AS n_b,
+       CAST(overlap AS BIGINT) AS overlap,
+       CAST(n_union AS BIGINT) AS n_union,
+       CAST(((n_a + 1) * (n_b + 1)) // (overlap + 1) - 1 AS BIGINT)
+         AS chapman_estimate,
+       CAST(coalesce((10000 * n_union)
+                     // nullif(((n_a + 1) * (n_b + 1)) // (overlap + 1) - 1,
+                               0), -1) AS BIGINT) AS union_coverage_bp
+FROM counts
+"""
+
+
+# ---------------------------------------------------------------------------
+# mann_kendall_trend — nonparametric monotone-trend test per year
+# ---------------------------------------------------------------------------
+
+
+def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANN-KENDALL trend test on daily revenue per year (SURVEY §2
+    #298) — the nonparametric SIGNIFICANCE companion of
+    theil_sen_trend's slope (Theil-Sen says HOW steep; Mann-Kendall
+    says whether a monotone trend exists AT ALL, immune to outliers
+    and any monotone transform — Mann 1945, Kendall's tau machinery):
+    S = sum of sign(y_j - y_i) over day pairs i < j, the tie-corrected
+    variance 18·Var = n(n-1)(2n+5) - Σ_t t(t-1)(2t+5), and the
+    continuity-corrected z² = 18·(|S|-1)² / VarRaw published in milli
+    against the 3.841 literal — every quantity an exact integer (k$
+    quantization; |S| ≤ n² ≈ 1.3e5, squared ·18·1000 ≈ 3e14).
+
+    Scale shape: the fact table collapses to the |days|-per-year
+    census; the pair sum is a census self-join (≤365² rows per year,
+    time-bounded), the tie census a second census agg — windowless.
+    """
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.expr("o_orderdate >= date'1995-01-01'")
+        & F.expr("o_orderdate < date'1998-01-01'")
+    )
+    daily = materialize(
+        orders.groupBy(
+            F.expr("year(o_orderdate)").alias("yr"),
+            F.expr("cast(o_orderdate as date)").alias("day"),
+        ).agg(
+            F.expr(
+                "cast(sum(cast(o_totalprice as decimal(18,2)) * 100)"
+                " as decimal(38,0)) div 100000"
+            ).alias("y")
+        )
+    )
+    other = daily.select(
+        F.col("yr").alias("yr2"),
+        F.col("day").alias("day2"),
+        F.col("y").alias("y2"),
+    )
+    s_stat = (
+        daily.join(
+            other,
+            (F.col("yr") == F.col("yr2")) & (F.col("day") < F.col("day2")),
+        )
+        .groupBy("yr")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CASE WHEN y2 > y THEN 1 WHEN y2 < y THEN -1"
+                    " ELSE 0 END"
+                )
+            ).alias("s")
+        )
+    )
+    nn = daily.groupBy("yr").agg(F.count(F.lit(1)).alias("n"))
+    ties = (
+        daily.groupBy("yr", "y")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy("yr")
+        .agg(
+            F.sum(
+                F.expr(
+                    "cast(t as decimal(38,0)) * (t - 1) * (2 * t + 5)"
+                )
+            ).alias("tie_corr")
+        )
+    )
+    return (
+        s_stat.join(nn, "yr")
+        .join(ties, "yr")
+        .select(
+            F.col("yr").cast("bigint").alias("year"),
+            F.col("n").cast("bigint").alias("n_days"),
+            F.col("s").cast("bigint").alias("s_stat"),
+            F.expr(
+                "cast(cast(n as decimal(38,0)) * (n - 1) * (2 * n + 5)"
+                " - tie_corr as bigint)"
+            ).alias("var18"),
+            F.expr(
+                "cast(coalesce((18000 * cast(abs(s) - 1 as decimal(38,0))"
+                " * (abs(s) - 1)) div nullif(cast(n as decimal(38,0))"
+                " * (n - 1) * (2 * n + 5) - tie_corr, 0), -1) as bigint)"
+            ).alias("z2_milli"),
+            F.expr(
+                "CASE WHEN s > 0 THEN 'increasing'"
+                " WHEN s < 0 THEN 'decreasing' ELSE 'none' END"
+            ).alias("trend"),
+            F.expr(
+                "cast(CASE WHEN coalesce((18000 * cast(abs(s) - 1"
+                " as decimal(38,0)) * (abs(s) - 1))"
+                " div nullif(cast(n as decimal(38,0)) * (n - 1)"
+                " * (2 * n + 5) - tie_corr, 0), -1) > 3841"
+                " THEN 1 ELSE 0 END as bigint)"
+            ).alias("significant"),
+        )
+        .orderBy("year")
+    )
+
+
+ROUND8_QUERIES["mann_kendall_trend"] = mann_kendall_trend
+
+ROUND8_ORACLES["mann_kendall_trend"] = """
+WITH daily AS MATERIALIZED (
+  SELECT year(o_orderdate) AS yr, CAST(o_orderdate AS DATE) AS day,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS HUGEINT)
+           // 100000 AS y
+  FROM orders
+  WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1998-01-01'
+  GROUP BY 1, 2
+),
+s_stat AS (
+  SELECT a.yr,
+         sum(CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1 ELSE 0 END)
+           AS s
+  FROM daily a JOIN daily b ON a.yr = b.yr AND a.day < b.day
+  GROUP BY a.yr
+),
+nn AS (SELECT yr, count(*) AS n FROM daily GROUP BY yr),
+ties AS (
+  SELECT yr, sum(t::HUGEINT * (t - 1) * (2 * t + 5)) AS tie_corr
+  FROM (SELECT yr, y, count(*) AS t FROM daily GROUP BY yr, y)
+  GROUP BY yr
+)
+SELECT CAST(s.yr AS BIGINT) AS year,
+       CAST(n.n AS BIGINT) AS n_days,
+       CAST(s.s AS BIGINT) AS s_stat,
+       CAST(n.n::HUGEINT * (n.n - 1) * (2 * n.n + 5) - t.tie_corr
+            AS BIGINT) AS var18,
+       CAST(coalesce((18000 * (abs(s.s) - 1)::HUGEINT * (abs(s.s) - 1))
+                     // nullif(n.n::HUGEINT * (n.n - 1) * (2 * n.n + 5)
+                               - t.tie_corr, 0), -1) AS BIGINT)
+         AS z2_milli,
+       CASE WHEN s.s > 0 THEN 'increasing'
+            WHEN s.s < 0 THEN 'decreasing' ELSE 'none' END AS trend,
+       CAST(CASE WHEN coalesce((18000 * (abs(s.s) - 1)::HUGEINT
+                                * (abs(s.s) - 1))
+                               // nullif(n.n::HUGEINT * (n.n - 1)
+                                         * (2 * n.n + 5) - t.tie_corr, 0),
+                               -1) > 3841
+                 THEN 1 ELSE 0 END AS BIGINT) AS significant
+FROM s_stat s JOIN nn n ON n.yr = s.yr JOIN ties t ON t.yr = s.yr
+ORDER BY year
+"""
