@@ -339,6 +339,8 @@ BENCH_QUERIES = [
     "query_expansion_prf",
     "capture_recapture_dups",
     "mann_kendall_trend",
+    "voptimal_histogram",
+    "burstiness_fano",
     # Excluded, with reasons (VERDICT r5 item 4 — one comment per key):
     #   streaming_sessions / streaming_rate_limit / streaming_hourly_stats /
     #   streaming_sliding_counts / streaming_hourly_drift — run the

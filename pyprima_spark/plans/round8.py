@@ -7578,3 +7578,308 @@ SELECT CAST(s.yr AS BIGINT) AS year,
 FROM s_stat s JOIN nn n ON n.yr = s.yr JOIN ties t ON t.yr = s.yr
 ORDER BY year
 """
+
+
+# ---------------------------------------------------------------------------
+# voptimal_histogram — exhaustively optimal 4-bucket histogram on stripes
+# ---------------------------------------------------------------------------
+
+_VOPT_STRIPES = 20
+_VOPT_STRIPE_CENTS = 3000000  # $30k stripes over o_totalprice
+
+
+def voptimal_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V-OPTIMAL histogram (SURVEY §2 #299) — Jagadish et al. 1998's
+    error-optimal bucket boundaries, the histogram the
+    equidepth/price_histogram keys approximate: equi-depth equalizes
+    COUNTS, V-optimal minimizes within-bucket frequency VARIANCE,
+    which is what a selectivity estimator actually wants.  The
+    classical solution is sequential DP; on the stripe CENSUS the
+    search space is closed-form enumerable — C(19,3) = 969 boundary
+    triples for 4 buckets over 20 stripes — so this solves it
+    EXACTLY by exhaustive interval-lattice join, no DP recursion and
+    no window: bucket SSE = (len·Σv² − (Σv)²)/len per interval,
+    integer-floored identically on both engines, argmin with
+    deterministic boundary tiebreak.  The equal-width baseline's SSE
+    rides along so the output shows what optimality buys.
+
+    Scale shape: one map-side stripe assignment + count agg (the only
+    fact pass); intervals are census³ joins (20·21/2 = 210 rows),
+    partitions a 4-chain equi-join on boundaries (969 rows), argmin a
+    TakeOrdered over them.  Bucket count and stripe resolution are
+    operator constants.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    stripes = materialize(
+        spark.range(_VOPT_STRIPES)
+        .select(F.col("id").cast("int").alias("s"))
+        .join(
+            orders.select(
+                F.expr(
+                    "least(cast(cast(cast(o_totalprice as decimal(18,2))"
+                    f" * 100 as bigint) div {_VOPT_STRIPE_CENTS} as int),"
+                    f" {_VOPT_STRIPES - 1})"
+                ).alias("s")
+            )
+            .groupBy("s")
+            .agg(F.count(F.lit(1)).alias("cnt")),
+            "s",
+            "left",
+        )
+        .select("s", F.coalesce("cnt", F.lit(0)).alias("v"))
+    )
+    lo = stripes.select(F.col("s").alias("i"))
+    hi = stripes.select(F.col("s").alias("j"))
+    member = stripes.select(
+        F.col("s").alias("m"), F.col("v").alias("mv")
+    )
+    intervals = materialize(
+        lo.join(F.broadcast(hi), F.col("j") >= F.col("i"))
+        .join(
+            F.broadcast(member),
+            (F.col("m") >= F.col("i")) & (F.col("m") <= F.col("j")),
+        )
+        .groupBy("i", "j")
+        .agg(
+            F.count(F.lit(1)).alias("len"),
+            F.sum("mv").alias("sv"),
+            F.sum(F.expr("cast(mv as decimal(38,0)) * mv")).alias("svv"),
+        )
+        .select(
+            "i",
+            "j",
+            "len",
+            "sv",
+            F.expr(
+                "cast((len * svv - cast(sv as decimal(38,0)) * sv)"
+                " div len as bigint)"
+            ).alias("sse"),
+        )
+    )
+    i1 = intervals.filter("i = 0").select(
+        F.col("j").alias("b1"), F.col("sse").alias("e1"),
+        F.col("sv").alias("n1"),
+    )
+    i2 = intervals.select(
+        F.col("i").alias("i2"), F.col("j").alias("b2"),
+        F.col("sse").alias("e2"), F.col("sv").alias("n2"),
+    )
+    i3 = intervals.select(
+        F.col("i").alias("i3"), F.col("j").alias("b3"),
+        F.col("sse").alias("e3"), F.col("sv").alias("n3"),
+    )
+    i4 = intervals.filter(f"j = {_VOPT_STRIPES - 1}").select(
+        F.col("i").alias("i4"), F.col("sse").alias("e4"),
+        F.col("sv").alias("n4"),
+    )
+    parts = (
+        i1.join(F.broadcast(i2), F.expr("i2 = b1 + 1"))
+        .join(F.broadcast(i3), F.expr("i3 = b2 + 1"))
+        .join(F.broadcast(i4), F.expr("i4 = b3 + 1"))
+        .select(
+            "b1", "b2", "b3",
+            F.expr("e1 + e2 + e3 + e4").alias("total_sse"),
+            "n1", "n2", "n3", "n4",
+        )
+    )
+    best = materialize(
+        parts.orderBy("total_sse", "b1", "b2", "b3").limit(1)
+    )
+    ew = _VOPT_STRIPES // 4
+    baseline = (
+        intervals.filter(
+            F.expr(
+                f"(i = 0 AND j = {ew - 1}) OR (i = {ew} AND j = {2*ew - 1})"
+                f" OR (i = {2*ew} AND j = {3*ew - 1})"
+                f" OR (i = {3*ew} AND j = {_VOPT_STRIPES - 1})"
+            )
+        )
+        .agg(F.sum("sse").alias("equalwidth_sse"))
+    )
+    return (
+        best.crossJoin(F.broadcast(baseline))
+        .select(
+            F.explode(
+                F.expr(
+                    f"array(named_struct('bucket', 1, 'lo', 0, 'hi', b1,"
+                    " 'n_rows', n1),"
+                    " named_struct('bucket', 2, 'lo', b1 + 1, 'hi', b2,"
+                    " 'n_rows', n2),"
+                    " named_struct('bucket', 3, 'lo', b2 + 1, 'hi', b3,"
+                    " 'n_rows', n3),"
+                    f" named_struct('bucket', 4, 'lo', b3 + 1, 'hi',"
+                    f" {_VOPT_STRIPES - 1}, 'n_rows', n4))"
+                )
+            ).alias("b"),
+            "total_sse",
+            "equalwidth_sse",
+        )
+        .select(
+            F.expr("cast(b.bucket as bigint)").alias("bucket"),
+            F.expr("cast(b.lo as bigint)").alias("lo_stripe"),
+            F.expr("cast(b.hi as bigint)").alias("hi_stripe"),
+            F.expr("cast(b.n_rows as bigint)").alias("n_rows"),
+            F.col("total_sse").cast("bigint").alias("opt_sse"),
+            F.col("equalwidth_sse").cast("bigint").alias(
+                "equalwidth_sse"
+            ),
+        )
+        .orderBy("bucket")
+    )
+
+
+ROUND8_QUERIES["voptimal_histogram"] = voptimal_histogram
+
+ROUND8_ORACLES["voptimal_histogram"] = f"""
+WITH stripe_counts AS (
+  SELECT least(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) // {_VOPT_STRIPE_CENTS} AS INT),
+               {_VOPT_STRIPES - 1}) AS s,
+         count(*) AS cnt
+  FROM orders GROUP BY 1
+),
+stripes AS MATERIALIZED (
+  SELECT CAST(g.s AS INT) AS s, coalesce(c.cnt, 0) AS v
+  FROM unnest(generate_series(0, {_VOPT_STRIPES - 1})) AS g(s)
+  LEFT JOIN stripe_counts c ON c.s = g.s
+),
+intervals AS MATERIALIZED (
+  SELECT a.s AS i, b.s AS j, count(*) AS len, sum(m.v) AS sv,
+         CAST((count(*) * sum(m.v::HUGEINT * m.v)
+               - sum(m.v)::HUGEINT * sum(m.v))
+              // count(*) AS BIGINT) AS sse
+  FROM stripes a
+  JOIN stripes b ON b.s >= a.s
+  JOIN stripes m ON m.s BETWEEN a.s AND b.s
+  GROUP BY a.s, b.s
+),
+parts AS MATERIALIZED (
+  SELECT i1.j AS b1, i2.j AS b2, i3.j AS b3,
+         i1.sse + i2.sse + i3.sse + i4.sse AS total_sse,
+         i1.sv AS n1, i2.sv AS n2, i3.sv AS n3, i4.sv AS n4
+  FROM intervals i1
+  JOIN intervals i2 ON i2.i = i1.j + 1
+  JOIN intervals i3 ON i3.i = i2.j + 1
+  JOIN intervals i4 ON i4.i = i3.j + 1
+  WHERE i1.i = 0 AND i4.j = {_VOPT_STRIPES - 1}
+),
+best AS MATERIALIZED (
+  SELECT * FROM parts
+  QUALIFY row_number() OVER (ORDER BY total_sse, b1, b2, b3) = 1
+),
+baseline AS (
+  SELECT sum(sse) AS equalwidth_sse FROM intervals
+  WHERE (i = 0 AND j = {_VOPT_STRIPES // 4 - 1})
+     OR (i = {_VOPT_STRIPES // 4} AND j = {2 * (_VOPT_STRIPES // 4) - 1})
+     OR (i = {2 * (_VOPT_STRIPES // 4)}
+         AND j = {3 * (_VOPT_STRIPES // 4) - 1})
+     OR (i = {3 * (_VOPT_STRIPES // 4)} AND j = {_VOPT_STRIPES - 1})
+),
+buckets AS (
+  SELECT 1 AS bucket, 0 AS lo, b1 AS hi, n1 AS n_rows,
+         total_sse FROM best
+  UNION ALL SELECT 2, b1 + 1, b2, n2, total_sse FROM best
+  UNION ALL SELECT 3, b2 + 1, b3, n3, total_sse FROM best
+  UNION ALL SELECT 4, b3 + 1, {_VOPT_STRIPES - 1}, n4, total_sse FROM best
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(lo AS BIGINT) AS lo_stripe,
+       CAST(hi AS BIGINT) AS hi_stripe,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(total_sse AS BIGINT) AS opt_sse,
+       CAST(equalwidth_sse AS BIGINT) AS equalwidth_sse
+FROM buckets CROSS JOIN baseline
+ORDER BY bucket
+"""
+
+
+# ---------------------------------------------------------------------------
+# burstiness_fano — overdispersion census per (event type, hour-of-day)
+# ---------------------------------------------------------------------------
+
+
+def burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FANO-FACTOR burstiness census (SURVEY §2 #300) — the index of
+    dispersion Var/Mean per (event type, hour-of-day), the standard
+    Poisson-ness test of traffic (Fano 1947; a Poisson arrival stream
+    has F = 1, humans and retry storms have F >> 1): capacity
+    planning that assumes Poisson when traffic is bursty under-
+    provisions exactly at the peak — arrival_disorder_census measures
+    ORDER chaos, this measures RATE chaos on the same stream.
+    F_milli = (1000·(n·Σc² − (Σc)²)) div ((n−1)·Σc) — the sample-
+    variance/mean ratio, exact integers end to end; classes cut at
+    the conventional 2/3 and 3/2 literals.
+
+    Scale shape: one map-combined agg to the (type, date, hour) count
+    census, a second to the 5×24 (type, hour) moments — windowless,
+    nothing bigger than the census after the first agg.
+    """
+    ev = _t(spark, sf_dir, "events")
+    per_period = ev.groupBy(
+        "event_type",
+        F.expr("cast(ts as date)").alias("d"),
+        F.expr("hour(ts)").alias("hr"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    return (
+        per_period.groupBy("event_type", "hr")
+        .agg(
+            F.count(F.lit(1)).alias("n_periods"),
+            F.sum("c").alias("sc"),
+            F.sum(F.expr("cast(c as decimal(38,0)) * c")).alias("scc"),
+        )
+        .select(
+            "event_type",
+            F.col("hr").cast("bigint").alias("hour"),
+            F.col("n_periods").cast("bigint").alias("n_periods"),
+            F.col("sc").cast("bigint").alias("n_events"),
+            F.expr(
+                "cast(coalesce((1000 * (n_periods * scc"
+                " - cast(sc as decimal(38,0)) * sc))"
+                " div (nullif((n_periods - 1) * cast(sc as decimal(38,0)),"
+                " 0)), -1) as bigint)"
+            ).alias("fano_milli"),
+            F.expr(
+                "CASE WHEN coalesce((1000 * (n_periods * scc"
+                " - cast(sc as decimal(38,0)) * sc))"
+                " div (nullif((n_periods - 1) * cast(sc as decimal(38,0)),"
+                " 0)), -1) > 1500 THEN 'bursty'"
+                " WHEN coalesce((1000 * (n_periods * scc"
+                " - cast(sc as decimal(38,0)) * sc))"
+                " div (nullif((n_periods - 1) * cast(sc as decimal(38,0)),"
+                " 0)), -1) < 667 THEN 'regular'"
+                " ELSE 'poisson_like' END"
+            ).alias("dispersion_class"),
+        )
+        .orderBy("event_type", "hour")
+    )
+
+
+ROUND8_QUERIES["burstiness_fano"] = burstiness_fano
+
+_fano_expr = (
+    "coalesce((1000 * (n_periods * scc - sc::HUGEINT * sc))"
+    " // nullif((n_periods - 1) * sc::HUGEINT, 0), -1)"
+)
+
+ROUND8_ORACLES["burstiness_fano"] = f"""
+WITH per_period AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, hour(ts) AS hr,
+         count(*) AS c
+  FROM events GROUP BY 1, 2, 3
+),
+moments AS (
+  SELECT event_type, hr, count(*) AS n_periods, sum(c) AS sc,
+         sum(c::HUGEINT * c) AS scc
+  FROM per_period GROUP BY 1, 2
+)
+SELECT event_type,
+       CAST(hr AS BIGINT) AS hour,
+       CAST(n_periods AS BIGINT) AS n_periods,
+       CAST(sc AS BIGINT) AS n_events,
+       CAST({_fano_expr} AS BIGINT) AS fano_milli,
+       CASE WHEN {_fano_expr} > 1500 THEN 'bursty'
+            WHEN {_fano_expr} < 667 THEN 'regular'
+            ELSE 'poisson_like' END AS dispersion_class
+FROM moments
+ORDER BY event_type, hour
+"""
