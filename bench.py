@@ -341,6 +341,8 @@ BENCH_QUERIES = [
     "mann_kendall_trend",
     "voptimal_histogram",
     "burstiness_fano",
+    "youden_threshold",
+    "levene_variance_test",
     # Excluded, with reasons (VERDICT r5 item 4 — one comment per key):
     #   streaming_sessions / streaming_rate_limit / streaming_hourly_stats /
     #   streaming_sliding_counts / streaming_hourly_drift — run the

@@ -7883,3 +7883,280 @@ SELECT event_type,
 FROM moments
 ORDER BY event_type, hour
 """
+
+
+# ---------------------------------------------------------------------------
+# youden_threshold — optimal operating point on the ROC curve
+# ---------------------------------------------------------------------------
+
+
+def youden_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """YOUDEN-J optimal threshold per segment (SURVEY §2 #301) — the
+    cut-CHOOSING step the eval family stopped short of: roc_auc_rank
+    proves the score ranks, average_precision_eval prices the
+    imbalance, calibration keys check the probabilities — but
+    production needs ONE threshold, and Youden 1950's J = TPR − FPR
+    is the standard cut that maximizes balanced correctness
+    (equivalently the KS distance between the class score
+    distributions).  Evaluated at every score-level boundary on the
+    census: J_milli = (1000·tp)/P − (1000·fp)/N via cross-multiplied
+    exact integers, argmax with the lowest-threshold tiebreak,
+    published with the confusion counts AT the chosen cut.
+
+    Scale shape: the same one-agg score census as the isotonic/AP
+    keys (≤41 levels × 5 segments); cumulative counts via windows
+    PARTITIONED by segment over the census; argmax by census
+    self-election (left_anti), windowless below the census.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("cust"), F.col("c_mktsegment").alias("segment")
+    )
+    per_cust = orders.groupBy(F.col("o_custkey").alias("cust")).agg(
+        F.expr(
+            "cast(sum(CASE WHEN o_orderdate < date'1998-01-01'"
+            " THEN cast(o_totalprice as decimal(18,2)) * 100"
+            " ELSE 0 END) as bigint)"
+        ).alias("spend_c"),
+        F.max(
+            F.expr("o_orderdate >= date'1998-01-01'").cast("int")
+        ).alias("y"),
+    )
+    census = (
+        per_cust.join(cust, "cust")
+        .select(
+            "segment",
+            F.expr(
+                f"least(cast(spend_c div 5000000 as int), {_ISO_LEVELS})"
+            ).alias("lvl"),
+            "y",
+        )
+        .groupBy("segment", "lvl")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("pos"))
+    )
+    w = (
+        Window.partitionBy("segment")
+        .orderBy(F.desc("lvl"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cuts = materialize(
+        census.withColumn("tp", F.sum("pos").over(w))
+        .withColumn("predpos", F.sum("n").over(w))
+        .withColumn("fp", F.expr("predpos - tp"))
+    )
+    totals = cuts.groupBy("segment").agg(
+        F.sum("pos").alias("p"), F.sum(F.expr("n - pos")).alias("nneg")
+    )
+    j = cuts.join(F.broadcast(totals), "segment").select(
+        "segment",
+        F.col("lvl").alias("threshold_level"),
+        "tp",
+        "fp",
+        "p",
+        "nneg",
+        # one-class segments (possible at tiny SF): J undefined, use the
+        # out-of-range -9999 sentinel (J lives in [-1000, 1000] milli)
+        F.expr(
+            "cast(coalesce((1000 * cast(tp as decimal(38,0)) * nneg"
+            " - 1000 * cast(fp as decimal(38,0)) * p)"
+            " div nullif(cast(p as decimal(38,0)) * nneg, 0), -9999)"
+            " as bigint)"
+        ).alias("j_milli"),
+    )
+    other = j.select(
+        F.col("segment").alias("o_seg"),
+        F.col("j_milli").alias("o_j"),
+        F.col("threshold_level").alias("o_lvl"),
+    )
+    best = j.join(
+        F.broadcast(other),
+        F.expr(
+            "segment = o_seg AND (o_j > j_milli"
+            " OR (o_j = j_milli AND o_lvl < threshold_level))"
+        ),
+        "left_anti",
+    )
+    return best.select(
+        "segment",
+        F.col("threshold_level").cast("bigint").alias("threshold_level"),
+        F.col("j_milli").cast("bigint").alias("j_milli"),
+        F.col("tp").cast("bigint").alias("tp"),
+        F.col("fp").cast("bigint").alias("fp"),
+        F.expr("cast(p - tp as bigint)").alias("fn"),
+        F.expr("cast(nneg - fp as bigint)").alias("tn"),
+    ).orderBy("segment")
+
+
+ROUND8_QUERIES["youden_threshold"] = youden_threshold
+
+ROUND8_ORACLES["youden_threshold"] = f"""
+WITH per_cust AS (
+  SELECT o_custkey AS cust,
+         CAST(sum(CASE WHEN o_orderdate < DATE '1998-01-01'
+                       THEN CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                       ELSE 0 END) AS BIGINT) AS spend_c,
+         max(CASE WHEN o_orderdate >= DATE '1998-01-01'
+                  THEN 1 ELSE 0 END) AS y
+  FROM orders GROUP BY o_custkey
+),
+census AS (
+  SELECT c.c_mktsegment AS segment,
+         least(CAST(spend_c // 5000000 AS INT), {_ISO_LEVELS}) AS lvl,
+         count(*) AS n, sum(y) AS pos
+  FROM per_cust p JOIN customer c ON c.c_custkey = p.cust
+  GROUP BY 1, 2
+),
+cuts AS MATERIALIZED (
+  SELECT segment, lvl,
+         sum(pos) OVER w AS tp,
+         sum(n) OVER w - sum(pos) OVER w AS fp
+  FROM census
+  WINDOW w AS (PARTITION BY segment ORDER BY lvl DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+totals AS (
+  SELECT segment, sum(pos) AS p, sum(n - pos) AS nneg
+  FROM census GROUP BY segment
+),
+j AS MATERIALIZED (
+  SELECT c.segment, c.lvl AS threshold_level, c.tp, c.fp, t.p, t.nneg,
+         CAST(coalesce((1000 * c.tp::HUGEINT * t.nneg
+                        - 1000 * c.fp::HUGEINT * t.p)
+                       // nullif(t.p::HUGEINT * t.nneg, 0), -9999)
+              AS BIGINT) AS j_milli
+  FROM cuts c JOIN totals t USING (segment)
+)
+SELECT segment,
+       CAST(threshold_level AS BIGINT) AS threshold_level,
+       CAST(j_milli AS BIGINT) AS j_milli,
+       CAST(tp AS BIGINT) AS tp,
+       CAST(fp AS BIGINT) AS fp,
+       CAST(p - tp AS BIGINT) AS fn,
+       CAST(nneg - fp AS BIGINT) AS tn
+FROM j a
+WHERE NOT EXISTS (
+  SELECT 1 FROM j b
+  WHERE b.segment = a.segment
+    AND (b.j_milli > a.j_milli
+         OR (b.j_milli = a.j_milli
+             AND b.threshold_level < a.threshold_level))
+)
+ORDER BY segment
+"""
+
+
+# ---------------------------------------------------------------------------
+# levene_variance_test — Brown-Forsythe variance-homogeneity test
+# ---------------------------------------------------------------------------
+
+
+def levene_variance_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BROWN-FORSYTHE variance-homogeneity test (SURVEY §2 #302) —
+    the missing PRECONDITION check of the testing family: every
+    pooled comparison (ab_test_chi2 on rates, diff_in_diff on means)
+    silently assumes comparable spread across groups; Levene 1960 /
+    Brown-Forsythe 1974 test exactly that, on deviations from the
+    group MEDIAN (the robust variant — an exact percentile_disc
+    element, engine-stable).  One-way ANOVA F on |x − med_g| across
+    the 5 market segments, assembled entirely from integer moments:
+    F·1000 = 1000·(N−k)·Σn_g(z̄_g − z̄)² div ((k−1)·Σ(z − z̄_g)²) with
+    both quadratic forms expanded to cross-multiplied sums (the
+    between form n_g(z̄_g−z̄)² folds to ΣB_g²·N/n_g − B²... kept as
+    per-group integer terms with one trailing division), compared to
+    the F(4, inf) = 2.372 literal.
+
+    Scale shape: the median census is one percentile_disc agg per
+    segment broadcast back; deviations are map-side; the F statistic
+    folds from the 5-row moment census.  Windowless, two fact passes.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    vals = orders.join(cust, "o_custkey").select(
+        "segment",
+        F.expr(
+            "cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)"
+        ).alias("x"),
+    )
+    med = vals.groupBy("segment").agg(
+        F.expr(
+            "cast(percentile_disc(0.5) WITHIN GROUP (ORDER BY x)"
+            " as bigint)"
+        ).alias("med")
+    )
+    z = vals.join(F.broadcast(med), "segment").select(
+        "segment", F.expr("abs(x - med) div 100").alias("z")
+    )
+    moments = materialize(
+        z.groupBy("segment").agg(
+            F.count(F.lit(1)).alias("n_g"),
+            F.sum("z").alias("b_g"),
+            F.sum(F.expr("cast(z as decimal(38,0)) * z")).alias("q_g"),
+        )
+    )
+    # between = sum_g B_g^2/n_g - B^2/N ; within = sum_g (Q_g - B_g^2/n_g)
+    # both scaled by N*prod-free cross multiplication via per-group div
+    folded = moments.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n_g").alias("nn"),
+        F.sum("b_g").alias("b"),
+        F.sum("q_g").alias("q"),
+        F.sum(
+            F.expr("(cast(b_g as decimal(38,0)) * b_g) div n_g")
+        ).alias("sb2n"),
+    )
+    return folded.select(
+        F.col("k").cast("bigint").alias("k_groups"),
+        F.col("nn").cast("bigint").alias("n"),
+        F.expr(
+            "cast((1000 * (nn - k) * (sb2n - (cast(b as decimal(38,0))"
+            " * b) div nn)) div nullif((k - 1) * (q - sb2n), 0)"
+            " as bigint)"
+        ).alias("f_milli"),
+        F.expr(
+            "cast(CASE WHEN (1000 * (nn - k) * (sb2n"
+            " - (cast(b as decimal(38,0)) * b) div nn))"
+            " div nullif((k - 1) * (q - sb2n), 0) > 2372"
+            " THEN 1 ELSE 0 END as bigint)"
+        ).alias("variances_differ"),
+    )
+
+
+ROUND8_QUERIES["levene_variance_test"] = levene_variance_test
+
+ROUND8_ORACLES["levene_variance_test"] = """
+WITH vals AS MATERIALIZED (
+  SELECT c.c_mktsegment AS segment,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+),
+med AS (
+  SELECT segment,
+         percentile_disc(0.5) WITHIN GROUP (ORDER BY x) AS med
+  FROM vals GROUP BY segment
+),
+z AS (
+  SELECT v.segment, abs(v.x - m.med) // 100 AS z
+  FROM vals v JOIN med m USING (segment)
+),
+moments AS MATERIALIZED (
+  SELECT segment, count(*) AS n_g, sum(z) AS b_g,
+         sum(z::HUGEINT * z) AS q_g
+  FROM z GROUP BY segment
+),
+folded AS (
+  SELECT count(*) AS k, sum(n_g) AS nn, sum(b_g) AS b, sum(q_g) AS q,
+         sum((b_g::HUGEINT * b_g) // n_g) AS sb2n
+  FROM moments
+)
+SELECT CAST(k AS BIGINT) AS k_groups,
+       CAST(nn AS BIGINT) AS n,
+       CAST((1000 * (nn - k) * (sb2n - (b::HUGEINT * b) // nn))
+            // nullif((k - 1) * (q - sb2n), 0) AS BIGINT) AS f_milli,
+       CAST(CASE WHEN (1000 * (nn - k) * (sb2n - (b::HUGEINT * b) // nn))
+                      // nullif((k - 1) * (q - sb2n), 0) > 2372
+                 THEN 1 ELSE 0 END AS BIGINT) AS variances_differ
+FROM folded
+"""
