@@ -343,6 +343,8 @@ BENCH_QUERIES = [
     "burstiness_fano",
     "youden_threshold",
     "levene_variance_test",
+    "degree_assortativity",
+    "decision_stump_1r",
     # Excluded, with reasons (VERDICT r5 item 4 — one comment per key):
     #   streaming_sessions / streaming_rate_limit / streaming_hourly_stats /
     #   streaming_sliding_counts / streaming_hourly_drift — run the

@@ -5335,6 +5335,7 @@ ORDER BY depth
 # total L1 change mass (the phi threshold of the sketch literature,
 # evaluated here exactly on the dim-bounded part census).
 _HCD_PHI_BP = 50
+_HCD_TOPK = 20
 
 
 def heavy_change_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5344,16 +5345,19 @@ def heavy_change_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     a part can be a heavy hitter in both halves yet change little,
     or small in both yet double — ops cares about the movers.  Ship
     volume per part in 1997-H1 vs 1997-H2; change mass = |f1 - f2|;
-    heavy changers are parts holding > 50 bp of the TOTAL L1 change,
-    published with direction and both periods so the reader sees
-    grow-vs-shrink.  Computed exactly on the part census (what the
-    sketch approximates in one pass at 100 TB; the census here is
-    dim-bounded, so exact IS the scale answer).
+    the top-20 movers by |delta| are published with direction, both
+    periods, and an above-phi flag for the > 50 bp-of-total-change
+    sketch threshold (flag, not filter: at fine part granularity no
+    single part may cross phi, and a filter would go vacuous — the
+    zero-row audit caught exactly that).  Computed exactly on the
+    part census (what the sketch approximates one-pass at 100 TB; the
+    census here is dim-bounded, so exact IS the scale answer).
 
     Scale shape: one map-combined two-conditional-sum agg over
     lineitem to the part census; the threshold is a 1-row aggregate
-    broadcast back; no windows, no sort of anything fact-sized (the
-    output ordering sorts only the ~dozens of over-threshold rows).
+    broadcast back; the top-20 rank filters BELOW the window, so
+    Spark plans the distributed WindowGroupLimit top-k over the
+    dim-bounded census — nothing fact-sized ever sorts.
     """
     li = _t(spark, sf_dir, "lineitem").select(
         "l_partkey",
@@ -5373,10 +5377,13 @@ def heavy_change_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("delta", F.expr("abs(f1 - f2)"))
     )
     total = census.agg(F.sum("delta").alias("tot"))
+    wtop = Window.orderBy(F.desc("delta"), F.asc("l_partkey"))
     return (
-        census.crossJoin(F.broadcast(total))
-        .filter(F.expr(f"10000 * delta > {_HCD_PHI_BP} * tot"))
+        census.withColumn("rk", F.row_number().over(wtop))
+        .filter(f"rk <= {_HCD_TOPK}")
+        .crossJoin(F.broadcast(total))
         .select(
+            F.col("rk").cast("bigint").alias("rank"),
             F.col("l_partkey").cast("bigint").alias("partkey"),
             F.col("f1").cast("bigint").alias("f1"),
             F.col("f2").cast("bigint").alias("f2"),
@@ -5385,10 +5392,14 @@ def heavy_change_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "change_share_bp"
             ),
             F.expr(
+                f"cast(CASE WHEN 10000 * delta > {_HCD_PHI_BP} * tot"
+                " THEN 1 ELSE 0 END as bigint)"
+            ).alias("above_phi"),
+            F.expr(
                 "CASE WHEN f2 > f1 THEN 'grew' ELSE 'shrank' END"
             ).alias("direction"),
         )
-        .orderBy(F.desc("delta"), F.asc("partkey"))
+        .orderBy("rank")
     )
 
 
@@ -5411,16 +5422,23 @@ WITH census AS (
 with_delta AS (
   SELECT *, abs(f1 - f2) AS delta FROM census
 ),
-total AS (SELECT sum(delta) AS tot FROM with_delta)
-SELECT CAST(l_partkey AS BIGINT) AS partkey,
+total AS (SELECT sum(delta) AS tot FROM with_delta),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY delta DESC, l_partkey) AS rk
+  FROM with_delta
+)
+SELECT CAST(rk AS BIGINT) AS rank,
+       CAST(l_partkey AS BIGINT) AS partkey,
        CAST(f1 AS BIGINT) AS f1,
        CAST(f2 AS BIGINT) AS f2,
        CAST(delta AS BIGINT) AS delta,
        CAST((10000 * delta) // tot AS BIGINT) AS change_share_bp,
+       CAST(CASE WHEN 10000 * delta > {_HCD_PHI_BP} * tot
+                 THEN 1 ELSE 0 END AS BIGINT) AS above_phi,
        CASE WHEN f2 > f1 THEN 'grew' ELSE 'shrank' END AS direction
-FROM with_delta CROSS JOIN total
-WHERE 10000 * delta > {_HCD_PHI_BP} * tot
-ORDER BY delta DESC, partkey
+FROM ranked CROSS JOIN total
+WHERE rk <= {_HCD_TOPK}
+ORDER BY rank
 """
 
 
@@ -8159,4 +8177,341 @@ SELECT CAST(k AS BIGINT) AS k_groups,
                       // nullif((k - 1) * (q - sb2n), 0) > 2372
                  THEN 1 ELSE 0 END AS BIGINT) AS variances_differ
 FROM folded
+"""
+
+
+# ---------------------------------------------------------------------------
+# degree_assortativity — degree-degree correlation of the trade graph
+# ---------------------------------------------------------------------------
+
+
+def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEGREE ASSORTATIVITY of the undirected nation trade graph
+    (SURVEY §2 #303) — Newman 2002's mixing coefficient, the one
+    STRUCTURAL summary the graph family lacks (centrality ranks
+    nodes, k-core/modularity find groups; assortativity says whether
+    hubs attach to hubs (r > 0, social nets) or to leaves (r < 0,
+    the internet/trade pattern) — which decides whether hub failure
+    fragments the graph).  Pearson correlation of endpoint degrees
+    over edges, folded to one exact integer expression:
+    r_milli = 1000·(4MC − A²) div (2MB − A²) with A = Σ(j+k),
+    B = Σ(j²+k²), C = Σjk over the edge census — no float, one
+    trailing division.
+
+    Scale shape: distinct-edge census (≤25·24/2) from one fact join
+    agg; degrees by a census groupBy broadcast back twice; the moment
+    fold is a 1-row aggregate.  Windowless.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    edges = materialize(
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .filter(F.expr("s_nationkey != c_nationkey"))
+        .select(
+            F.expr("least(s_nationkey, c_nationkey)").alias("a"),
+            F.expr("greatest(s_nationkey, c_nationkey)").alias("b"),
+        )
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("a").alias("node"))
+        .union(edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("j"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("k"))
+    moments = (
+        edges.join(F.broadcast(da), "a")
+        .join(F.broadcast(db), "b")
+        .agg(
+            F.count(F.lit(1)).alias("m"),
+            F.sum(F.expr("j + k")).alias("sa"),
+            F.sum(F.expr("cast(j as decimal(38,0)) * j"
+                         " + cast(k as decimal(38,0)) * k")).alias("sb"),
+            F.sum(F.expr("cast(j as decimal(38,0)) * k")).alias("sc"),
+        )
+    )
+    nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    return (
+        moments.crossJoin(F.broadcast(nodes))
+        .select(
+            F.col("n_nodes").cast("bigint").alias("n_nodes"),
+            F.col("m").cast("bigint").alias("n_edges"),
+            F.expr(
+                "cast(coalesce((1000 * (4 * m * sc"
+                " - cast(sa as decimal(38,0)) * sa))"
+                " div nullif(2 * m * sb - cast(sa as decimal(38,0)) * sa,"
+                " 0), 0) as bigint)"
+            ).alias("assortativity_milli"),
+            F.expr(
+                "CASE WHEN coalesce((1000 * (4 * m * sc"
+                " - cast(sa as decimal(38,0)) * sa))"
+                " div nullif(2 * m * sb - cast(sa as decimal(38,0)) * sa,"
+                " 0), 0) > 100 THEN 'assortative'"
+                " WHEN coalesce((1000 * (4 * m * sc"
+                " - cast(sa as decimal(38,0)) * sa))"
+                " div nullif(2 * m * sb - cast(sa as decimal(38,0)) * sa,"
+                " 0), 0) < -100 THEN 'disassortative'"
+                " ELSE 'neutral' END"
+            ).alias("mixing_class"),
+        )
+    )
+
+
+ROUND8_QUERIES["degree_assortativity"] = degree_assortativity
+
+_das_r = (
+    "coalesce((1000 * (4 * m * sc - sa::HUGEINT * sa))"
+    " // nullif(2 * m * sb - sa::HUGEINT * sa, 0), 0)"
+)
+
+ROUND8_ORACLES["degree_assortativity"] = f"""
+WITH edges AS MATERIALIZED (
+  SELECT DISTINCT least(s_nationkey, c_nationkey) AS a,
+         greatest(s_nationkey, c_nationkey) AS b
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  WHERE s_nationkey <> c_nationkey
+),
+deg AS MATERIALIZED (
+  SELECT node, count(*) AS deg FROM (
+    SELECT a AS node FROM edges UNION ALL SELECT b FROM edges
+  ) GROUP BY node
+),
+moments AS (
+  SELECT count(*) AS m,
+         sum(da.deg + db.deg) AS sa,
+         sum(da.deg::HUGEINT * da.deg + db.deg::HUGEINT * db.deg) AS sb,
+         sum(da.deg::HUGEINT * db.deg) AS sc
+  FROM edges e
+  JOIN deg da ON da.node = e.a
+  JOIN deg db ON db.node = e.b
+),
+nodes AS (SELECT count(*) AS n_nodes FROM deg)
+SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+       CAST(m AS BIGINT) AS n_edges,
+       CAST({_das_r} AS BIGINT) AS assortativity_milli,
+       CASE WHEN {_das_r} > 100 THEN 'assortative'
+            WHEN {_das_r} < -100 THEN 'disassortative'
+            ELSE 'neutral' END AS mixing_class
+FROM moments CROSS JOIN nodes
+"""
+
+
+# ---------------------------------------------------------------------------
+# decision_stump_1r — best single-split rule by exact weighted Gini
+# ---------------------------------------------------------------------------
+
+_STUMP_TOPK = 3
+
+
+def decision_stump_1r(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-RULE decision stump (SURVEY §2 #304) — Holte 1993's famous
+    baseline ("very simple classification rules perform well"), the
+    interpretable-model floor every model-eval key implicitly
+    compares against: enumerate every single binary split (9 balance
+    thresholds, 5 segment-vs-rest, 5 region-vs-rest) for predicting
+    late conversion, score by exact weighted Gini impurity, publish
+    the top 3.  Gini per side = (n² − pos² − neg²)/n milli-floored;
+    the weighted sum over two sides uses per-side floors —
+    deterministic on both engines, and a real ranking signal (the
+    winning stump IS the strongest single feature, the thing feature
+    selection wants first).
+
+    Scale shape: one fact agg to the ≤10·5·5-cell feature census;
+    candidate splits are a literal table cross-joined with the census
+    (19 × 250 rows); Gini folds and the top-3 election run on those
+    censuses.  Windowless except the 19-row rank.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .join(
+            _t(spark, sf_dir, "nation"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            _t(spark, sf_dir, "region"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(
+            F.col("c_custkey").alias("cust"),
+            F.col("c_mktsegment").alias("segment"),
+            F.col("r_name").alias("region"),
+            F.expr(
+                "least(greatest(cast((cast(cast(c_acctbal as decimal(12,2))"
+                " * 100 as bigint) + 100000) div 110000 as int), 0), 9)"
+            ).alias("bal"),
+        )
+    )
+    per_cust = orders.groupBy(F.col("o_custkey").alias("cust")).agg(
+        F.max(
+            F.expr("o_orderdate >= date'1998-01-01'").cast("int")
+        ).alias("y")
+    )
+    cells = materialize(
+        per_cust.join(cust, "cust")
+        .groupBy("segment", "region", "bal")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("pos"))
+    )
+    cand_rows = []
+    for c in range(9):
+        cand_rows.append(f"named_struct('attribute', 'bal', 'split_value', cast({c} as string))")
+    cands_sql = ", ".join(cand_rows)
+    bal_cands = spark.range(1).select(
+        F.explode(F.expr(f"array({cands_sql})")).alias("c")
+    ).select("c.attribute", "c.split_value")
+    seg_cands = cells.select(
+        F.lit("segment").alias("attribute"),
+        F.col("segment").alias("split_value"),
+    ).distinct()
+    reg_cands = cells.select(
+        F.lit("region").alias("attribute"),
+        F.col("region").alias("split_value"),
+    ).distinct()
+    cands = bal_cands.unionByName(seg_cands).unionByName(reg_cands)
+    sided = cands.join(F.broadcast(cells)).select(
+        "attribute",
+        "split_value",
+        F.expr(
+            "CASE WHEN attribute = 'bal' THEN"
+            " (CASE WHEN bal <= cast(split_value as int) THEN 'left'"
+            " ELSE 'right' END)"
+            " WHEN attribute = 'segment' THEN"
+            " (CASE WHEN segment = split_value THEN 'left'"
+            " ELSE 'right' END)"
+            " ELSE (CASE WHEN region = split_value THEN 'left'"
+            " ELSE 'right' END) END"
+        ).alias("side"),
+        "n",
+        "pos",
+    )
+    sides = sided.groupBy("attribute", "split_value", "side").agg(
+        F.sum("n").alias("ns"), F.sum("pos").alias("ps")
+    )
+    gini = (
+        sides.withColumn(
+            "g_num",
+            F.expr(
+                "cast(ns as decimal(38,0)) * ns"
+                " - cast(ps as decimal(38,0)) * ps"
+                " - cast(ns - ps as decimal(38,0)) * (ns - ps)"
+            ),
+        )
+        .groupBy("attribute", "split_value")
+        .agg(
+            F.sum(F.expr("(1000 * g_num) div ns")).alias("gini_raw"),
+            F.sum("ns").alias("n_total"),
+            F.sum(
+                F.expr("CASE WHEN side = 'left' THEN ns ELSE 0 END")
+            ).alias("n_left"),
+            F.sum(
+                F.expr("CASE WHEN side = 'left' THEN ps ELSE 0 END")
+            ).alias("pos_left"),
+            F.sum(
+                F.expr("CASE WHEN side = 'right' THEN ns ELSE 0 END")
+            ).alias("n_right"),
+            F.sum(
+                F.expr("CASE WHEN side = 'right' THEN ps ELSE 0 END")
+            ).alias("pos_right"),
+        )
+        .withColumn(
+            "gini_milli", F.expr("cast(gini_raw div n_total as bigint)")
+        )
+    )
+    wr = Window.orderBy(
+        F.asc("gini_milli"), F.asc("attribute"), F.asc("split_value")
+    )
+    return (
+        gini.withColumn("rank", F.row_number().over(wr))
+        .filter(f"rank <= {_STUMP_TOPK}")
+        .select(
+            F.col("rank").cast("bigint").alias("rank"),
+            "attribute",
+            "split_value",
+            F.col("gini_milli").cast("bigint").alias("gini_milli"),
+            F.col("n_left").cast("bigint").alias("n_left"),
+            F.col("pos_left").cast("bigint").alias("pos_left"),
+            F.col("n_right").cast("bigint").alias("n_right"),
+            F.col("pos_right").cast("bigint").alias("pos_right"),
+        )
+        .orderBy("rank")
+    )
+
+
+ROUND8_QUERIES["decision_stump_1r"] = decision_stump_1r
+
+ROUND8_ORACLES["decision_stump_1r"] = f"""
+WITH cust AS (
+  SELECT c_custkey AS cust, c_mktsegment AS segment, r_name AS region,
+         least(greatest(CAST((CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100
+                              AS BIGINT) + 100000) // 110000 AS INT), 0), 9)
+           AS bal
+  FROM customer
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+),
+per_cust AS (
+  SELECT o_custkey AS cust,
+         max(CASE WHEN o_orderdate >= DATE '1998-01-01'
+                  THEN 1 ELSE 0 END) AS y
+  FROM orders GROUP BY o_custkey
+),
+cells AS MATERIALIZED (
+  SELECT segment, region, bal, count(*) AS n, sum(y) AS pos
+  FROM per_cust JOIN cust USING (cust)
+  GROUP BY segment, region, bal
+),
+cands AS (
+  SELECT 'bal' AS attribute, CAST(c AS VARCHAR) AS split_value
+  FROM unnest(generate_series(0, 8)) AS t(c)
+  UNION ALL SELECT DISTINCT 'segment', segment FROM cells
+  UNION ALL SELECT DISTINCT 'region', region FROM cells
+),
+sided AS (
+  SELECT attribute, split_value,
+         CASE WHEN attribute = 'bal' THEN
+                (CASE WHEN bal <= CAST(split_value AS INT) THEN 'left'
+                 ELSE 'right' END)
+              WHEN attribute = 'segment' THEN
+                (CASE WHEN segment = split_value THEN 'left'
+                 ELSE 'right' END)
+              ELSE (CASE WHEN region = split_value THEN 'left'
+                    ELSE 'right' END) END AS side,
+         n, pos
+  FROM cands CROSS JOIN cells
+),
+sides AS (
+  SELECT attribute, split_value, side, sum(n) AS ns, sum(pos) AS ps
+  FROM sided GROUP BY 1, 2, 3
+),
+gini AS (
+  SELECT attribute, split_value,
+         CAST(sum((1000 * (ns::HUGEINT * ns - ps::HUGEINT * ps
+                           - (ns - ps)::HUGEINT * (ns - ps))) // ns)
+              // sum(ns) AS BIGINT) AS gini_milli,
+         sum(CASE WHEN side = 'left' THEN ns ELSE 0 END) AS n_left,
+         sum(CASE WHEN side = 'left' THEN ps ELSE 0 END) AS pos_left,
+         sum(CASE WHEN side = 'right' THEN ns ELSE 0 END) AS n_right,
+         sum(CASE WHEN side = 'right' THEN ps ELSE 0 END) AS pos_right
+  FROM sides GROUP BY attribute, split_value
+)
+SELECT CAST(row_number() OVER (ORDER BY gini_milli, attribute, split_value)
+            AS BIGINT) AS rank,
+       attribute, split_value,
+       CAST(gini_milli AS BIGINT) AS gini_milli,
+       CAST(n_left AS BIGINT) AS n_left,
+       CAST(pos_left AS BIGINT) AS pos_left,
+       CAST(n_right AS BIGINT) AS n_right,
+       CAST(pos_right AS BIGINT) AS pos_right
+FROM gini
+QUALIFY rank <= {_STUMP_TOPK}
+ORDER BY rank
 """
