@@ -608,3 +608,71 @@ def test_parquet_schema_evolution_mergeschema(spark, tmp_path):
         .toString()
     )
     assert "PushedFilters: [IsNotNull(id), GreaterThan(id,2)]" in plan
+
+
+# --- archive ingestion (sources/archives.py) -------------------------------
+
+
+def test_zip_archive_roundtrip(spark, tmp_path):
+    """Distributed ZIP member read over two shard archives, plus the
+    deterministic single-file writer: payloads and member names must
+    round-trip exactly, and member_glob must prune inside the batch."""
+    import zipfile
+
+    from pyprima_spark.sources.archives import (
+        read_archive_members,
+        write_zip_archive,
+    )
+
+    shard_dir = tmp_path / "zips"
+    shard_dir.mkdir()
+    want = {}
+    for shard in range(2):
+        p = shard_dir / f"shard-{shard}.zip"
+        with zipfile.ZipFile(p, "w") as zf:
+            for i in range(3):
+                name = f"docs/doc-{shard}-{i}.txt"
+                body = f"payload {shard}/{i} body".encode()
+                zf.writestr(name, body)
+                want[name] = body
+            zf.writestr("skip/readme.md", b"not a txt")
+    got = read_archive_members(
+        spark, str(shard_dir / "*.zip"), member_glob="docs/*.txt"
+    )
+    rows = {r["member"]: bytes(r["payload"]) for r in got.collect()}
+    assert rows == want
+    assert got.filter("n_bytes <= 0").count() == 0
+
+    out = tmp_path / "export.zip"
+    n = write_zip_archive(got, str(out))
+    assert n == len(want)
+    with zipfile.ZipFile(out) as zf:
+        assert sorted(zf.namelist()) == sorted(want)
+        for name, body in want.items():
+            assert zf.read(name) == body
+    # byte-determinism: a second write of the same rows is identical
+    out2 = tmp_path / "export2.zip"
+    write_zip_archive(got, str(out2))
+    assert out.read_bytes() == out2.read_bytes()
+
+
+def test_tgz_archive_read(spark, tmp_path):
+    """tar.gz members surface with auto-detected compression."""
+    import io
+    import tarfile
+
+    from pyprima_spark.sources.archives import read_archive_members
+
+    p = tmp_path / "dump.tar.gz"
+    with tarfile.open(p, "w:gz") as tf:
+        for i in range(4):
+            body = f"tar member {i}".encode()
+            info = tarfile.TarInfo(name=f"wet/{i:02d}.warc")
+            info.size = len(body)
+            tf.addfile(info, io.BytesIO(body))
+    got = read_archive_members(
+        spark, str(p), member_glob="wet/*", kind="tar"
+    ).collect()
+    assert len(got) == 4
+    assert {r["member"] for r in got} == {f"wet/{i:02d}.warc" for i in range(4)}
+    assert all(bytes(r["payload"]).startswith(b"tar member") for r in got)
