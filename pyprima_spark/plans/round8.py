@@ -8515,3 +8515,271 @@ FROM gini
 QUALIFY rank <= {_STUMP_TOPK}
 ORDER BY rank
 """
+
+
+# ---------------------------------------------------------------------------
+# ab_power_analysis — required sample size per segment (two-proportion test)
+# ---------------------------------------------------------------------------
+
+
+def _z_micro(p: float) -> int:
+    from statistics import NormalDist
+
+    return round(1000000 * NormalDist().inv_cdf(1.0 - p))
+
+
+# (z_{alpha/2} + z_{beta})^2 at alpha = 5%, power = 80% — the standard
+# two-proportion sample-size constant, embedded in micro units.
+_POWER_ZSUM2_MICRO = round(
+    ((_z_micro(0.025) + _z_micro(0.2)) / 1000000) ** 2 * 1000000
+)
+_POWER_MDE_REL_BP = 1000  # minimum detectable effect: +10% relative
+
+
+def ab_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B POWER ANALYSIS per segment (SURVEY §2 #305) — the
+    experiment-DESIGN step the testing family runs AFTER the fact
+    (ab_test_chi2 scores a finished test, aa_test_fpr validates the
+    harness, bh_fdr_control corrects the sweep — but the first
+    question is "how many users do I need?"): the standard
+    two-proportion formula n = (z_a/2 + z_b)^2 (p1q1 + p2q2) / d^2 at
+    80% power / 5% alpha for a +10% relative lift on each segment's
+    OBSERVED baseline conversion — normal quantiles are import-time
+    literals (the bh_fdr ladder pattern), everything else exact bp
+    integers with a ceiling division, so the published n_required is
+    deterministic.  The feasible flag compares against the segment's
+    actual population — the "this segment can never reach
+    significance" readout.
+
+    Scale shape: one fact agg to per-customer conversion, one census
+    agg per segment; the formula is a projection on the 5-row census.
+    Windowless.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("cust"), F.col("c_mktsegment").alias("segment")
+    )
+    per_cust = orders.groupBy(F.col("o_custkey").alias("cust")).agg(
+        F.max(
+            F.expr("o_orderdate >= date'1998-01-01'").cast("int")
+        ).alias("conv")
+    )
+    seg = (
+        per_cust.join(cust, "cust")
+        .groupBy("segment")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("conv").alias("pos"))
+    )
+    staged = seg.select(
+        "segment",
+        "n",
+        F.expr("(10000 * pos) div n").alias("p1"),
+    ).select(
+        "segment",
+        "n",
+        "p1",
+        F.expr(f"(p1 * {_POWER_MDE_REL_BP}) div 10000").alias("mde"),
+    ).select(
+        "segment",
+        "n",
+        "p1",
+        "mde",
+        F.expr("least(p1 + mde, 10000)").alias("p2"),
+    ).select(
+        "segment",
+        "n",
+        "p1",
+        "mde",
+        F.expr(
+            f"CASE WHEN mde = 0 THEN cast(-1 as decimal(38,0)) ELSE"
+            f" ({_POWER_ZSUM2_MICRO} * (p1 * (10000 - p1)"
+            " + p2 * (10000 - p2))"
+            " + 1000000 * cast(mde as decimal(38,0)) * mde - 1)"
+            " div (1000000 * cast(mde as decimal(38,0)) * mde) END"
+        ).alias("n_req"),
+    )
+    return staged.select(
+        "segment",
+        F.col("n").cast("bigint").alias("n_observed"),
+        F.col("p1").cast("bigint").alias("baseline_bp"),
+        F.col("mde").cast("bigint").alias("mde_bp"),
+        F.col("n_req").cast("bigint").alias("n_required_per_arm"),
+        F.expr(
+            "cast(CASE WHEN mde = 0 THEN 0"
+            " WHEN n_req <= n div 2 THEN 1 ELSE 0 END as bigint)"
+        ).alias("feasible_two_arm"),
+    ).orderBy("segment")
+
+
+ROUND8_QUERIES["ab_power_analysis"] = ab_power_analysis
+
+_pwr_p1 = "(10000 * pos) // n"
+_pwr_mde = f"(({_pwr_p1}) * {_POWER_MDE_REL_BP}) // 10000"
+_pwr_p2 = f"least(({_pwr_p1}) + ({_pwr_mde}), 10000)"
+_pwr_num = (
+    f"({_POWER_ZSUM2_MICRO} * (({_pwr_p1}) * (10000 - ({_pwr_p1}))"
+    f" + ({_pwr_p2}) * (10000 - ({_pwr_p2})))"
+    f" + 1000000 * ({_pwr_mde})::HUGEINT * ({_pwr_mde}) - 1)"
+)
+_pwr_den = f"(1000000 * ({_pwr_mde})::HUGEINT * ({_pwr_mde}))"
+
+ROUND8_ORACLES["ab_power_analysis"] = f"""
+WITH per_cust AS (
+  SELECT o_custkey AS cust,
+         max(CASE WHEN o_orderdate >= DATE '1998-01-01'
+                  THEN 1 ELSE 0 END) AS conv
+  FROM orders GROUP BY o_custkey
+),
+seg AS (
+  SELECT c.c_mktsegment AS segment, count(*) AS n, sum(conv) AS pos
+  FROM per_cust p JOIN customer c ON c.c_custkey = p.cust
+  GROUP BY 1
+)
+SELECT segment,
+       CAST(n AS BIGINT) AS n_observed,
+       CAST({_pwr_p1} AS BIGINT) AS baseline_bp,
+       CAST({_pwr_mde} AS BIGINT) AS mde_bp,
+       CAST(CASE WHEN ({_pwr_mde}) = 0 THEN -1
+                 ELSE {_pwr_num} // {_pwr_den} END AS BIGINT)
+         AS n_required_per_arm,
+       CAST(CASE WHEN ({_pwr_mde}) = 0 THEN 0
+                 WHEN {_pwr_num} // {_pwr_den} <= n // 2 THEN 1
+                 ELSE 0 END AS BIGINT) AS feasible_two_arm
+FROM seg ORDER BY segment
+"""
+
+
+# ---------------------------------------------------------------------------
+# iv_wald_estimate — instrumental-variable Wald ratio per segment
+# ---------------------------------------------------------------------------
+
+_IV_SUPP_THRESHOLD = 3  # nations with > 3 suppliers are "encouraged"
+
+
+def iv_wald_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INSTRUMENTAL-VARIABLE Wald estimator (SURVEY §2 #306) — the
+    last missing identification strategy (diff_in_diff: parallel
+    trends; regression_discontinuity: a cutoff; this: an INSTRUMENT
+    that shifts treatment without touching the outcome directly —
+    Wald 1940; Angrist-Krueger's workhorse): instrument z = customer's
+    nation hosts more than 3 suppliers (supply-side encouragement),
+    treatment x = order count, outcome y = spend.  Wald = (ybar_1 -
+    ybar_0)/(xbar_1 - xbar_0) computed in the cross-multiplied closed
+    form (Sy1·n0 - Sy0·n1)/(Sx1·n0 - Sx0·n1) — exact integers, one
+    trailing milli division — published per segment with the
+    first-stage strength (a weak instrument makes the ratio explode;
+    the reader sees both).
+
+    Scale shape: the supplier census per nation is a dim agg broadcast
+    into the customer dim join; per-customer (x, y) is one fact agg;
+    the Wald fold is a 5x2-cell census.  Windowless.
+    """
+    supp_per_nation = (
+        _t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(supp_per_nation),
+            F.col("c_nationkey") == F.col("nk"),
+            "left",
+        )
+        .select(
+            F.col("c_custkey").alias("cust"),
+            F.col("c_mktsegment").alias("segment"),
+            F.expr(
+                f"CASE WHEN coalesce(n_supp, 0) > {_IV_SUPP_THRESHOLD}"
+                " THEN 1 ELSE 0 END"
+            ).alias("z"),
+        )
+    )
+    per_cust = _t(spark, sf_dir, "orders").groupBy(
+        F.col("o_custkey").alias("cust")
+    ).agg(
+        F.count(F.lit(1)).alias("x"),
+        F.expr(
+            "cast(sum(cast(o_totalprice as decimal(18,2)) * 100)"
+            " as decimal(38,0)) div 100000"
+        ).alias("y"),
+    )
+    cells = (
+        per_cust.join(cust, "cust")
+        .groupBy("segment", "z")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+        )
+    )
+    z1 = cells.filter("z = 1").select(
+        "segment",
+        F.col("n").alias("n1"),
+        F.col("sx").alias("sx1"),
+        F.col("sy").alias("sy1"),
+    )
+    z0 = cells.filter("z = 0").select(
+        "segment",
+        F.col("n").alias("n0"),
+        F.col("sx").alias("sx0"),
+        F.col("sy").alias("sy0"),
+    )
+    return (
+        z1.join(z0, "segment")
+        .select(
+            "segment",
+            F.expr("cast(n1 + n0 as bigint)").alias("n"),
+            F.col("n1").cast("bigint").alias("n_encouraged"),
+            F.expr(
+                "cast((1000 * (cast(sx1 as decimal(38,0)) * n0"
+                " - cast(sx0 as decimal(38,0)) * n1))"
+                " div (cast(n1 as decimal(38,0)) * n0) as bigint)"
+            ).alias("first_stage_milli"),
+            F.expr(
+                "cast(coalesce((1000 * (cast(sy1 as decimal(38,0)) * n0"
+                " - cast(sy0 as decimal(38,0)) * n1))"
+                " div nullif(cast(sx1 as decimal(38,0)) * n0"
+                " - cast(sx0 as decimal(38,0)) * n1, 0), 0) as bigint)"
+            ).alias("wald_milli_k_per_order"),
+        )
+        .orderBy("segment")
+    )
+
+
+ROUND8_QUERIES["iv_wald_estimate"] = iv_wald_estimate
+
+ROUND8_ORACLES["iv_wald_estimate"] = f"""
+WITH supp AS (
+  SELECT s_nationkey AS nk, count(*) AS n_supp
+  FROM supplier GROUP BY 1
+),
+cust AS (
+  SELECT c_custkey AS cust, c_mktsegment AS segment,
+         CASE WHEN coalesce(n_supp, 0) > {_IV_SUPP_THRESHOLD}
+              THEN 1 ELSE 0 END AS z
+  FROM customer LEFT JOIN supp ON nk = c_nationkey
+),
+per_cust AS (
+  SELECT o_custkey AS cust, count(*) AS x,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS HUGEINT)
+           // 100000 AS y
+  FROM orders GROUP BY o_custkey
+),
+cells AS (
+  SELECT segment, z, count(*) AS n, sum(x) AS sx, sum(y) AS sy
+  FROM per_cust JOIN cust USING (cust)
+  GROUP BY segment, z
+)
+SELECT a.segment,
+       CAST(a.n + b.n AS BIGINT) AS n,
+       CAST(a.n AS BIGINT) AS n_encouraged,
+       CAST((1000 * (a.sx::HUGEINT * b.n - b.sx::HUGEINT * a.n))
+            // (a.n::HUGEINT * b.n) AS BIGINT) AS first_stage_milli,
+       CAST(coalesce((1000 * (a.sy::HUGEINT * b.n - b.sy::HUGEINT * a.n))
+                     // nullif(a.sx::HUGEINT * b.n - b.sx::HUGEINT * a.n,
+                               0), 0) AS BIGINT)
+         AS wald_milli_k_per_order
+FROM cells a JOIN cells b ON a.segment = b.segment
+WHERE a.z = 1 AND b.z = 0
+ORDER BY a.segment
+"""
