@@ -8783,3 +8783,332 @@ FROM cells a JOIN cells b ON a.segment = b.segment
 WHERE a.z = 1 AND b.z = 0
 ORDER BY a.segment
 """
+
+
+# ---------------------------------------------------------------------------
+# morans_i_autocorrelation — spatial autocorrelation on the synthetic grid
+# ---------------------------------------------------------------------------
+
+_MOR_LON_CELLS = 36
+_MOR_LAT_CELLS = 16
+
+
+def morans_i_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MORAN'S I spatial autocorrelation (SURVEY §2 #307) — the
+    statistic the spatial family measures NOTHING with today (the
+    point-in-polygon/zonal/grid keys all join or aggregate; none asks
+    "is the map clustered or random?" — Moran 1950, the first
+    question of any spatial analysis): customer account balance on
+    the deterministic synthetic lattice (the point_in_region
+    geometry, coarsened to a 36×16 cell census), rook-adjacency
+    weights, I = (n/W)·Σ_ij w_ij z_i z_j / Σ z_i².  Deviations are
+    kept exact by the n-scaling trick z_i ∝ n·x_i − Σx (the common
+    factor cancels in the ratio), so I_milli is one trailing
+    division over DECIMAL(38,0) integers.  Published per region so
+    the reader sees WHERE balance clusters.
+
+    Scale shape: one fact agg to the ≤576-cell census; rook neighbor
+    pairs via four shifted equi-joins on cell ids (never a range
+    join); the moment folds are census aggregates.  Windowless.
+    """
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .join(
+            _t(spark, sf_dir, "nation"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            _t(spark, sf_dir, "region"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(
+            F.col("r_name").alias("region"),
+            F.expr(
+                f"cast((c_custkey * 104729 % 360) div"
+                f" {360 // _MOR_LON_CELLS} as int)"
+            ).alias("cx"),
+            F.expr(
+                f"cast((c_custkey * 7919 % 160) div"
+                f" {160 // _MOR_LAT_CELLS} as int)"
+            ).alias("cy"),
+            F.expr(
+                "cast(cast(c_acctbal as decimal(12,2)) * 100 as bigint)"
+            ).alias("bal"),
+        )
+    )
+    cells = materialize(
+        cust.groupBy("region", "cx", "cy").agg(
+            F.expr("sum(bal) div count(*)").alias("x")
+        )
+    )
+    tot = cells.groupBy("region").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("sx")
+    )
+    z = cells.join(F.broadcast(tot), "region").select(
+        "region",
+        "cx",
+        "cy",
+        "n",
+        F.expr("cast(n as decimal(38,0)) * x - sx").alias("z"),
+    )
+    zb = z.select(
+        F.col("region").alias("r2"),
+        F.col("cx").alias("cx2"),
+        F.col("cy").alias("cy2"),
+        F.col("z").alias("z2"),
+    )
+    pairs = z.join(
+        zb,
+        (F.col("region") == F.col("r2"))
+        & (
+            (
+                (F.col("cx2") == F.col("cx") + 1)
+                & (F.col("cy2") == F.col("cy"))
+            )
+            | (
+                (F.col("cx2") == F.col("cx") - 1)
+                & (F.col("cy2") == F.col("cy"))
+            )
+            | (
+                (F.col("cy2") == F.col("cy") + 1)
+                & (F.col("cx2") == F.col("cx"))
+            )
+            | (
+                (F.col("cy2") == F.col("cy") - 1)
+                & (F.col("cx2") == F.col("cx"))
+            )
+        ),
+    )
+    num = pairs.groupBy("region").agg(
+        F.count(F.lit(1)).alias("w"),
+        F.sum(F.expr("z * z2")).alias("szz"),
+    )
+    den = z.groupBy("region", "n").agg(
+        F.sum(F.expr("z * z")).alias("sz2")
+    )
+    return (
+        den.join(num, "region")
+        .select(
+            "region",
+            F.col("n").cast("bigint").alias("n_cells"),
+            F.col("w").cast("bigint").alias("n_neighbor_pairs"),
+            F.expr(
+                "cast(coalesce((1000 * n * szz) div nullif(w * sz2, 0),"
+                " 0) as bigint)"
+            ).alias("morans_i_milli"),
+            F.expr(
+                "CASE WHEN coalesce((1000 * n * szz)"
+                " div nullif(w * sz2, 0), 0) > 100 THEN 'clustered'"
+                " WHEN coalesce((1000 * n * szz) div nullif(w * sz2, 0),"
+                " 0) < -100 THEN 'dispersed' ELSE 'random' END"
+            ).alias("pattern"),
+        )
+        .orderBy("region")
+    )
+
+
+ROUND8_QUERIES["morans_i_autocorrelation"] = morans_i_autocorrelation
+
+ROUND8_ORACLES["morans_i_autocorrelation"] = f"""
+WITH cust AS (
+  SELECT r_name AS region,
+         CAST((c_custkey * 104729 % 360) // {360 // _MOR_LON_CELLS} AS INT)
+           AS cx,
+         CAST((c_custkey * 7919 % 160) // {160 // _MOR_LAT_CELLS} AS INT)
+           AS cy,
+         CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS bal
+  FROM customer
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+),
+cells AS MATERIALIZED (
+  SELECT region, cx, cy, sum(bal) // count(*) AS x
+  FROM cust GROUP BY 1, 2, 3
+),
+tot AS (
+  SELECT region, count(*) AS n, sum(x) AS sx FROM cells GROUP BY region
+),
+z AS MATERIALIZED (
+  SELECT c.region, c.cx, c.cy, t.n,
+         t.n::HUGEINT * c.x - t.sx AS z
+  FROM cells c JOIN tot t USING (region)
+),
+pairs AS (
+  SELECT a.region, a.z AS za, b.z AS zb
+  FROM z a JOIN z b ON a.region = b.region
+   AND ((b.cx = a.cx + 1 AND b.cy = a.cy)
+     OR (b.cx = a.cx - 1 AND b.cy = a.cy)
+     OR (b.cy = a.cy + 1 AND b.cx = a.cx)
+     OR (b.cy = a.cy - 1 AND b.cx = a.cx))
+),
+num AS (
+  SELECT region, count(*) AS w, sum(za * zb) AS szz
+  FROM pairs GROUP BY region
+),
+den AS (
+  SELECT region, n, sum(z * z) AS sz2 FROM z GROUP BY region, n
+)
+SELECT d.region,
+       CAST(d.n AS BIGINT) AS n_cells,
+       CAST(m.w AS BIGINT) AS n_neighbor_pairs,
+       CAST(coalesce((1000 * d.n * m.szz) // nullif(m.w * d.sz2, 0), 0)
+            AS BIGINT) AS morans_i_milli,
+       CASE WHEN coalesce((1000 * d.n * m.szz) // nullif(m.w * d.sz2, 0),
+                          0) > 100 THEN 'clustered'
+            WHEN coalesce((1000 * d.n * m.szz) // nullif(m.w * d.sz2, 0),
+                          0) < -100 THEN 'dispersed'
+            ELSE 'random' END AS pattern
+FROM den d JOIN num m USING (region)
+ORDER BY d.region
+"""
+
+
+# ---------------------------------------------------------------------------
+# sax_motifs — symbolic aggregate approximation + motif census
+# ---------------------------------------------------------------------------
+
+_SAX_PAA_DAYS = 3
+_SAX_WORD = 3
+_SAX_TOPK = 5
+
+
+def sax_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX symbolic time-series motifs (SURVEY §2 #308) — Lin-Keogh
+    2003's symbolic aggregate approximation, the time-series MINING
+    leg the TS family lacks (acf/cusum/MK test global properties;
+    SAX finds repeating local SHAPES): daily k$ revenue → 3-day PAA
+    means → quartile symbols a-d (breakpoints are exact
+    percentile_disc ELEMENTS of each year's own PAA distribution —
+    the empirical-quantile variant, which needs no z-normalization
+    and hence no sqrt) → sliding 3-symbol words → the top-5 recurring
+    words per year with counts.  A word like 'dda' (two high
+    segments then a crash) recurring 9 times IS the motif readout.
+
+    Scale shape: fact → day census → PAA census (|days|/3 rows per
+    year); breakpoints one percentile agg broadcast back; the word
+    assembly is two lag windows over the PAA census PARTITIONED BY
+    YEAR (time-bounded, the acf_lags class); top-5 election per year
+    is a partitioned rank.  Nothing fact-sized below the first agg.
+    """
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.expr("o_orderdate >= date'1995-01-01'")
+        & F.expr("o_orderdate < date'1998-01-01'")
+    )
+    daily = orders.groupBy(
+        F.expr("year(o_orderdate)").alias("yr"),
+        F.expr(
+            "datediff(cast(o_orderdate as date),"
+            " date'1995-01-01')"
+        ).alias("d"),
+    ).agg(
+        F.expr(
+            "cast(sum(cast(o_totalprice as decimal(18,2)) * 100)"
+            " as decimal(38,0)) div 100000"
+        ).alias("y")
+    )
+    paa = materialize(
+        daily.groupBy(
+            "yr", F.expr(f"d div {_SAX_PAA_DAYS}").alias("seg")
+        ).agg(F.expr("sum(y) div count(*)").alias("m"))
+    )
+    bps = paa.groupBy("yr").agg(
+        F.expr(
+            "cast(percentile_disc(0.25) WITHIN GROUP (ORDER BY m)"
+            " as bigint)"
+        ).alias("b1"),
+        F.expr(
+            "cast(percentile_disc(0.5) WITHIN GROUP (ORDER BY m)"
+            " as bigint)"
+        ).alias("b2"),
+        F.expr(
+            "cast(percentile_disc(0.75) WITHIN GROUP (ORDER BY m)"
+            " as bigint)"
+        ).alias("b3"),
+    )
+    sym = paa.join(F.broadcast(bps), "yr").select(
+        "yr",
+        "seg",
+        F.expr(
+            "CASE WHEN m <= b1 THEN 'a' WHEN m <= b2 THEN 'b'"
+            " WHEN m <= b3 THEN 'c' ELSE 'd' END"
+        ).alias("s"),
+    )
+    w = Window.partitionBy("yr").orderBy("seg")
+    words = (
+        sym.withColumn("s1", F.lead("s", 1).over(w))
+        .withColumn("s2", F.lead("s", 2).over(w))
+        .filter("s1 IS NOT NULL AND s2 IS NOT NULL")
+        .select("yr", F.expr("concat(s, s1, s2)").alias("word"))
+    )
+    counts = words.groupBy("yr", "word").agg(
+        F.count(F.lit(1)).alias("n_occurrences")
+    )
+    wr = Window.partitionBy("yr").orderBy(
+        F.desc("n_occurrences"), F.asc("word")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(wr))
+        .filter(f"rank <= {_SAX_TOPK}")
+        .select(
+            F.col("yr").cast("bigint").alias("year"),
+            F.col("rank").cast("bigint").alias("rank"),
+            "word",
+            F.col("n_occurrences").cast("bigint").alias("n_occurrences"),
+        )
+        .orderBy("year", "rank")
+    )
+
+
+ROUND8_QUERIES["sax_motifs"] = sax_motifs
+
+ROUND8_ORACLES["sax_motifs"] = f"""
+WITH daily AS (
+  SELECT year(o_orderdate) AS yr,
+         datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS d,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS HUGEINT)
+           // 100000 AS y
+  FROM orders
+  WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1998-01-01'
+  GROUP BY 1, 2
+),
+paa AS MATERIALIZED (
+  SELECT yr, d // {_SAX_PAA_DAYS} AS seg, sum(y) // count(*) AS m
+  FROM daily GROUP BY 1, 2
+),
+bps AS (
+  SELECT yr,
+         CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY m) AS BIGINT)
+           AS b1,
+         CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY m) AS BIGINT)
+           AS b2,
+         CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY m) AS BIGINT)
+           AS b3
+  FROM paa GROUP BY yr
+),
+sym AS (
+  SELECT p.yr, p.seg,
+         CASE WHEN p.m <= b.b1 THEN 'a' WHEN p.m <= b.b2 THEN 'b'
+              WHEN p.m <= b.b3 THEN 'c' ELSE 'd' END AS s
+  FROM paa p JOIN bps b USING (yr)
+),
+words AS (
+  SELECT yr,
+         s || lead(s, 1) OVER w || lead(s, 2) OVER w AS word
+  FROM sym
+  WINDOW w AS (PARTITION BY yr ORDER BY seg)
+),
+counts AS (
+  SELECT yr, word, count(*) AS n_occurrences
+  FROM words WHERE word IS NOT NULL
+  GROUP BY yr, word
+)
+SELECT CAST(yr AS BIGINT) AS year,
+       CAST(row_number() OVER (PARTITION BY yr
+                               ORDER BY n_occurrences DESC, word)
+            AS BIGINT) AS rank,
+       word,
+       CAST(n_occurrences AS BIGINT) AS n_occurrences
+FROM counts
+QUALIFY rank <= {_SAX_TOPK}
+ORDER BY year, rank
+"""
