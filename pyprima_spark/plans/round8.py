@@ -9112,3 +9112,335 @@ FROM counts
 QUALIFY rank <= {_SAX_TOPK}
 ORDER BY year, rank
 """
+
+
+# ---------------------------------------------------------------------------
+# haar_wavelet_topk — integer Haar transform + top-k coefficient census
+# ---------------------------------------------------------------------------
+
+_HAAR_LEN = 256  # 2^8 days from 1995-01-01
+_HAAR_LEVELS = 8
+_HAAR_TOPK = 10
+
+
+def haar_wavelet_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAAR WAVELET top-k coefficients (SURVEY §2 #309) — the
+    transform-domain compression leg (Matias-Vitter-Wang 1998 wavelet
+    synopses): where SAX symbolizes the series and V-optimal buckets
+    its histogram, the Haar synopsis keeps the k largest detail
+    coefficients and answers range queries from them — the classic
+    selectivity-synopsis trade.  UNNORMALIZED Haar (pairwise sum and
+    difference, no sqrt2, no division) over the first 256 days of
+    daily k$ revenue, 8 levels unrolled (the Hilbert/HITS contract),
+    missing days densified to zero so the dyadic ladder is exact;
+    published: the top-10 coefficients by |value| with their level,
+    position, and exact bp share of total detail energy.
+
+    Scale shape: fact → day census → dense 256-row frame (a literal
+    spine left-join); each level is a census groupBy on pos div 2
+    with parity-conditional sums; the top-k election is one rank over
+    the ≤255-row coefficient census.  Series length is an operator
+    constant — longer horizons shard by (year, series) partitions.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.expr(
+            "datediff(cast(o_orderdate as date), date'1995-01-01')"
+        ).alias("d")
+    ).agg(
+        F.expr(
+            "cast(sum(cast(o_totalprice as decimal(18,2)) * 100)"
+            " as decimal(38,0)) div 100000"
+        ).alias("y")
+    ).filter(f"d >= 0 AND d < {_HAAR_LEN}")
+    spine = spark.range(_HAAR_LEN).select(F.col("id").cast("int").alias("d"))
+    level = materialize(
+        spine.join(daily, "d", "left").select(
+            F.col("d").alias("pos"),
+            F.coalesce("y", F.lit(0)).cast("long").alias("v"),
+        )
+    )
+    details = None
+    for lvl in range(1, _HAAR_LEVELS + 1):
+        nxt = materialize(
+            level.groupBy(F.expr("pos div 2").alias("pos")).agg(
+                F.sum("v").alias("v"),
+                F.sum(
+                    F.expr("CASE WHEN pos % 2 = 0 THEN v ELSE -v END")
+                ).alias("dcoef"),
+            )
+        )
+        det = nxt.select(
+            F.lit(lvl).alias("level"), "pos", F.col("dcoef").alias("coeff")
+        )
+        details = det if details is None else details.unionByName(det)
+        level = nxt.select("pos", "v")
+    details = materialize(details)
+    energy = details.agg(
+        F.sum(F.expr("cast(coeff as decimal(38,0)) * coeff")).alias("tot")
+    )
+    wr = Window.orderBy(F.desc(F.expr("abs(coeff)")), F.asc("level"), F.asc("pos"))
+    return (
+        details.withColumn("rank", F.row_number().over(wr))
+        .filter(f"rank <= {_HAAR_TOPK}")
+        .crossJoin(F.broadcast(energy))
+        .select(
+            F.col("rank").cast("bigint").alias("rank"),
+            F.col("level").cast("bigint").alias("level"),
+            F.col("pos").cast("bigint").alias("position"),
+            F.col("coeff").cast("bigint").alias("coeff"),
+            F.expr(
+                "cast(coalesce((10000 * cast(coeff as decimal(38,0))"
+                " * coeff) div nullif(tot, 0), 0) as bigint)"
+            ).alias("energy_share_bp"),
+        )
+        .orderBy("rank")
+    )
+
+
+ROUND8_QUERIES["haar_wavelet_topk"] = haar_wavelet_topk
+
+
+def _haar_oracle() -> str:
+    levels = []
+    prev = "l0"
+    for lvl in range(1, _HAAR_LEVELS + 1):
+        levels.append(f"""
+l{lvl} AS MATERIALIZED (
+  SELECT pos // 2 AS pos, sum(v) AS v,
+         sum(CASE WHEN pos % 2 = 0 THEN v ELSE -v END) AS dcoef
+  FROM {prev} GROUP BY pos // 2
+)""")
+        prev = f"l{lvl}"
+    body = ",".join(levels)
+    dets = " UNION ALL ".join(
+        f"SELECT {lvl} AS level, pos, dcoef AS coeff FROM l{lvl}"
+        for lvl in range(1, _HAAR_LEVELS + 1)
+    )
+    return f"""
+WITH daily AS (
+  SELECT datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS d,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS HUGEINT)
+           // 100000 AS y
+  FROM orders GROUP BY 1
+),
+l0 AS MATERIALIZED (
+  SELECT CAST(s.d AS INT) AS pos, coalesce(daily.y, 0) AS v
+  FROM unnest(generate_series(0, {_HAAR_LEN - 1})) AS s(d)
+  LEFT JOIN daily ON daily.d = s.d
+),{body},
+details AS MATERIALIZED ({dets}),
+energy AS (SELECT sum(coeff::HUGEINT * coeff) AS tot FROM details)
+SELECT CAST(row_number() OVER (ORDER BY abs(coeff) DESC, level, pos)
+            AS BIGINT) AS rank,
+       CAST(level AS BIGINT) AS level,
+       CAST(pos AS BIGINT) AS position,
+       CAST(coeff AS BIGINT) AS coeff,
+       CAST(coalesce((10000 * coeff::HUGEINT * coeff) // nullif(tot, 0), 0)
+            AS BIGINT) AS energy_share_bp
+FROM details CROSS JOIN energy
+QUALIFY rank <= {_HAAR_TOPK}
+ORDER BY rank
+"""
+
+
+ROUND8_ORACLES["haar_wavelet_topk"] = _haar_oracle()
+
+
+# ---------------------------------------------------------------------------
+# graph_robustness_attack — hub-attack vs random-failure tolerance
+# ---------------------------------------------------------------------------
+
+_ROB_KS = (0, 3, 6)
+_ROB_ROUNDS = 6
+
+
+def graph_robustness_attack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ATTACK-TOLERANCE census of the trade graph (SURVEY §2 #310) —
+    Albert-Jeong-Barabási 2000's famous experiment: scale-free-ish
+    networks shrug off RANDOM node failures but shatter under
+    targeted HUB removal; this measures exactly that on the nation
+    trade graph by removing k ∈ {0, 3, 6} nodes under both strategies
+    (hub = top degree, deterministic tiebreak; random = hash order)
+    and publishing surviving edges, giant-component size, and
+    component count.  Components come from 6 unrolled hash-min
+    label-propagation rounds — identical unrolled rounds on both
+    engines, so the published labels are exact-comparable regardless
+    of convergence speed (they DO converge: the surviving graph's
+    diameter is far below 6).
+
+    Scale shape: the ≤25-node/≤300-edge censuses are materialized
+    once; each (strategy, k) configuration runs census-sized joins
+    only; the per-round state is O(V) — the dedup_clusters hash-min
+    contract.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    edges = materialize(
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .filter(F.expr("s_nationkey != c_nationkey"))
+        .select(
+            F.expr("least(s_nationkey, c_nationkey)").alias("a"),
+            F.expr("greatest(s_nationkey, c_nationkey)").alias("b"),
+        )
+        .distinct()
+    )
+    deg = materialize(
+        edges.select(F.col("a").alias("node"))
+        .union(edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .withColumn(
+            "rnd",
+            F.expr(X.hash64_spark("cast(node as string) || ':rob'")),
+        )
+    )
+    results = None
+    for strategy in ("hub", "random"):
+        order_cols = (
+            [F.desc("deg"), F.asc("node")]
+            if strategy == "hub"
+            else [F.asc("rnd"), F.asc("node")]
+        )
+        wv = Window.orderBy(*order_cols)
+        ranked = deg.withColumn("vrank", F.row_number().over(wv))
+        for k in _ROB_KS:
+            if strategy == "random" and k == 0:
+                continue  # k=0 is strategy-independent; publish once
+            keep = materialize(
+                ranked.filter(F.col("vrank") > k).select("node")
+            )
+            ka = keep.select(F.col("node").alias("a"))
+            kb = keep.select(F.col("node").alias("b"))
+            surv = materialize(edges.join(ka, "a").join(kb, "b"))
+            labels = keep.select(
+                "node", F.col("node").cast("long").alias("lbl")
+            )
+            both = surv.select("a", "b").union(
+                surv.select(F.col("b").alias("a"), F.col("a").alias("b"))
+            )
+            for _ in range(_ROB_ROUNDS):
+                nbr_min = (
+                    both.join(
+                        labels.select(
+                            F.col("node").alias("b"),
+                            F.col("lbl").alias("nlbl"),
+                        ),
+                        "b",
+                    )
+                    .groupBy(F.col("a").alias("node"))
+                    .agg(F.min("nlbl").alias("minn"))
+                )
+                labels = materialize(
+                    labels.join(nbr_min, "node", "left").select(
+                        "node",
+                        F.expr("least(lbl, coalesce(minn, lbl))").alias(
+                            "lbl"
+                        ),
+                    )
+                )
+            comp = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("sz"))
+            row = (
+                comp.agg(
+                    F.count(F.lit(1)).alias("n_components"),
+                    F.max("sz").alias("giant_size"),
+                    F.sum("sz").alias("n_nodes_left"),
+                )
+                .crossJoin(
+                    F.broadcast(
+                        surv.agg(F.count(F.lit(1)).alias("n_edges_left"))
+                    )
+                )
+                .select(
+                    F.lit(strategy).alias("strategy"),
+                    F.lit(k).cast("bigint").alias("k_removed"),
+                    F.col("n_nodes_left").cast("bigint"),
+                    F.col("n_edges_left").cast("bigint"),
+                    F.col("giant_size").cast("bigint"),
+                    F.col("n_components").cast("bigint"),
+                )
+            )
+            results = row if results is None else results.unionByName(row)
+    return results.orderBy("strategy", "k_removed")
+
+
+ROUND8_QUERIES["graph_robustness_attack"] = graph_robustness_attack
+
+
+def _rob_oracle() -> str:
+    configs = []
+    for strategy in ("hub", "random"):
+        order_sql = (
+            "deg DESC, node" if strategy == "hub" else "rnd, node"
+        )
+        for k in _ROB_KS:
+            if strategy == "random" and k == 0:
+                continue
+            tag = f"{strategy}_{k}"
+            rounds = []
+            prev = f"lab0_{tag}"
+            for r in range(1, _ROB_ROUNDS + 1):
+                rounds.append(f"""
+lab{r}_{tag} AS MATERIALIZED (
+  SELECT l.node,
+         least(l.lbl, coalesce(min(n.lbl), l.lbl)) AS lbl
+  FROM {prev} l
+  LEFT JOIN both_{tag} e ON e.a = l.node
+  LEFT JOIN {prev} n ON n.node = e.b
+  GROUP BY l.node, l.lbl
+)""")
+                prev = f"lab{r}_{tag}"
+            configs.append((tag, strategy, k, order_sql, "".join(
+                "," + r for r in rounds), prev))
+    ctes = []
+    selects = []
+    for tag, strategy, k, order_sql, rounds_sql, last in configs:
+        ctes.append(f"""
+keep_{tag} AS MATERIALIZED (
+  SELECT node FROM deg QUALIFY row_number() OVER (ORDER BY {order_sql}) > {k}
+),
+surv_{tag} AS MATERIALIZED (
+  SELECT e.a, e.b FROM edges e
+  JOIN keep_{tag} ka ON ka.node = e.a
+  JOIN keep_{tag} kb ON kb.node = e.b
+),
+both_{tag} AS MATERIALIZED (
+  SELECT a, b FROM surv_{tag}
+  UNION ALL SELECT b, a FROM surv_{tag}
+),
+lab0_{tag} AS MATERIALIZED (
+  SELECT node, node::BIGINT AS lbl FROM keep_{tag}
+){rounds_sql}""")
+        selects.append(f"""
+SELECT '{strategy}' AS strategy, {k}::BIGINT AS k_removed,
+       (SELECT count(*) FROM keep_{tag})::BIGINT AS n_nodes_left,
+       (SELECT count(*) FROM surv_{tag})::BIGINT AS n_edges_left,
+       (SELECT max(sz) FROM (SELECT count(*) AS sz FROM {last}
+        GROUP BY lbl))::BIGINT AS giant_size,
+       (SELECT count(DISTINCT lbl) FROM {last})::BIGINT AS n_components""")
+    return f"""
+WITH edges AS MATERIALIZED (
+  SELECT DISTINCT least(s_nationkey, c_nationkey) AS a,
+         greatest(s_nationkey, c_nationkey) AS b
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  WHERE s_nationkey <> c_nationkey
+),
+deg AS MATERIALIZED (
+  SELECT node, count(*) AS deg,
+         {X.hash64_duck("CAST(node AS VARCHAR) || ':rob'")} AS rnd
+  FROM (SELECT a AS node FROM edges UNION ALL SELECT b FROM edges)
+  GROUP BY node
+),{",".join(ctes)}
+SELECT * FROM ({" UNION ALL ".join(selects)})
+ORDER BY strategy, k_removed
+"""
+
+
+ROUND8_ORACLES["graph_robustness_attack"] = _rob_oracle()
