@@ -9299,72 +9299,100 @@ def graph_robustness_attack(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(X.hash64_spark("cast(node as string) || ':rob'")),
         )
     )
-    results = None
-    for strategy in ("hub", "random"):
-        order_cols = (
-            [F.desc("deg"), F.asc("node")]
-            if strategy == "hub"
-            else [F.asc("rnd"), F.asc("node")]
+    whub = Window.orderBy(F.desc("deg"), F.asc("node"))
+    wrnd = Window.orderBy(F.asc("rnd"), F.asc("node"))
+    ranked = deg.select(
+        "node",
+        F.row_number().over(whub).alias("hub_rank"),
+        F.row_number().over(wrnd).alias("rnd_rank"),
+    )
+    cfg_rows = ", ".join(
+        f"named_struct('strategy', '{st}', 'k_removed', {k})"
+        for st in ("hub", "random")
+        for k in _ROB_KS
+        if not (st == "random" and k == 0)
+    )
+    configs = spark.range(1).select(
+        F.explode(F.expr(f"array({cfg_rows})")).alias("c")
+    ).select("c.strategy", "c.k_removed")
+    # ALL configurations ride one labeled frame, so the 6 hash-min
+    # rounds run as 6 jobs total instead of 6 per configuration.
+    keep = materialize(
+        configs.crossJoin(F.broadcast(ranked)).filter(
+            F.expr(
+                "CASE WHEN strategy = 'hub' THEN hub_rank > k_removed"
+                " ELSE rnd_rank > k_removed END"
+            )
+        ).select("strategy", "k_removed", "node")
+    )
+    ka = keep.select("strategy", "k_removed", F.col("node").alias("a"))
+    kb = keep.select("strategy", "k_removed", F.col("node").alias("b"))
+    surv = materialize(
+        ka.join(F.broadcast(edges), "a").join(
+            kb, ["strategy", "k_removed", "b"]
         )
-        wv = Window.orderBy(*order_cols)
-        ranked = deg.withColumn("vrank", F.row_number().over(wv))
-        for k in _ROB_KS:
-            if strategy == "random" and k == 0:
-                continue  # k=0 is strategy-independent; publish once
-            keep = materialize(
-                ranked.filter(F.col("vrank") > k).select("node")
+    )
+    both = surv.select("strategy", "k_removed", "a", "b").union(
+        surv.select(
+            "strategy",
+            "k_removed",
+            F.col("b").alias("a"),
+            F.col("a").alias("b"),
+        )
+    )
+    both = materialize(both)
+    labels = keep.select(
+        "strategy", "k_removed", "node", F.col("node").cast("long").alias("lbl")
+    )
+    for _ in range(_ROB_ROUNDS):
+        nbr_min = (
+            both.join(
+                labels.select(
+                    "strategy",
+                    "k_removed",
+                    F.col("node").alias("b"),
+                    F.col("lbl").alias("nlbl"),
+                ),
+                ["strategy", "k_removed", "b"],
             )
-            ka = keep.select(F.col("node").alias("a"))
-            kb = keep.select(F.col("node").alias("b"))
-            surv = materialize(edges.join(ka, "a").join(kb, "b"))
-            labels = keep.select(
-                "node", F.col("node").cast("long").alias("lbl")
+            .groupBy("strategy", "k_removed", F.col("a").alias("node"))
+            .agg(F.min("nlbl").alias("minn"))
+        )
+        labels = materialize(
+            labels.join(
+                nbr_min, ["strategy", "k_removed", "node"], "left"
+            ).select(
+                "strategy",
+                "k_removed",
+                "node",
+                F.expr("least(lbl, coalesce(minn, lbl))").alias("lbl"),
             )
-            both = surv.select("a", "b").union(
-                surv.select(F.col("b").alias("a"), F.col("a").alias("b"))
-            )
-            for _ in range(_ROB_ROUNDS):
-                nbr_min = (
-                    both.join(
-                        labels.select(
-                            F.col("node").alias("b"),
-                            F.col("lbl").alias("nlbl"),
-                        ),
-                        "b",
-                    )
-                    .groupBy(F.col("a").alias("node"))
-                    .agg(F.min("nlbl").alias("minn"))
-                )
-                labels = materialize(
-                    labels.join(nbr_min, "node", "left").select(
-                        "node",
-                        F.expr("least(lbl, coalesce(minn, lbl))").alias(
-                            "lbl"
-                        ),
-                    )
-                )
-            comp = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("sz"))
-            row = (
-                comp.agg(
-                    F.count(F.lit(1)).alias("n_components"),
-                    F.max("sz").alias("giant_size"),
-                    F.sum("sz").alias("n_nodes_left"),
-                )
-                .crossJoin(
-                    F.broadcast(
-                        surv.agg(F.count(F.lit(1)).alias("n_edges_left"))
-                    )
-                )
-                .select(
-                    F.lit(strategy).alias("strategy"),
-                    F.lit(k).cast("bigint").alias("k_removed"),
-                    F.col("n_nodes_left").cast("bigint"),
-                    F.col("n_edges_left").cast("bigint"),
-                    F.col("giant_size").cast("bigint"),
-                    F.col("n_components").cast("bigint"),
-                )
-            )
-            results = row if results is None else results.unionByName(row)
+        )
+    comp = labels.groupBy("strategy", "k_removed", "lbl").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    edge_counts = surv.groupBy("strategy", "k_removed").agg(
+        F.count(F.lit(1)).alias("n_edges_left")
+    )
+    results = (
+        comp.groupBy("strategy", "k_removed")
+        .agg(
+            F.count(F.lit(1)).alias("n_components"),
+            F.max("sz").alias("giant_size"),
+            F.sum("sz").alias("n_nodes_left"),
+        )
+        .join(F.broadcast(edge_counts), ["strategy", "k_removed"], "left")
+        .select(
+            "strategy",
+            F.col("k_removed").cast("bigint").alias("k_removed"),
+            F.col("n_nodes_left").cast("bigint"),
+            F.coalesce("n_edges_left", F.lit(0))
+            .cast("bigint")
+            .alias("n_edges_left"),
+            F.col("giant_size").cast("bigint"),
+            F.col("n_components").cast("bigint"),
+        )
+    )
     return results.orderBy("strategy", "k_removed")
 
 
