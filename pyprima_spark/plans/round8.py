@@ -9472,3 +9472,290 @@ ORDER BY strategy, k_removed
 
 
 ROUND8_ORACLES["graph_robustness_attack"] = _rob_oracle()
+
+
+# ---------------------------------------------------------------------------
+# maxmin_fair_allocation — water-filling capacity split across demands
+# ---------------------------------------------------------------------------
+
+_MMF_CAP_BP = 6000  # capacity = 60% of total demand
+
+
+def maxmin_fair_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAX-MIN FAIR (water-filling) allocation (SURVEY §2 #311) — the
+    canonical fair-division rule of networking and capacity planning
+    (Bertsekas-Gallager): when demand exceeds supply, every demand is
+    satisfied up to a common water level t, and nobody who asked for
+    less than t is cut — the allocation data_mixture_plan's
+    temperature weights approximate from the sampling side.  Demands
+    are per-brand 1997-H2 ship quantities, capacity is 60% of their
+    total; the threshold solves sum(min(d_i, t)) = C exactly on the
+    sorted demand census (prefix sums locate the piecewise-linear
+    segment, one integer division finds t, the slack C - sum(min) < n
+    is published rather than smeared).
+
+    Scale shape: one fact agg to the ~25-brand demand census; the
+    prefix scan and threshold election run on that census (the
+    pareto/key_gini allowlisted class); allocations are a map-side
+    projection of the broadcast (t, slack) row.
+    """
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.expr("l_shipdate >= date'1997-07-01'")
+        & F.expr("l_shipdate < date'1998-01-01'")
+    )
+    part = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), F.col("p_brand").alias("brand")
+    )
+    demands = materialize(
+        li.join(F.broadcast(part), "l_partkey")
+        .groupBy("brand")
+        .agg(F.expr("cast(sum(l_quantity) as bigint)").alias("d"))
+    )
+    w = Window.orderBy("d", "brand").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wrk = Window.orderBy("d", "brand")
+    scanned = demands.withColumn("prefix", F.sum("d").over(w)).withColumn(
+        "rk", F.row_number().over(wrk)
+    )
+    totals = demands.agg(
+        F.sum("d").alias("total"), F.count(F.lit(1)).alias("n")
+    )
+    # j = last rank whose full satisfaction still fits: prefix_j +
+    # (n - j) * d_j <= C; t = (C - prefix_j) div (n - j)
+    cand = scanned.crossJoin(F.broadcast(totals)).withColumn(
+        "cap", F.expr(f"(total * {_MMF_CAP_BP}) div 10000")
+    )
+    j = cand.filter(
+        F.expr("prefix + (n - rk) * d <= cap")
+    ).agg(
+        F.max("rk").alias("j")
+    )
+    tless = (
+        cand.crossJoin(F.broadcast(j))
+        .filter(F.expr("rk = coalesce(j, 0)"))
+        .select(
+            F.expr("(cap - prefix) div (n - rk)").alias("t"),
+            F.col("cap").alias("cap2"),
+        )
+    )
+    # if even the smallest demand exceeds the fair share (j undefined),
+    # t = cap div n
+    t0 = (
+        cand.crossJoin(F.broadcast(j))
+        .filter(F.expr("j IS NULL AND rk = 1"))
+        .select(F.expr("cap div n").alias("t"), F.col("cap").alias("cap2"))
+    )
+    trow = materialize(tless.unionByName(t0))
+    alloc = demands.crossJoin(F.broadcast(trow)).select(
+        "brand",
+        "d",
+        F.expr("least(d, t)").alias("alloc"),
+        "t",
+        "cap2",
+    )
+    slack = alloc.agg(
+        F.expr("max(cap2) - sum(alloc)").alias("slack")
+    )
+    return (
+        alloc.crossJoin(F.broadcast(slack))
+        .select(
+            "brand",
+            F.col("d").cast("bigint").alias("demand"),
+            F.col("alloc").cast("bigint").alias("allocation"),
+            F.expr("cast(CASE WHEN d > t THEN 1 ELSE 0 END as bigint)")
+            .alias("capped"),
+            F.col("t").cast("bigint").alias("water_level"),
+            F.col("slack").cast("bigint").alias("unallocated_slack"),
+        )
+        .orderBy("brand")
+    )
+
+
+ROUND8_QUERIES["maxmin_fair_allocation"] = maxmin_fair_allocation
+
+ROUND8_ORACLES["maxmin_fair_allocation"] = f"""
+WITH demands AS MATERIALIZED (
+  SELECT p.p_brand AS brand, CAST(sum(l_quantity) AS BIGINT) AS d
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE l_shipdate >= DATE '1997-07-01' AND l_shipdate < DATE '1998-01-01'
+  GROUP BY 1
+),
+scanned AS (
+  SELECT brand, d,
+         sum(d) OVER (ORDER BY d, brand ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS prefix,
+         row_number() OVER (ORDER BY d, brand) AS rk
+  FROM demands
+),
+totals AS (
+  SELECT sum(d) AS total, count(*) AS n,
+         (sum(d) * {_MMF_CAP_BP}) // 10000 AS cap
+  FROM demands
+),
+j AS (
+  SELECT max(rk) AS j FROM scanned CROSS JOIN totals
+  WHERE prefix + (n - rk) * d <= cap
+),
+trow AS MATERIALIZED (
+  SELECT (t.cap - s.prefix) // (t.n - s.rk) AS tt, t.cap
+  FROM scanned s CROSS JOIN totals t CROSS JOIN j
+  WHERE s.rk = coalesce(j.j, 0)
+  UNION ALL
+  SELECT t.cap // t.n, t.cap
+  FROM scanned s CROSS JOIN totals t CROSS JOIN j
+  WHERE j.j IS NULL AND s.rk = 1
+),
+alloc AS (
+  SELECT brand, d, least(d, tt) AS alloc, tt, cap
+  FROM demands CROSS JOIN trow
+),
+slack AS (SELECT max(cap) - sum(alloc) AS slack FROM alloc)
+SELECT brand,
+       CAST(d AS BIGINT) AS demand,
+       CAST(alloc AS BIGINT) AS allocation,
+       CAST(CASE WHEN d > tt THEN 1 ELSE 0 END AS BIGINT) AS capped,
+       CAST(tt AS BIGINT) AS water_level,
+       CAST(slack AS BIGINT) AS unallocated_slack
+FROM alloc CROSS JOIN slack
+ORDER BY brand
+"""
+
+
+# ---------------------------------------------------------------------------
+# knapsack_density_bound — greedy selection with its LP certificate
+# ---------------------------------------------------------------------------
+
+_KNAP_BUDGET_BP = 3000  # budget = 30% of total weight
+
+
+def knapsack_density_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BUDGETED SELECTION with an optimality certificate (SURVEY §2
+    #312) — greedy-by-density knapsack plus Dantzig's fractional LP
+    bound, the pattern every budgeted data-curation decision reduces
+    to ("which parts fill 30% of shipping capacity with maximum
+    revenue" here; "which corpora fill the token budget with maximum
+    quality" in the curation keys): sort by value/weight density
+    (integer micro-density key, ties by part), take the maximal
+    prefix within budget, and publish the LP upper bound = prefix
+    value + the straddler's fractional value — the greedy/LP gap in
+    bp IS the certificate that greedy was near-optimal, computable
+    without ever solving the ILP.
+
+    Scale shape: one fact agg to the part census; the density rank
+    and prefix sums ride the DIM-BOUNDED part census (the
+    pareto/abc_xyz allowlisted class); output is one summary row.
+    """
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.expr("l_shipdate >= date'1997-07-01'")
+        & F.expr("l_shipdate < date'1998-01-01'")
+    )
+    items = materialize(
+        li.groupBy("l_partkey").agg(
+            F.expr(
+                "cast(sum(cast(l_extendedprice as decimal(18,2)) * 100)"
+                " as bigint)"
+            ).alias("v"),
+            F.expr("cast(sum(l_quantity) as bigint)").alias("wt"),
+        ).filter("wt > 0")
+    )
+    w = Window.orderBy(
+        F.desc(F.expr("(1000000 * v) div wt")), F.asc("l_partkey")
+    )
+    ranked = items.withColumn(
+        "cum_w",
+        F.sum("wt").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    ).withColumn(
+        "cum_v",
+        F.sum("v").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    budget = items.agg(
+        F.expr(f"(sum(wt) * {_KNAP_BUDGET_BP}) div 10000").alias("budget"),
+        F.sum("wt").alias("total_w"),
+        F.sum("v").alias("total_v"),
+    )
+    taken = (
+        ranked.crossJoin(F.broadcast(budget))
+        .filter("cum_w <= budget")
+        .agg(
+            F.count(F.lit(1)).alias("n_selected"),
+            F.max("cum_w").alias("sel_weight"),
+            F.max("cum_v").alias("sel_value"),
+        )
+    )
+    straddler = (
+        ranked.crossJoin(F.broadcast(budget))
+        .filter("cum_w > budget AND cum_w - wt <= budget")
+        .select(
+            F.expr(
+                "((budget - (cum_w - wt)) * cast(v as decimal(38,0)))"
+                " div wt"
+            ).alias("frac_v")
+        )
+    )
+    frac = straddler.agg(
+        F.coalesce(F.sum("frac_v"), F.lit(0)).alias("frac_v")
+    )
+    return (
+        taken.crossJoin(F.broadcast(frac))
+        .crossJoin(F.broadcast(budget))
+        .select(
+            F.col("n_selected").cast("bigint").alias("n_selected"),
+            F.col("sel_weight").cast("bigint").alias("selected_weight"),
+            F.col("budget").cast("bigint").alias("budget_weight"),
+            F.col("sel_value").cast("bigint").alias("greedy_value"),
+            F.expr("cast(sel_value + frac_v as bigint)").alias(
+                "lp_upper_bound"
+            ),
+            F.expr(
+                "cast((10000 * cast(sel_value as decimal(38,0)))"
+                " div (sel_value + frac_v) as bigint)"
+            ).alias("greedy_vs_bound_bp"),
+        )
+    )
+
+
+ROUND8_QUERIES["knapsack_density_bound"] = knapsack_density_bound
+
+ROUND8_ORACLES["knapsack_density_bound"] = f"""
+WITH items AS MATERIALIZED (
+  SELECT l_partkey,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+           AS v,
+         CAST(sum(l_quantity) AS BIGINT) AS wt
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1997-07-01' AND l_shipdate < DATE '1998-01-01'
+  GROUP BY 1
+  HAVING CAST(sum(l_quantity) AS BIGINT) > 0
+),
+ranked AS MATERIALIZED (
+  SELECT *,
+         sum(wt) OVER w AS cum_w,
+         sum(v) OVER w AS cum_v
+  FROM items
+  WINDOW w AS (ORDER BY (1000000 * v) // wt DESC, l_partkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+budget AS (
+  SELECT (sum(wt) * {_KNAP_BUDGET_BP}) // 10000 AS budget FROM items
+),
+taken AS (
+  SELECT count(*) AS n_selected, max(cum_w) AS sel_weight,
+         max(cum_v) AS sel_value
+  FROM ranked CROSS JOIN budget WHERE cum_w <= budget
+),
+frac AS (
+  SELECT coalesce(sum(((budget - (cum_w - wt)) * v::HUGEINT) // wt), 0)
+           AS frac_v
+  FROM ranked CROSS JOIN budget
+  WHERE cum_w > budget AND cum_w - wt <= budget
+)
+SELECT CAST(n_selected AS BIGINT) AS n_selected,
+       CAST(sel_weight AS BIGINT) AS selected_weight,
+       CAST(budget AS BIGINT) AS budget_weight,
+       CAST(sel_value AS BIGINT) AS greedy_value,
+       CAST(sel_value + frac_v AS BIGINT) AS lp_upper_bound,
+       CAST((10000 * sel_value::HUGEINT) // (sel_value + frac_v)
+            AS BIGINT) AS greedy_vs_bound_bp
+FROM taken CROSS JOIN frac CROSS JOIN budget
+"""

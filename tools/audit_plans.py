@@ -41,6 +41,8 @@ GLOBAL_WINDOW_ALLOWED = {
     "key_gini",
     "pareto_revenue",
     "abc_xyz_inventory",  # cumulative-share window over the part census
+    "knapsack_density_bound",  # density prefix over the part census
+    "maxmin_fair_allocation",  # water-level scan over the brand census
     "key_skew_profile",
     "price_histogram",
     "equidepth_histogram",
