@@ -9759,3 +9759,281 @@ SELECT CAST(n_selected AS BIGINT) AS n_selected,
             AS BIGINT) AS greedy_vs_bound_bp
 FROM taken CROSS JOIN frac CROSS JOIN budget
 """
+
+
+# ---------------------------------------------------------------------------
+# james_stein_shrinkage — empirical-Bayes shrinkage of group means
+# ---------------------------------------------------------------------------
+
+
+def james_stein_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JAMES-STEIN shrinkage of per-nation mean balances (SURVEY §2
+    #313) — the estimator that famously dominates the sample mean in
+    aggregate (Stein 1956; Efron-Morris 1977's baseball paper), and
+    the statistical backbone of every "small segment, noisy KPI"
+    dashboard fix: each nation's mean shrinks toward the grand mean
+    by factor 1 - (k-3)·sigma²/S where S = Σ n_g(x̄_g - x̄)² —
+    low-count groups move most.  Assembled from integer moments with
+    cross-multiplied ratios (means at e2-cents precision, the shrink
+    factor in bp, one trailing division per published column);
+    sigma² is the pooled within-group variance in the same integer
+    form.
+
+    Scale shape: one fact agg to per-nation moments (25 rows); the
+    grand moments are a census fold broadcast back.  Windowless; at
+    100 TB only the first agg grows.
+    """
+    cust = _t(spark, sf_dir, "customer").join(
+        _t(spark, sf_dir, "nation"),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).select(
+        F.col("n_name").alias("nation"),
+        F.expr(
+            "cast(cast(c_acctbal as decimal(12,2)) * 100 as bigint)"
+        ).alias("x"),
+    )
+    g = materialize(
+        cust.groupBy("nation").agg(
+            F.count(F.lit(1)).alias("n_g"),
+            F.sum("x").alias("sx"),
+            F.sum(F.expr("cast(x as decimal(38,0)) * x")).alias("sxx"),
+        )
+    )
+    grand = g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n_g").alias("nn"),
+        F.sum("sx").alias("stot"),
+        # pooled within-group SS: sum_g (sxx_g - sx_g^2/n_g), each term
+        # integer-floored
+        F.sum(
+            F.expr("sxx - (cast(sx as decimal(38,0)) * sx) div n_g")
+        ).alias("ssw"),
+        # between-group SS: sum_g n_g (x̄_g - x̄)^2 needs the grand mean;
+        # assembled below from the same sums
+        F.sum(
+            F.expr("(cast(sx as decimal(38,0)) * sx) div n_g")
+        ).alias("sb_part"),
+    )
+    joined = g.crossJoin(F.broadcast(grand)).select(
+        "nation",
+        "n_g",
+        "sx",
+        "k",
+        "nn",
+        "stot",
+        # sigma2 (pooled within, per-observation): ssw div (nn - k)
+        F.expr("ssw div (nn - k)").alias("sigma2"),
+        # S = between SS = sb_part - stot^2/nn
+        F.expr(
+            "sb_part - (cast(stot as decimal(38,0)) * stot) div nn"
+        ).alias("s_between"),
+    )
+    return joined.select(
+        "nation",
+        F.col("n_g").cast("bigint").alias("n"),
+        F.expr("cast(sx div n_g as bigint)").alias("raw_mean_cents"),
+        F.expr("cast(stot div nn as bigint)").alias("grand_mean_cents"),
+        F.expr(
+            "cast(least(greatest(10000 - (10000 * (k - 3) * sigma2)"
+            " div nullif(s_between, 0), 0), 10000) as bigint)"
+        ).alias("shrink_keep_bp"),
+        F.expr(
+            "cast(stot div nn + (least(greatest(10000 - (10000 * (k - 3)"
+            " * sigma2) div nullif(s_between, 0), 0), 10000)"
+            " * (sx div n_g - stot div nn)) div 10000 as bigint)"
+        ).alias("shrunk_mean_cents"),
+    ).orderBy("nation")
+
+
+ROUND8_QUERIES["james_stein_shrinkage"] = james_stein_shrinkage
+
+_js_keep = (
+    "least(greatest(10000 - (10000 * (k - 3) * sigma2)"
+    " // nullif(s_between, 0), 0), 10000)"
+)
+
+ROUND8_ORACLES["james_stein_shrinkage"] = f"""
+WITH cust AS (
+  SELECT n_name AS nation,
+         CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS x
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+),
+g AS MATERIALIZED (
+  SELECT nation, count(*) AS n_g, sum(x) AS sx,
+         sum(x::HUGEINT * x) AS sxx
+  FROM cust GROUP BY nation
+),
+grand AS (
+  SELECT count(*) AS k, sum(n_g) AS nn, sum(sx) AS stot,
+         sum(sxx - (sx::HUGEINT * sx) // n_g) AS ssw,
+         sum((sx::HUGEINT * sx) // n_g) AS sb_part
+  FROM g
+),
+joined AS (
+  SELECT nation, n_g, sx, k, nn, stot,
+         ssw // (nn - k) AS sigma2,
+         sb_part - (stot::HUGEINT * stot) // nn AS s_between
+  FROM g CROSS JOIN grand
+)
+SELECT nation,
+       CAST(n_g AS BIGINT) AS n,
+       CAST(sx // n_g AS BIGINT) AS raw_mean_cents,
+       CAST(stot // nn AS BIGINT) AS grand_mean_cents,
+       CAST({_js_keep} AS BIGINT) AS shrink_keep_bp,
+       CAST(stot // nn + ({_js_keep} * (sx // n_g - stot // nn)) // 10000
+            AS BIGINT) AS shrunk_mean_cents
+FROM joined
+ORDER BY nation
+"""
+
+
+# ---------------------------------------------------------------------------
+# empirical_bayes_rates — Beta-binomial smoothing of small-cell rates
+# ---------------------------------------------------------------------------
+
+
+def empirical_bayes_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMPIRICAL-BAYES rate smoothing (SURVEY §2 #314) — the
+    beta-binomial companion of james_stein_shrinkage (normal means
+    there, binomial RATES here — Robinson's baseball-averages recipe,
+    the standard fix for "this 40-customer cell converts at 80%"
+    leaderboard lies): fit a Beta(a, b) prior to the per-(nation)
+    conversion rates by method of moments, then publish each cell's
+    posterior rate (pos + a)/(n + a + b).  The prior is kept as ONE
+    exact rational pair — a = m·K and b = (1-m)·K with m = pooled
+    mean and K = m(1-m)/var - 1 — assembled from integer moments and
+    carried as (a_num, b_num, den) so the posterior needs only
+    cross-multiplied integer arithmetic; every published value is bp
+    with one trailing division.
+
+    Scale shape: one fact agg to per-customer conversion, one to the
+    25-nation census; prior moments are a census fold broadcast
+    back.  Windowless.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").join(
+        _t(spark, sf_dir, "nation"),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).select(
+        F.col("c_custkey").alias("cust"), F.col("n_name").alias("nation")
+    )
+    per_cust = orders.groupBy(F.col("o_custkey").alias("cust")).agg(
+        F.max(
+            F.expr("o_orderdate >= date'1998-01-01'").cast("int")
+        ).alias("conv")
+    )
+    cells = materialize(
+        per_cust.join(cust, "cust")
+        .groupBy("nation")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("conv").alias("pos"))
+    )
+    # method of moments on the cell rates, all at e8 scale:
+    # m_e8 = mean of (1e8*pos div n); var from the same quantized rates
+    rates = cells.select(
+        "nation", "n", "pos", F.expr("(100000000 * pos) div n").alias("r_e8")
+    )
+    mom = rates.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("r_e8").alias("sr"),
+        F.sum(F.expr("cast(r_e8 as decimal(38,0)) * r_e8")).alias("srr"),
+    ).select(
+        "k",
+        F.expr("sr div k").alias("m_e8"),
+        F.expr(
+            "(srr - (cast(sr as decimal(38,0)) * sr) div k) div k"
+        ).alias("v_e16"),
+    ).select(
+        "m_e8",
+        "v_e16",
+        # K = m(1-m)/var - 1, at unit scale:
+        # m(1-m) is e16-scaled as m_e8*(1e8-m_e8); publish K in milli
+        F.expr(
+            "coalesce((1000 * (cast(m_e8 as decimal(38,0))"
+            " * (100000000 - m_e8) - v_e16)) div nullif(v_e16, 0), 0)"
+        ).alias("k_milli"),
+    )
+    # prior: a_milli = m * K (milli), b_milli = (1-m) * K (milli)
+    prior = mom.select(
+        "m_e8",
+        "k_milli",
+        F.expr(
+            "(cast(m_e8 as decimal(38,0)) * k_milli) div 100000000"
+        ).alias("a_milli"),
+        F.expr(
+            "(cast(100000000 - m_e8 as decimal(38,0)) * k_milli)"
+            " div 100000000"
+        ).alias("b_milli"),
+    )
+    return (
+        cells.crossJoin(F.broadcast(prior))
+        .select(
+            "nation",
+            F.col("n").cast("bigint").alias("n"),
+            F.expr("cast((10000 * pos) div n as bigint)").alias(
+                "raw_rate_bp"
+            ),
+            F.expr("cast((m_e8) div 10000 as bigint)").alias(
+                "prior_rate_bp"
+            ),
+            F.col("k_milli").cast("bigint").alias("prior_strength_milli"),
+            F.expr(
+                "cast((10000 * (1000 * cast(pos as decimal(38,0))"
+                " + a_milli)) div (1000 * cast(n as decimal(38,0))"
+                " + a_milli + b_milli) as bigint)"
+            ).alias("posterior_rate_bp"),
+        )
+        .orderBy("nation")
+    )
+
+
+ROUND8_QUERIES["empirical_bayes_rates"] = empirical_bayes_rates
+
+ROUND8_ORACLES["empirical_bayes_rates"] = """
+WITH cust AS (
+  SELECT c_custkey AS cust, n_name AS nation
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+),
+per_cust AS (
+  SELECT o_custkey AS cust,
+         max(CASE WHEN o_orderdate >= DATE '1998-01-01'
+                  THEN 1 ELSE 0 END) AS conv
+  FROM orders GROUP BY o_custkey
+),
+cells AS MATERIALIZED (
+  SELECT nation, count(*) AS n, sum(conv) AS pos
+  FROM per_cust JOIN cust USING (cust)
+  GROUP BY nation
+),
+rates AS (
+  SELECT nation, n, pos, (100000000 * pos) // n AS r_e8 FROM cells
+),
+mom AS (
+  SELECT sum(r_e8) // count(*) AS m_e8,
+         (sum(r_e8::HUGEINT * r_e8)
+          - (sum(r_e8)::HUGEINT * sum(r_e8)) // count(*)) // count(*)
+           AS v_e16
+  FROM rates
+),
+prior AS (
+  SELECT m_e8,
+         coalesce((1000 * (m_e8::HUGEINT * (100000000 - m_e8) - v_e16))
+                  // nullif(v_e16, 0), 0) AS k_milli
+  FROM mom
+),
+prior2 AS (
+  SELECT m_e8, k_milli,
+         (m_e8::HUGEINT * k_milli) // 100000000 AS a_milli,
+         ((100000000 - m_e8)::HUGEINT * k_milli) // 100000000 AS b_milli
+  FROM prior
+)
+SELECT nation,
+       CAST(n AS BIGINT) AS n,
+       CAST((10000 * pos) // n AS BIGINT) AS raw_rate_bp,
+       CAST(m_e8 // 10000 AS BIGINT) AS prior_rate_bp,
+       CAST(k_milli AS BIGINT) AS prior_strength_milli,
+       CAST((10000 * (1000 * pos::HUGEINT + a_milli))
+            // (1000 * n::HUGEINT + a_milli + b_milli) AS BIGINT)
+         AS posterior_rate_bp
+FROM cells CROSS JOIN prior2
+ORDER BY nation
+"""
