@@ -10037,3 +10037,366 @@ SELECT nation,
 FROM cells CROSS JOIN prior2
 ORDER BY nation
 """
+
+
+# ---------------------------------------------------------------------------
+# pca_power_iteration — leading eigenvector of the embedding covariance
+# ---------------------------------------------------------------------------
+
+_PCA_ROUNDS = 4
+_PCA_VSCALE = 1000000
+
+
+def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEADING PRINCIPAL COMPONENT by unrolled power iteration
+    (SURVEY §2 #315) — the eigen step on top of embedding_covariance's
+    matrix (the covariance key publishes structure; this extracts the
+    direction PCA/whitening/PQ rotation actually needs — von Mises
+    iteration, the method behind every truncated-SVD at scale): the
+    same one-pass gramian moments build the 8×8 integer covariance
+    (cov_q2 units, sign outside the division), then 4 unrolled
+    matvec+renormalize rounds run on the 8-row vector census — each
+    round renormalizes by max|component| with floor division, so the
+    published ppm components and the Rayleigh quotient are exact
+    integers on both engines (the HITS contract, matrix edition).
+
+    Scale shape: ONE fact-sized aggregate (the gramian trick — no
+    explode, no self-join); everything after is 8×8 censuses.
+    Dimension count and round count are operator constants.
+    """
+    emb = _t(spark, sf_dir, "embeddings").select(
+        *[
+            F.expr(
+                f"cast(floor(cast(element_at(embedding, {i + 1}) as double)"
+                f" * {_COV_SCALE}) as bigint)"
+            ).alias(f"q{i}")
+            for i in range(_COV_D)
+        ]
+    )
+    aggs = [F.count(F.lit(1)).alias("n")]
+    aggs += [
+        F.sum(F.expr(f"cast(q{i} as decimal(38,0))")).alias(f"s{i}")
+        for i in range(_COV_D)
+    ]
+    pairs = [(i, j) for i in range(_COV_D) for j in range(i, _COV_D)]
+    aggs += [
+        F.sum(F.expr(f"cast(q{i} as decimal(38,0)) * q{j}")).alias(
+            f"p{i}_{j}"
+        )
+        for i, j in pairs
+    ]
+    moments = emb.agg(*aggs)
+    stack_args = ", ".join(
+        f"{i}, {j}, n * p{i}_{j} - s{i} * s{j}" for i, j in pairs
+    )
+    upper = moments.selectExpr(
+        "n",
+        f"stack({len(pairs)}, {stack_args}) as (i, j, cov_n)",
+    ).selectExpr(
+        "i",
+        "j",
+        "cast(case when cov_n < 0 then -1 else 1 end"
+        " * (abs(cov_n) div (cast(n as decimal(38,0)) * n)) as bigint)"
+        " as c",
+    )
+    cov = materialize(
+        upper.unionByName(
+            upper.filter("i != j").selectExpr("j as i", "i as j", "c")
+        )
+    )
+    v = spark.range(_COV_D).select(
+        F.col("id").cast("int").alias("j"),
+        F.lit(_PCA_VSCALE).cast("long").alias("val"),
+    )
+    for _ in range(_PCA_ROUNDS):
+        w = (
+            cov.join(F.broadcast(v), "j")
+            .groupBy(F.col("i").alias("j"))
+            .agg(
+                F.sum(
+                    F.expr("cast(c as decimal(38,0)) * val")
+                ).alias("w")
+            )
+        )
+        mx = w.agg(F.max(F.expr("abs(w)")).alias("m"))
+        v = materialize(
+            w.crossJoin(F.broadcast(mx)).select(
+                "j",
+                F.expr(
+                    f"cast(({_PCA_VSCALE} * w) div nullif(m, 0) as long)"
+                ).alias("val"),
+            )
+        )
+    cv = (
+        cov.join(F.broadcast(v), "j")
+        .groupBy(F.col("i"))
+        .agg(F.sum(F.expr("cast(c as decimal(38,0)) * val")).alias("cv"))
+    )
+    ray = (
+        cv.join(F.broadcast(v.selectExpr("j as i", "val as vi")), "i")
+        .agg(
+            F.sum(F.expr("cv * vi")).alias("num"),
+            F.sum(F.expr("cast(vi as decimal(38,0)) * vi")).alias("den"),
+        )
+        .select(F.expr("cast(num div den as bigint)").alias("lambda_q2"))
+    )
+    return (
+        v.crossJoin(F.broadcast(ray))
+        .select(
+            F.col("j").cast("bigint").alias("dim"),
+            F.col("val").cast("bigint").alias("component_ppm"),
+            F.col("lambda_q2").cast("bigint").alias("lambda_q2"),
+        )
+        .orderBy("dim")
+    )
+
+
+ROUND8_QUERIES["pca_power_iteration"] = pca_power_iteration
+
+
+def _pca_oracle() -> str:
+    pairs = [(i, j) for i in range(_COV_D) for j in range(i, _COV_D)]
+    rounds = []
+    prev = "v0"
+    for r in range(1, _PCA_ROUNDS + 1):
+        rounds.append(f"""
+w{r} AS MATERIALIZED (
+  SELECT cov.i AS j, sum(cov.c::HUGEINT * v.val) AS w
+  FROM cov JOIN {prev} v ON v.j = cov.j
+  GROUP BY cov.i
+),
+v{r} AS MATERIALIZED (
+  SELECT j, CAST(({_PCA_VSCALE} * w)
+                 // nullif((SELECT max(abs(w)) FROM w{r}), 0) AS BIGINT)
+           AS val
+  FROM w{r}
+)""")
+        prev = f"v{r}"
+    body = ",".join(rounds)
+    return f"""
+WITH q AS (
+  SELECT {", ".join(f"CAST(floor((embedding)[{i + 1}]::DOUBLE * {_COV_SCALE}) AS BIGINT) AS q{i}" for i in range(_COV_D))}
+  FROM embeddings
+),
+moments AS (
+  SELECT count(*) AS n,
+         {", ".join(f"sum(q{i}) AS s{i}" for i in range(_COV_D))},
+         {", ".join(f"sum(q{i}::HUGEINT * q{j}) AS p{i}_{j}" for i, j in pairs)}
+  FROM q
+),
+upper_t AS (
+  {" UNION ALL ".join(f"SELECT {i} AS i, {j} AS j, CAST(CASE WHEN n * p{i}_{j} - s{i} * s{j} < 0 THEN -1 ELSE 1 END * (abs(n * p{i}_{j} - s{i} * s{j}) // (n::HUGEINT * n)) AS BIGINT) AS c FROM moments" for i, j in pairs)}
+),
+cov AS MATERIALIZED (
+  SELECT i, j, c FROM upper_t
+  UNION ALL SELECT j, i, c FROM upper_t WHERE i != j
+),
+v0 AS (
+  SELECT CAST(d AS INT) AS j, {_PCA_VSCALE}::BIGINT AS val
+  FROM unnest(generate_series(0, {_COV_D - 1})) AS t(d)
+),{body},
+cv AS (
+  SELECT cov.i, sum(cov.c::HUGEINT * v.val) AS cv
+  FROM cov JOIN v{_PCA_ROUNDS} v ON v.j = cov.j
+  GROUP BY cov.i
+),
+ray AS (
+  SELECT CAST(sum(cv.cv * v.val) // sum(v.val::HUGEINT * v.val) AS BIGINT)
+           AS lambda_q2
+  FROM cv JOIN v{_PCA_ROUNDS} v ON v.j = cv.i
+)
+SELECT CAST(v.j AS BIGINT) AS dim,
+       CAST(v.val AS BIGINT) AS component_ppm,
+       CAST(ray.lambda_q2 AS BIGINT) AS lambda_q2
+FROM v{_PCA_ROUNDS} v CROSS JOIN ray
+ORDER BY dim
+"""
+
+
+ROUND8_ORACLES["pca_power_iteration"] = _pca_oracle()
+
+
+# ---------------------------------------------------------------------------
+# drf_allocation — dominant-resource-fair task allocation
+# ---------------------------------------------------------------------------
+
+# capacity per resource, in bp of the observed aggregate demand
+_DRF_CAP_BP = 4000
+
+
+def drf_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOMINANT-RESOURCE FAIRNESS (SURVEY §2 #316) — Ghodsi et al.
+    NSDI'11, the allocation rule inside YARN/Mesos/Kubernetes
+    schedulers and the multi-resource generalization of
+    maxmin_fair_allocation's water level: each segment's workload
+    demands TWO resources per task (orders = scheduler slots, spend =
+    budget), the cluster offers 40% of aggregate demand on each, and
+    DRF equalizes the DOMINANT share s: before any user saturates,
+    the optimum is the largest s with sum_u s * d_ur / dom_u <= C_r
+    on both resources — linear in s, so s* = min_r C_r /
+    sum_u(d_ur / dom_u), one exact rational (cross-multiplied min, no
+    float).  The closed form is the UNSATURATED regime (s* < every
+    user's dominant demand share — true by construction here: 5 users,
+    capacity at 40% of aggregate demand); the progressive-filling
+    general case would iterate this key's single step.
+
+    Scale shape: one fact agg to the 5-segment demand census; the
+    rational s* is a census fold broadcast back; allocations are a
+    projection.  Windowless.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("cust"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    demand = materialize(
+        orders.join(cust, F.col("o_custkey") == F.col("cust"))
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("d_slots"),
+            F.expr(
+                "cast(sum(cast(o_totalprice as decimal(18,2)) * 100)"
+                " as decimal(38,0)) div 100000"
+            ).alias("d_budget"),
+        )
+    )
+    caps = demand.agg(
+        F.expr(f"(sum(d_slots) * {_DRF_CAP_BP}) div 10000").alias("c_slots"),
+        F.expr(f"(sum(d_budget) * {_DRF_CAP_BP}) div 10000").alias(
+            "c_budget"
+        ),
+    )
+    # dominant share denominators: dom_u = max(d_slots/C_slots,
+    # d_budget/C_budget) compared cross-multiplied; per-user weight on
+    # resource r is d_ur / dom_u — kept rational via a common scale.
+    with_dom = demand.crossJoin(F.broadcast(caps)).select(
+        "segment",
+        "d_slots",
+        "d_budget",
+        "c_slots",
+        "c_budget",
+        F.expr(
+            "CASE WHEN cast(d_slots as decimal(38,0)) * c_budget"
+            " >= cast(d_budget as decimal(38,0)) * c_slots"
+            " THEN 'slots' ELSE 'budget' END"
+        ).alias("dominant"),
+    )
+    # s* = min_r C_r / sum_u d_ur/dom_u. Scale s by 1e6 (ppm of full
+    # demand satisfaction). dom_u as a FRACTION of capacity:
+    # dom_u = d_dom/C_dom, so d_ur/dom_u = d_ur * C_dom / d_dom.
+    weights = with_dom.select(
+        "segment",
+        "d_slots",
+        "d_budget",
+        "dominant",
+        F.expr(
+            "CASE WHEN dominant = 'slots' THEN"
+            " (1000000 * cast(d_slots as decimal(38,0)) * c_slots)"
+            " div (d_slots) ELSE"
+            " (1000000 * cast(d_slots as decimal(38,0)) * c_budget)"
+            " div (d_budget) END"
+        ).alias("w_slots_e6"),
+        F.expr(
+            "CASE WHEN dominant = 'slots' THEN"
+            " (1000000 * cast(d_budget as decimal(38,0)) * c_slots)"
+            " div (d_slots) ELSE"
+            " (1000000 * cast(d_budget as decimal(38,0)) * c_budget)"
+            " div (d_budget) END"
+        ).alias("w_budget_e6"),
+    )
+    star = weights.crossJoin(F.broadcast(caps)).agg(
+        F.expr(
+            "least((1000000 * cast(max(c_slots) as decimal(38,0)))"
+            " div (sum(w_slots_e6) div 1000000),"
+            " (1000000 * cast(max(c_budget) as decimal(38,0)))"
+            " div (sum(w_budget_e6) div 1000000))"
+        ).alias("s_ppm")
+    )
+    return (
+        with_dom.join(F.broadcast(star))
+        .select(
+            "segment",
+            F.col("d_slots").cast("bigint").alias("demand_slots"),
+            F.col("d_budget").cast("bigint").alias("demand_budget_k"),
+            "dominant",
+            F.col("s_ppm").cast("bigint").alias("dominant_share_ppm"),
+            # a user at dominant share s consumes s of its DOMINANT
+            # resource's capacity; the other resource scales by the
+            # demand ratio (alloc_r = s * d_ur / dom_u)
+            F.expr(
+                "cast(CASE WHEN dominant = 'slots' THEN"
+                " (s_ppm * cast(c_slots as decimal(38,0))) div 1000000"
+                " ELSE ((s_ppm * cast(d_slots as decimal(38,0)))"
+                " * c_budget) div (1000000 * d_budget) END as bigint)"
+            ).alias("alloc_slots"),
+            F.expr(
+                "cast(CASE WHEN dominant = 'budget' THEN"
+                " (s_ppm * cast(c_budget as decimal(38,0))) div 1000000"
+                " ELSE ((s_ppm * cast(d_budget as decimal(38,0)))"
+                " * c_slots) div (1000000 * d_slots) END as bigint)"
+            ).alias("alloc_budget_k"),
+        )
+        .orderBy("segment")
+    )
+
+
+ROUND8_QUERIES["drf_allocation"] = drf_allocation
+
+ROUND8_ORACLES["drf_allocation"] = f"""
+WITH demand AS MATERIALIZED (
+  SELECT c.c_mktsegment AS segment,
+         count(*) AS d_slots,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS HUGEINT)
+           // 100000 AS d_budget
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY 1
+),
+caps AS (
+  SELECT (sum(d_slots) * {_DRF_CAP_BP}) // 10000 AS c_slots,
+         (sum(d_budget) * {_DRF_CAP_BP}) // 10000 AS c_budget
+  FROM demand
+),
+with_dom AS MATERIALIZED (
+  SELECT segment, d_slots, d_budget, c_slots, c_budget,
+         CASE WHEN d_slots::HUGEINT * c_budget
+                   >= d_budget::HUGEINT * c_slots
+              THEN 'slots' ELSE 'budget' END AS dominant
+  FROM demand CROSS JOIN caps
+),
+weights AS (
+  SELECT segment, d_slots, d_budget, dominant,
+         CASE WHEN dominant = 'slots' THEN
+           (1000000 * d_slots::HUGEINT * c_slots) // d_slots
+         ELSE
+           (1000000 * d_slots::HUGEINT * c_budget) // d_budget
+         END AS w_slots_e6,
+         CASE WHEN dominant = 'slots' THEN
+           (1000000 * d_budget::HUGEINT * c_slots) // d_slots
+         ELSE
+           (1000000 * d_budget::HUGEINT * c_budget) // d_budget
+         END AS w_budget_e6
+  FROM with_dom
+),
+star AS (
+  SELECT least((1000000 * max(c.c_slots)::HUGEINT)
+                 // (sum(w.w_slots_e6) // 1000000),
+               (1000000 * max(c.c_budget)::HUGEINT)
+                 // (sum(w.w_budget_e6) // 1000000)) AS s_ppm
+  FROM weights w CROSS JOIN caps c
+)
+SELECT d.segment,
+       CAST(d.d_slots AS BIGINT) AS demand_slots,
+       CAST(d.d_budget AS BIGINT) AS demand_budget_k,
+       d.dominant,
+       CAST(s.s_ppm AS BIGINT) AS dominant_share_ppm,
+       CAST(CASE WHEN d.dominant = 'slots' THEN
+              (s.s_ppm * d.c_slots::HUGEINT) // 1000000
+            ELSE ((s.s_ppm * d.d_slots::HUGEINT) * d.c_budget)
+                 // (1000000 * d.d_budget) END AS BIGINT) AS alloc_slots,
+       CAST(CASE WHEN d.dominant = 'budget' THEN
+              (s.s_ppm * d.c_budget::HUGEINT) // 1000000
+            ELSE ((s.s_ppm * d.d_budget::HUGEINT) * d.c_slots)
+                 // (1000000 * d.d_slots) END AS BIGINT) AS alloc_budget_k
+FROM with_dom d CROSS JOIN star s
+ORDER BY d.segment
+"""
