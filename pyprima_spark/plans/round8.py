@@ -10400,3 +10400,297 @@ SELECT d.segment,
 FROM with_dom d CROSS JOIN star s
 ORDER BY d.segment
 """
+
+
+# ---------------------------------------------------------------------------
+# assignment_exhaustive — optimal 5x5 assignment vs greedy, exhaustively
+# ---------------------------------------------------------------------------
+
+from itertools import permutations as _permutations
+
+_ASSIGN_N = 5
+_ASSIGN_PERMS = list(_permutations(range(_ASSIGN_N)))  # 120 literal rows
+
+
+def assignment_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMAL ASSIGNMENT, exhaustively solved (SURVEY §2 #317) — the
+    assignment problem (Kuhn's Hungarian method's target) on the
+    5 supplier-regions × 5 customer-regions mean-unit-price cost
+    matrix (milli-cents per unit shipped): which sourcing region
+    should serve which market cheapest.  At a
+    5×5 design size the permutation space is 120 rows, so instead of
+    the sequential Hungarian algorithm the optimum is an EXHAUSTIVE
+    literal-table join (the voptimal_histogram contract: closed-form
+    enumeration beats DP when the census bounds it), published
+    against the row-greedy baseline so the output shows what
+    optimality buys.  Costs are exact milli-day means (cross-
+    multiplied; one floor per cell).
+
+    Scale shape: one fact agg to the 25-cell cost census; the 120-row
+    permutation literal joins the broadcast census 5 times — all
+    census-sized; the greedy baseline is 5 unrolled argmin elections,
+    each a 1-row TakeOrdered driver scalar (the accepted
+    source_selection_greedy iterative class).
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            _t(spark, sf_dir, "nation"),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            F.col("s_suppkey").alias("l_suppkey"),
+            F.col("n_regionkey").alias("src"),
+        )
+    )
+    cust_region = (
+        _t(spark, sf_dir, "customer")
+        .join(
+            _t(spark, sf_dir, "nation"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            F.col("c_custkey").alias("cust"),
+            F.col("n_regionkey").alias("dst"),
+        )
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        F.col("o_custkey").alias("cust"),
+    )
+    cost = materialize(
+        li.join(F.broadcast(supp), "l_suppkey")
+        .join(orders, "l_orderkey")
+        .join(cust_region, "cust")
+        .groupBy("src", "dst")
+        .agg(
+            F.expr(
+                "cast((1000 * sum(cast(l_extendedprice as decimal(18,2))"
+                " * 100)) div sum(cast(l_quantity as bigint))"
+                " as bigint)"
+            ).alias("c_milli")
+        )
+    )
+    perm_rows = ", ".join(
+        "named_struct('pid', {}, {})".format(
+            pid,
+            ", ".join(f"'a{i}', {p[i]}" for i in range(_ASSIGN_N)),
+        )
+        for pid, p in enumerate(_ASSIGN_PERMS)
+    )
+    perms = spark.range(1).select(
+        F.explode(F.expr(f"array({perm_rows})")).alias("p")
+    ).select("p.*")
+    joined = perms
+    for i in range(_ASSIGN_N):
+        ci = cost.filter(F.col("src") == i).select(
+            F.col("dst").alias(f"a{i}"), F.col("c_milli").alias(f"c{i}")
+        )
+        joined = joined.join(F.broadcast(ci), f"a{i}")
+    total_expr = " + ".join(f"c{i}" for i in range(_ASSIGN_N))
+    scored = joined.select(
+        "pid",
+        *[F.col(f"a{i}") for i in range(_ASSIGN_N)],
+        F.expr(total_expr).alias("total_milli"),
+    )
+    wbest = Window.orderBy("total_milli", "pid")
+    best = materialize(
+        scored.withColumn("rk", F.row_number().over(wbest)).filter("rk = 1")
+    )
+    # row-greedy baseline: source regions in order pick their cheapest
+    # unclaimed destination (5 unrolled elections on the census)
+    taken: list = []
+    greedy_total = None
+    for i in range(_ASSIGN_N):
+        avail = cost.filter(F.col("src") == i)
+        for t in taken:
+            avail = avail.filter(F.col("dst") != t)
+        pick = (
+            avail.orderBy("c_milli", "dst").limit(1).collect()[0]
+        )
+        taken.append(pick["dst"])
+        greedy_total = (
+            pick["c_milli"]
+            if greedy_total is None
+            else greedy_total + pick["c_milli"]
+        )
+    assign_cols = [
+        F.col(f"a{i}").cast("bigint").alias(f"dst_for_src{i}")
+        for i in range(_ASSIGN_N)
+    ]
+    return best.select(
+        *assign_cols,
+        F.col("total_milli").cast("bigint").alias("optimal_cost_milli"),
+        F.lit(greedy_total).cast("bigint").alias("greedy_cost_milli"),
+        F.expr(
+            f"cast((10000 * total_milli) div {greedy_total} as bigint)"
+        ).alias("optimal_vs_greedy_bp"),
+    )
+
+
+ROUND8_QUERIES["assignment_exhaustive"] = assignment_exhaustive
+
+
+def _assign_oracle() -> str:
+    perm_values = ", ".join(
+        "({}, {})".format(pid, ", ".join(str(v) for v in p))
+        for pid, p in enumerate(_ASSIGN_PERMS)
+    )
+    acols = ", ".join(f"a{i}" for i in range(_ASSIGN_N))
+    joins = "".join(
+        f"\n  JOIN cost c{i} ON c{i}.src = {i} AND c{i}.dst = p.a{i}"
+        for i in range(_ASSIGN_N)
+    )
+    total = " + ".join(f"c{i}.c_milli" for i in range(_ASSIGN_N))
+    greedy_rounds = []
+    prev_taken = "(SELECT -1 AS dst WHERE FALSE)"
+    for i in range(_ASSIGN_N):
+        greedy_rounds.append(f"""
+g{i} AS MATERIALIZED (
+  SELECT src, dst, c_milli FROM cost
+  WHERE src = {i} AND dst NOT IN (SELECT dst FROM taken{i})
+  QUALIFY row_number() OVER (ORDER BY c_milli, dst) = 1
+),
+taken{i + 1} AS MATERIALIZED (
+  SELECT dst FROM taken{i} UNION ALL SELECT dst FROM g{i}
+)""")
+    greedy_sql = ",".join(greedy_rounds)
+    gsum = " UNION ALL ".join(
+        f"SELECT c_milli FROM g{i}" for i in range(_ASSIGN_N)
+    )
+    sel_assign = ", ".join(
+        f"CAST(a{i} AS BIGINT) AS dst_for_src{i}" for i in range(_ASSIGN_N)
+    )
+    return f"""
+WITH cost AS MATERIALIZED (
+  SELECT sn.n_regionkey AS src, cn.n_regionkey AS dst,
+         CAST(1000 * CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                               * 100) AS HUGEINT)
+              // sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS c_milli
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+  GROUP BY 1, 2
+),
+perms(pid, {acols}) AS (VALUES {perm_values}),
+scored AS MATERIALIZED (
+  SELECT p.pid, {", ".join(f"p.a{i}" for i in range(_ASSIGN_N))},
+         {total} AS total_milli
+  FROM perms p{joins}
+),
+best AS MATERIALIZED (
+  SELECT * FROM scored
+  QUALIFY row_number() OVER (ORDER BY total_milli, pid) = 1
+),
+taken0 AS MATERIALIZED {prev_taken},{greedy_sql},
+greedy AS (SELECT sum(c_milli) AS greedy_total FROM ({gsum}))
+SELECT {sel_assign},
+       CAST(total_milli AS BIGINT) AS optimal_cost_milli,
+       CAST(greedy_total AS BIGINT) AS greedy_cost_milli,
+       CAST((10000 * total_milli) // greedy_total AS BIGINT)
+         AS optimal_vs_greedy_bp
+FROM best CROSS JOIN greedy
+"""
+
+
+ROUND8_ORACLES["assignment_exhaustive"] = _assign_oracle()
+
+
+# ---------------------------------------------------------------------------
+# median_of_means — robust mean estimation census
+# ---------------------------------------------------------------------------
+
+_MOM_GROUPS = 9
+
+
+def median_of_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEDIAN-OF-MEANS robust estimator (SURVEY §2 #318) —
+    Nemirovsky-Yudin's heavy-tail-safe mean, the estimator modern
+    robust statistics (and bandit theory) reaches for when
+    winsorized_mean's trim quantiles are themselves unstable: hash
+    the population into 9 deterministic groups, take each group's
+    exact mean, publish the MEDIAN of the 9 means — one adversarial
+    or heavy-tail group can no longer move the estimate.  Shown per
+    segment against the raw mean on order totals (a right-skewed
+    column), with the group-mean spread so the reader sees WHY the
+    two differ.  The median of 9 integers is an exact percentile_disc
+    element; means are integer cents floors.
+
+    Scale shape: one map-combined agg to the 5x9 (segment, group)
+    cell census; the median and spread fold from 9-row groups.
+    Windowless.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("cust"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    vals = orders.join(
+        cust, F.col("o_custkey") == F.col("cust")
+    ).select(
+        "segment",
+        F.expr(
+            "cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)"
+        ).alias("x"),
+        (
+            F.expr(X.hash64_spark("cast(o_orderkey as string) || ':mom'"))
+            % _MOM_GROUPS
+        ).alias("g"),
+    )
+    cells = materialize(
+        vals.groupBy("segment", "g").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("x").alias("sx")
+        )
+    )
+    means = cells.select(
+        "segment", "g", "n", "sx", F.expr("sx div n").alias("gmean")
+    )
+    return (
+        means.groupBy("segment")
+        .agg(
+            F.sum("n").cast("bigint").alias("n"),
+            F.expr("cast(sum(sx) div sum(n) as bigint)").alias(
+                "raw_mean_cents"
+            ),
+            F.expr(
+                "cast(percentile_disc(0.5) WITHIN GROUP (ORDER BY gmean)"
+                " as bigint)"
+            ).alias("mom_cents"),
+            F.expr("cast(min(gmean) as bigint)").alias("min_group_mean"),
+            F.expr("cast(max(gmean) as bigint)").alias("max_group_mean"),
+        )
+        .orderBy("segment")
+    )
+
+
+ROUND8_QUERIES["median_of_means"] = median_of_means
+
+ROUND8_ORACLES["median_of_means"] = f"""
+WITH vals AS (
+  SELECT c.c_mktsegment AS segment,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+         ({X.hash64_duck("CAST(o_orderkey AS VARCHAR) || ':mom'")})
+           % {_MOM_GROUPS} AS g
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+),
+cells AS MATERIALIZED (
+  SELECT segment, g, count(*) AS n, sum(x) AS sx
+  FROM vals GROUP BY segment, g
+),
+means AS (
+  SELECT segment, g, n, sx, sx // n AS gmean FROM cells
+)
+SELECT segment,
+       CAST(sum(n) AS BIGINT) AS n,
+       CAST(sum(sx) // sum(n) AS BIGINT) AS raw_mean_cents,
+       CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY gmean) AS BIGINT)
+         AS mom_cents,
+       CAST(min(gmean) AS BIGINT) AS min_group_mean,
+       CAST(max(gmean) AS BIGINT) AS max_group_mean
+FROM means
+GROUP BY segment ORDER BY segment
+"""
