@@ -10694,3 +10694,262 @@ SELECT segment,
 FROM means
 GROUP BY segment ORDER BY segment
 """
+
+
+# ---------------------------------------------------------------------------
+# fagin_ta_depth — Threshold Algorithm stopping-depth simulation
+# ---------------------------------------------------------------------------
+
+_TA_K = 10
+
+
+def fagin_ta_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THRESHOLD-ALGORITHM depth census (SURVEY §2 #319) — Fagin's TA
+    (PODS 2001, the Gödel-prize rank-aggregation algorithm behind
+    every "top-k over multiple rankings without scanning everything"
+    middleware): two sorted access lists over parts (revenue rank,
+    quantity rank), combined score = sum, and the published number is
+    the DEPTH at which TA can certifiably stop — the exact positions
+    both lists must scan before the running threshold T(d) = sa(d) +
+    sb(d) drops to the true k-th best combined score AND the true
+    top-k have all been seen (max of both conditions, each computed
+    exactly on the census).  depth/n in bp is the sorted-access
+    saving TA buys over the full join.
+
+    Scale shape: two aggs to the part census; ranks ride the
+    DIM-BOUNDED census (pareto allowlisted class); the two stopping
+    conditions are census folds against broadcast scalars.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    items = materialize(
+        li.groupBy("l_partkey").agg(
+            F.expr(
+                "cast(sum(cast(l_extendedprice as decimal(18,2)) * 100)"
+                " div 100000 as bigint)"
+            ).alias("sa"),
+            F.expr("cast(sum(l_quantity) as bigint)").alias("sb"),
+        )
+    )
+    wa = Window.orderBy(F.desc("sa"), F.asc("l_partkey"))
+    wb = Window.orderBy(F.desc("sb"), F.asc("l_partkey"))
+    ranked = materialize(
+        items.withColumn("ra", F.row_number().over(wa)).withColumn(
+            "rb", F.row_number().over(wb)
+        ).withColumn("combined", F.expr("sa + sb"))
+    )
+    wk = Window.orderBy(F.desc("combined"), F.asc("l_partkey"))
+    topk = materialize(
+        ranked.withColumn("crank", F.row_number().over(wk)).filter(
+            f"crank <= {_TA_K}"
+        )
+    )
+    kth = topk.agg(F.min("combined").alias("kth_score"))
+    d2 = topk.agg(
+        F.max(F.expr("greatest(ra, rb)")).alias("d_seen")
+    )
+    # T(d) = sa at rank d + sb at rank d; d1 = min d with T(d) <= kth
+    la = ranked.select(F.col("ra").alias("d"), F.col("sa").alias("sad"))
+    lb = ranked.select(F.col("rb").alias("d"), F.col("sb").alias("sbd"))
+    thresholds = la.join(lb, "d").select(
+        "d", F.expr("sad + sbd").alias("t_d")
+    )
+    d1 = (
+        thresholds.crossJoin(F.broadcast(kth))
+        .filter("t_d <= kth_score")
+        .agg(F.min("d").alias("d_thresh"))
+    )
+    n = items.agg(F.count(F.lit(1)).alias("n_items"))
+    return (
+        kth.crossJoin(F.broadcast(d1))
+        .crossJoin(F.broadcast(d2))
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.lit(_TA_K).cast("bigint").alias("k"),
+            F.col("n_items").cast("bigint").alias("n_items"),
+            F.col("kth_score").cast("bigint").alias("kth_combined_score"),
+            F.expr(
+                "cast(greatest(coalesce(d_thresh, n_items), d_seen)"
+                " as bigint)"
+            ).alias("ta_stop_depth"),
+            F.expr(
+                "cast((10000 * greatest(coalesce(d_thresh, n_items),"
+                " d_seen)) div n_items as bigint)"
+            ).alias("depth_vs_full_bp"),
+        )
+    )
+
+
+ROUND8_QUERIES["fagin_ta_depth"] = fagin_ta_depth
+
+ROUND8_ORACLES["fagin_ta_depth"] = f"""
+WITH items AS MATERIALIZED (
+  SELECT l_partkey,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * 100) AS HUGEINT)
+           // 100000 AS sa,
+         CAST(sum(l_quantity) AS BIGINT) AS sb
+  FROM lineitem GROUP BY 1
+),
+ranked AS MATERIALIZED (
+  SELECT l_partkey, sa, sb, sa + sb AS combined,
+         row_number() OVER (ORDER BY sa DESC, l_partkey) AS ra,
+         row_number() OVER (ORDER BY sb DESC, l_partkey) AS rb
+  FROM items
+),
+topk AS MATERIALIZED (
+  SELECT * FROM ranked
+  QUALIFY row_number() OVER (ORDER BY combined DESC, l_partkey)
+          <= {_TA_K}
+),
+kth AS (SELECT min(combined) AS kth_score FROM topk),
+d2 AS (SELECT max(greatest(ra, rb)) AS d_seen FROM topk),
+thresholds AS (
+  SELECT a.ra AS d, a.sa + b.sb AS t_d
+  FROM ranked a JOIN ranked b ON b.rb = a.ra
+),
+d1 AS (
+  SELECT min(d) AS d_thresh FROM thresholds CROSS JOIN kth
+  WHERE t_d <= kth_score
+),
+n AS (SELECT count(*) AS n_items FROM items)
+SELECT {_TA_K}::BIGINT AS k,
+       CAST(n_items AS BIGINT) AS n_items,
+       CAST(kth_score AS BIGINT) AS kth_combined_score,
+       CAST(greatest(coalesce(d_thresh, n_items), d_seen) AS BIGINT)
+         AS ta_stop_depth,
+       CAST((10000 * greatest(coalesce(d_thresh, n_items), d_seen))
+            // n_items AS BIGINT) AS depth_vs_full_bp
+FROM kth CROSS JOIN d1 CROSS JOIN d2 CROSS JOIN n
+"""
+
+
+# ---------------------------------------------------------------------------
+# oaxaca_blinder_decomposition — composition vs rate gap decomposition
+# ---------------------------------------------------------------------------
+
+
+def oaxaca_blinder_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OAXACA-BLINDER gap decomposition (SURVEY §2 #320) — the
+    econometric answer to "WHY do two groups' averages differ"
+    (Oaxaca 1973; Blinder 1973 — the wage-gap workhorse), a family
+    the catalog analyzes around but never decomposes:
+    simpson_paradox_audit DETECTS composition lying, this QUANTIFIES
+    it — the BUILDING-vs-rest mean spend gap splits per nation into
+    EXPLAINED (different nation mix x reference spend) and
+    UNEXPLAINED (same nation, different spend) parts, summing exactly
+    to the gap.  Every term is a cross-multiplied integer with one
+    milli-cent floor: explained_n = (nA_n*NB - nB_n*NA)*syB_n /
+    (NA*NB*nB_n), unexplained_n = nA_n*(syA_n*nB_n - syB_n*nA_n) /
+    (NA*nA_n*nB_n).
+
+    Scale shape: one fact agg to per-customer spend, one to the
+    25x2-cell (nation, group) census; group totals broadcast back;
+    per-nation terms are census projections.  Windowless.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").join(
+        _t(spark, sf_dir, "nation"),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).select(
+        F.col("c_custkey").alias("cust"),
+        F.col("n_name").alias("nation"),
+        F.expr(
+            "CASE WHEN c_mktsegment = 'BUILDING' THEN 'A' ELSE 'B' END"
+        ).alias("grp"),
+    )
+    per_cust = orders.groupBy(F.col("o_custkey").alias("cust")).agg(
+        F.expr(
+            "cast(sum(cast(o_totalprice as decimal(18,2)) * 100)"
+            " div 100 as bigint)"
+        ).alias("y")
+    )
+    cells = materialize(
+        per_cust.join(cust, "cust")
+        .groupBy("nation", "grp")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("sy"))
+    )
+    a = cells.filter("grp = 'A'").select(
+        "nation", F.col("n").alias("na"), F.col("sy").alias("sya")
+    )
+    b = cells.filter("grp = 'B'").select(
+        "nation", F.col("n").alias("nb"), F.col("sy").alias("syb")
+    )
+    tots = cells.groupBy("grp").agg(
+        F.sum("n").alias("nn"), F.sum("sy").alias("sy")
+    )
+    ta = tots.filter("grp = 'A'").select(
+        F.col("nn").alias("na_tot"), F.col("sy").alias("sya_tot")
+    )
+    tb = tots.filter("grp = 'B'").select(
+        F.col("nn").alias("nb_tot"), F.col("sy").alias("syb_tot")
+    )
+    return (
+        a.join(b, "nation")
+        .crossJoin(F.broadcast(ta))
+        .crossJoin(F.broadcast(tb))
+        .select(
+            "nation",
+            F.col("na").cast("bigint").alias("n_building"),
+            F.col("nb").cast("bigint").alias("n_rest"),
+            F.expr(
+                "cast((1000 * (cast(na as decimal(38,0)) * nb_tot"
+                " - cast(nb as decimal(38,0)) * na_tot) * syb)"
+                " div (cast(na_tot as decimal(38,0)) * nb_tot * nb)"
+                " as bigint)"
+            ).alias("explained_milli"),
+            F.expr(
+                "cast((1000 * cast(na as decimal(38,0))"
+                " * (cast(sya as decimal(38,0)) * nb"
+                " - cast(syb as decimal(38,0)) * na))"
+                " div (cast(na_tot as decimal(38,0)) * na * nb)"
+                " as bigint)"
+            ).alias("unexplained_milli"),
+            F.expr(
+                "cast(1000 * (sya_tot div na_tot - syb_tot div nb_tot)"
+                " as bigint)"
+            ).alias("total_gap_milli"),
+        )
+        .orderBy("nation")
+    )
+
+
+ROUND8_QUERIES["oaxaca_blinder_decomposition"] = oaxaca_blinder_decomposition
+
+ROUND8_ORACLES["oaxaca_blinder_decomposition"] = """
+WITH cust AS (
+  SELECT c_custkey AS cust, n_name AS nation,
+         CASE WHEN c_mktsegment = 'BUILDING' THEN 'A' ELSE 'B' END AS grp
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+),
+per_cust AS (
+  SELECT o_custkey AS cust,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS HUGEINT)
+           // 100 AS y
+  FROM orders GROUP BY o_custkey
+),
+cells AS MATERIALIZED (
+  SELECT nation, grp, count(*) AS n, sum(y) AS sy
+  FROM per_cust JOIN cust USING (cust)
+  GROUP BY nation, grp
+),
+tots AS (
+  SELECT grp, sum(n) AS nn, sum(sy) AS sy FROM cells GROUP BY grp
+)
+SELECT a.nation,
+       CAST(a.n AS BIGINT) AS n_building,
+       CAST(b.n AS BIGINT) AS n_rest,
+       CAST((1000 * (a.n::HUGEINT * tb.nn - b.n::HUGEINT * ta.nn) * b.sy)
+            // (ta.nn::HUGEINT * tb.nn * b.n) AS BIGINT)
+         AS explained_milli,
+       CAST((1000 * a.n::HUGEINT
+             * (a.sy::HUGEINT * b.n - b.sy::HUGEINT * a.n))
+            // (ta.nn::HUGEINT * a.n * b.n) AS BIGINT)
+         AS unexplained_milli,
+       CAST(1000 * (ta.sy // ta.nn - tb.sy // tb.nn) AS BIGINT)
+         AS total_gap_milli
+FROM cells a
+JOIN cells b ON b.nation = a.nation AND b.grp = 'B'
+CROSS JOIN (SELECT nn, sy FROM tots WHERE grp = 'A') ta
+CROSS JOIN (SELECT nn, sy FROM tots WHERE grp = 'B') tb
+WHERE a.grp = 'A'
+ORDER BY a.nation
+"""

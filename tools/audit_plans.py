@@ -43,6 +43,9 @@ GLOBAL_WINDOW_ALLOWED = {
     "abc_xyz_inventory",  # cumulative-share window over the part census
     "knapsack_density_bound",  # density prefix over the part census
     "maxmin_fair_allocation",  # water-level scan over the brand census
+    # sorted-access ranks over the part census (materialize() hides the
+    # window from the plan walk, so list it here for the record)
+    "fagin_ta_depth",
     "key_skew_profile",
     "price_histogram",
     "equidepth_histogram",
