@@ -10953,3 +10953,307 @@ CROSS JOIN (SELECT nn, sy FROM tots WHERE grp = 'B') tb
 WHERE a.grp = 'A'
 ORDER BY a.nation
 """
+
+
+# ---------------------------------------------------------------------------
+# ransac_consensus_fit — sample-consensus robust line fit
+# ---------------------------------------------------------------------------
+
+_RANSAC_CANDS = 16
+_RANSAC_TOL_MILLI = 150  # inlier tolerance: 15% of the median |y|
+
+
+def ransac_consensus_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANSAC consensus line fit (SURVEY §2 #321) — Fischler-Bolles
+    1981, the third robust-fitting paradigm in the catalog and the
+    one that tolerates the most contamination: grouped_regression's
+    OLS breaks at one outlier, theil_sen_trend's pairwise median
+    survives ~29%, RANSAC survives ANY rate as long as one clean
+    sample pair exists.  16 candidate lines from hash-selected day
+    pairs of the 1997 daily-revenue census (deterministic sampling —
+    the aa_test replicate pattern, no RNG), each scored by its exact
+    INLIER count (|cross-multiplied residual| within a scale
+    tolerance — no division ever enters the comparison), the
+    consensus winner published with slope/intercept/inlier share next
+    to every candidate's count so the consensus landscape is visible.
+
+    Scale shape: fact → day census; candidate pairs are hash-rank
+    selections from the census; the score join is candidates x census
+    (16 x |days|, broadcast); argmax by census election.  Windowless
+    except the census hash-rank.
+    """
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.expr("o_orderdate >= date'1997-01-01'")
+        & F.expr("o_orderdate < date'1998-01-01'")
+    )
+    daily = materialize(
+        orders.groupBy(
+            F.expr(
+                "datediff(cast(o_orderdate as date), date'1997-01-01')"
+            ).alias("x")
+        ).agg(
+            F.expr(
+                "cast(sum(cast(o_totalprice as decimal(18,2)) * 100)"
+                " as decimal(38,0)) div 100000"
+            ).alias("y")
+        )
+    )
+    wh = Window.orderBy(
+        F.expr(X.hash64_spark("cast(x as string) || ':ransac'")), F.asc("x")
+    )
+    hashed = daily.withColumn("hrk", F.row_number().over(wh))
+    p1 = hashed.filter(f"hrk <= {_RANSAC_CANDS}").select(
+        F.col("hrk").alias("cand"),
+        F.col("x").alias("x1"),
+        F.col("y").alias("y1"),
+    )
+    p2 = hashed.filter(
+        f"hrk > {_RANSAC_CANDS} AND hrk <= {2 * _RANSAC_CANDS}"
+    ).select(
+        (F.col("hrk") - _RANSAC_CANDS).alias("cand"),
+        F.col("x").alias("x2"),
+        F.col("y").alias("y2"),
+    )
+    cands = materialize(
+        p1.join(p2, "cand").filter("x1 != x2")
+    )
+    scale = daily.agg(
+        F.expr(
+            "cast(percentile_disc(0.5) WITHIN GROUP (ORDER BY abs(y))"
+            " as bigint)"
+        ).alias("med_abs_y")
+    )
+    # residual of (x, y) vs the candidate line through (x1,y1),(x2,y2):
+    # r = (y - y1)*(x2 - x1) - (y2 - y1)*(x - x1), inlier iff
+    # |r| <= tol * med|y| * |x2 - x1| / 1000  (all cross-multiplied)
+    scored = (
+        cands.join(F.broadcast(daily))
+        .crossJoin(F.broadcast(scale))
+        .groupBy("cand", "x1", "y1", "x2", "y2")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CASE WHEN 1000 * abs((y - y1) * (x2 - x1)"
+                    " - (y2 - y1) * (x - x1))"
+                    f" <= {_RANSAC_TOL_MILLI} * med_abs_y * abs(x2 - x1)"
+                    " THEN 1 ELSE 0 END"
+                )
+            ).alias("inliers"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+    )
+    wbest = Window.orderBy(F.desc("inliers"), F.asc("cand"))
+    return (
+        scored.withColumn("rk", F.row_number().over(wbest))
+        .select(
+            F.col("cand").cast("bigint").alias("candidate"),
+            F.col("inliers").cast("bigint").alias("inliers"),
+            F.col("n_days").cast("bigint").alias("n_days"),
+            F.expr("cast((10000 * inliers) div n_days as bigint)").alias(
+                "inlier_share_bp"
+            ),
+            F.expr(
+                "cast((1000 * (y2 - y1)) div (x2 - x1) as bigint)"
+            ).alias("slope_milli"),
+            F.expr(
+                "cast(y1 - ((y2 - y1) * x1) div (x2 - x1) as bigint)"
+            ).alias("intercept_k"),
+            F.expr("cast(CASE WHEN rk = 1 THEN 1 ELSE 0 END as bigint)")
+            .alias("is_consensus"),
+        )
+        .orderBy("candidate")
+    )
+
+
+ROUND8_QUERIES["ransac_consensus_fit"] = ransac_consensus_fit
+
+ROUND8_ORACLES["ransac_consensus_fit"] = f"""
+WITH daily AS MATERIALIZED (
+  SELECT datediff('day', DATE '1997-01-01', CAST(o_orderdate AS DATE)) AS x,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS HUGEINT)
+           // 100000 AS y
+  FROM orders
+  WHERE o_orderdate >= DATE '1997-01-01' AND o_orderdate < DATE '1998-01-01'
+  GROUP BY 1
+),
+hashed AS MATERIALIZED (
+  SELECT x, y,
+         row_number() OVER (ORDER BY
+           {X.hash64_duck("CAST(x AS VARCHAR) || ':ransac'")}, x) AS hrk
+  FROM daily
+),
+cands AS MATERIALIZED (
+  SELECT p1.hrk AS cand, p1.x AS x1, p1.y AS y1, p2.x AS x2, p2.y AS y2
+  FROM hashed p1
+  JOIN hashed p2 ON p2.hrk = p1.hrk + {_RANSAC_CANDS}
+  WHERE p1.hrk <= {_RANSAC_CANDS} AND p1.x != p2.x
+),
+scale AS (
+  SELECT CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY abs(y))
+              AS BIGINT) AS med_abs_y
+  FROM daily
+),
+scored AS MATERIALIZED (
+  SELECT cand, x1, y1, x2, y2,
+         sum(CASE WHEN 1000 * abs((d.y - y1) * (x2 - x1)
+                        - (y2 - y1) * (d.x - x1))
+                  <= {_RANSAC_TOL_MILLI} * s.med_abs_y * abs(x2 - x1)
+                  THEN 1 ELSE 0 END) AS inliers,
+         count(*) AS n_days
+  FROM cands CROSS JOIN daily d CROSS JOIN scale s
+  GROUP BY cand, x1, y1, x2, y2
+)
+SELECT CAST(cand AS BIGINT) AS candidate,
+       CAST(inliers AS BIGINT) AS inliers,
+       CAST(n_days AS BIGINT) AS n_days,
+       CAST((10000 * inliers) // n_days AS BIGINT) AS inlier_share_bp,
+       CAST((1000 * (y2 - y1)) // (x2 - x1) AS BIGINT) AS slope_milli,
+       CAST(y1 - ((y2 - y1) * x1) // (x2 - x1) AS BIGINT) AS intercept_k,
+       CAST(CASE WHEN row_number() OVER (ORDER BY inliers DESC, cand) = 1
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_consensus
+FROM scored
+ORDER BY candidate
+"""
+
+
+# ---------------------------------------------------------------------------
+# tail_dependence_lambda — empirical upper/lower tail dependence
+# ---------------------------------------------------------------------------
+
+_TDL_Q_BP = 9000  # upper-tail quantile (lower tail uses the mirror)
+
+
+def tail_dependence_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMPIRICAL TAIL DEPENDENCE (SURVEY §2 #322) — the copula-theory
+    readout (Joe 1997) that Pearson/Kendall/assortativity all miss:
+    two variables can be weakly correlated overall yet ALWAYS extreme
+    TOGETHER (the risk-management failure mode — \"diversification
+    dies in the tail\"), and lambda_U = P(Y > q90_Y | X > q90_X)
+    measures exactly that.  Per segment, X = customer spend, Y =
+    order count: both tail cuts are exact percentile_disc elements
+    broadcast back, the conditional probabilities exact bp counts,
+    and the independence baseline (1 - q = 1000 bp) rides along so
+    the reader sees the lift; the lower tail mirrors with q10.
+
+    Scale shape: one fact agg to per-customer (X, Y); the two cuts
+    are one percentile agg per segment broadcast back; tail counts
+    are a second map-combined agg.  Windowless.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("cust"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    per_cust = materialize(
+        orders.groupBy(F.col("o_custkey").alias("cust"))
+        .agg(
+            F.expr(
+                "cast(sum(cast(o_totalprice as decimal(18,2)) * 100)"
+                " as bigint)"
+            ).alias("x"),
+            F.count(F.lit(1)).alias("y"),
+        )
+        .join(cust, "cust")
+    )
+    cuts = per_cust.groupBy("segment").agg(
+        F.expr(
+            f"cast(percentile_disc({_TDL_Q_BP / 10000}) WITHIN GROUP"
+            " (ORDER BY x) as bigint)"
+        ).alias("xu"),
+        F.expr(
+            f"cast(percentile_disc({_TDL_Q_BP / 10000}) WITHIN GROUP"
+            " (ORDER BY y) as bigint)"
+        ).alias("yu"),
+        F.expr(
+            f"cast(percentile_disc({(10000 - _TDL_Q_BP) / 10000}) WITHIN"
+            " GROUP (ORDER BY x) as bigint)"
+        ).alias("xl"),
+        F.expr(
+            f"cast(percentile_disc({(10000 - _TDL_Q_BP) / 10000}) WITHIN"
+            " GROUP (ORDER BY y) as bigint)"
+        ).alias("yl"),
+    )
+    return (
+        per_cust.join(F.broadcast(cuts), "segment")
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.expr("CASE WHEN x > xu THEN 1 ELSE 0 END")).alias(
+                "n_x_up"
+            ),
+            F.sum(
+                F.expr("CASE WHEN x > xu AND y > yu THEN 1 ELSE 0 END")
+            ).alias("n_both_up"),
+            F.sum(F.expr("CASE WHEN x <= xl THEN 1 ELSE 0 END")).alias(
+                "n_x_lo"
+            ),
+            F.sum(
+                F.expr("CASE WHEN x <= xl AND y <= yl THEN 1 ELSE 0 END")
+            ).alias("n_both_lo"),
+        )
+        .select(
+            "segment",
+            F.col("n").cast("bigint").alias("n"),
+            F.col("n_x_up").cast("bigint").alias("n_upper_tail"),
+            F.expr(
+                "cast(coalesce((10000 * n_both_up) div nullif(n_x_up, 0),"
+                " -1) as bigint)"
+            ).alias("lambda_upper_bp"),
+            F.col("n_x_lo").cast("bigint").alias("n_lower_tail"),
+            F.expr(
+                "cast(coalesce((10000 * n_both_lo) div nullif(n_x_lo, 0),"
+                " -1) as bigint)"
+            ).alias("lambda_lower_bp"),
+            F.lit(10000 - _TDL_Q_BP).cast("bigint").alias(
+                "independence_bp"
+            ),
+        )
+        .orderBy("segment")
+    )
+
+
+ROUND8_QUERIES["tail_dependence_lambda"] = tail_dependence_lambda
+
+ROUND8_ORACLES["tail_dependence_lambda"] = f"""
+WITH per_cust AS MATERIALIZED (
+  SELECT c.c_mktsegment AS segment, o.cust, o.x, o.y
+  FROM (
+    SELECT o_custkey AS cust,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+             AS x,
+           count(*) AS y
+    FROM orders GROUP BY o_custkey
+  ) o
+  JOIN customer c ON c.c_custkey = o.cust
+),
+cuts AS (
+  SELECT segment,
+         CAST(percentile_disc({_TDL_Q_BP / 10000}) WITHIN GROUP
+              (ORDER BY x) AS BIGINT) AS xu,
+         CAST(percentile_disc({_TDL_Q_BP / 10000}) WITHIN GROUP
+              (ORDER BY y) AS BIGINT) AS yu,
+         CAST(percentile_disc({(10000 - _TDL_Q_BP) / 10000}) WITHIN GROUP
+              (ORDER BY x) AS BIGINT) AS xl,
+         CAST(percentile_disc({(10000 - _TDL_Q_BP) / 10000}) WITHIN GROUP
+              (ORDER BY y) AS BIGINT) AS yl
+  FROM per_cust GROUP BY segment
+)
+SELECT p.segment,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN x > xu THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_upper_tail,
+       CAST(coalesce((10000 * sum(CASE WHEN x > xu AND y > yu
+                                       THEN 1 ELSE 0 END))
+                     // nullif(sum(CASE WHEN x > xu THEN 1 ELSE 0 END), 0),
+                     -1) AS BIGINT) AS lambda_upper_bp,
+       CAST(sum(CASE WHEN x <= xl THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_lower_tail,
+       CAST(coalesce((10000 * sum(CASE WHEN x <= xl AND y <= yl
+                                       THEN 1 ELSE 0 END))
+                     // nullif(sum(CASE WHEN x <= xl THEN 1 ELSE 0 END), 0),
+                     -1) AS BIGINT) AS lambda_lower_bp,
+       {10000 - _TDL_Q_BP}::BIGINT AS independence_bp
+FROM per_cust p JOIN cuts USING (segment)
+GROUP BY p.segment
+ORDER BY p.segment
+"""

@@ -46,6 +46,8 @@ GLOBAL_WINDOW_ALLOWED = {
     # sorted-access ranks over the part census (materialize() hides the
     # window from the plan walk, so list it here for the record)
     "fagin_ta_depth",
+    # hash-rank candidate selection over the |days| census
+    "ransac_consensus_fit",
     "key_skew_profile",
     "price_histogram",
     "equidepth_histogram",
