@@ -11257,3 +11257,260 @@ FROM per_cust p JOIN cuts USING (segment)
 GROUP BY p.segment
 ORDER BY p.segment
 """
+
+
+# ---------------------------------------------------------------------------
+# survival_rmst — exact restricted mean survival time per priority
+# ---------------------------------------------------------------------------
+
+_RMST_HORIZON = 90  # days
+
+
+def survival_rmst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTRICTED MEAN SURVIVAL TIME (SURVEY §2 #323) — the modern
+    replacement for hazard ratios (Royston-Parmar 2013; regulators
+    now ask for it): "how many of the next 90 days does a typical
+    order spend unfulfilled", the area under the survival curve up to
+    the horizon.  kaplan_meier_fulfillment reports the log-survival
+    CURVE (decimal-ln terms, float at the edge); RMST here is EXACT
+    INTEGER because the censoring is purely administrative (every
+    order's ship time is observed; censoring happens only AT the
+    horizon), so S(t) = 1 - F(t) with denominator n and the area
+    telescopes to one aggregate: RMST = horizon - sum_events
+    (horizon - t_e)/n — no survival product, no log, no census
+    window.  Median fulfillment time rides along as an exact
+    percentile_disc element of min(t, horizon).
+
+    Scale shape: one orderkey-join (the KM key's shape), then ONE
+    map-combined agg per priority.  Windowless.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    first_ship = li.groupBy("l_orderkey").agg(
+        F.min("l_shipdate").alias("ship")
+    )
+    dur = orders.join(
+        first_ship, orders.o_orderkey == first_ship.l_orderkey
+    ).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff("ship", "o_orderdate").alias("t"),
+    )
+    return (
+        dur.groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.expr(
+                    f"CASE WHEN t < {_RMST_HORIZON}"
+                    f" THEN {_RMST_HORIZON} - t ELSE 0 END"
+                )
+            ).alias("area_lost"),
+            F.sum(
+                F.expr(f"CASE WHEN t >= {_RMST_HORIZON} THEN 1 ELSE 0 END")
+            ).alias("n_censored"),
+            F.expr(
+                f"cast(percentile_disc(0.5) WITHIN GROUP"
+                f" (ORDER BY least(t, {_RMST_HORIZON})) as bigint)"
+            ).alias("median_days"),
+        )
+        .select(
+            "priority",
+            F.col("n").cast("bigint").alias("n"),
+            F.col("n_censored").cast("bigint").alias("n_censored"),
+            F.expr(
+                f"cast({1000 * _RMST_HORIZON} - (1000 * area_lost) div n"
+                " as bigint)"
+            ).alias("rmst_millidays"),
+            F.col("median_days").cast("bigint").alias("median_days"),
+        )
+        .orderBy("priority")
+    )
+
+
+ROUND8_QUERIES["survival_rmst"] = survival_rmst
+
+ROUND8_ORACLES["survival_rmst"] = f"""
+WITH first_ship AS (
+  SELECT l_orderkey, min(l_shipdate) AS ship FROM lineitem GROUP BY 1
+),
+dur AS (
+  SELECT o.o_orderpriority AS priority,
+         datediff('day', CAST(o.o_orderdate AS DATE), CAST(ship AS DATE))
+           AS t
+  FROM orders o JOIN first_ship f ON f.l_orderkey = o.o_orderkey
+)
+SELECT priority,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN t >= {_RMST_HORIZON} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_censored,
+       CAST({1000 * _RMST_HORIZON}
+            - (1000 * sum(CASE WHEN t < {_RMST_HORIZON}
+                               THEN {_RMST_HORIZON} - t ELSE 0 END))
+              // count(*) AS BIGINT) AS rmst_millidays,
+       CAST(percentile_disc(0.5) WITHIN GROUP
+            (ORDER BY least(t, {_RMST_HORIZON})) AS BIGINT) AS median_days
+FROM dur
+GROUP BY priority ORDER BY priority
+"""
+
+
+# ---------------------------------------------------------------------------
+# bradley_terry_strength — pairwise-comparison strength ratings
+# ---------------------------------------------------------------------------
+
+_BT_ROUNDS = 3
+_BT_SCALE = 1000
+
+
+def bradley_terry_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BRADLEY-TERRY strength ratings (SURVEY §2 #324) — the
+    paired-comparison model (Bradley-Terry 1952; Zermelo 1929) behind
+    every modern preference leaderboard (chess Elo's static cousin,
+    the chatbot-arena rating): brands "play" each other whenever two
+    of their parts share an order, the deeper discount wins, and the
+    MM algorithm (Hunter 2004) turns the win matrix into strengths
+    s_i = W_i / sum_j n_ij/(s_i+s_j).  Three MM rounds unrolled from
+    the uniform start, every round milli-quantized and renormalized
+    to mean 1000 (the HITS contract — BT strengths are
+    scale-invariant, so the renorm is exact bookkeeping, not
+    approximation), published with win counts so upsets are visible.
+
+    Scale shape: the comparison table is a same-order self-join
+    (fanout bounded by lines-per-order, ~7) collapsed immediately to
+    the 25x25 (brand_i, brand_j) census; every MM round is a
+    census-sized join + fold.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), F.col("p_brand").alias("brand")
+    )
+    lines = li.join(F.broadcast(part), "l_partkey").select(
+        "l_orderkey",
+        "brand",
+        F.expr("cast(cast(l_discount as decimal(4,2)) * 100 as int)")
+        .alias("disc"),
+    )
+    other = lines.select(
+        F.col("l_orderkey").alias("ok2"),
+        F.col("brand").alias("brand2"),
+        F.col("disc").alias("disc2"),
+    )
+    games = materialize(
+        lines.join(
+            other,
+            (F.col("l_orderkey") == F.col("ok2"))
+            & (F.col("brand") != F.col("brand2"))
+            & (F.col("disc") != F.col("disc2")),
+        )
+        .groupBy(
+            F.col("brand").alias("bi"), F.col("brand2").alias("bj")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_ij"),
+            F.sum(
+                F.expr("CASE WHEN disc > disc2 THEN 1 ELSE 0 END")
+            ).alias("w_ij"),
+        )
+    )
+    wins = games.groupBy("bi").agg(F.sum("w_ij").alias("w"))
+    s = wins.select(
+        F.col("bi").alias("brand"),
+        F.lit(_BT_SCALE).cast("long").alias("s"),
+    )
+    k = s.count()
+    for _ in range(_BT_ROUNDS):
+        sj = s.select(F.col("brand").alias("bj"), F.col("s").alias("s_j"))
+        si = s.select(F.col("brand").alias("bi"), F.col("s").alias("s_i"))
+        denom = (
+            games.join(F.broadcast(si), "bi")
+            .join(F.broadcast(sj), "bj")
+            .groupBy("bi")
+            .agg(
+                F.sum(
+                    F.expr("(1000000 * n_ij) div (s_i + s_j)")
+                ).alias("d")
+            )
+        )
+        raw = denom.join(wins, "bi").select(
+            F.col("bi").alias("brand"),
+            F.expr(
+                "cast((1000000000 * cast(w as decimal(38,0)))"
+                " div nullif(d, 0) as long)"
+            ).alias("s_raw"),
+        )
+        tot = raw.agg(F.sum("s_raw").alias("tot"))
+        s = materialize(
+            raw.crossJoin(F.broadcast(tot)).select(
+                "brand",
+                F.expr(
+                    f"cast(({_BT_SCALE} * {k} * s_raw) div tot as long)"
+                ).alias("s"),
+            )
+        )
+    return (
+        s.join(wins, s.brand == wins.bi)
+        .select(
+            "brand",
+            F.col("w").cast("bigint").alias("wins"),
+            F.col("s").cast("bigint").alias("strength_milli"),
+        )
+        .orderBy(F.desc("strength_milli"), F.asc("brand"))
+    )
+
+
+ROUND8_QUERIES["bradley_terry_strength"] = bradley_terry_strength
+
+
+def _bt_oracle() -> str:
+    rounds = []
+    prev = "s0"
+    for r in range(1, _BT_ROUNDS + 1):
+        rounds.append(f"""
+d{r} AS MATERIALIZED (
+  SELECT g.bi, sum((1000000 * g.n_ij) // (si.s + sj.s)) AS d
+  FROM games g
+  JOIN {prev} si ON si.brand = g.bi
+  JOIN {prev} sj ON sj.brand = g.bj
+  GROUP BY g.bi
+),
+raw{r} AS MATERIALIZED (
+  SELECT d.bi AS brand,
+         (1000000000 * w.w::HUGEINT) // nullif(d.d, 0) AS s_raw
+  FROM d{r} d JOIN wins w ON w.bi = d.bi
+),
+s{r} AS MATERIALIZED (
+  SELECT brand,
+         ({_BT_SCALE} * (SELECT count(*) FROM raw{r}) * s_raw)
+           // (SELECT sum(s_raw) FROM raw{r}) AS s
+  FROM raw{r}
+)""")
+        prev = f"s{r}"
+    body = ",".join(rounds)
+    return f"""
+WITH lines AS MATERIALIZED (
+  SELECT l_orderkey, p.p_brand AS brand,
+         CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS INT) AS disc
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+),
+games AS MATERIALIZED (
+  SELECT a.brand AS bi, b.brand AS bj,
+         count(*) AS n_ij,
+         sum(CASE WHEN a.disc > b.disc THEN 1 ELSE 0 END) AS w_ij
+  FROM lines a
+  JOIN lines b ON b.l_orderkey = a.l_orderkey
+             AND b.brand != a.brand AND b.disc != a.disc
+  GROUP BY a.brand, b.brand
+),
+wins AS MATERIALIZED (
+  SELECT bi, sum(w_ij) AS w FROM games GROUP BY bi
+),
+s0 AS (SELECT bi AS brand, {_BT_SCALE}::BIGINT AS s FROM wins),{body}
+SELECT s.brand,
+       CAST(w.w AS BIGINT) AS wins,
+       CAST(s.s AS BIGINT) AS strength_milli
+FROM s{_BT_ROUNDS} s JOIN wins w ON w.bi = s.brand
+ORDER BY strength_milli DESC, s.brand
+"""
+
+
+ROUND8_ORACLES["bradley_terry_strength"] = _bt_oracle()
