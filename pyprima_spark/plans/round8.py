@@ -11384,16 +11384,24 @@ def bradley_terry_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = _t(spark, sf_dir, "part").select(
         F.col("p_partkey").alias("l_partkey"), F.col("p_brand").alias("brand")
     )
-    lines = li.join(F.broadcast(part), "l_partkey").select(
-        "l_orderkey",
-        "brand",
-        F.expr("cast(cast(l_discount as decimal(4,2)) * 100 as int)")
-        .alias("disc"),
+    # collapse duplicate (order, brand, discount) lines BEFORE the
+    # self-join and weight by multiplicity — same exact pair counts,
+    # far fewer join rows
+    lines = materialize(
+        li.join(F.broadcast(part), "l_partkey")
+        .groupBy(
+            "l_orderkey",
+            "brand",
+            F.expr("cast(cast(l_discount as decimal(4,2)) * 100 as int)")
+            .alias("disc"),
+        )
+        .agg(F.count(F.lit(1)).alias("mult"))
     )
     other = lines.select(
         F.col("l_orderkey").alias("ok2"),
         F.col("brand").alias("brand2"),
         F.col("disc").alias("disc2"),
+        F.col("mult").alias("mult2"),
     )
     games = materialize(
         lines.join(
@@ -11406,9 +11414,11 @@ def bradley_terry_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("brand").alias("bi"), F.col("brand2").alias("bj")
         )
         .agg(
-            F.count(F.lit(1)).alias("n_ij"),
+            F.sum(F.expr("mult * mult2")).alias("n_ij"),
             F.sum(
-                F.expr("CASE WHEN disc > disc2 THEN 1 ELSE 0 END")
+                F.expr(
+                    "CASE WHEN disc > disc2 THEN mult * mult2 ELSE 0 END"
+                )
             ).alias("w_ij"),
         )
     )
@@ -11489,13 +11499,16 @@ s{r} AS MATERIALIZED (
     return f"""
 WITH lines AS MATERIALIZED (
   SELECT l_orderkey, p.p_brand AS brand,
-         CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS INT) AS disc
+         CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS INT) AS disc,
+         count(*) AS mult
   FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY 1, 2, 3
 ),
 games AS MATERIALIZED (
   SELECT a.brand AS bi, b.brand AS bj,
-         count(*) AS n_ij,
-         sum(CASE WHEN a.disc > b.disc THEN 1 ELSE 0 END) AS w_ij
+         sum(a.mult * b.mult) AS n_ij,
+         sum(CASE WHEN a.disc > b.disc THEN a.mult * b.mult
+                  ELSE 0 END) AS w_ij
   FROM lines a
   JOIN lines b ON b.l_orderkey = a.l_orderkey
              AND b.brand != a.brand AND b.disc != a.disc
