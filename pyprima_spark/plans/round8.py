@@ -11527,3 +11527,310 @@ ORDER BY strength_milli DESC, s.brand
 
 
 ROUND8_ORACLES["bradley_terry_strength"] = _bt_oracle()
+
+
+# ---------------------------------------------------------------------------
+# ratio_metric_variance — delta-method variance of a ratio metric
+# ---------------------------------------------------------------------------
+
+
+def ratio_metric_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RATIO-METRIC variance by the delta method (SURVEY §2 #325) —
+    the most common silent error in experimentation (Deng et al.
+    KDD'17): revenue-per-order is ANALYZED per order but RANDOMIZED
+    per customer, and treating orders as iid understates the variance
+    whenever customers contribute correlated orders.  Per segment:
+    the ratio R = Sx/Sy over customer units, the delta-method
+    variance var(R) = n/(n-1) * sum((x_i*Sy - Sx*y_i)^2) / Sy^4
+    assembled from cross-multiplied integer moments (revenue
+    quantized to k-cents so the squared cross terms stay ~1e31 <<
+    DECIMAL(38,0); the bound is documented, tightening the quantum
+    extends it), the naive per-order variance beside it, and the
+    INFLATION ratio in bp — the "your CI was 2x too narrow" number.
+
+    Scale shape: one per-customer agg, one per-order-level moment agg,
+    one 5-row census fold.  Windowless.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("cust"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    per_order = orders.select(
+        F.col("o_custkey").alias("cust"),
+        F.expr(
+            "cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)"
+            " div 1000"
+        ).alias("v"),
+    )
+    per_cust = per_order.groupBy("cust").agg(
+        F.sum("v").alias("x"), F.count(F.lit(1)).alias("y")
+    ).join(cust, "cust")
+    seg = materialize(
+        per_cust.groupBy("segment").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.expr("cast(x as decimal(38,0)) * x")).alias("sxx"),
+            F.sum(F.expr("cast(y as decimal(38,0)) * y")).alias("syy"),
+            F.sum(F.expr("cast(x as decimal(38,0)) * y")).alias("sxy"),
+        )
+    )
+    ord_mom = (
+        per_order.join(cust, "cust")
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("m"),
+            F.sum("v").alias("sv"),
+            F.sum(F.expr("cast(v as decimal(38,0)) * v")).alias("svv"),
+        )
+    )
+    # sum((x_i*Sy - Sx*y_i)^2) = Sy^2*Sxx - 2*Sx*Sy*Sxy + Sx^2*Syy
+    return (
+        seg.join(ord_mom, "segment")
+        .select(
+            "segment",
+            F.col("n").cast("bigint").alias("n_customers"),
+            F.col("m").cast("bigint").alias("n_orders"),
+            F.expr("cast((1000 * sx) div sy as bigint)").alias(
+                "ratio_milli_kc"
+            ),
+            # delta var scaled by 1e12/Sy^4-ish: publish as micro units
+            # of (k-cents)^2 per ratio: both variances share the same
+            # published scale so the inflation ratio is unit-free
+            F.expr(
+                "cast((1000000 * cast(n as decimal(38,0))"
+                " * (sy * sy * sxx - 2 * sx * sy * sxy + sx * sx * syy))"
+                " div ((n - 1) * cast(sy as decimal(38,0)) * sy * sy * sy)"
+                " as bigint)"
+            ).alias("delta_var_micro"),
+            F.expr(
+                "cast((1000000 * (m * svv - cast(sv as decimal(38,0))"
+                " * sv)) div (cast(m as decimal(38,0)) * (m - 1) * m)"
+                " as bigint)"
+            ).alias("naive_var_micro"),
+            F.expr(
+                "cast(coalesce((10000 * ((1000000"
+                " * cast(n as decimal(38,0))"
+                " * (sy * sy * sxx - 2 * sx * sy * sxy + sx * sx * syy))"
+                " div ((n - 1) * cast(sy as decimal(38,0)) * sy * sy * sy)))"
+                " div nullif((1000000 * (m * svv"
+                " - cast(sv as decimal(38,0)) * sv))"
+                " div (cast(m as decimal(38,0)) * (m - 1) * m), 0), -1)"
+                " as bigint)"
+            ).alias("inflation_bp"),
+        )
+        .orderBy("segment")
+    )
+
+
+ROUND8_QUERIES["ratio_metric_variance"] = ratio_metric_variance
+
+_rmv_delta = (
+    "(1000000 * n::HUGEINT"
+    " * (sy::HUGEINT * sy * sxx - 2 * sx::HUGEINT * sy * sxy"
+    " + sx::HUGEINT * sx * syy))"
+    " // ((n - 1) * sy::HUGEINT * sy * sy * sy)"
+)
+_rmv_naive = (
+    "(1000000 * (m * svv - sv::HUGEINT * sv))"
+    " // (m::HUGEINT * (m - 1) * m)"
+)
+
+ROUND8_ORACLES["ratio_metric_variance"] = f"""
+WITH cust AS (
+  SELECT c_custkey AS cust, c_mktsegment AS segment FROM customer
+),
+per_order AS (
+  SELECT o_custkey AS cust,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 1000
+           AS v
+  FROM orders
+),
+per_cust AS (
+  SELECT c.segment, p.cust, sum(v) AS x, count(*) AS y
+  FROM per_order p JOIN cust c USING (cust)
+  GROUP BY c.segment, p.cust
+),
+seg AS MATERIALIZED (
+  SELECT segment, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x::HUGEINT * x) AS sxx, sum(y::HUGEINT * y) AS syy,
+         sum(x::HUGEINT * y) AS sxy
+  FROM per_cust GROUP BY segment
+),
+ord_mom AS (
+  SELECT c.segment, count(*) AS m, sum(v) AS sv,
+         sum(v::HUGEINT * v) AS svv
+  FROM per_order p JOIN cust c USING (cust)
+  GROUP BY c.segment
+)
+SELECT s.segment,
+       CAST(n AS BIGINT) AS n_customers,
+       CAST(m AS BIGINT) AS n_orders,
+       CAST((1000 * sx) // sy AS BIGINT) AS ratio_milli_kc,
+       CAST({_rmv_delta} AS BIGINT) AS delta_var_micro,
+       CAST({_rmv_naive} AS BIGINT) AS naive_var_micro,
+       CAST(coalesce((10000 * ({_rmv_delta}))
+                     // nullif({_rmv_naive}, 0), -1) AS BIGINT)
+         AS inflation_bp
+FROM seg s JOIN ord_mom USING (segment)
+ORDER BY s.segment
+"""
+
+
+# ---------------------------------------------------------------------------
+# cluster_design_effect — ICC + design effect for cluster randomization
+# ---------------------------------------------------------------------------
+
+
+def cluster_design_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLUSTER-RANDOMIZATION design effect (SURVEY §2 #326) — the
+    number ab_power_analysis silently assumes is 1: when treatment
+    must be assigned by NATION (geo experiments, supply-side
+    changes), units within a cluster are correlated and the effective
+    sample size shrinks by DEFF = 1 + (m0 - 1)*ICC (Kish 1965;
+    Donner-Klar).  The one-way ANOVA ICC on late conversion uses
+    Kish's size-weighted m0 = (N - sum n_c^2/N)/(k-1) and the exact
+    integer SSB/SSW forms for a binary outcome (SSW = sum pos_c(n_c -
+    pos_c)/n_c per-cluster floored); every published value is milli
+    with one trailing division, and n_effective = N/DEFF closes the
+    loop back to the power key.
+
+    Scale shape: one fact agg to per-customer conversion, one to the
+    25-cluster census, one census fold to a single row.  Windowless.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("cust"), F.col("c_nationkey").alias("nk")
+    )
+    per_cust = orders.groupBy(F.col("o_custkey").alias("cust")).agg(
+        F.max(
+            F.expr("o_orderdate >= date'1998-01-01'").cast("int")
+        ).alias("conv")
+    )
+    clusters = materialize(
+        per_cust.join(cust, "cust")
+        .groupBy("nk")
+        .agg(F.count(F.lit(1)).alias("n_c"), F.sum("conv").alias("pos_c"))
+    )
+    folded = clusters.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n_c").alias("nn"),
+        F.sum("pos_c").alias("pos"),
+        F.sum(F.expr("cast(n_c as decimal(38,0)) * n_c")).alias("sn2"),
+        # SSW * 1e6: per-cluster floor of 1e6 * pos_c(n_c-pos_c)/n_c
+        F.sum(
+            F.expr(
+                "(1000000 * cast(pos_c as decimal(38,0))"
+                " * (n_c - pos_c)) div n_c"
+            )
+        ).alias("ssw_e6"),
+        # sum over clusters of 1e6 * n_c*(p_c - p)^2 assembled later;
+        # keep sum of 1e6 * pos_c^2/n_c for the SSB closed form
+        F.sum(
+            F.expr(
+                "(1000000 * cast(pos_c as decimal(38,0)) * pos_c)"
+                " div n_c"
+            )
+        ).alias("sp2n_e6"),
+    )
+    staged = folded.select(
+        "k",
+        "nn",
+        "pos",
+        # SSB * 1e6 = 1e6*(sum pos_c^2/n_c - pos^2/N)
+        F.expr(
+            "sp2n_e6 - (1000000 * cast(pos as decimal(38,0)) * pos)"
+            " div nn"
+        ).alias("ssb_e6"),
+        F.col("ssw_e6"),
+        # Kish m0 * 1000
+        F.expr(
+            "(1000 * (cast(nn as decimal(38,0))"
+            " - sn2 div nn)) div (k - 1)"
+        ).alias("m0_milli"),
+    ).select(
+        "k",
+        "nn",
+        "pos",
+        "m0_milli",
+        # MSB = SSB/(k-1), MSW = SSW/(N-k); ICC = (MSB - MSW)
+        # / (MSB + (m0 - 1) MSW) — cross-multiplied to avoid
+        # dividing the mean squares separately
+        F.expr(
+            "coalesce((1000 * ((nn - k) * cast(ssb_e6 as decimal(38,0))"
+            " - (k - 1) * ssw_e6))"
+            " div nullif((nn - k) * cast(ssb_e6 as decimal(38,0))"
+            " + (k - 1) * ((m0_milli - 1000) * ssw_e6) div 1000, 0), 0)"
+        ).alias("icc_milli"),
+    )
+    return staged.select(
+        F.col("k").cast("bigint").alias("n_clusters"),
+        F.col("nn").cast("bigint").alias("n_units"),
+        F.expr("cast((10000 * pos) div nn as bigint)").alias(
+            "rate_bp"
+        ),
+        F.col("m0_milli").cast("bigint").alias("m0_milli"),
+        F.col("icc_milli").cast("bigint").alias("icc_milli"),
+        F.expr(
+            "cast(1000 + ((m0_milli - 1000) * icc_milli) div 1000"
+            " as bigint)"
+        ).alias("deff_milli"),
+        F.expr(
+            "cast((1000 * nn) div (1000 + ((m0_milli - 1000)"
+            " * icc_milli) div 1000) as bigint)"
+        ).alias("n_effective"),
+    )
+
+
+ROUND8_QUERIES["cluster_design_effect"] = cluster_design_effect
+
+ROUND8_ORACLES["cluster_design_effect"] = """
+WITH cust AS (
+  SELECT c_custkey AS cust, c_nationkey AS nk FROM customer
+),
+per_cust AS (
+  SELECT o_custkey AS cust,
+         max(CASE WHEN o_orderdate >= DATE '1998-01-01'
+                  THEN 1 ELSE 0 END) AS conv
+  FROM orders GROUP BY o_custkey
+),
+clusters AS MATERIALIZED (
+  SELECT nk, count(*) AS n_c, sum(conv) AS pos_c
+  FROM per_cust JOIN cust USING (cust)
+  GROUP BY nk
+),
+folded AS (
+  SELECT count(*) AS k, sum(n_c) AS nn, sum(pos_c) AS pos,
+         sum(n_c::HUGEINT * n_c) AS sn2,
+         sum((1000000 * pos_c::HUGEINT * (n_c - pos_c)) // n_c) AS ssw_e6,
+         sum((1000000 * pos_c::HUGEINT * pos_c) // n_c) AS sp2n_e6
+  FROM clusters
+),
+staged AS (
+  SELECT k, nn, pos,
+         sp2n_e6 - (1000000 * pos::HUGEINT * pos) // nn AS ssb_e6,
+         ssw_e6,
+         (1000 * (nn::HUGEINT - sn2 // nn)) // (k - 1) AS m0_milli
+  FROM folded
+),
+staged2 AS (
+  SELECT k, nn, pos, m0_milli,
+         coalesce((1000 * ((nn - k) * ssb_e6::HUGEINT
+                           - (k - 1) * ssw_e6))
+                  // nullif((nn - k) * ssb_e6::HUGEINT
+                            + (k - 1) * ((m0_milli - 1000) * ssw_e6)
+                              // 1000, 0), 0) AS icc_milli
+  FROM staged
+)
+SELECT CAST(k AS BIGINT) AS n_clusters,
+       CAST(nn AS BIGINT) AS n_units,
+       CAST((10000 * pos) // nn AS BIGINT) AS rate_bp,
+       CAST(m0_milli AS BIGINT) AS m0_milli,
+       CAST(icc_milli AS BIGINT) AS icc_milli,
+       CAST(1000 + ((m0_milli - 1000) * icc_milli) // 1000 AS BIGINT)
+         AS deff_milli,
+       CAST((1000 * nn) // (1000 + ((m0_milli - 1000) * icc_milli)
+                            // 1000) AS BIGINT) AS n_effective
+FROM staged2
+"""
