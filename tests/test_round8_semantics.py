@@ -250,3 +250,229 @@ def test_poisson_cutpoints_weight_mean_is_one():
     """).fetchone()
     assert abs(mean - 1.0) < 0.03
     assert mx <= 6
+
+
+# --- session-3 batch (#277-326) invariants ----------------------------------
+
+
+def _duck_with_tables(sf="/root/testdata/sf0.001"):
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM"
+            f" read_parquet('{sf}/{t}.parquet')"
+        )
+    return con
+
+
+def test_isotonic_fit_is_monotone_and_brackets_rates():
+    """The max-min PAV identity must produce a NON-DECREASING curve
+    bounded by the observed rate range — the whole point of the
+    operator (a violation means the lattice join lost an interval)."""
+    from pyprima_spark.plans.round8 import ROUND8_ORACLES
+
+    con = _duck_with_tables()
+    df = con.execute(ROUND8_ORACLES["isotonic_calibration"]).df()
+    iso = df.sort_values("score_level")["iso_milli"].tolist()
+    assert iso == sorted(iso), "isotonic output must be non-decreasing"
+    assert min(iso) >= min(df["rate_milli"]) - 1
+    assert max(iso) <= max(df["rate_milli"]) + 1
+
+
+def test_shapley_efficiency_axiom():
+    """Credits must sum to 24*(v(full) - v(empty)) exactly — Shapley's
+    efficiency axiom at the x4! integer scale; share_bp must sum to
+    ~10000 (floor slack < n_channels)."""
+    from pyprima_spark.plans.round8 import ROUND8_ORACLES
+
+    con = _duck_with_tables()
+    df = con.execute(ROUND8_ORACLES["shapley_attribution"]).df()
+    v = con.execute("""
+WITH journeys AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         bit_or(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END
+                + CASE WHEN event_type = 'error' THEN 2 ELSE 0 END
+                + CASE WHEN event_type = 'signup' THEN 4 ELSE 0 END
+                + CASE WHEN event_type = 'view' THEN 8 ELSE 0 END)
+           AS mask,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY 1, 2
+)
+SELECT sum(conv) AS v_full,
+       sum(CASE WHEN mask = 0 THEN conv ELSE 0 END) AS v_empty
+FROM journeys
+""").df()
+    total = int(df["phi_x24"].sum())
+    expect = 24 * (int(v["v_full"][0]) - int(v["v_empty"][0]))
+    assert total == expect
+    share = int(df["share_bp"].sum())
+    assert 10000 - len(df) <= share <= 10000
+
+
+def test_bh_rejects_at_least_bonferroni():
+    """Step-up BH dominates Bonferroni at the same alpha — if this
+    flips, the ladder literals or the rank join are wrong."""
+    from pyprima_spark.plans.round8 import ROUND8_ORACLES
+
+    con = _duck_with_tables("/root/testdata/sf0.01")
+    df = con.execute(ROUND8_ORACLES["bh_fdr_control"]).df()
+    assert int(df["rejected_bh"].sum()) >= int(
+        df["rejected_bonferroni"].sum()
+    )
+    # every Bonferroni rejection is also a BH rejection
+    bonf = df[df["rejected_bonferroni"] == 1]
+    assert (bonf["rejected_bh"] == 1).all()
+
+
+def test_merkle_walk_finds_planted_divergence():
+    """The planted mutation/drop selectors guarantee divergent leaves
+    exist at sf0.01, and the per-level compare counts must show the
+    descend-only-under-diff property (compared children bounded by
+    fanout x differing parents; the tree need not be full)."""
+    from pyprima_spark.plans.round8 import ROUND8_ORACLES
+
+    con = _duck_with_tables("/root/testdata/sf0.01")
+    df = con.execute(ROUND8_ORACLES["merkle_tree_diff"]).df()
+    assert len(df) > 0
+    row = df.iloc[0]
+    assert 1 <= row["l2_diff"] <= row["l2_compared"]
+    assert row["l2_diff"] <= row["l1_compared"] <= 16 * row["l2_diff"]
+    assert 1 <= row["l1_diff"] <= row["l1_compared"]
+
+
+def test_water_filling_feasible_and_fair():
+    """Allocations must fit the capacity (slack >= 0, < n), never
+    exceed demand, and uncapped brands get exactly their demand."""
+    from pyprima_spark.plans.round8 import ROUND8_ORACLES
+
+    con = _duck_with_tables("/root/testdata/sf0.01")
+    df = con.execute(ROUND8_ORACLES["maxmin_fair_allocation"]).df()
+    assert (df["allocation"] <= df["demand"]).all()
+    slack = int(df["unallocated_slack"][0])
+    assert 0 <= slack <= len(df) + int(df["water_level"][0])
+    uncapped = df[df["capped"] == 0]
+    assert (uncapped["allocation"] == uncapped["demand"]).all()
+    capped = df[df["capped"] == 1]
+    if len(capped):
+        assert capped["allocation"].nunique() == 1  # common water level
+
+
+def test_rmst_equals_mean_truncated_time():
+    """RMST with administrative censoring IS E[min(T, H)] — the
+    telescoping identity the operator's exactness claim rests on."""
+    from pyprima_spark.plans.round8 import ROUND8_ORACLES, _RMST_HORIZON
+
+    con = _duck_with_tables("/root/testdata/sf0.01")
+    df = con.execute(ROUND8_ORACLES["survival_rmst"]).df()
+    direct = con.execute(f"""
+WITH first_ship AS (
+  SELECT l_orderkey, min(l_shipdate) AS ship FROM lineitem GROUP BY 1
+),
+dur AS (
+  SELECT o.o_orderpriority AS priority,
+         datediff('day', CAST(o.o_orderdate AS DATE), CAST(ship AS DATE))
+           AS t
+  FROM orders o JOIN first_ship f ON f.l_orderkey = o.o_orderkey
+)
+SELECT priority,
+       (1000 * sum(least(t, {_RMST_HORIZON}))) // count(*) AS direct_milli
+FROM dur GROUP BY priority ORDER BY priority
+""").df()
+    merged = df.merge(direct, on="priority")
+    assert (merged["rmst_millidays"] == merged["direct_milli"]).all()
+
+
+def test_bradley_terry_scale_and_positivity():
+    """Strengths stay positive and mean-normalized (renorm contract);
+    the top brand by strength must have a top-3 win count (MM can
+    reorder, but not pathologically on near-uniform data)."""
+    from pyprima_spark.plans.round8 import ROUND8_ORACLES, _BT_SCALE
+
+    con = _duck_with_tables("/root/testdata/sf0.01")
+    df = con.execute(ROUND8_ORACLES["bradley_terry_strength"]).df()
+    assert (df["strength_milli"] > 0).all()
+    mean = df["strength_milli"].mean()
+    assert abs(mean - _BT_SCALE) <= _BT_SCALE * 0.02
+    top_by_wins = set(
+        df.sort_values("wins", ascending=False).head(3)["brand"]
+    )
+    assert df.iloc[0]["brand"] in top_by_wins
+
+
+def test_knapsack_lp_bound_dominates_greedy():
+    """greedy_value <= lp_upper_bound and the budget is respected —
+    the certificate's defining inequalities."""
+    from pyprima_spark.plans.round8 import ROUND8_ORACLES
+
+    con = _duck_with_tables("/root/testdata/sf0.01")
+    df = con.execute(ROUND8_ORACLES["knapsack_density_bound"]).df()
+    row = df.iloc[0]
+    assert row["greedy_value"] <= row["lp_upper_bound"]
+    assert row["selected_weight"] <= row["budget_weight"]
+    assert 0 < row["greedy_vs_bound_bp"] <= 10000
+
+
+def test_assignment_optimum_beats_greedy():
+    """Exhaustive optimum <= greedy by construction; the published bp
+    ratio must agree with the two costs."""
+    from pyprima_spark.plans.round8 import ROUND8_ORACLES
+
+    con = _duck_with_tables("/root/testdata/sf0.01")
+    df = con.execute(ROUND8_ORACLES["assignment_exhaustive"]).df()
+    row = df.iloc[0]
+    assert row["optimal_cost_milli"] <= row["greedy_cost_milli"]
+    assert (
+        row["optimal_vs_greedy_bp"]
+        == (10000 * row["optimal_cost_milli"]) // row["greedy_cost_milli"]
+    )
+    # assignment is a permutation
+    dsts = [row[f"dst_for_src{i}"] for i in range(5)]
+    assert sorted(dsts) == [0, 1, 2, 3, 4]
+
+
+def test_youden_j_is_argmax_over_curve():
+    """The chosen cut's J must dominate a direct scan of every level
+    boundary recomputed independently."""
+    from pyprima_spark.plans.round8 import ROUND8_ORACLES
+
+    con = _duck_with_tables("/root/testdata/sf0.01")
+    df = con.execute(ROUND8_ORACLES["youden_threshold"]).df()
+    curve = con.execute("""
+WITH per_cust AS (
+  SELECT o_custkey AS cust,
+         CAST(sum(CASE WHEN o_orderdate < DATE '1998-01-01'
+                       THEN CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                       ELSE 0 END) AS BIGINT) AS spend_c,
+         max(CASE WHEN o_orderdate >= DATE '1998-01-01'
+                  THEN 1 ELSE 0 END) AS y
+  FROM orders GROUP BY o_custkey
+),
+census AS (
+  SELECT c.c_mktsegment AS segment,
+         least(CAST(spend_c // 5000000 AS INT), 40) AS lvl,
+         count(*) AS n, sum(y) AS pos
+  FROM per_cust p JOIN customer c ON c.c_custkey = p.cust
+  GROUP BY 1, 2
+),
+cuts AS (
+  SELECT segment, lvl, sum(pos) OVER w AS tp,
+         sum(n) OVER w - sum(pos) OVER w AS fp
+  FROM census
+  WINDOW w AS (PARTITION BY segment ORDER BY lvl DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+tot AS (SELECT segment, sum(pos) AS p, sum(n - pos) AS nn
+        FROM census GROUP BY segment)
+SELECT c.segment,
+       max(CASE WHEN t.p = 0 OR t.nn = 0 THEN -9999
+                ELSE (1000 * c.tp::HUGEINT * t.nn
+                      - 1000 * c.fp::HUGEINT * t.p)
+                     // (t.p::HUGEINT * t.nn) END) AS best_j
+FROM cuts c JOIN tot t USING (segment)
+GROUP BY c.segment
+""").df()
+    merged = df.merge(curve, on="segment")
+    assert (merged["j_milli"] == merged["best_j"]).all()
