@@ -11834,3 +11834,342 @@ SELECT CAST(k AS BIGINT) AS n_clusters,
                             // 1000) AS BIGINT) AS n_effective
 FROM staged2
 """
+
+
+# ---------------------------------------------------------------------------
+# ripley_k_function — multi-scale spatial clustering census
+# ---------------------------------------------------------------------------
+
+_RIPLEY_RADII = (1, 2, 4, 8)
+
+
+def ripley_k_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIPLEY'S K FUNCTION (SURVEY §2 #327) — the multi-SCALE
+    companion of morans_i_autocorrelation's single global number
+    (Ripley 1977): Moran says WHETHER the map clusters; K(r) says AT
+    WHICH RADIUS — clustering at r=1 with dispersion at r=8 is a
+    checkerboard, the opposite is blobs, and only the K curve tells
+    them apart.  Customer counts on the same deterministic 36x16
+    lattice; K(r) is the average number of neighbors within Chebyshev
+    radius r, normalized by the expected count under uniformity
+    ((2r+1)^2 - 1 cells x mean density) so k_ratio_milli = 1000 means
+    CSR (complete spatial randomness), above = clustered at that
+    scale.  Exact integers: pair counts x cell populations,
+    cross-multiplied against the uniform expectation.
+
+    Scale shape: fact -> cell census (<= 576 rows); the neighbor
+    count is a census self-join bounded by |dx| <= r, |dy| <= r (the
+    largest radius caps the fanout at (2*8+1)^2 per cell); one fold
+    per radius.  Windowless.
+    """
+    cust = _t(spark, sf_dir, "customer").select(
+        F.expr(
+            f"cast((c_custkey * 104729 % 360) div {360 // _MOR_LON_CELLS}"
+            " as int)"
+        ).alias("cx"),
+        F.expr(
+            f"cast((c_custkey * 7919 % 160) div {160 // _MOR_LAT_CELLS}"
+            " as int)"
+        ).alias("cy"),
+    )
+    cells = materialize(
+        cust.groupBy("cx", "cy").agg(F.count(F.lit(1)).alias("w"))
+    )
+    b = cells.select(
+        F.col("cx").alias("cx2"),
+        F.col("cy").alias("cy2"),
+        F.col("w").alias("w2"),
+    )
+    rmax = max(_RIPLEY_RADII)
+    pairs = materialize(
+        cells.join(
+            F.broadcast(b),
+            (F.expr(f"abs(cx2 - cx) <= {rmax}"))
+            & (F.expr(f"abs(cy2 - cy) <= {rmax}"))
+            & (F.expr("NOT (cx2 = cx AND cy2 = cy)")),
+        ).select(
+            F.expr("greatest(abs(cx2 - cx), abs(cy2 - cy))").alias("d"),
+            F.expr("cast(w as decimal(38,0)) * w2").alias("ww"),
+        )
+    )
+    tot = cells.agg(
+        F.sum("w").alias("n"),
+        F.count(F.lit(1)).alias("n_cells"),
+    )
+    radii = spark.range(1).select(
+        F.explode(
+            F.expr(f"array({', '.join(str(r) for r in _RIPLEY_RADII)})")
+        ).alias("r")
+    )
+    counts = (
+        radii.join(F.broadcast(pairs), F.expr("d <= r"))
+        .groupBy("r")
+        .agg(F.sum("ww").alias("n_pairs"))
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("r").cast("bigint").alias("radius"),
+            F.expr("cast(n_pairs as bigint)").alias("n_neighbor_pairs"),
+            # expected under CSR: pairs * ((2r+1)^2 - 1) / n_cells per
+            # source point; ratio cross-multiplied
+            F.expr(
+                "cast((1000 * n_pairs * n_cells)"
+                " div (cast(n as decimal(38,0)) * n"
+                " * ((2 * r + 1) * (2 * r + 1) - 1)) as bigint)"
+            ).alias("k_ratio_milli"),
+        )
+        .orderBy("radius")
+    )
+
+
+ROUND8_QUERIES["ripley_k_function"] = ripley_k_function
+
+ROUND8_ORACLES["ripley_k_function"] = f"""
+WITH cust AS (
+  SELECT CAST((c_custkey * 104729 % 360) // {360 // _MOR_LON_CELLS} AS INT)
+           AS cx,
+         CAST((c_custkey * 7919 % 160) // {160 // _MOR_LAT_CELLS} AS INT)
+           AS cy
+  FROM customer
+),
+cells AS MATERIALIZED (
+  SELECT cx, cy, count(*) AS w FROM cust GROUP BY cx, cy
+),
+pairs AS MATERIALIZED (
+  SELECT greatest(abs(b.cx - a.cx), abs(b.cy - a.cy)) AS d,
+         a.w::HUGEINT * b.w AS ww
+  FROM cells a JOIN cells b
+    ON abs(b.cx - a.cx) <= {max(_RIPLEY_RADII)}
+   AND abs(b.cy - a.cy) <= {max(_RIPLEY_RADII)}
+   AND NOT (b.cx = a.cx AND b.cy = a.cy)
+),
+tot AS (SELECT sum(w) AS n, count(*) AS n_cells FROM cells),
+radii AS (
+  SELECT r FROM unnest([{', '.join(str(r) for r in _RIPLEY_RADII)}]) AS t(r)
+)
+SELECT CAST(r AS BIGINT) AS radius,
+       CAST(sum(ww) AS BIGINT) AS n_neighbor_pairs,
+       CAST((1000 * sum(ww) * max(n_cells))
+            // (max(n)::HUGEINT * max(n)
+                * ((2 * r + 1) * (2 * r + 1) - 1)) AS BIGINT)
+         AS k_ratio_milli
+FROM radii JOIN pairs ON d <= r CROSS JOIN tot
+GROUP BY r ORDER BY radius
+"""
+
+
+# ---------------------------------------------------------------------------
+# spectral_bisection — Fiedler-vector graph partition
+# ---------------------------------------------------------------------------
+
+_SPB_ROUNDS = 6
+_SPB_VSCALE = 1000
+
+
+def spectral_bisection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPECTRAL BISECTION of the trade graph (SURVEY §2 #328) —
+    Fiedler 1973 / the partitioning method inside METIS and every
+    balanced-min-cut placement tool, and a genuinely different
+    clustering mechanism from the catalog's modularity/label-prop
+    keys (those optimize locally; the Fiedler vector is a GLOBAL
+    eigen-structure): power iteration on the shifted matrix
+    M = cI - L (c = 2*max_deg + 1 keeps M positive), DEFLATING the
+    trivial all-ones eigenvector by exact integer mean-subtraction
+    each round — the surviving dominant direction IS the Fiedler
+    vector, its signs the bisection.  Published per nation with the
+    cut size and conductance (cut / min-side volume) so the partition
+    quality is visible.  All rounds milli-renormalized integer
+    censuses (the HITS/PCA contract).
+
+    Scale shape: edge/degree censuses materialized once (<= 25
+    nodes); each round is two census joins + a fold.  Round count is
+    an operator constant; the surviving component structure is dense,
+    so 6 rounds separate the eigen-gap comfortably (and identically
+    on both engines regardless).
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    edges = materialize(
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .filter(F.expr("s_nationkey != c_nationkey"))
+        .select(
+            F.expr("least(s_nationkey, c_nationkey)").alias("a"),
+            F.expr("greatest(s_nationkey, c_nationkey)").alias("b"),
+        )
+        .distinct()
+    )
+    both = materialize(
+        edges.union(
+            edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+    )
+    deg = materialize(
+        both.groupBy(F.col("a").alias("node")).agg(
+            F.count(F.lit(1)).alias("deg")
+        )
+    )
+    cshift = deg.agg(
+        F.expr("2 * max(deg) + 1").alias("c"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    v = deg.crossJoin(F.broadcast(cshift)).select(
+        "node",
+        F.expr(f"cast({_SPB_VSCALE} * (2 * node - (n - 1)) as long)")
+        .alias("val"),
+    )
+    for _ in range(_SPB_ROUNDS):
+        nbr = (
+            both.join(
+                v.select(F.col("node").alias("b"), F.col("val").alias("nv")),
+                "b",
+            )
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.sum("nv").alias("nsum"))
+        )
+        w = (
+            v.join(deg, "node")
+            .join(nbr, "node", "left")
+            .crossJoin(F.broadcast(cshift))
+            .select(
+                "node",
+                F.expr(
+                    "cast((c - deg) as decimal(38,0)) * val"
+                    " + coalesce(nsum, 0)"
+                ).alias("w"),
+            )
+        )
+        stats = w.agg(
+            F.expr("sum(w) div count(*)").alias("mean_w"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        centered = w.crossJoin(F.broadcast(stats)).select(
+            "node", F.expr("w - mean_w").alias("w")
+        )
+        mx = centered.agg(F.max(F.expr("abs(w)")).alias("m"))
+        v = materialize(
+            centered.crossJoin(F.broadcast(mx)).select(
+                "node",
+                F.expr(
+                    f"cast(({_SPB_VSCALE} * w) div nullif(m, 0) as long)"
+                ).alias("val"),
+            )
+        )
+    sides = materialize(
+        v.select(
+            "node",
+            "val",
+            F.expr("CASE WHEN val < 0 THEN 'A' ELSE 'B' END").alias("side"),
+        )
+    )
+    sa = sides.select(F.col("node").alias("a"), F.col("side").alias("side_a"))
+    sb = sides.select(F.col("node").alias("b"), F.col("side").alias("side_b"))
+    cut = edges.join(F.broadcast(sa), "a").join(F.broadcast(sb), "b").agg(
+        F.sum(
+            F.expr("CASE WHEN side_a != side_b THEN 1 ELSE 0 END")
+        ).alias("cut_edges")
+    )
+    vols = (
+        sides.join(deg, "node")
+        .groupBy("side")
+        .agg(F.sum("deg").alias("vol"))
+    )
+    minvol = vols.agg(F.min("vol").alias("min_vol"))
+    return (
+        sides.crossJoin(F.broadcast(cut))
+        .crossJoin(F.broadcast(minvol))
+        .select(
+            F.col("node").cast("bigint").alias("nationkey"),
+            F.col("val").cast("bigint").alias("fiedler_milli"),
+            "side",
+            F.col("cut_edges").cast("bigint").alias("cut_edges"),
+            F.expr(
+                "cast(coalesce((1000 * cut_edges) div nullif(min_vol, 0),"
+                " -1) as bigint)"
+            ).alias("conductance_milli"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+ROUND8_QUERIES["spectral_bisection"] = spectral_bisection
+
+
+def _spb_oracle() -> str:
+    rounds = []
+    prev = "v0"
+    for r in range(1, _SPB_ROUNDS + 1):
+        rounds.append(f"""
+w{r} AS MATERIALIZED (
+  SELECT v.node,
+         (cs.c - d.deg)::HUGEINT * v.val
+           + coalesce((SELECT sum(v2.val) FROM both_e e
+                       JOIN {prev} v2 ON v2.node = e.b
+                       WHERE e.a = v.node), 0) AS w
+  FROM {prev} v JOIN deg d ON d.node = v.node CROSS JOIN cshift cs
+),
+c{r} AS MATERIALIZED (
+  SELECT node, w - (SELECT sum(w) // count(*) FROM w{r}) AS w FROM w{r}
+),
+v{r} AS MATERIALIZED (
+  SELECT node, CAST(({_SPB_VSCALE} * w)
+                    // nullif((SELECT max(abs(w)) FROM c{r}), 0) AS BIGINT)
+           AS val
+  FROM c{r}
+)""")
+        prev = f"v{r}"
+    body = ",".join(rounds)
+    return f"""
+WITH edges AS MATERIALIZED (
+  SELECT DISTINCT least(s_nationkey, c_nationkey) AS a,
+         greatest(s_nationkey, c_nationkey) AS b
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  WHERE s_nationkey <> c_nationkey
+),
+both_e AS MATERIALIZED (
+  SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges
+),
+deg AS MATERIALIZED (
+  SELECT a AS node, count(*) AS deg FROM both_e GROUP BY a
+),
+cshift AS (SELECT 2 * max(deg) + 1 AS c, count(*) AS n FROM deg),
+v0 AS MATERIALIZED (
+  SELECT node, ({_SPB_VSCALE} * (2 * node - (cs.n - 1)))::BIGINT AS val
+  FROM deg CROSS JOIN cshift cs
+),{body},
+sides AS MATERIALIZED (
+  SELECT node, val, CASE WHEN val < 0 THEN 'A' ELSE 'B' END AS side
+  FROM v{_SPB_ROUNDS}
+),
+cut AS (
+  SELECT sum(CASE WHEN sa.side != sb.side THEN 1 ELSE 0 END) AS cut_edges
+  FROM edges e
+  JOIN sides sa ON sa.node = e.a
+  JOIN sides sb ON sb.node = e.b
+),
+minvol AS (
+  SELECT min(vol) AS min_vol FROM (
+    SELECT s.side, sum(d.deg) AS vol
+    FROM sides s JOIN deg d ON d.node = s.node
+    GROUP BY s.side
+  )
+)
+SELECT CAST(s.node AS BIGINT) AS nationkey,
+       CAST(s.val AS BIGINT) AS fiedler_milli,
+       s.side,
+       CAST(c.cut_edges AS BIGINT) AS cut_edges,
+       CAST(coalesce((1000 * c.cut_edges) // nullif(m.min_vol, 0), -1)
+            AS BIGINT) AS conductance_milli
+FROM sides s CROSS JOIN cut c CROSS JOIN minvol m
+ORDER BY nationkey
+"""
+
+
+ROUND8_ORACLES["spectral_bisection"] = _spb_oracle()
