@@ -12043,19 +12043,20 @@ def spectral_bisection(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("w"),
             )
         )
+        # one fold yields the deflation mean AND the renorm bound:
+        # max|w - mean| = max(max - mean, mean - min)
         stats = w.agg(
             F.expr("sum(w) div count(*)").alias("mean_w"),
-            F.count(F.lit(1)).alias("cnt"),
+            F.max("w").alias("max_w"),
+            F.min("w").alias("min_w"),
         )
-        centered = w.crossJoin(F.broadcast(stats)).select(
-            "node", F.expr("w - mean_w").alias("w")
-        )
-        mx = centered.agg(F.max(F.expr("abs(w)")).alias("m"))
         v = materialize(
-            centered.crossJoin(F.broadcast(mx)).select(
+            w.crossJoin(F.broadcast(stats)).select(
                 "node",
                 F.expr(
-                    f"cast(({_SPB_VSCALE} * w) div nullif(m, 0) as long)"
+                    f"cast(({_SPB_VSCALE} * (w - mean_w))"
+                    " div nullif(greatest(max_w - mean_w,"
+                    " mean_w - min_w), 0) as long)"
                 ).alias("val"),
             )
         )
@@ -12112,14 +12113,16 @@ w{r} AS MATERIALIZED (
                        WHERE e.a = v.node), 0) AS w
   FROM {prev} v JOIN deg d ON d.node = v.node CROSS JOIN cshift cs
 ),
-c{r} AS MATERIALIZED (
-  SELECT node, w - (SELECT sum(w) // count(*) FROM w{r}) AS w FROM w{r}
+st{r} AS MATERIALIZED (
+  SELECT sum(w) // count(*) AS mean_w, max(w) AS max_w, min(w) AS min_w
+  FROM w{r}
 ),
 v{r} AS MATERIALIZED (
-  SELECT node, CAST(({_SPB_VSCALE} * w)
-                    // nullif((SELECT max(abs(w)) FROM c{r}), 0) AS BIGINT)
-           AS val
-  FROM c{r}
+  SELECT node,
+         CAST(({_SPB_VSCALE} * (w - mean_w))
+              // nullif(greatest(max_w - mean_w, mean_w - min_w), 0)
+              AS BIGINT) AS val
+  FROM w{r} CROSS JOIN st{r}
 )""")
         prev = f"v{r}"
     body = ",".join(rounds)
