@@ -12176,3 +12176,321 @@ ORDER BY nationkey
 
 
 ROUND8_ORACLES["spectral_bisection"] = _spb_oracle()
+
+
+# ---------------------------------------------------------------------------
+# seat_apportionment — Hamilton vs D'Hondt vs Webster allocation
+# ---------------------------------------------------------------------------
+
+_APP_SEATS = 40
+
+
+def seat_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEAT APPORTIONMENT, three classical methods side by side
+    (SURVEY §2 #329) — allocating an indivisible budget of 40 "slots"
+    across segments by order volume, the problem every quota system
+    (executor slots, sampling quotas, shelf space) re-solves:
+    Hamilton's largest remainders (the method with the Alabama
+    paradox), D'Hondt's highest averages (divisors 1,2,3,... —
+    favors large parties), and Webster/Sainte-Laguë (odd divisors —
+    near-unbiased).  The divisor methods rank the 5x40 quotient
+    census on exact 1e6-scaled integer quotients (deterministic
+    floor, ties broken by segment then divisor — both engines agree
+    by construction); Hamilton takes exact floors + largest exact
+    integer remainders.  Divergences between the three columns are the
+    apportionment-paradox literature in one table.
+
+    Scale shape: one fact agg to the 5-segment demand census; the
+    divisor lattice is 5x40 literal rows; ranks ride those censuses.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("cust"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    demand = materialize(
+        orders.join(cust, F.col("o_custkey") == F.col("cust"))
+        .groupBy("segment")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    total = demand.agg(F.sum("d").alias("td"))
+    divisors = spark.range(1, _APP_SEATS + 1).select(
+        F.col("id").cast("int").alias("k")
+    )
+    # D'Hondt: top-S quotients d/k; Webster: d/(2k-1)
+    quo = demand.crossJoin(F.broadcast(divisors)).select(
+        "segment",
+        "d",
+        "k",
+        F.expr("cast(d as decimal(38,0)) * 1000000 div k").alias("q_dh"),
+        F.expr(
+            "cast(d as decimal(38,0)) * 1000000 div (2 * k - 1)"
+        ).alias("q_wb"),
+    )
+    wdh = Window.orderBy(F.desc("q_dh"), F.asc("segment"), F.asc("k"))
+    wwb = Window.orderBy(F.desc("q_wb"), F.asc("segment"), F.asc("k"))
+    dh = (
+        quo.withColumn("r", F.row_number().over(wdh))
+        .filter(f"r <= {_APP_SEATS}")
+        .groupBy("segment")
+        .agg(F.count(F.lit(1)).alias("dhondt"))
+    )
+    wb = (
+        quo.withColumn("r", F.row_number().over(wwb))
+        .filter(f"r <= {_APP_SEATS}")
+        .groupBy("segment")
+        .agg(F.count(F.lit(1)).alias("webster"))
+    )
+    # Hamilton: floor(S*d/td) + largest remainders
+    ham_base = demand.crossJoin(F.broadcast(total)).select(
+        "segment",
+        "d",
+        F.expr(f"({_APP_SEATS} * cast(d as decimal(38,0))) div td").alias(
+            "fl"
+        ),
+        F.expr(
+            f"({_APP_SEATS} * cast(d as decimal(38,0))) % td"
+        ).alias("rem"),
+    )
+    short = ham_base.agg(
+        F.expr(f"{_APP_SEATS} - sum(fl)").alias("extra")
+    )
+    wrem = Window.orderBy(F.desc("rem"), F.asc("segment"))
+    ham = (
+        ham_base.crossJoin(F.broadcast(short))
+        .withColumn("rr", F.row_number().over(wrem))
+        .select(
+            "segment",
+            F.expr("cast(fl + CASE WHEN rr <= extra THEN 1 ELSE 0 END"
+                   " as bigint)").alias("hamilton"),
+        )
+    )
+    return (
+        demand.join(ham, "segment")
+        .join(dh, "segment", "left")
+        .join(wb, "segment", "left")
+        .select(
+            "segment",
+            F.col("d").cast("bigint").alias("n_orders"),
+            F.col("hamilton").cast("bigint").alias("hamilton"),
+            F.coalesce("dhondt", F.lit(0)).cast("bigint").alias("dhondt"),
+            F.coalesce("webster", F.lit(0)).cast("bigint").alias("webster"),
+        )
+        .orderBy("segment")
+    )
+
+
+ROUND8_QUERIES["seat_apportionment"] = seat_apportionment
+
+ROUND8_ORACLES["seat_apportionment"] = f"""
+WITH demand AS MATERIALIZED (
+  SELECT c.c_mktsegment AS segment, count(*) AS d
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY 1
+),
+total AS (SELECT sum(d) AS td FROM demand),
+quo AS MATERIALIZED (
+  SELECT segment, d, k,
+         d::HUGEINT * 1000000 // k AS q_dh,
+         d::HUGEINT * 1000000 // (2 * k - 1) AS q_wb
+  FROM demand, unnest(generate_series(1, {_APP_SEATS})) AS t(k)
+),
+dh AS (
+  SELECT segment, count(*) AS dhondt FROM (
+    SELECT segment FROM quo
+    QUALIFY row_number() OVER (ORDER BY q_dh DESC, segment, k)
+            <= {_APP_SEATS}
+  ) GROUP BY segment
+),
+wb AS (
+  SELECT segment, count(*) AS webster FROM (
+    SELECT segment FROM quo
+    QUALIFY row_number() OVER (ORDER BY q_wb DESC, segment, k)
+            <= {_APP_SEATS}
+  ) GROUP BY segment
+),
+ham_base AS MATERIALIZED (
+  SELECT segment, d,
+         ({_APP_SEATS} * d::HUGEINT) // td AS fl,
+         ({_APP_SEATS} * d::HUGEINT) % td AS rem
+  FROM demand CROSS JOIN total
+),
+short AS (SELECT {_APP_SEATS} - sum(fl) AS extra FROM ham_base),
+ham AS (
+  SELECT segment,
+         fl + CASE WHEN row_number() OVER (ORDER BY rem DESC, segment)
+                        <= extra THEN 1 ELSE 0 END AS hamilton
+  FROM ham_base CROSS JOIN short
+)
+SELECT d.segment,
+       CAST(d.d AS BIGINT) AS n_orders,
+       CAST(h.hamilton AS BIGINT) AS hamilton,
+       CAST(coalesce(dh.dhondt, 0) AS BIGINT) AS dhondt,
+       CAST(coalesce(wb.webster, 0) AS BIGINT) AS webster
+FROM demand d
+JOIN ham h ON h.segment = d.segment
+LEFT JOIN dh ON dh.segment = d.segment
+LEFT JOIN wb ON wb.segment = d.segment
+ORDER BY d.segment
+"""
+
+
+# ---------------------------------------------------------------------------
+# voting_methods_compare — Borda vs Condorcet vs plurality over criteria
+# ---------------------------------------------------------------------------
+
+_VOTE_TOPK = 8  # electorate = the top-8 brands by revenue (ballot length)
+
+
+def voting_methods_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SOCIAL-CHOICE comparison (SURVEY §2 #330) — Borda count vs
+    Condorcet pairwise majority vs plurality over the same three
+    "voters" (revenue rank, quantity rank, mean-discount rank of the
+    top-8 brands): Arrow's theorem guarantees these CAN disagree, and
+    multi-criteria leaderboards (model evals scored by three metrics,
+    vendor scorecards) hit exactly this — rrf_fusion MERGES rankings
+    assuming agreement is fine; this key measures what the merge
+    glosses over.  All three rules run on the 8x3 rank census:
+    plurality counts first places, Borda sums (k - rank), Condorcet
+    counts pairwise majority wins (a Condorcet winner beats all 7 —
+    its absence, the Condorcet paradox, is visible as max wins < 7).
+
+    Scale shape: one fact agg to the brand census, three
+    rank-by-criterion windows over it (dim-bounded, allowlisted
+    class), an 8x8x3 pairwise fold.  Windowless below the census.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), F.col("p_brand").alias("brand")
+    )
+    stats = materialize(
+        li.join(F.broadcast(part), "l_partkey")
+        .groupBy("brand")
+        .agg(
+            F.expr(
+                "cast(sum(cast(l_extendedprice as decimal(18,2)) * 100)"
+                " as bigint)"
+            ).alias("rev"),
+            F.expr("cast(sum(l_quantity) as bigint)").alias("qty"),
+            F.expr(
+                "cast((1000000 * sum(cast(l_discount as decimal(4,2))"
+                " * 100)) div count(*) as bigint)"
+            ).alias("disc_micro"),
+        )
+    )
+    wrev = Window.orderBy(F.desc("rev"), F.asc("brand"))
+    top = materialize(
+        stats.withColumn("r_rev", F.row_number().over(wrev)).filter(
+            f"r_rev <= {_VOTE_TOPK}"
+        )
+    )
+    wq = Window.orderBy(F.desc("qty"), F.asc("brand"))
+    wd = Window.orderBy(F.desc("disc_micro"), F.asc("brand"))
+    ranked = materialize(
+        top.withColumn("r_qty", F.row_number().over(wq)).withColumn(
+            "r_disc", F.row_number().over(wd)
+        )
+    )
+    k = _VOTE_TOPK
+    scored = ranked.select(
+        "brand",
+        "r_rev",
+        "r_qty",
+        "r_disc",
+        F.expr(
+            f"({k} - r_rev) + ({k} - r_qty) + ({k} - r_disc)"
+        ).alias("borda"),
+        F.expr(
+            "CASE WHEN r_rev = 1 THEN 1 ELSE 0 END"
+            " + CASE WHEN r_qty = 1 THEN 1 ELSE 0 END"
+            " + CASE WHEN r_disc = 1 THEN 1 ELSE 0 END"
+        ).alias("plurality"),
+    )
+    other = ranked.select(
+        F.col("brand").alias("b2"),
+        F.col("r_rev").alias("v1"),
+        F.col("r_qty").alias("v2"),
+        F.col("r_disc").alias("v3"),
+    )
+    cond = (
+        ranked.join(F.broadcast(other), F.expr("brand != b2"))
+        .select(
+            "brand",
+            F.expr(
+                "CASE WHEN (CASE WHEN r_rev < v1 THEN 1 ELSE 0 END"
+                " + CASE WHEN r_qty < v2 THEN 1 ELSE 0 END"
+                " + CASE WHEN r_disc < v3 THEN 1 ELSE 0 END) >= 2"
+                " THEN 1 ELSE 0 END"
+            ).alias("beats"),
+        )
+        .groupBy("brand")
+        .agg(F.sum("beats").alias("condorcet_wins"))
+    )
+    return (
+        scored.join(cond, "brand")
+        .select(
+            "brand",
+            F.col("r_rev").cast("bigint").alias("rank_revenue"),
+            F.col("r_qty").cast("bigint").alias("rank_quantity"),
+            F.col("r_disc").cast("bigint").alias("rank_discount"),
+            F.col("plurality").cast("bigint").alias("plurality_firsts"),
+            F.col("borda").cast("bigint").alias("borda_score"),
+            F.col("condorcet_wins").cast("bigint").alias("condorcet_wins"),
+            F.expr(
+                f"cast(CASE WHEN condorcet_wins = {k - 1} THEN 1"
+                " ELSE 0 END as bigint)"
+            ).alias("is_condorcet_winner"),
+        )
+        .orderBy(F.desc("borda_score"), F.asc("brand"))
+    )
+
+
+ROUND8_QUERIES["voting_methods_compare"] = voting_methods_compare
+
+ROUND8_ORACLES["voting_methods_compare"] = f"""
+WITH stats AS MATERIALIZED (
+  SELECT p.p_brand AS brand,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+           AS rev,
+         CAST(sum(l_quantity) AS BIGINT) AS qty,
+         CAST((1000000 * sum(CAST(l_discount AS DECIMAL(4,2)) * 100))
+              // count(*) AS BIGINT) AS disc_micro
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY 1
+),
+top AS MATERIALIZED (
+  SELECT *, row_number() OVER (ORDER BY rev DESC, brand) AS r_rev
+  FROM stats
+  QUALIFY r_rev <= {_VOTE_TOPK}
+),
+ranked AS MATERIALIZED (
+  SELECT brand, r_rev,
+         row_number() OVER (ORDER BY qty DESC, brand) AS r_qty,
+         row_number() OVER (ORDER BY disc_micro DESC, brand) AS r_disc
+  FROM top
+),
+cond AS (
+  SELECT a.brand,
+         sum(CASE WHEN (CASE WHEN a.r_rev < b.r_rev THEN 1 ELSE 0 END
+                        + CASE WHEN a.r_qty < b.r_qty THEN 1 ELSE 0 END
+                        + CASE WHEN a.r_disc < b.r_disc THEN 1 ELSE 0 END)
+                       >= 2 THEN 1 ELSE 0 END) AS condorcet_wins
+  FROM ranked a JOIN ranked b ON a.brand != b.brand
+  GROUP BY a.brand
+)
+SELECT r.brand,
+       CAST(r.r_rev AS BIGINT) AS rank_revenue,
+       CAST(r.r_qty AS BIGINT) AS rank_quantity,
+       CAST(r.r_disc AS BIGINT) AS rank_discount,
+       CAST(CASE WHEN r.r_rev = 1 THEN 1 ELSE 0 END
+            + CASE WHEN r.r_qty = 1 THEN 1 ELSE 0 END
+            + CASE WHEN r.r_disc = 1 THEN 1 ELSE 0 END AS BIGINT)
+         AS plurality_firsts,
+       CAST(({_VOTE_TOPK} - r.r_rev) + ({_VOTE_TOPK} - r.r_qty)
+            + ({_VOTE_TOPK} - r.r_disc) AS BIGINT) AS borda_score,
+       CAST(c.condorcet_wins AS BIGINT) AS condorcet_wins,
+       CAST(CASE WHEN c.condorcet_wins = {_VOTE_TOPK - 1} THEN 1
+                 ELSE 0 END AS BIGINT) AS is_condorcet_winner
+FROM ranked r JOIN cond c ON c.brand = r.brand
+ORDER BY borda_score DESC, r.brand
+"""

@@ -48,6 +48,10 @@ GLOBAL_WINDOW_ALLOWED = {
     "fagin_ta_depth",
     # hash-rank candidate selection over the |days| census
     "ransac_consensus_fit",
+    # divisor-quotient ranks over the 5x40 literal lattice
+    "seat_apportionment",
+    # criterion ranks over the brand census
+    "voting_methods_compare",
     "key_skew_profile",
     "price_histogram",
     "equidepth_histogram",
