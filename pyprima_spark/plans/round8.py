@@ -12494,3 +12494,271 @@ SELECT r.brand,
 FROM ranked r JOIN cond c ON c.brand = r.brand
 ORDER BY borda_score DESC, r.brand
 """
+
+
+# ---------------------------------------------------------------------------
+# littles_law_audit — L = lambda * W conservation check
+# ---------------------------------------------------------------------------
+
+_LL_START = "date'1996-01-01'"
+_LL_DAYS = 365
+
+
+def littles_law_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LITTLE'S LAW audit (SURVEY §2 #331) — the queueing conservation
+    law L = lambda*W (Little 1961), the sanity identity every ops
+    dashboard should assert and almost none does: if average WIP,
+    arrival rate, and cycle time are measured CORRECTLY over the same
+    window they must reconcile; a ratio far from 1000 milli means the
+    instrumentation disagrees with itself (wrong window handling,
+    survivorship bias in W, or boundary leakage — the straddler share
+    is published so the reader can see the edge effect).  Orders are
+    "in system" from order date to first ship date over calendar
+    1996: L = sum of in-window open-days / 365 (exact integer day
+    overlaps), lambda = in-window arrivals / 365, W = mean
+    time-in-system of in-window arrivals — all milli integers, the
+    ratio one trailing cross-multiplied division.
+
+    Scale shape: one orderkey join (the RMST shape), one map-combined
+    fold; the overlap arithmetic is per-row projection.  Windowless.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    first_ship = li.groupBy("l_orderkey").agg(
+        F.min("l_shipdate").alias("ship")
+    )
+    spans = orders.join(
+        first_ship, orders.o_orderkey == first_ship.l_orderkey
+    ).select(
+        F.expr(f"datediff(cast(o_orderdate as date), {_LL_START})").alias(
+            "a"
+        ),
+        F.expr(f"datediff(cast(ship as date), {_LL_START})").alias("b"),
+    )
+    folded = spans.agg(
+        # L numerator: sum of overlap days with [0, 365)
+        F.sum(
+            F.expr(
+                f"greatest(least(b, {_LL_DAYS}) - greatest(a, 0), 0)"
+            )
+        ).alias("open_days"),
+        # arrivals in window and their total time-in-system
+        F.sum(
+            F.expr(
+                f"CASE WHEN a >= 0 AND a < {_LL_DAYS} THEN 1 ELSE 0 END"
+            )
+        ).alias("arrivals"),
+        F.sum(
+            F.expr(
+                f"CASE WHEN a >= 0 AND a < {_LL_DAYS} THEN b - a"
+                " ELSE 0 END"
+            )
+        ).alias("tis_days"),
+        F.sum(
+            F.expr(
+                f"CASE WHEN a < {_LL_DAYS} AND b > {_LL_DAYS}"
+                " THEN 1 WHEN a < 0 AND b > 0 THEN 1 ELSE 0 END"
+            )
+        ).alias("straddlers"),
+    )
+    return folded.select(
+        F.col("arrivals").cast("bigint").alias("arrivals"),
+        F.expr(f"cast((1000 * open_days) div {_LL_DAYS} as bigint)").alias(
+            "l_milli"
+        ),
+        F.expr(
+            f"cast((1000 * arrivals) div {_LL_DAYS} as bigint)"
+        ).alias("lambda_milli_per_day"),
+        F.expr(
+            "cast((1000 * tis_days) div nullif(arrivals, 0) as bigint)"
+        ).alias("w_millidays"),
+        # ratio = L / (lambda * W) = open_days * 365 * arrivals
+        #         / (365 * arrivals * ... ) -> cross-multiplied:
+        # L*1000 / (lambda*W/1e6) = (1000 * open_days * arrivals)
+        #         div (arrivals * tis_days) ... simplifies to
+        # open_days / tis_days scaled
+        F.expr(
+            "cast((1000 * cast(open_days as decimal(38,0)))"
+            " div nullif(tis_days, 0) as bigint)"
+        ).alias("littles_ratio_milli"),
+        F.expr(
+            "cast((10000 * straddlers) div nullif(arrivals, 0)"
+            " as bigint)"
+        ).alias("straddler_share_bp"),
+    )
+
+
+ROUND8_QUERIES["littles_law_audit"] = littles_law_audit
+
+ROUND8_ORACLES["littles_law_audit"] = f"""
+WITH first_ship AS (
+  SELECT l_orderkey, min(l_shipdate) AS ship FROM lineitem GROUP BY 1
+),
+spans AS (
+  SELECT datediff('day', DATE '1996-01-01', CAST(o_orderdate AS DATE)) AS a,
+         datediff('day', DATE '1996-01-01', CAST(ship AS DATE)) AS b
+  FROM orders o JOIN first_ship f ON f.l_orderkey = o.o_orderkey
+),
+folded AS (
+  SELECT sum(greatest(least(b, {_LL_DAYS}) - greatest(a, 0), 0))
+           AS open_days,
+         sum(CASE WHEN a >= 0 AND a < {_LL_DAYS} THEN 1 ELSE 0 END)
+           AS arrivals,
+         sum(CASE WHEN a >= 0 AND a < {_LL_DAYS} THEN b - a ELSE 0 END)
+           AS tis_days,
+         sum(CASE WHEN a < {_LL_DAYS} AND b > {_LL_DAYS} THEN 1
+                  WHEN a < 0 AND b > 0 THEN 1 ELSE 0 END) AS straddlers
+  FROM spans
+)
+SELECT CAST(arrivals AS BIGINT) AS arrivals,
+       CAST((1000 * open_days) // {_LL_DAYS} AS BIGINT) AS l_milli,
+       CAST((1000 * arrivals) // {_LL_DAYS} AS BIGINT)
+         AS lambda_milli_per_day,
+       CAST((1000 * tis_days) // nullif(arrivals, 0) AS BIGINT)
+         AS w_millidays,
+       CAST((1000 * open_days::HUGEINT) // nullif(tis_days, 0) AS BIGINT)
+         AS littles_ratio_milli,
+       CAST((10000 * straddlers) // nullif(arrivals, 0) AS BIGINT)
+         AS straddler_share_bp
+FROM folded
+"""
+
+
+# ---------------------------------------------------------------------------
+# cell_suppression_audit — small-cell + complementary suppression census
+# ---------------------------------------------------------------------------
+
+_SUP_THRESHOLD = 5
+
+
+def cell_suppression_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATISTICAL-DISCLOSURE cell suppression (SURVEY §2 #332) — the
+    census-bureau release rule (Cox 1980; the k-anonymity family's
+    TABULAR ancestor): cells with 1-4 units are primary-suppressed,
+    and any margin group left with EXACTLY ONE suppressed cell needs
+    a COMPLEMENTARY suppression (the margin total would reveal the
+    primary by subtraction) — the subtlety naive anonymizers miss and
+    k_anonymity_audit (microdata) cannot see.  Cells are (segment,
+    nation, balance-decile) customer counts with (segment, nation)
+    margins; one round of complementary suppression picks the
+    smallest surviving cell per exposed margin (deterministic
+    tiebreak).  Published per margin: cell/suppression censuses and
+    the weight of data lost.
+
+    Scale shape: one fact agg to the ≤1250-cell census; margin folds
+    and the complementary election are census group-bys (the election
+    via partitioned rank over suppression-eligible cells).
+    """
+    cust = _t(spark, sf_dir, "customer").join(
+        _t(spark, sf_dir, "nation"),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("n_name").alias("nation"),
+        F.expr(
+            "least(greatest(cast((cast(cast(c_acctbal as decimal(12,2))"
+            " * 100 as bigint) + 100000) div 110000 as int), 0), 9)"
+        ).alias("decile"),
+    )
+    cells = materialize(
+        cust.groupBy("segment", "nation", "decile").agg(
+            F.count(F.lit(1)).alias("n")
+        ).withColumn(
+            "primary_sup",
+            F.expr(
+                f"CASE WHEN n >= 1 AND n < {_SUP_THRESHOLD} THEN 1"
+                " ELSE 0 END"
+            ),
+        )
+    )
+    margins = cells.groupBy("segment", "nation").agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("n").alias("total"),
+        F.sum("primary_sup").alias("n_primary"),
+        F.sum(F.expr("n * primary_sup")).alias("suppressed_weight"),
+    )
+    wmin = Window.partitionBy("segment", "nation").orderBy(
+        "n", "decile"
+    )
+    secondary = (
+        cells.filter("primary_sup = 0")
+        .withColumn("rk", F.row_number().over(wmin))
+        .filter("rk = 1")
+        .select(
+            "segment",
+            "nation",
+            F.col("n").alias("sec_n"),
+        )
+    )
+    return (
+        margins.join(secondary, ["segment", "nation"], "left")
+        .select(
+            "segment",
+            "nation",
+            F.col("n_cells").cast("bigint").alias("n_cells"),
+            F.col("total").cast("bigint").alias("n_units"),
+            F.col("n_primary").cast("bigint").alias("n_primary"),
+            F.expr(
+                "cast(CASE WHEN n_primary = 1 AND sec_n IS NOT NULL"
+                " THEN 1 ELSE 0 END as bigint)"
+            ).alias("n_secondary"),
+            F.expr(
+                "cast(suppressed_weight + CASE WHEN n_primary = 1"
+                " AND sec_n IS NOT NULL THEN sec_n ELSE 0 END"
+                " as bigint)"
+            ).alias("units_suppressed"),
+            F.expr(
+                "cast((10000 * (suppressed_weight + CASE WHEN"
+                " n_primary = 1 AND sec_n IS NOT NULL THEN sec_n"
+                " ELSE 0 END)) div total as bigint)"
+            ).alias("loss_bp"),
+        )
+        .orderBy("segment", "nation")
+    )
+
+
+ROUND8_QUERIES["cell_suppression_audit"] = cell_suppression_audit
+
+ROUND8_ORACLES["cell_suppression_audit"] = f"""
+WITH cust AS (
+  SELECT c_mktsegment AS segment, n_name AS nation,
+         least(greatest(CAST((CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100
+                              AS BIGINT) + 100000) // 110000 AS INT), 0), 9)
+           AS decile
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+),
+cells AS MATERIALIZED (
+  SELECT segment, nation, decile, count(*) AS n,
+         CASE WHEN count(*) >= 1 AND count(*) < {_SUP_THRESHOLD}
+              THEN 1 ELSE 0 END AS primary_sup
+  FROM cust GROUP BY 1, 2, 3
+),
+margins AS (
+  SELECT segment, nation, count(*) AS n_cells, sum(n) AS total,
+         sum(primary_sup) AS n_primary,
+         sum(n * primary_sup) AS suppressed_weight
+  FROM cells GROUP BY segment, nation
+),
+secondary AS (
+  SELECT segment, nation, n AS sec_n FROM cells
+  WHERE primary_sup = 0
+  QUALIFY row_number() OVER (PARTITION BY segment, nation
+                             ORDER BY n, decile) = 1
+)
+SELECT m.segment, m.nation,
+       CAST(m.n_cells AS BIGINT) AS n_cells,
+       CAST(m.total AS BIGINT) AS n_units,
+       CAST(m.n_primary AS BIGINT) AS n_primary,
+       CAST(CASE WHEN m.n_primary = 1 AND s.sec_n IS NOT NULL
+                 THEN 1 ELSE 0 END AS BIGINT) AS n_secondary,
+       CAST(m.suppressed_weight
+            + CASE WHEN m.n_primary = 1 AND s.sec_n IS NOT NULL
+                   THEN s.sec_n ELSE 0 END AS BIGINT) AS units_suppressed,
+       CAST((10000 * (m.suppressed_weight
+                      + CASE WHEN m.n_primary = 1 AND s.sec_n IS NOT NULL
+                             THEN s.sec_n ELSE 0 END)) // m.total
+            AS BIGINT) AS loss_bp
+FROM margins m
+LEFT JOIN secondary s ON s.segment = m.segment AND s.nation = m.nation
+ORDER BY m.segment, m.nation
+"""
