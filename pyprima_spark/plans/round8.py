@@ -12762,3 +12762,272 @@ FROM margins m
 LEFT JOIN secondary s ON s.segment = m.segment AND s.nation = m.nation
 ORDER BY m.segment, m.nation
 """
+
+
+# ---------------------------------------------------------------------------
+# energy_distance_test — Székely two-sample distance between halves
+# ---------------------------------------------------------------------------
+
+
+def energy_distance_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENERGY DISTANCE two-sample test (SURVEY §2 #333) — Székely's
+    E-statistic D² = 2E|X−Y| − E|X−X'| − E|Y−Y'|, the
+    characteristic-function-equivalent metric completing the drift
+    family (KS sees the worst POINT, Wasserstein the transport COST,
+    PSI the bucket mix; energy distance is zero IFF the distributions
+    are identical and weights the whole shape): 1997-H1 vs H2 order
+    totals, k$-quantized into a value census, every pairwise
+    |difference| sum computed EXACTLY by the sorted-census prefix
+    identity sum|vi−vj| = sum_k v_k (N_below(k) − N_above(k)) — no
+    pair is ever materialized, ties contribute zero by strict
+    prefix/suffix counts.  The three mean-distance terms publish in
+    milli-k$ with one floor each; D² combines them.
+
+    Scale shape: one fact agg to the merged value census (≤ a few
+    hundred quantized values); the prefix identity runs cumulative
+    windows over that census (value-bounded, allowlisted class); one
+    final fold.
+    """
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.expr("o_orderdate >= date'1997-01-01'")
+        & F.expr("o_orderdate < date'1998-01-01'")
+    )
+    vals = orders.select(
+        F.expr(
+            "cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)"
+            " div 100000"
+        ).alias("v"),
+        F.expr(
+            "CASE WHEN o_orderdate < date'1997-07-01' THEN 1 ELSE 0 END"
+        ).alias("in_x"),
+    )
+    census = materialize(
+        vals.groupBy("v").agg(
+            F.sum("in_x").alias("cx"),
+            F.sum(F.expr("1 - in_x")).alias("cy"),
+        )
+    )
+    w_lt = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_all = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    scanned = (
+        census.withColumn("cxb", F.coalesce(F.sum("cx").over(w_lt), F.lit(0)))
+        .withColumn("cyb", F.coalesce(F.sum("cy").over(w_lt), F.lit(0)))
+        .withColumn("nn", F.sum("cx").over(w_all))
+        .withColumn("mm", F.sum("cy").over(w_all))
+    )
+    folded = scanned.agg(
+        F.max("nn").alias("n"),
+        F.max("mm").alias("m"),
+        # within-X: sum_k v_k * cx_k * (CXbelow - CXabove)
+        F.sum(
+            F.expr(
+                "cast(v as decimal(38,0)) * cx"
+                " * (cxb - (nn - cxb - cx))"
+            )
+        ).alias("wx"),
+        F.sum(
+            F.expr(
+                "cast(v as decimal(38,0)) * cy"
+                " * (cyb - (mm - cyb - cy))"
+            )
+        ).alias("wy"),
+        F.sum(
+            F.expr(
+                "cast(v as decimal(38,0)) * (cx * (cyb - (mm - cyb - cy))"
+                " + cy * (cxb - (nn - cxb - cx)))"
+            )
+        ).alias("cross_sum"),
+    )
+    return folded.select(
+        F.col("n").cast("bigint").alias("n_h1"),
+        F.col("m").cast("bigint").alias("n_h2"),
+        F.expr(
+            "cast((2000 * cross_sum) div (cast(n as decimal(38,0)) * m)"
+            " as bigint)"
+        ).alias("two_exy_milli"),
+        F.expr(
+            "cast((1000 * wx) div (cast(n as decimal(38,0)) * n)"
+            " as bigint)"
+        ).alias("exx_milli"),
+        F.expr(
+            "cast((1000 * wy) div (cast(m as decimal(38,0)) * m)"
+            " as bigint)"
+        ).alias("eyy_milli"),
+        F.expr(
+            "cast((2000 * cross_sum) div (cast(n as decimal(38,0)) * m)"
+            " - (1000 * wx) div (cast(n as decimal(38,0)) * n)"
+            " - (1000 * wy) div (cast(m as decimal(38,0)) * m)"
+            " as bigint)"
+        ).alias("energy_dist_sq_milli"),
+    )
+
+
+ROUND8_QUERIES["energy_distance_test"] = energy_distance_test
+
+ROUND8_ORACLES["energy_distance_test"] = """
+WITH vals AS (
+  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           // 100000 AS v,
+         CASE WHEN o_orderdate < DATE '1997-07-01' THEN 1 ELSE 0 END
+           AS in_x
+  FROM orders
+  WHERE o_orderdate >= DATE '1997-01-01' AND o_orderdate < DATE '1998-01-01'
+),
+census AS MATERIALIZED (
+  SELECT v, sum(in_x) AS cx, sum(1 - in_x) AS cy
+  FROM vals GROUP BY v
+),
+scanned AS (
+  SELECT v, cx, cy,
+         coalesce(sum(cx) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                  PRECEDING AND 1 PRECEDING), 0) AS cxb,
+         coalesce(sum(cy) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                  PRECEDING AND 1 PRECEDING), 0) AS cyb,
+         sum(cx) OVER () AS nn, sum(cy) OVER () AS mm
+  FROM census
+),
+folded AS (
+  SELECT max(nn) AS n, max(mm) AS m,
+         sum(v::HUGEINT * cx * (cxb - (nn - cxb - cx))) AS wx,
+         sum(v::HUGEINT * cy * (cyb - (mm - cyb - cy))) AS wy,
+         sum(v::HUGEINT * (cx * (cyb - (mm - cyb - cy))
+                           + cy * (cxb - (nn - cxb - cx)))) AS cross_sum
+  FROM scanned
+)
+SELECT CAST(n AS BIGINT) AS n_h1,
+       CAST(m AS BIGINT) AS n_h2,
+       CAST((2000 * cross_sum) // (n::HUGEINT * m) AS BIGINT)
+         AS two_exy_milli,
+       CAST((1000 * wx) // (n::HUGEINT * n) AS BIGINT) AS exx_milli,
+       CAST((1000 * wy) // (m::HUGEINT * m) AS BIGINT) AS eyy_milli,
+       CAST((2000 * cross_sum) // (n::HUGEINT * m)
+            - (1000 * wx) // (n::HUGEINT * n)
+            - (1000 * wy) // (m::HUGEINT * m) AS BIGINT)
+         AS energy_dist_sq_milli
+FROM folded
+"""
+
+
+# ---------------------------------------------------------------------------
+# quantile_treatment_effect — distributional effect at every decile
+# ---------------------------------------------------------------------------
+
+
+def quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUANTILE TREATMENT EFFECTS (SURVEY §2 #334) — the
+    DISTRIBUTIONAL lens the causal family's mean-effect keys all lack
+    (Doksum 1974; Firpo 2007): a zero average effect can hide a
+    +20%-at-the-top / -20%-at-the-bottom redistribution, and the QTE
+    curve at the deciles is exactly where that shows.  Same
+    balance-cohort exposure as bh_fdr_control (acctbal >= 5000);
+    outcome = customer order count; QTE(q) = exact percentile_disc
+    element difference between exposed and control at q = 10%..90% —
+    engine-stable actual elements, never interpolations.
+
+    Scale shape: one fact agg to per-customer outcomes; one
+    percentile agg per arm (9 exact order statistics each); the
+    decile frame is a 9-row literal.  Windowless.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("cust"),
+        F.expr("CASE WHEN c_acctbal >= 5000 THEN 1 ELSE 0 END").alias(
+            "exposed"
+        ),
+    )
+    per_cust = orders.groupBy(F.col("o_custkey").alias("cust")).agg(
+        F.count(F.lit(1)).alias("y")
+    ).join(cust, "cust")
+    qs = [i / 10 for i in range(1, 10)]
+    arm = per_cust.groupBy("exposed").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.expr(
+                f"cast(percentile_disc({q}) WITHIN GROUP (ORDER BY y)"
+                " as bigint)"
+            ).alias(f"q{int(q * 10)}")
+            for q in qs
+        ],
+    )
+    t = arm.filter("exposed = 1").select(
+        F.col("n").alias("n_exposed"),
+        *[F.col(f"q{i}").alias(f"t{i}") for i in range(1, 10)],
+    )
+    c = arm.filter("exposed = 0").select(
+        F.col("n").alias("n_control"),
+        *[F.col(f"q{i}").alias(f"c{i}") for i in range(1, 10)],
+    )
+    deciles = spark.range(1, 10).select(
+        F.col("id").cast("int").alias("decile")
+    )
+    t_case = " ".join(
+        f"WHEN decile = {i} THEN t{i}" for i in range(1, 10)
+    )
+    c_case = " ".join(
+        f"WHEN decile = {i} THEN c{i}" for i in range(1, 10)
+    )
+    return (
+        deciles.crossJoin(F.broadcast(t))
+        .crossJoin(F.broadcast(c))
+        .select(
+            F.col("decile").cast("bigint").alias("decile"),
+            F.col("n_exposed").cast("bigint").alias("n_exposed"),
+            F.col("n_control").cast("bigint").alias("n_control"),
+            F.expr(f"cast(CASE {t_case} END as bigint)").alias(
+                "exposed_orders"
+            ),
+            F.expr(f"cast(CASE {c_case} END as bigint)").alias(
+                "control_orders"
+            ),
+            F.expr(
+                f"cast((CASE {t_case} END) - (CASE {c_case} END)"
+                " as bigint)"
+            ).alias("qte"),
+        )
+        .orderBy("decile")
+    )
+
+
+ROUND8_QUERIES["quantile_treatment_effect"] = quantile_treatment_effect
+
+_qte_t = " ".join(f"WHEN d.decile = {i} THEN t.q{i}" for i in range(1, 10))
+_qte_c = " ".join(f"WHEN d.decile = {i} THEN c.q{i}" for i in range(1, 10))
+_qte_cols = ",\n         ".join(
+    f"CAST(percentile_disc(0.{i}) WITHIN GROUP (ORDER BY y) AS BIGINT)"
+    f" AS q{i}"
+    for i in range(1, 10)
+)
+
+ROUND8_ORACLES["quantile_treatment_effect"] = f"""
+WITH cust AS (
+  SELECT c_custkey AS cust,
+         CASE WHEN c_acctbal >= 5000 THEN 1 ELSE 0 END AS exposed
+  FROM customer
+),
+per_cust AS (
+  SELECT o_custkey AS cust, count(*) AS y FROM orders GROUP BY o_custkey
+),
+arm AS MATERIALIZED (
+  SELECT exposed, count(*) AS n,
+         {_qte_cols}
+  FROM per_cust JOIN cust USING (cust)
+  GROUP BY exposed
+),
+deciles AS (
+  SELECT CAST(d AS INT) AS decile FROM unnest(generate_series(1, 9)) AS x(d)
+)
+SELECT CAST(d.decile AS BIGINT) AS decile,
+       CAST(t.n AS BIGINT) AS n_exposed,
+       CAST(c.n AS BIGINT) AS n_control,
+       CAST(CASE {_qte_t} END AS BIGINT) AS exposed_orders,
+       CAST(CASE {_qte_c} END AS BIGINT) AS control_orders,
+       CAST((CASE {_qte_t} END) - (CASE {_qte_c} END) AS BIGINT) AS qte
+FROM deciles d
+CROSS JOIN (SELECT * FROM arm WHERE exposed = 1) t
+CROSS JOIN (SELECT * FROM arm WHERE exposed = 0) c
+ORDER BY decile
+"""

@@ -50,6 +50,8 @@ GLOBAL_WINDOW_ALLOWED = {
     "ransac_consensus_fit",
     # divisor-quotient ranks over the 5x40 literal lattice
     "seat_apportionment",
+    # prefix identity over the quantized value census
+    "energy_distance_test",
     # criterion ranks over the brand census
     "voting_methods_compare",
     "key_skew_profile",
