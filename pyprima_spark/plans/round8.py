@@ -13031,3 +13031,206 @@ CROSS JOIN (SELECT * FROM arm WHERE exposed = 1) t
 CROSS JOIN (SELECT * FROM arm WHERE exposed = 0) c
 ORDER BY decile
 """
+
+
+# ---------------------------------------------------------------------------
+# positivity_overlap_audit — common-support check for causal analyses
+# ---------------------------------------------------------------------------
+
+_POS_LO_BP = 500
+_POS_HI_BP = 9500
+
+
+def positivity_overlap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POSITIVITY / COMMON-SUPPORT audit (SURVEY §2 #335) — the
+    precondition EVERY causal key in the catalog silently assumes
+    (Rosenbaum-Rubin's overlap condition): cells where exposure is
+    (near-)deterministic cannot be adjusted by ANY method — IPS
+    weights explode, DR inherits the explosion, matching finds no
+    counterpart — and the honest move is to report and trim them.
+    Cells are (segment x balance-decile); exposure is the
+    bh_fdr/qte balance cohort; flagged when the exposure rate leaves
+    [5%, 95%] or an arm is empty.  Published per cell with the
+    trimmed-population share so the analyst sees what adjusting
+    would silently drop.
+
+    Scale shape: one fact agg to the 50-cell census; flags and the
+    trimmed share are census folds broadcast back.  Windowless.
+    """
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("cust"),
+        F.col("c_mktsegment").alias("segment"),
+        F.expr(
+            "least(greatest(cast((cast(cast(c_acctbal as decimal(12,2))"
+            " * 100 as bigint) + 100000) div 110000 as int), 0), 9)"
+        ).alias("decile"),
+        F.expr("CASE WHEN c_acctbal >= 5000 THEN 1 ELSE 0 END").alias(
+            "exposed"
+        ),
+    )
+    per_cust = _t(spark, sf_dir, "orders").groupBy(
+        F.col("o_custkey").alias("cust")
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+    cells = materialize(
+        per_cust.join(cust, "cust")
+        .groupBy("segment", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("exposed").alias("n_exposed"),
+        )
+        .withColumn(
+            "violates",
+            F.expr(
+                f"CASE WHEN (10000 * n_exposed) div n < {_POS_LO_BP}"
+                f" OR (10000 * n_exposed) div n > {_POS_HI_BP}"
+                " THEN 1 ELSE 0 END"
+            ),
+        )
+    )
+    tot = cells.agg(
+        F.sum("n").alias("nn"),
+        F.sum(F.expr("n * violates")).alias("n_trimmed"),
+    )
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            "segment",
+            F.col("decile").cast("bigint").alias("decile"),
+            F.col("n").cast("bigint").alias("n"),
+            F.expr("cast((10000 * n_exposed) div n as bigint)").alias(
+                "exposure_bp"
+            ),
+            F.col("violates").cast("bigint").alias("violates_positivity"),
+            F.expr(
+                "cast((10000 * n_trimmed) div nn as bigint)"
+            ).alias("trimmed_share_bp"),
+        )
+        .orderBy("segment", "decile")
+    )
+
+
+ROUND8_QUERIES["positivity_overlap_audit"] = positivity_overlap_audit
+
+ROUND8_ORACLES["positivity_overlap_audit"] = f"""
+WITH cust AS (
+  SELECT c_custkey AS cust, c_mktsegment AS segment,
+         least(greatest(CAST((CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100
+                              AS BIGINT) + 100000) // 110000 AS INT), 0), 9)
+           AS decile,
+         CASE WHEN c_acctbal >= 5000 THEN 1 ELSE 0 END AS exposed
+  FROM customer
+),
+per_cust AS (
+  SELECT o_custkey AS cust, count(*) AS n_orders
+  FROM orders GROUP BY o_custkey
+),
+cells AS MATERIALIZED (
+  SELECT segment, decile, count(*) AS n, sum(exposed) AS n_exposed,
+         CASE WHEN (10000 * sum(exposed)) // count(*) < {_POS_LO_BP}
+               OR (10000 * sum(exposed)) // count(*) > {_POS_HI_BP}
+              THEN 1 ELSE 0 END AS violates
+  FROM per_cust JOIN cust USING (cust)
+  GROUP BY segment, decile
+),
+tot AS (
+  SELECT sum(n) AS nn, sum(n * violates) AS n_trimmed FROM cells
+)
+SELECT segment,
+       CAST(decile AS BIGINT) AS decile,
+       CAST(n AS BIGINT) AS n,
+       CAST((10000 * n_exposed) // n AS BIGINT) AS exposure_bp,
+       CAST(violates AS BIGINT) AS violates_positivity,
+       CAST((10000 * n_trimmed) // nn AS BIGINT) AS trimmed_share_bp
+FROM cells CROSS JOIN tot
+ORDER BY segment, decile
+"""
+
+
+# ---------------------------------------------------------------------------
+# german_tank_estimate — serial-number population estimation
+# ---------------------------------------------------------------------------
+
+_GT_WEEK = "date'1997-03-03'"  # one observation week
+
+
+def german_tank_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GERMAN TANK population estimate (SURVEY §2 #336) — the
+    serial-number MVUE N-hat = m + m/k - 1 (Goodman 1952; the WWII
+    tank-production estimate that beat intelligence reports), the
+    finite-population question none of the sketch keys ask: the
+    sketches estimate DISTINCTS SEEN, this estimates the UNSEEN
+    total from serial structure alone.  Sample = order keys observed
+    in one week, per segment; since the true key-space maximum is in
+    the data, the estimator's error is directly visible — the rare
+    operator that ships WITH its own ground truth.  Exact integers:
+    m = max observed key, k = count, N-hat = m + (m - k) div k (the
+    integer form), error in bp against the true max.
+
+    Scale shape: one filtered fact agg per segment (max + count —
+    map-combined), one broadcast of the 1-row true maximum.
+    Windowless; the week filter is a pushed scan predicate.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("cust"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    week = orders.filter(
+        F.expr(
+            f"o_orderdate >= {_GT_WEEK}"
+            f" AND o_orderdate < {_GT_WEEK} + interval 7 days"
+        )
+    )
+    sample = (
+        week.join(cust, F.col("o_custkey") == F.col("cust"))
+        .groupBy("segment")
+        .agg(
+            F.max("o_orderkey").alias("m"),
+            F.count(F.lit(1)).alias("k"),
+        )
+    )
+    truth = orders.agg(F.max("o_orderkey").alias("true_max"))
+    return (
+        sample.crossJoin(F.broadcast(truth))
+        .select(
+            "segment",
+            F.col("k").cast("bigint").alias("n_observed"),
+            F.col("m").cast("bigint").alias("max_observed"),
+            F.expr("cast(m + (m - k) div k as bigint)").alias(
+                "estimated_max"
+            ),
+            F.col("true_max").cast("bigint").alias("true_max"),
+            F.expr(
+                "cast((10000 * abs(m + (m - k) div k - true_max))"
+                " div true_max as bigint)"
+            ).alias("abs_error_bp"),
+        )
+        .orderBy("segment")
+    )
+
+
+ROUND8_QUERIES["german_tank_estimate"] = german_tank_estimate
+
+ROUND8_ORACLES["german_tank_estimate"] = """
+WITH week AS (
+  SELECT o_orderkey, o_custkey FROM orders
+  WHERE o_orderdate >= DATE '1997-03-03'
+    AND o_orderdate < DATE '1997-03-03' + INTERVAL 7 DAY
+),
+sample AS (
+  SELECT c.c_mktsegment AS segment,
+         max(o_orderkey) AS m, count(*) AS k
+  FROM week w JOIN customer c ON c.c_custkey = w.o_custkey
+  GROUP BY 1
+),
+truth AS (SELECT max(o_orderkey) AS true_max FROM orders)
+SELECT segment,
+       CAST(k AS BIGINT) AS n_observed,
+       CAST(m AS BIGINT) AS max_observed,
+       CAST(m + (m - k) // k AS BIGINT) AS estimated_max,
+       CAST(true_max AS BIGINT) AS true_max,
+       CAST((10000 * abs(m + (m - k) // k - true_max)) // true_max
+            AS BIGINT) AS abs_error_bp
+FROM sample CROSS JOIN truth
+ORDER BY segment
+"""
