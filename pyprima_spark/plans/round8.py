@@ -13234,3 +13234,205 @@ SELECT segment,
 FROM sample CROSS JOIN truth
 ORDER BY segment
 """
+
+
+# ---------------------------------------------------------------------------
+# chao1_richness — unseen-vocabulary estimation per source
+# ---------------------------------------------------------------------------
+
+
+def chao1_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAO1 RICHNESS + GOOD-TURING coverage (SURVEY §2 #337) — the
+    unseen-species estimators (Chao 1984; Good 1953, of Bletchley
+    fame) that turn a token frequency census into "how much
+    vocabulary have we NOT seen yet": vocab_coverage counts what a
+    fixed vocabulary captures, this estimates the total S-hat = S +
+    f1^2/(2 f2) from singleton/doubleton counts alone, and
+    Good-Turing C = 1 - f1/n says what fraction of the next sample
+    will be already-seen tokens — the curve every "is more crawling
+    worth it" decision reads.  german_tank_estimate does unseen-total
+    for SERIALS; this does it for SPECIES.  Exact integers end to
+    end (f1^2 div (2 f2) with a +f1(f1-1)/2 fallback when f2 = 0 —
+    the standard bias-corrected form).
+
+    Scale shape: token explode -> per-(source, token) counts -> the
+    frequency-of-frequencies census (tiny); estimators are per-source
+    folds.  The vocab census is the only shuffle.
+    """
+    from pyprima_spark.functions.text import tokens_spark
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "source", F.expr(tokens_spark("text")).alias("toks")
+    )
+    tf = (
+        docs.select("source", F.explode("toks").alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    fof = tf.groupBy("source").agg(
+        F.count(F.lit(1)).alias("s_obs"),
+        F.sum("c").alias("n_tokens"),
+        F.sum(F.expr("CASE WHEN c = 1 THEN 1 ELSE 0 END")).alias("f1"),
+        F.sum(F.expr("CASE WHEN c = 2 THEN 1 ELSE 0 END")).alias("f2"),
+    )
+    return fof.select(
+        "source",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("s_obs").cast("bigint").alias("distinct_observed"),
+        F.col("f1").cast("bigint").alias("singletons"),
+        F.col("f2").cast("bigint").alias("doubletons"),
+        F.expr(
+            "cast(s_obs + CASE WHEN f2 > 0 THEN (cast(f1 as decimal(38,0))"
+            " * f1) div (2 * f2) ELSE (cast(f1 as decimal(38,0))"
+            " * (f1 - 1)) div 2 END as bigint)"
+        ).alias("chao1_estimate"),
+        F.expr(
+            "cast(10000 - (10000 * f1) div n_tokens as bigint)"
+        ).alias("good_turing_coverage_bp"),
+    ).orderBy("source")
+
+
+ROUND8_QUERIES["chao1_richness"] = chao1_richness
+
+ROUND8_ORACLES["chao1_richness"] = f"""
+WITH tf AS (
+  SELECT source, tok, count(*) AS c
+  FROM (
+    SELECT source, unnest({X.tokens_duck('text')}) AS tok FROM documents
+  )
+  GROUP BY source, tok
+),
+fof AS (
+  SELECT source, count(*) AS s_obs, sum(c) AS n_tokens,
+         sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS f1,
+         sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS f2
+  FROM tf GROUP BY source
+)
+SELECT source,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(s_obs AS BIGINT) AS distinct_observed,
+       CAST(f1 AS BIGINT) AS singletons,
+       CAST(f2 AS BIGINT) AS doubletons,
+       CAST(s_obs + CASE WHEN f2 > 0
+                         THEN (f1::HUGEINT * f1) // (2 * f2)
+                         ELSE (f1::HUGEINT * (f1 - 1)) // 2 END
+            AS BIGINT) AS chao1_estimate,
+       CAST(10000 - (10000 * f1) // n_tokens AS BIGINT)
+         AS good_turing_coverage_bp
+FROM fof ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# running_records_test — record counts vs the harmonic expectation
+# ---------------------------------------------------------------------------
+
+
+def running_records_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RUNNING-RECORDS trend test (SURVEY §2 #338) — records theory
+    (Rényi 1962; Foster-Stuart 1954's distribution-free trend test):
+    in an iid series the k-th observation is a new running maximum
+    with probability exactly 1/k, so the expected record count is the
+    harmonic number H_n REGARDLESS of the distribution — no
+    quantization, no variance estimate, no distributional assumption
+    for the null.  Observed record counts in the daily-revenue series
+    per year against H_n (milli, per-term floored identically), for
+    maxima AND minima: records_hi >> H_n with records_lo ~ H_n is an
+    upward trend, both elevated is widening spread — a different
+    lens than mann_kendall's pair signs.
+
+    Scale shape: the day census; records detected by comparing each
+    day to the PARTITIONED running extreme (cumulative window per
+    year over the census); H_n a per-year fold over day ranks.
+    """
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.expr("o_orderdate >= date'1995-01-01'")
+        & F.expr("o_orderdate < date'1998-01-01'")
+    )
+    daily = materialize(
+        orders.groupBy(
+            F.expr("year(o_orderdate)").alias("yr"),
+            F.expr("cast(o_orderdate as date)").alias("day"),
+        ).agg(
+            F.expr(
+                "cast(sum(cast(o_totalprice as decimal(18,2)) * 100)"
+                " as decimal(38,0)) div 100 as cents"
+            ).alias("y")
+        )
+    )
+    w_prev = (
+        Window.partitionBy("yr")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wrk = Window.partitionBy("yr").orderBy("day")
+    flagged = daily.select(
+        "yr",
+        F.row_number().over(wrk).alias("k"),
+        F.expr(
+            "CASE WHEN y > coalesce(max(y) OVER (PARTITION BY yr"
+            " ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND"
+            " 1 PRECEDING), cast(-1 as decimal(38,0))) THEN 1 ELSE 0 END"
+        ).alias("rec_hi"),
+        F.expr(
+            "CASE WHEN y < coalesce(min(y) OVER (PARTITION BY yr"
+            " ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND"
+            " 1 PRECEDING), cast(999999999999999999 as decimal(38,0)))"
+            " THEN 1 ELSE 0 END"
+        ).alias("rec_lo"),
+    )
+    return (
+        flagged.groupBy("yr")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum("rec_hi").alias("records_hi"),
+            F.sum("rec_lo").alias("records_lo"),
+            F.sum(F.expr("1000 div k")).alias("h_n_milli"),
+        )
+        .select(
+            F.col("yr").cast("bigint").alias("year"),
+            F.col("n_days").cast("bigint").alias("n_days"),
+            F.col("records_hi").cast("bigint").alias("records_hi"),
+            F.col("records_lo").cast("bigint").alias("records_lo"),
+            F.col("h_n_milli").cast("bigint").alias("expected_milli"),
+            F.expr(
+                "cast((1000 * records_hi * 1000) div h_n_milli as bigint)"
+            ).alias("hi_vs_expected_milli"),
+        )
+        .orderBy("year")
+    )
+
+
+ROUND8_QUERIES["running_records_test"] = running_records_test
+
+ROUND8_ORACLES["running_records_test"] = """
+WITH daily AS MATERIALIZED (
+  SELECT year(o_orderdate) AS yr, CAST(o_orderdate AS DATE) AS day,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS HUGEINT)
+           // 100 AS y
+  FROM orders
+  WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1998-01-01'
+  GROUP BY 1, 2
+),
+flagged AS (
+  SELECT yr,
+         row_number() OVER w2 AS k,
+         CASE WHEN y > coalesce(max(y) OVER w, -1::HUGEINT)
+              THEN 1 ELSE 0 END AS rec_hi,
+         CASE WHEN y < coalesce(min(y) OVER w, 999999999999999999::HUGEINT)
+              THEN 1 ELSE 0 END AS rec_lo
+  FROM daily
+  WINDOW w AS (PARTITION BY yr ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         w2 AS (PARTITION BY yr ORDER BY day)
+)
+SELECT CAST(yr AS BIGINT) AS year,
+       CAST(count(*) AS BIGINT) AS n_days,
+       CAST(sum(rec_hi) AS BIGINT) AS records_hi,
+       CAST(sum(rec_lo) AS BIGINT) AS records_lo,
+       CAST(sum(1000 // k) AS BIGINT) AS expected_milli,
+       CAST((1000 * sum(rec_hi) * 1000) // sum(1000 // k) AS BIGINT)
+         AS hi_vs_expected_milli
+FROM flagged
+GROUP BY yr ORDER BY year
+"""
