@@ -13436,3 +13436,285 @@ SELECT CAST(yr AS BIGINT) AS year,
 FROM flagged
 GROUP BY yr ORDER BY year
 """
+
+
+# ---------------------------------------------------------------------------
+# secretary_stopping_replay — the 1/e optimal-stopping rule, replayed
+# ---------------------------------------------------------------------------
+
+_SEC_INV_E_MICRO = 367879  # 1/e in micro units
+
+
+def secretary_stopping_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SECRETARY-PROBLEM replay (SURVEY §2 #339) — the 1/e optimal
+    stopping rule (Lindley 1961; Dynkin 1963) evaluated against real
+    sequences: observe 1997's daily revenues per segment in date
+    order, reject the first n/e, then accept the first new maximum —
+    the policy guarantees picking the single best day with
+    probability >= 1/e under random arrival, and this key REPLAYS it
+    to publish what it actually caught (the chosen day's true rank,
+    its value as a share of the best).  Optimal stopping is the
+    hiring/peak-load/spot-pricing decision pattern; every quantity
+    here is an exact integer (threshold k = floor(n/e) from the micro
+    literal, ranks by census window).
+
+    Scale shape: fact -> (segment, day) census; the learning-phase
+    maximum, the first-acceptance election, and the final ranks all
+    run on the census PARTITIONED by segment.  Windowless below it.
+    """
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.expr("o_orderdate >= date'1997-01-01'")
+        & F.expr("o_orderdate < date'1998-01-01'")
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("cust"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    daily = materialize(
+        orders.join(cust, F.col("o_custkey") == F.col("cust"))
+        .groupBy("segment", F.expr("cast(o_orderdate as date)").alias("day"))
+        .agg(
+            F.expr(
+                "cast(sum(cast(o_totalprice as decimal(18,2)) * 100)"
+                " as decimal(38,0)) div 100 as cents"
+            ).alias("y")
+        )
+    )
+    wseq = Window.partitionBy("segment").orderBy("day")
+    wrank = Window.partitionBy("segment").orderBy(F.desc("y"), F.asc("day"))
+    seq = materialize(
+        daily.withColumn("i", F.row_number().over(wseq))
+        .withColumn("true_rank", F.row_number().over(wrank))
+    )
+    counts = seq.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("y").alias("best_y"),
+    ).withColumn(
+        "k", F.expr(f"cast((n * {_SEC_INV_E_MICRO}) div 1000000 as int)")
+    )
+    learn_max = (
+        seq.join(F.broadcast(counts), "segment")
+        .filter("i <= k")
+        .groupBy("segment")
+        .agg(F.max("y").alias("bar"))
+    )
+    chosen = (
+        seq.join(F.broadcast(counts), "segment")
+        .join(F.broadcast(learn_max), "segment")
+        .filter(F.expr("i > k AND y > bar"))
+        .withColumn(
+            "pick_rank",
+            F.row_number().over(
+                Window.partitionBy("segment").orderBy("i")
+            ),
+        )
+        .filter("pick_rank = 1")
+    )
+    return (
+        counts.join(
+            chosen.select(
+                "segment",
+                F.col("i").alias("chosen_position"),
+                F.col("true_rank").alias("chosen_true_rank"),
+                F.col("y").alias("chosen_y"),
+            ),
+            "segment",
+            "left",
+        )
+        .select(
+            "segment",
+            F.col("n").cast("bigint").alias("n_days"),
+            F.col("k").cast("bigint").alias("learning_phase"),
+            F.coalesce("chosen_position", F.lit(-1))
+            .cast("bigint")
+            .alias("chosen_position"),
+            F.coalesce("chosen_true_rank", F.lit(-1))
+            .cast("bigint")
+            .alias("chosen_true_rank"),
+            F.expr(
+                "cast(coalesce((10000 * chosen_y) div best_y, -1)"
+                " as bigint)"
+            ).alias("chosen_vs_best_bp"),
+        )
+        .orderBy("segment")
+    )
+
+
+ROUND8_QUERIES["secretary_stopping_replay"] = secretary_stopping_replay
+
+ROUND8_ORACLES["secretary_stopping_replay"] = f"""
+WITH daily AS MATERIALIZED (
+  SELECT c.c_mktsegment AS segment, CAST(o_orderdate AS DATE) AS day,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS HUGEINT)
+           // 100 AS y
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  WHERE o_orderdate >= DATE '1997-01-01' AND o_orderdate < DATE '1998-01-01'
+  GROUP BY 1, 2
+),
+seq AS MATERIALIZED (
+  SELECT segment, day, y,
+         row_number() OVER (PARTITION BY segment ORDER BY day) AS i,
+         row_number() OVER (PARTITION BY segment ORDER BY y DESC, day)
+           AS true_rank
+  FROM daily
+),
+counts AS MATERIALIZED (
+  SELECT segment, count(*) AS n, max(y) AS best_y,
+         CAST((count(*) * {_SEC_INV_E_MICRO}) // 1000000 AS INT) AS k
+  FROM seq GROUP BY segment
+),
+learn_max AS (
+  SELECT s.segment, max(s.y) AS bar
+  FROM seq s JOIN counts c USING (segment)
+  WHERE s.i <= c.k GROUP BY s.segment
+),
+chosen AS (
+  SELECT s.segment, s.i AS chosen_position, s.true_rank AS chosen_true_rank,
+         s.y AS chosen_y
+  FROM seq s
+  JOIN counts c USING (segment)
+  JOIN learn_max l USING (segment)
+  WHERE s.i > c.k AND s.y > l.bar
+  QUALIFY row_number() OVER (PARTITION BY s.segment ORDER BY s.i) = 1
+)
+SELECT c.segment,
+       CAST(c.n AS BIGINT) AS n_days,
+       CAST(c.k AS BIGINT) AS learning_phase,
+       CAST(coalesce(ch.chosen_position, -1) AS BIGINT) AS chosen_position,
+       CAST(coalesce(ch.chosen_true_rank, -1) AS BIGINT)
+         AS chosen_true_rank,
+       CAST(coalesce((10000 * ch.chosen_y) // c.best_y, -1) AS BIGINT)
+         AS chosen_vs_best_bp
+FROM counts c LEFT JOIN chosen ch ON ch.segment = c.segment
+ORDER BY c.segment
+"""
+
+
+# ---------------------------------------------------------------------------
+# kelly_fraction_sizing — Kelly criterion from the daily return census
+# ---------------------------------------------------------------------------
+
+
+def kelly_fraction_sizing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KELLY CRITERION position sizing (SURVEY §2 #340) — Kelly
+    1956's log-optimal fraction f* = (p·(b+1) − 1)/b, the
+    growth-optimal answer to "how much to stake on a repeated
+    favorable bet" (budget allocation under multiplicative dynamics —
+    inventory buys, ad spend, capacity pre-booking): per segment,
+    treat day-over-day revenue moves as the bet — p = share of up
+    days, b = mean up-move / mean down-move (the win/loss odds), both
+    exact rationals from the day census — and publish f* in milli by
+    one cross-multiplied division: f*·b = p·(b+1) − 1 →
+    f*_milli = (1000·(up_sum·(n_up+n_dn)·... assembled so no
+    intermediate mean is ever floored; negative f* (no edge: stake
+    nothing) published as is.  Half-Kelly — the practitioner's
+    variance hedge — rides along.
+
+    Scale shape: day census per segment; moves via a lag window
+    PARTITIONED by segment over the census; one 5-row fold.
+    """
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.expr("o_orderdate >= date'1996-01-01'")
+        & F.expr("o_orderdate < date'1998-01-01'")
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("cust"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    daily = orders.join(cust, F.col("o_custkey") == F.col("cust")).groupBy(
+        "segment", F.expr("cast(o_orderdate as date)").alias("day")
+    ).agg(
+        F.expr(
+            "cast(sum(cast(o_totalprice as decimal(18,2)) * 100)"
+            " as decimal(38,0)) div 100000"
+        ).alias("y")
+    )
+    wlag = Window.partitionBy("segment").orderBy("day")
+    moves = daily.withColumn(
+        "prev", F.lag("y").over(wlag)
+    ).filter("prev IS NOT NULL").select(
+        "segment", F.expr("y - prev").alias("d")
+    )
+    folded = moves.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.expr("CASE WHEN d > 0 THEN 1 ELSE 0 END")).alias("n_up"),
+        F.sum(F.expr("CASE WHEN d < 0 THEN 1 ELSE 0 END")).alias("n_dn"),
+        F.sum(F.expr("CASE WHEN d > 0 THEN d ELSE 0 END")).alias("up_sum"),
+        F.sum(F.expr("CASE WHEN d < 0 THEN -d ELSE 0 END")).alias("dn_sum"),
+    )
+    # b = (up_sum/n_up)/(dn_sum/n_dn) = up_sum*n_dn / (dn_sum*n_up)
+    # p = n_up/(n_up+n_dn)   (flat days excluded, the standard form)
+    # f* = (p(b+1) - 1)/b; cross-multiplied with U = up_sum*n_dn,
+    # D = dn_sum*n_up, m = n_up+n_dn:
+    # f* = (n_up*(U+D) - m*D) / (m*U)
+    return folded.select(
+        "segment",
+        F.col("n").cast("bigint").alias("n_moves"),
+        F.expr(
+            "cast((10000 * n_up) div (n_up + n_dn) as bigint)"
+        ).alias("p_up_bp"),
+        F.expr(
+            "cast((1000 * cast(up_sum as decimal(38,0)) * n_dn)"
+            " div (cast(dn_sum as decimal(38,0)) * n_up) as bigint)"
+        ).alias("odds_b_milli"),
+        F.expr(
+            "cast((1000 * (cast(n_up as decimal(38,0))"
+            " * (cast(up_sum as decimal(38,0)) * n_dn"
+            " + cast(dn_sum as decimal(38,0)) * n_up)"
+            " - (n_up + n_dn) * cast(dn_sum as decimal(38,0)) * n_up))"
+            " div ((n_up + n_dn) * cast(up_sum as decimal(38,0)) * n_dn)"
+            " as bigint)"
+        ).alias("kelly_milli"),
+        F.expr(
+            "cast(((1000 * (cast(n_up as decimal(38,0))"
+            " * (cast(up_sum as decimal(38,0)) * n_dn"
+            " + cast(dn_sum as decimal(38,0)) * n_up)"
+            " - (n_up + n_dn) * cast(dn_sum as decimal(38,0)) * n_up))"
+            " div ((n_up + n_dn) * cast(up_sum as decimal(38,0)) * n_dn))"
+            " div 2 as bigint)"
+        ).alias("half_kelly_milli"),
+    ).orderBy("segment")
+
+
+ROUND8_QUERIES["kelly_fraction_sizing"] = kelly_fraction_sizing
+
+_kelly_num = (
+    "(1000 * (n_up::HUGEINT * (up_sum::HUGEINT * n_dn"
+    " + dn_sum::HUGEINT * n_up)"
+    " - (n_up + n_dn) * dn_sum::HUGEINT * n_up))"
+)
+_kelly_den = "((n_up + n_dn) * up_sum::HUGEINT * n_dn)"
+
+ROUND8_ORACLES["kelly_fraction_sizing"] = f"""
+WITH daily AS (
+  SELECT c.c_mktsegment AS segment, CAST(o_orderdate AS DATE) AS day,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS HUGEINT)
+           // 100000 AS y
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1998-01-01'
+  GROUP BY 1, 2
+),
+moves AS (
+  SELECT segment, y - lag(y) OVER (PARTITION BY segment ORDER BY day) AS d
+  FROM daily
+  QUALIFY d IS NOT NULL
+),
+folded AS (
+  SELECT segment, count(*) AS n,
+         sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS n_up,
+         sum(CASE WHEN d < 0 THEN 1 ELSE 0 END) AS n_dn,
+         sum(CASE WHEN d > 0 THEN d ELSE 0 END) AS up_sum,
+         sum(CASE WHEN d < 0 THEN -d ELSE 0 END) AS dn_sum
+  FROM moves GROUP BY segment
+)
+SELECT segment,
+       CAST(n AS BIGINT) AS n_moves,
+       CAST((10000 * n_up) // (n_up + n_dn) AS BIGINT) AS p_up_bp,
+       CAST((1000 * up_sum::HUGEINT * n_dn)
+            // (dn_sum::HUGEINT * n_up) AS BIGINT) AS odds_b_milli,
+       CAST({_kelly_num} // {_kelly_den} AS BIGINT) AS kelly_milli,
+       CAST(({_kelly_num} // {_kelly_den}) // 2 AS BIGINT)
+         AS half_kelly_milli
+FROM folded
+ORDER BY segment
+"""
