@@ -13718,3 +13718,308 @@ SELECT segment,
 FROM folded
 ORDER BY segment
 """
+
+
+# ---------------------------------------------------------------------------
+# hotelling_t2_test — multivariate two-sample test (2x2 exact inverse)
+# ---------------------------------------------------------------------------
+
+_HT2_CRIT_MILLI = 5991  # chi-square(2df) 95% critical, milli
+
+
+def hotelling_t2_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOTELLING T-SQUARED two-sample test (SURVEY §2 #341) — the
+    multivariate mean comparison (Hotelling 1931) every univariate
+    test in the catalog cannot do: spend and order count can EACH
+    look unchanged between halves while their joint mean moves along
+    the correlation axis — T² = n·d'S⁻¹d sees it because the pooled
+    covariance WHITENS before measuring.  With exactly two metrics
+    the 2×2 inverse is closed-form rational (swap diagonal, negate
+    off-diagonal, divide by the determinant), so the statistic
+    assembles entirely from integer moments: T²·det published against
+    det·critical — the comparison never divides at all; the milli T²
+    divides once at the output edge.
+
+    Scale shape: one per-customer agg, one 2-group moment fold, a
+    1-row projection.  Windowless; k$ quantization documents the
+    DECIMAL(38,0) budget.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = orders.groupBy(F.col("o_custkey").alias("cust")).agg(
+        F.expr(
+            "cast(sum(cast(o_totalprice as decimal(18,2)) * 100)"
+            " as bigint) div 100000"
+        ).alias("x"),
+        F.count(F.lit(1)).alias("y"),
+        F.max(
+            F.expr("o_orderdate >= date'1997-07-01'").cast("int")
+        ).alias("grp"),
+    )
+    mom = materialize(
+        per_cust.groupBy("grp").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.expr("cast(x as decimal(38,0)) * x")).alias("sxx"),
+            F.sum(F.expr("cast(y as decimal(38,0)) * y")).alias("syy"),
+            F.sum(F.expr("cast(x as decimal(38,0)) * y")).alias("sxy"),
+        )
+    )
+    a = mom.filter("grp = 1").select(
+        *[F.col(c).alias(f"{c}1") for c in ("n", "sx", "sy", "sxx", "syy", "sxy")]
+    )
+    b = mom.filter("grp = 0").select(
+        *[F.col(c).alias(f"{c}0") for c in ("n", "sx", "sy", "sxx", "syy", "sxy")]
+    )
+    # pooled SSCP entries (x1e0 scale): Sxx = sum over groups of
+    # (sxx - sx^2/n); means at e3 to keep the d vector integral
+    j = a.crossJoin(F.broadcast(b)).select(
+        "n1",
+        "n0",
+        F.expr(
+            "(sxx1 - (cast(sx1 as decimal(38,0)) * sx1) div n1)"
+            " + (sxx0 - (cast(sx0 as decimal(38,0)) * sx0) div n0)"
+        ).alias("wxx"),
+        F.expr(
+            "(syy1 - (cast(sy1 as decimal(38,0)) * sy1) div n1)"
+            " + (syy0 - (cast(sy0 as decimal(38,0)) * sy0) div n0)"
+        ).alias("wyy"),
+        F.expr(
+            "(sxy1 - (cast(sx1 as decimal(38,0)) * sy1) div n1)"
+            " + (sxy0 - (cast(sx0 as decimal(38,0)) * sy0) div n0)"
+        ).alias("wxy"),
+        F.expr(
+            "(1000 * cast(sx1 as decimal(38,0))) div n1"
+            " - (1000 * cast(sx0 as decimal(38,0))) div n0"
+        ).alias("dx_milli"),
+        F.expr(
+            "(1000 * cast(sy1 as decimal(38,0))) div n1"
+            " - (1000 * cast(sy0 as decimal(38,0))) div n0"
+        ).alias("dy_milli"),
+    )
+    # T2 = h * d' S^-1 d with S = W/(n-2), h = n1*n0/(n1+n0):
+    # T2 = h*(n-2) * (dx^2*wyy - 2 dx dy wxy + dy^2*wxx) / det(W)
+    return j.select(
+        F.col("n1").cast("bigint").alias("n_h2"),
+        F.col("n0").cast("bigint").alias("n_h1"),
+        F.col("dx_milli").cast("bigint").alias("dx_milli_k"),
+        F.col("dy_milli").cast("bigint").alias("dy_milli_orders"),
+        F.expr(
+            "cast((cast(n1 as decimal(38,0)) * n0 * (n1 + n0 - 2)"
+            " * (dx_milli * dx_milli * wyy"
+            " - 2 * dx_milli * dy_milli * wxy"
+            " + dy_milli * dy_milli * wxx))"
+            " div ((cast(n1 as decimal(38,0)) + n0) * 1000"
+            " * nullif(wxx * wyy - wxy * wxy, 0)) as bigint)"
+        ).alias("t2_milli"),
+        F.expr(
+            "cast(CASE WHEN (cast(n1 as decimal(38,0)) * n0"
+            " * (n1 + n0 - 2) * (dx_milli * dx_milli * wyy"
+            " - 2 * dx_milli * dy_milli * wxy"
+            " + dy_milli * dy_milli * wxx))"
+            " div ((cast(n1 as decimal(38,0)) + n0) * 1000"
+            f" * nullif(wxx * wyy - wxy * wxy, 0)) > {_HT2_CRIT_MILLI}"
+            " THEN 1 ELSE 0 END as bigint)"
+        ).alias("means_differ"),
+    )
+
+
+ROUND8_QUERIES["hotelling_t2_test"] = hotelling_t2_test
+
+_ht2_stat = (
+    "(n1::HUGEINT * n0 * (n1 + n0 - 2)"
+    " * (dx_milli * dx_milli * wyy - 2 * dx_milli * dy_milli * wxy"
+    " + dy_milli * dy_milli * wxx))"
+    " // ((n1::HUGEINT + n0) * 1000 * nullif(wxx * wyy - wxy * wxy, 0))"
+)
+
+ROUND8_ORACLES["hotelling_t2_test"] = f"""
+WITH per_cust AS (
+  SELECT o_custkey AS cust,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+           // 100000 AS x,
+         count(*) AS y,
+         max(CASE WHEN o_orderdate >= DATE '1997-07-01'
+                  THEN 1 ELSE 0 END) AS grp
+  FROM orders GROUP BY o_custkey
+),
+mom AS MATERIALIZED (
+  SELECT grp, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x::HUGEINT * x) AS sxx, sum(y::HUGEINT * y) AS syy,
+         sum(x::HUGEINT * y) AS sxy
+  FROM per_cust GROUP BY grp
+),
+j AS (
+  SELECT a.n AS n1, b.n AS n0,
+         (a.sxx - (a.sx::HUGEINT * a.sx) // a.n)
+           + (b.sxx - (b.sx::HUGEINT * b.sx) // b.n) AS wxx,
+         (a.syy - (a.sy::HUGEINT * a.sy) // a.n)
+           + (b.syy - (b.sy::HUGEINT * b.sy) // b.n) AS wyy,
+         (a.sxy - (a.sx::HUGEINT * a.sy) // a.n)
+           + (b.sxy - (b.sx::HUGEINT * b.sy) // b.n) AS wxy,
+         (1000 * a.sx::HUGEINT) // a.n - (1000 * b.sx::HUGEINT) // b.n
+           AS dx_milli,
+         (1000 * a.sy::HUGEINT) // a.n - (1000 * b.sy::HUGEINT) // b.n
+           AS dy_milli
+  FROM (SELECT * FROM mom WHERE grp = 1) a
+  CROSS JOIN (SELECT * FROM mom WHERE grp = 0) b
+)
+SELECT CAST(n1 AS BIGINT) AS n_h2,
+       CAST(n0 AS BIGINT) AS n_h1,
+       CAST(dx_milli AS BIGINT) AS dx_milli_k,
+       CAST(dy_milli AS BIGINT) AS dy_milli_orders,
+       CAST({_ht2_stat} AS BIGINT) AS t2_milli,
+       CAST(CASE WHEN {_ht2_stat} > {_HT2_CRIT_MILLI} THEN 1 ELSE 0 END
+            AS BIGINT) AS means_differ
+FROM j
+"""
+
+
+# ---------------------------------------------------------------------------
+# mahalanobis_outlier_census — whitened-distance multivariate outliers
+# ---------------------------------------------------------------------------
+
+_MAH_TOPK = 15
+
+
+def mahalanobis_outlier_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAHALANOBIS outlier census (SURVEY §2 #342) — the multivariate
+    companion of outlier_mad's univariate fences, sharing
+    hotelling_t2's exact 2x2 whitening: a customer with unremarkable
+    spend AND unremarkable order count can still be wildly anomalous
+    in the JOINT space (high spend with few orders), and d² =
+    v'S⁻¹v is the distance that sees it.  The covariance inverse is
+    the closed-form 2×2 rational; d²·det stays integer per customer
+    (means at milli, no per-row division), and only the published
+    top-15 divide once by det.  Flag = d² above the chi2(2df) 99%
+    literal (9210 milli).
+
+    Scale shape: one fact agg to per-customer (x, y); ONE moment fold
+    broadcast back; per-row d²·det is a map-side projection; the
+    top-k election is a WindowGroupLimit rank.  No census bigger than
+    the moment row.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = orders.groupBy(F.col("o_custkey").alias("cust")).agg(
+        F.expr(
+            "cast(sum(cast(o_totalprice as decimal(18,2)) * 100)"
+            " as bigint) div 100000"
+        ).alias("x"),
+        F.count(F.lit(1)).alias("y"),
+    )
+    mom = per_cust.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("cast(x as decimal(38,0)) * x")).alias("sxx"),
+        F.sum(F.expr("cast(y as decimal(38,0)) * y")).alias("syy"),
+        F.sum(F.expr("cast(x as decimal(38,0)) * y")).alias("sxy"),
+    ).select(
+        "n",
+        "sx",
+        "sy",
+        # covariance entries at milli² scale (x1e6), means at milli
+        F.expr(
+            "(1000000 * (n * sxx - cast(sx as decimal(38,0)) * sx))"
+            " div (cast(n as decimal(38,0)) * n)"
+        ).alias("cxx"),
+        F.expr(
+            "(1000000 * (n * syy - cast(sy as decimal(38,0)) * sy))"
+            " div (cast(n as decimal(38,0)) * n)"
+        ).alias("cyy"),
+        F.expr(
+            "(1000000 * (n * sxy - cast(sx as decimal(38,0)) * sy))"
+            " div (cast(n as decimal(38,0)) * n)"
+        ).alias("cxy"),
+        F.expr("(1000 * cast(sx as decimal(38,0))) div n").alias("mx"),
+        F.expr("(1000 * cast(sy as decimal(38,0))) div n").alias("my"),
+    )
+    scored = per_cust.crossJoin(F.broadcast(mom)).select(
+        "cust",
+        "x",
+        "y",
+        # d2 * det * 1e6: (vx^2*cyy - 2 vx vy cxy + vy^2*cxx) with
+        # vx = 1000x - mx (milli units)
+        F.expr(
+            "cast(1000 * x - mx as decimal(38,0))"
+            " * (1000 * x - mx) * cyy"
+            " - 2 * cast(1000 * x - mx as decimal(38,0))"
+            " * (1000 * y - my) * cxy"
+            " + cast(1000 * y - my as decimal(38,0))"
+            " * (1000 * y - my) * cxx"
+        ).alias("num"),
+        F.expr(
+            "cast(cxx as decimal(38,0)) * cyy"
+            " - cast(cxy as decimal(38,0)) * cxy"
+        ).alias("det"),
+    )
+    wtop = Window.orderBy(F.desc("num"), F.asc("cust"))
+    return (
+        scored.withColumn("rk", F.row_number().over(wtop))
+        .filter(f"rk <= {_MAH_TOPK}")
+        .select(
+            F.col("rk").cast("bigint").alias("rank"),
+            F.col("cust").cast("bigint").alias("custkey"),
+            F.col("x").cast("bigint").alias("spend_k"),
+            F.col("y").cast("bigint").alias("n_orders"),
+            F.expr(
+                "cast((1000000 * num) div nullif(det, 0) div 1000000"
+                " as bigint)"
+            ).alias("d2_milli"),
+            F.expr(
+                "cast(CASE WHEN (1000000 * num) div nullif(det, 0)"
+                " div 1000000 > 9210 THEN 1 ELSE 0 END as bigint)"
+            ).alias("beyond_chi2_99"),
+        )
+        .orderBy("rank")
+    )
+
+
+ROUND8_QUERIES["mahalanobis_outlier_census"] = mahalanobis_outlier_census
+
+ROUND8_ORACLES["mahalanobis_outlier_census"] = f"""
+WITH per_cust AS (
+  SELECT o_custkey AS cust,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+           // 100000 AS x,
+         count(*) AS y
+  FROM orders GROUP BY o_custkey
+),
+mom AS (
+  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x::HUGEINT * x) AS sxx, sum(y::HUGEINT * y) AS syy,
+         sum(x::HUGEINT * y) AS sxy
+  FROM per_cust
+),
+prior AS MATERIALIZED (
+  SELECT n,
+         (1000000 * (n * sxx - sx::HUGEINT * sx)) // (n::HUGEINT * n)
+           AS cxx,
+         (1000000 * (n * syy - sy::HUGEINT * sy)) // (n::HUGEINT * n)
+           AS cyy,
+         (1000000 * (n * sxy - sx::HUGEINT * sy)) // (n::HUGEINT * n)
+           AS cxy,
+         (1000 * sx::HUGEINT) // n AS mx,
+         (1000 * sy::HUGEINT) // n AS my
+  FROM mom
+),
+scored AS MATERIALIZED (
+  SELECT cust, x, y,
+         (1000 * x - mx)::HUGEINT * (1000 * x - mx) * cyy
+           - 2 * (1000 * x - mx)::HUGEINT * (1000 * y - my) * cxy
+           + (1000 * y - my)::HUGEINT * (1000 * y - my) * cxx AS num,
+         cxx::HUGEINT * cyy - cxy::HUGEINT * cxy AS det
+  FROM per_cust CROSS JOIN prior
+)
+SELECT CAST(row_number() OVER (ORDER BY num DESC, cust) AS BIGINT) AS rank,
+       CAST(cust AS BIGINT) AS custkey,
+       CAST(x AS BIGINT) AS spend_k,
+       CAST(y AS BIGINT) AS n_orders,
+       CAST((1000000 * num) // nullif(det, 0) // 1000000 AS BIGINT)
+         AS d2_milli,
+       CAST(CASE WHEN (1000000 * num) // nullif(det, 0) // 1000000 > 9210
+                 THEN 1 ELSE 0 END AS BIGINT) AS beyond_chi2_99
+FROM scored
+QUALIFY rank <= {_MAH_TOPK}
+ORDER BY rank
+"""
