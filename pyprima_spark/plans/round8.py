@@ -14023,3 +14023,214 @@ FROM scored
 QUALIFY rank <= {_MAH_TOPK}
 ORDER BY rank
 """
+
+
+# ---------------------------------------------------------------------------
+# mcnemar_test — paired proportions on the SAME customers
+# ---------------------------------------------------------------------------
+
+
+def mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNEMAR paired test (SURVEY §2 #343) — the repeated-measures
+    gap in the testing family: every current test compares
+    INDEPENDENT groups, but "did activity change from 1996 to 1997"
+    must pair each customer with THEMSELVES (independent-samples chi2
+    wastes the pairing and loses power; worse, it's biased when the
+    population mix shifts).  McNemar 1947 uses only the DISCORDANT
+    cells: chi2 = (|b - c| - 1)^2 / (b + c) (continuity-corrected),
+    where b = active-then-idle and c = idle-then-active — exact
+    integers end to end, per segment, against the 3.841 literal.
+
+    Scale shape: one fact agg to per-customer (active96, active97),
+    one census agg to the 5x4 contingency cells.  Windowless.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("cust"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    per_cust = orders.groupBy(F.col("o_custkey").alias("cust")).agg(
+        F.max(
+            F.expr(
+                "o_orderdate >= date'1996-01-01'"
+                " AND o_orderdate < date'1997-01-01'"
+            ).cast("int")
+        ).alias("a96"),
+        F.max(
+            F.expr(
+                "o_orderdate >= date'1997-01-01'"
+                " AND o_orderdate < date'1998-01-01'"
+            ).cast("int")
+        ).alias("a97"),
+    )
+    cells = per_cust.join(cust, "cust").groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.expr("CASE WHEN a96 = 1 AND a97 = 0 THEN 1 ELSE 0 END"))
+        .alias("b"),
+        F.sum(F.expr("CASE WHEN a96 = 0 AND a97 = 1 THEN 1 ELSE 0 END"))
+        .alias("c"),
+    )
+    return cells.select(
+        "segment",
+        F.col("n").cast("bigint").alias("n_customers"),
+        F.col("b").cast("bigint").alias("became_idle"),
+        F.col("c").cast("bigint").alias("became_active"),
+        F.expr(
+            "cast(coalesce((1000 * (abs(b - c) - 1)"
+            " * cast(abs(b - c) - 1 as decimal(38,0)))"
+            " div nullif(b + c, 0), -1) as bigint)"
+        ).alias("chi2_milli"),
+        F.expr(
+            "cast(CASE WHEN coalesce((1000 * (abs(b - c) - 1)"
+            " * cast(abs(b - c) - 1 as decimal(38,0)))"
+            " div nullif(b + c, 0), -1) > 3841 THEN 1 ELSE 0 END"
+            " as bigint)"
+        ).alias("rates_changed"),
+    ).orderBy("segment")
+
+
+ROUND8_QUERIES["mcnemar_test"] = mcnemar_test
+
+_mcn_chi = (
+    "coalesce((1000 * (abs(b - c) - 1) * (abs(b - c) - 1)::HUGEINT)"
+    " // nullif(b + c, 0), -1)"
+)
+
+ROUND8_ORACLES["mcnemar_test"] = f"""
+WITH per_cust AS (
+  SELECT o_custkey AS cust,
+         max(CASE WHEN o_orderdate >= DATE '1996-01-01'
+                   AND o_orderdate < DATE '1997-01-01'
+                  THEN 1 ELSE 0 END) AS a96,
+         max(CASE WHEN o_orderdate >= DATE '1997-01-01'
+                   AND o_orderdate < DATE '1998-01-01'
+                  THEN 1 ELSE 0 END) AS a97
+  FROM orders GROUP BY o_custkey
+),
+cells AS (
+  SELECT c.c_mktsegment AS segment, count(*) AS n,
+         sum(CASE WHEN a96 = 1 AND a97 = 0 THEN 1 ELSE 0 END) AS b,
+         sum(CASE WHEN a96 = 0 AND a97 = 1 THEN 1 ELSE 0 END) AS c
+  FROM per_cust p JOIN customer c ON c.c_custkey = p.cust
+  GROUP BY 1
+)
+SELECT segment,
+       CAST(n AS BIGINT) AS n_customers,
+       CAST(b AS BIGINT) AS became_idle,
+       CAST(c AS BIGINT) AS became_active,
+       CAST({_mcn_chi} AS BIGINT) AS chi2_milli,
+       CAST(CASE WHEN {_mcn_chi} > 3841 THEN 1 ELSE 0 END AS BIGINT)
+         AS rates_changed
+FROM cells ORDER BY segment
+"""
+
+
+# ---------------------------------------------------------------------------
+# cochran_q_test — k-treatment repeated-measures test
+# ---------------------------------------------------------------------------
+
+
+def cochran_q_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COCHRAN'S Q test (SURVEY §2 #344) — McNemar's k-treatment
+    generalization (Cochran 1950): are the SAME customers' activity
+    rates equal across 1995/1996/1997?  Binary repeated measures
+    where one-way ANOVA is wrong and k separate McNemars inflate
+    alpha (the bh_fdr lesson).  Q = (k-1)[k*sum C_j^2 - (sum C_j)^2]
+    / (k*sum R_i - sum R_i^2) with C_j = per-year actives and R_i =
+    each customer's active-year count — the denominator folds from
+    the tiny R in {{0..3}} census, so everything is one exact
+    integer expression per segment against the chi2(2df) 5.991
+    literal.
+
+    Scale shape: one fact agg to per-customer year flags, one census
+    agg per segment (C_j sums + R moments in the same pass).
+    Windowless.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("cust"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    per_cust = orders.groupBy(F.col("o_custkey").alias("cust")).agg(
+        *[
+            F.max(
+                F.expr(
+                    f"o_orderdate >= date'{y}-01-01'"
+                    f" AND o_orderdate < date'{y + 1}-01-01'"
+                ).cast("int")
+            ).alias(f"a{y}")
+            for y in (1995, 1996, 1997)
+        ]
+    )
+    cells = per_cust.join(cust, "cust").groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("a1995").alias("c1"),
+        F.sum("a1996").alias("c2"),
+        F.sum("a1997").alias("c3"),
+        F.sum(F.expr("a1995 + a1996 + a1997")).alias("sr"),
+        F.sum(
+            F.expr(
+                "(a1995 + a1996 + a1997) * (a1995 + a1996 + a1997)"
+            )
+        ).alias("sr2"),
+    )
+    q = (
+        "(2000 * (3 * (cast(c1 as decimal(38,0)) * c1"
+        " + cast(c2 as decimal(38,0)) * c2"
+        " + cast(c3 as decimal(38,0)) * c3)"
+        " - cast(sr as decimal(38,0)) * sr))"
+        " div nullif(3 * cast(sr as decimal(38,0)) - sr2, 0)"
+    )
+    return cells.select(
+        "segment",
+        F.col("n").cast("bigint").alias("n_customers"),
+        F.col("c1").cast("bigint").alias("active_1995"),
+        F.col("c2").cast("bigint").alias("active_1996"),
+        F.col("c3").cast("bigint").alias("active_1997"),
+        F.expr(f"cast(coalesce({q}, -1) as bigint)").alias("q_milli"),
+        F.expr(
+            f"cast(CASE WHEN coalesce({q}, -1) > 5991 THEN 1 ELSE 0 END"
+            " as bigint)"
+        ).alias("rates_differ"),
+    ).orderBy("segment")
+
+
+ROUND8_QUERIES["cochran_q_test"] = cochran_q_test
+
+_coq_q = (
+    "(2000 * (3 * (c1::HUGEINT * c1 + c2::HUGEINT * c2 + c3::HUGEINT * c3)"
+    " - sr::HUGEINT * sr)) // nullif(3 * sr::HUGEINT - sr2, 0)"
+)
+
+ROUND8_ORACLES["cochran_q_test"] = f"""
+WITH per_cust AS (
+  SELECT o_custkey AS cust,
+         max(CASE WHEN o_orderdate >= DATE '1995-01-01'
+                   AND o_orderdate < DATE '1996-01-01'
+                  THEN 1 ELSE 0 END) AS a1995,
+         max(CASE WHEN o_orderdate >= DATE '1996-01-01'
+                   AND o_orderdate < DATE '1997-01-01'
+                  THEN 1 ELSE 0 END) AS a1996,
+         max(CASE WHEN o_orderdate >= DATE '1997-01-01'
+                   AND o_orderdate < DATE '1998-01-01'
+                  THEN 1 ELSE 0 END) AS a1997
+  FROM orders GROUP BY o_custkey
+),
+cells AS (
+  SELECT c.c_mktsegment AS segment, count(*) AS n,
+         sum(a1995) AS c1, sum(a1996) AS c2, sum(a1997) AS c3,
+         sum(a1995 + a1996 + a1997) AS sr,
+         sum((a1995 + a1996 + a1997) * (a1995 + a1996 + a1997)) AS sr2
+  FROM per_cust p JOIN customer c ON c.c_custkey = p.cust
+  GROUP BY 1
+)
+SELECT segment,
+       CAST(n AS BIGINT) AS n_customers,
+       CAST(c1 AS BIGINT) AS active_1995,
+       CAST(c2 AS BIGINT) AS active_1996,
+       CAST(c3 AS BIGINT) AS active_1997,
+       CAST(coalesce({_coq_q}, -1) AS BIGINT) AS q_milli,
+       CAST(CASE WHEN coalesce({_coq_q}, -1) > 5991 THEN 1 ELSE 0 END
+            AS BIGINT) AS rates_differ
+FROM cells ORDER BY segment
+"""
