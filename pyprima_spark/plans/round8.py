@@ -14234,3 +14234,181 @@ SELECT segment,
             AS BIGINT) AS rates_differ
 FROM cells ORDER BY segment
 """
+
+
+# ---------------------------------------------------------------------------
+# friedman_test — rank-based repeated measures over blocks
+# ---------------------------------------------------------------------------
+
+
+def _yearly_nation_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared input for the Friedman/Page pair: per (nation, year)
+    revenue, ranked WITHIN each nation block across the 3 years
+    (deterministic tiebreak by year; revenue ties are integer-cents
+    exact and practically absent)."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.expr("o_orderdate >= date'1995-01-01'")
+        & F.expr("o_orderdate < date'1998-01-01'")
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("cust"), F.col("c_nationkey").alias("nk")
+    )
+    yearly = (
+        orders.join(cust, F.col("o_custkey") == F.col("cust"))
+        .groupBy("nk", F.expr("year(o_orderdate)").alias("yr"))
+        .agg(
+            F.expr(
+                "cast(sum(cast(o_totalprice as decimal(18,2)) * 100)"
+                " as decimal(38,0)) as cents"
+            ).alias("rev")
+        )
+    )
+    w = Window.partitionBy("nk").orderBy("rev", "yr")
+    return yearly.withColumn("r", F.row_number().over(w))
+
+
+def friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FRIEDMAN TEST (SURVEY §2 #345) — the rank-based
+    repeated-measures omnibus (Friedman 1937), cochran_q's continuous
+    sibling: are the THREE years' revenues drawn from the same
+    distribution when each NATION serves as its own block?  One-way
+    ANOVA across years would let the Kenya-vs-Germany scale dwarf the
+    year effect; ranking WITHIN blocks removes scale entirely.
+    chi2_F = 12 sum R_j^2 / (n k (k+1)) - 3 n (k+1), exact integers
+    (column rank sums over the 25x3 rank census) in milli against
+    the chi2(2df) 5.991 literal.
+
+    Scale shape: one fact agg to the 75-row (nation, year) census;
+    within-block ranks are windows PARTITIONED by nation over it; the
+    statistic is one fold.
+    """
+    ranked = _yearly_nation_ranks(spark, sf_dir)
+    cols = ranked.groupBy("yr").agg(F.sum("r").alias("rj"))
+    folded = cols.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum(F.expr("cast(rj as decimal(38,0)) * rj")).alias("srj2"),
+        F.expr("cast(sum(rj) as decimal(38,0))").alias("tot"),
+    )
+    n = ranked.select("nk").distinct().count()
+    q = (
+        f"(12000 * srj2) div ({n} * k * (k + 1))"
+        f" - 3000 * {n} * (k + 1)"
+    )
+    return folded.select(
+        F.lit(n).cast("bigint").alias("n_blocks"),
+        F.col("k").cast("bigint").alias("k_treatments"),
+        F.expr(f"cast({q} as bigint)").alias("chi2_milli"),
+        F.expr(
+            f"cast(CASE WHEN {q} > 5991 THEN 1 ELSE 0 END as bigint)"
+        ).alias("years_differ"),
+    )
+
+
+ROUND8_QUERIES["friedman_test"] = friedman_test
+
+_FRIED_RANKS_CTE = """yearly AS MATERIALIZED (
+  SELECT c.c_nationkey AS nk, year(o_orderdate) AS yr,
+         sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS rev
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1998-01-01'
+  GROUP BY 1, 2
+),
+ranked AS MATERIALIZED (
+  SELECT nk, yr,
+         row_number() OVER (PARTITION BY nk ORDER BY rev, yr) AS r
+  FROM yearly
+)"""
+
+ROUND8_ORACLES["friedman_test"] = f"""
+WITH {_FRIED_RANKS_CTE},
+cols AS (SELECT yr, sum(r) AS rj FROM ranked GROUP BY yr),
+folded AS (
+  SELECT count(*) AS k, sum(rj::HUGEINT * rj) AS srj2 FROM cols
+),
+nblocks AS (SELECT count(DISTINCT nk) AS n FROM ranked)
+SELECT CAST(n AS BIGINT) AS n_blocks,
+       CAST(k AS BIGINT) AS k_treatments,
+       CAST((12000 * srj2) // (n * k * (k + 1)) - 3000 * n * (k + 1)
+            AS BIGINT) AS chi2_milli,
+       CAST(CASE WHEN (12000 * srj2) // (n * k * (k + 1))
+                      - 3000 * n * (k + 1) > 5991
+                 THEN 1 ELSE 0 END AS BIGINT) AS years_differ
+FROM folded CROSS JOIN nblocks
+"""
+
+
+# ---------------------------------------------------------------------------
+# page_trend_test — ordered-alternative repeated measures
+# ---------------------------------------------------------------------------
+
+
+def page_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PAGE'S TREND TEST (SURVEY §2 #346) — the ORDERED-alternative
+    sibling of friedman_test (Page 1963): Friedman asks "do the years
+    differ AT ALL"; Page asks "do they INCREASE in calendar order" —
+    far more powerful when the alternative really is monotone growth
+    (the business default).  L = sum_j j * R_j over the same
+    within-nation rank census; the null moments are closed-form
+    (E[L] = n k (k+1)^2 / 4, 144 Var = n k^2 (k+1) (k^2-1) ... the
+    z^2 form keeps everything rational), published in milli against
+    3.841.
+
+    Scale shape: identical to friedman_test — the two keys share the
+    75-row rank census build; one fold each.
+    """
+    ranked = _yearly_nation_ranks(spark, sf_dir)
+    cols = ranked.groupBy("yr").agg(F.sum("r").alias("rj"))
+    wj = Window.orderBy("yr")
+    folded = (
+        cols.withColumn("j", F.row_number().over(wj))
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.sum(F.expr("cast(j as decimal(38,0)) * rj")).alias("l_stat"),
+        )
+    )
+    n = ranked.select("nk").distinct().count()
+    # z^2 = (L - E)^2 / Var; E = n k (k+1)^2 / 4,
+    # Var = n k^2 (k+1)^2 (k-1) / 144
+    z2 = (
+        f"(144000 * (4 * l_stat - {n} * k * (k + 1) * (k + 1))"
+        f" * (4 * l_stat - {n} * k * (k + 1) * (k + 1)))"
+        f" div (16 * {n} * k * k * (k + 1) * (k + 1) * (k - 1))"
+    )
+    return folded.select(
+        F.lit(n).cast("bigint").alias("n_blocks"),
+        F.col("k").cast("bigint").alias("k_treatments"),
+        F.col("l_stat").cast("bigint").alias("page_l"),
+        F.expr(f"cast({z2} as bigint)").alias("z2_milli"),
+        F.expr(
+            f"cast(CASE WHEN {z2} > 3841 THEN 1 ELSE 0 END as bigint)"
+        ).alias("monotone_trend"),
+    )
+
+
+ROUND8_QUERIES["page_trend_test"] = page_trend_test
+
+ROUND8_ORACLES["page_trend_test"] = f"""
+WITH {_FRIED_RANKS_CTE},
+cols AS (
+  SELECT yr, sum(r) AS rj,
+         row_number() OVER (ORDER BY yr) AS j
+  FROM ranked GROUP BY yr
+),
+folded AS (
+  SELECT count(*) AS k, sum(j::HUGEINT * rj) AS l_stat FROM cols
+),
+nblocks AS (SELECT count(DISTINCT nk) AS n FROM ranked)
+SELECT CAST(n AS BIGINT) AS n_blocks,
+       CAST(k AS BIGINT) AS k_treatments,
+       CAST(l_stat AS BIGINT) AS page_l,
+       CAST((144000 * (4 * l_stat - n * k * (k + 1) * (k + 1))
+             * (4 * l_stat - n * k * (k + 1) * (k + 1)))
+            // (16 * n::HUGEINT * k * k * (k + 1) * (k + 1) * (k - 1))
+            AS BIGINT) AS z2_milli,
+       CAST(CASE WHEN (144000 * (4 * l_stat - n * k * (k + 1) * (k + 1))
+                       * (4 * l_stat - n * k * (k + 1) * (k + 1)))
+                      // (16 * n::HUGEINT * k * k * (k + 1) * (k + 1)
+                          * (k - 1)) > 3841
+                 THEN 1 ELSE 0 END AS BIGINT) AS monotone_trend
+FROM folded CROSS JOIN nblocks
+"""

@@ -52,6 +52,8 @@ GLOBAL_WINDOW_ALLOWED = {
     "seat_apportionment",
     # prefix identity over the quantized value census
     "energy_distance_test",
+    # j-index over the 3-row year-column census
+    "page_trend_test",
     # criterion ranks over the brand census
     "voting_methods_compare",
     "key_skew_profile",
