@@ -14412,3 +14412,232 @@ SELECT CAST(n AS BIGINT) AS n_blocks,
                  THEN 1 ELSE 0 END AS BIGINT) AS monotone_trend
 FROM folded CROSS JOIN nblocks
 """
+
+
+# ---------------------------------------------------------------------------
+# indirect_standardization — SMR-style rate adjustment across strata
+# ---------------------------------------------------------------------------
+
+
+def indirect_standardization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INDIRECT STANDARDIZATION / SMR (SURVEY §2 #347) — the
+    epidemiology-standard rate adjustment (the standardized mortality
+    ratio) for exactly the situation disparate_impact_audit's raw
+    rates mislead in: a nation can show a low crude conversion rate
+    ONLY because its customers sit in low-converting balance strata.
+    Expected events = sum over strata of n_stratum x GLOBAL stratum
+    rate (kept rational: sum n_s*pos_s_glob/n_s_glob with one
+    cross-multiplied fold); SMR_bp = 10000*observed/expected.  SMR
+    above 10000 after adjustment is a REAL nation effect, not
+    composition — the indirect method works even when per-nation
+    stratum cells are tiny (which is why epi prefers it to direct
+    standardization on small units).
+
+    Scale shape: one fact agg to per-customer conversion; the
+    (nation, stratum) census and the global stratum census are two
+    group-bys; expected folds via a broadcast join.  Windowless.
+    """
+    cust = _t(spark, sf_dir, "customer").join(
+        _t(spark, sf_dir, "nation"),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).select(
+        F.col("c_custkey").alias("cust"),
+        F.col("n_name").alias("nation"),
+        F.expr(
+            "least(greatest(cast((cast(cast(c_acctbal as decimal(12,2))"
+            " * 100 as bigint) + 100000) div 110000 as int), 0), 9)"
+        ).alias("stratum"),
+    )
+    per_cust = _t(spark, sf_dir, "orders").groupBy(
+        F.col("o_custkey").alias("cust")
+    ).agg(
+        F.max(
+            F.expr("o_orderdate >= date'1998-01-01'").cast("int")
+        ).alias("conv")
+    )
+    cells = materialize(
+        per_cust.join(cust, "cust")
+        .groupBy("nation", "stratum")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("conv").alias("pos"))
+    )
+    glob = cells.groupBy("stratum").agg(
+        F.sum("n").alias("ng"), F.sum("pos").alias("pg")
+    )
+    return (
+        cells.join(F.broadcast(glob), "stratum")
+        .groupBy("nation")
+        .agg(
+            F.sum("n").cast("bigint").alias("n"),
+            F.sum("pos").alias("observed"),
+            # expected * 1e6: per-stratum floor of 1e6 * n * pg / ng
+            F.sum(
+                F.expr(
+                    "(1000000 * cast(n as decimal(38,0)) * pg) div ng"
+                )
+            ).alias("expected_e6"),
+        )
+        .select(
+            "nation",
+            "n",
+            F.col("observed").cast("bigint").alias("observed"),
+            F.expr("cast(expected_e6 div 1000000 as bigint)").alias(
+                "expected"
+            ),
+            F.expr(
+                "cast(coalesce((10000000000 * cast(observed"
+                " as decimal(38,0))) div nullif(expected_e6, 0) div 1000,"
+                " -1) as bigint)"
+            ).alias("smr_bp"),
+        )
+        .orderBy("nation")
+    )
+
+
+ROUND8_QUERIES["indirect_standardization"] = indirect_standardization
+
+ROUND8_ORACLES["indirect_standardization"] = """
+WITH cust AS (
+  SELECT c_custkey AS cust, n_name AS nation,
+         least(greatest(CAST((CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100
+                              AS BIGINT) + 100000) // 110000 AS INT), 0), 9)
+           AS stratum
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+),
+per_cust AS (
+  SELECT o_custkey AS cust,
+         max(CASE WHEN o_orderdate >= DATE '1998-01-01'
+                  THEN 1 ELSE 0 END) AS conv
+  FROM orders GROUP BY o_custkey
+),
+cells AS MATERIALIZED (
+  SELECT nation, stratum, count(*) AS n, sum(conv) AS pos
+  FROM per_cust JOIN cust USING (cust)
+  GROUP BY nation, stratum
+),
+gbl AS (
+  SELECT stratum, sum(n) AS ng, sum(pos) AS pg FROM cells GROUP BY stratum
+),
+folded AS (
+  SELECT nation, sum(c.n) AS n, sum(c.pos) AS observed,
+         sum((1000000 * c.n::HUGEINT * g.pg) // g.ng) AS expected_e6
+  FROM cells c JOIN gbl g USING (stratum)
+  GROUP BY nation
+)
+SELECT nation,
+       CAST(n AS BIGINT) AS n,
+       CAST(observed AS BIGINT) AS observed,
+       CAST(expected_e6 // 1000000 AS BIGINT) AS expected,
+       CAST(coalesce((10000000000 * observed::HUGEINT)
+                     // nullif(expected_e6, 0) // 1000, -1) AS BIGINT)
+         AS smr_bp
+FROM folded
+ORDER BY nation
+"""
+
+
+# ---------------------------------------------------------------------------
+# dissimilarity_index — Duncan segregation + exposure indices
+# ---------------------------------------------------------------------------
+
+
+def dissimilarity_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DUNCAN DISSIMILARITY + EXPOSURE indices (SURVEY §2 #348) — the
+    segregation measures (Duncan & Duncan 1955; Massey-Denton) the
+    fairness family reads rates with but never measures STRUCTURE
+    with: D = half the sum of |a_i/A - b_i/B| over nations is the
+    share of BUILDING customers who would have to RELOCATE for an
+    even spread (the eviction-cost reading is why D is the standard),
+    and the exposure index P* = sum (a_i/A)(b_i/t_i) says who a
+    BUILDING customer actually meets.  Both exact rationals published
+    in bp with per-term cross-multiplied floors; one output row with
+    the term census beside it per nation.
+
+    Scale shape: one dim-join agg to the 25-nation two-group census;
+    two census folds broadcast back onto the per-nation rows.
+    """
+    cust = _t(spark, sf_dir, "customer").join(
+        _t(spark, sf_dir, "nation"),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).select(
+        F.col("n_name").alias("nation"),
+        F.expr(
+            "CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END"
+        ).alias("grp_a"),
+    )
+    cells = materialize(
+        cust.groupBy("nation").agg(
+            F.sum("grp_a").alias("a"),
+            F.sum(F.expr("1 - grp_a")).alias("b"),
+        )
+    )
+    tot = cells.agg(F.sum("a").alias("ta"), F.sum("b").alias("tb"))
+    terms = cells.crossJoin(F.broadcast(tot)).select(
+        "nation",
+        "a",
+        "b",
+        # |a_i/A - b_i/B| in e8 units, cross-multiplied
+        F.expr(
+            "(100000000 * abs(cast(a as decimal(38,0)) * tb"
+            " - cast(b as decimal(38,0)) * ta))"
+            " div (cast(ta as decimal(38,0)) * tb)"
+        ).alias("d_term_e8"),
+        # (a_i/A)*(b_i/(a_i+b_i)) in e8
+        F.expr(
+            "(100000000 * cast(a as decimal(38,0)) * b)"
+            " div (cast(ta as decimal(38,0)) * (a + b))"
+        ).alias("p_term_e8"),
+    )
+    folds = terms.agg(
+        F.sum("d_term_e8").alias("sd"), F.sum("p_term_e8").alias("sp")
+    )
+    return (
+        terms.crossJoin(F.broadcast(folds))
+        .select(
+            "nation",
+            F.col("a").cast("bigint").alias("n_building"),
+            F.col("b").cast("bigint").alias("n_rest"),
+            F.expr("cast(d_term_e8 div 10000 as bigint)").alias(
+                "d_term_bp"
+            ),
+            F.expr("cast((sd div 2) div 10000 as bigint)").alias(
+                "dissimilarity_bp"
+            ),
+            F.expr("cast(sp div 10000 as bigint)").alias(
+                "exposure_bp"
+            ),
+        )
+        .orderBy("nation")
+    )
+
+
+ROUND8_QUERIES["dissimilarity_index"] = dissimilarity_index
+
+ROUND8_ORACLES["dissimilarity_index"] = """
+WITH cells AS MATERIALIZED (
+  SELECT n_name AS nation,
+         sum(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END) AS a,
+         sum(CASE WHEN c_mktsegment = 'BUILDING' THEN 0 ELSE 1 END) AS b
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1
+),
+tot AS (SELECT sum(a) AS ta, sum(b) AS tb FROM cells),
+terms AS (
+  SELECT nation, a, b,
+         (100000000 * abs(a::HUGEINT * tb - b::HUGEINT * ta))
+           // (ta::HUGEINT * tb) AS d_term_e8,
+         (100000000 * a::HUGEINT * b) // (ta::HUGEINT * (a + b))
+           AS p_term_e8
+  FROM cells CROSS JOIN tot
+),
+folds AS (
+  SELECT sum(d_term_e8) AS sd, sum(p_term_e8) AS sp FROM terms
+)
+SELECT nation,
+       CAST(a AS BIGINT) AS n_building,
+       CAST(b AS BIGINT) AS n_rest,
+       CAST(d_term_e8 // 10000 AS BIGINT) AS d_term_bp,
+       CAST((sd // 2) // 10000 AS BIGINT) AS dissimilarity_bp,
+       CAST(sp // 10000 AS BIGINT) AS exposure_bp
+FROM terms CROSS JOIN folds
+ORDER BY nation
+"""
