@@ -14641,3 +14641,298 @@ SELECT nation,
 FROM terms CROSS JOIN folds
 ORDER BY nation
 """
+
+
+# ---------------------------------------------------------------------------
+# local_morans_hotspots — LISA hotspot census on the lattice
+# ---------------------------------------------------------------------------
+
+_LISA_TOPK = 10
+
+
+def local_morans_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCAL MORAN'S I hotspots (SURVEY §2 #349) — Anselin 1995's
+    LISA, the WHERE to morans_i_autocorrelation's global WHETHER: the
+    global I can be near zero while strong hot and cold spots cancel;
+    the local statistic I_i proportional to z_i * sum_j w_ij z_j finds
+    them cell by cell, and its sum RECONSTRUCTS the global numerator
+    (published as a cross-check column — the decomposition identity
+    is the LISA contract).  Same 36x16 balance lattice and rook
+    weights as the global key; the top-10 |I_i| cells publish with a
+    hotspot class (high-high / low-low / high-low outlier — the
+    Moran-scatterplot quadrants, exact sign tests).
+
+    Scale shape: identical censuses to the global key (materialized
+    once); I_i is a per-cell projection after the neighbor fold; the
+    top-k election is a WindowGroupLimit rank over the cell census.
+    """
+    cust = _t(spark, sf_dir, "customer").select(
+        F.expr(
+            f"cast((c_custkey * 104729 % 360) div {360 // _MOR_LON_CELLS}"
+            " as int)"
+        ).alias("cx"),
+        F.expr(
+            f"cast((c_custkey * 7919 % 160) div {160 // _MOR_LAT_CELLS}"
+            " as int)"
+        ).alias("cy"),
+        F.expr(
+            "cast(cast(c_acctbal as decimal(12,2)) * 100 as bigint)"
+        ).alias("bal"),
+    )
+    cells = materialize(
+        cust.groupBy("cx", "cy").agg(
+            F.expr("sum(bal) div count(*)").alias("x")
+        )
+    )
+    tot = cells.agg(F.count(F.lit(1)).alias("n"), F.sum("x").alias("sx"))
+    z = materialize(
+        cells.crossJoin(F.broadcast(tot)).select(
+            "cx",
+            "cy",
+            F.expr("cast(n as decimal(38,0)) * x - sx").alias("z"),
+        )
+    )
+    zb = z.select(
+        F.col("cx").alias("cx2"), F.col("cy").alias("cy2"),
+        F.col("z").alias("z2"),
+    )
+    nbr = (
+        z.join(
+            zb,
+            (
+                (F.col("cx2") == F.col("cx") + 1)
+                & (F.col("cy2") == F.col("cy"))
+            )
+            | (
+                (F.col("cx2") == F.col("cx") - 1)
+                & (F.col("cy2") == F.col("cy"))
+            )
+            | (
+                (F.col("cy2") == F.col("cy") + 1)
+                & (F.col("cx2") == F.col("cx"))
+            )
+            | (
+                (F.col("cy2") == F.col("cy") - 1)
+                & (F.col("cx2") == F.col("cx"))
+            ),
+        )
+        .groupBy("cx", "cy", "z")
+        .agg(F.sum("z2").alias("zlag"), F.count(F.lit(1)).alias("n_nbr"))
+    )
+    scored = materialize(
+        nbr.withColumn(
+            "ii", F.expr("cast(z as decimal(38,0)) * zlag")
+        )
+    )
+    glob_num = scored.agg(F.sum("ii").alias("global_num"))
+    wtop = Window.orderBy(F.desc(F.expr("abs(ii)")), F.asc("cx"), F.asc("cy"))
+    return (
+        scored.withColumn("rk", F.row_number().over(wtop))
+        .filter(f"rk <= {_LISA_TOPK}")
+        .crossJoin(F.broadcast(glob_num))
+        .select(
+            F.col("rk").cast("bigint").alias("rank"),
+            F.col("cx").cast("bigint").alias("cell_x"),
+            F.col("cy").cast("bigint").alias("cell_y"),
+            F.col("n_nbr").cast("bigint").alias("n_neighbors"),
+            F.expr("cast(ii div 1000000000 as bigint)").alias("i_local_g"),
+            F.expr(
+                "CASE WHEN z > 0 AND zlag > 0 THEN 'high_high'"
+                " WHEN z < 0 AND zlag < 0 THEN 'low_low'"
+                " WHEN z > 0 THEN 'high_low_outlier'"
+                " ELSE 'low_high_outlier' END"
+            ).alias("quadrant"),
+            F.expr(
+                "cast(global_num div 1000000000 as bigint)"
+            ).alias("global_numerator_g"),
+        )
+        .orderBy("rank")
+    )
+
+
+ROUND8_QUERIES["local_morans_hotspots"] = local_morans_hotspots
+
+ROUND8_ORACLES["local_morans_hotspots"] = f"""
+WITH cust AS (
+  SELECT CAST((c_custkey * 104729 % 360) // {360 // _MOR_LON_CELLS} AS INT)
+           AS cx,
+         CAST((c_custkey * 7919 % 160) // {160 // _MOR_LAT_CELLS} AS INT)
+           AS cy,
+         CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS bal
+  FROM customer
+),
+cells AS MATERIALIZED (
+  SELECT cx, cy, sum(bal) // count(*) AS x FROM cust GROUP BY cx, cy
+),
+tot AS (SELECT count(*) AS n, sum(x) AS sx FROM cells),
+z AS MATERIALIZED (
+  SELECT cx, cy, t.n::HUGEINT * x - t.sx AS z
+  FROM cells CROSS JOIN tot t
+),
+nbr AS MATERIALIZED (
+  SELECT a.cx, a.cy, a.z, sum(b.z) AS zlag, count(*) AS n_nbr
+  FROM z a JOIN z b
+    ON (b.cx = a.cx + 1 AND b.cy = a.cy)
+    OR (b.cx = a.cx - 1 AND b.cy = a.cy)
+    OR (b.cy = a.cy + 1 AND b.cx = a.cx)
+    OR (b.cy = a.cy - 1 AND b.cx = a.cx)
+  GROUP BY a.cx, a.cy, a.z
+),
+scored AS MATERIALIZED (
+  SELECT cx, cy, z, zlag, n_nbr, z::HUGEINT * zlag AS ii FROM nbr
+),
+gnum AS (SELECT sum(ii) AS global_num FROM scored)
+SELECT CAST(row_number() OVER (ORDER BY abs(ii) DESC, cx, cy) AS BIGINT)
+         AS rank,
+       CAST(cx AS BIGINT) AS cell_x,
+       CAST(cy AS BIGINT) AS cell_y,
+       CAST(n_nbr AS BIGINT) AS n_neighbors,
+       CAST(ii // 1000000000 AS BIGINT) AS i_local_g,
+       CASE WHEN z > 0 AND zlag > 0 THEN 'high_high'
+            WHEN z < 0 AND zlag < 0 THEN 'low_low'
+            WHEN z > 0 THEN 'high_low_outlier'
+            ELSE 'low_high_outlier' END AS quadrant,
+       CAST(global_num // 1000000000 AS BIGINT) AS global_numerator_g
+FROM scored CROSS JOIN gnum
+QUALIFY rank <= {_LISA_TOPK}
+ORDER BY rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# arc_elasticity — demand response to discount depth, per brand
+# ---------------------------------------------------------------------------
+
+_ELA_DISC_CUT = 5  # deep-discount threshold, percent
+
+
+def arc_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARC PRICE ELASTICITY of demand (SURVEY §2 #350) — the midpoint
+    formula (Allen 1934, the econ-101 workhorse): between a brand's
+    shallow-discount (< 5%) and deep-discount (>= 5%) line items,
+    elasticity = (dq/q-bar)/(dp/p-bar) with effective unit price p =
+    extendedprice*(1-discount)/quantity — negative and large when
+    discounting genuinely moves quantity.  The midpoint form is the
+    standard fix for the asymmetry of simple percent changes; both
+    ratios assemble CROSS-MULTIPLIED so the published milli value
+    divides once: e = (dq*(p1+p2)) * 1000 / (dp*(q1+q2)).  The cleared
+    denominators peak ~1e33 at catalog scale; at larger scales
+    quantize revenue to k$ first (the documented DECIMAL(38,0)
+    lever used across the catalog).
+
+    Scale shape: one fact agg to the (brand, depth-side) census (unit
+    prices and mean quantities as exact integer sums); a 25-row
+    two-side join; windowless.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), F.col("p_brand").alias("brand")
+    )
+    sides = materialize(
+        li.join(F.broadcast(part), "l_partkey")
+        .groupBy(
+            "brand",
+            F.expr(
+                "CASE WHEN cast(cast(l_discount as decimal(4,2)) * 100"
+                f" as int) >= {_ELA_DISC_CUT} THEN 1 ELSE 0 END"
+            ).alias("deep"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.expr("cast(l_quantity as bigint)")).alias("sq"),
+            F.sum(
+                F.expr(
+                    "cast(cast(l_extendedprice as decimal(18,2)) * 100"
+                    " as decimal(38,0)) * (100 - cast(cast(l_discount"
+                    " as decimal(4,2)) * 100 as int)) div 100"
+                )
+            ).alias("rev_c"),
+        )
+    )
+    a = sides.filter("deep = 0").select(
+        "brand",
+        F.col("n_lines").alias("n1"),
+        F.col("sq").alias("sq1"),
+        F.col("rev_c").alias("rv1"),
+    )
+    b = sides.filter("deep = 1").select(
+        "brand",
+        F.col("n_lines").alias("n2"),
+        F.col("sq").alias("sq2"),
+        F.col("rev_c").alias("rv2"),
+    )
+    # mean qty per line q = sq/n; unit price p = rev/sq (cents).
+    # e = ((q2-q1)/(q1+q2)) / ((p2-p1)/(p1+p2))
+    #   = (q2-q1)(p1+p2) / ((p2-p1)(q1+q2)) — all cross-multiplied:
+    # q2-q1 ∝ sq2*n1 - sq1*n2 (denominator n1*n2 cancels in the ratio
+    # only partially; keep exact by clearing both denominators)
+    return (
+        a.join(b, "brand")
+        .select(
+            "brand",
+            F.expr("cast(n1 + n2 as bigint)").alias("n_lines"),
+            F.expr("cast((1000 * sq1) div n1 as bigint)").alias(
+                "qty_milli_shallow"
+            ),
+            F.expr("cast((1000 * sq2) div n2 as bigint)").alias(
+                "qty_milli_deep"
+            ),
+            F.expr("cast(rv1 div sq1 as bigint)").alias(
+                "unit_price_c_shallow"
+            ),
+            F.expr("cast(rv2 div sq2 as bigint)").alias(
+                "unit_price_c_deep"
+            ),
+            # e_milli with q = sq/n and p = rv/sq, denominators cleared:
+            # num = (sq2 n1 - sq1 n2) * (rv1 sq2 + rv2 sq1) * 1000
+            # den = (rv2 sq1 - rv1 sq2) * (sq1 n2 + sq2 n1)
+            F.expr(
+                "cast(coalesce((1000 * (cast(sq2 as decimal(38,0)) * n1"
+                " - cast(sq1 as decimal(38,0)) * n2)"
+                " * (rv1 * cast(sq2 as decimal(38,0))"
+                " + rv2 * cast(sq1 as decimal(38,0))))"
+                " div nullif((rv2 * cast(sq1 as decimal(38,0))"
+                " - rv1 * cast(sq2 as decimal(38,0)))"
+                " * (cast(sq1 as decimal(38,0)) * n2"
+                " + cast(sq2 as decimal(38,0)) * n1), 0), 0) as bigint)"
+            ).alias("elasticity_milli"),
+        )
+        .orderBy("brand")
+    )
+
+
+ROUND8_QUERIES["arc_elasticity"] = arc_elasticity
+
+ROUND8_ORACLES["arc_elasticity"] = f"""
+WITH sides AS MATERIALIZED (
+  SELECT p.p_brand AS brand,
+         CASE WHEN CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS INT)
+                   >= {_ELA_DISC_CUT} THEN 1 ELSE 0 END AS deep,
+         count(*) AS n_lines,
+         sum(CAST(l_quantity AS BIGINT)) AS sq,
+         sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                  AS HUGEINT)
+             * (100 - CAST(CAST(l_discount AS DECIMAL(4,2)) * 100
+                           AS INT)) // 100) AS rev_c
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY 1, 2
+)
+SELECT a.brand,
+       CAST(a.n_lines + b.n_lines AS BIGINT) AS n_lines,
+       CAST((1000 * a.sq) // a.n_lines AS BIGINT) AS qty_milli_shallow,
+       CAST((1000 * b.sq) // b.n_lines AS BIGINT) AS qty_milli_deep,
+       CAST(a.rev_c // a.sq AS BIGINT) AS unit_price_c_shallow,
+       CAST(b.rev_c // b.sq AS BIGINT) AS unit_price_c_deep,
+       CAST(coalesce((1000 * (b.sq::HUGEINT * a.n_lines
+                              - a.sq::HUGEINT * b.n_lines)
+                      * (a.rev_c * b.sq::HUGEINT
+                         + b.rev_c * a.sq::HUGEINT))
+                     // nullif((b.rev_c * a.sq::HUGEINT
+                                - a.rev_c * b.sq::HUGEINT)
+                               * (a.sq::HUGEINT * b.n_lines
+                                  + b.sq::HUGEINT * a.n_lines), 0), 0)
+            AS BIGINT) AS elasticity_milli
+FROM (SELECT * FROM sides WHERE deep = 0) a
+JOIN (SELECT * FROM sides WHERE deep = 1) b USING (brand)
+ORDER BY a.brand
+"""
