@@ -14936,3 +14936,279 @@ FROM (SELECT * FROM sides WHERE deep = 0) a
 JOIN (SELECT * FROM sides WHERE deep = 1) b USING (brand)
 ORDER BY a.brand
 """
+
+
+# ---------------------------------------------------------------------------
+# rescaled_range_census — Hurst-style R/S statistics at dyadic scales
+# ---------------------------------------------------------------------------
+
+_RS_SIZES = (16, 32, 64, 128)
+
+
+def rescaled_range_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESCALED-RANGE (R/S) census (SURVEY §2 #351) — Hurst 1951 /
+    Mandelbrot's long-range-dependence probe, the question the ACF
+    stops short of: acf_lags sees correlation at FIXED small lags;
+    the R/S curve across dyadic window sizes sees whether deviations
+    COMPOUND (Hurst H > 1/2, persistent — queue backlogs and flood
+    years cluster) or mean-revert.  For each window size the range of
+    cumulative deviations and the variance are exact integers, and
+    (R/S)^2 = range^2/var is published per scale (squared form: no
+    sqrt anywhere) with the scale-doubling ratio — under pure noise
+    the ratio is ~2 ((R/S) ~ sqrt(n)); persistently above 2 reads as
+    H > 1/2 without ever fitting a log-log slope.
+
+    Scale shape: day census -> per-(size, window) groups via map-side
+    div assignment; cumulative deviations via windows PARTITIONED by
+    (size, window); per-scale folds.  Sizes are operator constants.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    daily = materialize(
+        orders.filter(
+            F.expr("o_orderdate >= date'1995-01-01'")
+            & F.expr("o_orderdate < date'1998-01-01'")
+        )
+        .groupBy(
+            F.expr(
+                "datediff(cast(o_orderdate as date), date'1995-01-01')"
+            ).alias("d")
+        )
+        .agg(
+            F.expr(
+                "cast(sum(cast(o_totalprice as decimal(18,2)) * 100)"
+                " as decimal(38,0)) div 100000"
+            ).alias("y")
+        )
+    )
+    sizes = spark.range(1).select(
+        F.explode(
+            F.expr(f"array({', '.join(str(s) for s in _RS_SIZES)})")
+        ).alias("sz")
+    )
+    framed = daily.crossJoin(F.broadcast(sizes)).select(
+        "sz",
+        F.expr("d div sz").alias("w"),
+        F.expr("d % sz").alias("i"),
+        "y",
+    )
+    stats = framed.groupBy("sz", "w").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("cast(y as decimal(38,0)) * y")).alias("syy"),
+    ).filter(F.expr("n = sz"))
+    wcum = (
+        Window.partitionBy("sz", "w")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # cumulative deviation scaled by n: n*cum(y) - k*Sy stays integer
+    dev = (
+        framed.join(stats, ["sz", "w"])
+        .withColumn("cy", F.sum("y").over(wcum))
+        .withColumn(
+            "devn",
+            F.expr("cast(n as decimal(38,0)) * cy - (i + 1) * sy"),
+        )
+    )
+    ranges = dev.groupBy("sz", "w", "n", "sy", "syy").agg(
+        F.expr("max(devn) - min(devn)").alias("range_n")
+    )
+    # (R/S)^2 = (range/n)^2 / (var) with var = (n*Syy - Sy^2)/n^2:
+    # = range_n^2 / (n^2 * (n*Syy - Sy^2)) * n^2 = range_n^2
+    #   / (n^2*(n*Syy - Sy^2)) ... cleared: rs2_milli =
+    # 1000 * range_n^2 div (n^2 * (n*Syy - Sy^2) div n^2 ... keep
+    # exact: rs2_milli = (1000 * range_n^2) div (n^2*(n*Syy - Sy^2))
+    # is (R/S)^2/n^2; multiply back by n^2:
+    per_scale = ranges.groupBy("sz").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum(
+            F.expr(
+                "(1000 * range_n * range_n)"
+                " div nullif(cast(n as decimal(38,0)) * n"
+                " * (n * syy - sy * sy), 0)"
+            )
+        ).alias("rs2_sum_milli"),
+    ).select(
+        "sz",
+        "n_windows",
+        F.expr("cast(rs2_sum_milli div n_windows as bigint)").alias(
+            "rs2_milli"
+        ),
+    )
+    nxt = per_scale.select(
+        F.expr("sz div 2").alias("sz"),
+        F.col("rs2_milli").alias("rs2_next"),
+    )
+    return (
+        per_scale.join(nxt, "sz", "left")
+        .select(
+            F.col("sz").cast("bigint").alias("window_days"),
+            F.col("n_windows").cast("bigint").alias("n_windows"),
+            F.col("rs2_milli").cast("bigint").alias("rs2_milli"),
+            F.expr(
+                "cast(coalesce((1000 * rs2_next) div nullif(rs2_milli, 0),"
+                " -1) as bigint)"
+            ).alias("doubling_ratio_milli"),
+        )
+        .orderBy("window_days")
+    )
+
+
+ROUND8_QUERIES["rescaled_range_census"] = rescaled_range_census
+
+ROUND8_ORACLES["rescaled_range_census"] = f"""
+WITH daily AS MATERIALIZED (
+  SELECT datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS d,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS HUGEINT)
+           // 100000 AS y
+  FROM orders
+  WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1998-01-01'
+  GROUP BY 1
+),
+framed AS (
+  SELECT sz, d // sz AS w, d % sz AS i, y
+  FROM daily, unnest([{', '.join(str(s) for s in _RS_SIZES)}]) AS t(sz)
+),
+stats AS MATERIALIZED (
+  SELECT sz, w, count(*) AS n, sum(y) AS sy, sum(y::HUGEINT * y) AS syy
+  FROM framed GROUP BY sz, w
+  HAVING count(*) = sz
+),
+dev AS (
+  SELECT f.sz, f.w, s.n, s.sy, s.syy,
+         s.n::HUGEINT * sum(f.y) OVER (PARTITION BY f.sz, f.w ORDER BY f.i
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - (f.i + 1) * s.sy AS devn
+  FROM framed f JOIN stats s ON s.sz = f.sz AND s.w = f.w
+),
+ranges AS MATERIALIZED (
+  SELECT sz, w, n, sy, syy, max(devn) - min(devn) AS range_n
+  FROM dev GROUP BY sz, w, n, sy, syy
+),
+per_scale AS MATERIALIZED (
+  SELECT sz, count(*) AS n_windows,
+         sum((1000 * range_n * range_n)
+             // nullif(n::HUGEINT * n * (n * syy - sy::HUGEINT * sy), 0))
+           // count(*) AS rs2_milli
+  FROM ranges GROUP BY sz
+)
+SELECT CAST(a.sz AS BIGINT) AS window_days,
+       CAST(a.n_windows AS BIGINT) AS n_windows,
+       CAST(a.rs2_milli AS BIGINT) AS rs2_milli,
+       CAST(coalesce((1000 * b.rs2_milli) // nullif(a.rs2_milli, 0), -1)
+            AS BIGINT) AS doubling_ratio_milli
+FROM per_scale a
+LEFT JOIN per_scale b ON b.sz = a.sz * 2
+ORDER BY window_days
+"""
+
+
+# ---------------------------------------------------------------------------
+# allan_variance — two-sample rate stability at dyadic averaging times
+# ---------------------------------------------------------------------------
+
+_AVAR_TAUS = (1, 2, 4, 8)  # averaging windows, days
+
+
+def allan_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALLAN VARIANCE of the order-arrival rate (SURVEY §2 #352) —
+    the metrology-standard stability measure (Allan 1966, how every
+    clock is graded), and the right tool for "is our throughput
+    stable AT THIS AVERAGING SCALE": classical variance grows without
+    bound under drift, the two-sample form AVAR(tau) = E[(ybar_{k+1}
+    - ybar_k)^2]/2 stays finite and its tau-profile CLASSIFIES the
+    noise (white noise falls ~1/tau; flat = flicker; rising = random
+    walk/drift) — burstiness_fano reads one scale, this reads the
+    whole profile.  Daily order counts averaged over tau-day bins;
+    adjacent-bin differences squared and folded — exact integers
+    with the tau scaling cleared (bin sums differ, not means: AVAR *
+    tau^2 is integer; published as avar_milli after one division).
+
+    Scale shape: day census -> tau-bin sums (map-side div key);
+    adjacent differences via a lag window PARTITIONED by tau over the
+    bin census; one fold per tau.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    daily = materialize(
+        orders.filter(
+            F.expr("o_orderdate >= date'1995-01-01'")
+            & F.expr("o_orderdate < date'1998-01-01'")
+        )
+        .groupBy(
+            F.expr(
+                "datediff(cast(o_orderdate as date), date'1995-01-01')"
+            ).alias("d")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    taus = spark.range(1).select(
+        F.explode(
+            F.expr(f"array({', '.join(str(t) for t in _AVAR_TAUS)})")
+        ).alias("tau")
+    )
+    bins = (
+        daily.crossJoin(F.broadcast(taus))
+        .groupBy("tau", F.expr("d div tau").alias("b"))
+        .agg(F.sum("c").alias("s"), F.count(F.lit(1)).alias("nb"))
+        .filter(F.expr("nb = tau"))
+    )
+    wlag = Window.partitionBy("tau").orderBy("b")
+    diffs = (
+        bins.withColumn("prev_s", F.lag("s").over(wlag))
+        .withColumn("prev_b", F.lag("b").over(wlag))
+        .filter(F.expr("prev_s IS NOT NULL AND b = prev_b + 1"))
+        .select(
+            "tau", F.expr("cast(s - prev_s as decimal(38,0))").alias("dd")
+        )
+    )
+    return (
+        diffs.groupBy("tau")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.expr("dd * dd")).alias("sdd2"),
+        )
+        .select(
+            F.col("tau").cast("bigint").alias("tau_days"),
+            F.col("n_pairs").cast("bigint").alias("n_pairs"),
+            # AVAR(tau) = E[(s/tau - s'/tau)^2]/2 = E[dd^2]/(2 tau^2)
+            F.expr(
+                "cast((1000 * sdd2) div (2 * cast(n_pairs as decimal(38,0))"
+                " * tau * tau) as bigint)"
+            ).alias("avar_milli"),
+        )
+        .orderBy("tau_days")
+    )
+
+
+ROUND8_QUERIES["allan_variance"] = allan_variance
+
+ROUND8_ORACLES["allan_variance"] = f"""
+WITH daily AS MATERIALIZED (
+  SELECT datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS d,
+         count(*) AS c
+  FROM orders
+  WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1998-01-01'
+  GROUP BY 1
+),
+bins AS MATERIALIZED (
+  SELECT tau, d // tau AS b, sum(c) AS s, count(*) AS nb
+  FROM daily, unnest([{', '.join(str(t) for t in _AVAR_TAUS)}]) AS t(tau)
+  GROUP BY tau, d // tau
+  HAVING count(*) = tau
+),
+diffs AS (
+  SELECT tau,
+         (s - lag(s) OVER w)::HUGEINT AS dd,
+         b - lag(b) OVER w AS gap
+  FROM bins
+  WINDOW w AS (PARTITION BY tau ORDER BY b)
+  QUALIFY dd IS NOT NULL AND gap = 1
+)
+SELECT CAST(tau AS BIGINT) AS tau_days,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST((1000 * sum(dd * dd))
+            // (2 * count(*)::HUGEINT * tau * tau) AS BIGINT)
+         AS avar_milli
+FROM diffs
+GROUP BY tau ORDER BY tau_days
+"""
