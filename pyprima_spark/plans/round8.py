@@ -15212,3 +15212,256 @@ SELECT CAST(tau AS BIGINT) AS tau_days,
 FROM diffs
 GROUP BY tau ORDER BY tau_days
 """
+
+
+# ---------------------------------------------------------------------------
+# price_index_bias — Laspeyres vs Paasche substitution-bias census
+# ---------------------------------------------------------------------------
+
+
+def price_index_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRICE-INDEX substitution bias (SURVEY §2 #353) — index-number
+    theory's oldest live controversy (Laspeyres 1871 vs Paasche 1874;
+    the Boskin-commission CPI debate): a base-weighted index
+    OVERSTATES inflation and a current-weighted one UNDERSTATES it
+    whenever buyers substitute away from price risers, and the L/P
+    gap MEASURES that substitution.  Per brand between 1996 and 1997:
+    unit values as exact integer cents, L_bp = 10000*sum(p1 q0)/
+    sum(p0 q0) and P_bp = 10000*sum(p1 q1)/sum(p0 q1) fully
+    cross-multiplied (quantity-weighted unit-value form), the
+    Fisher-squared product published instead of its square root
+    (fisher_sq_bp2 = L*P — the ideal index without any sqrt).
+
+    Scale shape: one fact agg to the (brand, year) unit-value census;
+    per-brand two-year join; one global fold.  Windowless.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), F.col("p_brand").alias("brand")
+    )
+    yearly = materialize(
+        li.filter(
+            F.expr(
+                "l_shipdate >= date'1996-01-01'"
+                " AND l_shipdate < date'1998-01-01'"
+            )
+        )
+        .join(F.broadcast(part), "l_partkey")
+        .groupBy("brand", F.expr("year(l_shipdate)").alias("yr"))
+        .agg(
+            F.expr("cast(sum(l_quantity) as bigint)").alias("q"),
+            F.expr(
+                "cast(sum(cast(l_extendedprice as decimal(18,2)) * 100)"
+                " as bigint)"
+            ).alias("rev_c"),
+        )
+    )
+    y0 = yearly.filter("yr = 1996").select(
+        "brand", F.col("q").alias("q0"), F.col("rev_c").alias("r0")
+    )
+    y1 = yearly.filter("yr = 1997").select(
+        "brand", F.col("q").alias("q1"), F.col("rev_c").alias("r1")
+    )
+    # unit values p = r/q; index terms cleared of divisions:
+    # p1*q0 = r1*q0/q1, p0*q0 = r0; p1*q1 = r1, p0*q1 = r0*q1/q0
+    joined = materialize(
+        y0.join(y1, "brand").select(
+            "brand",
+            "q0",
+            "q1",
+            "r0",
+            "r1",
+            F.expr(
+                "(cast(r1 as decimal(38,0)) * q0) div q1"
+            ).alias("p1q0_c"),
+            F.expr(
+                "(cast(r0 as decimal(38,0)) * q1) div q0"
+            ).alias("p0q1_c"),
+        )
+    )
+    folded = joined.agg(
+        F.count(F.lit(1)).alias("n_brands"),
+        F.sum("p1q0_c").alias("sl_num"),
+        F.sum("r0").alias("sl_den"),
+        F.sum("r1").alias("sp_num"),
+        F.sum("p0q1_c").alias("sp_den"),
+    )
+    return folded.select(
+        F.col("n_brands").cast("bigint").alias("n_brands"),
+        F.expr(
+            "cast((10000 * sl_num) div sl_den as bigint)"
+        ).alias("laspeyres_bp"),
+        F.expr(
+            "cast((10000 * cast(sp_num as decimal(38,0))) div sp_den"
+            " as bigint)"
+        ).alias("paasche_bp"),
+        F.expr(
+            "cast(((10000 * sl_num) div sl_den)"
+            " * ((10000 * cast(sp_num as decimal(38,0))) div sp_den)"
+            " div 10000 as bigint)"
+        ).alias("fisher_sq_bp"),
+        F.expr(
+            "cast((10000 * sl_num) div sl_den"
+            " - (10000 * cast(sp_num as decimal(38,0))) div sp_den"
+            " as bigint)"
+        ).alias("substitution_gap_bp"),
+    )
+
+
+ROUND8_QUERIES["price_index_bias"] = price_index_bias
+
+ROUND8_ORACLES["price_index_bias"] = """
+WITH yearly AS MATERIALIZED (
+  SELECT p.p_brand AS brand, year(l_shipdate) AS yr,
+         CAST(sum(l_quantity) AS BIGINT) AS q,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+           AS rev_c
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1998-01-01'
+  GROUP BY 1, 2
+),
+joined AS MATERIALIZED (
+  SELECT a.brand, a.q AS q0, b.q AS q1, a.rev_c AS r0, b.rev_c AS r1,
+         (b.rev_c::HUGEINT * a.q) // b.q AS p1q0_c,
+         (a.rev_c::HUGEINT * b.q) // a.q AS p0q1_c
+  FROM (SELECT * FROM yearly WHERE yr = 1996) a
+  JOIN (SELECT * FROM yearly WHERE yr = 1997) b USING (brand)
+),
+folded AS (
+  SELECT count(*) AS n_brands,
+         sum(p1q0_c) AS sl_num, sum(r0) AS sl_den,
+         sum(r1) AS sp_num, sum(p0q1_c) AS sp_den
+  FROM joined
+)
+SELECT CAST(n_brands AS BIGINT) AS n_brands,
+       CAST((10000 * sl_num) // sl_den AS BIGINT) AS laspeyres_bp,
+       CAST((10000 * sp_num::HUGEINT) // sp_den AS BIGINT) AS paasche_bp,
+       CAST(((10000 * sl_num) // sl_den)
+            * ((10000 * sp_num::HUGEINT) // sp_den) // 10000 AS BIGINT)
+         AS fisher_sq_bp,
+       CAST((10000 * sl_num) // sl_den
+            - (10000 * sp_num::HUGEINT) // sp_den AS BIGINT)
+         AS substitution_gap_bp
+FROM folded
+"""
+
+
+# ---------------------------------------------------------------------------
+# erlang_b_blocking — exact blocking probabilities via the unrolled recursion
+# ---------------------------------------------------------------------------
+
+_ERL_SERVERS = 10
+
+
+def erlang_b_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ERLANG-B blocking curve (SURVEY §2 #354) — the 1917 result the
+    whole of queueing theory grew from, answering the capacity
+    question littles_law_audit measures around: given the OBSERVED
+    offered load E = lambda*W erlangs (arrival rate x mean
+    time-in-system, both from the 1996 window — the Little's-law
+    quantities reused), what fraction of arrivals would be BLOCKED
+    with m = 1..10 servers and no queue?  The recursion B_m =
+    E*B_{m-1} / (m + E*B_{m-1}) unrolls exactly (the HITS contract):
+    E is one milli-rational scalar, each step is one cross-multiplied
+    milli division, so the published curve is deterministic on both
+    engines — and the m where blocking first drops under 5% is the
+    sizing answer.
+
+    Scale shape: one orderkey join + fold computes E; the 10-step
+    recursion is pure scalar arithmetic unrolled in the projection.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    first_ship = li.groupBy("l_orderkey").agg(
+        F.min("l_shipdate").alias("ship")
+    )
+    spans = orders.join(
+        first_ship, orders.o_orderkey == first_ship.l_orderkey
+    ).filter(
+        F.expr(
+            "o_orderdate >= date'1996-01-01'"
+            " AND o_orderdate < date'1997-01-01'"
+        )
+    ).select(
+        F.datediff("ship", "o_orderdate").alias("t")
+    )
+    # E_milli = lambda * W * 1000 = (arrivals/365) * mean(t) * 1000
+    #         = (1000 * sum(t)) div 365  ... scaled to per-day erlangs
+    e_row = spans.agg(
+        F.expr("cast((10 * sum(t)) div 365 as bigint)").alias("e_centi")
+    )
+    # NOTE: E here is huge (thousands of erlangs at sf0.01+), so the
+    # published curve uses E scaled DOWN by 1000 (a per-mille sampling
+    # of the stream — the standard way to read the curve shape at a
+    # workable server count); the scaling is part of the operator
+    # definition and identical on both engines.
+    # exact milli recursion: b_m = (1000 * e * b_{m-1})
+    #   div (m * 1e6 + e * b_{m-1}) with e in milli erlangs
+    df = e_row.selectExpr(
+        "e_centi", "cast(e_centi * 10 as decimal(38,0)) as e_m"
+    )
+    df = df.selectExpr("*", "cast(1000 as decimal(38,0)) as b0")
+    for m in range(1, _ERL_SERVERS + 1):
+        df = df.selectExpr(
+            "*",
+            f"(1000 * (e_m div 1000) * b{m - 1})"
+            f" div ({m} * 1000000 + (e_m div 1000) * b{m - 1}) as b{m}",
+        )
+    rows = ", ".join(
+        f"named_struct('m', {m}, 'b_milli', cast(b{m} as bigint))"
+        for m in range(1, _ERL_SERVERS + 1)
+    )
+    return df.select(
+        F.col("e_centi").cast("bigint").alias("offered_load_centi"),
+        F.explode(F.expr(f"array({rows})")).alias("s"),
+    ).select(
+        "offered_load_centi",
+        F.expr("cast(s.m as bigint)").alias("n_servers"),
+        F.expr("cast(s.b_milli as bigint)").alias("blocking_milli"),
+    ).orderBy("n_servers")
+
+
+ROUND8_QUERIES["erlang_b_blocking"] = erlang_b_blocking
+
+
+def _erlang_oracle() -> str:
+    cols = []
+    for m in range(1, _ERL_SERVERS + 1):
+        cols.append(
+            f"(1000 * (e_m // 1000) * b{m - 1})"
+            f" // ({m} * 1000000 + (e_m // 1000) * b{m - 1}) AS b{m}"
+        )
+    # build nested selects
+    inner = """
+SELECT CAST((10 * sum(datediff('day', CAST(o_orderdate AS DATE),
+                                CAST(ship AS DATE)))) // 365 AS BIGINT)
+         AS e_centi
+FROM orders o
+JOIN (SELECT l_orderkey, min(l_shipdate) AS ship FROM lineitem
+      GROUP BY 1) f ON f.l_orderkey = o.o_orderkey
+WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+"""
+    sql = f"WITH e0 AS MATERIALIZED ({inner}),\n"
+    sql += "s0 AS (SELECT e_centi, e_centi::HUGEINT * 10 AS e_m,"
+    sql += " 1000::HUGEINT AS b0 FROM e0)"
+    prev = "s0"
+    for m in range(1, _ERL_SERVERS + 1):
+        sql += f""",
+s{m} AS (SELECT *, (1000 * (e_m // 1000) * b{m - 1})
+  // ({m} * 1000000 + (e_m // 1000) * b{m - 1}) AS b{m} FROM {prev})"""
+        prev = f"s{m}"
+    unions = " UNION ALL ".join(
+        f"SELECT e_centi, {m} AS m, b{m} AS b FROM {prev}"
+        for m in range(1, _ERL_SERVERS + 1)
+    )
+    sql += f"""
+SELECT CAST(e_centi AS BIGINT) AS offered_load_centi,
+       CAST(m AS BIGINT) AS n_servers,
+       CAST(b AS BIGINT) AS blocking_milli
+FROM ({unions})
+ORDER BY n_servers
+"""
+    return sql
+
+
+ROUND8_ORACLES["erlang_b_blocking"] = _erlang_oracle()
