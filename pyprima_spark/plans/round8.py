@@ -15465,3 +15465,267 @@ ORDER BY n_servers
 
 
 ROUND8_ORACLES["erlang_b_blocking"] = _erlang_oracle()
+
+
+# ---------------------------------------------------------------------------
+# banzhaf_power_index — swing-coalition voting power
+# ---------------------------------------------------------------------------
+
+
+def banzhaf_power_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BANZHAF POWER INDEX (SURVEY §2 #355) — voting power is NOT
+    vote share (Banzhaf 1965's Nassau County suit: a 16%-weight
+    member can hold 0% of the power): with the five segments'
+    order counts as weights and a simple majority quota, a player's
+    power is the share of coalitions where they are the SWING —
+    exhaustively enumerable over the 2^5 lattice (the
+    shapley_attribution machinery on a REAL weighted-majority game).
+    Published per segment: weight share vs normalized Banzhaf share
+    in bp — the wedge between them is the whole point.
+
+    Scale shape: one fact agg to the 5-weight census; the 32-row
+    coalition literal joins it via bitmask membership; swing counting
+    is a census fold.  Windowless.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("cust"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    weights = materialize(
+        orders.join(cust, F.col("o_custkey") == F.col("cust"))
+        .groupBy("segment")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    widx = Window.orderBy("segment")
+    wi = materialize(
+        weights.withColumn("i", F.row_number().over(widx) - 1)
+    )
+    coalitions = spark.range(32).select(
+        F.col("id").cast("int").alias("s")
+    )
+    csums = (
+        coalitions.join(
+            F.broadcast(wi),
+            F.expr("(s div cast(pow(2, i) as int)) % 2 = 1"),
+            "left",
+        )
+        .groupBy("s")
+        .agg(F.coalesce(F.sum("w"), F.lit(0)).alias("wsum"))
+    )
+    quota = weights.agg(
+        F.expr("cast(sum(w) div 2 + 1 as bigint)").alias("q")
+    )
+    # player i swings coalition S (i not in S) iff S loses but S+i wins
+    swings = (
+        wi.join(
+            F.broadcast(csums.crossJoin(F.broadcast(quota))),
+            F.expr("(s div cast(pow(2, i) as int)) % 2 = 0"),
+        )
+        .filter(F.expr("wsum < q AND wsum + w >= q"))
+        .groupBy("segment", "w")
+        .agg(F.count(F.lit(1)).alias("n_swings"))
+    )
+    tot = swings.agg(
+        F.sum("n_swings").alias("tot_swings"), F.sum("w").alias("tw")
+    )
+    return (
+        swings.crossJoin(F.broadcast(tot))
+        .select(
+            "segment",
+            F.col("w").cast("bigint").alias("weight"),
+            F.expr("cast((10000 * w) div tw as bigint)").alias(
+                "weight_share_bp"
+            ),
+            F.col("n_swings").cast("bigint").alias("n_swings"),
+            F.expr(
+                "cast((10000 * n_swings) div tot_swings as bigint)"
+            ).alias("banzhaf_share_bp"),
+        )
+        .orderBy("segment")
+    )
+
+
+ROUND8_QUERIES["banzhaf_power_index"] = banzhaf_power_index
+
+ROUND8_ORACLES["banzhaf_power_index"] = """
+WITH weights AS MATERIALIZED (
+  SELECT c.c_mktsegment AS segment, count(*) AS w
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY 1
+),
+wi AS MATERIALIZED (
+  SELECT segment, w, row_number() OVER (ORDER BY segment) - 1 AS i
+  FROM weights
+),
+coalitions AS (
+  SELECT CAST(s AS INT) AS s FROM unnest(generate_series(0, 31)) AS t(s)
+),
+csums AS MATERIALIZED (
+  SELECT s, coalesce(sum(w), 0) AS wsum
+  FROM coalitions LEFT JOIN wi ON (s // CAST(pow(2, i) AS INT)) % 2 = 1
+  GROUP BY s
+),
+quota AS (SELECT CAST(sum(w) // 2 + 1 AS BIGINT) AS q FROM weights),
+swings AS MATERIALIZED (
+  SELECT wi.segment, wi.w, count(*) AS n_swings
+  FROM wi
+  JOIN csums ON (csums.s // CAST(pow(2, wi.i) AS INT)) % 2 = 0
+  CROSS JOIN quota
+  WHERE csums.wsum < q AND csums.wsum + wi.w >= q
+  GROUP BY wi.segment, wi.w
+),
+tot AS (SELECT sum(n_swings) AS tot_swings, sum(w) AS tw FROM swings)
+SELECT segment,
+       CAST(w AS BIGINT) AS weight,
+       CAST((10000 * w) // tw AS BIGINT) AS weight_share_bp,
+       CAST(n_swings AS BIGINT) AS n_swings,
+       CAST((10000 * n_swings) // tot_swings AS BIGINT)
+         AS banzhaf_share_bp
+FROM swings CROSS JOIN tot
+ORDER BY segment
+"""
+
+
+# ---------------------------------------------------------------------------
+# shapley_shubik_index — pivotal-ordering voting power
+# ---------------------------------------------------------------------------
+
+
+def shapley_shubik_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHAPLEY-SHUBIK POWER INDEX (SURVEY §2 #356) — the OTHER
+    canonical power measure (Shapley-Shubik 1954), and the reason to
+    publish both: Banzhaf counts swing COALITIONS (all equally
+    likely), Shapley-Shubik counts PIVOTAL POSITIONS in orderings —
+    and on real weighted games the two can rank players differently
+    (the classic normative argument in measurement-of-power
+    literature).  Exhaustive over the 120-permutation literal (the
+    assignment_exhaustive machinery): the pivot of each ordering is
+    the player whose arrival pushes the running weight past the
+    majority quota; the index is pivots/120 in bp, published against
+    the Banzhaf-style weight share so both wedges are visible.
+
+    Scale shape: 5-weight census; the 120x5 permutation literal joins
+    it; prefix sums run per permutation over 5 rows.  Windowless
+    below the weight census.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("cust"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    weights = materialize(
+        orders.join(cust, F.col("o_custkey") == F.col("cust"))
+        .groupBy("segment")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    widx = Window.orderBy("segment")
+    wi = materialize(
+        weights.withColumn("i", F.row_number().over(widx) - 1)
+    )
+    perm_rows = ", ".join(
+        "named_struct('pid', {}, {})".format(
+            pid,
+            ", ".join(f"'p{j}', {p[j]}" for j in range(5)),
+        )
+        for pid, p in enumerate(_permutations(range(5)))
+    )
+    perms = spark.range(1).select(
+        F.explode(F.expr(f"array({perm_rows})")).alias("p")
+    ).select("p.*")
+    slots = perms.select(
+        "pid",
+        F.explode(
+            F.expr(
+                "array(named_struct('pos', 0, 'i', p0),"
+                " named_struct('pos', 1, 'i', p1),"
+                " named_struct('pos', 2, 'i', p2),"
+                " named_struct('pos', 3, 'i', p3),"
+                " named_struct('pos', 4, 'i', p4))"
+            )
+        ).alias("s"),
+    ).select("pid", "s.pos", "s.i")
+    wcum = (
+        Window.partitionBy("pid")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    quota = weights.agg(
+        F.expr("cast(sum(w) div 2 + 1 as bigint)").alias("q")
+    )
+    running = (
+        slots.join(F.broadcast(wi), "i")
+        .withColumn("cum", F.sum("w").over(wcum))
+        .crossJoin(F.broadcast(quota))
+    )
+    pivots = (
+        running.filter(F.expr("cum >= q AND cum - w < q"))
+        .groupBy("segment", "w")
+        .agg(F.count(F.lit(1)).alias("n_pivots"))
+    )
+    tw = weights.agg(F.sum("w").alias("tw"))
+    return (
+        pivots.crossJoin(F.broadcast(tw))
+        .select(
+            "segment",
+            F.col("w").cast("bigint").alias("weight"),
+            F.expr("cast((10000 * w) div tw as bigint)").alias(
+                "weight_share_bp"
+            ),
+            F.col("n_pivots").cast("bigint").alias("n_pivots"),
+            F.expr("cast((10000 * n_pivots) div 120 as bigint)").alias(
+                "shapley_shubik_bp"
+            ),
+        )
+        .orderBy("segment")
+    )
+
+
+ROUND8_QUERIES["shapley_shubik_index"] = shapley_shubik_index
+
+_ss_perm_values = ", ".join(
+    "({}, {})".format(pid, ", ".join(str(v) for v in p))
+    for pid, p in enumerate(_permutations(range(5)))
+)
+
+ROUND8_ORACLES["shapley_shubik_index"] = f"""
+WITH weights AS MATERIALIZED (
+  SELECT c.c_mktsegment AS segment, count(*) AS w
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY 1
+),
+wi AS MATERIALIZED (
+  SELECT segment, w, row_number() OVER (ORDER BY segment) - 1 AS i
+  FROM weights
+),
+perms(pid, p0, p1, p2, p3, p4) AS (VALUES {_ss_perm_values}),
+slots AS (
+  SELECT pid, 0 AS pos, p0 AS i FROM perms
+  UNION ALL SELECT pid, 1, p1 FROM perms
+  UNION ALL SELECT pid, 2, p2 FROM perms
+  UNION ALL SELECT pid, 3, p3 FROM perms
+  UNION ALL SELECT pid, 4, p4 FROM perms
+),
+quota AS (SELECT CAST(sum(w) // 2 + 1 AS BIGINT) AS q FROM weights),
+running AS (
+  SELECT s.pid, s.pos, wi.segment, wi.w,
+         sum(wi.w) OVER (PARTITION BY s.pid ORDER BY s.pos
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM slots s JOIN wi ON wi.i = s.i
+),
+pivots AS (
+  SELECT segment, w, count(*) AS n_pivots
+  FROM running CROSS JOIN quota
+  WHERE cum >= q AND cum - w < q
+  GROUP BY segment, w
+),
+tw AS (SELECT sum(w) AS tw FROM weights)
+SELECT segment,
+       CAST(w AS BIGINT) AS weight,
+       CAST((10000 * w) // tw AS BIGINT) AS weight_share_bp,
+       CAST(n_pivots AS BIGINT) AS n_pivots,
+       CAST((10000 * n_pivots) // 120 AS BIGINT) AS shapley_shubik_bp
+FROM pivots CROSS JOIN tw
+ORDER BY segment
+"""
