@@ -15729,3 +15729,89 @@ SELECT segment,
 FROM pivots CROSS JOIN tw
 ORDER BY segment
 """
+
+
+# ---------------------------------------------------------------------------
+# birthday_collision_audit — hash uniformity vs the birthday expectation
+# ---------------------------------------------------------------------------
+
+_BDAY_BUCKETS = 1 << 20
+
+
+def birthday_collision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BIRTHDAY-COLLISION audit (SURVEY §2 #357) — the trust check
+    underneath EVERY hash-split key in the catalog (aa_test_fpr's
+    arms, deterministic_sample, the ring and rendezvous placements,
+    median_of_means' groups all assume the 60-bit hash spreads like
+    uniform randomness): hash every customer into 2^20 buckets and
+    compare the observed collision-pair count sum C(c_k, 2) against
+    the birthday expectation m(m-1)/(2n) — a biased hash shows up as
+    a collision excess long before any downstream key visibly fails.
+    Exact integers; the ratio publishes in milli (1000 = perfectly
+    uniform), alongside max bucket load vs the balls-in-bins rough
+    bound.
+
+    Scale shape: one map-side bucket assignment + count agg; the
+    collision fold runs over the occupied-bucket census.  Windowless.
+    """
+    cust = _t(spark, sf_dir, "customer").select(
+        (
+            F.expr(X.hash64_spark("cast(c_custkey as string) || ':bday'"))
+            % _BDAY_BUCKETS
+        ).alias("bucket")
+    )
+    buckets = cust.groupBy("bucket").agg(F.count(F.lit(1)).alias("c"))
+    folded = buckets.agg(
+        F.sum("c").alias("m"),
+        F.count(F.lit(1)).alias("occupied"),
+        F.sum(
+            F.expr("(cast(c as decimal(38,0)) * (c - 1)) div 2")
+        ).alias("collisions"),
+        F.max("c").alias("max_load"),
+    )
+    return folded.select(
+        F.col("m").cast("bigint").alias("n_keys"),
+        F.lit(_BDAY_BUCKETS).cast("bigint").alias("n_buckets"),
+        F.col("occupied").cast("bigint").alias("buckets_occupied"),
+        F.col("collisions").cast("bigint").alias("collision_pairs"),
+        F.expr(
+            f"cast((cast(m as decimal(38,0)) * (m - 1))"
+            f" div (2 * {_BDAY_BUCKETS}) as bigint)"
+        ).alias("expected_pairs"),
+        F.expr(
+            f"cast(coalesce((1000 * collisions)"
+            f" div nullif((cast(m as decimal(38,0)) * (m - 1))"
+            f" div (2 * {_BDAY_BUCKETS}), 0), -1) as bigint)"
+        ).alias("observed_vs_expected_milli"),
+        F.col("max_load").cast("bigint").alias("max_bucket_load"),
+    )
+
+
+ROUND8_QUERIES["birthday_collision_audit"] = birthday_collision_audit
+
+ROUND8_ORACLES["birthday_collision_audit"] = f"""
+WITH buckets AS MATERIALIZED (
+  SELECT ({X.hash64_duck("CAST(c_custkey AS VARCHAR) || ':bday'")})
+           % {_BDAY_BUCKETS} AS bucket,
+         count(*) AS c
+  FROM customer GROUP BY 1
+),
+folded AS (
+  SELECT sum(c) AS m, count(*) AS occupied,
+         sum((c::HUGEINT * (c - 1)) // 2) AS collisions,
+         max(c) AS max_load
+  FROM buckets
+)
+SELECT CAST(m AS BIGINT) AS n_keys,
+       {_BDAY_BUCKETS}::BIGINT AS n_buckets,
+       CAST(occupied AS BIGINT) AS buckets_occupied,
+       CAST(collisions AS BIGINT) AS collision_pairs,
+       CAST((m::HUGEINT * (m - 1)) // (2 * {_BDAY_BUCKETS}) AS BIGINT)
+         AS expected_pairs,
+       CAST(coalesce((1000 * collisions)
+                     // nullif((m::HUGEINT * (m - 1))
+                               // (2 * {_BDAY_BUCKETS}), 0), -1)
+            AS BIGINT) AS observed_vs_expected_milli,
+       CAST(max_load AS BIGINT) AS max_bucket_load
+FROM folded
+"""
