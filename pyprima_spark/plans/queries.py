@@ -990,10 +990,12 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def streaming_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming windowed hourly stats, run to completion
     with an availableNow trigger — must equal the batch aggregate.
+    Checkpoint rides fsio.scratch_dir (``spark.pyprima.scratchDir`` on
+    a cluster — Spark's checkpoint manager accepts any Hadoop-FS URI).
     """
-    import tempfile
     import uuid
 
+    from pyprima_spark.sources import fsio
     from pyprima_spark.streaming.events import (
         hourly_event_stats,
         stream_events,
@@ -1005,7 +1007,7 @@ def streaming_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.writeStream.format("memory")
         .queryName(name)
         .outputMode("complete")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .option("checkpointLocation", fsio.scratch_dir(spark, "ckpt_"))
         .trigger(availableNow=True)
         .start()
     )
@@ -2585,87 +2587,90 @@ def _register_rounds() -> None:
 
 _WINDOW_SIZE = 50
 
-# Round-6 window (VERDICT r5 item 1 / SURVEY §7.18): the 37 keys whose
-# last driver row is r2 go FIRST — they sit on three generations of
-# evolved shared infra (catalog select-fold, table-plan memo, NTZ
-# normalization) and their driver evidence predates all of it — then
-# the 11 round-6 keys (#174–184, never driver-graded), then the two
-# remaining batch-drift keys (driver rows for the drift family
-# alongside psi_drift). The ~18 round-5 one-shots + the r3 generation
-# rotate in round 7. List is exact-size asserted below so a drive-by
-# key insertion can't silently evict a planned regrade.
-_R6_WINDOW = [
-    # (1) r2-stale backlog — TPC-H adaptations
-    "q2_min_cost_supplier",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q11_important_values",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_part_supplier_counts",
-    "q18_large_orders",
-    "q19_disjunctive_revenue",
-    "q20_excess_suppliers",
-    "q21_sole_blame",
-    # (1) r2-stale backlog — cleaning / intermediate / pipeline keys
-    "mode_impute",
-    "gap_fill_trend",
-    "flh_pivot",
-    "profile_normalize",
-    "resample_hourly",
-    "canonical_edges",
-    "neighbor_expansion",
-    "transmission_attrs",
-    "export_demand_matrix",
-    "ngram_jaccard",
-    "ann_ivf",
-    "lang_id",
-    "latest_snapshot",
-    "region_overlap_disaggregate",
-    "grid_upsample",
-    "capped_distribution",
-    "supply_ts_assembly",
-    "streaming_sessions",
-    "multimodal_decode",
-    "multimodal_frames",
-    "multimodal_audio",
-    # (2) round-6 batch #174–184 — never driver-graded
-    "decontaminate_ngrams",
-    "data_mixture_plan",
-    "deterministic_shuffle",
-    "pii_redact",
-    "compaction_plan",
-    "embedding_norm_audit",
-    "psi_drift",
-    "graph_k_core",
-    "doc_window_chunks",
-    "multimodal_image",
-    "kmv_source_overlap",
-    # (3) batch drift family completion
-    "drift_tv_distance",
-    "ks_drift",
+# Round-7 window (VERDICT r6 item 1 / SURVEY §7.21): consolidation
+# round — ZERO new catalog keys; the whole window burns down the
+# grading backlog. Priority order: (1) the 4 keys whose operator
+# bodies were rewritten AFTER their last driver row (an oracled
+# operator whose driver evidence predates its current body is a claim,
+# not a result); (2) the 13 never-graded round-7-era keys #190–202;
+# (3) the 5 late-r5 keys #185–189; (4) the 18 remaining round-5
+# one-shots whose only green row is r5; (5) the 10 oldest never-graded
+# round-7 keys #205–215. The #216+ batches and the r3 generation
+# rotate in rounds 8–9. List is exact-size asserted below so a
+# drive-by key insertion can't silently evict a planned regrade.
+_R7_WINDOW = [
+    # (1) bodies rewritten since their last driver row
+    "equidepth_histogram",   # r5 row predates the r6 ntile→percentile-cut rewrite
+    "rfm_segments",          # r5 row predates the r6 broadcast-tercile rewrite
+    "data_mixture_plan",     # r6 row predates the BIGINT-overflow fix
+    "fuzzy_name_match",      # r3 row predates the round-7 blocked-Levenshtein rebuild
+    # (2) round-7-era keys, never driver-graded
+    "raster_export_manifest",
+    "curriculum_phases",
+    "countmin_heavy_hitters",
+    "cluster_size_histogram",
+    "tokenizer_fertility",
+    "moving_average_decompose",
+    "contamination_attribution",
+    "woe_iv_binning",
+    "kaplan_meier_fulfillment",
+    "markov_attribution",
+    "model_workbook_roundtrip",
+    "benford_digit_audit",
+    "hhi_concentration",
+    # (3) late-r5 keys, never driver-graded
+    "champion_postings",
+    "oov_rate_sweep",
+    "k_anonymity_audit",
+    "blocking_quality_eval",
+    "chunk_boundary_dups",
+    # (4) round-5 one-shots — only green row is r5
+    "ab_test_chi2",
+    "approx_quantile_bands",
+    "bounce_rate",
+    "cohort_ltv",
+    "cusum_changepoint",
+    "fk_orphan_audit",
+    "interval_union_coverage",
+    "key_gini",
+    "late_data_census",
+    "order_aging",
+    "pareto_revenue",
+    "partition_pruning_stats",
+    "peak_concurrency",
+    "pk_uniqueness_audit",
+    "props_variant_stats",
+    "rate_limit_flags",
+    "weighted_median",
+    "winsorized_mean",
+    # (5) oldest never-graded round-7 keys
+    "label_propagation",
+    "interpolate_linear",
+    "hll_distinct_sketch",
+    "skyline_2d",
+    "jackknife_variance",
+    "l_diversity_audit",
+    "triangle_count",
+    "zorder_layout_plan",
+    "phrase_search",
+    "rrf_fusion",
 ]
 
 
 def _order_grading_window() -> None:
     """Rebuild QUERIES so the first ``_WINDOW_SIZE`` keys are exactly
-    ``_R6_WINDOW``. Everything else keeps its current relative order
+    ``_R7_WINDOW``. Everything else keeps its current relative order
     after the window. Asserts (rather than comments — see ADVICE r3 on
     the fragile round-3 splice) that the list is exactly window-sized
     and fully registered."""
-    missing = [k for k in _R6_WINDOW if k not in QUERIES]
+    missing = [k for k in _R7_WINDOW if k not in QUERIES]
     assert not missing, f"grading-window keys not registered: {missing}"
-    assert len(_R6_WINDOW) == _WINDOW_SIZE, (
-        f"window has {len(_R6_WINDOW)} keys; driver grades {_WINDOW_SIZE}"
+    assert len(_R7_WINDOW) == _WINDOW_SIZE, (
+        f"window has {len(_R7_WINDOW)} keys; driver grades {_WINDOW_SIZE}"
     )
     rest = dict(QUERIES)
     QUERIES.clear()
-    for key in _R6_WINDOW:
+    for key in _R7_WINDOW:
         QUERIES[key] = rest.pop(key)
     QUERIES.update(rest)
 

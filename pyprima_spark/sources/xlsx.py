@@ -23,8 +23,11 @@ data belongs in parquet. Reading parallelizes per FILE via Spark's
 binaryFile source — each workbook parses inside mapInPandas on an
 executor, the multi-file analogue of read_raster_tiles.
 
-Same executor-side open() shared-filesystem contract as the GIS
-writers (ADVICE r5): paths must resolve on every executor.
+Same executor-side filesystem contract as the GIS writers (VERDICT r6
+item 2): workbook bytes route through
+:mod:`pyprima_spark.sources.fsio` (PyArrow's FileSystem API), so
+``path`` may be a bare local/shared-mount path or a ``file://``/
+``hdfs://``/``s3://`` URI resolved on the executor.
 """
 
 from __future__ import annotations
@@ -244,10 +247,11 @@ def write_xlsx(
             if frames
             else pd.DataFrame(columns=cols)
         )
+        from pyprima_spark.sources import fsio
+
         rows = zip(*[pdf[c].tolist() for c in cols]) if cols else iter(())
         payload = encode_xlsx({sheet_name: (cols, rows)})
-        with open(path, "wb") as fh:
-            fh.write(payload)
+        fsio.write_bytes(path, payload)
         yield pd.DataFrame(
             {"path": [path], "n_rows": [len(pdf)], "n_bytes": [len(payload)]}
         )
@@ -326,9 +330,10 @@ def write_xlsx_book(
                 cols,
                 list(zip(*[sub[c].tolist() for c in cols])),
             )
+        from pyprima_spark.sources import fsio
+
         payload = encode_xlsx(sheets)
-        with open(path, "wb") as fh:
-            fh.write(payload)
+        fsio.write_bytes(path, payload)
         yield pd.DataFrame(
             {
                 "sheet": list(sheets),
