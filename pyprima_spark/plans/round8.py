@@ -15385,37 +15385,41 @@ def erlang_b_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.datediff("ship", "o_orderdate").alias("t")
     )
-    # E_milli = lambda * W * 1000 = (arrivals/365) * mean(t) * 1000
-    #         = (1000 * sum(t)) div 365  ... scaled to per-day erlangs
+    # E = lambda * W = (arrivals/365) * mean(t) = sum(t)/365 erlangs;
+    # published as DECI-erlangs: e_deci = (10 * sum(t)) div 365 = 10*E.
+    # (ADVICE r6: the previous 'e_centi' name and 'scaled by 1000'
+    # narrative did not match this arithmetic — corrected throughout.)
     e_row = spans.agg(
-        F.expr("cast((10 * sum(t)) div 365 as bigint)").alias("e_centi")
+        F.expr("cast((10 * sum(t)) div 365 as bigint)").alias("e_deci")
     )
     # NOTE: E here is huge (thousands of erlangs at sf0.01+), so the
-    # published curve uses E scaled DOWN by 1000 (a per-mille sampling
-    # of the stream — the standard way to read the curve shape at a
-    # workable server count); the scaling is part of the operator
-    # definition and identical on both engines.
-    # exact milli recursion: b_m = (1000 * e * b_{m-1})
-    #   div (m * 1e6 + e * b_{m-1}) with e in milli erlangs
+    # published curve feeds the recursion E scaled DOWN by 10,000 — a
+    # one-in-ten-thousand sampling of the stream, the standard way to
+    # read the curve shape at a workable server count. The scaling is
+    # part of the operator definition and identical on both engines.
+    # Exact milli recursion with L = (E/10000)*1000 = E/10 the
+    # effective load in MILLI-erlangs (L = e_c div 1000 below, where
+    # e_c = 10*e_deci = 100*E centi-erlangs):
+    #   b_m = (1000 * L * b_{m-1}) div (m * 1e6 + L * b_{m-1})
     df = e_row.selectExpr(
-        "e_centi", "cast(e_centi * 10 as decimal(38,0)) as e_m"
+        "e_deci", "cast(e_deci * 10 as decimal(38,0)) as e_c"
     )
     df = df.selectExpr("*", "cast(1000 as decimal(38,0)) as b0")
     for m in range(1, _ERL_SERVERS + 1):
         df = df.selectExpr(
             "*",
-            f"(1000 * (e_m div 1000) * b{m - 1})"
-            f" div ({m} * 1000000 + (e_m div 1000) * b{m - 1}) as b{m}",
+            f"(1000 * (e_c div 1000) * b{m - 1})"
+            f" div ({m} * 1000000 + (e_c div 1000) * b{m - 1}) as b{m}",
         )
     rows = ", ".join(
         f"named_struct('m', {m}, 'b_milli', cast(b{m} as bigint))"
         for m in range(1, _ERL_SERVERS + 1)
     )
     return df.select(
-        F.col("e_centi").cast("bigint").alias("offered_load_centi"),
+        F.col("e_deci").cast("bigint").alias("offered_load_deci"),
         F.explode(F.expr(f"array({rows})")).alias("s"),
     ).select(
-        "offered_load_centi",
+        "offered_load_deci",
         F.expr("cast(s.m as bigint)").alias("n_servers"),
         F.expr("cast(s.b_milli as bigint)").alias("blocking_milli"),
     ).orderBy("n_servers")
@@ -15425,37 +15429,32 @@ ROUND8_QUERIES["erlang_b_blocking"] = erlang_b_blocking
 
 
 def _erlang_oracle() -> str:
-    cols = []
-    for m in range(1, _ERL_SERVERS + 1):
-        cols.append(
-            f"(1000 * (e_m // 1000) * b{m - 1})"
-            f" // ({m} * 1000000 + (e_m // 1000) * b{m - 1}) AS b{m}"
-        )
-    # build nested selects
+    # Mirrors the Spark body exactly: e_deci = 10*E, e_c = 100*E,
+    # effective recursion load L = e_c // 1000 = E/10 milli-erlangs.
     inner = """
 SELECT CAST((10 * sum(datediff('day', CAST(o_orderdate AS DATE),
                                 CAST(ship AS DATE)))) // 365 AS BIGINT)
-         AS e_centi
+         AS e_deci
 FROM orders o
 JOIN (SELECT l_orderkey, min(l_shipdate) AS ship FROM lineitem
       GROUP BY 1) f ON f.l_orderkey = o.o_orderkey
 WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
 """
     sql = f"WITH e0 AS MATERIALIZED ({inner}),\n"
-    sql += "s0 AS (SELECT e_centi, e_centi::HUGEINT * 10 AS e_m,"
+    sql += "s0 AS (SELECT e_deci, e_deci::HUGEINT * 10 AS e_c,"
     sql += " 1000::HUGEINT AS b0 FROM e0)"
     prev = "s0"
     for m in range(1, _ERL_SERVERS + 1):
         sql += f""",
-s{m} AS (SELECT *, (1000 * (e_m // 1000) * b{m - 1})
-  // ({m} * 1000000 + (e_m // 1000) * b{m - 1}) AS b{m} FROM {prev})"""
+s{m} AS (SELECT *, (1000 * (e_c // 1000) * b{m - 1})
+  // ({m} * 1000000 + (e_c // 1000) * b{m - 1}) AS b{m} FROM {prev})"""
         prev = f"s{m}"
     unions = " UNION ALL ".join(
-        f"SELECT e_centi, {m} AS m, b{m} AS b FROM {prev}"
+        f"SELECT e_deci, {m} AS m, b{m} AS b FROM {prev}"
         for m in range(1, _ERL_SERVERS + 1)
     )
     sql += f"""
-SELECT CAST(e_centi AS BIGINT) AS offered_load_centi,
+SELECT CAST(e_deci AS BIGINT) AS offered_load_deci,
        CAST(m AS BIGINT) AS n_servers,
        CAST(b AS BIGINT) AS blocking_milli
 FROM ({unions})
@@ -15523,14 +15522,24 @@ def banzhaf_power_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(s div cast(pow(2, i) as int)) % 2 = 0"),
         )
         .filter(F.expr("wsum < q AND wsum + w >= q"))
-        .groupBy("segment", "w")
+        .groupBy("segment")
         .agg(F.count(F.lit(1)).alias("n_swings"))
     )
-    tot = swings.agg(
+    # ADVICE r6: left-join the swing counts back onto the FULL 5-row
+    # weight census so a zero-power segment publishes its 0-bp row —
+    # the '16% weight, 0% power' case the docstring motivates must be
+    # displayable, not silently dropped. Totals run over the census,
+    # so weight shares stay correct in degenerate games too.
+    census = weights.join(swings, "segment", "left").select(
+        "segment",
+        "w",
+        F.coalesce("n_swings", F.lit(0)).alias("n_swings"),
+    )
+    tot = census.agg(
         F.sum("n_swings").alias("tot_swings"), F.sum("w").alias("tw")
     )
     return (
-        swings.crossJoin(F.broadcast(tot))
+        census.crossJoin(F.broadcast(tot))
         .select(
             "segment",
             F.col("w").cast("bigint").alias("weight"),
@@ -15568,21 +15577,25 @@ csums AS MATERIALIZED (
 ),
 quota AS (SELECT CAST(sum(w) // 2 + 1 AS BIGINT) AS q FROM weights),
 swings AS MATERIALIZED (
-  SELECT wi.segment, wi.w, count(*) AS n_swings
+  SELECT wi.segment, count(*) AS n_swings
   FROM wi
   JOIN csums ON (csums.s // CAST(pow(2, wi.i) AS INT)) % 2 = 0
   CROSS JOIN quota
   WHERE csums.wsum < q AND csums.wsum + wi.w >= q
-  GROUP BY wi.segment, wi.w
+  GROUP BY wi.segment
 ),
-tot AS (SELECT sum(n_swings) AS tot_swings, sum(w) AS tw FROM swings)
+census AS MATERIALIZED (
+  SELECT wt.segment, wt.w, coalesce(s.n_swings, 0) AS n_swings
+  FROM weights wt LEFT JOIN swings s ON s.segment = wt.segment
+),
+tot AS (SELECT sum(n_swings) AS tot_swings, sum(w) AS tw FROM census)
 SELECT segment,
        CAST(w AS BIGINT) AS weight,
        CAST((10000 * w) // tw AS BIGINT) AS weight_share_bp,
        CAST(n_swings AS BIGINT) AS n_swings,
        CAST((10000 * n_swings) // tot_swings AS BIGINT)
          AS banzhaf_share_bp
-FROM swings CROSS JOIN tot
+FROM census CROSS JOIN tot
 ORDER BY segment
 """
 
@@ -15660,12 +15673,19 @@ def shapley_shubik_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pivots = (
         running.filter(F.expr("cum >= q AND cum - w < q"))
-        .groupBy("segment", "w")
+        .groupBy("segment")
         .agg(F.count(F.lit(1)).alias("n_pivots"))
+    )
+    # ADVICE r6: publish zero-pivot segments too (see banzhaf) — the
+    # census left-join keeps every weight row in the table.
+    census = weights.join(pivots, "segment", "left").select(
+        "segment",
+        "w",
+        F.coalesce("n_pivots", F.lit(0)).alias("n_pivots"),
     )
     tw = weights.agg(F.sum("w").alias("tw"))
     return (
-        pivots.crossJoin(F.broadcast(tw))
+        census.crossJoin(F.broadcast(tw))
         .select(
             "segment",
             F.col("w").cast("bigint").alias("weight"),
@@ -15715,10 +15735,14 @@ running AS (
   FROM slots s JOIN wi ON wi.i = s.i
 ),
 pivots AS (
-  SELECT segment, w, count(*) AS n_pivots
+  SELECT segment, count(*) AS n_pivots
   FROM running CROSS JOIN quota
   WHERE cum >= q AND cum - w < q
-  GROUP BY segment, w
+  GROUP BY segment
+),
+census AS MATERIALIZED (
+  SELECT wt.segment, wt.w, coalesce(p.n_pivots, 0) AS n_pivots
+  FROM weights wt LEFT JOIN pivots p ON p.segment = wt.segment
 ),
 tw AS (SELECT sum(w) AS tw FROM weights)
 SELECT segment,
@@ -15726,7 +15750,7 @@ SELECT segment,
        CAST((10000 * w) // tw AS BIGINT) AS weight_share_bp,
        CAST(n_pivots AS BIGINT) AS n_pivots,
        CAST((10000 * n_pivots) // 120 AS BIGINT) AS shapley_shubik_bp
-FROM pivots CROSS JOIN tw
+FROM census CROSS JOIN tw
 ORDER BY segment
 """
 

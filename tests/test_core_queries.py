@@ -57,13 +57,19 @@ def test_every_query_has_a_survey_row():
 
 
 def test_every_query_is_benched_or_excluded():
-    """bench.py must either time a catalog key or name it in the
-    documented-exclusions comment block — silent bench gaps hide
-    per-round perf regressions (VERDICT r5 item 4)."""
-    import os
+    """bench.py must either time a catalog key or carry it in the
+    structured BENCH_EXCLUDED dict with a non-empty reason — silent
+    bench gaps hide per-round perf regressions (VERDICT r5 item 4;
+    hardened from a string match to a set identity in r7 per VERDICT
+    r6 item 4)."""
+    from bench import BENCH_EXCLUDED, BENCH_QUERIES
 
-    src = open(
-        os.path.join(os.path.dirname(__file__), "..", "bench.py")
-    ).read()
-    gaps = [name for name in QUERIES if name not in src]
-    assert not gaps, gaps
+    benched = set(BENCH_QUERIES)
+    excluded = set(BENCH_EXCLUDED)
+    assert not benched & excluded, sorted(benched & excluded)
+    missing = set(QUERIES) - benched - excluded
+    assert not missing, sorted(missing)
+    stale = (benched | excluded) - set(QUERIES)
+    assert not stale, sorted(stale)
+    thin = [k for k, v in BENCH_EXCLUDED.items() if not str(v).strip()]
+    assert not thin, thin

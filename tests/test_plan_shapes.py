@@ -23,6 +23,43 @@ def test_no_scale_breaking_plan_shapes(spark, sf_dir):
     assert not problems, "\n".join(problems)
 
 
+def test_global_window_allowlist_proves_bounds(spark, sf_dir):
+    """VERDICT r6 item 3: the GLOBAL_WINDOW allowlist must prove
+    itself — every entry's measured rows-into-the-window stays under
+    its documented census bound, hidden (materialize-cut) entries are
+    explicitly registered, and an entry whose body no longer plans a
+    global window is flagged stale rather than kept by trust."""
+    from tools.audit_plans import window_bound_violations
+
+    problems = window_bound_violations(spark, sf_dir)
+    assert not problems, "\n".join(problems)
+
+
+def test_window_bound_probe_measures_and_flags(spark, sf_dir):
+    """Negative control for the probe itself: it must measure the
+    rows entering a planted global window, and a fact-sized window
+    input must exceed a census-sized bound."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from pyprima_spark.catalog import load_table
+    from tools.audit_plans import global_window_input_counts
+
+    orders = load_table(spark, sf_dir, "orders")
+    fact_window = orders.select(
+        F.ntile(10).over(Window.orderBy("o_totalprice")).alias("b")
+    )
+    counts = global_window_input_counts(spark, fact_window)
+    assert counts == [orders.count()]  # fact-sized: would fail any census bound
+
+    census_window = (
+        orders.groupBy("o_orderpriority")
+        .count()
+        .select(F.row_number().over(Window.orderBy("o_orderpriority")).alias("r"))
+    )
+    assert global_window_input_counts(spark, census_window) == [5]
+
+
 def test_gate_catches_planted_bad_shapes(spark, sf_dir):
     """Negative control: the gate must actually FIRE on the shapes it
     claims to catch — a planted unpartitioned ntile (the round-5
