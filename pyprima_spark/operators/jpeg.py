@@ -1,0 +1,395 @@
+"""Minimal baseline JPEG codec (grayscale) in pure numpy + stdlib.
+
+Closes the remaining REAL-decode gap in the multimodal stack the same
+way rounds 4–6 closed WAV (`wave`), PNG (zlib + CRC chunks) and
+GeoTIFF (`struct`): PIL/libjpeg are absent in this container, but the
+baseline sequential DCT process of ITU-T T.81 is a public spec whose
+single-component (grayscale) subset needs only numpy matrix math and a
+bit reader. COLOR JPEG (chroma subsampling), progressive scans and
+video remain honestly out of scope — this is the smallest REAL codec
+that lets the pipeline ingest and verify actual JPEG bytes end to end.
+
+Implements:
+- ``encode_jpeg_gray(arr, quality)``: 8-bit grayscale baseline JFIF —
+  level shift, 8×8 orthonormal DCT-II (matrix form), Annex-K luminance
+  quantization scaled by the libjpeg quality convention, zigzag,
+  differential DC + run-length AC entropy coding with the Annex-K
+  Huffman tables, 0xFF byte stuffing.
+- ``decode_jpeg_gray(payload)``: VERIFYING parser for the same subset
+  — rejects multi-component / progressive / 16-bit streams, truncated
+  entropy data, and malformed markers instead of decoding wrong.
+
+Scale shape: both functions are per-payload bytes→array transforms,
+used inside mapInPandas batches exactly like decode_png_rgb
+(operators/multimodal.py) — executors touch bytes, the driver never
+does. Reference parity: the reference ingests rasters/images through
+GDAL/PIL happy paths (correction_functions.py lineage); this is the
+cluster-shaped, dependency-free equivalent.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# --- Annex K tables (public spec constants) --------------------------------
+
+# K.1 luminance quantization table, natural (row-major) order.
+_QUANT_LUMA = np.array(
+    [
+        [16, 11, 10, 16, 24, 40, 51, 61],
+        [12, 12, 14, 19, 26, 58, 60, 55],
+        [14, 13, 16, 24, 40, 57, 69, 56],
+        [14, 17, 22, 29, 51, 87, 80, 62],
+        [18, 22, 37, 56, 68, 109, 103, 77],
+        [24, 35, 55, 64, 81, 104, 113, 92],
+        [49, 64, 78, 87, 103, 121, 120, 101],
+        [72, 92, 95, 98, 112, 100, 103, 99],
+    ],
+    dtype=np.int64,
+)
+
+# K.3.1 luminance DC: BITS (counts of codes per length 1..16) + HUFFVAL.
+_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_VALS = list(range(12))
+
+# K.3.2 luminance AC.
+_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125]
+_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+# Zigzag scan: _ZIGZAG[k] = natural-order index of the k-th zigzag coef.
+_ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10,
+        17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34,
+        27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36,
+        29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46,
+        53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+# Orthonormal DCT-II basis: C[u, x] = a(u) * cos((2x+1) u pi / 16).
+_DCT = np.zeros((8, 8))
+for _u in range(8):
+    for _x in range(8):
+        _a = np.sqrt(0.125) if _u == 0 else 0.5
+        _DCT[_u, _x] = _a * np.cos((2 * _x + 1) * _u * np.pi / 16)
+
+
+def _build_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) per the canonical T.81 assignment."""
+    codes: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+_DC_CODES = _build_codes(_DC_BITS, _DC_VALS)
+_AC_CODES = _build_codes(_AC_BITS, _AC_VALS)
+
+
+def _scaled_quant(quality: int) -> np.ndarray:
+    """libjpeg quality convention: 1..100 -> scaled Annex-K table."""
+    if not 1 <= quality <= 100:
+        raise ValueError(f"quality must be 1..100, got {quality}")
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    q = (_QUANT_LUMA * scale + 50) // 100
+    return np.clip(q, 1, 255).astype(np.int64)
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1s per spec
+        return bytes(self.out)
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(size, amplitude bits) for a DC diff / AC coefficient."""
+    if v == 0:
+        return 0, 0
+    size = int(abs(v)).bit_length()
+    bits = v if v > 0 else v + (1 << size) - 1
+    return size, bits
+
+
+def encode_jpeg_gray(arr: np.ndarray, quality: int = 85) -> bytes:
+    """Encode an (h, w) uint8 grayscale array as a baseline JFIF JPEG."""
+    if arr.ndim != 2 or arr.dtype != np.uint8:
+        raise ValueError("expected (h, w) uint8 array")
+    h, w = arr.shape
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    quant = _scaled_quant(quality)
+
+    # edge-replicate pad to 8x8 multiples
+    ph, pw = -h % 8, -w % 8
+    img = np.pad(arr, ((0, ph), (0, pw)), mode="edge").astype(np.float64)
+    img -= 128.0
+
+    writer = _BitWriter()
+    prev_dc = 0
+    for by in range(0, img.shape[0], 8):
+        for bx in range(0, img.shape[1], 8):
+            block = img[by : by + 8, bx : bx + 8]
+            coef = _DCT @ block @ _DCT.T
+            q = np.round(coef / quant).astype(np.int64)
+            zz = q.flatten()[_ZIGZAG]
+            # DC: differential
+            diff = int(zz[0]) - prev_dc
+            prev_dc = int(zz[0])
+            size, bits = _magnitude(diff)
+            code, length = _DC_CODES[size]
+            writer.write(code, length)
+            if size:
+                writer.write(bits, size)
+            # AC: run-length of zeros + (run, size) symbols
+            run = 0
+            last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+            for k in range(1, 64):
+                v = int(zz[k])
+                if k > last_nz:
+                    break
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    zcode, zlen = _AC_CODES[0xF0]  # ZRL
+                    writer.write(zcode, zlen)
+                    run -= 16
+                size, bits = _magnitude(v)
+                code, length = _AC_CODES[(run << 4) | size]
+                writer.write(code, length)
+                writer.write(bits, size)
+                run = 0
+            if last_nz < 63:
+                code, length = _AC_CODES[0x00]  # EOB
+                writer.write(code, length)
+    entropy = writer.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    dqt = seg(0xFFDB, b"\x00" + bytes(int(quant.flatten()[_ZIGZAG][k]) for k in range(64)))
+    sof = seg(
+        0xFFC0,
+        struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]),
+    )
+    dht = seg(
+        0xFFC4,
+        b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS)
+        + b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS),
+    )
+    sos = seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    return (
+        b"\xff\xd8" + dqt + sof + dht + sos + entropy + b"\xff\xd9"
+    )
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise ValueError("truncated JPEG entropy stream")
+        byte = self.data[self.pos]
+        self.pos += 1
+        if byte == 0xFF:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated JPEG entropy stream")
+            nxt = self.data[self.pos]
+            if nxt == 0x00:
+                self.pos += 1  # stuffed byte
+            elif nxt == 0xD9:  # EOI reached mid-read
+                raise ValueError("truncated JPEG entropy stream")
+            else:
+                raise ValueError(f"unexpected marker 0xFF{nxt:02X} in scan")
+        self.acc = (self.acc << 8) | byte
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _decode_table(bits: list[int], vals: list[int]):
+    """(code, length) -> symbol lookup dict."""
+    table: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(code, length)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _read_symbol(reader: _BitReader, table) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.read_bit()
+        sym = table.get((code, length))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code in JPEG stream")
+
+
+def _extend(bits: int, size: int) -> int:
+    if size == 0:
+        return 0
+    return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
+
+
+def decode_jpeg_gray(payload: bytes) -> np.ndarray:
+    """Parse a baseline grayscale JPEG written by :func:`encode_jpeg_gray`
+    (or any single-component baseline JFIF in the same subset). Returns
+    the (h, w) uint8 array; raises ValueError on anything outside the
+    supported subset rather than decoding wrong."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    quant: np.ndarray | None = None
+    dims: tuple[int, int] | None = None
+    dc_table = ac_table = None
+    scan_at = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"bad marker alignment at {pos}")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI before SOS
+            break
+        (seg_len,) = struct.unpack_from(">H", payload, pos + 2)
+        body = payload[pos + 4 : pos + 2 + seg_len]
+        if marker == 0xDB:  # DQT
+            if body[0] & 0xF0:
+                raise ValueError("16-bit quant tables not supported")
+            zz = np.frombuffer(body[1:65], dtype=np.uint8).astype(np.int64)
+            nat = np.zeros(64, dtype=np.int64)
+            nat[_ZIGZAG] = zz
+            quant = nat.reshape(8, 8)
+        elif marker == 0xC0:  # SOF0 baseline
+            precision, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
+            if precision != 8:
+                raise ValueError("only 8-bit precision supported")
+            if ncomp != 1:
+                raise ValueError("only single-component (grayscale) JPEG supported")
+            dims = (h, w)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError("only baseline sequential (SOF0) supported")
+        elif marker == 0xC4:  # DHT (may hold several tables)
+            off = 0
+            while off < len(body):
+                tc_th = body[off]
+                bits = list(body[off + 1 : off + 17])
+                n = sum(bits)
+                vals = list(body[off + 17 : off + 17 + n])
+                if tc_th >> 4 == 0:
+                    dc_table = _decode_table(bits, vals)
+                else:
+                    ac_table = _decode_table(bits, vals)
+                off += 17 + n
+        elif marker == 0xDA:  # SOS
+            scan_at = pos + 2 + seg_len
+            break
+        pos += 2 + seg_len
+    if quant is None or dims is None or dc_table is None or ac_table is None:
+        raise ValueError("missing DQT/SOF0/DHT/SOS segment")
+    if scan_at is None:
+        raise ValueError("missing SOS segment")
+
+    h, w = dims
+    bh, bw = (h + 7) // 8, (w + 7) // 8
+    reader = _BitReader(payload[scan_at:])
+    out = np.zeros((bh * 8, bw * 8), dtype=np.float64)
+    prev_dc = 0
+    for by in range(bh):
+        for bx in range(bw):
+            zz = np.zeros(64, dtype=np.int64)
+            size = _read_symbol(reader, dc_table)
+            diff = _extend(reader.read_bits(size), size)
+            prev_dc += diff
+            zz[0] = prev_dc
+            k = 1
+            while k < 64:
+                sym = _read_symbol(reader, ac_table)
+                if sym == 0x00:  # EOB
+                    break
+                if sym == 0xF0:  # ZRL
+                    k += 16
+                    continue
+                run, size = sym >> 4, sym & 0x0F
+                k += run
+                if k > 63:
+                    raise ValueError("AC run past block end")
+                zz[k] = _extend(reader.read_bits(size), size)
+                k += 1
+            nat = np.zeros(64, dtype=np.int64)
+            nat[_ZIGZAG] = zz
+            coef = nat.reshape(8, 8) * quant
+            block = _DCT.T @ coef @ _DCT
+            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+    return np.clip(np.round(out + 128.0), 0, 255).astype(np.uint8)[:h, :w]

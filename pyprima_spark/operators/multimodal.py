@@ -8,7 +8,12 @@ Decode status per modality:
 - IMAGE: REAL end-to-end since round 5 for PNG — spec-valid PNGs
   encoded and decoded with stdlib zlib + struct (encode_png_rgb /
   decode_png_rgb below), closed-form-oracled in plans/round6.py.
-  JPEG stays stubbed (needs libjpeg via PIL, absent here).
+  GRAYSCALE BASELINE JPEG is REAL since round 7 — a pure numpy+stdlib
+  ITU-T T.81 codec (operators/jpeg.py: Annex-K tables, 8×8 DCT,
+  Huffman entropy coding, verifying parser) wired below as
+  attach_jpeg_media / image_features_jpeg. COLOR JPEG (chroma
+  subsampling) and progressive scans remain out of scope — the honest
+  boundary moved from "no JPEG at all" to "grayscale baseline only".
 - VIDEO: stubbed (needs ffmpeg, absent); frame_sample exercises the
   real Arrow plumbing over fake payloads.
 
@@ -467,3 +472,65 @@ def image_ahash_png(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(batches, schema=AHASH_SCHEMA)
+
+
+# --- REAL grayscale-baseline JPEG leg (round 7; operators/jpeg.py) ---------
+
+JPEG_SCHEMA = "doc_id bigint, width int, height int, mean_y int, n_bytes int"
+
+
+def attach_jpeg_media(docs: DataFrame, quality: int = 90) -> DataFrame:
+    """Attach a REAL baseline-JPEG payload per document: a deterministic
+    grayscale gradient whose size and phase derive from doc_id, encoded
+    by the pure numpy+stdlib T.81 codec. Same per-partition mapInPandas
+    shape as attach_png_media — synthesis never shuffles."""
+    import numpy as np
+
+    from pyprima_spark.operators.jpeg import encode_jpeg_gray
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w = 16 + d % 17
+                h = 16 + d % 11
+                yy, xx = np.mgrid[0:h, 0:w]
+                arr = ((xx * 5 + yy * 3 + d) % 256).astype(np.uint8)
+                payloads.append(encode_jpeg_gray(arr, quality))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(
+        batches, schema="doc_id bigint, payload binary"
+    )
+
+
+def image_features_jpeg(media: DataFrame) -> DataFrame:
+    """REAL JPEG feature extraction: decode each grayscale baseline
+    JPEG with the verifying T.81 parser and report dimensions, the
+    integer mean luma, and payload size. DCT quantization makes pixel
+    values lossy, so unlike the PNG leg the features are asserted
+    against tolerance properties in tests rather than a closed-form
+    value oracle — dimensions and byte counts remain exact."""
+    import numpy as np
+
+    from pyprima_spark.operators.jpeg import decode_jpeg_gray
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: dict[str, list] = {
+                "doc_id": [], "width": [], "height": [],
+                "mean_y": [], "n_bytes": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                arr = decode_jpeg_gray(raw)
+                h, w = arr.shape
+                rows["doc_id"].append(doc_id)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["mean_y"].append(int(arr.astype(np.int64).sum() // (w * h)))
+                rows["n_bytes"].append(len(raw))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(batches, schema=JPEG_SCHEMA)
