@@ -1,0 +1,143 @@
+"""Scale-stress probe for the dedup/similarity family (VERDICT r6
+missing-item 4: no sf1 test data exists, so band parameters and
+df-cutoffs were only ever measured to sf0.1).
+
+Since /root/testdata tops out at sf0.1, this probe manufactures an
+N×-scale corpus from the DRIVER-PROVIDED data itself (no synthetic
+distribution drift): the documents table is unioned N times with
+doc_id offsets and a per-replica text suffix — preserving the length,
+token and source distributions while multiplying rows — and the
+scale-sensitive operators run at 1× and N×. The artifact records
+wall-clock ratios: a bucketed/banded plan should scale ~linearly in
+rows (ratio ≈ N, modulo fixed overhead); a quadratic pair-explosion
+shows up as ratio >> N.
+
+Usage: python tools/stress_probe.py [N] [out.json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.1"
+
+
+def replicated_docs(spark, n: int):
+    """documents unioned n times: doc_id offset per replica keeps ids
+    unique; a replica tag appended to text keeps near-dup structure
+    per replica instead of creating n-way exact duplicates (which
+    would measure the dedup of the replication trick, not the
+    operator)."""
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    max_id = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    parts = []
+    for r in range(n):
+        parts.append(
+            docs.select(
+                (F.col("doc_id") + F.lit(r * max_id)).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(f" replica{r}")).alias("text"),
+                "source",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def probe(spark, docs):
+    """Run the scale-sensitive legs over an arbitrary documents frame
+    and return wall seconds per leg."""
+    from pyprima_spark.operators.components import connected_components
+    from pyprima_spark.operators.dedup import (
+        minhash_candidate_pairs,
+        simhash_table,
+    )
+
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        spark.catalog.clearCache()
+        start = time.perf_counter()
+        fn()
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    timed(
+        "minhash_pairs",
+        lambda: minhash_candidate_pairs(docs, "doc_id", "text").count(),
+    )
+    timed(
+        "minhash_components",
+        lambda: connected_components(
+            minhash_candidate_pairs(docs, "doc_id", "text"), "doc_a", "doc_b"
+        ).count(),
+    )
+    timed(
+        "simhash_table",
+        lambda: simhash_table(docs, "doc_id", "text").count(),
+    )
+    timed(
+        "exact_dedup",
+        lambda: docs.groupBy(F.md5("text")).count().count(),
+    )
+    timed(
+        "ngram8_shingle_distinct",
+        lambda: docs.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, greatest(size(split(text,' '))-7,0)),"
+                    " i -> concat_ws(' ', slice(split(text,' '), i, 8)))"
+                )
+            ).alias("g"),
+        )
+        .groupBy("g")
+        .count()
+        .count(),
+    )
+    return timings
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    out_path = sys.argv[2] if len(sys.argv) > 2 else "STRESS_r07.json"
+    from pyprima_spark.session import build_session
+
+    spark = build_session("stress_probe")
+    base_docs = replicated_docs(spark, 1)
+    n_rows_1x = base_docs.count()
+    t1 = probe(spark, base_docs)
+    big = replicated_docs(spark, n)
+    n_rows_nx = big.count()
+    tn = probe(spark, big)
+    doc = {
+        "sf_base": 0.1,
+        "replicas": n,
+        "rows_1x": n_rows_1x,
+        "rows_nx": n_rows_nx,
+        "secs_1x": t1,
+        "secs_nx": tn,
+        "ratio": {
+            k: round(tn[k] / t1[k], 2) if t1[k] > 0 else None for k in t1
+        },
+        "verdict_rule": (
+            "bucketed/banded plans should scale ~linearly: ratio <= "
+            "~1.5*N after fixed overhead; ratio >> N flags a pair "
+            "explosion"
+        ),
+    }
+    with open(out_path, "w") as fh:
+        json.dump(doc, fh, indent=1, sort_keys=True)
+    print(json.dumps(doc["ratio"]))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
