@@ -52,6 +52,52 @@ def replicated_docs(spark, n: int):
     return out
 
 
+def replicated_embeddings(spark, n: int):
+    """embeddings unioned n times with id offsets and a tiny per-replica
+    rotation of the first coordinate — distinct vectors per replica so
+    the LSH buckets keep their population shape instead of collapsing
+    into exact duplicates."""
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    max_id = emb.agg(F.max("vec_id")).collect()[0][0] + 1
+    parts = []
+    for r in range(n):
+        parts.append(
+            emb.select(
+                (F.col("vec_id") + F.lit(r * max_id)).alias("vec_id"),
+                F.expr(
+                    "transform(embedding, (x, i) -> CASE WHEN i = 0 "
+                    f"THEN x + {r} * 0.01 ELSE x END)"
+                ).alias("embedding"),
+                "label",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def probe_embeddings(spark, emb):
+    """Scale-sensitive ANN/embedding legs: hyperplane-LSH top-k
+    (bucket join fanout is the scale risk) and banded near-dup pairs."""
+    from pyprima_spark.operators.similarity import ann_lsh, embedding_dedup
+
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        spark.catalog.clearCache()
+        start = time.perf_counter()
+        fn()
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    timed("ann_lsh_topk", lambda: ann_lsh(emb, n_queries=20, k=10).count())
+    timed(
+        "embedding_dedup_pairs",
+        lambda: embedding_dedup(emb, tau=0.95).count(),
+    )
+    return timings
+
+
 def probe(spark, docs):
     """Run the scale-sensitive legs over an arbitrary documents frame
     and return wall seconds per leg."""
@@ -114,9 +160,11 @@ def main() -> None:
     base_docs = replicated_docs(spark, 1)
     n_rows_1x = base_docs.count()
     t1 = probe(spark, base_docs)
+    t1.update(probe_embeddings(spark, replicated_embeddings(spark, 1)))
     big = replicated_docs(spark, n)
     n_rows_nx = big.count()
     tn = probe(spark, big)
+    tn.update(probe_embeddings(spark, replicated_embeddings(spark, n)))
     doc = {
         "sf_base": 0.1,
         "replicas": n,
