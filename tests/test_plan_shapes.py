@@ -35,6 +35,46 @@ def test_global_window_allowlist_proves_bounds(spark, sf_dir):
     assert not problems, "\n".join(problems)
 
 
+def test_window_allowlist_registry_hygiene():
+    """The bounds/hidden registries must stay consistent with the
+    catalog: every allowlisted key exists, hidden keys are a subset of
+    the bounds table, and every bound is a positive int."""
+    from pyprima_spark.plans.queries import QUERIES
+    from tools.audit_plans import (
+        GLOBAL_WINDOW_ALLOWED,
+        GLOBAL_WINDOW_BOUNDS,
+        HIDDEN_WINDOW_KEYS,
+    )
+
+    unknown = set(GLOBAL_WINDOW_BOUNDS) - set(QUERIES)
+    assert not unknown, sorted(unknown)
+    assert set(HIDDEN_WINDOW_KEYS) <= set(GLOBAL_WINDOW_BOUNDS)
+    assert GLOBAL_WINDOW_ALLOWED == set(GLOBAL_WINDOW_BOUNDS)
+    bad = {k: v for k, v in GLOBAL_WINDOW_BOUNDS.items()
+           if not isinstance(v, int) or v <= 0}
+    assert not bad, bad
+
+
+def test_window_bound_gate_flags_planted_violations(spark, sf_dir, monkeypatch):
+    """Negative controls for window_bound_violations itself: a bound
+    set below the measured count must flag, and a stale entry (no
+    global window, not registered hidden) must flag."""
+    import tools.audit_plans as ap
+
+    # (a) plant an impossible bound on a key with a measured window
+    monkeypatch.setitem(ap.GLOBAL_WINDOW_BOUNDS, "decile_lift", 1)
+    problems = ap.window_bound_violations(spark, sf_dir, keys=["decile_lift"])
+    assert problems and "documented bound 1" in problems[0]
+    monkeypatch.undo()
+
+    # (b) plant a stale allowlist row: q1 has no global window
+    monkeypatch.setitem(ap.GLOBAL_WINDOW_BOUNDS, "q1_pricing_summary", 10)
+    problems = ap.window_bound_violations(
+        spark, sf_dir, keys=["q1_pricing_summary"]
+    )
+    assert problems and "stale entry" in problems[0]
+
+
 def test_window_bound_probe_measures_and_flags(spark, sf_dir):
     """Negative control for the probe itself: it must measure the
     rows entering a planted global window, and a fact-sized window
