@@ -1,0 +1,96 @@
+"""Avro OCF source/sink tests (sources/avro_ocf.py, round 7):
+byte-level codec roundtrips, verifying-parser refusals, and the Spark
+write→read legs including file:// URI routing and nulls."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyprima_spark.sources.avro_ocf import (
+    decode_avro_ocf,
+    encode_avro_ocf,
+    read_avro,
+    write_avro_file,
+)
+
+_SCHEMA = {
+    "type": "record",
+    "name": "t",
+    "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "name", "type": ["null", "string"]},
+        {"name": "score", "type": "double"},
+    ],
+}
+
+_ROWS = [
+    {"id": 1, "name": "a", "score": 1.5},
+    {"id": -9_000_000_000, "name": None, "score": -0.25},
+    {"id": 7, "name": "üñï — unicode", "score": 1e300},
+]
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate"])
+def test_codec_roundtrip_and_determinism(codec):
+    payload = encode_avro_ocf(_ROWS, _SCHEMA, codec=codec)
+    schema, back = decode_avro_ocf(payload)
+    assert back == _ROWS
+    assert schema["fields"][0]["name"] == "id"
+    assert encode_avro_ocf(_ROWS, _SCHEMA, codec=codec) == payload
+
+
+def test_multiblock_roundtrip():
+    many = [{"id": i, "name": f"n{i}", "score": i / 8} for i in range(2500)]
+    payload = encode_avro_ocf(many, _SCHEMA, codec="deflate", block_rows=700)
+    _, back = decode_avro_ocf(payload)
+    assert back == many
+
+
+def test_parser_refusals():
+    payload = encode_avro_ocf(_ROWS, _SCHEMA)
+
+    with pytest.raises(ValueError, match="magic"):
+        decode_avro_ocf(b"XXXX" + payload[4:])
+
+    with pytest.raises(ValueError):
+        decode_avro_ocf(payload[:-20])  # truncated block
+
+    # corrupt the sync marker of the data block: must refuse
+    corrupted = bytearray(payload)
+    corrupted[-1] ^= 0xFF
+    with pytest.raises(ValueError, match="sync"):
+        decode_avro_ocf(bytes(corrupted))
+
+    with pytest.raises(ValueError, match="codec"):
+        encode_avro_ocf(_ROWS, _SCHEMA, codec="snappy")
+
+    with pytest.raises(ValueError, match="unsupported field type"):
+        encode_avro_ocf(
+            [], {"type": "record", "name": "x",
+                 "fields": [{"name": "m", "type": {"type": "map"}}]},
+        )
+
+
+def test_spark_write_read_roundtrip_via_file_uri(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a", 1.5, True), (2, None, -0.25, False), (3, "c", 0.0, None)],
+        "id bigint, name string, score double, ok boolean",
+    )
+    uri = "file://" + str(tmp_path / "t.avro")
+    man = write_avro_file(df, uri, order_by=["id"]).collect()
+    assert man[0].n_rows == 3
+
+    back = read_avro(
+        spark, uri, "id bigint, name string, score double, ok boolean"
+    ).collect()
+    got = sorted((r.id, r.name, r.score, r.ok) for r in back)
+    assert got == [(1, "a", 1.5, True), (2, None, -0.25, False), (3, "c", 0.0, None)]
+
+
+def test_spark_read_maps_fields_by_name(spark, tmp_path):
+    df = spark.createDataFrame([(5, "x", 2.5)], "id bigint, name string, score double")
+    path = str(tmp_path / "n.avro")
+    write_avro_file(df, path).collect()
+    # request a schema with a missing column and a subset, by name
+    back = read_avro(spark, path, "score double, id bigint, missing string").collect()
+    assert back[0].score == 2.5 and back[0].id == 5 and back[0].missing is None
