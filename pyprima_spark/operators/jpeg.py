@@ -1,13 +1,14 @@
-"""Minimal baseline JPEG codec (grayscale) in pure numpy + stdlib.
+"""Minimal baseline JPEG codec (grayscale + 4:4:4 color) in pure
+numpy + stdlib.
 
 Closes the remaining REAL-decode gap in the multimodal stack the same
 way rounds 4–6 closed WAV (`wave`), PNG (zlib + CRC chunks) and
 GeoTIFF (`struct`): PIL/libjpeg are absent in this container, but the
-baseline sequential DCT process of ITU-T T.81 is a public spec whose
-single-component (grayscale) subset needs only numpy matrix math and a
-bit reader. COLOR JPEG (chroma subsampling), progressive scans and
-video remain honestly out of scope — this is the smallest REAL codec
-that lets the pipeline ingest and verify actual JPEG bytes end to end.
+baseline sequential DCT process of ITU-T T.81 is a public spec that
+needs only numpy matrix math and a bit reader. CHROMA SUBSAMPLING
+(4:2:0 etc.) and progressive scans remain honestly out of scope — the
+supported subset is 1-component grayscale and 3-component 4:4:4
+color, both directions.
 
 Implements:
 - ``encode_jpeg_gray(arr, quality)``: 8-bit grayscale baseline JFIF —
@@ -15,9 +16,13 @@ Implements:
   quantization scaled by the libjpeg quality convention, zigzag,
   differential DC + run-length AC entropy coding with the Annex-K
   Huffman tables, 0xFF byte stuffing.
-- ``decode_jpeg_gray(payload)``: VERIFYING parser for the same subset
-  — rejects multi-component / progressive / 16-bit streams, truncated
-  entropy data, and malformed markers instead of decoding wrong.
+- ``encode_jpeg_rgb(arr, quality)``: 4:4:4 color — BT.601 YCbCr
+  transform, Annex-K chrominance tables for Cb/Cr, interleaved
+  one-block-per-component MCUs with independent DC predictors.
+- ``decode_jpeg_gray`` / ``decode_jpeg_rgb``: VERIFYING parsers for
+  the same subset — reject subsampled / progressive / 16-bit streams,
+  truncated entropy data, table-id mismatches and malformed markers
+  instead of decoding wrong.
 
 Scale shape: both functions are per-payload bytes→array transforms,
 used inside mapInPandas batches exactly like decode_png_rgb
@@ -50,9 +55,54 @@ _QUANT_LUMA = np.array(
     dtype=np.int64,
 )
 
+# K.2 chrominance quantization table, natural order.
+_QUANT_CHROMA = np.array(
+    [
+        [17, 18, 24, 47, 99, 99, 99, 99],
+        [18, 21, 26, 66, 99, 99, 99, 99],
+        [24, 26, 56, 99, 99, 99, 99, 99],
+        [47, 66, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+    ],
+    dtype=np.int64,
+)
+
 # K.3.1 luminance DC: BITS (counts of codes per length 1..16) + HUFFVAL.
 _DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
 _DC_VALS = list(range(12))
+
+# K.3.3.1 chrominance DC.
+_DC_BITS_C = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_DC_VALS_C = list(range(12))
+
+# K.3.3.2 chrominance AC.
+_AC_BITS_C = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119]
+_AC_VALS_C = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
 
 # K.3.2 luminance AC.
 _AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125]
@@ -119,6 +169,13 @@ def _build_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]
 
 _DC_CODES = _build_codes(_DC_BITS, _DC_VALS)
 _AC_CODES = _build_codes(_AC_BITS, _AC_VALS)
+_DC_CODES_C = _build_codes(_DC_BITS_C, _DC_VALS_C)
+_AC_CODES_C = _build_codes(_AC_BITS_C, _AC_VALS_C)
+
+
+def _scaled(table: np.ndarray, quality: int) -> np.ndarray:
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((table * scale + 50) // 100, 1, 255).astype(np.int64)
 
 
 def _scaled_quant(quality: int) -> np.ndarray:
@@ -163,6 +220,42 @@ def _magnitude(v: int) -> tuple[int, int]:
     return size, bits
 
 
+def _encode_block(writer, block, quant, dc_codes, ac_codes, prev_dc) -> int:
+    """Encode one level-shifted 8x8 float block; returns the new DC
+    predictor."""
+    coef = _DCT @ block @ _DCT.T
+    q = np.round(coef / quant).astype(np.int64)
+    zz = q.flatten()[_ZIGZAG]
+    diff = int(zz[0]) - prev_dc
+    size, bits = _magnitude(diff)
+    code, length = dc_codes[size]
+    writer.write(code, length)
+    if size:
+        writer.write(bits, size)
+    run = 0
+    last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if k > last_nz:
+            break
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            zcode, zlen = ac_codes[0xF0]  # ZRL
+            writer.write(zcode, zlen)
+            run -= 16
+        size, bits = _magnitude(v)
+        code, length = ac_codes[(run << 4) | size]
+        writer.write(code, length)
+        writer.write(bits, size)
+        run = 0
+    if last_nz < 63:
+        code, length = ac_codes[0x00]  # EOB
+        writer.write(code, length)
+    return int(zz[0])
+
+
 def encode_jpeg_gray(arr: np.ndarray, quality: int = 85) -> bytes:
     """Encode an (h, w) uint8 grayscale array as a baseline JFIF JPEG."""
     if arr.ndim != 2 or arr.dtype != np.uint8:
@@ -181,59 +274,116 @@ def encode_jpeg_gray(arr: np.ndarray, quality: int = 85) -> bytes:
     prev_dc = 0
     for by in range(0, img.shape[0], 8):
         for bx in range(0, img.shape[1], 8):
-            block = img[by : by + 8, bx : bx + 8]
-            coef = _DCT @ block @ _DCT.T
-            q = np.round(coef / quant).astype(np.int64)
-            zz = q.flatten()[_ZIGZAG]
-            # DC: differential
-            diff = int(zz[0]) - prev_dc
-            prev_dc = int(zz[0])
-            size, bits = _magnitude(diff)
-            code, length = _DC_CODES[size]
-            writer.write(code, length)
-            if size:
-                writer.write(bits, size)
-            # AC: run-length of zeros + (run, size) symbols
-            run = 0
-            last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
-            for k in range(1, 64):
-                v = int(zz[k])
-                if k > last_nz:
-                    break
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    zcode, zlen = _AC_CODES[0xF0]  # ZRL
-                    writer.write(zcode, zlen)
-                    run -= 16
-                size, bits = _magnitude(v)
-                code, length = _AC_CODES[(run << 4) | size]
-                writer.write(code, length)
-                writer.write(bits, size)
-                run = 0
-            if last_nz < 63:
-                code, length = _AC_CODES[0x00]  # EOB
-                writer.write(code, length)
+            prev_dc = _encode_block(
+                writer, img[by : by + 8, bx : bx + 8], quant,
+                _DC_CODES, _AC_CODES, prev_dc,
+            )
     entropy = writer.flush()
 
-    def seg(marker: int, body: bytes) -> bytes:
-        return struct.pack(">HH", marker, len(body) + 2) + body
-
-    dqt = seg(0xFFDB, b"\x00" + bytes(int(quant.flatten()[_ZIGZAG][k]) for k in range(64)))
-    sof = seg(
+    dqt = _seg(0xFFDB, b"\x00" + _zz_bytes(quant))
+    sof = _seg(
         0xFFC0,
         struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]),
     )
-    dht = seg(
+    dht = _seg(
         0xFFC4,
         b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS)
         + b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS),
     )
-    sos = seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    sos = _seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
     return (
         b"\xff\xd8" + dqt + sof + dht + sos + entropy + b"\xff\xd9"
     )
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return struct.pack(">HH", marker, len(body) + 2) + body
+
+
+def _zz_bytes(quant: np.ndarray) -> bytes:
+    return bytes(int(quant.flatten()[_ZIGZAG][k]) for k in range(64))
+
+
+def _rgb_to_ycbcr(arr: np.ndarray) -> np.ndarray:
+    """JFIF BT.601 full-range RGB → YCbCr, float64 (h, w, 3)."""
+    r = arr[..., 0].astype(np.float64)
+    g = arr[..., 1].astype(np.float64)
+    b = arr[..., 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
+    y = ycc[..., 0]
+    cb = ycc[..., 1] - 128.0
+    cr = ycc[..., 2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(
+        np.round(np.stack([r, g, b], axis=-1)), 0, 255
+    ).astype(np.uint8)
+
+
+def encode_jpeg_rgb(arr: np.ndarray, quality: int = 85) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a baseline 4:4:4 color
+    JFIF JPEG (no chroma subsampling): BT.601 YCbCr transform, Annex-K
+    luminance tables for Y and chrominance tables for Cb/Cr,
+    interleaved one-block-per-component MCUs with independent DC
+    predictors — the minimal COLOR extension of the grayscale path."""
+    if arr.ndim != 3 or arr.shape[2] != 3 or arr.dtype != np.uint8:
+        raise ValueError("expected (h, w, 3) uint8 array")
+    h, w = arr.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    q_luma = _scaled(_QUANT_LUMA, quality)
+    q_chroma = _scaled(_QUANT_CHROMA, quality)
+    if not 1 <= quality <= 100:
+        raise ValueError(f"quality must be 1..100, got {quality}")
+
+    ph, pw = -h % 8, -w % 8
+    ycc = _rgb_to_ycbcr(arr)
+    ycc = np.pad(ycc, ((0, ph), (0, pw), (0, 0)), mode="edge") - 128.0
+
+    comps = [
+        (0, q_luma, _DC_CODES, _AC_CODES),
+        (1, q_chroma, _DC_CODES_C, _AC_CODES_C),
+        (2, q_chroma, _DC_CODES_C, _AC_CODES_C),
+    ]
+    writer = _BitWriter()
+    prev = [0, 0, 0]
+    for by in range(0, ycc.shape[0], 8):
+        for bx in range(0, ycc.shape[1], 8):
+            for ci, quant, dcc, acc in comps:
+                prev[ci] = _encode_block(
+                    writer, ycc[by : by + 8, bx : bx + 8, ci], quant,
+                    dcc, acc, prev[ci],
+                )
+    entropy = writer.flush()
+
+    dqt = _seg(
+        0xFFDB,
+        b"\x00" + _zz_bytes(q_luma) + b"\x01" + _zz_bytes(q_chroma),
+    )
+    # components: id 1 (Y, qtable 0), 2 (Cb, qtable 1), 3 (Cr, qtable 1)
+    sof = _seg(
+        0xFFC0,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    dht = _seg(
+        0xFFC4,
+        b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS)
+        + b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS)
+        + b"\x01" + bytes(_DC_BITS_C) + bytes(_DC_VALS_C)
+        + b"\x11" + bytes(_AC_BITS_C) + bytes(_AC_VALS_C),
+    )
+    sos = _seg(
+        0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    )
+    return b"\xff\xd8" + dqt + sof + dht + sos + entropy + b"\xff\xd9"
 
 
 class _BitReader:
@@ -304,17 +454,47 @@ def _extend(bits: int, size: int) -> int:
     return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
 
 
-def decode_jpeg_gray(payload: bytes) -> np.ndarray:
-    """Parse a baseline grayscale JPEG written by :func:`encode_jpeg_gray`
-    (or any single-component baseline JFIF in the same subset). Returns
-    the (h, w) uint8 array; raises ValueError on anything outside the
-    supported subset rather than decoding wrong."""
+def _decode_block(reader, dc_table, ac_table, quant, prev_dc):
+    """Decode one entropy-coded block; returns (8x8 float block,
+    new DC predictor)."""
+    zz = np.zeros(64, dtype=np.int64)
+    size = _read_symbol(reader, dc_table)
+    prev_dc += _extend(reader.read_bits(size), size)
+    zz[0] = prev_dc
+    k = 1
+    while k < 64:
+        sym = _read_symbol(reader, ac_table)
+        if sym == 0x00:  # EOB
+            break
+        if sym == 0xF0:  # ZRL
+            k += 16
+            continue
+        run, size = sym >> 4, sym & 0x0F
+        k += run
+        if k > 63:
+            raise ValueError("AC run past block end")
+        zz[k] = _extend(reader.read_bits(size), size)
+        k += 1
+    nat = np.zeros(64, dtype=np.int64)
+    nat[_ZIGZAG] = zz
+    coef = nat.reshape(8, 8) * quant
+    return _DCT.T @ coef @ _DCT, prev_dc
+
+
+def _decode_jpeg(payload: bytes) -> np.ndarray:
+    """Shared baseline decoder: returns (h, w) uint8 for 1-component
+    streams or (h, w, 3) uint8 RGB for 4:4:4 3-component streams;
+    raises ValueError on anything outside the subset."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
-    quant: np.ndarray | None = None
+    quants: dict[int, np.ndarray] = {}
     dims: tuple[int, int] | None = None
-    dc_table = ac_table = None
+    comps: list[tuple[int, int]] = []  # (component id, qtable id) in SOF order
+    dc_tables: dict[int, dict] = {}
+    ac_tables: dict[int, dict] = {}
+    scan_order: list[tuple[int, int]] = []  # (dc id, ac id) per SOS component
+    scan_comp_ids: list[int] = []
     scan_at = None
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
@@ -324,20 +504,36 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
             break
         (seg_len,) = struct.unpack_from(">H", payload, pos + 2)
         body = payload[pos + 4 : pos + 2 + seg_len]
-        if marker == 0xDB:  # DQT
-            if body[0] & 0xF0:
-                raise ValueError("16-bit quant tables not supported")
-            zz = np.frombuffer(body[1:65], dtype=np.uint8).astype(np.int64)
-            nat = np.zeros(64, dtype=np.int64)
-            nat[_ZIGZAG] = zz
-            quant = nat.reshape(8, 8)
+        if marker == 0xDB:  # DQT (may hold several tables)
+            off = 0
+            while off < len(body):
+                pq_tq = body[off]
+                if pq_tq & 0xF0:
+                    raise ValueError("16-bit quant tables not supported")
+                zz = np.frombuffer(
+                    body[off + 1 : off + 65], dtype=np.uint8
+                ).astype(np.int64)
+                nat = np.zeros(64, dtype=np.int64)
+                nat[_ZIGZAG] = zz
+                quants[pq_tq & 0x0F] = nat.reshape(8, 8)
+                off += 65
         elif marker == 0xC0:  # SOF0 baseline
             precision, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
             if precision != 8:
                 raise ValueError("only 8-bit precision supported")
-            if ncomp != 1:
-                raise ValueError("only single-component (grayscale) JPEG supported")
+            if ncomp not in (1, 3):
+                raise ValueError(
+                    "only single-component (grayscale) JPEG or "
+                    "3-component 4:4:4 color supported"
+                )
             dims = (h, w)
+            for i in range(ncomp):
+                cid, sampling, tq = body[6 + 3 * i : 9 + 3 * i]
+                if sampling != 0x11:
+                    raise ValueError(
+                        "chroma subsampling not supported (4:4:4 only)"
+                    )
+                comps.append((cid, tq))
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise ValueError("only baseline sequential (SOF0) supported")
         elif marker == 0xC4:  # DHT (may hold several tables)
@@ -347,49 +543,76 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
                 bits = list(body[off + 1 : off + 17])
                 n = sum(bits)
                 vals = list(body[off + 17 : off + 17 + n])
+                table = _decode_table(bits, vals)
                 if tc_th >> 4 == 0:
-                    dc_table = _decode_table(bits, vals)
+                    dc_tables[tc_th & 0x0F] = table
                 else:
-                    ac_table = _decode_table(bits, vals)
+                    ac_tables[tc_th & 0x0F] = table
                 off += 17 + n
         elif marker == 0xDA:  # SOS
+            ns = body[0]
+            for i in range(ns):
+                cid = body[1 + 2 * i]
+                td_ta = body[2 + 2 * i]
+                scan_comp_ids.append(cid)
+                scan_order.append((td_ta >> 4, td_ta & 0x0F))
             scan_at = pos + 2 + seg_len
             break
         pos += 2 + seg_len
-    if quant is None or dims is None or dc_table is None or ac_table is None:
+    if not quants or dims is None or not dc_tables or not ac_tables:
         raise ValueError("missing DQT/SOF0/DHT/SOS segment")
     if scan_at is None:
         raise ValueError("missing SOS segment")
+    if len(scan_comp_ids) != len(comps):
+        raise ValueError("SOS component count differs from SOF0")
+
+    sof_by_id = dict(comps)
+    plan = []  # per scan component: (dc table, ac table, quant)
+    for cid, (td, ta) in zip(scan_comp_ids, scan_order):
+        if cid not in sof_by_id:
+            raise ValueError(f"SOS names unknown component {cid}")
+        if td not in dc_tables or ta not in ac_tables:
+            raise ValueError("SOS names a missing Huffman table")
+        tq = sof_by_id[cid]
+        if tq not in quants:
+            raise ValueError("component names a missing quant table")
+        plan.append((dc_tables[td], ac_tables[ta], quants[tq]))
 
     h, w = dims
+    nc = len(plan)
     bh, bw = (h + 7) // 8, (w + 7) // 8
     reader = _BitReader(payload[scan_at:])
-    out = np.zeros((bh * 8, bw * 8), dtype=np.float64)
-    prev_dc = 0
+    out = np.zeros((bh * 8, bw * 8, nc), dtype=np.float64)
+    prev = [0] * nc
     for by in range(bh):
         for bx in range(bw):
-            zz = np.zeros(64, dtype=np.int64)
-            size = _read_symbol(reader, dc_table)
-            diff = _extend(reader.read_bits(size), size)
-            prev_dc += diff
-            zz[0] = prev_dc
-            k = 1
-            while k < 64:
-                sym = _read_symbol(reader, ac_table)
-                if sym == 0x00:  # EOB
-                    break
-                if sym == 0xF0:  # ZRL
-                    k += 16
-                    continue
-                run, size = sym >> 4, sym & 0x0F
-                k += run
-                if k > 63:
-                    raise ValueError("AC run past block end")
-                zz[k] = _extend(reader.read_bits(size), size)
-                k += 1
-            nat = np.zeros(64, dtype=np.int64)
-            nat[_ZIGZAG] = zz
-            coef = nat.reshape(8, 8) * quant
-            block = _DCT.T @ coef @ _DCT
-            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
-    return np.clip(np.round(out + 128.0), 0, 255).astype(np.uint8)[:h, :w]
+            for ci, (dct, act, quant) in enumerate(plan):
+                block, prev[ci] = _decode_block(
+                    reader, dct, act, quant, prev[ci]
+                )
+                out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, ci] = block
+    out = out + 128.0
+    if nc == 1:
+        return np.clip(np.round(out[..., 0]), 0, 255).astype(np.uint8)[:h, :w]
+    return _ycbcr_to_rgb(out)[:h, :w]
+
+
+def decode_jpeg_gray(payload: bytes) -> np.ndarray:
+    """Parse a baseline grayscale JPEG written by :func:`encode_jpeg_gray`
+    (or any single-component baseline JFIF in the same subset). Returns
+    the (h, w) uint8 array; raises ValueError on anything outside the
+    supported subset rather than decoding wrong."""
+    arr = _decode_jpeg(payload)
+    if arr.ndim != 2:
+        raise ValueError("expected a grayscale JPEG, got a color stream")
+    return arr
+
+
+def decode_jpeg_rgb(payload: bytes) -> np.ndarray:
+    """Parse a baseline 4:4:4 color JPEG written by
+    :func:`encode_jpeg_rgb` (or any 3-component baseline JFIF without
+    chroma subsampling). Returns the (h, w, 3) uint8 RGB array."""
+    arr = _decode_jpeg(payload)
+    if arr.ndim != 3:
+        raise ValueError("expected a color JPEG, got a grayscale stream")
+    return arr

@@ -11,9 +11,11 @@ Decode status per modality:
   GRAYSCALE BASELINE JPEG is REAL since round 7 — a pure numpy+stdlib
   ITU-T T.81 codec (operators/jpeg.py: Annex-K tables, 8×8 DCT,
   Huffman entropy coding, verifying parser) wired below as
-  attach_jpeg_media / image_features_jpeg. COLOR JPEG (chroma
-  subsampling) and progressive scans remain out of scope — the honest
-  boundary moved from "no JPEG at all" to "grayscale baseline only".
+  attach_jpeg_media / image_features_jpeg; 4:4:4 COLOR JPEG
+  (encode_jpeg_rgb / decode_jpeg_rgb, BT.601 + Annex-K chroma tables)
+  landed the same round. Chroma SUBSAMPLING (4:2:0) and progressive
+  scans remain out of scope — the honest boundary moved from "no JPEG
+  at all" to "baseline 4:4:4 and grayscale".
 - VIDEO: REAL for MJPEG-in-AVI since round 7 — a stdlib RIFF
   container codec over the T.81 JPEG frames (operators/video.py),
   wired as attach_mjpeg_media / video_frame_features (the real

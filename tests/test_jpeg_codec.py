@@ -82,12 +82,18 @@ def test_decoder_refuses_corruptions():
     with pytest.raises(ValueError, match="baseline"):
         decode_jpeg_gray(bytes(prog))
 
-    # claim 3 components in SOF0: out of the supported subset
+    # claim 2 components in SOF0: outside the 1-or-3 subset
     multi = bytearray(payload)
     # SOF0 body: len(2) precision(1) h(2) w(2) ncomp(1)
-    multi[sof + 9] = 3
+    multi[sof + 9] = 2
     with pytest.raises(ValueError, match="single-component"):
         decode_jpeg_gray(bytes(multi))
+
+    # claim 3 components with a 1-component body: header/body mismatch
+    multi3 = bytearray(payload)
+    multi3[sof + 9] = 3
+    with pytest.raises(ValueError):
+        decode_jpeg_gray(bytes(multi3))
 
 
 def test_spark_jpeg_leg(spark):
@@ -126,3 +132,60 @@ def test_spark_jpeg_features_match_local_decode(spark):
         r.doc_id: r.mean_y for r in image_features_jpeg(media).collect()
     }
     assert got == local
+
+
+# --- color (4:4:4) extension ------------------------------------------------
+
+
+def test_color_roundtrip_smooth_near_lossless():
+    from pyprima_spark.operators.jpeg import decode_jpeg_rgb, encode_jpeg_rgb
+
+    y, x = np.mgrid[0:40, 0:56]
+    rgb = np.stack(
+        [
+            ((np.sin(x / 9.0) + 1) / 2 * 255),
+            ((np.cos(y / 7.0) + 1) / 2 * 255),
+            (x + y) % 256,
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+    back = decode_jpeg_rgb(encode_jpeg_rgb(rgb, quality=95))
+    assert back.shape == rgb.shape
+    assert np.abs(back.astype(int) - rgb.astype(int)).max() <= 6
+
+
+def test_color_flat_and_crop():
+    from pyprima_spark.operators.jpeg import decode_jpeg_rgb, encode_jpeg_rgb
+
+    flat = np.full((13, 21, 3), (200, 30, 90), dtype=np.uint8)
+    back = decode_jpeg_rgb(encode_jpeg_rgb(flat, 95))
+    assert back.shape == (13, 21, 3)
+    assert np.abs(back.astype(int) - flat.astype(int)).max() <= 1
+
+
+def test_color_gray_cross_refusals():
+    from pyprima_spark.operators.jpeg import (
+        decode_jpeg_gray,
+        decode_jpeg_rgb,
+        encode_jpeg_rgb,
+    )
+
+    g = np.full((16, 16), 77, dtype=np.uint8)
+    c = np.full((16, 16, 3), 77, dtype=np.uint8)
+    with pytest.raises(ValueError, match="color"):
+        decode_jpeg_rgb(encode_jpeg_gray(g, 85))
+    with pytest.raises(ValueError, match="grayscale"):
+        decode_jpeg_gray(encode_jpeg_rgb(c, 85))
+    with pytest.raises(ValueError):
+        encode_jpeg_rgb(g)  # wrong shape
+
+
+def test_color_deterministic_and_channel_separation():
+    from pyprima_spark.operators.jpeg import decode_jpeg_rgb, encode_jpeg_rgb
+
+    rgb = np.zeros((16, 16, 3), dtype=np.uint8)
+    rgb[..., 0] = 220  # strongly red
+    payload = encode_jpeg_rgb(rgb, 90)
+    assert payload == encode_jpeg_rgb(rgb, 90)
+    back = decode_jpeg_rgb(payload)
+    assert back[..., 0].mean() > 180 and back[..., 1].mean() < 60
