@@ -72,13 +72,18 @@ def _fake_dims(payload: bytes) -> tuple[int, int]:
 def decode_media(media: DataFrame, real_decode: bool = False) -> DataFrame:
     """Decode/feature-extract the binary column via mapInPandas.
 
-    ``real_decode=True`` is the hook for an actual decoder (PIL/ffmpeg),
-    absent in this environment.
+    ``real_decode=True`` is the hook for a library decoder over
+    arbitrary formats (PIL/ffmpeg, absent in this environment). For
+    the formats this repo implements from spec, use the REAL legs
+    instead: image_features_png / image_features_jpeg /
+    video_frame_features / audio_features_wav.
     """
     if real_decode:
         raise NotImplementedError(
-            "real media decode requires image/audio libraries not present "
-            "in this container; the Arrow plumbing below is the real path"
+            "library-backed decode of arbitrary formats is unavailable "
+            "here (PIL/ffmpeg absent); use the spec-implemented real "
+            "legs — image_features_png/jpeg, video_frame_features, "
+            "audio_features_wav — or this fake-payload plumbing path"
         )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
