@@ -5,10 +5,11 @@ Closes the remaining REAL-decode gap in the multimodal stack the same
 way rounds 4–6 closed WAV (`wave`), PNG (zlib + CRC chunks) and
 GeoTIFF (`struct`): PIL/libjpeg are absent in this container, but the
 baseline sequential DCT process of ITU-T T.81 is a public spec that
-needs only numpy matrix math and a bit reader. CHROMA SUBSAMPLING
-(4:2:0 etc.) and progressive scans remain honestly out of scope — the
-supported subset is 1-component grayscale and 3-component 4:4:4
-color, both directions.
+needs only numpy matrix math and a bit reader. The supported subset
+is 1-component grayscale and 3-component color at 4:4:4 or 4:2:0
+(2×2 luma MCUs + box-averaged chroma — the layout most real-world
+JPEGs use), both directions; progressive scans and exotic sampling
+factors remain honestly out of scope.
 
 Implements:
 - ``encode_jpeg_gray(arr, quality)``: 8-bit grayscale baseline JFIF —
@@ -20,9 +21,10 @@ Implements:
   transform, Annex-K chrominance tables for Cb/Cr, interleaved
   one-block-per-component MCUs with independent DC predictors.
 - ``decode_jpeg_gray`` / ``decode_jpeg_rgb``: VERIFYING parsers for
-  the same subset — reject subsampled / progressive / 16-bit streams,
-  truncated entropy data, table-id mismatches and malformed markers
-  instead of decoding wrong.
+  the same subset — reject progressive / 16-bit streams, sampling
+  factors beyond 2×2, truncated entropy data, table-id mismatches and
+  malformed markers instead of decoding wrong; 4:2:0 chroma planes
+  upsample by pixel replication.
 
 Scale shape: both functions are per-payload bytes→array transforms,
 used inside mapInPandas batches exactly like decode_png_rgb
@@ -327,40 +329,64 @@ def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
     ).astype(np.uint8)
 
 
-def encode_jpeg_rgb(arr: np.ndarray, quality: int = 85) -> bytes:
-    """Encode an (h, w, 3) uint8 RGB array as a baseline 4:4:4 color
-    JFIF JPEG (no chroma subsampling): BT.601 YCbCr transform, Annex-K
-    luminance tables for Y and chrominance tables for Cb/Cr,
-    interleaved one-block-per-component MCUs with independent DC
-    predictors — the minimal COLOR extension of the grayscale path."""
+def encode_jpeg_rgb(
+    arr: np.ndarray, quality: int = 85, subsampling: str = "444"
+) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a baseline color JFIF
+    JPEG: BT.601 YCbCr transform, Annex-K luminance tables for Y and
+    chrominance tables for Cb/Cr, interleaved MCUs with independent DC
+    predictors. ``subsampling`` is ``"444"`` (one block per component
+    per MCU) or ``"420"`` (2×2 luma blocks + box-averaged chroma per
+    MCU — the layout most real-world JPEGs use)."""
     if arr.ndim != 3 or arr.shape[2] != 3 or arr.dtype != np.uint8:
         raise ValueError("expected (h, w, 3) uint8 array")
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"subsampling must be '444' or '420', got {subsampling!r}")
     h, w = arr.shape[:2]
     if h == 0 or w == 0:
         raise ValueError("empty image")
-    q_luma = _scaled(_QUANT_LUMA, quality)
-    q_chroma = _scaled(_QUANT_CHROMA, quality)
     if not 1 <= quality <= 100:
         raise ValueError(f"quality must be 1..100, got {quality}")
+    q_luma = _scaled(_QUANT_LUMA, quality)
+    q_chroma = _scaled(_QUANT_CHROMA, quality)
 
-    ph, pw = -h % 8, -w % 8
+    hy = vy = 2 if subsampling == "420" else 1
+    mcu_h, mcu_w = 8 * vy, 8 * hy
+    ph, pw = -h % mcu_h, -w % mcu_w
     ycc = _rgb_to_ycbcr(arr)
-    ycc = np.pad(ycc, ((0, ph), (0, pw), (0, 0)), mode="edge") - 128.0
+    ycc = np.pad(ycc, ((0, ph), (0, pw), (0, 0)), mode="edge")
+    yp = ycc[..., 0] - 128.0
+    if subsampling == "420":
+        # 2x2 box average per chroma sample
+        cb = ycc[..., 1].reshape(ycc.shape[0] // 2, 2, ycc.shape[1] // 2, 2)
+        cr = ycc[..., 2].reshape(ycc.shape[0] // 2, 2, ycc.shape[1] // 2, 2)
+        cbp = cb.mean(axis=(1, 3)) - 128.0
+        crp = cr.mean(axis=(1, 3)) - 128.0
+    else:
+        cbp = ycc[..., 1] - 128.0
+        crp = ycc[..., 2] - 128.0
 
-    comps = [
-        (0, q_luma, _DC_CODES, _AC_CODES),
-        (1, q_chroma, _DC_CODES_C, _AC_CODES_C),
-        (2, q_chroma, _DC_CODES_C, _AC_CODES_C),
-    ]
     writer = _BitWriter()
     prev = [0, 0, 0]
-    for by in range(0, ycc.shape[0], 8):
-        for bx in range(0, ycc.shape[1], 8):
-            for ci, quant, dcc, acc in comps:
-                prev[ci] = _encode_block(
-                    writer, ycc[by : by + 8, bx : bx + 8, ci], quant,
-                    dcc, acc, prev[ci],
-                )
+    for my in range(0, yp.shape[0], mcu_h):
+        for mx in range(0, yp.shape[1], mcu_w):
+            for by in range(vy):
+                for bx in range(hy):
+                    prev[0] = _encode_block(
+                        writer,
+                        yp[my + 8 * by : my + 8 * by + 8,
+                           mx + 8 * bx : mx + 8 * bx + 8],
+                        q_luma, _DC_CODES, _AC_CODES, prev[0],
+                    )
+            cy, cx = my // vy, mx // hy
+            prev[1] = _encode_block(
+                writer, cbp[cy : cy + 8, cx : cx + 8], q_chroma,
+                _DC_CODES_C, _AC_CODES_C, prev[1],
+            )
+            prev[2] = _encode_block(
+                writer, crp[cy : cy + 8, cx : cx + 8], q_chroma,
+                _DC_CODES_C, _AC_CODES_C, prev[2],
+            )
     entropy = writer.flush()
 
     dqt = _seg(
@@ -368,10 +394,11 @@ def encode_jpeg_rgb(arr: np.ndarray, quality: int = 85) -> bytes:
         b"\x00" + _zz_bytes(q_luma) + b"\x01" + _zz_bytes(q_chroma),
     )
     # components: id 1 (Y, qtable 0), 2 (Cb, qtable 1), 3 (Cr, qtable 1)
+    samp_y = (hy << 4) | vy
     sof = _seg(
         0xFFC0,
         struct.pack(">BHHB", 8, h, w, 3)
-        + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]),
+        + bytes([1, samp_y, 0, 2, 0x11, 1, 3, 0x11, 1]),
     )
     dht = _seg(
         0xFFC4,
@@ -529,11 +556,14 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
             dims = (h, w)
             for i in range(ncomp):
                 cid, sampling, tq = body[6 + 3 * i : 9 + 3 * i]
-                if sampling != 0x11:
+                hs, vs = sampling >> 4, sampling & 0x0F
+                if ncomp == 1:
+                    hs = vs = 1  # sampling is ignored in 1-component scans
+                if not (1 <= hs <= 2 and 1 <= vs <= 2):
                     raise ValueError(
-                        "chroma subsampling not supported (4:4:4 only)"
+                        f"unsupported sampling factor {hs}x{vs}"
                     )
-                comps.append((cid, tq))
+                comps.append((cid, (hs, vs, tq)))
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise ValueError("only baseline sequential (SOF0) supported")
         elif marker == 0xC4:  # DHT (may hold several tables)
@@ -566,32 +596,53 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
     if len(scan_comp_ids) != len(comps):
         raise ValueError("SOS component count differs from SOF0")
 
-    sof_by_id = dict(comps)
-    plan = []  # per scan component: (dc table, ac table, quant)
+    sof_by_id = {cid: spec for cid, spec in comps}
+    plan = []  # per scan component: (dc, ac, quant, hs, vs)
     for cid, (td, ta) in zip(scan_comp_ids, scan_order):
         if cid not in sof_by_id:
             raise ValueError(f"SOS names unknown component {cid}")
         if td not in dc_tables or ta not in ac_tables:
             raise ValueError("SOS names a missing Huffman table")
-        tq = sof_by_id[cid]
+        hs, vs, tq = sof_by_id[cid]
         if tq not in quants:
             raise ValueError("component names a missing quant table")
-        plan.append((dc_tables[td], ac_tables[ta], quants[tq]))
+        plan.append((dc_tables[td], ac_tables[ta], quants[tq], hs, vs))
 
     h, w = dims
     nc = len(plan)
-    bh, bw = (h + 7) // 8, (w + 7) // 8
+    hmax = max(p[3] for p in plan)
+    vmax = max(p[4] for p in plan)
+    if nc == 3 and (plan[1][3:] != (1, 1) or plan[2][3:] != (1, 1)):
+        raise ValueError("chroma sampling factors other than 1x1 unsupported")
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcux = (w + mcu_w - 1) // mcu_w
+    mcuy = (h + mcu_h - 1) // mcu_h
     reader = _BitReader(payload[scan_at:])
-    out = np.zeros((bh * 8, bw * 8, nc), dtype=np.float64)
+    planes = [
+        np.zeros((mcuy * 8 * vs, mcux * 8 * hs), dtype=np.float64)
+        for (_, _, _, hs, vs) in plan
+    ]
     prev = [0] * nc
-    for by in range(bh):
-        for bx in range(bw):
-            for ci, (dct, act, quant) in enumerate(plan):
-                block, prev[ci] = _decode_block(
-                    reader, dct, act, quant, prev[ci]
-                )
-                out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, ci] = block
-    out = out + 128.0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (dct, act, quant, hs, vs) in enumerate(plan):
+                for by in range(vs):
+                    for bx in range(hs):
+                        block, prev[ci] = _decode_block(
+                            reader, dct, act, quant, prev[ci]
+                        )
+                        y0 = (my * vs + by) * 8
+                        x0 = (mx * hs + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
+    # upsample sub-resolution planes by pixel replication to full grid
+    full = []
+    for (_, _, _, hs, vs), plane in zip(plan, planes):
+        if (hs, vs) != (hmax, vmax):
+            plane = np.repeat(
+                np.repeat(plane, vmax // vs, axis=0), hmax // hs, axis=1
+            )
+        full.append(plane)
+    out = np.stack(full, axis=-1) + 128.0
     if nc == 1:
         return np.clip(np.round(out[..., 0]), 0, 255).astype(np.uint8)[:h, :w]
     return _ycbcr_to_rgb(out)[:h, :w]

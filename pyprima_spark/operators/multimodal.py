@@ -13,9 +13,10 @@ Decode status per modality:
   Huffman entropy coding, verifying parser) wired below as
   attach_jpeg_media / image_features_jpeg; 4:4:4 COLOR JPEG
   (encode_jpeg_rgb / decode_jpeg_rgb, BT.601 + Annex-K chroma tables)
-  landed the same round. Chroma SUBSAMPLING (4:2:0) and progressive
-  scans remain out of scope — the honest boundary moved from "no JPEG
-  at all" to "baseline 4:4:4 and grayscale".
+  landed the same round, as did 4:2:0 chroma subsampling (the
+  real-world default layout). Progressive scans remain out of scope —
+  the honest boundary moved from "no JPEG at all" to "baseline
+  grayscale/4:4:4/4:2:0".
 - VIDEO: REAL for MJPEG-in-AVI since round 7 — a stdlib RIFF
   container codec over the T.81 JPEG frames (operators/video.py),
   wired as attach_mjpeg_media / video_frame_features (the real

@@ -189,3 +189,41 @@ def test_color_deterministic_and_channel_separation():
     assert payload == encode_jpeg_rgb(rgb, 90)
     back = decode_jpeg_rgb(payload)
     assert back[..., 0].mean() > 180 and back[..., 1].mean() < 60
+
+
+def test_420_roundtrip_and_size_advantage():
+    from pyprima_spark.operators.jpeg import decode_jpeg_rgb, encode_jpeg_rgb
+
+    y, x = np.mgrid[0:40, 0:56]
+    rgb = np.stack(
+        [
+            ((np.sin(x / 9.0) + 1) / 2 * 255),
+            ((np.cos(y / 7.0) + 1) / 2 * 255),
+            ((np.sin((x + y) / 11.0) + 1) / 2 * 255),
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+    p444 = encode_jpeg_rgb(rgb, 95, "444")
+    p420 = encode_jpeg_rgb(rgb, 95, "420")
+    assert len(p420) < len(p444)  # half the chroma blocks
+    back = decode_jpeg_rgb(p420)
+    assert back.shape == rgb.shape
+    # luma stays tight; chroma replication costs more on gradients
+    err = np.abs(back.astype(int) - rgb.astype(int))
+    assert err.mean() <= 8 and err.max() <= 48
+
+
+def test_420_flat_exact_and_odd_dims():
+    from pyprima_spark.operators.jpeg import decode_jpeg_rgb, encode_jpeg_rgb
+
+    flat = np.full((13, 21, 3), (200, 30, 90), dtype=np.uint8)
+    back = decode_jpeg_rgb(encode_jpeg_rgb(flat, 95, "420"))
+    assert back.shape == (13, 21, 3)
+    assert (back == flat).all()
+
+
+def test_bad_subsampling_arg_refused():
+    from pyprima_spark.operators.jpeg import encode_jpeg_rgb
+
+    with pytest.raises(ValueError, match="subsampling"):
+        encode_jpeg_rgb(np.zeros((8, 8, 3), np.uint8), 85, "422")
