@@ -181,12 +181,10 @@ def _scaled(table: np.ndarray, quality: int) -> np.ndarray:
 
 
 def _scaled_quant(quality: int) -> np.ndarray:
-    """libjpeg quality convention: 1..100 -> scaled Annex-K table."""
+    """libjpeg quality convention: 1..100 -> scaled Annex-K luma table."""
     if not 1 <= quality <= 100:
         raise ValueError(f"quality must be 1..100, got {quality}")
-    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
-    q = (_QUANT_LUMA * scale + 50) // 100
-    return np.clip(q, 1, 255).astype(np.int64)
+    return _scaled(_QUANT_LUMA, quality)
 
 
 class _BitWriter:
@@ -493,8 +491,10 @@ def _decode_block(reader, dc_table, ac_table, quant, prev_dc):
         sym = _read_symbol(reader, ac_table)
         if sym == 0x00:  # EOB
             break
-        if sym == 0xF0:  # ZRL
+        if sym == 0xF0:  # ZRL: 16 zeros, must leave room for a coef
             k += 16
+            if k > 63:
+                raise ValueError("ZRL past block end")
             continue
         run, size = sym >> 4, sym & 0x0F
         k += run
@@ -569,9 +569,13 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
         elif marker == 0xC4:  # DHT (may hold several tables)
             off = 0
             while off < len(body):
+                if off + 17 > len(body):
+                    raise ValueError("truncated DHT segment")
                 tc_th = body[off]
                 bits = list(body[off + 1 : off + 17])
                 n = sum(bits)
+                if off + 17 + n > len(body):
+                    raise ValueError("truncated DHT segment")
                 vals = list(body[off + 17 : off + 17 + n])
                 table = _decode_table(bits, vals)
                 if tc_th >> 4 == 0:

@@ -161,10 +161,14 @@ def write_zip_archive(
             "would silently return only one payload per name"
         )
     fixed_date = (1980, 1, 1, 0, 0, 0)
-    buf = io.BytesIO()
-    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
-        for _, row in rows.iterrows():
-            info = zipfile.ZipInfo(str(row[member_col]), date_time=fixed_date)
-            zf.writestr(info, bytes(row[payload_col]))
-    fsio.write_bytes(out_path, buf.getvalue())
+    # stream entries straight into the fsio output (zipfile handles
+    # non-seekable targets with data descriptors) — buffering the whole
+    # archive in memory doubled the driver footprint (review r7)
+    with fsio.open_output(out_path) as out:
+        with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as zf:
+            for _, row in rows.iterrows():
+                info = zipfile.ZipInfo(
+                    str(row[member_col]), date_time=fixed_date
+                )
+                zf.writestr(info, bytes(row[payload_col]))
     return len(rows)

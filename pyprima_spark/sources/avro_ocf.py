@@ -52,10 +52,6 @@ _PRIMITIVES = {"null", "boolean", "int", "long", "float", "double",
 # --- binary primitives ------------------------------------------------------
 
 
-def _zigzag_encode(n: int) -> int:
-    return (n << 1) ^ (n >> 63) if n >= 0 else ((-n - 1) << 1) | 1
-
-
 def _write_long(out: bytearray, n: int) -> None:
     z = (n << 1) ^ (n >> 63)
     z &= (1 << 64) - 1
@@ -164,10 +160,18 @@ def _field_types(schema: dict) -> list[tuple[str, object]]:
     out = []
     for f in schema["fields"]:
         t = f["type"]
-        base = t[1] if isinstance(t, list) and t and t[0] == "null" else t
-        if isinstance(base, (dict,)) or (
-            isinstance(base, str) and base not in _PRIMITIVES
-        ):
+        if isinstance(t, list):
+            # exactly the two-branch nullable union ["null", primitive] —
+            # wider unions would make _encode_value's fixed branch pick
+            # silently coerce across types (review r7 finding)
+            if (
+                len(t) != 2
+                or t[0] != "null"
+                or not isinstance(t[1], str)
+                or t[1] not in _PRIMITIVES
+            ):
+                raise ValueError(f"unsupported field type {t!r}")
+        elif not (isinstance(t, str) and t in _PRIMITIVES):
             raise ValueError(f"unsupported field type {t!r}")
         out.append((f["name"], t))
     return out
@@ -234,6 +238,8 @@ def decode_avro_ocf(payload: bytes) -> tuple[dict, list[dict]]:
             k = r.read_bytes().decode("utf-8")
             meta[k] = r.read_bytes()
     sync = r.read(16)
+    if "avro.schema" not in meta:
+        raise ValueError("Avro OCF header missing avro.schema metadata")
     schema = json.loads(meta["avro.schema"])
     codec = meta.get("avro.codec", b"null").decode()
     if codec not in ("null", "deflate"):
@@ -300,21 +306,69 @@ def write_avro_file(
     bytes route through fsio, so ``path`` may be a URI. Returns a
     1-row manifest (path, n_rows, n_bytes)."""
     import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import IntegralType
 
     schema = _avro_schema_for(df)
     cols = list(df.columns)
     keys = order_by or cols
+    int_cols = [
+        f.name for f in df.schema.fields
+        if isinstance(f.dataType, IntegralType)
+    ]
+    float_cols = [
+        f.name for f in df.schema.fields
+        if f.dataType.simpleString() in ("float", "double")
+    ]
+    # Nullable integral columns would arrive as float64 through Arrow's
+    # null promotion, silently rounding values above 2^53 (review r7
+    # finding: a 64-bit id corrupted with no error). Ship them across
+    # the Arrow hop as STRINGS — exact at any magnitude — and parse
+    # back to int inside the task.
+    shipped = df.select(
+        *[
+            F.col(c).cast("string").alias(c) if c in int_cols else F.col(c)
+            for c in cols
+        ]
+    )
 
     def write_group(it):
         from pyprima_spark.sources import fsio
 
         frames = [pdf for pdf in it]
         pdf = (
-            pd.concat(frames).sort_values(keys).reset_index(drop=True)
+            pd.concat(frames).reset_index(drop=True)
             if frames
             else pd.DataFrame(columns=cols)
         )
-        pdf = pdf.astype(object).where(pd.notna(pdf), None)
+        pdf = pdf.astype(object)
+        # parse the string-shipped ints back BEFORE sorting, so the
+        # deterministic order is numeric, not lexical. Explicit
+        # object-dtype construction: Series.map would re-infer an
+        # int+None result as float64 and round >2^53 values AGAIN.
+        for c in int_cols:
+            pdf[c] = pd.Series(
+                [
+                    None if v is None or v is pd.NA else int(v)
+                    for v in pdf[c]
+                ],
+                dtype=object,
+                index=pdf.index,
+            )
+        if len(pdf):
+            pdf = pdf.sort_values(keys).reset_index(drop=True)
+        # Float columns: pandas cannot distinguish Spark NULL from NaN
+        # (both arrive as NaN through Arrow), so this sink CONFLATES
+        # them — nullable float/double fields write Avro null for NaN;
+        # non-nullable ones keep NaN as a real IEEE NaN rather than
+        # crashing on float(None) (review r7 finding).
+        nullable = {
+            f["name"] for f in schema["fields"] if isinstance(f["type"], list)
+        }
+        for c in cols:
+            if c in float_cols and c not in nullable:
+                continue  # keep NaN as NaN for non-nullable floats
+            pdf[c] = pdf[c].where(pd.notna(pdf[c]), None)
         rows = [dict(zip(cols, vals)) for vals in zip(*[pdf[c] for c in cols])] \
             if len(pdf) else []
         payload = encode_avro_ocf(rows, schema, codec=codec)
@@ -323,7 +377,7 @@ def write_avro_file(
             {"path": [path], "n_rows": [len(rows)], "n_bytes": [len(payload)]}
         )
 
-    return df.coalesce(1).mapInPandas(
+    return shipped.coalesce(1).mapInPandas(
         write_group, "path string, n_rows long, n_bytes long"
     )
 
@@ -349,6 +403,11 @@ def read_avro(spark: "SparkSession", path_glob: str, schema: str) -> "DataFrame"
                 for row in rows:
                     for f in fields:
                         out[f].append(row.get(f))
-            yield pd.DataFrame(out)
+            # object dtype everywhere: pandas would re-infer int+None
+            # columns as float64 and round >2^53 ids before Arrow casts
+            # back to the requested bigint (review r7 finding)
+            yield pd.DataFrame(
+                {f: pd.Series(out[f], dtype=object) for f in fields}
+            )
 
     return raw.select("content").mapInPandas(parse, schema)

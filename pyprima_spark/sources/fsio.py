@@ -70,6 +70,14 @@ def write_bytes(path: str, payload: bytes) -> None:
         fh.write(payload)
 
 
+def open_output(path: str):
+    """Open a writable (non-seekable) stream to a path or URI — for
+    format writers that can stream incrementally (ZIP with data
+    descriptors) instead of buffering the whole artifact in memory."""
+    fs, p = _resolve(path)
+    return fs.open_output_stream(p)
+
+
 def read_bytes(path: str) -> bytes:
     fs, p = _resolve(path)
     with fs.open_input_stream(p) as fh:

@@ -94,3 +94,50 @@ def test_spark_read_maps_fields_by_name(spark, tmp_path):
     # request a schema with a missing column and a subset, by name
     back = read_avro(spark, path, "score double, id bigint, missing string").collect()
     assert back[0].score == 2.5 and back[0].id == 5 and back[0].missing is None
+
+
+def test_nullable_bigint_above_2_53_roundtrips_exactly(spark, tmp_path):
+    """Review r7 finding: Arrow's null promotion to float64 silently
+    rounded 64-bit ids above 2^53; the writer now ships integral
+    columns as strings across the Arrow hop."""
+    big = 9007199254740993  # 2^53 + 1, unrepresentable in float64
+    df = spark.createDataFrame(
+        [(big, "a"), (None, "b"), (big + 4, None)],
+        "id bigint, name string",
+    )
+    path = str(tmp_path / "big.avro")
+    write_avro_file(df, path, order_by=["name"]).collect()
+    back = {r.name: r.id for r in read_avro(
+        spark, path, "id bigint, name string").collect()}
+    assert back == {"a": big, "b": None, None: big + 4}
+
+
+def test_nan_double_documented_conflation(spark, tmp_path):
+    """NaN in a nullable double writes as Avro null (pandas cannot
+    distinguish Spark NULL from NaN across the Arrow hop) — and the
+    writer must not crash on it."""
+    df = spark.createDataFrame(
+        [(1, float("nan")), (2, 2.5), (3, None)], "id bigint, v double"
+    )
+    path = str(tmp_path / "nan.avro")
+    write_avro_file(df, path).collect()
+    back = {r.id: r.v for r in read_avro(spark, path, "id bigint, v double").collect()}
+    assert back[2] == 2.5 and back[1] is None and back[3] is None
+
+
+def test_wide_union_and_missing_schema_refused():
+    with pytest.raises(ValueError, match="unsupported field type"):
+        encode_avro_ocf(
+            [], {"type": "record", "name": "x",
+                 "fields": [{"name": "v", "type": ["null", "int", "string"]}]},
+        )
+    with pytest.raises(ValueError, match="unsupported field type"):
+        encode_avro_ocf(
+            [], {"type": "record", "name": "x",
+                 "fields": [{"name": "v", "type": ["string", "null"]}]},
+        )
+    # OCF with an empty metadata map: must be ValueError, not KeyError
+    import hashlib
+    payload = b"Obj\x01" + b"\x00" + hashlib.md5(b"x").digest()
+    with pytest.raises(ValueError, match="avro.schema"):
+        decode_avro_ocf(payload)

@@ -96,3 +96,20 @@ def test_geotiff_bad_sample_layout_raises():
             struct.pack_into("<HHII", corrupted, pos, tag, typ, cnt, 16)
     with pytest.raises(ValueError, match="sample layout"):
         decode_geotiff_gray(bytes(corrupted))
+
+
+def test_jpeg_truncated_dht_raises_valueerror():
+    """Review r7 finding: a truncated DHT escaped as IndexError,
+    breaking the ValueError verifying-parser contract."""
+    from pyprima_spark.operators.jpeg import encode_jpeg_gray, decode_jpeg_gray
+
+    payload = encode_jpeg_gray(np.full((8, 8), 100, dtype=np.uint8), 85)
+    dht = payload.index(b"\xff\xc4")
+    (seg_len,) = struct.unpack_from(">H", payload, dht + 2)
+    corrupted = bytearray(payload)
+    # shrink the declared segment length so the table body is cut short
+    struct.pack_into(">H", corrupted, dht + 2, 12)
+    # re-splice: drop the now-orphaned table bytes so markers realign
+    corrupted = corrupted[: dht + 2 + 12] + corrupted[dht + 2 + seg_len :]
+    with pytest.raises(ValueError):
+        decode_jpeg_gray(bytes(corrupted))
