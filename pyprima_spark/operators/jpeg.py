@@ -537,6 +537,8 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
                 pq_tq = body[off]
                 if pq_tq & 0xF0:
                     raise ValueError("16-bit quant tables not supported")
+                if off + 65 > len(body):
+                    raise ValueError("truncated DQT segment")
                 zz = np.frombuffer(
                     body[off + 1 : off + 65], dtype=np.uint8
                 ).astype(np.int64)
@@ -545,7 +547,11 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
                 quants[pq_tq & 0x0F] = nat.reshape(8, 8)
                 off += 65
         elif marker == 0xC0:  # SOF0 baseline
+            if len(body) < 6:
+                raise ValueError("truncated SOF0 segment")
             precision, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
+            if len(body) < 6 + 3 * ncomp:
+                raise ValueError("truncated SOF0 component list")
             if precision != 8:
                 raise ValueError("only 8-bit precision supported")
             if ncomp not in (1, 3):
@@ -584,7 +590,11 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
                     ac_tables[tc_th & 0x0F] = table
                 off += 17 + n
         elif marker == 0xDA:  # SOS
+            if not body:
+                raise ValueError("truncated SOS segment")
             ns = body[0]
+            if len(body) < 1 + 2 * ns:
+                raise ValueError("truncated SOS component list")
             for i in range(ns):
                 cid = body[1 + 2 * i]
                 td_ta = body[2 + 2 * i]
@@ -664,9 +674,12 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
 
 
 def decode_jpeg_rgb(payload: bytes) -> np.ndarray:
-    """Parse a baseline 4:4:4 color JPEG written by
-    :func:`encode_jpeg_rgb` (or any 3-component baseline JFIF without
-    chroma subsampling). Returns the (h, w, 3) uint8 RGB array."""
+    """Parse a baseline 3-component color JPEG written by
+    :func:`encode_jpeg_rgb` (or any 3-component baseline JFIF in the
+    4:4:4 / 4:2:2 / 4:2:0 subset — luma sampling up to 2x2, chroma
+    fixed at 1x1; sub-resolution chroma is upsampled by pixel
+    replication as described in the module header). Returns the
+    (h, w, 3) uint8 RGB array."""
     arr = _decode_jpeg(payload)
     if arr.ndim != 3:
         raise ValueError("expected a color JPEG, got a grayscale stream")

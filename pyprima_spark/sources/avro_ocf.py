@@ -382,18 +382,30 @@ def write_avro_file(
     )
 
 
-def read_avro(spark: "SparkSession", path_glob: str, schema: str) -> "DataFrame":
+def read_avro(
+    spark: "SparkSession",
+    path_glob: str,
+    schema: str,
+    ext_filter: str | None = "*.avro",
+) -> "DataFrame":
     """Read Avro OCF files distributed per FILE: binaryFile lists and
     schedules them, each payload parses inside mapInPandas on an
     executor, and fields map to the requested Spark ``schema`` DDL by
-    NAME (missing fields → null)."""
+    NAME (missing fields → null).
+
+    ``ext_filter`` (default ``"*.avro"``) is applied as a binaryFile
+    pathGlobFilter ON TOP of ``path_glob``; pass ``None`` to read
+    every file the glob matches regardless of extension — non-OCF
+    payloads then fail loudly in :func:`decode_avro_ocf`'s magic
+    check rather than being silently dropped (ADVICE r7)."""
     import pandas as pd
     from pyspark.sql.types import StructType
 
     fields = [f.name for f in StructType.fromDDL(schema).fields]
-    raw = spark.read.format("binaryFile").option(
-        "pathGlobFilter", "*.avro"
-    ).load(path_glob)
+    reader = spark.read.format("binaryFile")
+    if ext_filter is not None:
+        reader = reader.option("pathGlobFilter", ext_filter)
+    raw = reader.load(path_glob)
 
     def parse(it):
         for pdf in it:

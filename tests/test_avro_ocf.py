@@ -141,3 +141,17 @@ def test_wide_union_and_missing_schema_refused():
     payload = b"Obj\x01" + b"\x00" + hashlib.md5(b"x").digest()
     with pytest.raises(ValueError, match="avro.schema"):
         decode_avro_ocf(payload)
+
+
+def test_read_avro_ext_filter_none_reads_any_extension(spark, tmp_path):
+    """ADVICE r7: the hardcoded '*.avro' pathGlobFilter silently dropped
+    OCF files with other extensions; ext_filter=None must read them."""
+    df = spark.createDataFrame([(7, "z")], "id bigint, name string")
+    path = str(tmp_path / "data.ocf")
+    write_avro_file(df, path).collect()
+    # default filter skips the .ocf file entirely (empty, not wrong)
+    assert read_avro(spark, path, "id bigint, name string").count() == 0
+    back = read_avro(
+        spark, path, "id bigint, name string", ext_filter=None
+    ).collect()
+    assert [(r.id, r.name) for r in back] == [(7, "z")]

@@ -113,3 +113,64 @@ def test_jpeg_truncated_dht_raises_valueerror():
     corrupted = corrupted[: dht + 2 + 12] + corrupted[dht + 2 + seg_len :]
     with pytest.raises(ValueError):
         decode_jpeg_gray(bytes(corrupted))
+
+
+def test_jpeg_truncated_sos_raises_valueerror():
+    """ADVICE r7: a truncated SOS body escaped as IndexError at
+    ``td_ta = body[2 + 2 * i]``; the verifying-parser contract says
+    ValueError on anything outside the subset."""
+    from pyprima_spark.operators.jpeg import decode_jpeg_gray, encode_jpeg_gray
+
+    payload = encode_jpeg_gray(np.full((8, 8), 100, dtype=np.uint8), 85)
+    sos = payload.index(b"\xff\xda")
+    (seg_len,) = struct.unpack_from(">H", payload, sos + 2)
+    corrupted = bytearray(payload)
+    # shrink the declared SOS length so the component list is cut short
+    struct.pack_into(">H", corrupted, sos + 2, 3)
+    corrupted = corrupted[: sos + 2 + 3] + corrupted[sos + 2 + seg_len :]
+    with pytest.raises(ValueError):
+        decode_jpeg_gray(bytes(corrupted))
+
+
+def test_jpeg_truncated_sof_raises_valueerror():
+    """ADVICE r7: a short SOF0 body escaped as struct.error from
+    ``struct.unpack_from``; must surface as ValueError instead."""
+    from pyprima_spark.operators.jpeg import decode_jpeg_gray, encode_jpeg_gray
+
+    payload = encode_jpeg_gray(np.full((8, 8), 100, dtype=np.uint8), 85)
+    sof = payload.index(b"\xff\xc0")
+    (seg_len,) = struct.unpack_from(">H", payload, sof + 2)
+    corrupted = bytearray(payload)
+    # leave only 4 body bytes — too short for the BHHB header
+    struct.pack_into(">H", corrupted, sof + 2, 6)
+    corrupted = corrupted[: sof + 2 + 6] + corrupted[sof + 2 + seg_len :]
+    with pytest.raises(ValueError):
+        decode_jpeg_gray(bytes(corrupted))
+
+
+def test_jpeg_truncated_sof_component_list_raises_valueerror():
+    """A SOF0 whose declared component count overruns the body must
+    raise ValueError, not IndexError."""
+    from pyprima_spark.operators.jpeg import decode_jpeg_gray, encode_jpeg_gray
+
+    payload = encode_jpeg_gray(np.full((8, 8), 100, dtype=np.uint8), 85)
+    sof = payload.index(b"\xff\xc0")
+    corrupted = bytearray(payload)
+    # grayscale SOF0 body is 9 bytes; claim 3 components (needs 15)
+    corrupted[sof + 4 + 5] = 3
+    with pytest.raises(ValueError):
+        decode_jpeg_gray(bytes(corrupted))
+
+
+def test_jpeg_truncated_dqt_raises_valueerror():
+    """A DQT whose 64-entry table is cut short must raise ValueError."""
+    from pyprima_spark.operators.jpeg import decode_jpeg_gray, encode_jpeg_gray
+
+    payload = encode_jpeg_gray(np.full((8, 8), 100, dtype=np.uint8), 85)
+    dqt = payload.index(b"\xff\xdb")
+    (seg_len,) = struct.unpack_from(">H", payload, dqt + 2)
+    corrupted = bytearray(payload)
+    struct.pack_into(">H", corrupted, dqt + 2, 10)
+    corrupted = corrupted[: dqt + 2 + 10] + corrupted[dqt + 2 + seg_len :]
+    with pytest.raises(ValueError):
+        decode_jpeg_gray(bytes(corrupted))
