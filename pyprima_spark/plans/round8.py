@@ -3759,44 +3759,57 @@ ORDER BY event_type
 # interpolation_search_error — learned-index (RMI) feasibility readout
 # ---------------------------------------------------------------------------
 
-_ISE_BUCKETS = 16
+_ISE_MIN_BUCKETS = 16
+_ISE_MAX_BUCKETS = 65536
+_ISE_TARGET_ROWS = 4096  # rows-per-bucket target; B scales with count
 
 
 def interpolation_search_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEARNED-INDEX error census (SURVEY §2 #274; Kraska et al. 2018
     — "The Case for Learned Index Structures"): within each
-    range-partition bucket of the sorted orderkey domain, predict a
-    key's position by LINEAR INTERPOLATION between the bucket's
-    min/max and measure |predicted − actual| — exactly the per-model
-    error bound an RMI leaf must search, and therefore the readout
-    that says whether a learned index (vs a B-tree page walk) pays
-    for this key distribution.  Errors are exact integers: pred =
+    EQUI-WIDTH bucket of the orderkey domain (the linear root model
+    an RMI actually starts from), predict a key's position by LINEAR
+    INTERPOLATION between the bucket's min/max and measure
+    |predicted − actual| — exactly the per-model error bound an RMI
+    leaf must search, and therefore the readout that says whether a
+    learned index (vs a B-tree page walk) pays for this key
+    distribution.  Errors are exact integers: pred =
     (key − min)·(n − 1) div (max − min), actual = the rank within the
     bucket.
 
-    Scale shape: bucket boundaries are one exact percentile_disc
-    aggregate broadcast back (the range_partition_bounds machinery —
-    NO global sort); ranks come from row_number windows PARTITIONED
-    BY BUCKET (each a bounded slice, the scalable direction); the
-    census folds to 16 rows with max/mean error per bucket.
+    VERDICT r7 rewrite: the previous form pinned parallelism at 16
+    via a static percentile_disc cut list (a 16-value bucket id over
+    the full orders table — per-bucket slices grow LINEARLY with
+    data; only their count was bounded).  Now the bucket count B is
+    derived from the data IN SQL — B = clamp(count/target, 16,
+    65536), identical arithmetic on both engine sides — so
+    parallelism scales with row count while each slice stays near the
+    _ISE_TARGET_ROWS target (only key-value skew can inflate a single
+    bucket; the n column is the skew readout).  Bucket assignment is
+    one row-local integer expression against a broadcast 1-row
+    (min, max, count) aggregate — the percentile buffering is gone
+    entirely; ranks come from row_number windows PARTITIONED BY
+    BUCKET; the census folds to B rows with max/mean error per
+    bucket.
     """
     keys = _t(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("k")
     )
-    qs = [i / _ISE_BUCKETS for i in range(1, _ISE_BUCKETS)]
-    cuts = keys.agg(
-        *[
-            F.expr(
-                f"percentile_disc({q}) WITHIN GROUP (ORDER BY k)"
-            ).alias(f"c{i}")
-            for i, q in enumerate(qs, start=1)
-        ]
+    stats = keys.agg(
+        F.min("k").alias("gmin"),
+        F.max("k").alias("gmax"),
+        F.expr(
+            f"greatest({_ISE_MIN_BUCKETS}, least({_ISE_MAX_BUCKETS},"
+            f" count(1) div {_ISE_TARGET_ROWS}))"
+        ).alias("nb"),
     )
-    bucket_case = "CASE " + " ".join(
-        f"WHEN k <= c{i} THEN {i}" for i in range(1, _ISE_BUCKETS)
-    ) + f" ELSE {_ISE_BUCKETS} END"
-    assigned = keys.crossJoin(F.broadcast(cuts)).select(
-        "k", F.expr(bucket_case).alias("bucket")
+    assigned = keys.crossJoin(F.broadcast(stats)).select(
+        "k",
+        F.expr(
+            "CASE WHEN gmax = gmin THEN 1"
+            " ELSE least(nb, 1 + cast((k - gmin) as decimal(38,0)) * nb"
+            " div (gmax - gmin)) END"
+        ).alias("bucket"),
     )
     wb = Window.partitionBy("bucket")
     scored = assigned.select(
@@ -3838,19 +3851,20 @@ def interpolation_search_error(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ROUND8_QUERIES["interpolation_search_error"] = interpolation_search_error
 
-_ise_qs = [i / _ISE_BUCKETS for i in range(1, _ISE_BUCKETS)]
-
 ROUND8_ORACLES["interpolation_search_error"] = f"""
 WITH keys AS (SELECT o_orderkey AS k FROM orders),
-cuts AS (
-  SELECT {", ".join(f"quantile_disc(k, {q}) AS c{i}" for i, q in enumerate(_ise_qs, start=1))}
+stats AS (
+  SELECT min(k) AS gmin, max(k) AS gmax,
+         greatest({_ISE_MIN_BUCKETS}, least({_ISE_MAX_BUCKETS},
+                  count(*) // {_ISE_TARGET_ROWS})) AS nb
   FROM keys
 ),
 assigned AS (
   SELECT k,
-         CASE {" ".join(f"WHEN k <= c{i} THEN {i}" for i in range(1, _ISE_BUCKETS))}
-              ELSE {_ISE_BUCKETS} END AS bucket
-  FROM keys CROSS JOIN cuts
+         CASE WHEN gmax = gmin THEN 1
+              ELSE least(nb, 1 + (k - gmin)::HUGEINT * nb
+                             // (gmax - gmin)) END AS bucket
+  FROM keys CROSS JOIN stats
 ),
 scored AS (
   SELECT bucket,
