@@ -2587,90 +2587,90 @@ def _register_rounds() -> None:
 
 _WINDOW_SIZE = 50
 
-# Round-7 window (VERDICT r6 item 1 / SURVEY §7.21): consolidation
-# round — ZERO new catalog keys; the whole window burns down the
-# grading backlog. Priority order: (1) the 4 keys whose operator
-# bodies were rewritten AFTER their last driver row (an oracled
-# operator whose driver evidence predates its current body is a claim,
-# not a result); (2) the 13 never-graded round-7-era keys #190–202;
-# (3) the 5 late-r5 keys #185–189; (4) the 18 remaining round-5
-# one-shots whose only green row is r5; (5) the 10 oldest never-graded
-# round-7 keys #205–215. The #216+ batches and the r3 generation
-# rotate in rounds 8–9. List is exact-size asserted below so a
+# Round-8 window (VERDICT r7 items 1–4 / SURVEY §7.22, with the
+# prescribed amendments): (1) every key whose operator body changed
+# AFTER its last green evidence (the three r7-edited round-8 keys, the
+# §7.21-carryover heavy_change_detection redesign, the behaviorally
+# inert but body-changed streaming_hourly_stats fsio edit, and the two
+# round-8 parallelism rewrites ntile_features /
+# interpolation_search_error); (2) the two NEW driver-gated codec keys
+# (VERDICT r7 item 2 — the only catalog additions this round, capped
+# at 2); (3) never-driver-graded keys oldest-first per the §7.22 list.
+# The 5 displaced tail keys (nearest_centroid_confusion, fd_discovery,
+# prefix_cache_hits, ips_policy_eval, diff_in_diff) and the remaining
+# round-8 generation rotate in round 9. Exact-size asserted below so a
 # drive-by key insertion can't silently evict a planned regrade.
-_R7_WINDOW = [
-    # (1) bodies rewritten since their last driver row
-    "equidepth_histogram",   # r5 row predates the r6 ntile→percentile-cut rewrite
-    "rfm_segments",          # r5 row predates the r6 broadcast-tercile rewrite
-    "data_mixture_plan",     # r6 row predates the BIGINT-overflow fix
-    "fuzzy_name_match",      # r3 row predates the round-7 blocked-Levenshtein rebuild
-    # (2) round-7-era keys, never driver-graded
-    "raster_export_manifest",
-    "curriculum_phases",
-    "countmin_heavy_hitters",
-    "cluster_size_histogram",
-    "tokenizer_fertility",
-    "moving_average_decompose",
-    "contamination_attribution",
-    "woe_iv_binning",
-    "kaplan_meier_fulfillment",
-    "markov_attribution",
-    "model_workbook_roundtrip",
-    "benford_digit_audit",
-    "hhi_concentration",
-    # (3) late-r5 keys, never driver-graded
-    "champion_postings",
-    "oov_rate_sweep",
-    "k_anonymity_audit",
-    "blocking_quality_eval",
-    "chunk_boundary_dups",
-    # (4) round-5 one-shots — only green row is r5
-    "ab_test_chi2",
-    "approx_quantile_bands",
-    "bounce_rate",
-    "cohort_ltv",
-    "cusum_changepoint",
-    "fk_orphan_audit",
-    "interval_union_coverage",
-    "key_gini",
-    "late_data_census",
-    "order_aging",
-    "pareto_revenue",
-    "partition_pruning_stats",
-    "peak_concurrency",
-    "pk_uniqueness_audit",
-    "props_variant_stats",
-    "rate_limit_flags",
-    "weighted_median",
-    "winsorized_mean",
-    # (5) oldest never-graded round-7 keys
-    "label_propagation",
-    "interpolate_linear",
-    "hll_distinct_sketch",
-    "skyline_2d",
-    "jackknife_variance",
-    "l_diversity_audit",
-    "triangle_count",
-    "zorder_layout_plan",
-    "phrase_search",
-    "rrf_fusion",
+_R8_WINDOW = [
+    # (1) bodies changed since their last green evidence
+    "erlang_b_blocking",       # r7 load-column rename
+    "banzhaf_power_index",     # r7 zero-power census join
+    "shapley_shubik_index",    # r7 zero-power census join
+    "heavy_change_detection",  # redesigned after its vacuous first form
+    "streaming_hourly_stats",  # r7 checkpoint -> fsio.scratch_dir
+    "ntile_features",            # r8 broadcast percentile-cut rewrite
+    "interpolation_search_error",  # r8 scaled-bucket-count rewrite
+    # (2) new driver-gated codec keys (VERDICT r7 item 2)
+    "multimodal_jpeg",
+    "avro_roundtrip",
+    # (3) never-driver-graded, oldest-first (SURVEY §7.22 order)
+    "theil_sen_trend",
+    "neyman_allocation",
+    "randomized_response_audit",
+    "random_projection_sketch",
+    "ndcg_eval",
+    "sorted_neighborhood_pairs",
+    "longest_prefix_route",
+    "bitmap_flag_index",
+    "image_phash_groups",
+    "replica_checksum_audit",
+    "erasure_cascade",
+    "rendezvous_sharding",
+    "fixed_width_roundtrip",
+    "slo_burn_rate",
+    "luhn_check_audit",
+    "cohens_kappa",
+    "mutual_nn_mining",
+    "ipf_raking",
+    "arrival_disorder_census",
+    "kendall_tau_topk",
+    "decile_lift",
+    "quantile_rollup_gap",
+    "rank_matched_pairs",
+    "encoding_advisor",
+    "majority_vote_repair",
+    "similarity_band_census",
+    "mrl_truncation_eval",
+    "roc_auc_rank",
+    "acf_lags",
+    "ams_f2_sketch",
+    "pps_systematic_sample",
+    "weighted_shortest_path",
+    "conformal_interval_eval",
+    "embedding_covariance",
+    "hybrid_skew_join",
+    "binary_hamming_recall",
+    "priority_sample_estimate",
+    "dup_span_census",
+    "calibration_ece",
+    "silhouette_eval",
+    "padding_waste_buckets",
 ]
 
 
 def _order_grading_window() -> None:
     """Rebuild QUERIES so the first ``_WINDOW_SIZE`` keys are exactly
-    ``_R7_WINDOW``. Everything else keeps its current relative order
+    ``_R8_WINDOW``. Everything else keeps its current relative order
     after the window. Asserts (rather than comments — see ADVICE r3 on
     the fragile round-3 splice) that the list is exactly window-sized
     and fully registered."""
-    missing = [k for k in _R7_WINDOW if k not in QUERIES]
+    missing = [k for k in _R8_WINDOW if k not in QUERIES]
     assert not missing, f"grading-window keys not registered: {missing}"
-    assert len(_R7_WINDOW) == _WINDOW_SIZE, (
-        f"window has {len(_R7_WINDOW)} keys; driver grades {_WINDOW_SIZE}"
+    assert len(_R8_WINDOW) == _WINDOW_SIZE, (
+        f"window has {len(_R8_WINDOW)} keys; driver grades {_WINDOW_SIZE}"
     )
     rest = dict(QUERIES)
     QUERIES.clear()
-    for key in _R7_WINDOW:
+    for key in _R8_WINDOW:
         QUERIES[key] = rest.pop(key)
     QUERIES.update(rest)
 

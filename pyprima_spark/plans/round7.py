@@ -1300,6 +1300,99 @@ FROM allrows GROUP BY sheet ORDER BY sheet
 
 
 # ---------------------------------------------------------------------------
+# avro_roundtrip — house Avro OCF source/sink under the driver's oracle
+# ---------------------------------------------------------------------------
+
+
+def avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pure-stdlib Avro OCF source/sink exercised through the
+    correctness gate (VERDICT r7 item 2; the Avro counterpart of
+    model_workbook_roundtrip's xlsx closure): a deterministic 5%
+    orderkey slice of orders — bigint keys, a nullable string (every
+    7th status nulled), a double, a derived boolean — written as ONE
+    deflate OCF by sources/avro_ocf.py's single-file sink, re-read
+    through binaryFile + the executor-side OCF decoder, and folded to
+    a per-priority census (counts, distinct customers, exact cents,
+    null and flag tallies). The oracle computes the same census from
+    the parquet slice in pure SQL — any defect in the zig-zag/varint
+    encoder, the deflate blocks, the union branches, or the decoder's
+    field-by-name mapping changes a tally and breaks the hash.
+
+    Determinism across the hop: integral columns cross the Arrow
+    boundary as strings (exact at any magnitude, avro_ocf.py's >2^53
+    contract); doubles cross as IEEE bytes; cents are summed as
+    BIGINT so no double addition order matters.
+
+    Deployment contract: the OCF hop rides fsio.scratch_dir — set
+    ``spark.pyprima.scratchDir`` to a shared URI on a multi-node
+    cluster (the model_workbook_roundtrip convention). The
+    single-file sink is the format's contract, not a scale path;
+    partitioned fan-out stays with the parquet sinks.
+    """
+    from pyprima_spark.sources import fsio
+    from pyprima_spark.sources.avro_ocf import read_avro, write_avro_file
+
+    orders = _t(spark, sf_dir, "orders")
+    sl = orders.filter(F.expr("o_orderkey % 100 < 5")).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.expr(
+            "CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderstatus END"
+        ).alias("status"),
+        F.expr("o_totalprice > 150000").alias("big"),
+    )
+    path = fsio.join(
+        fsio.scratch_dir(spark, "pyprima_avro_"), "orders_slice.avro"
+    )
+    write_avro_file(sl, path, order_by=["o_orderkey"]).count()  # force write
+
+    back = read_avro(
+        spark,
+        path,
+        "o_orderkey bigint, o_custkey bigint, o_orderpriority string, "
+        "o_totalprice double, status string, big boolean",
+    )
+    return (
+        back.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("o_custkey").alias("n_cust"),
+            F.sum(F.expr("cast(round(o_totalprice * 100) as bigint)")).alias(
+                "cents"
+            ),
+            F.sum(F.expr("CASE WHEN status IS NULL THEN 1 ELSE 0 END")).alias(
+                "n_null_status"
+            ),
+            F.sum(F.expr("CASE WHEN big THEN 1 ELSE 0 END")).alias("n_big"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+ROUND7_QUERIES["avro_roundtrip"] = avro_roundtrip
+
+ROUND7_ORACLES["avro_roundtrip"] = """
+WITH sl AS (
+  SELECT o_orderkey, o_custkey, o_orderpriority, o_totalprice,
+         CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderstatus END
+           AS status,
+         o_totalprice > 150000 AS big
+  FROM orders WHERE o_orderkey % 100 < 5
+)
+SELECT o_orderpriority, count(*) AS n,
+       count(DISTINCT o_custkey) AS n_cust,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS cents,
+       CAST(sum(CASE WHEN status IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null_status,
+       CAST(sum(CASE WHEN big THEN 1 ELSE 0 END) AS BIGINT) AS n_big
+FROM sl GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
 # benford_digit_audit — first-digit fraud screen
 # ---------------------------------------------------------------------------
 
