@@ -19,9 +19,34 @@ to reliable checkpoints with no other code change.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
 from typing import Optional
 
 from pyspark.sql import DataFrame
+
+_PASSTHROUGH = False
+
+
+@contextmanager
+def audit_passthrough():
+    """Make :func:`materialize` a NO-OP inside the block, so plan
+    audits can see (and count) the lineage a checkpoint would cut.
+
+    VERDICT r7 item 5: nine allowlisted keys rank over a census that
+    materialize() hides from ``window_bound_violations()`` — the one
+    trust-me corner of the otherwise self-proving window-bound gate.
+    Rebuilding those plans under this context keeps every Window node
+    (and its child subtree) in the optimized logical plan, so the
+    probe can MEASURE the rows entering each window instead of
+    trusting the docstring. Audit-only: results are identical, only
+    the stage boundary (and its recompute protection) is skipped.
+    """
+    global _PASSTHROUGH
+    _PASSTHROUGH = True
+    try:
+        yield
+    finally:
+        _PASSTHROUGH = False
 
 
 def materialize(
@@ -34,7 +59,12 @@ def materialize(
     checkpoint_dir=path  -> reliable ``checkpoint`` into ``path``
                             (survives executor loss; the cluster path —
                             point it at HDFS/S3/DBFS).
+
+    Inside :func:`audit_passthrough` this is a no-op (plan-audit
+    measurement of otherwise checkpoint-hidden windows).
     """
+    if _PASSTHROUGH:
+        return df
     if checkpoint_dir is None:
         return df.localCheckpoint(eager=eager)
     sc = df.sparkSession.sparkContext

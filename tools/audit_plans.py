@@ -93,29 +93,29 @@ GLOBAL_WINDOW_BOUNDS = {
     "acf_lags": 3000,
 }
 
-# Entries whose global window is INVISIBLE to the plan walk because
-# materialize() (eager localCheckpoint) cuts lineage above it — listed
-# for the record with their documented census bound; the probe cannot
-# measure them, but neither can the physical gate see them, so the
-# record is the honest artifact (the fagin_ta_depth convention, now
-# including banzhaf/shapley per ADVICE r6).
-HIDDEN_WINDOW_KEYS = {
-    "champion_postings": 60_000,  # |vocab| census (term df ranks)
-    "data_mixture_plan": 25,  # source-mixture census
+# Entries whose global window sits ABOVE a materialize() stage
+# boundary. Through round 7 these rode an unmeasured HIDDEN escape
+# hatch (the lineage cut made them invisible to the plan walk);
+# since round 8 (VERDICT r7 item 5) the probe rebuilds every plan
+# under checkpointing.audit_passthrough(), which turns materialize()
+# into a no-op, so these are MEASURED like every other entry and the
+# escape hatch is gone. The first measurement immediately earned its
+# keep: four of the nine former HIDDEN rows were STALE — the probe
+# found champion_postings and kmv_source_overlap rank behind
+# PARTITIONED windows (per-term / per-source, the scalable direction)
+# and data_mixture_plan / psi_drift plan no window at all — so those
+# rows are deleted rather than carried, and only the five keys with a
+# real measured global window remain.
+GLOBAL_WINDOW_BOUNDS.update({
     "fagin_ta_depth": 25_000,  # sorted-access ranks over part census
-    "kmv_source_overlap": 2048,  # k-minima census (k=1024 per source)
     "maxmin_fair_allocation": 25,  # water-level scan over brand census
-    "psi_drift": 20,  # decile-bin census
     "voting_methods_compare": 25,  # criterion ranks over brand census
     "banzhaf_power_index": 5,  # row_number over the 5-segment census
     "shapley_shubik_index": 5,  # row_number over the 5-segment census
-}
-
-GLOBAL_WINDOW_BOUNDS.update(HIDDEN_WINDOW_KEYS)
+})
 
 # The physical-gate allowlist derives from the bounds table — a key
-# cannot be exempted without carrying a measurable (or hidden-but-
-# documented) bound.
+# cannot be exempted without carrying a measured bound.
 GLOBAL_WINDOW_ALLOWED = set(GLOBAL_WINDOW_BOUNDS)
 
 # BroadcastNestedLoopJoin build sides that are bounded by a PUSHED LITERAL
@@ -162,32 +162,49 @@ def global_window_input_counts(spark, df) -> list[int]:
     return counts
 
 
-def window_bound_violations(spark, sf_dir: str, keys=None) -> list[str]:
-    """Empirically verify every GLOBAL_WINDOW_BOUNDS entry: measure the
-    rows entering each key's global window(s) and flag any count above
-    the documented bound. Keys whose windows are invisible to the
-    logical-plan walk (materialize() checkpoint breaks lineage) are
-    listed in HIDDEN_WINDOW_KEYS and measure zero windows — any OTHER
-    key with zero windows is flagged too, so stale allowlist rows
-    surface instead of accumulating by trust."""
-    problems: list[str] = []
+def measure_window_bounds(spark, sf_dir: str, keys=None) -> dict:
+    """Measure the rows entering every allowlisted key's global
+    window(s). Plans are rebuilt under audit_passthrough() so
+    materialize() stage boundaries cannot hide a window from the walk
+    (VERDICT r7 item 5 — the former HIDDEN_WINDOW_KEYS escape hatch
+    is gone; every entry now gets a measured_max)."""
+    from pyprima_spark.operators.checkpointing import audit_passthrough
+
+    out: dict[str, dict] = {}
     for name in sorted(keys or GLOBAL_WINDOW_BOUNDS):
         bound = GLOBAL_WINDOW_BOUNDS[name]
-        counts = global_window_input_counts(
-            spark, QUERIES[name](spark, sf_dir)
-        )
-        if not counts:
-            if name not in HIDDEN_WINDOW_KEYS:
-                problems.append(
-                    f"{name}: allowlisted but no global window found — "
-                    "stale entry, remove it"
-                )
-            continue
-        worst = max(counts)
-        if worst > bound:
+        with audit_passthrough():
+            counts = global_window_input_counts(
+                spark, QUERIES[name](spark, sf_dir)
+            )
+        worst = max(counts) if counts else None
+        out[name] = {
+            "bound": bound,
+            "windows": len(counts),
+            "measured_max": worst,
+            "ok": bool(counts) and worst <= bound,
+        }
+    return out
+
+
+def window_bound_violations(spark, sf_dir: str, keys=None) -> list[str]:
+    """Empirically verify every GLOBAL_WINDOW_BOUNDS entry: measure the
+    rows entering each key's global window(s) — materialize() is a
+    no-op during the measurement, so checkpoint-hidden windows are
+    measured too — and flag any count above the documented bound. A
+    key with ZERO windows is flagged as a stale allowlist row, so
+    entries cannot accumulate by trust."""
+    problems: list[str] = []
+    for name, m in measure_window_bounds(spark, sf_dir, keys).items():
+        if m["windows"] == 0:
             problems.append(
-                f"{name}: {worst} rows entered a global window "
-                f"(documented bound {bound})"
+                f"{name}: allowlisted but no global window found — "
+                "stale entry, remove it"
+            )
+        elif not m["ok"]:
+            problems.append(
+                f"{name}: {m['measured_max']} rows entered a global "
+                f"window (documented bound {m['bound']})"
             )
     return problems
 
@@ -309,5 +326,43 @@ def audit(sf_dir: str) -> None:
     spark.stop()
 
 
+def write_window_bounds(sf_dir: str, out_path: str) -> None:
+    """Measure every allowlisted window bound at ``sf_dir`` and write
+    the WINDOW_BOUNDS artifact (the reproducible form of the r7
+    hand-run; every entry now carries a measured_max — no hidden
+    rows)."""
+    import json
+
+    spark = build_session("window_bounds")
+    keys = measure_window_bounds(spark, sf_dir)
+    spark.stop()
+    doc = {
+        "all_ok": all(m["ok"] for m in keys.values()),
+        "keys": keys,
+        "note": (
+            "rows entering each allowlisted UNPARTITIONED window, "
+            "measured from the optimized logical plan rebuilt under "
+            "checkpointing.audit_passthrough() (materialize() no-op, "
+            "so checkpoint-hidden windows are measured too)"
+        ),
+        "probe": "tools/audit_plans.py:measure_window_bounds",
+        "sf_dir": sf_dir,
+    }
+    with open(out_path, "w") as f:
+        json.dump(doc, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(f"wrote {out_path}; all_ok={doc['all_ok']}")
+    for name, m in keys.items():
+        if not m["ok"]:
+            print(" VIOLATION", name, m)
+
+
 if __name__ == "__main__":
-    audit(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1")
+    if "--bounds" in sys.argv:
+        args = [a for a in sys.argv[1:] if a != "--bounds"]
+        write_window_bounds(
+            args[0] if args else "/root/testdata/sf0.1",
+            args[1] if len(args) > 1 else "WINDOW_BOUNDS_sf01.json",
+        )
+    else:
+        audit(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1")
