@@ -73,3 +73,36 @@ def test_every_query_is_benched_or_excluded():
     assert not stale, sorted(stale)
     thin = [k for k, v in BENCH_EXCLUDED.items() if not str(v).strip()]
     assert not thin, thin
+
+
+def test_no_unexplained_bench_regression():
+    """VERDICT r7 item 6 turned into CI: compare the two most recent
+    BENCH_r*_local.json artifacts and fail if any common key that took
+    >1 s in the older run regressed more than 2x without a backticked
+    note in SURVEY section 6 (the q18_large_orders /
+    training_manifest drift-triage convention)."""
+    import glob
+    import json
+    import os
+    import re
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    files = sorted(
+        glob.glob(os.path.join(root, "BENCH_r*_local.json")),
+        key=lambda p: int(re.search(r"BENCH_r(\d+)_local", p).group(1)),
+    )
+    if len(files) < 2:
+        pytest.skip("fewer than two local bench artifacts")
+    old = json.load(open(files[-2]))["queries"]
+    new = json.load(open(files[-1]))["queries"]
+    survey = open(os.path.join(root, "SURVEY.md")).read()
+    sec6 = survey.split("## §6")[1].split("## §7")[0]
+    bad = [
+        f"{k}: {old[k]}s -> {new[k]}s ({new[k] / old[k]:.2f}x)"
+        for k in sorted(set(old) & set(new))
+        if old[k] > 1.0 and new[k] > 2 * old[k] and f"`{k}`" not in sec6
+    ]
+    assert not bad, (
+        "bench regressions >2x with no SURVEY section-6 note:\n"
+        + "\n".join(bad)
+    )
