@@ -304,13 +304,21 @@ def ntile_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-depth binning IS (Spark's own RangePartitioner accepts the
     same tolerance); n doubles as the balance proof.
     """
-    from pyprima_spark.functions import text as X
-
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
     j = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
         "c_mktsegment", "o_totalprice", "o_orderkey"
     )
+    return ntile_features_census(j)
+
+
+def ntile_features_census(j: DataFrame) -> DataFrame:
+    """Census core of ntile_features over an arbitrary (c_mktsegment,
+    o_totalprice, o_orderkey) frame — separated so
+    tools/stress_probe.py can measure the broadcast percentile-cut
+    plan on replicated orders."""
+    from pyprima_spark.functions import text as X
+
     qs = [i / _NTILE_BUCKETS for i in range(1, _NTILE_BUCKETS)]
     gate = F.expr(X.hash64_spark("cast(o_orderkey as string)")) % 100 < 4
     cuts = (

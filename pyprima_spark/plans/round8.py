@@ -3795,6 +3795,13 @@ def interpolation_search_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys = _t(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("k")
     )
+    return interpolation_search_census(keys)
+
+
+def interpolation_search_census(keys: DataFrame) -> DataFrame:
+    """Census core of interpolation_search_error over an arbitrary
+    1-column ``k`` frame — separated so tools/stress_probe.py can
+    measure the scaled-bucket-count behaviour on replicated keys."""
     stats = keys.agg(
         F.min("k").alias("gmin"),
         F.max("k").alias("gmax"),

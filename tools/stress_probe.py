@@ -77,6 +77,59 @@ def replicated_embeddings(spark, n: int):
     return out
 
 
+def replicated_orders(spark, n: int):
+    """orders⋈customer projection unioned n times with orderkey offsets
+    — key domain widens with the replica count (each replica's keys
+    land in a distinct range), so the equi-width bucket census sees a
+    genuinely larger domain, and totals keep their distribution."""
+    orders = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet"))
+    cust = spark.read.parquet(os.path.join(SF_DIR, "customer.parquet"))
+    j = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        "c_mktsegment", "o_totalprice", "o_orderkey"
+    )
+    max_k = j.agg(F.max("o_orderkey")).collect()[0][0] + 1
+    parts = [
+        j.select(
+            "c_mktsegment",
+            "o_totalprice",
+            (F.col("o_orderkey") + F.lit(r * max_k)).alias("o_orderkey"),
+        )
+        for r in range(n)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def probe_orders(spark, j):
+    """Scale-sensitive legs of the round-8 parallelism rewrites
+    (VERDICT r7): the scaled-bucket-count interpolation census (bucket
+    count B grows with rows, so per-bucket window sorts stay near the
+    rows-per-bucket target instead of growing linearly) and the
+    broadcast percentile-cut decile binning (cut table stays 5×9 at
+    any scale)."""
+    from pyprima_spark.plans.round3 import ntile_features_census
+    from pyprima_spark.plans.round8 import interpolation_search_census
+
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        spark.catalog.clearCache()
+        start = time.perf_counter()
+        fn()
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    timed(
+        "interpolation_search_census",
+        lambda: interpolation_search_census(
+            j.select(F.col("o_orderkey").alias("k"))
+        ).count(),
+    )
+    timed("ntile_features_census", lambda: ntile_features_census(j).count())
+    return timings
+
+
 def probe_embeddings(spark, emb):
     """Scale-sensitive ANN/embedding legs: hyperplane-LSH top-k
     (bucket join fanout is the scale risk) and banded near-dup pairs."""
@@ -153,7 +206,7 @@ def probe(spark, docs):
 
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    out_path = sys.argv[2] if len(sys.argv) > 2 else "STRESS_r07.json"
+    out_path = sys.argv[2] if len(sys.argv) > 2 else "STRESS_r08.json"
     from pyprima_spark.session import build_session
 
     spark = build_session("stress_probe")
@@ -161,10 +214,12 @@ def main() -> None:
     n_rows_1x = base_docs.count()
     t1 = probe(spark, base_docs)
     t1.update(probe_embeddings(spark, replicated_embeddings(spark, 1)))
+    t1.update(probe_orders(spark, replicated_orders(spark, 1)))
     big = replicated_docs(spark, n)
     n_rows_nx = big.count()
     tn = probe(spark, big)
     tn.update(probe_embeddings(spark, replicated_embeddings(spark, n)))
+    tn.update(probe_orders(spark, replicated_orders(spark, n)))
     doc = {
         "sf_base": 0.1,
         "replicas": n,
