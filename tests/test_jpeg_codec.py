@@ -10,7 +10,11 @@ import struct
 import numpy as np
 import pytest
 
-from pyprima_spark.operators.jpeg import decode_jpeg_gray, encode_jpeg_gray
+from pyprima_spark.operators.jpeg import (
+    decode_jpeg_gray,
+    encode_jpeg_gray,
+    encode_jpeg_rgb,
+)
 
 
 def test_flat_image_roundtrips_exactly():
@@ -82,12 +86,24 @@ def test_decoder_refuses_corruptions():
     with pytest.raises(ValueError, match="baseline"):
         decode_jpeg_gray(bytes(prog))
 
-    # claim 2 components in SOF0: outside the 1-or-3 subset
-    multi = bytearray(payload)
+    # claim 2 components in SOF0: outside the 1-or-3 subset. Planted on
+    # a COLOR payload so the 2-component claim survives the body-length
+    # bounds check (a 1-component body is shorter than 2 components
+    # need, which correctly trips "truncated" first — covered below).
+    color = encode_jpeg_rgb(np.full((16, 16, 3), 120, dtype=np.uint8), 85)
+    csof = color.index(b"\xff\xc0")
+    multi = bytearray(color)
     # SOF0 body: len(2) precision(1) h(2) w(2) ncomp(1)
-    multi[sof + 9] = 2
+    multi[csof + 9] = 2
     with pytest.raises(ValueError, match="single-component"):
         decode_jpeg_gray(bytes(multi))
+
+    # claim 2 components on the 1-component body: too short for the
+    # claim — the bounds check must refuse before indexing past the end
+    short2 = bytearray(payload)
+    short2[sof + 9] = 2
+    with pytest.raises(ValueError, match="truncated"):
+        decode_jpeg_gray(bytes(short2))
 
     # claim 3 components with a 1-component body: header/body mismatch
     multi3 = bytearray(payload)

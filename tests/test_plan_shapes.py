@@ -36,6 +36,56 @@ def test_global_window_allowlist_proves_bounds(spark, sf_dir):
     assert not problems, "\n".join(problems)
 
 
+def test_bnlj_allowlist_proves_bounds(spark, sf_dir):
+    """Round-8 extension of the self-proving-allowlist rule to the last
+    unmeasured exemption list: every BNLJ_BUILD_BOUNDS entry's measured
+    broadcast-side row count stays under its documented query-set
+    bound, and an entry whose body no longer plans a
+    BroadcastNestedLoopJoin is flagged stale rather than kept by
+    trust (the first measurement deleted ann_lsh / ann_pq /
+    embedding_dedup exactly this way)."""
+    from tools.audit_plans import bnlj_bound_violations
+
+    problems = bnlj_bound_violations(spark, sf_dir)
+    assert not problems, "\n".join(problems)
+
+
+def test_bnlj_bound_gate_flags_planted_violations(spark, sf_dir, monkeypatch):
+    """Negative controls for bnlj_bound_violations itself: a bound set
+    below the measured count must flag, and a stale entry (no BNLJ in
+    the plan) must flag."""
+    import tools.audit_plans as ap
+
+    monkeypatch.setitem(ap.BNLJ_BUILD_BOUNDS, "ann_topk", 1)
+    problems = ap.bnlj_bound_violations(spark, sf_dir, keys=["ann_topk"])
+    assert problems and "documented bound 1" in problems[0]
+    monkeypatch.undo()
+
+    monkeypatch.setitem(ap.BNLJ_BUILD_BOUNDS, "q1_pricing_summary", 10)
+    problems = ap.bnlj_bound_violations(
+        spark, sf_dir, keys=["q1_pricing_summary"]
+    )
+    assert problems and "stale entry" in problems[0]
+
+
+def test_bnlj_probe_measures_planted_join(spark, sf_dir):
+    """Negative control for the probe itself: it must count the build
+    side of a planted conditionless broadcast join, and report nothing
+    for a plan with no BNLJ."""
+    from pyspark.sql import functions as F
+
+    from pyprima_spark.catalog import load_table
+    from tools.audit_plans import bnlj_build_input_counts
+
+    orders = load_table(spark, sf_dir, "orders")
+    region = load_table(spark, sf_dir, "region")
+    planted = orders.join(F.broadcast(region.limit(3)))
+    assert bnlj_build_input_counts(spark, planted) == [3]
+
+    no_bnlj = orders.groupBy("o_orderpriority").count()
+    assert bnlj_build_input_counts(spark, no_bnlj) == []
+
+
 def test_window_allowlist_registry_hygiene():
     """The bounds registry must stay consistent with the catalog:
     every allowlisted key exists and every bound is a positive int."""
@@ -49,6 +99,21 @@ def test_window_allowlist_registry_hygiene():
     assert not unknown, sorted(unknown)
     assert GLOBAL_WINDOW_ALLOWED == set(GLOBAL_WINDOW_BOUNDS)
     bad = {k: v for k, v in GLOBAL_WINDOW_BOUNDS.items()
+           if not isinstance(v, int) or v <= 0}
+    assert not bad, bad
+
+
+def test_bnlj_allowlist_registry_hygiene():
+    """Same hygiene for the BNLJ bounds registry: every allowlisted key
+    exists, the exemption set derives from the bounds table, and every
+    bound is a positive int."""
+    from pyprima_spark.plans.queries import QUERIES
+    from tools.audit_plans import BNLJ_BOUNDED_ALLOWED, BNLJ_BUILD_BOUNDS
+
+    unknown = set(BNLJ_BUILD_BOUNDS) - set(QUERIES)
+    assert not unknown, sorted(unknown)
+    assert BNLJ_BOUNDED_ALLOWED == set(BNLJ_BUILD_BOUNDS)
+    bad = {k: v for k, v in BNLJ_BUILD_BOUNDS.items()
            if not isinstance(v, int) or v <= 0}
     assert not bad, bad
 
