@@ -16,7 +16,6 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pyprima_spark.catalog import load_table
-from pyprima_spark.functions.agg import dec_sum
 from pyprima_spark.functions.text import tokens_duck, tokens_spark
 
 
@@ -303,6 +302,16 @@ def ntile_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts are near-equal rather than exactly equal — what a sampled
     equi-depth binning IS (Spark's own RangePartitioner accepts the
     same tolerance); n doubles as the balance proof.
+
+    Small-segment safety (round-8 review finding): a segment whose 4%
+    sample came up empty would have no cut row, and an inner join
+    would silently DROP the whole segment. Two guards, both mirrored
+    in the oracle: segments under 250 rows contribute ALL their rows
+    to the cut aggregate (their full set is census-sized, so this
+    costs nothing), and bucket assignment LEFT-joins the cut table
+    with null-safe comparisons, so even a cutless segment
+    (P < 0.96^250 per segment) degrades to one bucket instead of
+    vanishing.
     """
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
@@ -321,8 +330,10 @@ def ntile_features_census(j: DataFrame) -> DataFrame:
 
     qs = [i / _NTILE_BUCKETS for i in range(1, _NTILE_BUCKETS)]
     gate = F.expr(X.hash64_spark("cast(o_orderkey as string)")) % 100 < 4
+    seg_n = j.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("seg_n"))
     cuts = (
-        j.filter(gate)
+        j.join(F.broadcast(seg_n), "c_mktsegment")
+        .filter(gate | (F.col("seg_n") < 250))
         .groupBy("c_mktsegment")
         .agg(
             *[
@@ -335,9 +346,13 @@ def ntile_features_census(j: DataFrame) -> DataFrame:
     )
     bucket = F.lit(1)
     for i in range(1, _NTILE_BUCKETS):
-        bucket = bucket + (F.col("o_totalprice") > F.col(f"b{i}")).cast("int")
+        # coalesce: a cutless segment (left join below) lands whole in
+        # bucket 1 — DuckDB's CASE WHEN yields the same 0 on null
+        bucket = bucket + F.coalesce(
+            (F.col("o_totalprice") > F.col(f"b{i}")).cast("int"), F.lit(0)
+        )
     return (
-        j.join(F.broadcast(cuts), "c_mktsegment")
+        j.join(F.broadcast(cuts), "c_mktsegment", "left")
         .select(
             "c_mktsegment",
             bucket.alias("decile"),
@@ -375,15 +390,19 @@ WITH j AS (
   SELECT c_mktsegment, o_totalprice, o_orderkey
   FROM orders JOIN customer ON o_custkey = c_custkey
 ),
+seg AS (
+  SELECT c_mktsegment, count(*) AS seg_n FROM j GROUP BY 1
+),
 cuts AS (
   SELECT c_mktsegment, {bound_cols}
-  FROM j WHERE {gate} % 100 < 4
+  FROM j JOIN seg USING (c_mktsegment)
+  WHERE ({gate} % 100 < 4) OR seg_n < 250
   GROUP BY c_mktsegment
 ),
 bucketed AS (
   SELECT j.c_mktsegment, {bucket_expr} AS decile,
          CAST(o_totalprice AS DECIMAL(27,6)) AS v
-  FROM j JOIN cuts USING (c_mktsegment)
+  FROM j LEFT JOIN cuts USING (c_mktsegment)
 )
 SELECT c_mktsegment, decile, count(*) AS n,
        round(min(v), 2)::DOUBLE AS lo,

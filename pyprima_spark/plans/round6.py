@@ -1011,6 +1011,9 @@ ORDER BY doc_id
 # = 1, so ±2 is a strict-but-safe fidelity gate; max bytes/pixel at
 # q90 = measured < 3.0 on top of the ~330-byte JFIF table overhead.
 _JPEG_MEAN_TOL = 2
+# ~2k encode+decode cycles of these tiny gradients ≈ seconds of CPU —
+# tasks stay well under a minute while parallelism scales with |docs|
+_JPEG_DOCS_PER_TASK = 2000
 
 
 def multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1032,15 +1035,29 @@ def multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: synthesis and decode are Arrow-batched mapInPandas
     over doc_id only; the ids are repartitioned first so the
     CPU-bound codec spreads across the cluster (the text column is
-    never read); nothing shuffles after synthesis until the
-    final sort.
+    never read); nothing shuffles after synthesis until the final
+    sort. The partition count derives from a rows-per-task target
+    (round-8 review finding — a fixed repartition(32) pinned the
+    codec's parallelism, the class this round rewrote out of
+    ntile_features/interpolation_search_error), floored at the
+    session's shuffle parallelism; the driver-side count is a
+    parquet-metadata scalar. Explicit repartition(n) on purpose:
+    AQE's byte-based coalescing would fuse these byte-light but
+    CPU-heavy id partitions onto one core.
     """
+    import math
+
     from pyprima_spark.operators.multimodal import (
         attach_jpeg_media,
         image_features_jpeg,
     )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(32)
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    nparts = max(
+        int(spark.conf.get("spark.sql.shuffle.partitions")),
+        math.ceil(docs.count() / _JPEG_DOCS_PER_TASK),
+    )
+    docs = docs.repartition(nparts)
     feats = image_features_jpeg(attach_jpeg_media(docs))
     exp_mean = (
         "aggregate(sequence(0, height - 1), cast(0 as bigint), (acc, y) -> "

@@ -27,6 +27,14 @@ def build_session(app_name: str = "pyprima_spark") -> SparkSession:
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # Static conf, default 100: a session that executes hundreds of
+        # distinct plans (the full catalog is ~390) evicts generated
+        # classes before they are reused, so tail queries pay a
+        # recompile tax that grows with catalog size (measured in
+        # SURVEY §6, training_manifest/q18 bisections). Sized to hold
+        # every catalog plan's classes with headroom; generated classes
+        # are KB-scale, so the cache stays far below executor memory.
+        .config("spark.sql.codegen.cache.maxEntries", "2000")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -87,16 +87,26 @@ def test_no_unexplained_bench_regression():
     import re
 
     root = os.path.join(os.path.dirname(__file__), "..")
-    files = sorted(
-        glob.glob(os.path.join(root, "BENCH_r*_local.json")),
-        key=lambda p: int(re.search(r"BENCH_r(\d+)_local", p).group(1)),
-    )
+    numbered = []
+    for p in glob.glob(os.path.join(root, "BENCH_r*_local.json")):
+        m = re.search(r"BENCH_r(\d+)_local", p)
+        assert m, f"bench artifact name not of the BENCH_r<N>_local form: {p}"
+        numbered.append((int(m.group(1)), p))
+    files = [p for _, p in sorted(numbered)]
     if len(files) < 2:
         pytest.skip("fewer than two local bench artifacts")
-    old = json.load(open(files[-2]))["queries"]
-    new = json.load(open(files[-1]))["queries"]
-    survey = open(os.path.join(root, "SURVEY.md")).read()
-    sec6 = survey.split("## §6")[1].split("## §7")[0]
+    with open(files[-2]) as f:
+        old = json.load(f)["queries"]
+    with open(files[-1]) as f:
+        new = json.load(f)["queries"]
+    with open(os.path.join(root, "SURVEY.md")) as f:
+        survey = f.read()
+    parts = survey.split("## §6")
+    assert len(parts) == 2, (
+        "SURVEY.md must keep exactly one '## §6' header — the drift "
+        "gate reads its notes"
+    )
+    sec6 = parts[1].split("## §7")[0]
     bad = [
         f"{k}: {old[k]}s -> {new[k]}s ({new[k] / old[k]:.2f}x)"
         for k in sorted(set(old) & set(new))

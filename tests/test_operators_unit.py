@@ -1096,3 +1096,38 @@ def test_half_up_rounding_sign_contract(spark, sf_dir):
     assert bi_min.mn >= 0, (
         f"bilinear pixel values must be nonneg, got min={bi_min.mn}"
     )
+
+
+def test_ntile_census_keeps_unsampled_tiny_segments(spark):
+    """Round-8 review finding: a segment whose 4% md5-gated sample is
+    empty must NOT vanish from the census. Tiny segments (<250 rows)
+    contribute all their rows to the cut aggregate, and even a cutless
+    segment degrades to bucket 1 via the left join instead of being
+    dropped."""
+    from pyspark.sql import functions as F
+
+    from pyprima_spark.plans.round3 import ntile_features_census
+
+    big = spark.range(0, 3000).select(
+        F.lit("BIG").alias("c_mktsegment"),
+        (F.col("id") * 7 % 1000).cast("double").alias("o_totalprice"),
+        F.col("id").alias("o_orderkey"),
+    )
+    # 20 rows: P(every md5 gate misses) is high for any single draw;
+    # the <250-row guard makes inclusion deterministic regardless
+    tiny = spark.range(100000, 100020).select(
+        F.lit("TINY").alias("c_mktsegment"),
+        (F.col("id") % 50).cast("double").alias("o_totalprice"),
+        F.col("id").alias("o_orderkey"),
+    )
+    out = ntile_features_census(big.unionByName(tiny)).collect()
+    by_seg = {}
+    for r in out:
+        by_seg.setdefault(r.c_mktsegment, 0)
+        by_seg[r.c_mktsegment] += r.n
+    assert by_seg.get("TINY") == 20, by_seg  # every tiny row survives
+    assert by_seg.get("BIG") == 3000, by_seg
+    # tiny segment got real cuts (all its rows were in the aggregate),
+    # so its 20 distinct values spread over multiple deciles
+    tiny_deciles = {r.decile for r in out if r.c_mktsegment == "TINY"}
+    assert len(tiny_deciles) > 1, tiny_deciles
