@@ -117,6 +117,25 @@ def _replica(spark, table: str, r: int, bases: dict):
     return df.select(*exprs)
 
 
+def _compact_to_single_file(dir_path: str) -> None:
+    """Rewrite a Spark part-file directory as ONE parquet file at the
+    same path — the driver's testdata layout. Every consumer is built
+    for that shape: stream_events' pathGlobFilter matches the file
+    name, DuckDB oracles read the bare path, and widen_scan exists
+    precisely to re-spread single-big-file scans."""
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    table = pq.read_table(dir_path)
+    fd, tmp = tempfile.mkstemp(suffix=".parquet", dir=os.path.dirname(dir_path))
+    os.close(fd)
+    pq.write_table(table, tmp)
+    shutil.rmtree(dir_path)
+    os.replace(tmp, dir_path)
+
+
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     out_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/testdata_sf1x"
@@ -126,9 +145,9 @@ def main() -> None:
     bases = _bases(spark)
     for table in DIM_COPY:
         df = spark.read.parquet(os.path.join(SF_DIR, f"{table}.parquet"))
-        df.write.mode("overwrite").parquet(
-            os.path.join(out_dir, f"{table}.parquet")
-        )
+        path = os.path.join(out_dir, f"{table}.parquet")
+        df.write.mode("overwrite").parquet(path)
+        _compact_to_single_file(path)
         print(f"{table}: copied {df.count()} rows")
     for table in FACTS:
         out = _replica(spark, table, 0, bases)
@@ -136,6 +155,7 @@ def main() -> None:
             out = out.unionByName(_replica(spark, table, r, bases))
         path = os.path.join(out_dir, f"{table}.parquet")
         out.write.mode("overwrite").parquet(path)
+        _compact_to_single_file(path)
         print(f"{table}: wrote {spark.read.parquet(path).count()} rows")
     spark.stop()
 

@@ -26,13 +26,20 @@ import pandas as pd
 def plain_session():
     from pyspark.sql import SparkSession
 
-    return (
+    builder = (
         SparkSession.builder.master("local[8]")
         .appName("strict_check")
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
     )
+    # Stays bare by default (the driver's own session is the contract
+    # being rehearsed). Oversized local runs — the 10x scaled-replica
+    # sweeps — need more than the 1g local default to hold their
+    # shuffles; honor the env ONLY when the caller sets it explicitly.
+    mem = os.environ.get("SPARK_DRIVER_MEMORY")
+    if mem:
+        builder = builder.config("spark.driver.memory", mem)
+    return builder.getOrCreate()
 
 
 def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
