@@ -26,10 +26,14 @@ import pandas as pd
 def plain_session():
     from pyspark.sql import SparkSession
 
+    # local[8] mirrors the driver's bare session; the 10x scaled-replica
+    # sweeps may widen it (more data wants more cores, exactly as a
+    # bigger cluster would) via the env, without touching the default.
+    cpus = os.environ.get("SPARK_STRICT_CPUS", "8")
     builder = (
-        SparkSession.builder.master("local[8]")
+        SparkSession.builder.master(f"local[{cpus}]")
         .appName("strict_check")
-        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.ui.enabled", "false")
     )
     # Stays bare by default (the driver's own session is the contract
