@@ -303,33 +303,42 @@ def ams_f2_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     1996) — the SECOND frequency moment joins the sketch family
     (kmv = distinct count F0, countmin = point frequencies, hll = F0
     again; F2 = Σf² is the self-join size / repeat-rate statistic none
-    of them gives).  Per event_type, {k} independent ±1 estimators are
-    drawn from the shared 60-bit md5 bridge (sign = hash parity over
-    (user_id, estimator)), each Z_e = Σ sign accumulates map-side, and
-    the published estimate is the median of {g}-estimator means (lower
-    median by row_number — engine-stable on even counts), with the
-    EXACT F2 computed alongside and the error in basis points: the
-    sketch ships with its own trust readout, the kmv_distinct_sketch
-    pattern applied to frequency moments.
+    of them gives).  Per event_type, {k} ±1 estimators are drawn from
+    the shared 60-bit md5 bridge — estimator e's sign is BIT e of the
+    per-user hash, so ONE md5 per row yields all {k} sign streams
+    (md5 bits are independent; the original r8 body hashed
+    (user_id, estimator) separately, {k} md5s per row — 32× the hash
+    work for the same estimator quality).  Each Z_e = Σ sign
+    accumulates map-side, and the published estimate is the median of
+    {g}-estimator means (lower median by row_number — engine-stable on
+    even counts), with the EXACT F2 computed alongside and the error
+    in basis points: the sketch ships with its own trust readout, the
+    kmv_distinct_sketch pattern applied to frequency moments.
 
-    Scale shape: the ×{k} estimator expansion is map-side explode into
-    a map-combined (event_type, estimator) partial-sum aggregate — the
-    shuffle carries |event_types|·{k} rows, never the fact table; the
-    median election windows ride the 4-row-per-type group census.  At
+    Scale shape: the sketch leg is ONE map-combined pass with {k} sum
+    aggregates over the single hash column (no ×{k} row explode; the
+    simhash bit-sum layout, operators/dedup.py) — the shuffle carries
+    |event_types| rows of {k} columns, never the fact table; a {k}-way
+    stack of that tiny census feeds the median election windows.  At
     100 TB the exact leg (per-user counts) is the expensive half — the
-    sketch leg alone is one pass, which is the point.
+    sketch leg alone is one cheap pass, which is the point.
     """
     ev = _t(spark, sf_dir, "events").select("event_type", "user_id")
-    sign_expr = (
-        "cast(2 * pmod("
-        + X.hash64_spark("concat(cast(user_id as string), ':', cast(e as string))")
-        + ", 2) - 1 as bigint)"
+    hashed = ev.select(
+        "event_type",
+        F.expr(X.hash64_spark("cast(user_id as string)")).alias("h"),
     )
-    z = (
-        ev.select("event_type", "user_id", F.expr(f"explode(sequence(0, {_AMS_K - 1}))").alias("e"))
-        .select("event_type", "e", F.expr(sign_expr).alias("sign"))
-        .groupBy("event_type", "e")
-        .agg(F.sum("sign").alias("z"))
+    zwide = hashed.groupBy("event_type").agg(
+        *[
+            F.sum(
+                F.expr(f"cast(2 * (shiftright(h, {e}) & 1) - 1 as bigint)")
+            ).alias(f"z_{e}")
+            for e in range(_AMS_K)
+        ]
+    )
+    stacked = ", ".join(f"{e}, z_{e}" for e in range(_AMS_K))
+    z = zwide.select(
+        "event_type", F.expr(f"stack({_AMS_K}, {stacked}) as (e, z)")
     )
     grp = (
         z.groupBy("event_type", F.expr(f"e div {_AMS_G}").alias("grp"))
@@ -361,20 +370,16 @@ def ams_f2_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ROUND8_QUERIES["ams_f2_sketch"] = ams_f2_sketch
 
-_ams_sign_duck = (
-    "CASE WHEN "
-    + X.hash64_duck("(CAST(user_id AS VARCHAR) || ':' || CAST(e AS VARCHAR))")
-    + " % 2 = 1 THEN 1 ELSE -1 END"
-)
-
 ROUND8_ORACLES["ams_f2_sketch"] = f"""
-WITH expanded AS (
-  SELECT ev.event_type, ev.user_id, t.e
-  FROM events ev, (SELECT unnest(range({_AMS_K})) AS e) t
+WITH hashed AS (
+  SELECT event_type,
+         {X.hash64_duck("CAST(user_id AS VARCHAR)")} AS h
+  FROM events
 ),
 z AS (
-  SELECT event_type, e, sum({_ams_sign_duck}) AS z
-  FROM expanded GROUP BY event_type, e
+  SELECT event_type, t.e, sum(2 * ((h >> t.e) & 1) - 1) AS z
+  FROM hashed, (SELECT unnest(range({_AMS_K})) AS e) t
+  GROUP BY event_type, t.e
 ),
 grp AS (
   SELECT event_type, e // {_AMS_G} AS grp,
