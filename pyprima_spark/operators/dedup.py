@@ -221,12 +221,15 @@ def ngram_gram_table(
     """(id, bucket..., gram) exploded distinct char-3-gram table plus a
     per-doc gram-set size column.
 
-    Same plan shape as minhash: positions are exploded and the
-    normalized text rides along as an attribute, so the regexp
-    normalization runs once per doc instead of once per char position
-    (CollapseProject would inline it into every substring otherwise).
-    Set semantics come from a row-level distinct; the set size from a
-    window count — both shuffle on the doc key only.
+    Set semantics come from a per-doc JVM-side ``array_distinct`` built
+    INSIDE the gram-array projection, so the exploded table is already
+    set-shaped and the former row-level ``.distinct()`` — a full
+    shuffle+sort of the largest intermediate in the whole dedup family —
+    is gone; the df-cutoff window below is the gram table's ONLY
+    shuffle.  The normalized text crosses a single-element explode
+    first: a Generate node is the one barrier CollapseProject cannot
+    inline through, so the regexp normalization runs once per doc
+    instead of once per referencing subexpression of the gram lambda.
 
     ``df_max`` drops grams whose document frequency within a bucket
     exceeds the cutoff — the standard stop-gram guard: a gram present
@@ -246,18 +249,16 @@ def ngram_gram_table(
 
     norm = X.normtext_spark(text_col)
     grams = (
-        df.select(F.col(id_col).alias("doc"), *bucket_cols, F.expr(norm).alias("norm"))
-        .filter(F.length("norm") >= 3)
+        df.select(
+            F.col(id_col).alias("doc"),
+            *bucket_cols,
+            F.explode(F.array(F.expr(norm))).alias("norm"),
+        )
         .select(
             "doc",
             *bucket_cols,
-            "norm",
-            F.posexplode(F.expr("sequence(0, length(norm) - 3)")).alias("i", "_"),
+            F.explode(F.expr(X.char_ngrams_spark("norm"))).alias("gram"),
         )
-        .select(
-            "doc", *bucket_cols, F.expr("substring(norm, i + 1, 3)").alias("gram")
-        )
-        .distinct()
     )
     if df_max is not None:
         wdf = Window.partitionBy(*bucket_cols, "gram")

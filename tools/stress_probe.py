@@ -157,8 +157,10 @@ def probe(spark, docs):
     from pyprima_spark.operators.components import connected_components
     from pyprima_spark.operators.dedup import (
         minhash_candidate_pairs,
+        ngram_gram_table,
         simhash_table,
     )
+    from pyprima_spark.plans.constants import NGRAM_DF_MAX, NGRAM_LEN_BAND
 
     timings: dict[str, float] = {}
 
@@ -181,6 +183,18 @@ def probe(spark, docs):
     timed(
         "simhash_table",
         lambda: simhash_table(docs, "doc_id", "text").count(),
+    )
+    timed(
+        "gram_table_build",
+        lambda: ngram_gram_table(
+            docs.withColumn(
+                "len_band", F.floor(F.length("text") / NGRAM_LEN_BAND)
+            ),
+            "doc_id",
+            "text",
+            ["source", "len_band"],
+            df_max=NGRAM_DF_MAX,
+        ).count(),
     )
     timed(
         "exact_dedup",
