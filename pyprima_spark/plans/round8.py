@@ -3177,19 +3177,33 @@ def source_selection_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     optimizes.  Three rounds, each publishing the chosen source, its
     marginal distinct grams, and cumulative coverage in bp.
 
-    Scale shape: the distinct (source, gram-hash) table materializes
-    ONCE; each round is one left-anti equi-join on the hash (covered
-    grams removed) + one map-combined per-source distinct count; the
-    per-round argmax is a 1-row TakeOrdered collected as a DRIVER
-    SCALAR — the accepted iterative-algorithm class (pagerank /
-    components convergence checks), k=3 rounds bounded by the
-    operator's constant, never by data.
+    Scale shape: because the source catalog is DIM-sized (this is a
+    licensing/crawl decision over named corpora, not a per-domain
+    fanout), the whole greedy collapses to ONE distributed pass: each
+    gram-hash aggregates the BITMASK of sources containing it
+    (map-combined bit_or — the gram table's only shuffle), the bitmask
+    census (≤ 2^|sources| rows, in practice ≤ distinct co-occurrence
+    patterns) collapses map-side and is collected once, and all k
+    greedy rounds are driver arithmetic over that census — marginal
+    gain of s given chosen C is Σ census[mask] with bit(s) set and
+    mask ∩ C = ∅.  The earlier body re-joined the full gram table once
+    per round (k anti-joins + k distinct-count shuffles); this runs
+    the fact data exactly once.  Bitmask width asserts ≤ 60 sources
+    (the md5-bridge long); a wider catalog needs the segmented-mask
+    extension, which changes no semantics.
     """
     docs = _t(spark, sf_dir, "documents")
-    grams = materialize(
-        docs.select(
-            "source", F.expr(X.tokens_spark("text")).alias("toks")
-        )
+    srcs = [
+        r[0]
+        for r in docs.select("source").distinct().orderBy("source").collect()
+    ]
+    assert len(srcs) <= 60, "segmented bitmask needed beyond 60 sources"
+    bit = {s: i for i, s in enumerate(srcs)}
+    mapping = spark.createDataFrame(
+        [(s, 1 << bit[s]) for s in srcs], "source string, sbit bigint"
+    )
+    census = (
+        docs.select("source", F.expr(X.tokens_spark("text")).alias("toks"))
         .filter(F.size("toks") >= _SSG_GRAM)
         .select(
             "source",
@@ -3198,30 +3212,34 @@ def source_selection_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("g"),
         )
         .select("source", F.expr(X.hash64_spark("g")).alias("gh"))
-        .distinct()
+        .join(F.broadcast(mapping), "source")
+        .groupBy("gh")
+        .agg(F.expr("bit_or(sbit)").alias("mask"))
+        .groupBy("mask")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
     )
-    total = grams.select("gh").distinct().count()
-    chosen: list[str] = []
+    counts = {r["mask"]: r["n"] for r in census}
+    total = sum(counts.values())
+    chosen_mask = 0
     rows = []
-    covered = None
     cum = 0
     for step in range(1, _SSG_K + 1):
-        cand = grams.filter(~F.col("source").isin(chosen))
-        if covered is not None:
-            cand = cand.join(covered, "gh", "left_anti")
-        best = (
-            cand.groupBy("source")
-            .agg(F.countDistinct("gh").alias("marginal"))
-            .orderBy(F.desc("marginal"), F.asc("source"))
-            .limit(1)
-            .collect()[0]
-        )
-        chosen.append(best["source"])
-        cum += best["marginal"]
-        rows.append((step, best["source"], best["marginal"], cum))
-        covered = grams.filter(F.col("source").isin(chosen)).select(
-            "gh"
-        ).distinct()
+        best_src, best_m = None, -1
+        for s in srcs:  # asc order: first strict improvement = asc tie-break
+            b = 1 << bit[s]
+            if chosen_mask & b:
+                continue
+            m = sum(
+                n
+                for mask, n in counts.items()
+                if (mask & b) and not (mask & chosen_mask)
+            )
+            if m > best_m:
+                best_src, best_m = s, m
+        chosen_mask |= 1 << bit[best_src]
+        cum += best_m
+        rows.append((step, best_src, best_m, cum))
     return spark.createDataFrame(
         [
             (s, src, m, c, (10000 * c) // total)
