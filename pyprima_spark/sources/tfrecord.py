@@ -453,6 +453,142 @@ def write_tfrecord_file(
     )
 
 
+def write_tfrecord_shards(
+    df: "DataFrame",
+    out_dir: str,
+    n_shards: int,
+    shard_by: "list[str] | None" = None,
+    order_by: "list[str] | None" = None,
+) -> "DataFrame":
+    """Write ``df`` as ``n_shards`` TFRecord files — the DISTRIBUTED
+    write path (one file per task, no coalesce(1) bottleneck): this is
+    the layout a 100 TB export actually has, and the one
+    :func:`read_tfrecord` parallelizes over on the way back.
+
+    Rows hash-partition on ``shard_by`` (default: all columns) and sort
+    by ``order_by`` (default: ``shard_by``) WITHIN each shard, so equal
+    inputs produce byte-identical shard files regardless of upstream
+    partitioning.  Files are named ``part-SSSSS-of-NNNNN.tfrecord``
+    under ``out_dir`` (a path or URI; parents created via fsio).
+    Returns the per-shard manifest (path, n_rows, n_bytes) — one row
+    per shard, including empty shards (written as zero-record files so
+    the shard count is always exactly ``n_shards``)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    plan = _feature_plan(df)
+    cols = list(df.columns)
+    shard_cols = shard_by or cols
+    keys = order_by or shard_cols
+    int_scalars = [
+        c for c, (k, is_list) in plan.items() if k == "int64" and not is_list
+    ]
+    int_arrays = [
+        c for c, (k, is_list) in plan.items() if k == "int64" and is_list
+    ]
+    shipped = df.select(
+        *[
+            F.col(c).cast("long").cast("string").alias(c)
+            if c in int_scalars
+            else F.expr(
+                f"transform(`{c}`, x -> cast(cast(x as long) as string))"
+            ).alias(c)
+            if c in int_arrays
+            else F.col(c)
+            for c in cols
+        ]
+    )
+    # Explicit shard id (pmod of a hash), not TaskContext.partitionId:
+    # AQE may coalesce/split physical partitions, but the shard column
+    # is data-derived, so file contents are deterministic by contract.
+    shard_expr = F.pmod(
+        F.xxhash64(*[F.col(c) for c in shard_cols]), F.lit(n_shards)
+    ).alias("__shard")
+    shipped = shipped.select(*cols, shard_expr)
+
+    def to_values(kind: str, is_list: bool, v):
+        if v is None or v is pd.NA or (not is_list and pd.isna(v)):
+            return None
+        vals = list(v) if is_list else [v]
+        if kind == "int64":
+            return [int(x) for x in vals]
+        if kind == "float":
+            return [float(x) for x in vals]
+        return [
+            x.encode("utf-8") if isinstance(x, str) else bytes(x)
+            for x in vals
+        ]
+
+    def write_group(key, pdf):
+        from pyprima_spark.sources import fsio
+
+        shard = int(key[0])
+        path = fsio.join(
+            out_dir, f"part-{shard:05d}-of-{n_shards:05d}.tfrecord"
+        )
+        # drop the all-shards placeholder rows (marker column, NOT a
+        # nullness heuristic: a real row may be all-null)
+        pdf = pdf[~pdf["__empty"].astype(bool)]
+        pdf = pdf.drop(columns=["__shard", "__empty"]).astype(object)
+        for c in int_scalars:
+            pdf[c] = pd.Series(
+                [None if v is None or v is pd.NA else int(v) for v in pdf[c]],
+                dtype=object,
+                index=pdf.index,
+            )
+        if len(pdf):
+            pdf = pdf.sort_values(keys).reset_index(drop=True)
+        payloads = []
+        for vals in zip(*[pdf[c] for c in cols]) if len(pdf) else []:
+            feats = {}
+            for c, v in zip(cols, vals):
+                kind, is_list = plan[c]
+                values = to_values(kind, is_list, v)
+                if values is not None:
+                    feats[c] = (kind, values)
+            payloads.append(encode_example(feats))
+        payload = encode_tfrecord_file(payloads)
+        fsio.write_bytes(path, payload)
+        return pd.DataFrame(
+            {
+                "shard": [shard],
+                "path": [path],
+                "n_rows": [len(payloads)],
+                "n_bytes": [len(payload)],
+            }
+        )
+
+    from pyprima_spark.sources import fsio
+
+    fsio.makedirs(out_dir)
+    spark = df.sparkSession
+    observed = shipped.select("__shard", *cols).withColumn(
+        "__empty", F.lit(False)
+    )
+    # Union the full shard-id domain as marked placeholder rows so
+    # EMPTY shards still write a zero-record file (reader contract:
+    # every part-k-of-n name exists).
+    domain = spark.range(n_shards).select(
+        F.col("id").cast("long").alias("__shard"),
+        *[
+            F.lit(None).cast(f.dataType).alias(f.name)
+            for f in shipped.schema.fields
+            if f.name != "__shard"
+        ],
+        F.lit(True).alias("__empty"),
+    )
+    return (
+        observed.unionByName(domain)
+        .groupBy("__shard")
+        .applyInPandas(
+            write_group, "shard long, path string, n_rows long, n_bytes long"
+        )
+        .orderBy("shard")
+    )
+
+
 # --- Spark source ----------------------------------------------------------------
 
 

@@ -19,6 +19,7 @@ from pyprima_spark.sources.tfrecord import (
     encode_tfrecord_file,
     read_tfrecord,
     write_tfrecord_file,
+    write_tfrecord_shards,
 )
 
 
@@ -224,6 +225,62 @@ def test_spark_read_kind_mismatch_raises(spark, tmp_path):
     bad = read_tfrecord(spark, str(tmp_path), "id bigint, name double")
     with pytest.raises(Exception, match="requested float"):
         bad.collect()
+
+
+def test_sharded_write_roundtrip_and_determinism(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, f"doc{i}", float(i % 7) / 4) for i in range(50)],
+        "id bigint, name string, score double",
+    )
+    out1 = str(tmp_path / "shards1")
+    man = write_tfrecord_shards(
+        df, out1, n_shards=4, shard_by=["id"], order_by=["id"]
+    ).collect()
+    assert [m["shard"] for m in man] == [0, 1, 2, 3]
+    assert sum(m["n_rows"] for m in man) == 50
+    for m in man:
+        assert m["path"].endswith(f"part-{m['shard']:05d}-of-00004.tfrecord")
+
+    back = read_tfrecord(spark, out1, "id bigint, name string, score double")
+    rows = sorted(back.collect(), key=lambda r: r["id"])
+    assert len(rows) == 50
+    assert rows[13]["name"] == "doc13" and rows[13]["score"] == 13 % 7 / 4
+
+    # byte-identical rerun, shard by shard
+    out2 = str(tmp_path / "shards2")
+    write_tfrecord_shards(
+        df, out2, n_shards=4, shard_by=["id"], order_by=["id"]
+    ).collect()
+    import pathlib
+
+    for k in range(4):
+        name = f"part-{k:05d}-of-00004.tfrecord"
+        b1 = pathlib.Path(out1, name).read_bytes()
+        b2 = pathlib.Path(out2, name).read_bytes()
+        assert b1 == b2
+
+
+def test_sharded_write_empty_shards_still_exist(spark, tmp_path):
+    df = spark.createDataFrame([(1,)], "id bigint")
+    out = str(tmp_path / "sparse")
+    man = write_tfrecord_shards(df, out, n_shards=3, shard_by=["id"]).collect()
+    assert len(man) == 3
+    assert sum(m["n_rows"] for m in man) == 1
+    import pathlib
+
+    for k in range(3):
+        p = pathlib.Path(out, f"part-{k:05d}-of-00003.tfrecord")
+        assert p.exists()
+    # the zero-record shards decode to zero records, not an error
+    empties = [m for m in man if m["n_rows"] == 0]
+    assert len(empties) == 2
+    for m in empties:
+        assert decode_tfrecord_file(
+            pathlib.Path(m["path"].removeprefix("file://")).read_bytes()
+        ) == []
+
+    with pytest.raises(ValueError, match="n_shards"):
+        write_tfrecord_shards(df, out, n_shards=0)
 
 
 def test_spark_read_ext_filter_optional(spark, tmp_path):
