@@ -247,9 +247,66 @@ class _TickerStreamReader(SimpleDataSourceStreamReader):
         pass
 
 
+class TfrecordDataSource(DataSource):
+    """``spark.read.format("tfrecord").schema(ddl).load(dir_or_file)``
+    — the training-data interchange format as a first-class source
+    over the stdlib codec (sources/tfrecord.py). Schema is
+    USER-SUPPLIED (tf.train.Example features carry no declared types);
+    features map to schema fields by NAME, scalar fields take the
+    feature's first value, array fields the whole list. One input
+    partition per ``*.tfrecord`` file — shard-parallel parse, both
+    record CRCs verified per record."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "tfrecord"
+
+    def schema(self) -> StructType:
+        raise NotImplementedError(
+            "tfrecord requires an explicit .schema(...) — Example "
+            "features carry no declared types"
+        )
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return _TfrecordReader(self.options["path"], schema)
+
+
+class _TfrecordReader(DataSourceReader):
+    def __init__(self, path: str, schema: StructType) -> None:
+        self.path = path
+        self.fields = [(f.name, f.dataType) for f in schema.fields]
+
+    def partitions(self):
+        import glob as _glob
+        import os
+
+        if os.path.isdir(self.path):
+            paths = sorted(_glob.glob(os.path.join(self.path, "*.tfrecord")))
+        else:
+            paths = [self.path]
+        return [_TilePartition(p) for p in paths]
+
+    def read(self, partition: "_TilePartition"):
+        from pyprima_spark.sources.tfrecord import (
+            _convert_feature,
+            decode_example,
+            decode_tfrecord_file,
+        )
+
+        with open(partition.path, "rb") as fh:
+            records = decode_tfrecord_file(fh.read())
+        for rec in records:
+            feats = decode_example(rec)
+            yield tuple(
+                _convert_feature(name, dt, feats.get(name))
+                for name, dt in self.fields
+            )
+
+
 def register_gis_sources(spark) -> None:
     """Register the custom formats on the session (idempotent)."""
     spark.dataSource.register(ShapefileDataSource)
     spark.dataSource.register(GeoTiffDataSource)
     spark.dataSource.register(XlsxDataSource)
     spark.dataSource.register(TickerStreamDataSource)
+    spark.dataSource.register(TfrecordDataSource)

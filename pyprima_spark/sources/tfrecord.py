@@ -592,6 +592,61 @@ def write_tfrecord_shards(
 # --- Spark source ----------------------------------------------------------------
 
 
+def _convert_scalar(field_name: str, dt, kind: str, v):
+    from pyspark.sql.types import (
+        BinaryType,
+        BooleanType,
+        DoubleType,
+        FloatType,
+        IntegralType,
+        StringType,
+    )
+
+    if isinstance(dt, (IntegralType, BooleanType)):
+        if kind != "int64":
+            raise ValueError(
+                f"feature {field_name!r} is {kind}, requested integer"
+            )
+        return bool(v) if isinstance(dt, BooleanType) else int(v)
+    if isinstance(dt, (FloatType, DoubleType)):
+        if kind != "float":
+            raise ValueError(
+                f"feature {field_name!r} is {kind}, requested float"
+            )
+        return float(v)
+    if isinstance(dt, StringType):
+        if kind != "bytes":
+            raise ValueError(
+                f"feature {field_name!r} is {kind}, requested string"
+            )
+        return bytes(v).decode("utf-8")
+    if isinstance(dt, BinaryType):
+        if kind != "bytes":
+            raise ValueError(
+                f"feature {field_name!r} is {kind}, requested binary"
+            )
+        return bytes(v)
+    raise ValueError(f"unsupported read type: {dt.simpleString()}")
+
+
+def _convert_feature(field_name: str, dt, feat: "tuple[str, list] | None"):
+    """Map a decoded (kind, values) feature to the requested Spark
+    type: scalar fields take the first value (null when absent/empty),
+    array fields the whole list; kind mismatches raise."""
+    from pyspark.sql.types import ArrayType
+
+    if isinstance(dt, ArrayType):
+        if feat is None:
+            return None
+        kind, values = feat
+        elem = dt.elementType
+        return [_convert_scalar(field_name, elem, kind, v) for v in values]
+    if feat is None or not feat[1]:
+        return None
+    kind, values = feat
+    return _convert_scalar(field_name, dt, kind, values[0])
+
+
 def read_tfrecord(
     spark: "SparkSession",
     path_glob: str,
@@ -611,56 +666,10 @@ def read_tfrecord(
     the glob matches — non-TFRecord payloads then fail the CRC check
     loudly instead of being silently dropped."""
     import pandas as pd
-    from pyspark.sql.types import (
-        ArrayType,
-        BinaryType,
-        BooleanType,
-        StringType,
-        StructType,
-    )
+    from pyspark.sql.types import StructType
 
     struct_schema = StructType.fromDDL(schema)
-
-    def convert(field_name: str, dt, feat: "tuple[str, list] | None"):
-        if isinstance(dt, ArrayType):
-            if feat is None:
-                return None
-            kind, values = feat
-            elem = dt.elementType
-            return [convert_scalar(field_name, elem, kind, v) for v in values]
-        if feat is None or not feat[1]:
-            return None
-        kind, values = feat
-        return convert_scalar(field_name, dt, kind, values[0])
-
-    def convert_scalar(field_name: str, dt, kind: str, v):
-        from pyspark.sql.types import DoubleType, FloatType, IntegralType
-
-        if isinstance(dt, (IntegralType, BooleanType)):
-            if kind != "int64":
-                raise ValueError(
-                    f"feature {field_name!r} is {kind}, requested integer"
-                )
-            return bool(v) if isinstance(dt, BooleanType) else int(v)
-        if isinstance(dt, (FloatType, DoubleType)):
-            if kind != "float":
-                raise ValueError(
-                    f"feature {field_name!r} is {kind}, requested float"
-                )
-            return float(v)
-        if isinstance(dt, StringType):
-            if kind != "bytes":
-                raise ValueError(
-                    f"feature {field_name!r} is {kind}, requested string"
-                )
-            return bytes(v).decode("utf-8")
-        if isinstance(dt, BinaryType):
-            if kind != "bytes":
-                raise ValueError(
-                    f"feature {field_name!r} is {kind}, requested binary"
-                )
-            return bytes(v)
-        raise ValueError(f"unsupported read type: {dt.simpleString()}")
+    convert = _convert_feature
 
     reader = spark.read.format("binaryFile")
     if ext_filter is not None:

@@ -283,6 +283,26 @@ def test_sharded_write_empty_shards_still_exist(spark, tmp_path):
         write_tfrecord_shards(df, out, n_shards=0)
 
 
+def test_registered_datasource_format(spark, tmp_path):
+    from pyprima_spark.sources.datasource_api import register_gis_sources
+
+    df = spark.createDataFrame(
+        [(1, "a", [0.5]), (2, "b", [1.5, -2.0])],
+        "id bigint, name string, vals array<double>",
+    )
+    out = str(tmp_path / "fmt")
+    write_tfrecord_shards(df, out, n_shards=2, shard_by=["id"]).collect()
+    register_gis_sources(spark)
+    back = (
+        spark.read.format("tfrecord")
+        .schema("id bigint, name string, vals array<double>")
+        .load(out)
+    )
+    rows = {r["id"]: r for r in back.collect()}
+    assert rows[1]["name"] == "a" and rows[1]["vals"] == [0.5]
+    assert rows[2]["vals"] == [1.5, -2.0]
+
+
 def test_spark_read_ext_filter_optional(spark, tmp_path):
     df = spark.createDataFrame([(1,)], "id bigint")
     uri = "file://" + str(tmp_path / "odd_extension.dat")
