@@ -218,8 +218,9 @@ def ngram_gram_table(
     bucket_cols: list[str],
     df_max: int | None = None,
 ) -> DataFrame:
-    """(id, bucket..., gram) exploded distinct char-3-gram table plus a
-    per-doc gram-set size column.
+    """(id, bucket..., gram) exploded distinct char-3-gram table
+    (per-doc set sizes come from :func:`gram_set_sizes`, not carried
+    on the rows — see the last paragraph).
 
     Set semantics come from a per-doc JVM-side ``array_distinct`` built
     INSIDE the gram-array projection, so the exploded table is already

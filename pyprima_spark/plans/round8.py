@@ -3163,6 +3163,7 @@ GROUP BY df_log2 ORDER BY df_log2
 
 _SSG_K = 3  # greedy rounds
 _SSG_GRAM = 8
+_SSG_CENSUS_CAP = 100_000  # driver-safety bound on the bitmask census
 
 
 def source_selection_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3190,7 +3191,12 @@ def source_selection_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     per round (k anti-joins + k distinct-count shuffles); this runs
     the fact data exactly once.  Bitmask width asserts ≤ 60 sources
     (the md5-bridge long); a wider catalog needs the segmented-mask
-    extension, which changes no semantics.
+    extension, which changes no semantics.  The census collect is
+    GUARDED at 100k rows (a few MB): its true size is the number of
+    distinct co-occurrence patterns — 163 at sf0.1, and bounded by the
+    pattern diversity, not the corpus — so a blowup past the cap means
+    the source column is not dim-sized and the operator refuses loudly
+    instead of flooding the driver.
     """
     docs = _t(spark, sf_dir, "documents")
     srcs = [
@@ -3217,8 +3223,15 @@ def source_selection_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.expr("bit_or(sbit)").alias("mask"))
         .groupBy("mask")
         .agg(F.count(F.lit(1)).alias("n"))
+        .limit(_SSG_CENSUS_CAP + 1)
         .collect()
     )
+    if len(census) > _SSG_CENSUS_CAP:
+        raise ValueError(
+            f"source-bitmask census exceeds {_SSG_CENSUS_CAP} rows —"
+            " the source column is not dim-sized; use the segmented"
+            " per-round anti-join form instead"
+        )
     counts = {r["mask"]: r["n"] for r in census}
     total = sum(counts.values())
     chosen_mask = 0

@@ -273,6 +273,18 @@ class TfrecordDataSource(DataSource):
 
 class _TfrecordReader(DataSourceReader):
     def __init__(self, path: str, schema: StructType) -> None:
+        # the sharded sink hands out file:// URIs in its manifest;
+        # accept them here so manifest paths round-trip through the
+        # registered format (other schemes follow the module-header
+        # FILESYSTEM CONTRACT: use read_tfrecord's binaryFile leg)
+        if path.startswith("file://"):
+            path = path.removeprefix("file://")
+        elif "://" in path:
+            raise ValueError(
+                "the tfrecord format reads local/shared-mount paths; "
+                f"use read_tfrecord(...) for {path.split('://')[0]}:// "
+                "targets (binaryFile handles remote filesystems there)"
+            )
         self.path = path
         self.fields = [(f.name, f.dataType) for f in schema.fields]
 

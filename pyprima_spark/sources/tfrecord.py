@@ -167,7 +167,10 @@ class _PbReader:
             shift += 7
             if shift > 63:
                 raise ValueError("malformed varint in Example payload")
-        return acc
+        # a 10-byte varint's final byte carries bits past 63: protobuf
+        # semantics truncate to the low 64 bits (so FF*9,7F == -1),
+        # never yield an out-of-int64 integer
+        return acc & 0xFFFFFFFFFFFFFFFF
 
     def tag(self) -> "tuple[int, int]":
         t = self.varint()
@@ -193,6 +196,18 @@ def _to_i64(n: int) -> int:
     return n - (1 << 64) if n >= 1 << 63 else n
 
 
+def _pack_f32(v: float) -> bytes:
+    """Pack as IEEE float32; out-of-f32-range magnitudes become ±inf
+    (the float32 cast the docstrings promise) instead of crashing the
+    write task with OverflowError."""
+    import math
+
+    try:
+        return struct.pack("<f", v)
+    except OverflowError:
+        return struct.pack("<f", math.copysign(math.inf, v))
+
+
 # --- tf.train.Example ----------------------------------------------------------
 
 
@@ -212,7 +227,7 @@ def encode_example(features: "dict[str, tuple[str, list]]") -> bytes:
         elif kind == "float":
             if values:
                 _w_bytes_field(
-                    lst, 1, struct.pack(f"<{len(values)}f", *values)
+                    lst, 1, b"".join(_pack_f32(v) for v in values)
                 )
         else:
             if values:
@@ -274,8 +289,16 @@ def _decode_feature(buf: bytes) -> "tuple[str, list]":
         field, wire = r.tag()
         if field not in _FIELD_KIND or wire != 2:
             raise ValueError(f"field {field} outside the Feature subset")
-        kind = _FIELD_KIND[field]
-        values = _decode_list(kind, r.chunk())
+        new_kind = _FIELD_KIND[field]
+        chunk_values = _decode_list(new_kind, r.chunk())
+        if new_kind == kind:
+            # repeated occurrences of the SAME embedded message field
+            # MERGE per the protobuf spec (lists concatenate)
+            values.extend(chunk_values)
+        else:
+            # a different oneof member clears the previous one
+            kind = new_kind
+            values = chunk_values
     if kind is None:  # empty Feature message: no kind set
         return "bytes", []
     return kind, values
@@ -300,7 +323,7 @@ def decode_example(payload: bytes) -> "dict[str, tuple[str, list]]":
                 )
             er = _PbReader(fr.chunk())
             name = None
-            feat: tuple[str, list] = ("bytes", [])
+            feat_bytes = bytearray()
             while not er.done():
                 mfield, mwire = er.tag()
                 if mwire != 2 or mfield not in (1, 2):
@@ -310,10 +333,13 @@ def decode_example(payload: bytes) -> "dict[str, tuple[str, list]]":
                 if mfield == 1:
                     name = er.chunk().decode("utf-8")
                 else:
-                    feat = _decode_feature(er.chunk())
+                    # repeated embedded-message occurrences MERGE: a
+                    # protobuf merge of two serializations is their
+                    # concatenation, so accumulate and parse once
+                    feat_bytes += er.chunk()
             if name is None:
                 raise ValueError("Features map entry without a key")
-            features[name] = feat
+            features[name] = _decode_feature(bytes(feat_bytes))
     return features
 
 
@@ -351,6 +377,84 @@ def _feature_plan(df: "DataFrame") -> "dict[str, tuple[str, bool]]":
     return plan
 
 
+def _ship_ints(df: "DataFrame", plan, cols):
+    """Project ``df`` for the Arrow hop: int64-kind columns (scalar and
+    array elements) cross as STRINGS — pandas' null promotion would
+    round >2^53 ids through float64 with no error (review r7 finding,
+    avro_ocf.py) — via a ``long`` cast first so booleans ship 0/1.
+    Returns (shipped_df, int_scalar_columns)."""
+    from pyspark.sql import functions as F
+
+    int_scalars = [
+        c for c, (k, is_list) in plan.items() if k == "int64" and not is_list
+    ]
+    int_arrays = [
+        c for c, (k, is_list) in plan.items() if k == "int64" and is_list
+    ]
+    shipped = df.select(
+        *[
+            F.col(c).cast("long").cast("string").alias(c)
+            if c in int_scalars
+            else F.expr(
+                f"transform(`{c}`, x -> cast(cast(x as long) as string))"
+            ).alias(c)
+            if c in int_arrays
+            else F.col(c)
+            for c in cols
+        ]
+    )
+    return shipped, int_scalars
+
+
+def _feature_values(name: str, kind: str, is_list: bool, v):
+    """One cell -> the Example value list (None = omit the feature).
+    Null ELEMENTS inside an array refuse loudly with the column name —
+    tf.train lists have no null slot."""
+    import pandas as pd
+
+    if v is None or v is pd.NA or (not is_list and pd.isna(v)):
+        return None
+    vals = list(v) if is_list else [v]
+    if any(x is None or x is pd.NA for x in vals):
+        raise ValueError(
+            f"null element inside array feature {name!r}: tf.train "
+            "lists cannot hold nulls (drop or impute before writing)"
+        )
+    if kind == "int64":
+        return [int(x) for x in vals]  # parse the string-shipped ints
+    if kind == "float":
+        return [float(x) for x in vals]
+    return [
+        x.encode("utf-8") if isinstance(x, str) else bytes(x) for x in vals
+    ]
+
+
+def _rows_to_payloads(pdf, cols, plan, keys, int_scalars) -> "list[bytes]":
+    """Sort a shipped pandas frame deterministically and encode each
+    row as a tf.train.Example (shared by both sinks)."""
+    import pandas as pd
+
+    pdf = pdf.astype(object)
+    for c in int_scalars:
+        pdf[c] = pd.Series(
+            [None if v is None or v is pd.NA else int(v) for v in pdf[c]],
+            dtype=object,
+            index=pdf.index,
+        )
+    if len(pdf):
+        pdf = pdf.sort_values(keys).reset_index(drop=True)
+    payloads = []
+    for vals in zip(*[pdf[c] for c in cols]) if len(pdf) else []:
+        feats = {}
+        for c, v in zip(cols, vals):
+            kind, is_list = plan[c]
+            values = _feature_values(c, kind, is_list, v)
+            if values is not None:
+                feats[c] = (kind, values)
+        payloads.append(encode_example(feats))
+    return payloads
+
+
 def write_tfrecord_file(
     df: "DataFrame",
     path: str,
@@ -370,46 +474,11 @@ def write_tfrecord_file(
     float NaN is CONFLATED with null (both arrive as NaN through
     Arrow — same documented limit as the Avro sink)."""
     import pandas as pd
-    from pyspark.sql import functions as F
 
     plan = _feature_plan(df)
     cols = list(df.columns)
     keys = order_by or cols
-    # Integral columns (scalar or array elements) ship across the Arrow
-    # hop as STRINGS: pandas' null promotion would round >2^53 ids
-    # through float64 with no error (review r7 finding, avro_ocf.py).
-    int_scalars = [
-        c for c, (k, is_list) in plan.items() if k == "int64" and not is_list
-    ]
-    int_arrays = [
-        c for c, (k, is_list) in plan.items() if k == "int64" and is_list
-    ]
-    shipped = df.select(
-        *[
-            # cast through long first: boolean -> 0/1, not 'true'
-            F.col(c).cast("long").cast("string").alias(c)
-            if c in int_scalars
-            else F.expr(
-                f"transform(`{c}`, x -> cast(cast(x as long) as string))"
-            ).alias(c)
-            if c in int_arrays
-            else F.col(c)
-            for c in cols
-        ]
-    )
-
-    def to_values(kind: str, is_list: bool, v):
-        if v is None or v is pd.NA or (not is_list and pd.isna(v)):
-            return None
-        vals = list(v) if is_list else [v]
-        if kind == "int64":
-            return [int(x) for x in vals]  # parse the string-shipped ints
-        if kind == "float":
-            return [float(x) for x in vals]
-        return [
-            x.encode("utf-8") if isinstance(x, str) else bytes(x)
-            for x in vals
-        ]
+    shipped, int_scalars = _ship_ints(df, plan, cols)
 
     def write_group(it):
         from pyprima_spark.sources import fsio
@@ -420,24 +489,7 @@ def write_tfrecord_file(
             if frames
             else pd.DataFrame(columns=cols)
         )
-        pdf = pdf.astype(object)
-        for c in int_scalars:
-            pdf[c] = pd.Series(
-                [None if v is None or v is pd.NA else int(v) for v in pdf[c]],
-                dtype=object,
-                index=pdf.index,
-            )
-        if len(pdf):
-            pdf = pdf.sort_values(keys).reset_index(drop=True)
-        payloads = []
-        for vals in zip(*[pdf[c] for c in cols]) if len(pdf) else []:
-            feats = {}
-            for c, v in zip(cols, vals):
-                kind, is_list = plan[c]
-                values = to_values(kind, is_list, v)
-                if values is not None:
-                    feats[c] = (kind, values)
-            payloads.append(encode_example(feats))
+        payloads = _rows_to_payloads(pdf, cols, plan, keys, int_scalars)
         payload = encode_tfrecord_file(payloads)
         fsio.write_bytes(path, payload)
         yield pd.DataFrame(
@@ -482,24 +534,7 @@ def write_tfrecord_shards(
     cols = list(df.columns)
     shard_cols = shard_by or cols
     keys = order_by or shard_cols
-    int_scalars = [
-        c for c, (k, is_list) in plan.items() if k == "int64" and not is_list
-    ]
-    int_arrays = [
-        c for c, (k, is_list) in plan.items() if k == "int64" and is_list
-    ]
-    shipped = df.select(
-        *[
-            F.col(c).cast("long").cast("string").alias(c)
-            if c in int_scalars
-            else F.expr(
-                f"transform(`{c}`, x -> cast(cast(x as long) as string))"
-            ).alias(c)
-            if c in int_arrays
-            else F.col(c)
-            for c in cols
-        ]
-    )
+    shipped, int_scalars = _ship_ints(df, plan, cols)
     # Explicit shard id (pmod of a hash), not TaskContext.partitionId:
     # AQE may coalesce/split physical partitions, but the shard column
     # is data-derived, so file contents are deterministic by contract.
@@ -507,19 +542,6 @@ def write_tfrecord_shards(
         F.xxhash64(*[F.col(c) for c in shard_cols]), F.lit(n_shards)
     ).alias("__shard")
     shipped = shipped.select(*cols, shard_expr)
-
-    def to_values(kind: str, is_list: bool, v):
-        if v is None or v is pd.NA or (not is_list and pd.isna(v)):
-            return None
-        vals = list(v) if is_list else [v]
-        if kind == "int64":
-            return [int(x) for x in vals]
-        if kind == "float":
-            return [float(x) for x in vals]
-        return [
-            x.encode("utf-8") if isinstance(x, str) else bytes(x)
-            for x in vals
-        ]
 
     def write_group(key, pdf):
         from pyprima_spark.sources import fsio
@@ -531,24 +553,8 @@ def write_tfrecord_shards(
         # drop the all-shards placeholder rows (marker column, NOT a
         # nullness heuristic: a real row may be all-null)
         pdf = pdf[~pdf["__empty"].astype(bool)]
-        pdf = pdf.drop(columns=["__shard", "__empty"]).astype(object)
-        for c in int_scalars:
-            pdf[c] = pd.Series(
-                [None if v is None or v is pd.NA else int(v) for v in pdf[c]],
-                dtype=object,
-                index=pdf.index,
-            )
-        if len(pdf):
-            pdf = pdf.sort_values(keys).reset_index(drop=True)
-        payloads = []
-        for vals in zip(*[pdf[c] for c in cols]) if len(pdf) else []:
-            feats = {}
-            for c, v in zip(cols, vals):
-                kind, is_list = plan[c]
-                values = to_values(kind, is_list, v)
-                if values is not None:
-                    feats[c] = (kind, values)
-            payloads.append(encode_example(feats))
+        pdf = pdf.drop(columns=["__shard", "__empty"])
+        payloads = _rows_to_payloads(pdf, cols, plan, keys, int_scalars)
         payload = encode_tfrecord_file(payloads)
         fsio.write_bytes(path, payload)
         return pd.DataFrame(

@@ -133,6 +133,67 @@ def test_decoder_accepts_unpacked_repeated_encodings():
     assert feats["floats"] == ("float", [1.5])
 
 
+def test_repeated_field_occurrences_merge():
+    # protobuf merge semantics: Feature{Int64List{[1,2]} Int64List{[3]}}
+    # parses as [1,2,3]; a duplicated map-entry value field merges the
+    # same way (concatenated serializations)
+    def varint(n):
+        out = bytearray()
+        while True:
+            b = n & 0x7F
+            n >>= 7
+            if n:
+                out.append(b | 0x80)
+            else:
+                out.append(b)
+                break
+        return bytes(out)
+
+    def ld(field, payload):
+        return varint((field << 3) | 2) + varint(len(payload)) + payload
+
+    packed12 = ld(1, varint(1) + varint(2))
+    packed3 = ld(1, varint(3))
+    feature = ld(3, packed12) + ld(3, packed3)  # Int64List twice
+    entry = ld(1, b"ints") + ld(2, feature[: len(ld(3, packed12))]) + ld(
+        2, ld(3, packed3)
+    )  # value field twice
+    example = ld(1, ld(1, entry))
+    assert decode_example(example)["ints"] == ("int64", [1, 2, 3])
+
+    # a DIFFERENT oneof member in a later occurrence replaces (oneof
+    # assignment clears the previous member)
+    switched = ld(1, b"x") + ld(2, ld(3, packed12) + ld(2, ld(1, struct.pack("<f", 1.5))))
+    ex2 = ld(1, ld(1, switched))
+    assert decode_example(ex2)["x"] == ("float", [1.5])
+
+
+def test_varint_truncates_to_64_bits():
+    # FF*9 7F is the canonical -1 encoding; must not yield a >64-bit int
+    def ld(field, payload):
+        return bytes([(field << 3) | 2, len(payload)]) + payload
+
+    neg1 = b"\xff" * 9 + b"\x7f"
+    example = ld(1, ld(1, ld(1, b"v") + ld(2, ld(3, ld(1, neg1)))))
+    assert decode_example(example)["v"] == ("int64", [-1])
+
+
+def test_float_overflow_writes_inf_not_crash():
+    back = decode_example(
+        encode_example({"f": ("float", [1e39, -1e39, 1.5])})
+    )
+    vals = back["f"][1]
+    assert vals[0] == float("inf") and vals[1] == float("-inf")
+    assert vals[2] == 1.5
+
+
+def test_null_array_element_refuses_with_column_name():
+    from pyprima_spark.sources.tfrecord import _feature_values
+
+    with pytest.raises(ValueError, match="tags"):
+        _feature_values("tags", "int64", True, [1, None, 2])
+
+
 def test_example_decoder_refusals():
     good = encode_example({"a": ("int64", [1])})
 
