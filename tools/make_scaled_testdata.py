@@ -139,6 +139,11 @@ def _compact_to_single_file(dir_path: str) -> None:
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     out_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/testdata_sf1x"
+    # SPARK_SCALED_KEEP_PARTFILES=1 skips the single-file compaction and
+    # leaves Spark part-file directories — the cluster-shaped layout the
+    # BENCH_sf1x partfile_dir_layout measurements run against. Default
+    # stays driver-shaped single files (see _compact_to_single_file).
+    keep_parts = os.environ.get("SPARK_SCALED_KEEP_PARTFILES") == "1"
     from pyprima_spark.session import build_session
 
     spark = build_session("make_scaled_testdata")
@@ -147,7 +152,8 @@ def main() -> None:
         df = spark.read.parquet(os.path.join(SF_DIR, f"{table}.parquet"))
         path = os.path.join(out_dir, f"{table}.parquet")
         df.write.mode("overwrite").parquet(path)
-        _compact_to_single_file(path)
+        if not keep_parts:
+            _compact_to_single_file(path)
         print(f"{table}: copied {df.count()} rows")
     for table in FACTS:
         out = _replica(spark, table, 0, bases)
@@ -155,7 +161,8 @@ def main() -> None:
             out = out.unionByName(_replica(spark, table, r, bases))
         path = os.path.join(out_dir, f"{table}.parquet")
         out.write.mode("overwrite").parquet(path)
-        _compact_to_single_file(path)
+        if not keep_parts:
+            _compact_to_single_file(path)
         print(f"{table}: wrote {spark.read.parquet(path).count()} rows")
     spark.stop()
 
