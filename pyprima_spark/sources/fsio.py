@@ -64,23 +64,33 @@ def makedirs(path: str) -> None:
 
 
 def write_bytes(path: str, payload: bytes) -> None:
-    """Write one encoded payload to a path or URI (overwrite)."""
+    """Write one encoded payload to a path or URI (overwrite).
+
+    ``compression=None`` is load-bearing: pyarrow's default
+    ``'detect'`` would transparently RE-compress payloads written to
+    ``.gz``/``.bz2`` paths — the format writers hand fsio fully
+    encoded bytes (a ``.warc.gz`` already contains its gzip members),
+    so a detect layer double-compresses and every non-fsio reader
+    (Spark binaryFile, gzip CLI) sees garbage."""
     fs, p = _resolve(path)
-    with fs.open_output_stream(p) as fh:
+    with fs.open_output_stream(p, compression=None) as fh:
         fh.write(payload)
 
 
 def open_output(path: str):
     """Open a writable (non-seekable) stream to a path or URI — for
     format writers that can stream incrementally (ZIP with data
-    descriptors) instead of buffering the whole artifact in memory."""
+    descriptors) instead of buffering the whole artifact in memory.
+    ``compression=None`` as in :func:`write_bytes`."""
     fs, p = _resolve(path)
-    return fs.open_output_stream(p)
+    return fs.open_output_stream(p, compression=None)
 
 
 def read_bytes(path: str) -> bytes:
+    """Read raw bytes (``compression=None``: never transparently
+    inflate — the verifying format parsers own decompression)."""
     fs, p = _resolve(path)
-    with fs.open_input_stream(p) as fh:
+    with fs.open_input_stream(p, compression=None) as fh:
         return fh.read()
 
 

@@ -1,0 +1,135 @@
+"""WARC source/sink tests (sources/warc.py): record codec roundtrips,
+verifying-parser refusals, gzip member handling, the HTTP split
+helper, and the Spark write→read legs."""
+
+from __future__ import annotations
+
+import gzip
+import io
+
+import pytest
+
+from pyprima_spark.sources.warc import (
+    decode_warc_file,
+    encode_warc_record,
+    read_warc,
+    split_http_response,
+    write_warc_file,
+)
+
+_H = {
+    "WARC-Record-ID": "<urn:uuid:0001>",
+    "WARC-Type": "resource",
+    "WARC-Date": "2026-08-16T00:00:00Z",
+    "WARC-Target-URI": "https://example.org/a",
+    "Content-Type": "text/plain",
+}
+
+
+def _gz_member(rec: bytes) -> bytes:
+    buf = io.BytesIO()
+    with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+        gz.write(rec)
+    return buf.getvalue()
+
+
+def test_record_roundtrip_plain_and_gz():
+    r1 = encode_warc_record(_H, b"hello world")
+    r2 = encode_warc_record({**_H, "WARC-Record-ID": "<urn:uuid:0002>"}, b"")
+    for payload in (r1 + r2, _gz_member(r1) + _gz_member(r2)):
+        recs = decode_warc_file(payload)
+        assert len(recs) == 2
+        assert recs[0][0]["WARC-Record-ID"] == "<urn:uuid:0001>"
+        assert recs[0][1] == b"hello world"
+        assert recs[1][1] == b""
+        assert recs[0][0]["Content-Length"] == "11"
+
+
+def test_multi_record_single_gzip_member():
+    r1 = encode_warc_record(_H, b"a")
+    r2 = encode_warc_record({**_H, "WARC-Record-ID": "<urn:uuid:0002>"}, b"b")
+    recs = decode_warc_file(_gz_member(r1 + r2))
+    assert [r[1] for r in recs] == [b"a", b"b"]
+
+
+def test_folded_header_line():
+    rec = encode_warc_record(_H, b"x")
+    # splice a folded continuation into the Target-URI line
+    folded = rec.replace(
+        b"WARC-Target-URI: https://example.org/a\r\n",
+        b"WARC-Target-URI: https://example.org\r\n /a\r\n",
+    )
+    headers, content = decode_warc_file(folded)[0]
+    assert headers["WARC-Target-URI"] == "https://example.org /a"
+    assert content == b"x"
+
+
+def test_parser_refusals():
+    rec = encode_warc_record(_H, b"hello world")
+
+    with pytest.raises(ValueError, match="version marker"):
+        decode_warc_file(b"HTTP/1.1 200 OK\r\n\r\n")
+
+    with pytest.raises(ValueError, match="truncated WARC content"):
+        decode_warc_file(rec[:-6])
+
+    # shrink Content-Length so the terminator lands mid-body
+    bad = rec.replace(b"Content-Length: 11", b"Content-Length: 10")
+    with pytest.raises(ValueError, match="terminator"):
+        decode_warc_file(bad)
+
+    with pytest.raises(ValueError, match="mandatory"):
+        encode_warc_record({"WARC-Type": "resource"}, b"")
+
+    with pytest.raises(ValueError, match="mandatory"):
+        decode_warc_file(
+            b"WARC/1.0\r\nContent-Length: 0\r\n\r\n\r\n\r\n"
+        )
+
+    with pytest.raises(ValueError, match="CR/LF"):
+        encode_warc_record({**_H, "WARC-Target-URI": "a\r\nb"}, b"")
+
+    with pytest.raises(ValueError, match="gzip"):
+        decode_warc_file(b"\x1f\x8b\x00bad")
+
+
+def test_split_http_response():
+    content = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<html>hi"
+    head, body = split_http_response(content)
+    assert head.startswith("HTTP/1.1 200 OK")
+    assert body == b"<html>hi"
+    with pytest.raises(ValueError, match="separator"):
+        split_http_response(b"no separator here")
+
+
+@pytest.mark.parametrize("compress", [True, False])
+def test_spark_write_read_roundtrip(spark, tmp_path, compress):
+    rows = [
+        (f"<urn:uuid:{i:04d}>", "resource", f"https://e.org/{i}",
+         "2026-08-16T00:00:00Z", "text/plain", f"doc {i}".encode())
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "record_id string, warc_type string, target_uri string,"
+        " warc_date string, content_type string, content binary",
+    )
+    name = "c.warc.gz" if compress else "c.warc"
+    uri = "file://" + str(tmp_path / name)
+    man = write_warc_file(df, uri, compress=compress).collect()
+    assert man[0]["n_records"] == 20
+
+    back = read_warc(spark, str(tmp_path))
+    got = sorted(back.collect(), key=lambda r: r["record_id"])
+    assert len(got) == 20
+    assert got[3]["target_uri"] == "https://e.org/3"
+    assert bytes(got[3]["content"]) == b"doc 3"
+
+    # byte-identical rerun (mtime pinned, records sorted)
+    uri2 = "file://" + str(tmp_path / ("d." + name))
+    write_warc_file(df, uri2, compress=compress).collect()
+    import pathlib
+
+    assert (tmp_path / name).read_bytes() == (
+        tmp_path / ("d." + name)
+    ).read_bytes()
