@@ -92,3 +92,73 @@ def run_curation(
         funnel_path
     )
     return {"curated_docs": corpus_path, "curation_funnel": funnel_path}
+
+
+def ingest_warc(spark: SparkSession, warc_glob: str):
+    """Crawl archives → the ``documents`` table shape: the ingest step
+    in FRONT of the curation stack (WARC → here → run_curation →
+    export_curated_tfrecord is the whole corpus pipeline end to end).
+
+    ``response`` records are stripped of their stored HTTP header block
+    (everything through the first blank line — WARC keeps the raw
+    exchange); ``resource`` records are taken whole; every other record
+    type (warcinfo, request, metadata, …) is dropped.  All mapping is
+    JVM-side on top of the verifying WARC reader: doc_id is the 60-bit
+    md5 of the record id (stable across re-crawls of the same archive),
+    source is the URI host via parse_url, lang is left null for the
+    downstream language-ID operator, n_chars is computed after header
+    stripping.  UTF-8 decode replaces malformed bytes (crawl reality)
+    rather than failing the scan.
+    """
+    from pyspark.sql import functions as F
+
+    from pyprima_spark.functions import text as X
+    from pyprima_spark.sources.warc import read_warc
+
+    recs = read_warc(spark, warc_glob)
+    txt = F.expr("decode(content, 'UTF-8')")
+    sep_pos = F.expr(r"instr(decode(content, 'UTF-8'), '\r\n\r\n')")
+    body = F.when(
+        (F.col("warc_type") == "response") & (sep_pos > 0),
+        F.expr(
+            r"substring(decode(content, 'UTF-8'),"
+            r" instr(decode(content, 'UTF-8'), '\r\n\r\n') + 4)"
+        ),
+    ).otherwise(txt)
+    return (
+        recs.filter(F.col("warc_type").isin("response", "resource"))
+        .withColumn("text", body)
+        .select(
+            F.expr(X.hash64_spark("record_id")).alias("doc_id"),
+            F.col("text"),
+            F.lit(None).cast("string").alias("lang"),
+            F.coalesce(
+                F.expr("parse_url(target_uri, 'HOST')"),
+                F.lit("unknown"),
+            ).alias("source"),
+            F.length("text").alias("n_chars"),
+        )
+    )
+
+
+def export_curated_tfrecord(
+    spark: SparkSession, sf_dir: str, out_dir: str, n_shards: int = 16
+):
+    """The curation stack's EXPORT leg: the curated corpus (same flag
+    frame `corpus_curation` oracles) written as ``n_shards`` TFRecord
+    files of tf.train.Example records — the hand-off format a training
+    job actually consumes.  Sharding is hash-of-doc_id (data-derived,
+    byte-identical reruns; sources/tfrecord.py); returns the per-shard
+    manifest DataFrame."""
+    from pyprima_spark.plans.queries import curation_flags
+    from pyprima_spark.sources.tfrecord import write_tfrecord_shards
+
+    d, keptn = curation_flags(spark, sf_dir)
+    curated = d.filter(keptn).select("doc_id", "source", "n_tok", "text")
+    return write_tfrecord_shards(
+        curated,
+        out_dir,
+        n_shards=n_shards,
+        shard_by=["doc_id"],
+        order_by=["doc_id"],
+    )
