@@ -164,3 +164,22 @@ def test_roundtrip_operators_respect_scratch_conf(spark, tmp_path, sf_dir):
     leftovers = list((tmp_path / "opscratch").iterdir())
     assert any(p.name.startswith("pyprima_raster_export_") for p in leftovers)
     assert any(p.name.startswith("pyprima_model_") for p in leftovers)
+
+
+def test_fsio_never_transparently_compresses(tmp_path):
+    """Regression (late r8): pyarrow's open_output_stream defaults to
+    compression='detect', which silently RE-gzipped payloads written
+    to .gz paths — a .warc.gz landed double-compressed and unreadable
+    to binaryFile. fsio pins compression=None: bytes in == bytes on
+    disk == bytes back, whatever the extension says."""
+    from pyprima_spark.sources import fsio
+
+    payload = b"\x1f\x8b\x08\x00 already-gzip-framed bytes \x00\x01"
+    for name in ("x.gz", "x.bz2", "x.warc.gz", "x.bin"):
+        uri = "file://" + str(tmp_path / name)
+        fsio.write_bytes(uri, payload)
+        assert (tmp_path / name).read_bytes() == payload
+        assert fsio.read_bytes(uri) == payload
+        with fsio.open_output(uri) as fh:
+            fh.write(payload + b"2")
+        assert (tmp_path / name).read_bytes() == payload + b"2"

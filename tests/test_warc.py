@@ -133,3 +133,33 @@ def test_spark_write_read_roundtrip(spark, tmp_path, compress):
     assert (tmp_path / name).read_bytes() == (
         tmp_path / ("d." + name)
     ).read_bytes()
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=0, max_value=10**6), st.binary(max_size=80)),
+        max_size=6,
+    ),
+    st.booleans(),
+)
+def test_warc_property_roundtrip(items, compress):
+    recs = [
+        encode_warc_record(
+            {
+                "WARC-Record-ID": f"<urn:uuid:{i}-{n}>",
+                "WARC-Type": "resource",
+                "WARC-Date": "2026-08-16T00:00:00Z",
+            },
+            body,
+        )
+        for i, (n, body) in enumerate(items)
+    ]
+    blob = b"".join(_gz_member(r) for r in recs) if compress else b"".join(recs)
+    back = decode_warc_file(blob)
+    assert [c for _, c in back] == [b for _, b in items]
+    assert all(h["WARC-Type"] == "resource" for h, _ in back)
