@@ -101,33 +101,54 @@ def ingest_warc(spark: SparkSession, warc_glob: str):
 
     ``response`` records are stripped of their stored HTTP header block
     (everything through the first blank line — WARC keeps the raw
-    exchange); ``resource`` records are taken whole; every other record
-    type (warcinfo, request, metadata, …) is dropped.  All mapping is
+    exchange; a bare ``\\n\\n`` separator from a non-compliant server
+    is accepted as fallback, and a response with NO separator at all is
+    DROPPED rather than leaking its header block into the text);
+    ``resource`` records are taken whole; every other record type
+    (warcinfo, request, metadata, …) is dropped.  All mapping is
     JVM-side on top of the verifying WARC reader: doc_id is the 60-bit
     md5 of the record id (stable across re-crawls of the same archive),
     source is the URI host via parse_url, lang is left null for the
     downstream language-ID operator, n_chars is computed after header
     stripping.  UTF-8 decode replaces malformed bytes (crawl reality)
-    rather than failing the scan.
+    rather than failing the scan — enforced here via the session's
+    codingErrorAction so driver-built sessions behave like
+    build_session's.
     """
     from pyspark.sql import functions as F
 
     from pyprima_spark.functions import text as X
     from pyprima_spark.sources.warc import read_warc
 
+    # Spark 4 default aborts the job on one malformed byte sequence
+    # (MALFORMED_CHARACTER_CODING); crawls are not reliably UTF-8.
+    spark.conf.set("spark.sql.legacy.codingErrorAction", "true")
     recs = read_warc(spark, warc_glob)
     txt = F.expr("decode(content, 'UTF-8')")
-    sep_pos = F.expr(r"instr(decode(content, 'UTF-8'), '\r\n\r\n')")
-    body = F.when(
-        (F.col("warc_type") == "response") & (sep_pos > 0),
-        F.expr(
-            r"substring(decode(content, 'UTF-8'),"
-            r" instr(decode(content, 'UTF-8'), '\r\n\r\n') + 4)"
-        ),
-    ).otherwise(txt)
+    sep_crlf = F.expr(r"instr(decode(content, 'UTF-8'), '\r\n\r\n')")
+    sep_lf = F.expr(r"instr(decode(content, 'UTF-8'), '\n\n')")
+    body = (
+        F.when(F.col("warc_type") != "response", txt)
+        .when(
+            sep_crlf > 0,
+            F.expr(
+                r"substring(decode(content, 'UTF-8'),"
+                r" instr(decode(content, 'UTF-8'), '\r\n\r\n') + 4)"
+            ),
+        )
+        .when(
+            sep_lf > 0,
+            F.expr(
+                r"substring(decode(content, 'UTF-8'),"
+                r" instr(decode(content, 'UTF-8'), '\n\n') + 2)"
+            ),
+        )
+        # responses with no header/body separator: NULL -> filtered
+    )
     return (
         recs.filter(F.col("warc_type").isin("response", "resource"))
         .withColumn("text", body)
+        .filter(F.col("text").isNotNull())
         .select(
             F.expr(X.hash64_spark("record_id")).alias("doc_id"),
             F.col("text"),

@@ -3199,11 +3199,19 @@ def source_selection_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of flooding the driver.
     """
     docs = _t(spark, sf_dir, "documents")
-    srcs = [
+    # limit(61): a non-dim-sized source column must fail fast on a
+    # bounded collect, not flood the driver first (ADVICE r8); a
+    # ValueError, not assert, so python -O can't strip the guard into
+    # a silent 1<<bit bigint overflow.
+    srcs = sorted(
         r[0]
-        for r in docs.select("source").distinct().orderBy("source").collect()
-    ]
-    assert len(srcs) <= 60, "segmented bitmask needed beyond 60 sources"
+        for r in docs.select("source").distinct().limit(61).collect()
+    )
+    if len(srcs) > 60:
+        raise ValueError(
+            "source catalog exceeds 60 distinct values — the bigint "
+            "bitmask is full; use the segmented-mask extension"
+        )
     bit = {s: i for i, s in enumerate(srcs)}
     mapping = spark.createDataFrame(
         [(s, 1 << bit[s]) for s in srcs], "source string, sbit bigint"

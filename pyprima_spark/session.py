@@ -35,6 +35,13 @@ def build_session(app_name: str = "pyprima_spark") -> SparkSession:
         # every catalog plan's classes with headroom; generated classes
         # are KB-scale, so the cache stays far below executor memory.
         .config("spark.sql.codegen.cache.maxEntries", "2000")
+        # decode(col, 'UTF-8') on malformed bytes: Spark 4 raises
+        # MALFORMED_CHARACTER_CODING by default, which would abort a
+        # whole crawl-ingest job on one bad record (ADVICE r8, high).
+        # The legacy action substitutes U+FFFD like every crawl
+        # pipeline expects; pipeline.ingest_warc also sets it at call
+        # time so driver-built sessions get the same behavior.
+        .config("spark.sql.legacy.codingErrorAction", "true")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -84,13 +84,19 @@ def _parse_record(data: bytes, pos: int) -> "tuple[dict[str, str], bytes, int]":
         if ln[:1] in (b" ", b"\t"):  # spec: folded continuation line
             if last_key is None:
                 raise ValueError("WARC continuation line before any field")
-            headers[last_key] += " " + ln.strip().decode("utf-8")
+            # header VALUES decode leniently: real crawls carry
+            # Latin-1/raw bytes in URIs, and parsing is per-file — a
+            # strict decode would make one bad header unreadable for
+            # the whole archive (ADVICE r8). Content bytes stay exact.
+            headers[last_key] += " " + ln.strip().decode(
+                "utf-8", errors="replace"
+            )
             continue
         name, sep, value = ln.partition(b":")
         if not sep:
             raise ValueError(f"malformed WARC header line: {ln[:40]!r}")
-        last_key = name.strip().decode("utf-8")
-        headers[last_key] = value.strip().decode("utf-8")
+        last_key = name.strip().decode("utf-8", errors="replace")
+        headers[last_key] = value.strip().decode("utf-8", errors="replace")
     for k in _MANDATORY:
         if k not in headers:
             raise ValueError(f"missing mandatory WARC field: {k}")

@@ -126,3 +126,53 @@ def test_warc_to_tfrecord_pipeline(spark, tmp_path):
     dup_rows = [r for r in got if r["text"].endswith("duplicated")]
     assert len(dup_rows) == 1
     assert all(r["n_tok"] > 0 for r in got)
+
+
+def test_ingest_warc_crawl_reality(spark, tmp_path):
+    """Non-UTF-8 bytes, bare-LF HTTP separators, and separator-less
+    responses — the three crawl pathologies ADVICE r8 flagged."""
+    stop = " ".join("the of and to a in" for _ in range(5))
+    rows = [
+        # malformed UTF-8 in a resource body: decoded with U+FFFD,
+        # never aborting the scan
+        (
+            "<urn:uuid:b001>",
+            "resource",
+            "https://bytes.example/x",
+            "2026-08-16T00:00:00Z",
+            "text/plain",
+            (stop + " caf\xe9 ").encode("latin-1") + b"\xff tail",
+        ),
+        # non-compliant server: bare \n\n between HTTP head and body
+        (
+            "<urn:uuid:b002>",
+            "response",
+            "https://lf.example/y",
+            "2026-08-16T00:00:00Z",
+            "application/http; msgtype=response",
+            ("HTTP/1.1 200 OK\nServer: x\n\n" + stop + " lfbody").encode(),
+        ),
+        # a response with NO header/body separator: dropped, not leaked
+        (
+            "<urn:uuid:b003>",
+            "response",
+            "https://nosep.example/z",
+            "2026-08-16T00:00:00Z",
+            "application/http; msgtype=response",
+            b"HTTP/1.1 200 OK headers-never-end",
+        ),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "record_id string, warc_type string, target_uri string,"
+        " warc_date string, content_type string, content binary",
+    )
+    (tmp_path / "crawl").mkdir()
+    warc_uri = "file://" + str(tmp_path / "crawl" / "seg.warc.gz")
+    write_warc_file(df, warc_uri).collect()
+
+    got = {r["source"]: r for r in ingest_warc(spark, str(tmp_path / "crawl")).collect()}
+    assert set(got) == {"bytes.example", "lf.example"}
+    assert "caf�" in got["bytes.example"]["text"]  # replaced, kept
+    assert got["lf.example"]["text"].endswith("lfbody")
+    assert not got["lf.example"]["text"].startswith("HTTP/1.1")

@@ -476,3 +476,23 @@ GROUP BY c.segment
 """).df()
     merged = df.merge(curve, on="segment")
     assert (merged["j_milli"] == merged["best_j"]).all()
+
+
+def test_source_selection_refuses_wide_catalog(spark, tmp_path):
+    """>60 distinct sources must raise ValueError from a BOUNDED
+    collect (limit 61) before any census work — the bigint bitmask
+    cannot hold a 61st source bit (ADVICE r8)."""
+    import os
+
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(i, f"src{i:03d}", "the of and to a word") for i in range(61)],
+        "doc_id long, source string, text string",
+    )
+    d = str(tmp_path / "wide")
+    docs.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    from pyprima_spark.plans.round8 import source_selection_greedy
+
+    with pytest.raises(ValueError, match="60 distinct"):
+        source_selection_greedy(spark, d)

@@ -163,3 +163,18 @@ def test_warc_property_roundtrip(items, compress):
     back = decode_warc_file(blob)
     assert [c for _, c in back] == [b for _, b in items]
     assert all(h["WARC-Type"] == "resource" for h, _ in back)
+
+
+def test_header_value_latin1_lenient():
+    # Real crawl archives carry Latin-1/raw bytes in header values
+    # (e.g. URIs); values decode with U+FFFD replacement so one bad
+    # header cannot make the whole archive file unreadable.
+    rec = encode_warc_record(_H, b"x")
+    bad = rec.replace(
+        b"WARC-Target-URI: https://example.org/a",
+        b"WARC-Target-URI: https://example.org/caf\xe9",
+    )
+    # re-fix Content-Length framing is unaffected (header-only edit)
+    headers, content = decode_warc_file(bad)[0]
+    assert headers["WARC-Target-URI"] == "https://example.org/caf�"
+    assert content == b"x"
