@@ -1199,7 +1199,12 @@ pieces AS (
   SELECT s.name || '_' || c.name AS piece,
          s.name AS subregion, c.name AS country, c.rkey,
          (least(s.lat_max, c.lat_max) - greatest(s.lat_min, c.lat_min)) *
-         (least(s.lon_max, c.lon_max) - greatest(s.lon_min, c.lon_min)) AS area
+         (least(s.lon_max, c.lon_max) - greatest(s.lon_min, c.lon_min)) AS area,
+         CAST(round((least(s.lon_max, c.lon_max)
+                     - greatest(s.lon_min, c.lon_min))
+                    * (sin(radians(least(s.lat_max, c.lat_max)))
+                       - sin(radians(greatest(s.lat_min, c.lat_min))))
+                    * 1000000) AS BIGINT) AS area_ea
   FROM sub s JOIN country c
     ON s.lat_min < c.lat_max AND c.lat_min < s.lat_max
    AND s.lon_min < c.lon_max AND c.lon_min < s.lon_max
@@ -1213,12 +1218,12 @@ totals AS (
   GROUP BY 1
 ),
 shared AS (
-  SELECT piece, subregion, country, area, region_total,
-         area::DOUBLE / (sum(area) OVER (PARTITION BY p.rkey))::DOUBLE
+  SELECT piece, subregion, country, area, area_ea, region_total,
+         area_ea::DOUBLE / (sum(area_ea) OVER (PARTITION BY p.rkey))::DOUBLE
            AS share_raw
   FROM pieces p JOIN totals USING (rkey)
 )
-SELECT piece, subregion, country, area,
+SELECT piece, subregion, country, area, area_ea,
        round(share_raw, 6) AS share,
        round(region_total * share_raw, 4) AS allocated
 FROM shared
@@ -1503,8 +1508,18 @@ FROM w2 GROUP BY event_type ORDER BY event_type
 # verbatim (bit-identical rational arithmetic); the gate compares the
 # RAW score — rounding first could hit exact-.5 dyadic ties where the
 # engines' rounding modes differ. All outputs are integer counts.
-ORACLES["corpus_curation"] = f"""
-WITH RECURSIVE qd AS (
+# Parameterized over the docs relation so the round-9 pipeline oracle
+# (corpus_pipeline_manifest) can run the IDENTICAL funnel over the
+# WARC-remapped document ids; `documents` here reproduces the original
+# corpus_curation CTE chain verbatim (perdoc additionally exposes
+# doc_id for the pipeline oracle's id checksum).
+
+
+def curation_funnel_ctes(docs_rel: str) -> str:
+    """The full curation-funnel CTE chain (quality gate → exact dedup →
+    minhash-cluster dedup) ending at ``perdoc``; callers append their
+    own final SELECT."""
+    return f"""WITH RECURSIVE qd AS (
   SELECT
     doc_id, source, text,
     len(tokens) AS n_tok,
@@ -1512,7 +1527,7 @@ WITH RECURSIVE qd AS (
     length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS punct_cnt,
     length(regexp_replace(lower(text), '\\s', '', 'g')) AS word_chars,
     {X.stopword_count_duck('tokens', STOPWORDS['en'])} AS stop_cnt
-  FROM (SELECT doc_id, source, text, {X.tokens_duck('text')} AS tokens FROM documents)
+  FROM (SELECT doc_id, source, text, {X.tokens_duck('text')} AS tokens FROM {docs_rel})
 ),
 ratios AS (
   SELECT doc_id, source, text, n_tok,
@@ -1553,10 +1568,14 @@ reach(node, lbl) AS (
 ),
 clusters AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node),
 perdoc AS (
-  SELECT f.source, f.passq, f.keptx, f.n_tok,
+  SELECT f.doc_id, f.source, f.passq, f.keptx, f.n_tok,
          f.keptx AND (c.component IS NULL OR f.doc_id = c.component) AS keptn
   FROM flag2 f LEFT JOIN clusters c ON f.doc_id = c.node
-)
+)"""
+
+
+ORACLES["corpus_curation"] = f"""
+{curation_funnel_ctes('documents')}
 SELECT source,
   count(*) AS n_raw,
   count(CASE WHEN passq THEN 1 END) AS n_quality,
@@ -1967,3 +1986,13 @@ ORACLES.update(_ROUND7_ORACLES)
 from pyprima_spark.plans.round8 import ROUND8_ORACLES as _ROUND8_ORACLES
 
 ORACLES.update(_ROUND8_ORACLES)
+
+# Round-9 oracles. corpus_pipeline_manifest's is BUILT here (via
+# round9._pipeline_oracle -> curation_funnel_ctes above) because the
+# round9 module cannot import this one at module scope without a cycle
+# (the round4/round5 convention).
+from pyprima_spark.plans.round9 import ROUND9_ORACLES as _ROUND9_ORACLES
+from pyprima_spark.plans.round9 import _pipeline_oracle as _r9_pipeline_oracle
+
+ORACLES.update(_ROUND9_ORACLES)
+ORACLES["corpus_pipeline_manifest"] = _r9_pipeline_oracle()

@@ -1790,12 +1790,22 @@ def region_overlap_disaggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference: ``intersection_subregions_countries``
     (lib/spatial_functions.py:225-277) overlays subregions with
     countries and names each piece sub_country; downstream load
-    disaggregation weights by the piece areas. Here: nation boxes ×
+    disaggregation weights by the piece areas — which the reference
+    computes in a cylindrical EQUAL-AREA projection first
+    (generate_intermediate_files.py:79-82 ``to_crs('+proj=cea')``;
+    initialization.py:39), not in raw degrees. Here: nation boxes ×
     region boxes via the broadcast box-overlap join; each region's
-    revenue total is split over its pieces by overlap-area share.
+    revenue total is split over its pieces by EQUAL-AREA overlap
+    share — for a lat/lon box the cea-projected area is
+    Δlon·(sin(lat_hi)−sin(lat_lo)), the exact spherical-zone formula,
+    no geo library needed (VERDICT r8 item 4).
 
-    Integer box coordinates make areas and their group sums exact, so
-    the share division is bit-identical across engines.
+    Determinism: the equal-area weight is quantized to integer
+    millionths (``area_ea``) before the share division, so group sums
+    and shares stay bit-identical across engines (sin(radians(k·5°))
+    itself verified bit-equal Spark vs DuckDB for every latitude the
+    synthetic boxes can produce); the planar integer ``area`` column
+    is kept for the overlay-extent readout.
     """
     from pyspark.sql import Window
 
@@ -1824,6 +1834,13 @@ def region_overlap_disaggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b_name").alias("country"),
         F.col("b_rkey").alias("rkey"),
         F.col("overlap_area").alias("area"),
+        F.expr(
+            "cast(round((least(a_lon_max, b_lon_max)"
+            " - greatest(a_lon_min, b_lon_min))"
+            " * (sin(radians(least(a_lat_max, b_lat_max)))"
+            "    - sin(radians(greatest(a_lat_min, b_lat_min))))"
+            " * 1000000) as bigint)"
+        ).alias("area_ea"),
     )
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
@@ -1839,9 +1856,9 @@ def region_overlap_disaggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     wr = Window.partitionBy("rkey")
-    share_raw = F.col("area").cast("double") / F.sum("area").over(wr).cast(
-        "double"
-    )
+    share_raw = F.col("area_ea").cast("double") / F.sum("area_ea").over(
+        wr
+    ).cast("double")
     return (
         pieces.join(totals, "rkey")
         .withColumn("share_raw", share_raw)
@@ -1850,6 +1867,7 @@ def region_overlap_disaggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "subregion",
             "country",
             "area",
+            "area_ea",
             F.round("share_raw", 6).alias("share"),
             F.round(F.col("region_total") * F.col("share_raw"), 4).alias(
                 "allocated"
@@ -2583,94 +2601,100 @@ def _register_rounds() -> None:
     from pyprima_spark.plans.round8 import ROUND8_QUERIES
 
     QUERIES.update(ROUND8_QUERIES)
+    # Round-9 additions (the driver-gated format/pipeline closures).
+    from pyprima_spark.plans.round9 import ROUND9_QUERIES
+
+    QUERIES.update(ROUND9_QUERIES)
 
 
 _WINDOW_SIZE = 50
 
-# Round-8 window (VERDICT r7 items 1–4 / SURVEY §7.22, with the
-# prescribed amendments): (1) every key whose operator body changed
-# AFTER its last green evidence (the three r7-edited round-8 keys, the
-# §7.21-carryover heavy_change_detection redesign, the behaviorally
-# inert but body-changed streaming_hourly_stats fsio edit, and the two
-# round-8 parallelism rewrites ntile_features /
-# interpolation_search_error); (2) the two NEW driver-gated codec keys
-# (VERDICT r7 item 2 — the only catalog additions this round, capped
-# at 2); (3) never-driver-graded keys oldest-first per the §7.22 list.
-# The 5 displaced tail keys (nearest_centroid_confusion, fd_discovery,
-# prefix_cache_hits, ips_policy_eval, diff_in_diff) and the remaining
-# round-8 generation rotate in round 9. Exact-size asserted below so a
-# drive-by key insertion can't silently evict a planned regrade.
-_R8_WINDOW = [
-    # (1) bodies changed since their last green evidence
-    "erlang_b_blocking",       # r7 load-column rename
-    "banzhaf_power_index",     # r7 zero-power census join
-    "shapley_shubik_index",    # r7 zero-power census join
-    "heavy_change_detection",  # redesigned after its vacuous first form
-    "streaming_hourly_stats",  # r7 checkpoint -> fsio.scratch_dir
-    "ntile_features",            # r8 broadcast percentile-cut rewrite
-    "interpolation_search_error",  # r8 scaled-bucket-count rewrite
-    # (2) new driver-gated codec keys (VERDICT r7 item 2)
-    "multimodal_jpeg",
-    "avro_roundtrip",
-    # (3) never-driver-graded, oldest-first (SURVEY §7.22 order)
-    "theil_sen_trend",
-    "neyman_allocation",
-    "randomized_response_audit",
-    "random_projection_sketch",
-    "ndcg_eval",
-    "sorted_neighborhood_pairs",
-    "longest_prefix_route",
-    "bitmap_flag_index",
-    "image_phash_groups",
-    "replica_checksum_audit",
-    "erasure_cascade",
-    "rendezvous_sharding",
-    "fixed_width_roundtrip",
-    "slo_burn_rate",
-    "luhn_check_audit",
-    "cohens_kappa",
-    "mutual_nn_mining",
-    "ipf_raking",
-    "arrival_disorder_census",
-    "kendall_tau_topk",
-    "decile_lift",
-    "quantile_rollup_gap",
-    "rank_matched_pairs",
-    "encoding_advisor",
-    "majority_vote_repair",
-    "similarity_band_census",
-    "mrl_truncation_eval",
-    "roc_auc_rank",
-    "acf_lags",
-    "ams_f2_sketch",
-    "pps_systematic_sample",
-    "weighted_shortest_path",
-    "conformal_interval_eval",
-    "embedding_covariance",
-    "hybrid_skew_join",
-    "binary_hamming_recall",
-    "priority_sample_estimate",
-    "dup_span_census",
-    "calibration_ece",
-    "silhouette_eval",
-    "padding_waste_buckets",
+# Round-9 window (VERDICT r8 items 1/2/5 / SURVEY §7.23): (1) the two
+# keys whose bodies changed late in round 8 AFTER their last driver row
+# (the shared single-shuffle gram-table rewrite — ngram_jaccard /
+# ngram_containment; the other two gram-family keys rode the r8
+# window); (2) the THREE new driver-gated keys — the round-8 format
+# legs (tfrecord_roundtrip, warc_roundtrip) and the end-to-end corpus
+# pipeline closure (corpus_pipeline_manifest) — the only catalog
+# additions this round, capped at 3 per the freeze amendment;
+# (3) the 5 r8-displaced tail keys, then never-driver-graded keys
+# oldest-first per the §7.23 list. The remaining 51 never-graded keys
+# (decision_stump_1r, ab_power_analysis, iv_wald_estimate join the
+# round-10 head, displaced by the three new keys) rotate in round 10.
+# Exact-size asserted below so a drive-by key insertion can't silently
+# evict a planned regrade.
+_R9_WINDOW = [
+    # (1) bodies changed since their last driver row
+    "ngram_jaccard",        # r8-late single-shuffle gram-table rewrite
+    "ngram_containment",    # same shared gram-table rewrite
+    # (2) new driver-gated keys (VERDICT r8 items 2 and 5)
+    "tfrecord_roundtrip",
+    "warc_roundtrip",
+    "corpus_pipeline_manifest",
+    # (3a) the five r8-displaced tail keys
+    "nearest_centroid_confusion",
+    "fd_discovery",
+    "prefix_cache_hits",
+    "ips_policy_eval",
+    "diff_in_diff",
+    # (3b) never-driver-graded, oldest-first (SURVEY §7.23 order)
+    "hashing_trick_collisions",
+    "doubly_robust_eval",
+    "qini_uplift",
+    "wasserstein_drift",
+    "poisson_bootstrap_ci",
+    "cuped_adjustment",
+    "postings_compression_estimate",
+    "source_selection_greedy",
+    "coverage_decay_curve",
+    "grid_density_clusters",
+    "simpson_paradox_audit",
+    "p99_attribution",
+    "aa_test_fpr",
+    "curve_locality_compare",
+    "isotonic_calibration",
+    "bh_fdr_control",
+    "shapley_attribution",
+    "average_precision_eval",
+    "consistent_hash_ring",
+    "brier_decomposition",
+    "rank_biased_overlap",
+    "importance_weight_ess",
+    "runs_test_residuals",
+    "hits_hubs_authorities",
+    "newsvendor_stock_level",
+    "regression_discontinuity",
+    "disparate_impact_audit",
+    "merkle_tree_diff",
+    "t_closeness_audit",
+    "rake_keywords",
+    "abc_xyz_inventory",
+    "mmr_diversification",
+    "query_expansion_prf",
+    "capture_recapture_dups",
+    "mann_kendall_trend",
+    "voptimal_histogram",
+    "burstiness_fano",
+    "youden_threshold",
+    "levene_variance_test",
+    "degree_assortativity",
 ]
 
 
 def _order_grading_window() -> None:
     """Rebuild QUERIES so the first ``_WINDOW_SIZE`` keys are exactly
-    ``_R8_WINDOW``. Everything else keeps its current relative order
+    ``_R9_WINDOW``. Everything else keeps its current relative order
     after the window. Asserts (rather than comments — see ADVICE r3 on
     the fragile round-3 splice) that the list is exactly window-sized
     and fully registered."""
-    missing = [k for k in _R8_WINDOW if k not in QUERIES]
+    missing = [k for k in _R9_WINDOW if k not in QUERIES]
     assert not missing, f"grading-window keys not registered: {missing}"
-    assert len(_R8_WINDOW) == _WINDOW_SIZE, (
-        f"window has {len(_R8_WINDOW)} keys; driver grades {_WINDOW_SIZE}"
+    assert len(_R9_WINDOW) == _WINDOW_SIZE, (
+        f"window has {len(_R9_WINDOW)} keys; driver grades {_WINDOW_SIZE}"
     )
     rest = dict(QUERIES)
     QUERIES.clear()
-    for key in _R8_WINDOW:
+    for key in _R9_WINDOW:
         QUERIES[key] = rest.pop(key)
     QUERIES.update(rest)
 

@@ -4342,6 +4342,50 @@ def ppjoin_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.size("tokens") > 0)
     )
+    return _ppjoin_over(toks)
+
+
+def ppjoin_shingles_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Realistic-vocabulary PPJoin bench leg (VERDICT r8 item 3) — NOT
+    a catalog key.  The graded key runs set elements = single tokens,
+    and the synthetic 31-word vocabulary is the prefix filter's
+    documented worst case (every prefix token has df ≈ N).  Real
+    near-dup joins run over SHINGLE sets, whose vocabulary is wide and
+    Zipf-tailed even here (31⁵ possible 5-grams), so the prefix holds
+    rare elements and the filter has the selectivity the algorithm is
+    built for.  Shingles are xxhash64-packed to longs before the join
+    — the production layout (8-byte set elements instead of ~30-byte
+    strings crossing the shuffle).  Same `_ppjoin_over` core, timed by
+    bench.py under the ppjoin_similarity bench slot (BENCH_OVERRIDES
+    documents the substitution)."""
+    docs = _t(spark, sf_dir, "documents")
+    # Stage boundary before the shingle lambda: CollapseProject would
+    # otherwise inline the tokenizer into every one of the k lambda
+    # references (k·|doc| regex splits per row — measured 15 s of the
+    # leg's 18 s at sf0.1); the ngram_gram_table precedent.
+    tk = docs.select(
+        "doc_id", "source", "lang",
+        F.expr(X.tokens_spark("text")).alias("tk"),
+    ).localCheckpoint(eager=False)
+    toks = (
+        tk.select(
+            "doc_id",
+            "source",
+            "lang",
+            F.expr(
+                f"array_distinct(transform({X.shingles_spark('tk', 5)},"
+                " s -> xxhash64(s)))"
+            ).alias("tokens"),
+        )
+        .filter(F.size("tokens") > 0)
+    )
+    return _ppjoin_over(toks)
+
+
+def _ppjoin_over(toks: DataFrame) -> DataFrame:
+    """PPJoin core over a (doc_id, source, lang, tokens) frame — the
+    prefix-filtered exact-Jaccard self-join shared by the graded key
+    (single-token sets) and the shingle-set bench leg."""
     df_tab = (
         toks.select(F.explode("tokens").alias("token"))
         .groupBy("token")

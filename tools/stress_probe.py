@@ -200,6 +200,33 @@ def probe(spark, docs):
         "exact_dedup",
         lambda: docs.groupBy(F.md5("text")).count().count(),
     )
+
+    def ppjoin_shingles():
+        # the bench leg's realistic-vocab shape (plans/round5.py
+        # ppjoin_shingles_bench): hashed 5-gram shingle sets through
+        # the prefix-filtered exact-Jaccard core; VERDICT r8 item 3
+        # asks for exactly this leg under N× replication
+        from pyprima_spark.functions import text as X
+        from pyprima_spark.plans.round5 import _ppjoin_over
+
+        tk = docs.select(
+            "doc_id",
+            "source",
+            F.lit("xx").alias("lang"),
+            F.expr(X.tokens_spark("text")).alias("tk"),
+        ).localCheckpoint(eager=False)
+        toks = tk.select(
+            "doc_id",
+            "source",
+            "lang",
+            F.expr(
+                f"array_distinct(transform({X.shingles_spark('tk', 5)},"
+                " s -> xxhash64(s)))"
+            ).alias("tokens"),
+        ).filter(F.size("tokens") > 0)
+        return _ppjoin_over(toks).count()
+
+    timed("ppjoin_shingle_join", ppjoin_shingles)
     timed(
         "ngram8_shingle_distinct",
         lambda: docs.select(
