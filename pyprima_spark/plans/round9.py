@@ -258,15 +258,16 @@ def corpus_pipeline_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the hash to match.
 
     Scale shape: each stage is the already-audited distributed form —
-    per-file WARC parse, the single-shuffle curation funnel, one-file-
-    per-task TFRecord shards.  The one-archive crawl here is the
-    test-scale layout; real crawls are many segment files and the
-    ingest fans out across them unchanged.
+    the crawl is written as 8 WARC SEGMENTS (write_warc_shards, the
+    Common-Crawl many-segments layout; one file per task), the ingest
+    fans out per segment file, the curation funnel is single-shuffle,
+    and the TFRecord export is one-file-per-task.  No stage funnels
+    through a single task.
     """
     from pyprima_spark.pipeline import export_curated_tfrecord, ingest_warc
     from pyprima_spark.sources import fsio
     from pyprima_spark.sources.tfrecord import read_tfrecord
-    from pyprima_spark.sources.warc import write_warc_file
+    from pyprima_spark.sources.warc import write_warc_shards
 
     docs = _t(spark, sf_dir, "documents")
     recs = docs.select(
@@ -286,10 +287,7 @@ def corpus_pipeline_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = fsio.scratch_dir(spark, "pyprima_pipe_")
     crawl_dir = fsio.join(base, "crawl")
-    fsio.makedirs(crawl_dir)  # write_bytes does not create parents
-    write_warc_file(
-        recs, fsio.join(crawl_dir, "seg-00000.warc.gz")
-    ).count()  # force the write
+    write_warc_shards(recs, crawl_dir, n_shards=8).count()  # force
 
     corpus_dir = fsio.join(base, "corpus")
     ingest_warc(spark, crawl_dir).write.mode("overwrite").parquet(

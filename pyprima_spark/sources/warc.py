@@ -240,30 +240,7 @@ def write_warc_file(
             if frames
             else pd.DataFrame(columns=cols)
         )
-        if len(pdf):
-            pdf = pdf.sort_values("record_id").reset_index(drop=True)
-        blob = bytearray()
-        for _, row in pdf.iterrows():
-            headers = {
-                "WARC-Record-ID": str(row["record_id"]),
-                "WARC-Type": str(row["warc_type"]),
-                "WARC-Date": str(row["warc_date"]),
-            }
-            if row["target_uri"] is not None:
-                headers["WARC-Target-URI"] = str(row["target_uri"])
-            if row["content_type"] is not None:
-                headers["Content-Type"] = str(row["content_type"])
-            rec = encode_warc_record(headers, bytes(row["content"]))
-            if compress:
-                buf = io.BytesIO()
-                with gzip.GzipFile(
-                    fileobj=buf, mode="wb", mtime=0
-                ) as gz:
-                    gz.write(rec)
-                blob += buf.getvalue()
-            else:
-                blob += rec
-        payload = bytes(blob)
+        payload = _pdf_to_warc_bytes(pdf, compress)
         fsio.write_bytes(path, payload)
         yield pd.DataFrame(
             {
@@ -275,4 +252,120 @@ def write_warc_file(
 
     return df.select(*cols).coalesce(1).mapInPandas(
         write_group, "path string, n_records long, n_bytes long"
+    )
+
+
+def _pdf_to_warc_bytes(pdf, compress: bool) -> bytes:
+    """Encode a (record_id, warc_type, target_uri, warc_date,
+    content_type, content) pandas frame as WARC bytes — records sorted
+    by record_id for byte-identical reruns, each its own gzip member
+    (mtime 0) when ``compress``. Shared by the single-file and sharded
+    sinks."""
+    if len(pdf):
+        pdf = pdf.sort_values("record_id").reset_index(drop=True)
+    blob = bytearray()
+    for _, row in pdf.iterrows():
+        headers = {
+            "WARC-Record-ID": str(row["record_id"]),
+            "WARC-Type": str(row["warc_type"]),
+            "WARC-Date": str(row["warc_date"]),
+        }
+        if row["target_uri"] is not None:
+            headers["WARC-Target-URI"] = str(row["target_uri"])
+        if row["content_type"] is not None:
+            headers["Content-Type"] = str(row["content_type"])
+        rec = encode_warc_record(headers, bytes(row["content"]))
+        if compress:
+            buf = io.BytesIO()
+            with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+                gz.write(rec)
+            blob += buf.getvalue()
+        else:
+            blob += rec
+    return bytes(blob)
+
+
+def write_warc_shards(
+    df: "DataFrame",
+    out_dir: str,
+    n_shards: int,
+    compress: bool = True,
+) -> "DataFrame":
+    """Write ``df`` as ``n_shards`` WARC segment files — the
+    DISTRIBUTED crawl layout (Common Crawl ships many ~1 GB segments;
+    one file per task, no coalesce(1) bottleneck), mirroring
+    :func:`tfrecord.write_tfrecord_shards`.
+
+    Records hash-partition on record_id (data-derived, so file
+    contents are byte-identical regardless of upstream partitioning)
+    and sort within each segment.  Files are named
+    ``seg-SSSSS-of-NNNNN.warc[.gz]`` under ``out_dir``; empty shards
+    write zero-record files so the segment count is always exactly
+    ``n_shards``.  Returns the per-segment manifest
+    (shard, path, n_records, n_bytes)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    cols = [
+        "record_id",
+        "warc_type",
+        "target_uri",
+        "warc_date",
+        "content_type",
+        "content",
+    ]
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"write_warc_shards needs columns {missing}")
+    ext = "warc.gz" if compress else "warc"
+
+    def write_group(key, pdf):
+        from pyprima_spark.sources import fsio
+
+        shard = int(key[0])
+        path = fsio.join(
+            out_dir, f"seg-{shard:05d}-of-{n_shards:05d}.{ext}"
+        )
+        pdf = pdf[~pdf["__empty"].astype(bool)]
+        pdf = pdf.drop(columns=["__shard", "__empty"])
+        payload = _pdf_to_warc_bytes(pdf, compress)
+        fsio.write_bytes(path, payload)
+        return pd.DataFrame(
+            {
+                "shard": [shard],
+                "path": [path],
+                "n_records": [len(pdf)],
+                "n_bytes": [len(payload)],
+            }
+        )
+
+    from pyprima_spark.sources import fsio
+
+    fsio.makedirs(out_dir)
+    spark = df.sparkSession
+    sel = df.select(*cols)
+    observed = sel.select(
+        F.pmod(F.xxhash64("record_id"), F.lit(n_shards)).alias("__shard"),
+        *cols,
+    ).withColumn("__empty", F.lit(False))
+    # full shard-id domain as marked placeholders: empty shards still
+    # write a zero-record file (the tfrecord sharded-writer contract)
+    domain = spark.range(n_shards).select(
+        F.col("id").cast("long").alias("__shard"),
+        *[
+            F.lit(None).cast(f.dataType).alias(f.name)
+            for f in sel.schema.fields
+        ],
+        F.lit(True).alias("__empty"),
+    )
+    return (
+        observed.unionByName(domain)
+        .groupBy("__shard")
+        .applyInPandas(
+            write_group,
+            "shard long, path string, n_records long, n_bytes long",
+        )
+        .orderBy("shard")
     )

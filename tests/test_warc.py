@@ -178,3 +178,54 @@ def test_header_value_latin1_lenient():
     headers, content = decode_warc_file(bad)[0]
     assert headers["WARC-Target-URI"] == "https://example.org/caf�"
     assert content == b"x"
+
+
+def test_sharded_write_read_roundtrip(spark, tmp_path):
+    """write_warc_shards: segment count exact (incl. empty shards),
+    byte-identical reruns, and read_warc recovers every record."""
+    from pyprima_spark.sources.warc import write_warc_shards
+
+    rows = [
+        (
+            f"<urn:uuid:{i:04d}>",
+            "resource",
+            f"https://s{i % 3}.example/{i}",
+            "2026-08-16T00:00:00Z",
+            "text/plain",
+            f"body {i}".encode(),
+        )
+        for i in range(23)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "record_id string, warc_type string, target_uri string,"
+        " warc_date string, content_type string, content binary",
+    )
+    out1 = "file://" + str(tmp_path / "seg1")
+    man = write_warc_shards(df, out1, n_shards=6).collect()
+    assert [m["shard"] for m in man] == list(range(6))
+    assert sum(m["n_records"] for m in man) == 23
+    names = sorted(p.name for p in (tmp_path / "seg1").iterdir())
+    assert names == [f"seg-{k:05d}-of-00006.warc.gz" for k in range(6)]
+
+    back = read_warc(spark, str(tmp_path / "seg1")).collect()
+    assert sorted(r["record_id"] for r in back) == sorted(
+        r[0] for r in rows
+    )
+    assert all(bytes(r["content"]).startswith(b"body ") for r in back)
+
+    # byte-identical rerun from a differently-partitioned input
+    out2 = "file://" + str(tmp_path / "seg2")
+    write_warc_shards(df.repartition(7), out2, n_shards=6).collect()
+    for k in range(6):
+        a = (tmp_path / "seg1" / f"seg-{k:05d}-of-00006.warc.gz").read_bytes()
+        b = (tmp_path / "seg2" / f"seg-{k:05d}-of-00006.warc.gz").read_bytes()
+        assert a == b
+
+    # a shard count far above the row count still writes every file
+    out3 = "file://" + str(tmp_path / "seg3")
+    man3 = write_warc_shards(df.limit(2), out3, n_shards=5).collect()
+    assert len(man3) == 5
+    assert sum(m["n_records"] for m in man3) == 2
+    empties = [m for m in man3 if m["n_records"] == 0]
+    assert empties and all(m["n_bytes"] == 0 for m in empties)
