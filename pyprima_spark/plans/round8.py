@@ -25,6 +25,8 @@ automatically, Spark must be told).
 
 from __future__ import annotations
 
+from hashlib import md5 as _md5
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -5817,10 +5819,14 @@ def hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical rounds as CTEs).
 
     Scale shape: the fact join collapses to the ≤25×24 DISTINCT
-    directed edge census in one agg (materialized once); every
-    iteration is two census-sized joins + aggregates.  Iteration
-    count is a design constant; nothing fact-sized ever re-enters the
-    loop — the pagerank/graph.py contract.
+    directed edge census in one agg — the only fact-sized work; the
+    census is collected once and the three synchronous rounds run
+    driver-side in exact Python integers with the oracle's
+    truncate-toward-zero division (``_tdiv``) — zero cluster barriers
+    per round at any data scale (the previous all-DataFrame unroll
+    paid two joins + two normalization folds per round on a 25-row
+    state).  Iteration count is a design constant; nothing fact-sized
+    ever re-enters the loop — the pagerank/graph.py contract.
     """
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
@@ -5837,54 +5843,33 @@ def hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    nodes = materialize(
-        edges.select(F.col("src").alias("node"))
-        .union(edges.select(F.col("dst").alias("node")))
-        .distinct()
-    )
-    h = nodes.withColumn("h", F.lit(_HITS_SCALE).cast("bigint"))
+    e_rows = [(r["src"], r["dst"]) for r in edges.collect()]  # dim-bounded
+    nodes = sorted({a for a, _ in e_rows} | {b for _, b in e_rows})
+    h = {node: _HITS_SCALE for node in nodes}
 
-    def _norm(df: DataFrame, col: str) -> DataFrame:
-        tot = df.agg(F.sum(col).alias("tot"))
-        return materialize(
-            df.crossJoin(F.broadcast(tot)).select(
-                "node",
-                F.expr(f"({_HITS_SCALE} * {col}) div tot").alias(col),
-            )
-        )
+    def _norm(scores: dict) -> dict:
+        tot = sum(v for v in scores.values() if v is not None)
+        tot = tot if tot != 0 else None  # SQL div-by-zero → null
+        return {
+            node: _tdiv(_HITS_SCALE * v, tot) if v is not None else None
+            for node, v in scores.items()
+        }
 
+    a: dict = {}
     for _ in range(_HITS_ROUNDS):
-        a_raw = (
-            edges.join(h, edges.src == h.node)
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum("h").alias("a_raw"))
-        )
-        a = _norm(
-            nodes.join(a_raw, "node", "left").select(
-                "node", F.coalesce("a_raw", F.lit(0)).alias("a")
-            ),
-            "a",
-        )
-        h_raw = (
-            edges.join(a, edges.dst == a.node)
-            .groupBy(F.col("src").alias("node"))
-            .agg(F.sum("a").alias("h_raw"))
-        )
-        h = _norm(
-            nodes.join(h_raw, "node", "left").select(
-                "node", F.coalesce("h_raw", F.lit(0)).alias("h")
-            ),
-            "h",
-        )
-    return (
-        nodes.join(h, "node")
-        .join(a, "node")
-        .select(
-            F.col("node").cast("bigint").alias("nationkey"),
-            F.col("h").cast("bigint").alias("hub_ppm"),
-            F.col("a").cast("bigint").alias("auth_ppm"),
-        )
-        .orderBy("nationkey")
+        a_raw = {node: 0 for node in nodes}
+        for src, dst in e_rows:
+            if h[src] is not None:
+                a_raw[dst] += h[src]
+        a = _norm(a_raw)
+        h_raw = {node: 0 for node in nodes}
+        for src, dst in e_rows:
+            if a[dst] is not None:
+                h_raw[src] += a[dst]
+        h = _norm(h_raw)
+    out = [(int(node), h[node], a[node]) for node in nodes]
+    return spark.createDataFrame(
+        out, schema="nationkey bigint, hub_ppm bigint, auth_ppm bigint"
     )
 
 
@@ -9334,10 +9319,14 @@ def graph_robustness_attack(spark: SparkSession, sf_dir: str) -> DataFrame:
     of convergence speed (they DO converge: the surviving graph's
     diameter is far below 6).
 
-    Scale shape: the ≤25-node/≤300-edge censuses are materialized
-    once; each (strategy, k) configuration runs census-sized joins
-    only; the per-round state is O(V) — the dedup_clusters hash-min
-    contract.
+    Scale shape: the fact-sized work is ONE distributed collapse to
+    the ≤25-node/≤300-edge DISTINCT edge census; the census is
+    collected once and every (strategy, k) configuration — removal
+    ranking, survivor filter, and the 6 synchronous hash-min rounds —
+    runs driver-side on the constant-size graph (zero cluster
+    barriers per round at any data scale; the previous all-DataFrame
+    unroll paid a job + shuffle per round).  The rnd ranking uses the
+    engine-shared md5 hash64 replicated bit-identically in Python.
     """
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
@@ -9354,111 +9343,56 @@ def graph_robustness_attack(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    deg = materialize(
-        edges.select(F.col("a").alias("node"))
-        .union(edges.select(F.col("b").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("deg"))
-        .withColumn(
-            "rnd",
-            F.expr(X.hash64_spark("cast(node as string) || ':rob'")),
-        )
+    e_rows = [(r["a"], r["b"]) for r in edges.collect()]  # dim-bounded
+    deg: dict = {}
+    for a, b in e_rows:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    # rnd = the engine-shared md5 hash64 (functions/text.py), replicated
+    # bit-identically: conv(substring(md5(node || ':rob'), 1, 15), 16, 10)
+    rnd = {
+        node: int(_md5(f"{node}:rob".encode()).hexdigest()[:15], 16)
+        for node in deg
+    }
+    hub_order = sorted(deg, key=lambda x: (-deg[x], x))
+    rnd_order = sorted(deg, key=lambda x: (rnd[x], x))
+    out = []
+    for strategy in ("hub", "random"):
+        order = hub_order if strategy == "hub" else rnd_order
+        for k in _ROB_KS:
+            if strategy == "random" and k == 0:
+                continue
+            keep = set(order[k:])
+            surv = [(a, b) for a, b in e_rows if a in keep and b in keep]
+            nbrs: dict = {node: [] for node in keep}
+            for a, b in surv:
+                nbrs[a].append(b)
+                nbrs[b].append(a)
+            lbl = {node: node for node in keep}
+            for _ in range(_ROB_ROUNDS):
+                lbl = {
+                    node: min([lbl[node]] + [lbl[b] for b in nbrs[node]])
+                    for node in keep
+                }
+            sizes: dict = {}
+            for node in keep:
+                sizes[lbl[node]] = sizes.get(lbl[node], 0) + 1
+            out.append((
+                strategy,
+                k,
+                len(keep),
+                len(surv),
+                max(sizes.values()) if sizes else None,
+                len(sizes) if sizes else None,
+            ))
+    out.sort(key=lambda t: (t[0], t[1]))
+    return spark.createDataFrame(
+        out,
+        schema=(
+            "strategy string, k_removed bigint, n_nodes_left bigint,"
+            " n_edges_left bigint, giant_size bigint, n_components bigint"
+        ),
     )
-    whub = Window.orderBy(F.desc("deg"), F.asc("node"))
-    wrnd = Window.orderBy(F.asc("rnd"), F.asc("node"))
-    ranked = deg.select(
-        "node",
-        F.row_number().over(whub).alias("hub_rank"),
-        F.row_number().over(wrnd).alias("rnd_rank"),
-    )
-    cfg_rows = ", ".join(
-        f"named_struct('strategy', '{st}', 'k_removed', {k})"
-        for st in ("hub", "random")
-        for k in _ROB_KS
-        if not (st == "random" and k == 0)
-    )
-    configs = spark.range(1).select(
-        F.explode(F.expr(f"array({cfg_rows})")).alias("c")
-    ).select("c.strategy", "c.k_removed")
-    # ALL configurations ride one labeled frame, so the 6 hash-min
-    # rounds run as 6 jobs total instead of 6 per configuration.
-    keep = materialize(
-        configs.crossJoin(F.broadcast(ranked)).filter(
-            F.expr(
-                "CASE WHEN strategy = 'hub' THEN hub_rank > k_removed"
-                " ELSE rnd_rank > k_removed END"
-            )
-        ).select("strategy", "k_removed", "node")
-    )
-    ka = keep.select("strategy", "k_removed", F.col("node").alias("a"))
-    kb = keep.select("strategy", "k_removed", F.col("node").alias("b"))
-    surv = materialize(
-        ka.join(F.broadcast(edges), "a").join(
-            kb, ["strategy", "k_removed", "b"]
-        )
-    )
-    both = surv.select("strategy", "k_removed", "a", "b").union(
-        surv.select(
-            "strategy",
-            "k_removed",
-            F.col("b").alias("a"),
-            F.col("a").alias("b"),
-        )
-    )
-    both = materialize(both)
-    labels = keep.select(
-        "strategy", "k_removed", "node", F.col("node").cast("long").alias("lbl")
-    )
-    for _ in range(_ROB_ROUNDS):
-        nbr_min = (
-            both.join(
-                labels.select(
-                    "strategy",
-                    "k_removed",
-                    F.col("node").alias("b"),
-                    F.col("lbl").alias("nlbl"),
-                ),
-                ["strategy", "k_removed", "b"],
-            )
-            .groupBy("strategy", "k_removed", F.col("a").alias("node"))
-            .agg(F.min("nlbl").alias("minn"))
-        )
-        labels = materialize(
-            labels.join(
-                nbr_min, ["strategy", "k_removed", "node"], "left"
-            ).select(
-                "strategy",
-                "k_removed",
-                "node",
-                F.expr("least(lbl, coalesce(minn, lbl))").alias("lbl"),
-            )
-        )
-    comp = labels.groupBy("strategy", "k_removed", "lbl").agg(
-        F.count(F.lit(1)).alias("sz")
-    )
-    edge_counts = surv.groupBy("strategy", "k_removed").agg(
-        F.count(F.lit(1)).alias("n_edges_left")
-    )
-    results = (
-        comp.groupBy("strategy", "k_removed")
-        .agg(
-            F.count(F.lit(1)).alias("n_components"),
-            F.max("sz").alias("giant_size"),
-            F.sum("sz").alias("n_nodes_left"),
-        )
-        .join(F.broadcast(edge_counts), ["strategy", "k_removed"], "left")
-        .select(
-            "strategy",
-            F.col("k_removed").cast("bigint").alias("k_removed"),
-            F.col("n_nodes_left").cast("bigint"),
-            F.coalesce("n_edges_left", F.lit(0))
-            .cast("bigint")
-            .alias("n_edges_left"),
-            F.col("giant_size").cast("bigint"),
-            F.col("n_components").cast("bigint"),
-        )
-    )
-    return results.orderBy("strategy", "k_removed")
 
 
 ROUND8_QUERIES["graph_robustness_attack"] = graph_robustness_attack
@@ -10126,8 +10060,13 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers on both engines (the HITS contract, matrix edition).
 
     Scale shape: ONE fact-sized aggregate (the gramian trick — no
-    explode, no self-join); everything after is 8×8 censuses.
-    Dimension count and round count are operator constants.
+    explode, no self-join) collapses everything to a single moments
+    row; the 8×8 covariance and the matvec rounds then run
+    driver-side in exact Python integers with the oracle's
+    truncate-toward-zero division (``_tdiv``) — constant work, zero
+    cluster barriers, where the previous all-DataFrame unroll paid a
+    job per round on an 8-row state.  Dimension count and round count
+    are operator constants.
     """
     emb = _t(spark, sf_dir, "embeddings").select(
         *[
@@ -10150,69 +10089,35 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for i, j in pairs
     ]
-    moments = emb.agg(*aggs)
-    stack_args = ", ".join(
-        f"{i}, {j}, n * p{i}_{j} - s{i} * s{j}" for i, j in pairs
-    )
-    upper = moments.selectExpr(
-        "n",
-        f"stack({len(pairs)}, {stack_args}) as (i, j, cov_n)",
-    ).selectExpr(
-        "i",
-        "j",
-        "cast(case when cov_n < 0 then -1 else 1 end"
-        " * (abs(cov_n) div (cast(n as decimal(38,0)) * n)) as bigint)"
-        " as c",
-    )
-    cov = materialize(
-        upper.unionByName(
-            upper.filter("i != j").selectExpr("j as i", "i as j", "c")
-        )
-    )
-    v = spark.range(_COV_D).select(
-        F.col("id").cast("int").alias("j"),
-        F.lit(_PCA_VSCALE).cast("long").alias("val"),
-    )
+    mrow = emb.agg(*aggs).collect()[0]  # ONE row of exact moments
+    n = int(mrow["n"])
+    s = [int(mrow[f"s{i}"]) for i in range(_COV_D)]
+    cov: dict = {}
+    for i, j in pairs:
+        cov_n = n * int(mrow[f"p{i}_{j}"]) - s[i] * s[j]
+        c = _tdiv(cov_n, n * n)
+        cov[(i, j)] = c
+        if i != j:
+            cov[(j, i)] = c
+    v = [_PCA_VSCALE] * _COV_D
     for _ in range(_PCA_ROUNDS):
-        w = (
-            cov.join(F.broadcast(v), "j")
-            .groupBy(F.col("i").alias("j"))
-            .agg(
-                F.sum(
-                    F.expr("cast(c as decimal(38,0)) * val")
-                ).alias("w")
-            )
-        )
-        mx = w.agg(F.max(F.expr("abs(w)")).alias("m"))
-        v = materialize(
-            w.crossJoin(F.broadcast(mx)).select(
-                "j",
-                F.expr(
-                    f"cast(({_PCA_VSCALE} * w) div nullif(m, 0) as long)"
-                ).alias("val"),
-            )
-        )
-    cv = (
-        cov.join(F.broadcast(v), "j")
-        .groupBy(F.col("i"))
-        .agg(F.sum(F.expr("cast(c as decimal(38,0)) * val")).alias("cv"))
-    )
-    ray = (
-        cv.join(F.broadcast(v.selectExpr("j as i", "val as vi")), "i")
-        .agg(
-            F.sum(F.expr("cv * vi")).alias("num"),
-            F.sum(F.expr("cast(vi as decimal(38,0)) * vi")).alias("den"),
-        )
-        .select(F.expr("cast(num div den as bigint)").alias("lambda_q2"))
-    )
-    return (
-        v.crossJoin(F.broadcast(ray))
-        .select(
-            F.col("j").cast("bigint").alias("dim"),
-            F.col("val").cast("bigint").alias("component_ppm"),
-            F.col("lambda_q2").cast("bigint").alias("lambda_q2"),
-        )
-        .orderBy("dim")
+        w = [
+            sum(cov[(i, j)] * v[j] for j in range(_COV_D)
+                if v[j] is not None)
+            for i in range(_COV_D)
+        ]
+        m = max(abs(x) for x in w)
+        v = [_tdiv(_PCA_VSCALE * x, m if m != 0 else None) for x in w]
+    cv = [
+        sum(cov[(i, j)] * v[j] for j in range(_COV_D) if v[j] is not None)
+        for i in range(_COV_D)
+    ]
+    num = sum(cv[i] * v[i] for i in range(_COV_D) if v[i] is not None)
+    den = sum(v[i] * v[i] for i in range(_COV_D) if v[i] is not None)
+    lam = _tdiv(num, den)
+    out = [(i, v[i], lam) for i in range(_COV_D)]
+    return spark.createDataFrame(
+        out, schema="dim bigint, component_ppm bigint, lambda_q2 bigint"
     )
 
 
@@ -10491,11 +10396,12 @@ def assignment_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
     optimality buys.  Costs are exact milli-day means (cross-
     multiplied; one floor per cell).
 
-    Scale shape: one fact agg to the 25-cell cost census; the 120-row
-    permutation literal joins the broadcast census 5 times — all
-    census-sized; the greedy baseline is 5 unrolled argmin elections,
-    each a 1-row TakeOrdered driver scalar (the accepted
-    source_selection_greedy iterative class).
+    Scale shape: one fact agg to the 25-cell cost census — the only
+    fact-sized work; the census is collected once and both the
+    120-permutation enumeration and the 5 greedy argmin elections run
+    driver-side in exact integers (the previous literal-table form
+    paid a 5-deep join chain plus 5 sequential TakeOrdered jobs on
+    design-sized state).
     """
     li = _t(spark, sf_dir, "lineitem")
     supp = (
@@ -10537,60 +10443,45 @@ def assignment_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("c_milli")
         )
     )
-    perm_rows = ", ".join(
-        "named_struct('pid', {}, {})".format(
-            pid,
-            ", ".join(f"'a{i}', {p[i]}" for i in range(_ASSIGN_N)),
-        )
-        for pid, p in enumerate(_ASSIGN_PERMS)
-    )
-    perms = spark.range(1).select(
-        F.explode(F.expr(f"array({perm_rows})")).alias("p")
-    ).select("p.*")
-    joined = perms
-    for i in range(_ASSIGN_N):
-        ci = cost.filter(F.col("src") == i).select(
-            F.col("dst").alias(f"a{i}"), F.col("c_milli").alias(f"c{i}")
-        )
-        joined = joined.join(F.broadcast(ci), f"a{i}")
-    total_expr = " + ".join(f"c{i}" for i in range(_ASSIGN_N))
-    scored = joined.select(
-        "pid",
-        *[F.col(f"a{i}") for i in range(_ASSIGN_N)],
-        F.expr(total_expr).alias("total_milli"),
-    )
-    wbest = Window.orderBy("total_milli", "pid")
-    best = materialize(
-        scored.withColumn("rk", F.row_number().over(wbest)).filter("rk = 1")
-    )
+    cells = {
+        (r["src"], r["dst"]): r["c_milli"] for r in cost.collect()
+    }  # the 25-cell cost census — design-size, collected once
+    # exhaustive optimum: permutations referencing a MISSING cell are
+    # dropped (the inner-join semantics of the literal-table form);
+    # ties break on pid, the permutation's literal index
+    best_pid, best_total, best_perm = None, None, None
+    for pid, p in enumerate(_ASSIGN_PERMS):
+        if any((i, p[i]) not in cells for i in range(_ASSIGN_N)):
+            continue
+        total = sum(cells[(i, p[i])] for i in range(_ASSIGN_N))
+        if best_total is None or (total, pid) < (best_total, best_pid):
+            best_pid, best_total, best_perm = pid, total, p
     # row-greedy baseline: source regions in order pick their cheapest
-    # unclaimed destination (5 unrolled elections on the census)
-    taken: list = []
-    greedy_total = None
+    # unclaimed destination (min by (cost, dst) among unclaimed cells)
+    taken: set = set()
+    greedy_total = 0
     for i in range(_ASSIGN_N):
-        avail = cost.filter(F.col("src") == i)
-        for t in taken:
-            avail = avail.filter(F.col("dst") != t)
-        pick = (
-            avail.orderBy("c_milli", "dst").limit(1).collect()[0]
+        c, d = min(
+            (c, d) for (s, d), c in cells.items()
+            if s == i and d not in taken
         )
-        taken.append(pick["dst"])
-        greedy_total = (
-            pick["c_milli"]
-            if greedy_total is None
-            else greedy_total + pick["c_milli"]
-        )
-    assign_cols = [
-        F.col(f"a{i}").cast("bigint").alias(f"dst_for_src{i}")
-        for i in range(_ASSIGN_N)
-    ]
-    return best.select(
-        *assign_cols,
-        F.col("total_milli").cast("bigint").alias("optimal_cost_milli"),
-        F.lit(greedy_total).cast("bigint").alias("greedy_cost_milli"),
-        F.expr(
-            f"cast((10000 * total_milli) div {greedy_total} as bigint)"
-        ).alias("optimal_vs_greedy_bp"),
+        taken.add(d)
+        greedy_total += c
+    out = [tuple(
+        [int(best_perm[i]) for i in range(_ASSIGN_N)]
+        + [
+            int(best_total),
+            int(greedy_total),
+            int(_tdiv(10000 * best_total, greedy_total)),
+        ]
+    )]
+    cols = ", ".join(f"dst_for_src{i} bigint" for i in range(_ASSIGN_N))
+    return spark.createDataFrame(
+        out,
+        schema=(
+            f"{cols}, optimal_cost_milli bigint,"
+            " greedy_cost_milli bigint, optimal_vs_greedy_bp bigint"
+        ),
     )
 
 
@@ -11427,6 +11318,23 @@ _BT_ROUNDS = 3
 _BT_SCALE = 1000
 
 
+def _tdiv(a, b):
+    """SQL integral division, driver-side: truncate toward ZERO (the
+    semantics of Spark's ``div`` and DuckDB's ``//`` — verified
+    empirically: ``-7 div 2 = -3`` on both engines, where Python's
+    ``//`` floors to -4), propagating NULL (None) operands like SQL.
+
+    The exact-integer contract of the iterative keys (the "HITS
+    contract") lives or dies on this operator: every driver-side
+    fixed-point loop below must fold with bit-identical division to
+    the unrolled CTE rounds the DuckDB oracle runs.
+    """
+    if a is None or b is None:
+        return None
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
 def bradley_terry_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BRADLEY-TERRY strength ratings (SURVEY §2 #324) — the
     paired-comparison model (Bradley-Terry 1952; Zermelo 1929) behind
@@ -11442,8 +11350,14 @@ def bradley_terry_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the comparison table is a same-order self-join
     (fanout bounded by lines-per-order, ~7) collapsed immediately to
-    the 25x25 (brand_i, brand_j) census; every MM round is a
-    census-sized join + fold.
+    the 25x25 (brand_i, brand_j) census — that collapse is the
+    distributed part and the only fact-sized work.  The census is
+    bounded by BRAND CARDINALITY (25), not data size, so it is
+    collected once and the MM rounds run driver-side in exact Python
+    integers with the same truncate-toward-zero division the oracle's
+    unrolled CTEs use (``_tdiv``): zero cluster barriers per round at
+    any data scale, where the previous all-DataFrame unroll paid a
+    full job + shuffle per round on a 25-row state.
     """
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part").select(
@@ -11487,49 +11401,32 @@ def bradley_terry_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("w_ij"),
         )
     )
-    wins = games.groupBy("bi").agg(F.sum("w_ij").alias("w"))
-    s = wins.select(
-        F.col("bi").alias("brand"),
-        F.lit(_BT_SCALE).cast("long").alias("s"),
-    )
-    k = s.count()
+    pairs = games.collect()  # <= 25x24 brand pairs — dim-bounded census
+    wins: dict = {}
+    for r in pairs:
+        wins[r["bi"]] = wins.get(r["bi"], 0) + r["w_ij"]
+    k = len(wins)
+    s = {b: _BT_SCALE for b in wins}
     for _ in range(_BT_ROUNDS):
-        sj = s.select(F.col("brand").alias("bj"), F.col("s").alias("s_j"))
-        si = s.select(F.col("brand").alias("bi"), F.col("s").alias("s_i"))
-        denom = (
-            games.join(F.broadcast(si), "bi")
-            .join(F.broadcast(sj), "bj")
-            .groupBy("bi")
-            .agg(
-                F.sum(
-                    F.expr("(1000000 * n_ij) div (s_i + s_j)")
-                ).alias("d")
-            )
-        )
-        raw = denom.join(wins, "bi").select(
-            F.col("bi").alias("brand"),
-            F.expr(
-                "cast((1000000000 * cast(w as decimal(38,0)))"
-                " div nullif(d, 0) as long)"
-            ).alias("s_raw"),
-        )
-        tot = raw.agg(F.sum("s_raw").alias("tot"))
-        s = materialize(
-            raw.crossJoin(F.broadcast(tot)).select(
-                "brand",
-                F.expr(
-                    f"cast(({_BT_SCALE} * {k} * s_raw) div tot as long)"
-                ).alias("s"),
-            )
-        )
-    return (
-        s.join(wins, s.brand == wins.bi)
-        .select(
-            "brand",
-            F.col("w").cast("bigint").alias("wins"),
-            F.col("s").cast("bigint").alias("strength_milli"),
-        )
-        .orderBy(F.desc("strength_milli"), F.asc("brand"))
+        d: dict = {}
+        for r in pairs:
+            si, sj = s.get(r["bi"]), s.get(r["bj"])
+            if si is None or sj is None:  # inner-join / null-sum drop
+                continue
+            term = _tdiv(1000000 * r["n_ij"], si + sj)
+            d[r["bi"]] = d.get(r["bi"], 0) + term
+        raw = {
+            b: _tdiv(1000000000 * wins[b], d[b] if d[b] != 0 else None)
+            for b in d
+        }
+        tot = sum(v for v in raw.values() if v is not None)
+        s = {b: _tdiv(_BT_SCALE * k * v, tot) for b, v in raw.items()}
+    out = sorted(
+        ((b, int(wins[b]), s[b]) for b in s),
+        key=lambda t: (t[2] is None, -(t[2] or 0), t[0]),  # desc_nulls_last
+    )
+    return spark.createDataFrame(
+        out, schema="brand string, wins bigint, strength_milli bigint"
     )
 
 
@@ -12047,11 +11944,17 @@ def spectral_bisection(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality is visible.  All rounds milli-renormalized integer
     censuses (the HITS/PCA contract).
 
-    Scale shape: edge/degree censuses materialized once (<= 25
-    nodes); each round is two census joins + a fold.  Round count is
-    an operator constant; the surviving component structure is dense,
-    so 6 rounds separate the eigen-gap comfortably (and identically
-    on both engines regardless).
+    Scale shape: the fact-sized work is ONE distributed collapse to
+    the <= 25-node / <= 300-edge DISTINCT census; the census is
+    collected once and the 6 power-iteration rounds (plus the
+    cut/conductance bookkeeping) run driver-side in exact Python
+    integers with the oracle's truncate-toward-zero division
+    (``_tdiv``) — zero cluster barriers per round at any data scale,
+    where the previous all-DataFrame unroll paid a job + shuffle per
+    round on a 25-row state.  Round count is an operator constant;
+    the surviving component structure is dense, so 6 rounds separate
+    the eigen-gap comfortably (and identically on both engines
+    regardless).
     """
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
@@ -12068,97 +11971,67 @@ def spectral_bisection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    both = materialize(
-        edges.union(
-            edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
-        )
-    )
-    deg = materialize(
-        both.groupBy(F.col("a").alias("node")).agg(
-            F.count(F.lit(1)).alias("deg")
-        )
-    )
-    cshift = deg.agg(
-        F.expr("2 * max(deg) + 1").alias("c"),
-        F.count(F.lit(1)).alias("n"),
-    )
-    v = deg.crossJoin(F.broadcast(cshift)).select(
-        "node",
-        F.expr(f"cast({_SPB_VSCALE} * (2 * node - (n - 1)) as long)")
-        .alias("val"),
-    )
+    e_rows = [(r["a"], r["b"]) for r in edges.collect()]  # dim-bounded
+    both = e_rows + [(b, a) for a, b in e_rows]
+    deg: dict = {}
+    for a, _b in both:
+        deg[a] = deg.get(a, 0) + 1
+    n = len(deg)
+    c = 2 * max(deg.values()) + 1 if deg else 1
+    v = {node: _SPB_VSCALE * (2 * node - (n - 1)) for node in deg}
     for _ in range(_SPB_ROUNDS):
-        nbr = (
-            both.join(
-                v.select(F.col("node").alias("b"), F.col("val").alias("nv")),
-                "b",
-            )
-            .groupBy(F.col("a").alias("node"))
-            .agg(F.sum("nv").alias("nsum"))
-        )
-        w = (
-            v.join(deg, "node")
-            .join(nbr, "node", "left")
-            .crossJoin(F.broadcast(cshift))
-            .select(
-                "node",
-                F.expr(
-                    "cast((c - deg) as decimal(38,0)) * val"
-                    " + coalesce(nsum, 0)"
-                ).alias("w"),
-            )
-        )
+        nsum = {node: 0 for node in deg}
+        for a, b in both:
+            nb = v.get(b)
+            if nb is not None:
+                nsum[a] += nb
+        w = {
+            node: ((c - deg[node]) * v[node] + nsum[node]
+                   if v[node] is not None else None)
+            for node in deg
+        }
         # one fold yields the deflation mean AND the renorm bound:
         # max|w - mean| = max(max - mean, mean - min)
-        stats = w.agg(
-            F.expr("sum(w) div count(*)").alias("mean_w"),
-            F.max("w").alias("max_w"),
-            F.min("w").alias("min_w"),
+        vals = [x for x in w.values() if x is not None]
+        mean_w = _tdiv(sum(vals), len(vals)) if vals else None
+        max_w = max(vals) if vals else None
+        min_w = min(vals) if vals else None
+        bound = (
+            max(max_w - mean_w, mean_w - min_w)
+            if vals is not None and mean_w is not None
+            else None
         )
-        v = materialize(
-            w.crossJoin(F.broadcast(stats)).select(
-                "node",
-                F.expr(
-                    f"cast(({_SPB_VSCALE} * (w - mean_w))"
-                    " div nullif(greatest(max_w - mean_w,"
-                    " mean_w - min_w), 0) as long)"
-                ).alias("val"),
+        v = {
+            node: _tdiv(
+                _SPB_VSCALE * (w[node] - mean_w)
+                if w[node] is not None and mean_w is not None
+                else None,
+                bound if bound != 0 else None,
             )
-        )
-    sides = materialize(
-        v.select(
-            "node",
-            "val",
-            F.expr("CASE WHEN val < 0 THEN 'A' ELSE 'B' END").alias("side"),
-        )
-    )
-    sa = sides.select(F.col("node").alias("a"), F.col("side").alias("side_a"))
-    sb = sides.select(F.col("node").alias("b"), F.col("side").alias("side_b"))
-    cut = edges.join(F.broadcast(sa), "a").join(F.broadcast(sb), "b").agg(
-        F.sum(
-            F.expr("CASE WHEN side_a != side_b THEN 1 ELSE 0 END")
-        ).alias("cut_edges")
-    )
-    vols = (
-        sides.join(deg, "node")
-        .groupBy("side")
-        .agg(F.sum("deg").alias("vol"))
-    )
-    minvol = vols.agg(F.min("vol").alias("min_vol"))
-    return (
-        sides.crossJoin(F.broadcast(cut))
-        .crossJoin(F.broadcast(minvol))
-        .select(
-            F.col("node").cast("bigint").alias("nationkey"),
-            F.col("val").cast("bigint").alias("fiedler_milli"),
-            "side",
-            F.col("cut_edges").cast("bigint").alias("cut_edges"),
-            F.expr(
-                "cast(coalesce((1000 * cut_edges) div nullif(min_vol, 0),"
-                " -1) as bigint)"
-            ).alias("conductance_milli"),
-        )
-        .orderBy("nationkey")
+            for node in deg
+        }
+    # CASE WHEN val < 0 → 'A' (null falls through to 'B', like SQL)
+    side = {
+        node: "A" if (v[node] is not None and v[node] < 0) else "B"
+        for node in deg
+    }
+    cut_edges = sum(1 for a, b in e_rows if side[a] != side[b])
+    vols: dict = {}
+    for node in deg:
+        vols[side[node]] = vols.get(side[node], 0) + deg[node]
+    min_vol = min(vols.values()) if vols else None
+    cond = _tdiv(1000 * cut_edges, min_vol if min_vol != 0 else None)
+    cond = -1 if cond is None else cond
+    out = [
+        (int(node), v[node], side[node], int(cut_edges), int(cond))
+        for node in sorted(deg)
+    ]
+    return spark.createDataFrame(
+        out,
+        schema=(
+            "nationkey bigint, fiedler_milli bigint, side string,"
+            " cut_edges bigint, conductance_milli bigint"
+        ),
     )
 
 
