@@ -46,6 +46,7 @@ from pyspark.sql import functions as F
 from pyprima_spark.catalog import load_table
 from pyprima_spark.functions import text as X
 from pyprima_spark.operators.checkpointing import materialize
+from pyprima_spark.operators.exactmath import tdiv as _tdiv
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -934,12 +935,15 @@ def markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     data_mixture_plan split-integer form is the documented upgrade.
 
     Scale shape: the only corpus-sized work is the journey pair
-    extraction (one shuffle on user_id, two windows sharing it); the
-    transition matrix is |channels+3|² per scenario — broadcast-sized
-    — and all ``_MK_ITERS`` iterations run on (scenario, state) keyed
-    tables of ≤ 35 rows, stage-bounded by materialize() every few
-    rounds. The oracle unrolls the identical iterations as chained
-    CTEs (graph_k_core precedent).
+    extraction (one shuffle on user_id, two windows sharing it) and
+    its collapse to the |states|² transition census; the census is
+    collected once and the scenario expansion plus all ``_MK_ITERS``
+    propagation rounds run driver-side in exact Python integers with
+    the oracle's truncate-toward-zero division — zero cluster
+    barriers per round at any data scale (the previous all-DataFrame
+    unroll paid a join + fold per round, checkpointed every second
+    round, on ≤ 35-row state). The oracle unrolls the identical
+    iterations as chained CTEs (graph_k_core precedent).
     """
     ev = _t(spark, sf_dir, "events")
     w_u = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -973,122 +977,65 @@ def markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     step_rows = paired.filter(F.col("src_t") != "purchase").select(
         F.col("src_t").alias("src"), mapped.alias("dst")
     )
-    # The transition census is <= |states|^2 rows — REPARTITION (not
-    # coalesce: coalesce(1) here would narrow the corpus-wide journey
-    # stage itself to one task) to a single partition at the stage
-    # boundary so the 12 iteration joins below schedule one task each.
-    counts = materialize(
-        start_rows.unionByName(step_rows)
-        .groupBy("src", "dst")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .repartition(1)
-    )
-
-    # Scenario expansion is an EXPLODE of a literal array over the
-    # one-partition matrix — no join anywhere, and per-(scenario, src)
-    # outgoing totals come from a window over the same 115-row frame.
-    # (The first cut crossJoined two literal dims and joined totals
-    # back: three broadcast exchanges whose fixed costs dwarfed the
-    # data 100x at this size — measured 12-290 s vs 2 s for this form.)
+    counts = [
+        (r["src"], r["dst"], r["c"])
+        for r in (
+            start_rows.unionByName(step_rows)
+            .groupBy("src", "dst")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+    ]  # the <= |states|^2 transition census — collected once
     scen_names = ["none"] + _MK_CHANNELS
-    strans = (
-        counts.select(
-            F.explode(
-                F.array(*[F.lit(s) for s in scen_names])
-            ).alias("scenario"),
-            "src",
-            "dst",
-            "c",
-        )
-        .filter(F.col("src") != F.col("scenario"))
-        .select(
-            "scenario",
-            "src",
-            F.when(F.col("dst") == F.col("scenario"), "DROP")
-            .otherwise(F.col("dst"))
-            .alias("dst"),
-            "c",
-        )
-        .groupBy("scenario", "src", "dst")
-        .agg(F.sum("c").alias("c"))
-    )
-    w_tot = Window.partitionBy("scenario", "src")
-    loops = spark.createDataFrame(
-        [(s, a, a, 1, 1) for s in scen_names for a in ("CONV", "DROP")],
-        "scenario string, src string, dst string, c long, ct long",
-    )
-    trans = materialize(
-        strans.select(
-            "scenario", "src", "dst", "c",
-            F.sum("c").over(w_tot).alias("ct"),
-        )
-        .unionByName(loops)
-        .repartition(1)
-    )
-
-    v = spark.createDataFrame(
-        [(s,) for s in scen_names], "scenario string"
-    ).select(
-        "scenario",
-        F.lit("START").alias("state"),
-        F.lit(_MK_SCALE).cast("bigint").alias("v"),
-    )
-    for t in range(_MK_ITERS):
-        vv = v.select(
-            F.col("scenario").alias("v_scen"),
-            F.col("state").alias("v_state"),
-            "v",
-        )
-        v = (
-            vv.join(
-                F.broadcast(trans),
-                (F.col("v_scen") == F.col("scenario"))
-                & (F.col("v_state") == F.col("src")),
-            )
-            .select(
-                "scenario",
-                F.col("dst").alias("state"),
-                F.expr("(v * c) div ct").alias("term"),
-            )
-            .groupBy("scenario", "state")
-            .agg(F.sum("term").alias("v"))
-            .coalesce(1)
-        )
-        # Stage boundary every SECOND round: v is <= |scenarios|*|states|
-        # rows, so each checkpointed job is sub-second and the plan never
-        # deepens past two chained joins (graph_k_core's per-round
-        # discipline at matrix size; halving the job count halves the
-        # scheduler overhead that dominates at this data size).
-        if t % 2 == 1:
-            v = materialize(v)
-    final = v.filter(F.col("state") == "CONV").select("scenario", "v")
-    base = final.filter(F.col("scenario") == "none").select(
-        F.col("v").alias("base_v")
-    )
-    effects = (
-        final.filter(F.col("scenario") != "none")
-        .crossJoin(F.broadcast(base))
-        .select(
-            F.col("scenario").alias("removed_channel"),
-            F.col("v").alias("conv_x1e12"),
-            F.greatest(F.col("base_v") - F.col("v"), F.lit(0)).alias(
-                "removal_effect_x1e12"
-            ),
-        )
-    )
-    tot = effects.agg(F.sum("removal_effect_x1e12").alias("te"))
-    return (
-        effects.crossJoin(F.broadcast(tot))
-        .select(
-            "removed_channel",
-            "conv_x1e12",
-            "removal_effect_x1e12",
-            F.expr(
-                "cast(CASE WHEN te = 0 THEN 0 ELSE"
-                " removal_effect_x1e12 * 10000 div te END as int)"
-            ).alias("attribution_bp"),
-        )
-        .orderBy("removed_channel")
+    base_v = None
+    effects = []
+    for scen in scen_names:
+        # scenario matrix: the removed channel's outbound edges are
+        # deleted, its inbound edges redirect to DROP
+        c: dict = {}
+        for src, dst, cnt in counts:
+            if src == scen:
+                continue
+            dst = "DROP" if dst == scen else dst
+            c[(src, dst)] = c.get((src, dst), 0) + cnt
+        ct: dict = {}
+        for (src, _dst), cnt in c.items():
+            ct[src] = ct.get(src, 0) + cnt
+        for a in ("CONV", "DROP"):  # absorber self-loops (own ct = 1)
+            c[(a, a)] = 1
+            ct[a] = 1
+        v = {"START": _MK_SCALE}
+        for _ in range(_MK_ITERS):
+            nv: dict = {}
+            for (src, dst), cnt in c.items():
+                mass = v.get(src)
+                if mass is None:
+                    continue
+                nv[dst] = nv.get(dst, 0) + _tdiv(mass * cnt, ct[src])
+            v = nv
+        conv = v.get("CONV")
+        if scen == "none":
+            base_v = conv
+        elif conv is not None:
+            effects.append((scen, conv))
+    out = []
+    if base_v is not None:
+        te = sum(max(base_v - cv, 0) for _s, cv in effects)
+        for scen, cv in effects:
+            eff = max(base_v - cv, 0)
+            out.append((
+                scen,
+                int(cv),
+                int(eff),
+                int(_tdiv(eff * 10000, te)) if te != 0 else 0,
+            ))
+    out.sort(key=lambda t: t[0])
+    return spark.createDataFrame(
+        out,
+        schema=(
+            "removed_channel string, conv_x1e12 bigint,"
+            " removal_effect_x1e12 bigint, attribution_bp int"
+        ),
     )
 
 

@@ -3470,16 +3470,17 @@ def grid_density_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells map-side, cells with ≥ {minpts} points are CORE, core cells
     connect to their 8-neighbors, and connected components of the
     core-cell graph are the clusters (border/noise points = non-core
-    cells, published as the noise row).  Component labels come from
-    the shared hash-min machinery (operators/components.py — the
-    dedup_clusters iterative class, driver-scalar convergence).
+    cells, published as the noise row).
 
-    Scale shape: the point→cell census is one map-combined agg; the
-    core-cell table is bounded by GRID RESOLUTION (a constant), so
-    the 8-neighbor expansion (explode of 8 offsets + equi-join, never
-    a range join) and the component iterations run on dim-sized
-    state no matter how many points arrive.  Oracle: recursive-CTE
-    transitive closure over the same core-cell graph.
+    Scale shape: the point→cell census is one map-combined agg — the
+    only fact-sized work; the cell table is bounded by GRID
+    RESOLUTION (a constant, ≤ ~400 cells no matter how many points
+    arrive), so the census is collected once and the 8-neighbor
+    expansion plus exact min-label connected components (union-find,
+    full convergence — the same fixpoint the oracle's recursive-CTE
+    transitive closure reaches) run driver-side on the constant-size
+    cell graph, replacing the shared hash-min machinery's per-round
+    jobs on the same dim-sized state.
     """
     emb = _t(spark, sf_dir, "embeddings")
     cells = (
@@ -3497,55 +3498,50 @@ def grid_density_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_pts"))
         .withColumn("cell", F.expr("(cx + 100) * 1000 + (cy + 100)"))
     )
-    cells = materialize(cells)
-    core = cells.filter(F.col("n_pts") >= _GDC_MINPTS)
-    offsets = spark.createDataFrame(
-        [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
-         if (dx, dy) != (0, 0)],
-        "dx int, dy int",
-    )
-    nbr = (
-        core.select("cell", "cx", "cy")
-        .crossJoin(F.broadcast(offsets))
-        .select(
-            F.col("cell").alias("src"),
-            F.expr("(cx + dx + 100) * 1000 + (cy + dy + 100)").alias("dst"),
-        )
-    )
-    edges = nbr.join(
-        core.select(F.col("cell").alias("dst")), "dst", "left_semi"
-    ).filter(F.col("src") < F.col("dst"))
-    from pyprima_spark.operators.components import connected_components
+    crows = cells.collect()  # resolution-bounded cell census
+    core = {
+        (r["cx"], r["cy"]): (r["cell"], r["n_pts"])
+        for r in crows
+        if r["n_pts"] >= _GDC_MINPTS
+    }
+    # exact min-label components via union-find (full convergence —
+    # the same fixpoint the oracle's recursive CTE reaches)
+    parent = {cell: cell for cell, _ in core.values()}
 
-    comp = connected_components(edges.select("src", "dst"))
-    labeled = core.join(
-        comp.withColumnRenamed("node", "cell"), "cell", "left"
-    ).select(
-        F.coalesce("component", "cell").alias("cluster_id"), "n_pts"
-    )
-    clusters = labeled.groupBy("cluster_id").agg(
-        F.count(F.lit(1)).alias("n_cells"),
-        F.sum("n_pts").alias("n_points"),
-    )
-    noise = cells.filter(F.col("n_pts") < _GDC_MINPTS).agg(
-        F.lit(-1).cast("bigint").alias("cluster_id"),
-        F.count(F.lit(1)).alias("n_cells"),
-        F.coalesce(F.sum("n_pts"), F.lit(0)).alias("n_points"),
-    )
-    return (
-        clusters.select(
-            F.col("cluster_id").cast("bigint").alias("cluster_id"),
-            F.col("n_cells").cast("bigint").alias("n_cells"),
-            F.col("n_points").cast("bigint").alias("n_points"),
-        )
-        .unionByName(
-            noise.select(
-                F.col("cluster_id"),
-                F.col("n_cells").cast("bigint").alias("n_cells"),
-                F.col("n_points").cast("bigint").alias("n_points"),
-            )
-        )
-        .orderBy(F.desc("n_points"), "cluster_id")
+    def _find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for (cx, cy), (cell, _n) in core.items():
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                if (dx, dy) == (0, 0):
+                    continue
+                other = core.get((cx + dx, cy + dy))
+                if other is not None:
+                    ra, rb = _find(cell), _find(other[0])
+                    if ra != rb:  # min label wins the merged root
+                        parent[max(ra, rb)] = min(ra, rb)
+    agg: dict = {}
+    for cell, n_pts in core.values():
+        root = _find(cell)
+        cnt, pts = agg.get(root, (0, 0))
+        agg[root] = (cnt + 1, pts + n_pts)
+    noise_cells = [r for r in crows if r["n_pts"] < _GDC_MINPTS]
+    out = [
+        (int(cid), int(cnt), int(pts)) for cid, (cnt, pts) in agg.items()
+    ]
+    out.append((
+        -1,
+        len(noise_cells),
+        sum(r["n_pts"] for r in noise_cells),
+    ))
+    out.sort(key=lambda t: (-t[2], t[0]))
+    return spark.createDataFrame(
+        out,
+        schema="cluster_id bigint, n_cells bigint, n_points bigint",
     )
 
 
@@ -7391,8 +7387,10 @@ def capture_recapture_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the shared minhash band table (materialized once,
     the dedup_minhash_lsh machinery); candidate pairs from band-bucket
-    equi-joins only (never all-pairs); the four censuses fold to one
-    output row.
+    equi-joins only (never all-pairs); ONE per-pair groupBy derives
+    both capture flags, so all four censuses (n_a, n_b, overlap,
+    union) fold in a single pass — no per-census distinct+join
+    branches re-shuffling the pair table.
     """
     from pyprima_spark.operators.dedup import minhash_band_table
 
@@ -7406,25 +7404,30 @@ def capture_recapture_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("band_sig").alias("bs2"),
         F.col("doc").alias("d2"),
     )
-    pairs = materialize(
-        left.join(
-            right,
-            (F.col("band_idx") == F.col("bi2"))
-            & (F.col("band_sig") == F.col("bs2"))
-            & (F.col("d1") < F.col("d2")),
-        ).select("band_idx", "d1", "d2")
+    pairs = left.join(
+        right,
+        (F.col("band_idx") == F.col("bi2"))
+        & (F.col("band_sig") == F.col("bs2"))
+        & (F.col("d1") < F.col("d2")),
+    ).select("band_idx", "d1", "d2")
+    # one pass: each distinct pair carries its two capture flags, so
+    # n_a / n_b / overlap / union fold in a single aggregate
+    flags = pairs.groupBy("d1", "d2").agg(
+        F.max(
+            F.expr("CASE WHEN band_idx < 2 THEN 1 ELSE 0 END")
+        ).alias("in_a"),
+        F.max(
+            F.expr("CASE WHEN band_idx >= 2 THEN 1 ELSE 0 END")
+        ).alias("in_b"),
     )
-    pa = pairs.filter("band_idx < 2").select("d1", "d2").distinct()
-    pb = pairs.filter("band_idx >= 2").select("d1", "d2").distinct()
-    pu = pairs.select("d1", "d2").distinct()
-    na = pa.agg(F.count(F.lit(1)).alias("n_a"))
-    nb = pb.agg(F.count(F.lit(1)).alias("n_b"))
-    m = pa.join(pb, ["d1", "d2"]).agg(F.count(F.lit(1)).alias("overlap"))
-    nu = pu.agg(F.count(F.lit(1)).alias("n_union"))
+    tots = flags.agg(
+        F.coalesce(F.sum("in_a"), F.lit(0)).alias("n_a"),
+        F.coalesce(F.sum("in_b"), F.lit(0)).alias("n_b"),
+        F.coalesce(F.sum(F.expr("in_a * in_b")), F.lit(0)).alias("overlap"),
+        F.count(F.lit(1)).alias("n_union"),
+    )
     return (
-        na.crossJoin(F.broadcast(nb))
-        .crossJoin(F.broadcast(m))
-        .crossJoin(F.broadcast(nu))
+        tots
         .select(
             F.col("n_a").cast("bigint").alias("n_a"),
             F.col("n_b").cast("bigint").alias("n_b"),
@@ -11318,21 +11321,9 @@ _BT_ROUNDS = 3
 _BT_SCALE = 1000
 
 
-def _tdiv(a, b):
-    """SQL integral division, driver-side: truncate toward ZERO (the
-    semantics of Spark's ``div`` and DuckDB's ``//`` — verified
-    empirically: ``-7 div 2 = -3`` on both engines, where Python's
-    ``//`` floors to -4), propagating NULL (None) operands like SQL.
-
-    The exact-integer contract of the iterative keys (the "HITS
-    contract") lives or dies on this operator: every driver-side
-    fixed-point loop below must fold with bit-identical division to
-    the unrolled CTE rounds the DuckDB oracle runs.
-    """
-    if a is None or b is None:
-        return None
-    q = abs(a) // abs(b)
-    return q if (a >= 0) == (b >= 0) else -q
+# SQL-semantics integral division for the driver-side iteration family
+# (shared: operators/exactmath.py — truncate toward zero, NULL-safe).
+from pyprima_spark.operators.exactmath import tdiv as _tdiv  # noqa: E402
 
 
 def bradley_terry_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -12293,9 +12284,12 @@ def voting_methods_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts pairwise majority wins (a Condorcet winner beats all 7 —
     its absence, the Condorcet paradox, is visible as max wins < 7).
 
-    Scale shape: one fact agg to the brand census, three
-    rank-by-criterion windows over it (dim-bounded, allowlisted
-    class), an 8x8x3 pairwise fold.  Windowless below the census.
+    Scale shape: one fact agg to the 25-brand census — the only
+    fact-sized work; the census is collected once and the three
+    rank-by-criterion sorts, the Borda/plurality scores, and the
+    8x8x3 Condorcet pairwise fold all run driver-side on the
+    design-sized electorate (the previous all-DataFrame form paid
+    three global windows plus a self-join on a 25-row state).
     """
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part").select(
@@ -12316,70 +12310,45 @@ def voting_methods_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("disc_micro"),
         )
     )
-    wrev = Window.orderBy(F.desc("rev"), F.asc("brand"))
-    top = materialize(
-        stats.withColumn("r_rev", F.row_number().over(wrev)).filter(
-            f"r_rev <= {_VOTE_TOPK}"
-        )
-    )
-    wq = Window.orderBy(F.desc("qty"), F.asc("brand"))
-    wd = Window.orderBy(F.desc("disc_micro"), F.asc("brand"))
-    ranked = materialize(
-        top.withColumn("r_qty", F.row_number().over(wq)).withColumn(
-            "r_disc", F.row_number().over(wd)
-        )
-    )
+    rows = stats.collect()  # 25-brand census — design-size
     k = _VOTE_TOPK
-    scored = ranked.select(
-        "brand",
-        "r_rev",
-        "r_qty",
-        "r_disc",
-        F.expr(
-            f"({k} - r_rev) + ({k} - r_qty) + ({k} - r_disc)"
-        ).alias("borda"),
-        F.expr(
-            "CASE WHEN r_rev = 1 THEN 1 ELSE 0 END"
-            " + CASE WHEN r_qty = 1 THEN 1 ELSE 0 END"
-            " + CASE WHEN r_disc = 1 THEN 1 ELSE 0 END"
-        ).alias("plurality"),
-    )
-    other = ranked.select(
-        F.col("brand").alias("b2"),
-        F.col("r_rev").alias("v1"),
-        F.col("r_qty").alias("v2"),
-        F.col("r_disc").alias("v3"),
-    )
-    cond = (
-        ranked.join(F.broadcast(other), F.expr("brand != b2"))
-        .select(
-            "brand",
-            F.expr(
-                "CASE WHEN (CASE WHEN r_rev < v1 THEN 1 ELSE 0 END"
-                " + CASE WHEN r_qty < v2 THEN 1 ELSE 0 END"
-                " + CASE WHEN r_disc < v3 THEN 1 ELSE 0 END) >= 2"
-                " THEN 1 ELSE 0 END"
-            ).alias("beats"),
+    by_rev = sorted(rows, key=lambda r: (-r["rev"], r["brand"]))
+    top = by_rev[:k]
+    r_rev = {r["brand"]: i + 1 for i, r in enumerate(by_rev[:k])}
+    by_qty = sorted(top, key=lambda r: (-r["qty"], r["brand"]))
+    r_qty = {r["brand"]: i + 1 for i, r in enumerate(by_qty)}
+    by_disc = sorted(top, key=lambda r: (-r["disc_micro"], r["brand"]))
+    r_disc = {r["brand"]: i + 1 for i, r in enumerate(by_disc)}
+    out = []
+    for r in top:
+        b = r["brand"]
+        ranks = (r_rev[b], r_qty[b], r_disc[b])
+        borda = sum(k - x for x in ranks)
+        plurality = sum(1 for x in ranks if x == 1)
+        wins = sum(
+            1
+            for o in top
+            if o["brand"] != b
+            and (
+                (ranks[0] < r_rev[o["brand"]])
+                + (ranks[1] < r_qty[o["brand"]])
+                + (ranks[2] < r_disc[o["brand"]])
+            )
+            >= 2
         )
-        .groupBy("brand")
-        .agg(F.sum("beats").alias("condorcet_wins"))
-    )
-    return (
-        scored.join(cond, "brand")
-        .select(
-            "brand",
-            F.col("r_rev").cast("bigint").alias("rank_revenue"),
-            F.col("r_qty").cast("bigint").alias("rank_quantity"),
-            F.col("r_disc").cast("bigint").alias("rank_discount"),
-            F.col("plurality").cast("bigint").alias("plurality_firsts"),
-            F.col("borda").cast("bigint").alias("borda_score"),
-            F.col("condorcet_wins").cast("bigint").alias("condorcet_wins"),
-            F.expr(
-                f"cast(CASE WHEN condorcet_wins = {k - 1} THEN 1"
-                " ELSE 0 END as bigint)"
-            ).alias("is_condorcet_winner"),
-        )
-        .orderBy(F.desc("borda_score"), F.asc("brand"))
+        out.append((
+            b, ranks[0], ranks[1], ranks[2], plurality, borda, wins,
+            1 if wins == k - 1 else 0,
+        ))
+    out.sort(key=lambda t: (-t[5], t[0]))
+    return spark.createDataFrame(
+        out,
+        schema=(
+            "brand string, rank_revenue bigint, rank_quantity bigint,"
+            " rank_discount bigint, plurality_firsts bigint,"
+            " borda_score bigint, condorcet_wins bigint,"
+            " is_condorcet_winner bigint"
+        ),
     )
 
 
