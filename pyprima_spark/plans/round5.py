@@ -49,6 +49,7 @@ from pyspark.sql import functions as F
 from pyprima_spark.catalog import load_table
 from pyprima_spark.functions.agg import DEC
 from pyprima_spark.functions import text as X
+from pyprima_spark.operators.exactmath import tdiv as _tdiv
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -3855,10 +3856,13 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge counts, Q·(2m)² = Σ_c (2m·2·in_c·... ) — here reported per
     community as integer numerators over the common (2m)² denominator
     and as one final scaled division, so engines agree bit-for-bit.
-    Components come from the shared iterative hash-min operator; edges
-    and degrees are dim-sized aggregates.
+    The fact table collapses once into the dim-bounded (|nations|²)
+    edge aggregate; the sparsified census is collected and the
+    component labels (exact min-label union-find — the same fixpoint
+    the shared hash-min operator converges to) plus the modularity
+    folds run driver-side in exact integers on the constant-size
+    graph.
     """
-    from pyprima_spark.operators.components import connected_components
     from pyprima_spark.plans.queries import _edge_aggregate
 
     edges = _edge_aggregate(spark, sf_dir).select("edge_a", "edge_b", "n_lines")
@@ -3870,58 +3874,52 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_lines") * F.col("ne") * 10 >= 11 * F.col("tot"))
         .select("edge_a", "edge_b")
     )
-    comp = connected_components(sparse, "edge_a", "edge_b").select(
-        F.col("node"), F.col("component")
-    )
-    sided = (
-        sparse.join(
-            comp.select(F.col("node").alias("edge_a"),
-                        F.col("component").alias("ca")),
-            "edge_a",
-        )
-        .join(
-            comp.select(F.col("node").alias("edge_b"),
-                        F.col("component").alias("cb")),
-            "edge_b",
-        )
-    )
-    m = sided.agg(F.count(F.lit(1)).alias("m"))
-    in_c = (
-        sided.filter(F.col("ca") == F.col("cb"))
-        .groupBy(F.col("ca").alias("component"))
-        .agg(F.count(F.lit(1)).alias("e_in"))
-    )
-    deg = (
-        sparse.select(F.col("edge_a").alias("node"))
-        .unionByName(sparse.select(F.col("edge_b").alias("node")))
-        .join(comp, "node")
-        .groupBy("component")
-        .agg(F.count(F.lit(1)).alias("deg_c"))
-    )
-    per = (
-        deg.join(in_c, "component", "left")
-        .select(
-            "component",
-            F.coalesce("e_in", F.lit(0)).alias("e_in"),
-            "deg_c",
-        )
-        .crossJoin(F.broadcast(m))
-    )
-    # q_num_c = 4m·e_in − deg_c² over denominator (2m)²
-    per = per.withColumn(
-        "q_num", 4 * F.col("m") * F.col("e_in") - F.col("deg_c") * F.col("deg_c")
-    )
-    return (
-        per.select(
-            "component",
-            "e_in",
-            "deg_c",
-            "q_num",
-            F.expr("cast(q_num * 10000 div (4 * m * m) as int)").alias(
-                "q_contrib_bp"
-            ),
-        )
-        .orderBy("component")
+    e_rows = [
+        (r["edge_a"], r["edge_b"]) for r in sparse.collect()
+    ]  # dim-bounded sparsified census
+    parent: dict = {}
+    for a, b in e_rows:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+
+    def _find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in e_rows:
+        ra, rb = _find(a), _find(b)
+        if ra != rb:  # min label wins the merged root
+            parent[max(ra, rb)] = min(ra, rb)
+    comp = {node: _find(node) for node in parent}
+    m = len(e_rows)
+    in_c: dict = {}
+    deg_c: dict = {}
+    for a, b in e_rows:
+        ca, cb = comp[a], comp[b]
+        if ca == cb:
+            in_c[ca] = in_c.get(ca, 0) + 1
+        deg_c[ca] = deg_c.get(ca, 0) + 1
+        deg_c[cb] = deg_c.get(cb, 0) + 1
+    out = []
+    for c in sorted(deg_c):
+        e_in = in_c.get(c, 0)
+        # q_num_c = 4m·e_in − deg_c² over denominator (2m)²
+        q_num = 4 * m * e_in - deg_c[c] * deg_c[c]
+        out.append((
+            int(c),
+            int(e_in),
+            int(deg_c[c]),
+            int(q_num),
+            int(_tdiv(q_num * 10000, 4 * m * m)),
+        ))
+    return spark.createDataFrame(
+        out,
+        schema=(
+            "component int, e_in bigint, deg_c bigint, q_num bigint,"
+            " q_contrib_bp int"
+        ),
     )
 
 

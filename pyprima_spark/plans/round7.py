@@ -1688,12 +1688,14 @@ def label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     broken toward the SMALLEST label (classic LPA is tie-random; the
     pinned tie-break makes the fixed point engine-reproducible).
 
-    Scale shape: per round ONE shuffle — neighbor-label counts keyed
-    by node — and the arg-max is a struct-max aggregate (no window,
-    no single-partition sort); label state is O(V) per round with a
-    materialize() stage boundary (the connected-components/k-core
-    discipline). The oracle unrolls identical rounds as chained CTEs
-    with a row_number pick that matches the struct-max tie-break.
+    Scale shape: the fact table collapses once into the dim-bounded
+    (|nations|²) edge aggregate; the sparsified census is collected
+    and the ``_LPA_ROUNDS`` synchronous rounds run driver-side on the
+    constant-size graph — zero cluster barriers per round at any data
+    scale (the previous all-DataFrame unroll paid a shuffle + two
+    folds per round on a ≤25-row label table). The oracle unrolls
+    identical rounds as chained CTEs with a row_number pick matching
+    the (count, smallest-label) tie-break.
     """
     from pyprima_spark.plans.queries import _edge_aggregate
 
@@ -1708,44 +1710,38 @@ def label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_lines") * F.col("ne") * 10 >= 11 * F.col("tot"))
         .select("edge_a", "edge_b")
     )
-    sym = materialize(
-        sparse.unionByName(
-            sparse.select(
-                F.col("edge_b").alias("edge_a"),
-                F.col("edge_a").alias("edge_b"),
-            )
-        ).distinct()
-    )
-    nodes = sym.select(F.col("edge_a").alias("node")).distinct()
-    labels = nodes.select("node", F.col("node").alias("label"))
+    s_rows = {
+        (r["edge_a"], r["edge_b"]) for r in sparse.collect()
+    }  # dim-bounded sparsified census
+    sym = sorted(s_rows | {(b, a) for a, b in s_rows})
+    nodes = sorted({a for a, _ in sym})
+    labels = {node: node for node in nodes}
     for _ in range(_LPA_ROUNDS):
-        counts = (
-            sym.join(labels, sym.edge_a == labels.node)
-            .groupBy(F.col("edge_b").alias("v"), "label")
-            .agg(F.count(F.lit(1)).alias("c"))
-        )
-        picked = (
-            counts.groupBy("v")
-            .agg(
-                F.max(
-                    F.struct(
-                        F.col("c"),
-                        (-F.col("label")).alias("neg"),
-                        F.col("label").alias("lab"),
-                    )
-                ).alias("m")
-            )
-            .select(F.col("v").alias("node"), F.col("m.lab").alias("new_label"))
-        )
-        labels = materialize(
-            nodes.join(picked, "node", "left").select(
-                "node", F.coalesce("new_label", "node").alias("label")
-            )
-        )
-    return (
-        labels.groupBy(F.col("label").alias("community"))
-        .agg(F.count(F.lit(1)).alias("n_nodes"), F.min("node").alias("min_node"))
-        .orderBy("community")
+        new_labels = {}
+        for v in nodes:
+            counts: dict = {}
+            for a, b in sym:
+                if b == v:
+                    counts[labels[a]] = counts.get(labels[a], 0) + 1
+            if counts:
+                # most frequent label, ties toward the SMALLEST label
+                new_labels[v] = max(
+                    counts, key=lambda lab: (counts[lab], -lab)
+                )
+            else:
+                new_labels[v] = v
+        labels = new_labels
+    sizes: dict = {}
+    for node in nodes:
+        lab = labels[node]
+        cnt, mn = sizes.get(lab, (0, node))
+        sizes[lab] = (cnt + 1, min(mn, node))
+    out = [
+        (int(lab), int(cnt), int(mn))
+        for lab, (cnt, mn) in sorted(sizes.items())
+    ]
+    return spark.createDataFrame(
+        out, schema="community int, n_nodes bigint, min_node int"
     )
 
 

@@ -542,11 +542,12 @@ def weighted_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the fact table collapses once into the edge aggregate
     (shared _edge_aggregate pipeline), which is dim-bounded
-    (|nations|²) and checkpoint-materialized so the relaxation loop
-    never re-derives it; each round is a broadcast join of the
-    dist table against the edge dim plus a map-combined min.
+    (|nations|²); the sparsified census is collected once and the
+    {h} relaxation rounds run driver-side in exact integers — zero
+    cluster barriers per round at any data scale (the previous
+    all-DataFrame loop paid a broadcast join + min fold per round on
+    a ≤25-row dist table).
     """
-    from pyprima_spark.operators.checkpointing import materialize
     from pyprima_spark.plans.queries import _edge_aggregate
 
     edges = _edge_aggregate(spark, sf_dir).select("edge_a", "edge_b", "n_lines")
@@ -560,40 +561,33 @@ def weighted_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("greatest(1000000 div n_lines, 1)").alias("cost"),
         )
     )
-    sym = materialize(
-        sparse.select(
-            F.col("edge_a").alias("a"), F.col("edge_b").alias("b"), "cost"
-        ).unionByName(
-            sparse.select(
-                F.col("edge_b").alias("a"), F.col("edge_a").alias("b"), "cost"
-            )
-        )
-    )
-    nation = _t(spark, sf_dir, "nation")
-    dist = (
-        nation.filter(F.col("n_nationkey") == _WSP_SRC)
-        .select(F.col("n_nationkey").alias("node"))
-        .withColumn("dist", F.lit(0).cast("bigint"))
-    )
+    s_rows = [
+        (r["edge_a"], r["edge_b"], r["cost"]) for r in sparse.collect()
+    ]  # dim-bounded sparsified census
+    sym = s_rows + [(b, a, c) for a, b, c in s_rows]
+    names = {
+        r["n_nationkey"]: r["n_name"]
+        for r in _t(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name")
+        .collect()
+    }
+    dist: dict = {_WSP_SRC: 0} if _WSP_SRC in names else {}
     for _ in range(_WSP_HOPS):
-        relaxed = (
-            dist.join(F.broadcast(sym), dist["node"] == sym["a"])
-            .select(
-                F.col("b").alias("node"),
-                (F.col("dist") + F.col("cost")).alias("dist"),
-            )
-        )
-        dist = (
-            dist.unionByName(relaxed)
-            .groupBy("node")
-            .agg(F.min("dist").alias("dist"))
-        )
-    return (
-        dist.join(
-            nation.select(F.col("n_nationkey").alias("node"), "n_name"), "node"
-        )
-        .select(F.col("node").alias("nationkey"), "n_name", F.col("dist").alias("cost"))
-        .orderBy("nationkey")
+        relaxed = dict(dist)
+        for a, b, c in sym:
+            da = dist.get(a)
+            if da is not None and (
+                b not in relaxed or da + c < relaxed[b]
+            ):
+                relaxed[b] = da + c
+        dist = relaxed
+    out = [
+        (int(node), names[node], int(d))
+        for node, d in sorted(dist.items())
+        if node in names
+    ]
+    return spark.createDataFrame(
+        out, schema="nationkey int, n_name string, cost bigint"
     )
 
 
