@@ -14721,46 +14721,52 @@ def arc_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantize revenue to k$ first (the documented DECIMAL(38,0)
     lever used across the catalog).
 
-    Scale shape: one fact agg to the (brand, depth-side) census (unit
-    prices and mean quantities as exact integer sums); a 25-row
-    two-side join; windowless.
+    Scale shape: ONE fact agg straight to the 25-brand census with
+    BOTH depth sides as conditional sums (the previous two-row-per-
+    brand form paid a materialize and a two-branch self-join to
+    reassemble what one pass produces directly); brands missing a
+    side drop via the n1/n2 guard — the old inner join's semantics.
+    Windowless.
     """
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part").select(
         F.col("p_partkey").alias("l_partkey"), F.col("p_brand").alias("brand")
     )
-    sides = materialize(
+    deep = (
+        "cast(cast(l_discount as decimal(4,2)) * 100 as int)"
+        f" >= {_ELA_DISC_CUT}"
+    )
+    rev_term = (
+        "cast(cast(l_extendedprice as decimal(18,2)) * 100"
+        " as decimal(38,0)) * (100 - cast(cast(l_discount"
+        " as decimal(4,2)) * 100 as int)) div 100"
+    )
+    sides = (
         li.join(F.broadcast(part), "l_partkey")
-        .groupBy(
-            "brand",
-            F.expr(
-                "CASE WHEN cast(cast(l_discount as decimal(4,2)) * 100"
-                f" as int) >= {_ELA_DISC_CUT} THEN 1 ELSE 0 END"
-            ).alias("deep"),
-        )
+        .groupBy("brand")
         .agg(
-            F.count(F.lit(1)).alias("n_lines"),
-            F.sum(F.expr("cast(l_quantity as bigint)")).alias("sq"),
+            F.sum(F.expr(f"CASE WHEN {deep} THEN 0 ELSE 1 END")).alias("n1"),
             F.sum(
                 F.expr(
-                    "cast(cast(l_extendedprice as decimal(18,2)) * 100"
-                    " as decimal(38,0)) * (100 - cast(cast(l_discount"
-                    " as decimal(4,2)) * 100 as int)) div 100"
+                    f"CASE WHEN {deep} THEN 0"
+                    " ELSE cast(l_quantity as bigint) END"
                 )
-            ).alias("rev_c"),
+            ).alias("sq1"),
+            F.sum(
+                F.expr(f"CASE WHEN {deep} THEN NULL ELSE {rev_term} END")
+            ).alias("rv1"),
+            F.sum(F.expr(f"CASE WHEN {deep} THEN 1 ELSE 0 END")).alias("n2"),
+            F.sum(
+                F.expr(
+                    f"CASE WHEN {deep} THEN cast(l_quantity as bigint)"
+                    " ELSE 0 END"
+                )
+            ).alias("sq2"),
+            F.sum(
+                F.expr(f"CASE WHEN {deep} THEN {rev_term} ELSE NULL END")
+            ).alias("rv2"),
         )
-    )
-    a = sides.filter("deep = 0").select(
-        "brand",
-        F.col("n_lines").alias("n1"),
-        F.col("sq").alias("sq1"),
-        F.col("rev_c").alias("rv1"),
-    )
-    b = sides.filter("deep = 1").select(
-        "brand",
-        F.col("n_lines").alias("n2"),
-        F.col("sq").alias("sq2"),
-        F.col("rev_c").alias("rv2"),
+        .filter("n1 > 0 AND n2 > 0")
     )
     # mean qty per line q = sq/n; unit price p = rev/sq (cents).
     # e = ((q2-q1)/(q1+q2)) / ((p2-p1)/(p1+p2))
@@ -14768,7 +14774,7 @@ def arc_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # q2-q1 ∝ sq2*n1 - sq1*n2 (denominator n1*n2 cancels in the ratio
     # only partially; keep exact by clearing both denominators)
     return (
-        a.join(b, "brand")
+        sides
         .select(
             "brand",
             F.expr("cast(n1 + n2 as bigint)").alias("n_lines"),

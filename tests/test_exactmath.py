@@ -1,0 +1,91 @@
+"""The driver-side exact-iteration family's foundations.
+
+The census-collect-then-iterate keys (SURVEY §7.24a: bradley_terry,
+spectral_bisection, pca_power_iteration, graph_robustness_attack,
+assignment_exhaustive, hits, voting, grid_density_clusters, markov,
+modularity, LPA, weighted_shortest_path) fold their fixed-point rounds
+in Python. Their hash-match against the DuckDB oracles rests on two
+bit-level contracts pinned here:
+
+1. ``operators/exactmath.tdiv`` == Spark ``div`` == DuckDB ``//``
+   (truncate toward zero; Python's ``//`` floors and would diverge on
+   any negative intermediate — e.g. spectral_bisection's deflation
+   mean, modularity's q_num).
+2. The Python md5 rank hash in graph_robustness_attack ==
+   functions/text.hash64_spark == hash64_duck (the engine-shared
+   fingerprint family).
+"""
+
+from __future__ import annotations
+
+from hashlib import md5
+
+import duckdb
+import pytest
+
+from pyprima_spark.functions import text as X
+from pyprima_spark.operators.exactmath import tdiv
+
+CASES = [
+    (7, 2),
+    (-7, 2),
+    (7, -2),
+    (-7, -2),
+    (0, 5),
+    (1, 1),
+    (-1, 3),
+    (10**18, 7),
+    (-(10**18) - 3, 7),
+    (999999999999, -1000),
+    (5, 10),
+    (-5, 10),
+]
+
+
+def test_tdiv_matches_duckdb_integer_division():
+    con = duckdb.connect()
+    for a, b in CASES:
+        want = con.execute(
+            f"SELECT ({a})::HUGEINT // ({b})::HUGEINT"
+        ).fetchone()[0]
+        assert tdiv(a, b) == want, (a, b)
+
+
+def test_tdiv_matches_spark_div(spark):
+    exprs = ", ".join(
+        f"cast({a} as decimal(38,0)) div cast({b} as decimal(38,0))"
+        f" as c{i}"
+        for i, (a, b) in enumerate(CASES)
+    )
+    row = spark.sql(f"SELECT {exprs}").collect()[0]
+    for i, (a, b) in enumerate(CASES):
+        assert tdiv(a, b) == row[f"c{i}"], (a, b)
+
+
+def test_tdiv_null_propagation():
+    assert tdiv(None, 3) is None
+    assert tdiv(3, None) is None
+    assert tdiv(None, None) is None
+    with pytest.raises(ZeroDivisionError):
+        tdiv(1, 0)  # call sites pass None for SQL's div nullif(x, 0)
+
+
+def test_python_md5_rank_matches_engine_hash64(spark):
+    """graph_robustness_attack replicates hash64 driver-side; pin the
+    replication against BOTH engine formulations."""
+    samples = [f"{n}:rob" for n in (0, 7, 24)] + ["x", "BRAND#13"]
+    py = [int(md5(s.encode()).hexdigest()[:15], 16) for s in samples]
+    lits = ", ".join("'" + s + "'" for s in samples)
+    got_spark = [
+        r[0]
+        for r in spark.sql(
+            f"SELECT {X.hash64_spark('s')} AS h FROM "
+            f"(SELECT explode(array({lits})) AS s)"
+        ).collect()
+    ]
+    con = duckdb.connect()
+    got_duck = [
+        con.execute(f"SELECT {X.hash64_duck(repr(s))}").fetchone()[0]
+        for s in samples
+    ]
+    assert py == got_spark == got_duck

@@ -106,10 +106,12 @@ GLOBAL_WINDOW_BOUNDS = {
 # and data_mixture_plan / psi_drift plan no window at all — so those
 # rows are deleted rather than carried, and only the five keys with a
 # real measured global window remain.
+# (voting_methods_compare left this table in round 9: its criterion
+# ranks moved driver-side with the census-collect rewrite — §7.24a —
+# so its plan no longer contains any window.)
 GLOBAL_WINDOW_BOUNDS.update({
     "fagin_ta_depth": 25_000,  # sorted-access ranks over part census
     "maxmin_fair_allocation": 25,  # water-level scan over brand census
-    "voting_methods_compare": 25,  # criterion ranks over brand census
     "banzhaf_power_index": 5,  # row_number over the 5-segment census
     "shapley_shubik_index": 5,  # row_number over the 5-segment census
 })
