@@ -3874,25 +3874,12 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_lines") * F.col("ne") * 10 >= 11 * F.col("tot"))
         .select("edge_a", "edge_b")
     )
+    from pyprima_spark.operators.exactmath import min_label_components
+
     e_rows = [
         (r["edge_a"], r["edge_b"]) for r in sparse.collect()
     ]  # dim-bounded sparsified census
-    parent: dict = {}
-    for a, b in e_rows:
-        parent.setdefault(a, a)
-        parent.setdefault(b, b)
-
-    def _find(x):
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    for a, b in e_rows:
-        ra, rb = _find(a), _find(b)
-        if ra != rb:  # min label wins the merged root
-            parent[max(ra, rb)] = min(ra, rb)
-    comp = {node: _find(node) for node in parent}
+    comp = min_label_components(e_rows)
     m = len(e_rows)
     in_c: dict = {}
     deg_c: dict = {}

@@ -3492,35 +3492,30 @@ def grid_density_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_pts"))
         .withColumn("cell", F.expr("(cx + 100) * 1000 + (cy + 100)"))
     )
+    from pyprima_spark.operators.exactmath import min_label_components
+
     crows = cells.collect()  # resolution-bounded cell census
     core = {
         (r["cx"], r["cy"]): (r["cell"], r["n_pts"])
         for r in crows
         if r["n_pts"] >= _GDC_MINPTS
     }
-    # exact min-label components via union-find (full convergence —
-    # the same fixpoint the oracle's recursive CTE reaches)
-    parent = {cell: cell for cell, _ in core.values()}
-
-    def _find(x: int) -> int:
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    for (cx, cy), (cell, _n) in core.items():
-        for dx in (-1, 0, 1):
-            for dy in (-1, 0, 1):
-                if (dx, dy) == (0, 0):
-                    continue
-                other = core.get((cx + dx, cy + dy))
-                if other is not None:
-                    ra, rb = _find(cell), _find(other[0])
-                    if ra != rb:  # min label wins the merged root
-                        parent[max(ra, rb)] = min(ra, rb)
+    # exact min-label components (union-find, full convergence — the
+    # same fixpoint the oracle's recursive CTE reaches); isolated core
+    # cells keep their own id via the self-edge
+    nbr_edges = [
+        (cell, core[(cx + dx, cy + dy)][0])
+        for (cx, cy), (cell, _n) in core.items()
+        for dx in (-1, 0, 1)
+        for dy in (-1, 0, 1)
+        if (dx, dy) != (0, 0) and (cx + dx, cy + dy) in core
+    ]
+    comp = min_label_components(
+        nbr_edges + [(cell, cell) for cell, _n in core.values()]
+    )
     agg: dict = {}
     for cell, n_pts in core.values():
-        root = _find(cell)
+        root = comp[cell]
         cnt, pts = agg.get(root, (0, 0))
         agg[root] = (cnt + 1, pts + n_pts)
     noise_cells = [r for r in crows if r["n_pts"] < _GDC_MINPTS]

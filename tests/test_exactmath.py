@@ -89,3 +89,34 @@ def test_python_md5_rank_matches_engine_hash64(spark):
         for s in samples
     ]
     assert py == got_spark == got_duck
+
+
+def test_min_label_components_matches_distributed_operator(spark):
+    """min_label_components (driver-side union-find) and
+    operators/components.connected_components (distributed hash-min)
+    must converge to the same fixpoint — the census-collect keys lean
+    on that equivalence. Deterministic pseudo-random graphs: sparse,
+    dense, and a long path (the hash-min worst case)."""
+    from pyprima_spark.operators.components import connected_components
+    from pyprima_spark.operators.exactmath import min_label_components
+
+    graphs = [
+        [(i, (i * 7 + 3) % 25) for i in range(25)],             # functional
+        [(i, j) for i in range(12) for j in range(i) if (i * j) % 5 == 0],
+        [(i, i + 1) for i in range(40)],                         # long path
+        [(0, 1)],
+        [(int(md5(f"{i}".encode()).hexdigest()[:4], 16) % 50,
+          int(md5(f"x{i}".encode()).hexdigest()[:4], 16) % 50)
+         for i in range(60)],                                    # random
+    ]
+    for edges in graphs:
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            continue
+        want = min_label_components(edges)
+        df = spark.createDataFrame(edges, "src bigint, dst bigint")
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components(df, "src", "dst").collect()
+        }
+        assert got == want
