@@ -1739,14 +1739,15 @@ def nearest_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     cheapest honest classifier baseline any embedding pipeline should
     publish before training anything bigger).
 
-    Scale shape: train centroids are one (label, dim) agg (bounded)
-    floor-quantized sign-safely and broadcast; test distances are
-    linear in N·dims·labels with DECIMAL(38,0) accumulators; argmin
-    is a value-min + equi-join back + min(label) tie-break (NO struct
-    ordering, NO window — struct min is the one comparison surface
-    the two engines don't share bit-for-bit, so it never appears at a
-    reported edge).  Output bounded by label², each row carrying its
-    within-true-label share in bp.
+    Scale shape: train centroids are one (label, dim) agg over the
+    train half — dim-bounded (labels × 8), collected once; the test
+    half is then classified in ONE map-side pass whose distance and
+    argmin expressions carry the centroid values as LITERALS (a
+    strictly-less CASE fold over labels ascending — same min-label
+    tie-break as the old value-min + join-back, NO struct ordering,
+    NO window, and no per-dim explode/join/shuffle on the test side).
+    Output bounded by label², each row carrying its within-true-label
+    share in bp.
     """
     emb = _t(spark, sf_dir, "embeddings")
     split = F.expr(X.hash64_spark("cast(vec_id as string) || ':nc'")) % 2
@@ -1761,41 +1762,47 @@ def nearest_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("dim", "xq"),
     )
-    cent = (
+    cent_rows = (
         pts.filter("is_train")
         .groupBy(F.col("label").alias("clabel"), "dim")
         .agg(
             F.sum(F.expr("cast(xq as decimal(38,0))")).alias("sq"),
             F.count(F.lit(1)).alias("n"),
         )
-        .select(
-            "clabel",
-            "dim",
-            F.expr(
-                "cast(case when sq < 0 then -1 else 1 end"
-                " * (abs(sq * 1000) div n) as bigint)"
-            ).alias("cq"),
+        .collect()
+    )  # labels × dims — dim-bounded census
+    cent: dict = {}
+    for r in cent_rows:
+        sq, n = int(r["sq"]), int(r["n"])
+        cq = (-1 if sq < 0 else 1) * _tdiv(abs(sq * 1000), n)
+        cent.setdefault(r["clabel"], {})[r["dim"]] = cq
+    labels = sorted(cent)
+    dims = sorted({d for by_dim in cent.values() for d in by_dim})
+
+    def _d2(lab) -> str:
+        terms = " + ".join(
+            f"(cast(floor(cast(embedding[{d}] as double) * 1000)"
+            f" as bigint) * 1000 - ({cent[lab][d]}))"
+            f" * (cast(floor(cast(embedding[{d}] as double) * 1000)"
+            f" as bigint) * 1000 - ({cent[lab][d]}))"
+            for d in dims
+            if d in cent[lab]
         )
+        return f"({terms})" if terms else "cast(0 as bigint)"
+
+    # argmin over the label-ascending d2 array: array_min picks the
+    # value, array_position the FIRST index holding it — the same
+    # min-label tie-break as the old value-min + min(clabel), with
+    # literal centroids and LINEAR expression size (a CASE fold nests
+    # the running best twice per label — exponential blowup)
+    lab_arr = "array(" + ", ".join(str(lab) for lab in labels) + ")"
+    d2_arr = "array(" + ", ".join(_d2(lab) for lab in labels) + ")"
+    assigned_expr = (
+        f"cast(element_at({lab_arr}, cast(array_position({d2_arr},"
+        f" array_min({d2_arr})) as int)) as bigint)"
     )
-    d2 = (
-        pts.filter(~F.col("is_train"))
-        .join(F.broadcast(cent), "dim")
-        .groupBy("vec_id", "label", "clabel")
-        .agg(
-            F.sum(
-                F.expr(
-                    "cast(xq * 1000 - cq as decimal(38,0))"
-                    " * cast(xq * 1000 - cq as decimal(38,0))"
-                )
-            ).alias("d2")
-        )
-    )
-    best = d2.groupBy("vec_id", "label").agg(F.min("d2").alias("min_d2"))
-    assigned = (
-        d2.join(best, ["vec_id", "label"])
-        .filter(F.col("d2") == F.col("min_d2"))
-        .groupBy("vec_id", "label")
-        .agg(F.min("clabel").alias("assigned"))
+    assigned = emb.filter(split != 0).select(
+        "label", F.expr(assigned_expr).alias("assigned")
     )
     per_true = assigned.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_true")
