@@ -4115,9 +4115,11 @@ def curve_locality_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     result: Hilbert < Morton < row-major << random).
 
     Scale shape: the cell census is one distinct agg (bounded by the
-    grid constant, 65536); all four codes are map-side integer
-    expressions; the consecutive-jump windows partition BY CURVE over
-    the bounded cell table.  Nothing data-sized is ever sorted.
+    grid constant, 65536) — the only data-sized work; the census is
+    collected once and all four linearizations, the rank sorts, and
+    the consecutive-jump folds run driver-side in exact integers
+    (the previous form paid four partitioned windows over a
+    quadruplicated census).  Nothing data-sized is ever sorted.
     """
     orders = _t(spark, sf_dir, "orders")
     cells = (
@@ -4133,56 +4135,63 @@ def curve_locality_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    hdf = cells.selectExpr(
-        "cx", "cy", "cx as x", "cy as y", "cast(0 as bigint) as d"
-    )
-    for stage in _hilbert_stages(_CLC_BITS, spark_syntax=True):
-        hdf = hdf.selectExpr(
-            "cx", "cy", *[f"{expr} as {col}" for col, expr in stage.items()]
+    cell_rows = [
+        (r["cx"], r["cy"]) for r in cells.collect()
+    ]  # grid-bounded census (<= 65536 cells)
+
+    def _hilbert(cx: int, cy: int) -> int:
+        # the same unrolled rotate-and-accumulate rounds the staged
+        # expression form ran (highest bit first; simultaneous swap)
+        x, y, d = cx, cy, 0
+        for i in range(_CLC_BITS - 1, -1, -1):
+            s = 1 << i
+            rx = 1 if x & s else 0
+            ry = 1 if y & s else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                x, y = (s - 1 - y if rx else y), (s - 1 - x if rx else x)
+        return d
+
+    def _morton(cx: int, cy: int) -> int:
+        z = 0
+        for i in range(_CLC_BITS):
+            z += ((cx >> i) & 1) << (2 * i)
+            z += ((cy >> i) & 1) << (2 * i + 1)
+        return z
+
+    codes = {
+        "1_hilbert": lambda cx, cy: _hilbert(cx, cy),
+        "2_morton": lambda cx, cy: _morton(cx, cy),
+        "3_rowmajor": lambda cx, cy: cx * 256 + cy,
+        "4_hashorder": lambda cx, cy: int(
+            _md5(f"{cx}:{cy}".encode()).hexdigest()[:15], 16
+        ),
+    }
+    out = []
+    for name in sorted(codes):
+        code = codes[name]
+        ranked = sorted(
+            cell_rows, key=lambda c: (code(c[0], c[1]), c[0], c[1])
         )
-    z = _z_interleave_r8("cx", "cy", spark_syntax=True)
-    coded = hdf.selectExpr(
-        "cx",
-        "cy",
-        "d as code_hilbert",
-        f"cast(cx as bigint) * 256 + cy as code_rowmajor",
-        f"cast({z} as bigint) as code_morton",
-        X.hash64_spark("cast(cx as string) || ':' || cy") + " as code_hash",
-    )
-    curves = None
-    for name, col in (
-        ("1_hilbert", "code_hilbert"),
-        ("2_morton", "code_morton"),
-        ("3_rowmajor", "code_rowmajor"),
-        ("4_hashorder", "code_hash"),
-    ):
-        part = coded.select(
-            F.lit(name).alias("curve"),
-            F.col(col).alias("code"),
-            "cx",
-            "cy",
-        )
-        curves = part if curves is None else curves.unionByName(part)
-    w = Window.partitionBy("curve").orderBy("code", "cx", "cy")
-    jumps = curves.select(
-        "curve",
-        (
-            F.abs(F.col("cx") - F.lag("cx").over(w))
-            + F.abs(F.col("cy") - F.lag("cy").over(w))
-        ).alias("l1"),
-    ).filter(F.col("l1").isNotNull())
-    return (
-        jumps.groupBy("curve")
-        .agg(F.count(F.lit(1)).alias("n_steps"), F.sum("l1").alias("total_l1"))
-        .select(
-            "curve",
-            F.col("n_steps").cast("bigint").alias("n_steps"),
-            F.col("total_l1").cast("bigint").alias("total_l1"),
-            F.expr("cast((1000 * total_l1) div n_steps as bigint)").alias(
-                "avg_l1_milli"
-            ),
-        )
-        .orderBy("curve")
+        l1s = [
+            abs(a[0] - b[0]) + abs(a[1] - b[1])
+            for a, b in zip(ranked, ranked[1:])
+        ]
+        if not l1s:
+            continue  # the lag-filter drops single-cell curves
+        total = sum(l1s)
+        out.append((
+            name,
+            len(l1s),
+            int(total),
+            int(_tdiv(1000 * total, len(l1s))),
+        ))
+    return spark.createDataFrame(
+        out,
+        schema=(
+            "curve string, n_steps bigint, total_l1 bigint,"
+            " avg_l1_milli bigint"
+        ),
     )
 
 
