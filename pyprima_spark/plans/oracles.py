@@ -1137,7 +1137,13 @@ WITH pts AS (
 )
 SELECT n_name,
        count(*) AS n_points,
-       round(sum(CAST(c_acctbal AS DECIMAL(27,6)))::DOUBLE / count(c_acctbal), 4) AS avg_bal
+       -- dec_avg_exact mirror: half-away-from-zero in exact integers,
+       -- no double round (the sf0.001 half-ulp tie fix, round 9)
+       ((CASE WHEN CAST(sum(CAST(c_acctbal AS DECIMAL(27,6)) * 1000000)
+                   AS HUGEINT) < 0 THEN -1 ELSE 1 END)
+        * ((2 * abs(CAST(sum(CAST(c_acctbal AS DECIMAL(27,6)) * 1000000)
+                         AS HUGEINT)) + 100 * count(c_acctbal))
+           // (200 * count(c_acctbal))))::DOUBLE / 10000.0 AS avg_bal
 FROM pts JOIN boxes
   ON lat >= lat_min AND lat < lat_max AND lon >= lon_min AND lon < lon_max
 GROUP BY n_name

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pyprima_spark.catalog import load_tables
-from pyprima_spark.functions.agg import DEC, dec_avg, dec_sum
+from pyprima_spark.functions.agg import DEC, dec_avg, dec_avg_exact, dec_sum
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -1450,7 +1450,9 @@ def point_in_region(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.count(F.lit(1)).alias("n_points"),
-            dec_avg("c_acctbal").alias("avg_bal"),
+            # dec_avg_exact: the sf0.001 sweep caught a half-ulp round
+            # tie here (5739.32375 -> .3238 Spark vs .3237 DuckDB)
+            dec_avg_exact("c_acctbal").alias("avg_bal"),
         )
         .orderBy("n_name")
     )
@@ -1536,7 +1538,7 @@ def point_in_region_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.count(F.lit(1)).alias("n_points"),
-            dec_avg("c_acctbal").alias("avg_bal"),
+            dec_avg_exact("c_acctbal").alias("avg_bal"),
         )
         .orderBy("n_name")
     )

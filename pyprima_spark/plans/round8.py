@@ -1779,30 +1779,50 @@ def nearest_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = sorted(cent)
     dims = sorted({d for by_dim in cent.values() for d in by_dim})
 
-    def _d2(lab) -> str:
-        terms = " + ".join(
-            f"(cast(floor(cast(embedding[{d}] as double) * 1000)"
-            f" as bigint) * 1000 - ({cent[lab][d]}))"
-            f" * (cast(floor(cast(embedding[{d}] as double) * 1000)"
-            f" as bigint) * 1000 - ({cent[lab][d]}))"
-            for d in dims
-            if d in cent[lab]
-        )
-        return f"({terms})" if terms else "cast(0 as bigint)"
-
     # argmin over the label-ascending d2 array: array_min picks the
     # value, array_position the FIRST index holding it — the same
-    # min-label tie-break as the old value-min + min(clabel), with
-    # literal centroids and LINEAR expression size (a CASE fold nests
-    # the running best twice per label — exponential blowup)
+    # min-label tie-break as the old value-min + min(clabel). The
+    # centroids ride as ONE literal array-of-arrays through
+    # higher-order functions, so the expression stays a few nodes
+    # regardless of labels × dims (an unrolled per-label polynomial
+    # measured 10+ s of optimizer/codegen time at 10×8).
+    cent_lit = "array(" + ", ".join(
+        "array(" + ", ".join(
+            f"cast({cent[lab].get(d, 0)} as bigint)" for d in dims
+        ) + ")"
+        for lab in labels
+    ) + ")"
+    present_lit = "array(" + ", ".join(
+        "array(" + ", ".join(
+            ("1" if d in cent[lab] else "0") for d in dims
+        ) + ")"
+        for lab in labels
+    ) + ")"
     lab_arr = "array(" + ", ".join(str(lab) for lab in labels) + ")"
-    d2_arr = "array(" + ", ".join(_d2(lab) for lab in labels) + ")"
-    assigned_expr = (
-        f"cast(element_at({lab_arr}, cast(array_position({d2_arr},"
-        f" array_min({d2_arr})) as int)) as bigint)"
-    )
-    assigned = emb.filter(split != 0).select(
-        "label", F.expr(assigned_expr).alias("assigned")
+    assigned = (
+        emb.filter(split != 0)
+        .selectExpr(
+            "label",
+            "transform(embedding, e -> cast(floor(cast(e as double)"
+            " * 1000) as bigint) * 1000) as xq",
+        )
+        .selectExpr(
+            "label",
+            # per-label d2 = sum over TRAIN-PRESENT dims of (xq-cq)^2
+            f"transform(sequence(0, {len(labels) - 1}), li ->"
+            f" aggregate(sequence(0, {len(dims) - 1}),"
+            " cast(0 as bigint), (acc, di) -> acc +"
+            f" element_at(element_at({present_lit}, li + 1), di + 1)"
+            f" * (xq[di] - element_at(element_at({cent_lit}, li + 1),"
+            " di + 1))"
+            f" * (xq[di] - element_at(element_at({cent_lit}, li + 1),"
+            " di + 1)))) as d2s",
+        )
+        .selectExpr(
+            "label",
+            f"cast(element_at({lab_arr}, cast(array_position(d2s,"
+            " array_min(d2s)) as int)) as bigint) as assigned",
+        )
     )
     per_true = assigned.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_true")
