@@ -120,3 +120,31 @@ def test_min_label_components_matches_distributed_operator(spark):
             for r in connected_components(df, "src", "dst").collect()
         }
         assert got == want
+
+
+def test_dec_avg_exact_agrees_at_half_ulp_ties(spark):
+    """The round-9 sf0.001 sweep caught dec_avg's double-round tie
+    (5739.32375 -> .3238 Spark vs .3237 DuckDB). dec_avg_exact rounds
+    half-away-from-zero in exact integers; pin that BOTH engines
+    produce the identical double on exact .XXXX5 ties, both signs."""
+    from pyprima_spark.functions.agg import dec_avg_exact
+
+    cases = [
+        ([5739.3237, 5739.3238], 5739.3238),   # the field tie
+        ([-5739.3237, -5739.3238], -5739.3238),  # away from zero
+        ([0.00005, 0.00005], 0.0001),
+        ([1.0, 2.0], 1.5),
+    ]
+    con = duckdb.connect()
+    for vals, want in cases:
+        df = spark.createDataFrame([(v,) for v in vals], "x double")
+        got_spark = df.agg(dec_avg_exact("x").alias("m")).collect()[0]["m"]
+        lits = ", ".join(f"({v})" for v in vals)
+        got_duck = con.execute(
+            "SELECT (CASE WHEN CAST(sum(CAST(x AS DECIMAL(27,6)) * 1000000)"
+            " AS HUGEINT) < 0 THEN -1 ELSE 1 END"
+            " * ((2 * abs(CAST(sum(CAST(x AS DECIMAL(27,6)) * 1000000)"
+            " AS HUGEINT)) + 100 * count(x)) // (200 * count(x))))::DOUBLE"
+            f" / 10000.0 FROM (VALUES {lits}) t(x)"
+        ).fetchone()[0]
+        assert got_spark == got_duck == want, (vals, got_spark, got_duck)
