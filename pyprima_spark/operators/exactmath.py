@@ -12,7 +12,8 @@ where Python's ``//`` floors to ``-4``.
 
 from __future__ import annotations
 
-from typing import Dict, Iterable, Optional, Tuple
+from contextlib import contextmanager
+from typing import Dict, Iterable, List, Optional, Tuple
 
 
 def min_label_components(edges: Iterable[Tuple[int, int]]) -> Dict[int, int]:
@@ -43,6 +44,56 @@ def min_label_components(edges: Iterable[Tuple[int, int]]) -> Dict[int, int]:
         if ra != rb:  # min label wins the merged root
             parent[max(ra, rb)] = min(ra, rb)
     return {node: find(node) for node in parent}
+
+
+# When a census_audit() block is active, every bounded_collect records
+# (what, census DataFrame) here BEFORE collecting, so plan tools can
+# explain the distributed stage that the eager collect otherwise hides
+# from a plan walk over the returned literal DataFrame (ADVICE r9).
+_AUDIT_SINK: Optional[List[Tuple[str, object]]] = None
+
+
+@contextmanager
+def census_audit():
+    """Record every bounded_collect's census DataFrame for inspection.
+
+    Usage::
+
+        with census_audit() as censuses:
+            df = QUERIES[key](spark, sf_dir)   # collects eagerly
+        for what, census_df in censuses:
+            census_df.explain()                # the distributed stage
+    """
+    global _AUDIT_SINK
+    prev, _AUDIT_SINK = _AUDIT_SINK, []
+    try:
+        yield _AUDIT_SINK
+    finally:
+        _AUDIT_SINK = prev
+
+
+def bounded_collect(df, cap: int, what: str) -> list:
+    """Collect a DIM-BOUNDED census, refusing past its documented cap.
+
+    The census-collect-then-iterate keys (SURVEY §7.24a) are safe at
+    100 TB only because each collected census is bounded by a SCHEMA
+    constant (|nations|², grid resolution, a literal permutation
+    table), never by data size. This guard turns that invariant from
+    a docstring into code: ``limit(cap + 1)`` bounds the driver
+    transfer itself, and a census that exceeds ``cap`` raises
+    ValueError instead of silently pulling a data-sized result onto
+    the driver (the round8 source_selection_greedy limit(61) pattern,
+    generalized per VERDICT r9 item 5).
+    """
+    if _AUDIT_SINK is not None:
+        _AUDIT_SINK.append((what, df))
+    rows = df.limit(cap + 1).collect()
+    if len(rows) > cap:
+        raise ValueError(
+            f"{what}: census exceeded its documented dimension bound "
+            f"(> {cap} rows) — refusing the driver-side collect"
+        )
+    return rows
 
 
 def tdiv(a: Optional[int], b: Optional[int]) -> Optional[int]:

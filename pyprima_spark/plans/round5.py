@@ -3874,11 +3874,17 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_lines") * F.col("ne") * 10 >= 11 * F.col("tot"))
         .select("edge_a", "edge_b")
     )
-    from pyprima_spark.operators.exactmath import min_label_components
+    from pyprima_spark.operators.exactmath import (
+        bounded_collect,
+        min_label_components,
+    )
 
     e_rows = [
-        (r["edge_a"], r["edge_b"]) for r in sparse.collect()
-    ]  # dim-bounded sparsified census
+        (r["edge_a"], r["edge_b"])
+        for r in bounded_collect(
+            sparse, 625, "graph_modularity: nation-pair edge census"
+        )
+    ]  # dim-bounded sparsified census (≤ |nations|²)
     comp = min_label_components(e_rows)
     m = len(e_rows)
     in_c: dict = {}

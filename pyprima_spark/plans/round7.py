@@ -977,13 +977,16 @@ def markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     step_rows = paired.filter(F.col("src_t") != "purchase").select(
         F.col("src_t").alias("src"), mapped.alias("dst")
     )
+    from pyprima_spark.operators.exactmath import bounded_collect
+
     counts = [
         (r["src"], r["dst"], r["c"])
-        for r in (
+        for r in bounded_collect(
             start_rows.unionByName(step_rows)
             .groupBy("src", "dst")
-            .agg(F.count(F.lit(1)).alias("c"))
-            .collect()
+            .agg(F.count(F.lit(1)).alias("c")),
+            64,
+            "markov_attribution: |states|^2 transition census",
         )
     ]  # the <= |states|^2 transition census — collected once
     scen_names = ["none"] + _MK_CHANNELS
@@ -1710,9 +1713,14 @@ def label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_lines") * F.col("ne") * 10 >= 11 * F.col("tot"))
         .select("edge_a", "edge_b")
     )
+    from pyprima_spark.operators.exactmath import bounded_collect
+
     s_rows = {
-        (r["edge_a"], r["edge_b"]) for r in sparse.collect()
-    }  # dim-bounded sparsified census
+        (r["edge_a"], r["edge_b"])
+        for r in bounded_collect(
+            sparse, 625, "label_propagation: nation-pair edge census"
+        )
+    }  # dim-bounded sparsified census (≤ |nations|²)
     sym = sorted(s_rows | {(b, a) for a, b in s_rows})
     nodes = sorted({a for a, _ in sym})
     labels = {node: node for node in nodes}

@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from pyprima_spark.catalog import load_table
 from pyprima_spark.functions import text as X
 from pyprima_spark.operators.checkpointing import materialize
+from pyprima_spark.operators.exactmath import bounded_collect as _bounded_collect
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -562,14 +563,19 @@ def weighted_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     s_rows = [
-        (r["edge_a"], r["edge_b"], r["cost"]) for r in sparse.collect()
-    ]  # dim-bounded sparsified census
+        (r["edge_a"], r["edge_b"], r["cost"])
+        for r in _bounded_collect(
+            sparse, 625, "weighted_shortest_path: nation-pair edge census"
+        )
+    ]  # dim-bounded sparsified census (≤ |nations|²)
     sym = s_rows + [(b, a, c) for a, b, c in s_rows]
     names = {
         r["n_nationkey"]: r["n_name"]
-        for r in _t(spark, sf_dir, "nation")
-        .select("n_nationkey", "n_name")
-        .collect()
+        for r in _bounded_collect(
+            _t(spark, sf_dir, "nation").select("n_nationkey", "n_name"),
+            25,
+            "weighted_shortest_path: nation name census",
+        )
     }
     dist: dict = {_WSP_SRC: 0} if _WSP_SRC in names else {}
     for _ in range(_WSP_HOPS):
@@ -1762,15 +1768,16 @@ def nearest_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("dim", "xq"),
     )
-    cent_rows = (
+    cent_rows = _bounded_collect(
         pts.filter("is_train")
         .groupBy(F.col("label").alias("clabel"), "dim")
         .agg(
             F.sum(F.expr("cast(xq as decimal(38,0))")).alias("sq"),
             F.count(F.lit(1)).alias("n"),
-        )
-        .collect()
-    )  # labels × dims — dim-bounded census
+        ),
+        800,
+        "nearest_centroid_confusion: label × dim centroid census",
+    )  # labels × dims — dim-bounded census (≤100 labels × 8 dims)
     cent: dict = {}
     for r in cent_rows:
         sq, n = int(r["sq"]), int(r["n"])
@@ -1778,6 +1785,17 @@ def nearest_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         cent.setdefault(r["clabel"], {})[r["dim"]] = cq
     labels = sorted(cent)
     dims = sorted({d for by_dim in cent.values() for d in by_dim})
+    if not labels or not dims:
+        # empty train half — the oracle's centroid join classifies
+        # nothing, so publish zero rows rather than building
+        # sequence(0, -1) literal expressions (ADVICE r9)
+        return spark.createDataFrame(
+            [],
+            schema=(
+                "true_label bigint, assigned_label bigint,"
+                " n bigint, share_bp bigint"
+            ),
+        )
 
     # argmin over the label-ascending d2 array: array_min picks the
     # value, array_position the FIRST index holding it — the same
@@ -3222,24 +3240,25 @@ def source_selection_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of flooding the driver.
     """
     docs = _t(spark, sf_dir, "documents")
-    # limit(61): a non-dim-sized source column must fail fast on a
-    # bounded collect, not flood the driver first (ADVICE r8); a
-    # ValueError, not assert, so python -O can't strip the guard into
-    # a silent 1<<bit bigint overflow.
+    # bounded collect (cap 60): a non-dim-sized source column must fail
+    # fast, not flood the driver first (ADVICE r8); a ValueError, not
+    # assert, so python -O can't strip the guard into a silent 1<<bit
+    # bigint overflow. The 60 distinct source cap is the bigint
+    # bitmask's capacity; past it, use the segmented-mask extension.
     srcs = sorted(
         r[0]
-        for r in docs.select("source").distinct().limit(61).collect()
-    )
-    if len(srcs) > 60:
-        raise ValueError(
-            "source catalog exceeds 60 distinct values — the bigint "
-            "bitmask is full; use the segmented-mask extension"
+        for r in _bounded_collect(
+            docs.select("source").distinct(),
+            60,
+            "source_selection_greedy: the bigint bitmask holds at most"
+            " 60 distinct sources",
         )
+    )
     bit = {s: i for i, s in enumerate(srcs)}
     mapping = spark.createDataFrame(
         [(s, 1 << bit[s]) for s in srcs], "source string, sbit bigint"
     )
-    census = (
+    census = _bounded_collect(
         docs.select("source", F.expr(X.tokens_spark("text")).alias("toks"))
         .filter(F.size("toks") >= _SSG_GRAM)
         .select(
@@ -3253,16 +3272,12 @@ def source_selection_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("gh")
         .agg(F.expr("bit_or(sbit)").alias("mask"))
         .groupBy("mask")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .limit(_SSG_CENSUS_CAP + 1)
-        .collect()
+        .agg(F.count(F.lit(1)).alias("n")),
+        _SSG_CENSUS_CAP,
+        "source_selection_greedy: source-bitmask pattern census"
+        " (column not dim-sized; use the segmented per-round"
+        " anti-join form)",
     )
-    if len(census) > _SSG_CENSUS_CAP:
-        raise ValueError(
-            f"source-bitmask census exceeds {_SSG_CENSUS_CAP} rows —"
-            " the source column is not dim-sized; use the segmented"
-            " per-round anti-join form instead"
-        )
     counts = {r["mask"]: r["n"] for r in census}
     total = sum(counts.values())
     chosen_mask = 0
@@ -3521,7 +3536,9 @@ def grid_density_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyprima_spark.operators.exactmath import min_label_components
 
-    crows = cells.collect()  # resolution-bounded cell census
+    crows = _bounded_collect(
+        cells, 40401, "grid_density_clusters: resolution-bounded cell census"
+    )  # ≤ 201×201 cells, the (cx+100)*1000+(cy+100) encoding capacity
     core = {
         (r["cx"], r["cy"]): (r["cell"], r["n_pts"])
         for r in crows
@@ -4156,7 +4173,10 @@ def curve_locality_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     cell_rows = [
-        (r["cx"], r["cy"]) for r in cells.collect()
+        (r["cx"], r["cy"])
+        for r in _bounded_collect(
+            cells, 65536, "curve_locality_compare: 256×256 grid census"
+        )
     ]  # grid-bounded census (<= 65536 cells)
 
     def _hilbert(cx: int, cy: int) -> int:
@@ -5864,7 +5884,12 @@ def hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    e_rows = [(r["src"], r["dst"]) for r in edges.collect()]  # dim-bounded
+    e_rows = [
+        (r["src"], r["dst"])
+        for r in _bounded_collect(
+            edges, 625, "hits_hubs_authorities: nation-pair edge census"
+        )
+    ]  # dim-bounded (≤ |nations|²)
     nodes = sorted({a for a, _ in e_rows} | {b for _, b in e_rows})
     h = {node: _HITS_SCALE for node in nodes}
 
@@ -9371,7 +9396,12 @@ def graph_robustness_attack(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    e_rows = [(r["a"], r["b"]) for r in edges.collect()]  # dim-bounded
+    e_rows = [
+        (r["a"], r["b"])
+        for r in _bounded_collect(
+            edges, 625, "graph_robustness_attack: nation-pair edge census"
+        )
+    ]  # dim-bounded (≤ |nations|²)
     deg: dict = {}
     for a, b in e_rows:
         deg[a] = deg.get(a, 0) + 1
@@ -10117,7 +10147,9 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for i, j in pairs
     ]
-    mrow = emb.agg(*aggs).collect()[0]  # ONE row of exact moments
+    mrow = _bounded_collect(
+        emb.agg(*aggs), 1, "pca_power_iteration: exact moment row"
+    )[0]  # ONE row of exact moments
     n = int(mrow["n"])
     s = [int(mrow[f"s{i}"]) for i in range(_COV_D)]
     cov: dict = {}
@@ -10142,7 +10174,9 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     num = sum(cv[i] * v[i] for i in range(_COV_D) if v[i] is not None)
     den = sum(v[i] * v[i] for i in range(_COV_D) if v[i] is not None)
-    lam = _tdiv(num, den)
+    # SQL `num div nullif(den, 0)`: a zero vector (all-None renorm) must
+    # publish NULL, not raise (ADVICE r9).
+    lam = _tdiv(num, den if den != 0 else None)
     out = [(i, v[i], lam) for i in range(_COV_D)]
     return spark.createDataFrame(
         out, schema="dim bigint, component_ppm bigint, lambda_q2 bigint"
@@ -10472,7 +10506,10 @@ def assignment_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     cells = {
-        (r["src"], r["dst"]): r["c_milli"] for r in cost.collect()
+        (r["src"], r["dst"]): r["c_milli"]
+        for r in _bounded_collect(
+            cost, 25, "assignment_exhaustive: region-pair cost census"
+        )
     }  # the 25-cell cost census — design-size, collected once
     # exhaustive optimum: permutations referencing a MISSING cell are
     # dropped (the inner-join semantics of the literal-table form);
@@ -10484,33 +10521,43 @@ def assignment_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
         total = sum(cells[(i, p[i])] for i in range(_ASSIGN_N))
         if best_total is None or (total, pid) < (best_total, best_pid):
             best_pid, best_total, best_perm = pid, total, p
+    cols = ", ".join(f"dst_for_src{i} bigint" for i in range(_ASSIGN_N))
+    schema = (
+        f"{cols}, optimal_cost_milli bigint,"
+        " greedy_cost_milli bigint, optimal_vs_greedy_bp bigint"
+    )
+    if best_perm is None:
+        # no feasible permutation — the literal-join oracle's CROSS JOIN
+        # against an empty `best` publishes zero rows, not an error
+        # (ADVICE r9).
+        return spark.createDataFrame([], schema=schema)
     # row-greedy baseline: source regions in order pick their cheapest
-    # unclaimed destination (min by (cost, dst) among unclaimed cells)
+    # unclaimed destination (min by (cost, dst) among unclaimed cells);
+    # a row with no unclaimed cell left is SKIPPED, mirroring the
+    # oracle's empty g{i} round contributing nothing to the sum
     taken: set = set()
     greedy_total = 0
     for i in range(_ASSIGN_N):
-        c, d = min(
+        cand = [
             (c, d) for (s, d), c in cells.items()
             if s == i and d not in taken
-        )
+        ]
+        if not cand:
+            continue
+        c, d = min(cand)
         taken.add(d)
         greedy_total += c
+    # `(10000*total) // nullif(greedy, 0)` — NULL, never a raise
+    bp = _tdiv(10000 * best_total, greedy_total if greedy_total else None)
     out = [tuple(
         [int(best_perm[i]) for i in range(_ASSIGN_N)]
         + [
             int(best_total),
             int(greedy_total),
-            int(_tdiv(10000 * best_total, greedy_total)),
+            int(bp) if bp is not None else None,
         ]
     )]
-    cols = ", ".join(f"dst_for_src{i} bigint" for i in range(_ASSIGN_N))
-    return spark.createDataFrame(
-        out,
-        schema=(
-            f"{cols}, optimal_cost_milli bigint,"
-            " greedy_cost_milli bigint, optimal_vs_greedy_bp bigint"
-        ),
-    )
+    return spark.createDataFrame(out, schema=schema)
 
 
 ROUND8_QUERIES["assignment_exhaustive"] = assignment_exhaustive
@@ -11417,7 +11464,9 @@ def bradley_terry_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("w_ij"),
         )
     )
-    pairs = games.collect()  # <= 25x24 brand pairs — dim-bounded census
+    pairs = _bounded_collect(
+        games, 600, "bradley_terry_strength: ordered brand-pair census"
+    )  # <= 25x24 brand pairs — dim-bounded census
     wins: dict = {}
     for r in pairs:
         wins[r["bi"]] = wins.get(r["bi"], 0) + r["w_ij"]
@@ -11436,7 +11485,16 @@ def bradley_terry_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in d
         }
         tot = sum(v for v in raw.values() if v is not None)
-        s = {b: _tdiv(_BT_SCALE * k * v, tot) for b, v in raw.items()}
+        # SQL semantics (ADVICE r9): raw[b] NULL propagates NULL, and a
+        # zero normalizer divides by nullif(tot, 0) — never raises.
+        s = {
+            b: (
+                _tdiv(_BT_SCALE * k * v, tot if tot != 0 else None)
+                if v is not None
+                else None
+            )
+            for b, v in raw.items()
+        }
     out = sorted(
         ((b, int(wins[b]), s[b]) for b in s),
         key=lambda t: (t[2] is None, -(t[2] or 0), t[0]),  # desc_nulls_last
@@ -11987,7 +12045,12 @@ def spectral_bisection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    e_rows = [(r["a"], r["b"]) for r in edges.collect()]  # dim-bounded
+    e_rows = [
+        (r["a"], r["b"])
+        for r in _bounded_collect(
+            edges, 625, "spectral_bisection: nation-pair edge census"
+        )
+    ]  # dim-bounded (≤ |nations|²)
     both = e_rows + [(b, a) for a, b in e_rows]
     deg: dict = {}
     for a, _b in both:
@@ -12335,7 +12398,9 @@ def voting_methods_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("disc_micro"),
         )
     )
-    rows = stats.collect()  # 25-brand census — design-size
+    rows = _bounded_collect(
+        stats, 25, "voting_methods_compare: brand census"
+    )  # 25-brand census — design-size
     k = _VOTE_TOPK
     by_rev = sorted(rows, key=lambda r: (-r["rev"], r["brand"]))
     top = by_rev[:k]

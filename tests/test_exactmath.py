@@ -148,3 +148,55 @@ def test_dec_avg_exact_agrees_at_half_ulp_ties(spark):
             f" / 10000.0 FROM (VALUES {lits}) t(x)"
         ).fetchone()[0]
         assert got_spark == got_duck == want, (vals, got_spark, got_duck)
+
+
+def test_bounded_collect_guard_and_audit(spark):
+    """VERDICT r9 item 5: the census-collect keys' dim-bounded
+    invariant is code, not a docstring. bounded_collect (a) returns
+    the rows when the census fits its cap, (b) raises ValueError —
+    after transferring at most cap+1 rows — when it does not, and
+    (c) records the pre-collect census DataFrame under census_audit()
+    so plan tools can walk the distributed stage the eager collect
+    otherwise hides (ADVICE r9)."""
+    import pytest
+
+    from pyprima_spark.operators.exactmath import (
+        bounded_collect,
+        census_audit,
+    )
+
+    small = spark.range(5)
+    assert len(bounded_collect(small, 5, "fits exactly")) == 5
+    with pytest.raises(ValueError, match="documented dimension bound"):
+        bounded_collect(spark.range(100), 5, "overflows")
+
+    with census_audit() as censuses:
+        rows = bounded_collect(small, 10, "recorded census")
+    assert len(rows) == 5
+    assert [what for what, _ in censuses] == ["recorded census"]
+    # the recorded object is the live pre-collect DataFrame — its plan
+    # (not the literal result) is what the audit walks
+    assert censuses[0][1] is small
+    # the sink is scoped: outside the block nothing is recorded
+    bounded_collect(small, 10, "unrecorded")
+    assert len(censuses) == 1
+
+
+def test_every_plans_collect_is_bounded():
+    """No bare .collect() may exist in pyprima_spark/plans/ — every
+    driver-side census must ride bounded_collect so the dim-bounded
+    invariant (SURVEY §7.24a) cannot silently erode as keys are
+    added."""
+    import glob
+    import re
+
+    offenders = []
+    for path in glob.glob("pyprima_spark/plans/*.py"):
+        src = open(path).read()
+        for m in re.finditer(r"\.collect\(\)", src):
+            line_no = src.count("\n", 0, m.start()) + 1
+            offenders.append(f"{path}:{line_no}")
+    assert not offenders, (
+        "bare .collect() in plans/ — use exactmath.bounded_collect: "
+        f"{offenders}"
+    )

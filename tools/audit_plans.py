@@ -378,22 +378,55 @@ def dataframe_violations(
 def shape_violations(spark, sf_dir: str, keys=None) -> list[str]:
     """Return ['key: problem', ...] for every catalog key whose plan
     has a scale-breaking shape (see dataframe_violations), honoring
-    the documented bounded-input allowlists."""
+    the documented bounded-input allowlists. The census-collect keys
+    (SURVEY §7.24a) execute their distributed census stage EAGERLY
+    inside the query function and return a literal DataFrame the walk
+    can't see through — census_audit() records each pre-collect census
+    DataFrame so its plan is walked too (ADVICE r9)."""
+    from pyprima_spark.operators.exactmath import census_audit
+
     problems: list[str] = []
     for name in sorted(keys or QUERIES):
         if name.startswith("streaming"):
             continue
-        df = QUERIES[name](spark, sf_dir)
-        for p in dataframe_violations(
-            df,
-            allow_global_window=name in GLOBAL_WINDOW_ALLOWED,
-            allow_bnlj=name in BNLJ_BOUNDED_ALLOWED,
-        ):
-            problems.append(f"{name}: {p}")
+        with census_audit() as censuses:
+            df = QUERIES[name](spark, sf_dir)
+        audited = [("", df)] + [
+            (f" [census: {what}]", cdf) for what, cdf in censuses
+        ]
+        for tag, adf in audited:
+            for p in dataframe_violations(
+                adf,
+                allow_global_window=name in GLOBAL_WINDOW_ALLOWED,
+                allow_bnlj=name in BNLJ_BOUNDED_ALLOWED,
+            ):
+                problems.append(f"{name}{tag}: {p}")
     return sorted(set(problems))
 
 
+def _plan_stats_line(name: str, plan: str) -> str:
+    pushed = len(re.findall(r"PushedFilters: \[[^\]]", plan))
+    exch = plan.count("Exchange")
+    bhj = plan.count("BroadcastHashJoin")
+    smj = plan.count("SortMergeJoin")
+    schemas = sorted(
+        {s[:70] for s in re.findall(r"ReadSchema: struct<([^>]*)>", plan)}
+    )
+    return (
+        f"{name:30s} pushed={pushed} exch={exch} bhj={bhj} smj={smj} "
+        f"reads={schemas}"
+    )
+
+
 def audit(sf_dir: str) -> None:
+    """Per-key plan census. Census-collect keys (SURVEY §7.24a) run
+    their distributed stage eagerly inside the query function; the
+    returned literal DataFrame reads nothing, so their rows would show
+    pushed=0 reads=[] and hide a scale regression in the census stage
+    (ADVICE r9). census_audit() captures each pre-collect census
+    DataFrame, printed as an indented `+ census` row under its key."""
+    from pyprima_spark.operators.exactmath import census_audit
+
     spark = build_session("plan_audit")
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
         "formatted"
@@ -402,21 +435,17 @@ def audit(sf_dir: str) -> None:
         if name.startswith("streaming"):
             continue
         try:
-            plan = fn(spark, sf_dir)._jdf.queryExecution().explainString(mode)
+            with census_audit() as censuses:
+                df = fn(spark, sf_dir)
+            plan = df._jdf.queryExecution().explainString(mode)
         except Exception as e:  # noqa: BLE001
             print(f"{name:30s} ERR {str(e)[:80]}")
             continue
-        pushed = len(re.findall(r"PushedFilters: \[[^\]]", plan))
-        exch = plan.count("Exchange")
-        bhj = plan.count("BroadcastHashJoin")
-        smj = plan.count("SortMergeJoin")
-        schemas = sorted(
-            {s[:70] for s in re.findall(r"ReadSchema: struct<([^>]*)>", plan)}
-        )
-        print(
-            f"{name:30s} pushed={pushed} exch={exch} bhj={bhj} smj={smj} "
-            f"reads={schemas}"
-        )
+        print(_plan_stats_line(name, plan))
+        for what, cdf in censuses:
+            cplan = cdf._jdf.queryExecution().explainString(mode)
+            label = what.split(":", 1)[-1].strip()[:24]
+            print(_plan_stats_line(f"  + census<{label}>", cplan))
     spark.stop()
 
 
