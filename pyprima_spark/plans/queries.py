@@ -2611,92 +2611,88 @@ def _register_rounds() -> None:
 
 _WINDOW_SIZE = 50
 
-# Round-9 window (VERDICT r8 items 1/2/5 / SURVEY §7.23): (1) the two
-# keys whose bodies changed late in round 8 AFTER their last driver row
-# (the shared single-shuffle gram-table rewrite — ngram_jaccard /
-# ngram_containment; the other two gram-family keys rode the r8
-# window); (2) the THREE new driver-gated keys — the round-8 format
-# legs (tfrecord_roundtrip, warc_roundtrip) and the end-to-end corpus
-# pipeline closure (corpus_pipeline_manifest) — the only catalog
-# additions this round, capped at 3 per the freeze amendment;
-# (3) the 5 r8-displaced tail keys, then never-driver-graded keys
-# oldest-first per the §7.23 list. The remaining 51 never-graded keys
-# (decision_stump_1r, ab_power_analysis, iv_wald_estimate join the
-# round-10 head, displaced by the three new keys) rotate in round 10.
+# Round-10 window (VERDICT r9 item 1 / SURVEY §7.24, as amended by
+# §7.24a): (1) the EIGHT keys whose bodies changed in round 9 after
+# their last driver row — the equal-area amendment, the ppjoin core
+# extraction, the four census-collect-then-iterate rewrites with prior
+# driver rows, and the dec_avg_exact half-ulp tie fix pair; (2) then 42
+# never-driver-graded keys oldest-first per the §7.24 list. The
+# remaining 9 never-graded keys (page_trend_test,
+# indirect_standardization, dissimilarity_index, local_morans_hotspots,
+# arc_elasticity, rescaled_range_census, allan_variance,
+# price_index_bias, birthday_collision_audit) finish in round 11.
 # Exact-size asserted below so a drive-by key insertion can't silently
 # evict a planned regrade.
-_R9_WINDOW = [
+_R10_WINDOW = [
     # (1) bodies changed since their last driver row
-    "ngram_jaccard",        # r8-late single-shuffle gram-table rewrite
-    "ngram_containment",    # same shared gram-table rewrite
-    # (2) new driver-gated keys (VERDICT r8 items 2 and 5)
-    "tfrecord_roundtrip",
-    "warc_roundtrip",
-    "corpus_pipeline_manifest",
-    # (3a) the five r8-displaced tail keys
-    "nearest_centroid_confusion",
-    "fd_discovery",
-    "prefix_cache_hits",
-    "ips_policy_eval",
-    "diff_in_diff",
-    # (3b) never-driver-graded, oldest-first (SURVEY §7.23 order)
-    "hashing_trick_collisions",
-    "doubly_robust_eval",
-    "qini_uplift",
-    "wasserstein_drift",
-    "poisson_bootstrap_ci",
-    "cuped_adjustment",
-    "postings_compression_estimate",
-    "source_selection_greedy",
-    "coverage_decay_curve",
-    "grid_density_clusters",
-    "simpson_paradox_audit",
-    "p99_attribution",
-    "aa_test_fpr",
-    "curve_locality_compare",
-    "isotonic_calibration",
-    "bh_fdr_control",
-    "shapley_attribution",
-    "average_precision_eval",
-    "consistent_hash_ring",
-    "brier_decomposition",
-    "rank_biased_overlap",
-    "importance_weight_ess",
-    "runs_test_residuals",
-    "hits_hubs_authorities",
-    "newsvendor_stock_level",
-    "regression_discontinuity",
-    "disparate_impact_audit",
-    "merkle_tree_diff",
-    "t_closeness_audit",
-    "rake_keywords",
-    "abc_xyz_inventory",
-    "mmr_diversification",
-    "query_expansion_prf",
-    "capture_recapture_dups",
-    "mann_kendall_trend",
-    "voptimal_histogram",
-    "burstiness_fano",
-    "youden_threshold",
-    "levene_variance_test",
-    "degree_assortativity",
+    "region_overlap_disaggregate",  # equal-area spherical weighting (r9)
+    "ppjoin_similarity",            # _ppjoin_over core extraction (r9)
+    "graph_modularity",             # census-collect rewrite (§7.24a)
+    "markov_attribution",           # census-collect rewrite (§7.24a)
+    "label_propagation",            # census-collect rewrite (§7.24a)
+    "weighted_shortest_path",       # census-collect rewrite (§7.24a)
+    "point_in_region",              # dec_avg_exact half-ulp tie fix
+    "point_in_region_grid",         # dec_avg_exact half-ulp tie fix
+    # (2) never-driver-graded, oldest-first (SURVEY §7.24 order)
+    "decision_stump_1r",
+    "ab_power_analysis",
+    "iv_wald_estimate",
+    "morans_i_autocorrelation",
+    "sax_motifs",
+    "haar_wavelet_topk",
+    "graph_robustness_attack",
+    "maxmin_fair_allocation",
+    "knapsack_density_bound",
+    "james_stein_shrinkage",
+    "empirical_bayes_rates",
+    "pca_power_iteration",
+    "drf_allocation",
+    "assignment_exhaustive",
+    "median_of_means",
+    "fagin_ta_depth",
+    "oaxaca_blinder_decomposition",
+    "ransac_consensus_fit",
+    "tail_dependence_lambda",
+    "survival_rmst",
+    "bradley_terry_strength",
+    "ratio_metric_variance",
+    "cluster_design_effect",
+    "ripley_k_function",
+    "spectral_bisection",
+    "seat_apportionment",
+    "voting_methods_compare",
+    "littles_law_audit",
+    "cell_suppression_audit",
+    "energy_distance_test",
+    "quantile_treatment_effect",
+    "positivity_overlap_audit",
+    "german_tank_estimate",
+    "chao1_richness",
+    "running_records_test",
+    "secretary_stopping_replay",
+    "kelly_fraction_sizing",
+    "hotelling_t2_test",
+    "mahalanobis_outlier_census",
+    "mcnemar_test",
+    "cochran_q_test",
+    "friedman_test",
 ]
 
 
 def _order_grading_window() -> None:
     """Rebuild QUERIES so the first ``_WINDOW_SIZE`` keys are exactly
-    ``_R9_WINDOW``. Everything else keeps its current relative order
+    ``_R10_WINDOW``. Everything else keeps its current relative order
     after the window. Asserts (rather than comments — see ADVICE r3 on
     the fragile round-3 splice) that the list is exactly window-sized
     and fully registered."""
-    missing = [k for k in _R9_WINDOW if k not in QUERIES]
+    missing = [k for k in _R10_WINDOW if k not in QUERIES]
     assert not missing, f"grading-window keys not registered: {missing}"
-    assert len(_R9_WINDOW) == _WINDOW_SIZE, (
-        f"window has {len(_R9_WINDOW)} keys; driver grades {_WINDOW_SIZE}"
+    assert len(_R10_WINDOW) == _WINDOW_SIZE, (
+        f"window has {len(_R10_WINDOW)} keys; driver grades {_WINDOW_SIZE}"
     )
     rest = dict(QUERIES)
     QUERIES.clear()
-    for key in _R9_WINDOW:
+    for key in _R10_WINDOW:
         QUERIES[key] = rest.pop(key)
     QUERIES.update(rest)
 

@@ -1089,7 +1089,9 @@ base_trans AS (
               WHEN nxt = 'purchase' THEN 'CONV' ELSE nxt END
   FROM paired WHERE src_t <> 'purchase'
 ),
-counts AS (SELECT src, dst, count(*) AS c FROM base_trans GROUP BY 1, 2),
+counts AS MATERIALIZED (
+  SELECT src, dst, count(*) AS c FROM base_trans GROUP BY 1, 2
+),
 scenarios AS (
   SELECT 'none' AS scenario UNION ALL
   SELECT ch FROM (VALUES {chans}) t(ch)
@@ -1106,7 +1108,7 @@ totals AS (
   SELECT scenario, src, CAST(sum(c) AS BIGINT) AS ct
   FROM redirected GROUP BY 1, 2
 ),
-strans AS (
+strans AS MATERIALIZED (
   SELECT scenario, src, dst, c, ct FROM redirected JOIN totals
     USING (scenario, src)
   UNION ALL

@@ -609,16 +609,16 @@ WITH RECURSIVE pairs AS (
   JOIN supplier ON l_suppkey = s_suppkey
   WHERE c_nationkey <> s_nationkey
 ),
-edges AS (
+edges AS MATERIALIZED (
   SELECT edge_a, edge_b, count(*) AS n_lines FROM pairs GROUP BY 1, 2
 ),
 tot AS (SELECT sum(n_lines) AS tot, count(*) AS ne FROM edges),
-sparse AS (
+sparse AS MATERIALIZED (
   SELECT edge_a, edge_b, greatest(1000000 // n_lines, 1) AS cost
   FROM edges CROSS JOIN tot
   WHERE n_lines * ne * 10 >= 11 * tot
 ),
-sym AS (
+sym AS MATERIALIZED (
   SELECT edge_a AS a, edge_b AS b, cost FROM sparse
   UNION ALL
   SELECT edge_b, edge_a, cost FROM sparse
