@@ -5365,12 +5365,22 @@ def similarity_band_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     once before the self-join); the census collapses pairs immediately
     to 10 buckets per source — the output is bounded regardless of
     pair count, and the cumulative window runs over that bounded
-    census.
+    census. Growth law (STRESS r10): the pair mass under the census is
+    Σ_gram df², so wall grows faster than rows wherever replication
+    thickens grams below the df cutoff — measured by the
+    band_census_pairs stress leg (tools/stress_probe.py).
     """
+    return _band_census_over(_t(spark, sf_dir, "documents"))
+
+
+def _band_census_over(raw_docs: DataFrame) -> DataFrame:
+    """The band-census core over an arbitrary documents frame
+    (doc_id, source, text) — extracted so the stress probe can drive
+    the identical plan at N× replication (the _ppjoin_over template)."""
     from pyprima_spark.operators.dedup import gram_set_sizes, ngram_gram_table
     from pyprima_spark.plans.constants import NGRAM_DF_MAX, NGRAM_LEN_BAND
 
-    docs = _t(spark, sf_dir, "documents").withColumn(
+    docs = raw_docs.withColumn(
         "len_band", F.floor(F.length("text") / NGRAM_LEN_BAND)
     )
     grams = ngram_gram_table(

@@ -964,9 +964,20 @@ def binary_hamming_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     over ONE scored pass (dot and hamming computed together);
     at 100 TB the same plan holds because the candidate side never
     shuffles and the per-query state is the top-k heap.  Hamming
-    ties are pinned by vec_id on both engines.
+    ties are pinned by vec_id on both engines. Growth law (STRESS
+    r10): scored-pair mass = |queries| × |corpus|; the mod-25 query
+    set grows WITH the corpus here, so N× replication measures ~N² —
+    the deployment contract is a FIXED query set, under which the
+    same plan is linear (hamming_recall stress leg,
+    tools/stress_probe.py).
     """
-    emb = _t(spark, sf_dir, "embeddings")
+    return _hamming_recall_over(_t(spark, sf_dir, "embeddings"))
+
+
+def _hamming_recall_over(emb: DataFrame) -> DataFrame:
+    """The 1-bit-code recall core over an arbitrary embeddings frame
+    (vec_id, embedding) — extracted so the stress probe can drive the
+    identical plan at N× replication (the _ppjoin_over template)."""
     base = emb.select(
         "vec_id",
         F.expr(

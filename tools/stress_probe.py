@@ -148,6 +148,20 @@ def probe_embeddings(spark, emb):
         "embedding_dedup_pairs",
         lambda: embedding_dedup(emb, tau=0.95).count(),
     )
+
+    def hamming_recall():
+        # VERDICT r9 item 4: the catalog's second-worst 10x scaler
+        # (10.7x). Structural growth law: scored-pair mass =
+        # |queries| x |corpus|, and the mod-25 query set grows WITH
+        # the replicated corpus, so the leg measures ~N^2 by
+        # construction; the deployment contract is a FIXED query set
+        # (linear). Recorded so the ratio is a measured, named law
+        # rather than an unexplained outlier.
+        from pyprima_spark.plans.round8 import _hamming_recall_over
+
+        return _hamming_recall_over(emb).count()
+
+    timed("hamming_recall", hamming_recall)
     return timings
 
 
@@ -227,6 +241,20 @@ def probe(spark, docs):
         return _ppjoin_over(toks).count()
 
     timed("ppjoin_shingle_join", ppjoin_shingles)
+
+    def band_census():
+        # VERDICT r9 item 4: the catalog's worst 10x scaler (13.0x).
+        # Structural growth law: pair mass under the decile census is
+        # sum over grams of df^2 within each (source, len-band) block;
+        # replication thickens every gram's df toward the cutoff, so
+        # wall grows ~quadratically in the sub-cutoff df range before
+        # the NGRAM_DF_MAX cap flattens it. Measured here so the law
+        # is named, not inferred.
+        from pyprima_spark.plans.round7 import _band_census_over
+
+        return _band_census_over(docs).count()
+
+    timed("band_census_pairs", band_census)
     timed(
         "ngram8_shingle_distinct",
         lambda: docs.select(
