@@ -280,11 +280,15 @@ pairs AS (
   JOIN supplier ON l_suppkey = s_suppkey
   WHERE c_nationkey <> s_nationkey
 ),
-edges AS (
+edges AS MATERIALIZED (
   SELECT edge_a, edge_b, count(*) AS n_lines, round(sum(CAST(rev AS DECIMAL(27,6))), 2)::DOUBLE AS cap
   FROM pairs GROUP BY 1, 2
 )
 """
+# MATERIALIZED: edges is a <=625-row nation-pair census over the
+# lineitem 4-way join; pagerank's unrolled rounds (and any other
+# multi-reference consumer) must not re-inline that join per
+# reference — the graph_modularity oracle lesson (SURVEY §6 r10 d).
 
 ORACLES["canonical_edges"] = f"""
 WITH {_EDGE_AGG_CTE}
@@ -1619,13 +1623,15 @@ _PR_ROUNDS = ",\n".join(_pr_round(f"pr_r{i}", f"pr_r{i + 1}") for i in range(3))
 # nodes and 1/N = 1/25 (asserted by the Spark side's nodes.count()).
 ORACLES["pagerank_nations"] = f"""
 WITH {_EDGE_AGG_CTE},
-pr_dir AS (
+pr_dir AS MATERIALIZED (
   SELECT edge_a AS src, edge_b AS dst FROM edges
   UNION ALL
   SELECT edge_b AS src, edge_a AS dst FROM edges
 ),
-pr_deg AS (SELECT src, count(*) AS outdeg FROM pr_dir GROUP BY 1),
-pr_nodes AS (SELECT DISTINCT src AS node FROM pr_dir),
+pr_deg AS MATERIALIZED (
+  SELECT src, count(*) AS outdeg FROM pr_dir GROUP BY 1
+),
+pr_nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM pr_dir),
 pr_r0 AS (SELECT node, {repr(1.0 / 25.0)}::DOUBLE AS rank FROM pr_nodes),
 {_PR_ROUNDS}
 SELECT node AS nationkey, round(rank, 8) AS rank
