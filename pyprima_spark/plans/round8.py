@@ -3307,6 +3307,13 @@ def source_selection_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             if m > best_m:
                 best_src, best_m = s, m
+        if best_src is None or best_m <= 0:
+            # oracle: a step with no uncovered-gram source groups no
+            # row (count(DISTINCT gh) >= 1 whenever a group exists),
+            # and every later step FROM-joins the empty step away —
+            # stop emitting instead of publishing zero-marginal rows
+            # (and, with no grams at all, dividing by a zero total).
+            break
         chosen_mask |= 1 << bit[best_src]
         cum += best_m
         rows.append((step, best_src, best_m, cum))
@@ -10162,6 +10169,15 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.agg(*aggs), 1, "pca_power_iteration: exact moment row"
     )[0]  # ONE row of exact moments
     n = int(mrow["n"])
+    if n == 0:
+        # SQL: every moment is NULL over an empty table, so the oracle's
+        # covariance, iterated vector and Rayleigh quotient all publish
+        # NULL — its v0 seed still emits one row per dimension. Mirror
+        # the 8 (dim, NULL, NULL) rows instead of int(None) raising.
+        return spark.createDataFrame(
+            [(i, None, None) for i in range(_COV_D)],
+            schema="dim bigint, component_ppm bigint, lambda_q2 bigint",
+        )
     s = [int(mrow[f"s{i}"]) for i in range(_COV_D)]
     cov: dict = {}
     for i, j in pairs:
@@ -11484,13 +11500,23 @@ def bradley_terry_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = len(wins)
     s = {b: _BT_SCALE for b in wins}
     for _ in range(_BT_ROUNDS):
-        d: dict = {}
+        # every bi with a games row groups in the oracle's d{r} (its
+        # joins against s{r} always match — NULL strengths are rows,
+        # not absences), so seed every group as a NULL sum and let
+        # non-NULL terms accumulate; a NULL term (NULL strength, or
+        # the si+sj=0 divide-by-zero the engines publish as NULL)
+        # drops from the sum without erasing the group.
+        d: dict = {b: None for b in s}
         for r in pairs:
             si, sj = s.get(r["bi"]), s.get(r["bj"])
-            if si is None or sj is None:  # inner-join / null-sum drop
+            if si is None or sj is None:  # null-sum term drop
                 continue
-            term = _tdiv(1000000 * r["n_ij"], si + sj)
-            d[r["bi"]] = d.get(r["bi"], 0) + term
+            term = _tdiv(
+                1000000 * r["n_ij"], (si + sj) if si + sj != 0 else None
+            )
+            if term is None:  # div-by-zero term is NULL, drops
+                continue
+            d[r["bi"]] = (d[r["bi"]] or 0) + term
         raw = {
             b: _tdiv(1000000000 * wins[b], d[b] if d[b] != 0 else None)
             for b in d

@@ -496,3 +496,134 @@ def test_source_selection_refuses_wide_catalog(spark, tmp_path):
 
     with pytest.raises(ValueError, match="60 distinct"):
         source_selection_greedy(spark, d)
+
+
+# --- SQL-edge parity: the engines must NULL/empty, never raise ---------
+#
+# The census-collect-then-iterate keys run their rounds in driver-side
+# Python, where a division the SQL engines publish as NULL (x div 0)
+# raises instead unless the call site guards it (the ADVICE r9 class).
+# Each test below builds the degenerate input that reaches such a site
+# and asserts the ENGINE vs the key's own ORACLE on that input — the
+# same gate the driver runs, on the edge the driver's data never hits.
+
+
+def test_pca_empty_embeddings_publishes_null_rows(spark, tmp_path):
+    """Empty embeddings: every moment is NULL, so the oracle's v0 seed
+    still emits one row per dimension with NULL component and NULL
+    Rayleigh quotient — the engine must mirror, not int(None)-crash."""
+    import os
+
+    from pyprima_spark.plans.round8 import ROUND8_ORACLES, pca_power_iteration
+    from tests.oracle_utils import assert_matches_oracle
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "empty_emb")
+    os.makedirs(d)
+    # single-FILE parquet, like the driver's testdata layout (a Spark
+    # directory write is unreadable to the oracle's read_parquet glob)
+    pq.write_table(
+        pa.table(
+            {"vec_id": [], "embedding": []},
+            schema=pa.schema(
+                [("vec_id", pa.int64()), ("embedding", pa.list_(pa.float32()))]
+            ),
+        ),
+        os.path.join(d, "embeddings.parquet"),
+    )
+    df = pca_power_iteration(spark, d)
+    assert_matches_oracle(df, ROUND8_ORACLES["pca_power_iteration"], d)
+
+
+def test_bradley_terry_zero_strength_pair_drops_term(spark, tmp_path):
+    """A zero-win brand (Y) and a brand whose tiny win ratio TRUNCATES
+    to strength 0 (X) share a game: round 2 then divides by si+sj = 0,
+    which the SQL engines publish as a NULL term that drops from the
+    d-sum — the engine must mirror, not ZeroDivisionError."""
+    import os
+
+    from pyprima_spark.plans.round8 import (
+        ROUND8_ORACLES,
+        bradley_terry_strength,
+    )
+    from tests.oracle_utils import assert_matches_oracle
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = []
+    # O1: X (disc .05) beats Y (disc .03) exactly once -> wins[X] = 1
+    rows += [(1, 1, 0.05), (1, 2, 0.03)]
+    # O2: Z crushes X 40x100 -> n_X grows to 4001, raw[X] truncates
+    rows += [(2, 1, 0.01)] * 40 + [(2, 3, 0.09)] * 100
+    # O3: Z crushes Y 40x100 -> wins[Y] = 0, strength 0 from round 1
+    rows += [(3, 2, 0.01)] * 40 + [(3, 3, 0.09)] * 100
+    d = str(tmp_path / "bt_zero")
+    os.makedirs(d)
+    pq.write_table(
+        pa.table({
+            "p_partkey": pa.array([1, 2, 3], pa.int64()),
+            "p_brand": ["BRAND#X", "BRAND#Y", "BRAND#Z"],
+        }),
+        os.path.join(d, "part.parquet"),
+    )
+    pq.write_table(
+        pa.table({
+            "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+            "l_partkey": pa.array([r[1] for r in rows], pa.int64()),
+            "l_discount": pa.array([r[2] for r in rows], pa.float64()),
+        }),
+        os.path.join(d, "lineitem.parquet"),
+    )
+    df = bradley_terry_strength(spark, d)
+    # round 1 truncates s[X] to 0 and s[Y] to 0; round 2's (X, Y) game
+    # is the si+sj = 0 division — reaching this line at all means the
+    # engine survived it; the oracle then pins the values.
+    assert_matches_oracle(df, ROUND8_ORACLES["bradley_terry_strength"], d)
+
+
+def test_source_selection_stops_at_exhausted_coverage(spark, tmp_path):
+    """Once no source holds an uncovered gram the oracle's step CTE is
+    empty and every later step joins away — the engine must stop
+    emitting (no zero-marginal rows), and with no grams at all it must
+    publish the oracle's empty result, not divide by a zero total."""
+    import os
+
+    from pyprima_spark.plans.round8 import (
+        ROUND8_ORACLES,
+        source_selection_greedy,
+    )
+    from tests.oracle_utils import assert_matches_oracle
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def _docs(path, triples):
+        os.makedirs(path)
+        pq.write_table(
+            pa.table({
+                "doc_id": pa.array([t[0] for t in triples], pa.int64()),
+                "source": [t[1] for t in triples],
+                "text": [t[2] for t in triples],
+            }),
+            os.path.join(path, "documents.parquet"),
+        )
+
+    sql = ROUND8_ORACLES["source_selection_greedy"]
+    long_text = " ".join(f"t{i}" for i in range(10))  # 3 distinct 8-grams
+    d1 = str(tmp_path / "ssg_covered")
+    _docs(d1, [
+        (1, "srcA", long_text),  # covers everything
+        (2, "srcB", long_text),  # subset (identical) grams
+        (3, "srcC", "too short"),  # no grams at all
+    ])
+    df = source_selection_greedy(spark, d1)
+    assert df.count() == 1  # step 1 only: steps 2/3 have no new grams
+    assert_matches_oracle(df, sql, d1)
+
+    d2 = str(tmp_path / "ssg_gramless")
+    _docs(d2, [(1, "srcA", "short"), (2, "srcB", "also short")])
+    df2 = source_selection_greedy(spark, d2)
+    assert_matches_oracle(df2, sql, d2)
