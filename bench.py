@@ -465,6 +465,30 @@ def main() -> None:
         names = [n for n in names if n in wanted]
         if not names:
             raise SystemExit(f"BENCH_KEYS matched no benched queries: {only}")
+    # Host-health calibration, recorded alongside the timings: three
+    # rounds of bench adjudication (r8 chunk_boundary_dups, the r9
+    # degraded-patch note, the r10 re-baseline attempt) showed this
+    # host intermittently running Spark-shaped 32-thread load ~2x slow
+    # while single-core CPU and raw I/O probe normal — hypervisor
+    # contention that uniformly inflates every absolute in a run.
+    # Embedding a fixed-work probe makes each artifact self-adjudicating:
+    # compare host_probe across two artifacts before comparing queries.
+    #   md5_512mb_sec  — single-thread CPU (hash 512 MiB; GIL released)
+    #   range_268m_x32_sec — constant 32-partition whole-stage-codegen
+    #     Spark job (sum over range 2^28), the load shape that degrades
+    import hashlib
+
+    t0 = time.perf_counter()
+    h = hashlib.md5()
+    chunk = b"x" * (1 << 20)
+    for _ in range(512):
+        h.update(chunk)
+    md5_sec = round(time.perf_counter() - t0, 4)
+    t0 = time.perf_counter()
+    spark.range(0, 1 << 28, 1, 32).selectExpr("sum(id * 3 + 1)").collect()
+    range_sec = round(time.perf_counter() - t0, 4)
+    probe = {"md5_512mb_sec": md5_sec, "range_268m_x32_sec": range_sec}
+
     # Warm the JVM + parquet footers once so timings measure the plans.
     QUERIES[names[0]](spark, sf_dir).count()
 
@@ -486,6 +510,7 @@ def main() -> None:
             "unit": "sec",
             "queries": timings,
             "sf": sf,
+            "host_probe": probe,
         }
     )
     print(line)
