@@ -105,14 +105,25 @@ def _obj_str(v) -> str:
 
 
 def check(key, qfn, sql, spark, sf_dir) -> tuple[bool, str]:
+    # Per-side wall time rides in the PASS line: the §6(d)
+    # inlined-recursive-CTE oracle pathology (>20 min DuckDB sides at
+    # sf0.1, values fine) was only found by manual timing — with
+    # s=/o= on every line, a `sort -t= -k3 -n` over a sweep log ranks
+    # oracle cost and the next pathological key surfaces by itself.
+    import time as _time
+
+    t0 = _time.perf_counter()
     try:
         got = canon(qfn(spark, sf_dir).toPandas())
     except Exception as ex:
         return False, f"SPARK ERR: {type(ex).__name__}: {str(ex).splitlines()[0][:200]}"
+    t_spark = _time.perf_counter() - t0
+    t0 = _time.perf_counter()
     try:
         want = canon(run_oracle(sql, sf_dir))
     except Exception as ex:
         return False, f"ORACLE ERR: {type(ex).__name__}: {str(ex).splitlines()[0][:200]}"
+    t_oracle = _time.perf_counter() - t0
     if list(got.columns) != list(want.columns):
         return False, f"COLS spark={list(got.columns)} oracle={list(want.columns)}"
     if len(got) != len(want):
@@ -126,7 +137,7 @@ def check(key, qfn, sql, spark, sf_dir) -> tuple[bool, str]:
                 f"spark={got[col].iloc[i]!r} oracle={want[col].iloc[i]!r} "
                 f"({int(neq.sum())}/{len(got)} rows differ)"
             )
-    return True, "ok"
+    return True, f"ok s={t_spark:.2f} o={t_oracle:.2f}"
 
 
 def main() -> int:
