@@ -1019,7 +1019,12 @@ WITH pairs AS (
   JOIN customer ON o_custkey = c_custkey
   JOIN supplier ON l_suppkey = s_suppkey
   WHERE c_nationkey <> s_nationkey
-), edges AS (
+), edges AS MATERIALIZED (
+  -- <=625-row nation-pair census; MATERIALIZED because DuckDB inlines
+  -- CTEs by default and this one is referenced from deg, both wedge
+  -- legs AND the EXISTS — each expansion re-runs the lineitem 4-way
+  -- join (the SURVEY #205 / section-6(d) pathology; measured 35+ min
+  -- vs 17 s at sf0.1)
   SELECT DISTINCT edge_a, edge_b FROM pairs
 ), deg AS (
   SELECT node, count(*) AS degree FROM (
@@ -2546,9 +2551,12 @@ WITH pairs AS (
   JOIN customer ON o_custkey = c_custkey
   JOIN supplier ON l_suppkey = s_suppkey
   WHERE c_nationkey <> s_nationkey
-), edges AS (
+), edges AS MATERIALIZED (
+  -- see graph_degree_triangles: multi-referenced edge census over the
+  -- lineitem 4-way join; inlined re-evaluation (3 adj refs x 2 edges
+  -- refs = 6 expansions) ran >8 min at sf0.1, materialized 0.5 s
   SELECT DISTINCT edge_a, edge_b FROM pairs
-), adj AS (
+), adj AS MATERIALIZED (
   SELECT edge_a AS node, edge_b AS nbr FROM edges
   UNION ALL
   SELECT edge_b, edge_a FROM edges

@@ -2837,7 +2837,10 @@ WITH RECURSIVE pairs AS (
   JOIN supplier ON l_suppkey = s_suppkey
   WHERE c_nationkey <> s_nationkey
 ),
-edges AS (
+edges AS MATERIALIZED (
+  -- nation-pair census; MATERIALIZED so the recursive walk below does
+  -- not re-inline the lineitem 4-way join per reach iteration (the
+  -- SURVEY #205 / section-6(d) pathology)
   SELECT edge_a, edge_b, count(*) AS n_lines FROM pairs GROUP BY 1, 2
 ),
 tot AS (SELECT sum(n_lines) AS tot, count(*) AS ne FROM edges),
@@ -2845,7 +2848,7 @@ sparse AS (
   SELECT edge_a, edge_b FROM edges CROSS JOIN tot
   WHERE n_lines * ne * 10 >= 11 * tot
 ),
-sym AS (
+sym AS MATERIALIZED (
   SELECT edge_a AS a, edge_b AS b FROM sparse
   UNION ALL
   SELECT edge_b, edge_a FROM sparse
