@@ -47,7 +47,11 @@ def connected_components(
     sym = edges.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
     ).union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-    sym = sym.repartition("a").persist()
+    # Partition the persisted edge table by the PROPAGATE-join key "b":
+    # every round's join probes b, so this is the layout the join
+    # reuses; keyed on "a" the edge table paid a fresh exchange per
+    # round (guide §2.4).
+    sym = sym.repartition("b").persist()
 
     labels = materialize(
         sym.select(F.col("a").alias("node"))

@@ -127,6 +127,11 @@ def minhash_candidate_pairs(
     localCheckpoint — the LOCAL-MODE stand-in, non-reliable under
     executor loss; pass a fault-tolerant directory to flip it to a
     reliable checkpoint for the cluster path (operators/checkpointing).
+    (An A/B against a lazy-persist boundary measured the eager
+    checkpoint FASTER end-to-end: the materialized LogicalRDD gives the
+    planner exact stats for the self-join, and the derivation job runs
+    once cleanly instead of under block-lock contention between the two
+    concurrent join-side stages.)
     """
     bands = materialize(
         minhash_band_table(df, id_col, text_col), checkpoint_dir

@@ -2401,9 +2401,17 @@ def pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal contribution sums; see operators/graph.py for the scale
     and determinism story.
     """
+    from pyprima_spark.operators.checkpointing import materialize
     from pyprima_spark.operators.graph import pagerank
 
-    edges = _edge_aggregate(spark, sf_dir).select("edge_a", "edge_b")
+    # Cache the dim-bounded (≤ |nations|²) edge census before the
+    # symmetrizing union references it twice: without the boundary each
+    # union branch re-runs the 4-way lineitem fact join (the only
+    # fact-sized stage in this key) — guide §2.4, remove duplicate
+    # subtree work, at every scale.
+    edges = materialize(
+        _edge_aggregate(spark, sf_dir).select("edge_a", "edge_b")
+    )
     directed = edges.union(
         edges.select(F.col("edge_b").alias("edge_a"), F.col("edge_a").alias("edge_b"))
     )

@@ -2800,10 +2800,21 @@ def trade_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_lines") * F.col("ne") * 10 >= 11 * F.col("tot"))
         .select("edge_a", "edge_b")
     )
-    sym = sparse.select(
-        F.col("edge_a").alias("a"), F.col("edge_b").alias("b")
-    ).unionByName(
-        sparse.select(F.col("edge_b").alias("a"), F.col("edge_a").alias("b"))
+    # Materialize the dim-bounded (≤ 2·|nations|²-row) symmetric edge
+    # table before the recursive walk: WITH RECURSIVE re-executes the
+    # referenced relation per iteration, so without the boundary every
+    # reach level re-runs the 4-way lineitem fact join + the threshold
+    # sparsify (the oracle marks its own sym CTE MATERIALIZED for the
+    # identical reason). Measured locally: 3.3 s → the recursion now
+    # joins a cached 32-row table per level.
+    from pyprima_spark.operators.checkpointing import materialize
+
+    sym = materialize(
+        sparse.select(
+            F.col("edge_a").alias("a"), F.col("edge_b").alias("b")
+        ).unionByName(
+            sparse.select(F.col("edge_b").alias("a"), F.col("edge_a").alias("b"))
+        )
     )
     sym.createOrReplaceTempView("_trade_edges")
     _t(spark, sf_dir, "nation").select(
@@ -3590,7 +3601,14 @@ def copurchase_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
-    cp = (
+    from pyprima_spark.operators.checkpointing import materialize
+
+    # Compute-once boundaries: cp feeds both the part-degree census and
+    # the kept projection, and kept feeds cust_deg + BOTH wedge-join
+    # sides — without the boundaries the lineitem⋈orders distinct
+    # pipeline re-runs up to four times (53 Exchanges in the executed
+    # plan at sf0.1; guide §2.4 duplicate-subtree removal, every scale).
+    cp = materialize(
         li.join(orders.select("o_orderkey", "o_custkey"),
                 li["l_orderkey"] == orders["o_orderkey"])
         .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
@@ -3608,7 +3626,9 @@ def copurchase_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("part")
     )
-    kept = cp.join(F.broadcast(kept_parts), "part").select("cust", "part")
+    kept = materialize(
+        cp.join(F.broadcast(kept_parts), "part").select("cust", "part")
+    )
     cust_deg = kept.groupBy("cust").agg(F.count(F.lit(1)).alias("deg"))
     # Anchor-scoped: neighbors are computed for a deterministic anchor
     # subset (id gate), not all customers — the production shape
