@@ -215,16 +215,30 @@ def ivf_centroids(
 ) -> DataFrame:
     """Deterministic coarse quantizer: the centroid set is the vectors
     at fixed ids (an oracle-replicable stand-in for a KMeans fit — the
-    rest of the IVF plan is identical either way)."""
+    rest of the IVF plan is identical either way).
+
+    The |centroid_ids| (a design constant — the codebook size) vectors
+    are fetched with ONE pushed-down id-IN scan and collected to a
+    literal DataFrame: every downstream consumer (codebook fold, probe
+    cross-join) then reads constant rows instead of re-running an
+    embeddings-table scan + broadcast join per reference. The driver
+    transfer is bounded by the codebook size, never data size
+    (bounded_collect contract). Values are bit-identical: collect
+    round-trips the exact doubles."""
+    from pyprima_spark.operators.exactmath import bounded_collect
+
     spark = emb.sparkSession
-    cells = spark.createDataFrame(
-        [(i, int(cid)) for i, cid in enumerate(centroid_ids)],
-        "cell int, cid bigint",
-    )
-    return (
+    cell_of = {int(cid): i for i, cid in enumerate(centroid_ids)}
+    rows = bounded_collect(
         with_double_vec(emb)
-        .join(F.broadcast(cells), F.col(id_col) == F.col("cid"))
-        .select("cell", F.col("vec").alias("centroid"))
+        .filter(F.col(id_col).isin([int(c) for c in centroid_ids]))
+        .select(F.col(id_col).alias("cid"), "vec"),
+        len(centroid_ids),
+        "ivf_centroids: codebook fetch",
+    )
+    return spark.createDataFrame(
+        [(cell_of[int(r["cid"])], list(r["vec"])) for r in rows],
+        "cell int, centroid array<double>",
     )
 
 

@@ -346,31 +346,44 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.expr(X.tokens_spark("text"))).alias("n_tok"),
     )
 
-    import pandas as pd
-
     budget = _PACK_BUDGET
 
-    def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        pdf = pdf.sort_values("doc_id")
+    def pack_partition(batches):
+        # ONE Python invocation per shuffle partition instead of one
+        # per (source, shard) group: groupBy().applyInPandas called the
+        # UDF ~|sources|·|shards| times (500 calls of ≤200 rows at
+        # sf0.1 — per-call overhead dominated the stage, guide §4.1);
+        # here the hash-repartition below co-locates every group's rows
+        # and the walk runs per group inside ONE pandas frame. Rows are
+        # 4 narrow columns, so holding a shuffle partition in pandas is
+        # the same memory shape applyInPandas already required per
+        # group, bounded by the partition size.
+        import pandas as pd
+
+        frames = [b for b in batches]
+        if not frames:
+            return
+        pdf = pd.concat(frames, ignore_index=True).sort_values(
+            ["source", "shard", "doc_id"]
+        )
         out = []
-        chunk, acc, ndocs = 0, 0, 0
-        source = pdf["source"].iloc[0]
-        shard = int(pdf["shard"].iloc[0])
-        for t in pdf["n_tok"]:
-            t = int(t)
-            if ndocs > 0 and acc + t > budget:
-                out.append((source, shard, chunk, ndocs, acc))
-                chunk, acc, ndocs = chunk + 1, 0, 0
-            acc += t
-            ndocs += 1
-        out.append((source, shard, chunk, ndocs, acc))
-        return pd.DataFrame(
+        for (source, shard), g in pdf.groupby(["source", "shard"], sort=False):
+            chunk, acc, ndocs = 0, 0, 0
+            for t in g["n_tok"]:
+                t = int(t)
+                if ndocs > 0 and acc + t > budget:
+                    out.append((source, int(shard), chunk, ndocs, acc))
+                    chunk, acc, ndocs = chunk + 1, 0, 0
+                acc += t
+                ndocs += 1
+            out.append((source, int(shard), chunk, ndocs, acc))
+        yield pd.DataFrame(
             out,
             columns=["source", "shard", "local_chunk", "n_docs", "total_tokens"],
         )
 
-    packed = with_tok.groupBy("source", "shard").applyInPandas(
-        pack,
+    packed = with_tok.repartition("source", "shard").mapInPandas(
+        pack_partition,
         "source string, shard long, local_chunk int, "
         "n_docs long, total_tokens long",
     )
@@ -3888,7 +3901,14 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyprima_spark.plans.queries import _edge_aggregate
 
-    edges = _edge_aggregate(spark, sf_dir).select("edge_a", "edge_b", "n_lines")
+    from pyprima_spark.operators.checkpointing import materialize
+
+    # Materialize the dim-bounded edge census once: tot and sparse
+    # both reference it, so without the boundary the 4-way lineitem
+    # fact join runs twice (guide §2.4 duplicate-subtree removal).
+    edges = materialize(
+        _edge_aggregate(spark, sf_dir).select("edge_a", "edge_b", "n_lines")
+    )
     tot = edges.agg(
         F.sum("n_lines").alias("tot"), F.count(F.lit(1)).alias("ne")
     )

@@ -1704,8 +1704,11 @@ def label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyprima_spark.plans.queries import _edge_aggregate
 
-    edges = _edge_aggregate(spark, sf_dir).select(
-        "edge_a", "edge_b", "n_lines"
+    # Materialize the dim-bounded edge census once: tot and sparse
+    # both reference it, so without the boundary the 4-way lineitem
+    # fact join runs twice (guide §2.4 duplicate-subtree removal).
+    edges = materialize(
+        _edge_aggregate(spark, sf_dir).select("edge_a", "edge_b", "n_lines")
     )
     tot = edges.agg(
         F.sum("n_lines").alias("tot"), F.count(F.lit(1)).alias("ne")
@@ -2511,7 +2514,11 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, "ok")
         .filter(F.col("pa") < F.col("pb"))
         .select("pa", "pb")
-        .distinct()
+        # DOULION gate BEFORE the distinct: the deterministic hash is a
+        # pure row predicate, so filter∘distinct = distinct∘filter, and
+        # the dedup shuffle now moves 1/Q of the pair rows (guide §2.3,
+        # shuffle fewer bytes — the pair table is this key's largest
+        # intermediate at every scale).
         .filter(
             F.expr(
                 X.hash64_spark(
@@ -2521,6 +2528,7 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             % _TRI_Q
             == 0
         )
+        .distinct()
     )
     edges = materialize(edges)
     deg = (

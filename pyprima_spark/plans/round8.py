@@ -551,7 +551,12 @@ def weighted_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyprima_spark.plans.queries import _edge_aggregate
 
-    edges = _edge_aggregate(spark, sf_dir).select("edge_a", "edge_b", "n_lines")
+    # Materialize the dim-bounded edge census once: tot and sparse
+    # both reference it, so without the boundary the 4-way lineitem
+    # fact join runs twice (guide §2.4 duplicate-subtree removal).
+    edges = materialize(
+        _edge_aggregate(spark, sf_dir).select("edge_a", "edge_b", "n_lines")
+    )
     tot = edges.agg(F.sum("n_lines").alias("tot"), F.count(F.lit(1)).alias("ne"))
     sparse = (
         edges.crossJoin(F.broadcast(tot))
@@ -5891,7 +5896,9 @@ def hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
     supp = _t(spark, sf_dir, "supplier")
-    edges = materialize(
+    # no materialize: the census feeds ONE bounded_collect (an eager
+    # checkpoint before a collect is a pure extra job)
+    edges = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(supp, li.l_suppkey == supp.s_suppkey)
@@ -7128,7 +7135,9 @@ def mmr_diversification(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"round(CASE WHEN na = 0D OR nb = 0D THEN 0D"
         f" ELSE ({pdot}) / (na * nb) END, 4)"
     )
-    sims = materialize(
+    # no materialize: sims feeds ONE bounded_collect below (an eager
+    # checkpoint before a collect is a pure extra job)
+    sims = (
         a.join(b, "query_id")
         .filter("ca != cb")
         .select(
@@ -7139,75 +7148,70 @@ def mmr_diversification(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     lam = _MMR_LAMBDA_TENTHS
-    w1 = Window.partitionBy("query_id").orderBy(
-        F.desc("rel_ppm"), F.asc("cand_id")
+    # Greedy selection runs DRIVER-SIDE on the collected censuses (the
+    # census-collect-then-iterate contract, SURVEY §7.24a): both tables
+    # are bounded by design constants (3×8 candidates, 3×8×7 sim rows),
+    # every compared quantity is an exact integer ppm, and the previous
+    # all-DataFrame unroll paid 8 materialization jobs + per-round
+    # joins on ≤24-row state (44 Spark jobs total for this key at any
+    # scale — pure scheduler overhead; profiled 1.7 s build at sf0.1).
+    cand_rows = _bounded_collect(
+        cands.select("query_id", "cand_id", "rel_ppm"),
+        _MMR_QUERIES * _MMR_CANDS,
+        "mmr_diversification: candidate census",
     )
-    sel = materialize(
-        cands.withColumn("rn", F.row_number().over(w1))
-        .filter("rn = 1")
-        .select(
-            "query_id",
-            "cand_id",
-            F.lit(1).alias("mmr_rank"),
-            "rel_ppm",
-            F.lit(0).cast("bigint").alias("redundancy_ppm"),
-        )
+    sim_rows = _bounded_collect(
+        sims,
+        _MMR_QUERIES * _MMR_CANDS * (_MMR_CANDS - 1),
+        "mmr_diversification: pairwise-sim census",
     )
-    for r in range(2, _MMR_SELECT + 1):
-        remaining = cands.join(
-            sel.select("query_id", "cand_id"), ["query_id", "cand_id"],
-            "left_anti",
-        ).select("query_id", "cand_id", "rel_ppm")
-        sel_ids = sel.select(
-            F.col("query_id").alias("sq"), F.col("cand_id").alias("sc")
+    by_q: dict = {}
+    for row in cand_rows:
+        by_q.setdefault(row["query_id"], []).append(
+            (int(row["cand_id"]), int(row["rel_ppm"]))
         )
-        sims_to_sel = (
-            sims.join(
-                sel_ids,
-                (sims.query_id == F.col("sq")) & (sims.cb == F.col("sc")),
-            )
-            .select(
-                F.col("query_id").alias("mq"),
-                F.col("ca").alias("mc"),
-                "sim_ppm",
-            )
+    sim: dict = {}
+    for row in sim_rows:
+        sim[(row["query_id"], int(row["ca"]), int(row["cb"]))] = int(
+            row["sim_ppm"]
         )
-        redund = (
-            remaining.join(
-                sims_to_sel,
-                (remaining.query_id == F.col("mq"))
-                & (remaining.cand_id == F.col("mc")),
-            )
-            .groupBy("query_id", "cand_id", "rel_ppm")
-            .agg(F.max("sim_ppm").alias("max_sim_ppm"))
-        )
-        wr = Window.partitionBy("query_id").orderBy(
-            F.desc("score_ppm"), F.asc("cand_id")
-        )
-        pick = materialize(
-            redund.withColumn(
-                "score_ppm",
-                F.expr(
-                    f"({lam} * rel_ppm - {10 - lam} * max_sim_ppm) div 10"
-                ),
-            )
-            .withColumn("rn", F.row_number().over(wr))
-            .filter("rn = 1")
-            .select(
-                "query_id",
-                "cand_id",
-                F.lit(r).alias("mmr_rank"),
-                "rel_ppm",
-                F.col("max_sim_ppm").alias("redundancy_ppm"),
-            )
-        )
-        sel = materialize(sel.unionByName(pick))
-    return sel.select(
-        F.col("query_id").cast("bigint").alias("query_id"),
-        F.col("mmr_rank").cast("bigint").alias("mmr_rank"),
-        F.col("cand_id").cast("bigint").alias("cand_id"),
-        F.col("rel_ppm").cast("bigint").alias("rel_ppm"),
-        F.col("redundancy_ppm").cast("bigint").alias("redundancy_ppm"),
+    out = []
+    for qid in by_q:
+        cl = by_q[qid]
+        # rank 1: pure relevance, ties to the lowest cand_id (the w1
+        # row_number ordering), redundancy pinned 0
+        first = min(cl, key=lambda t: (-t[1], t[0]))
+        chosen = [first[0]]
+        out.append((int(qid), 1, first[0], first[1], 0))
+        for r in range(2, _MMR_SELECT + 1):
+            best = None
+            for cid, rel in cl:
+                if cid in chosen:
+                    continue
+                mx = max(
+                    (
+                        sim[(qid, cid, sc)]
+                        for sc in chosen
+                        if (qid, cid, sc) in sim
+                    ),
+                    default=None,
+                )
+                if mx is None:
+                    # inner-join semantics: a candidate with no sim row
+                    # to any selected item never reaches the argmax
+                    continue
+                score = _tdiv(lam * rel - (10 - lam) * mx, 10)
+                key = (-score, cid)
+                if best is None or key < best[0]:
+                    best = (key, cid, rel, mx)
+            if best is None:
+                break
+            chosen.append(best[1])
+            out.append((int(qid), r, best[1], best[2], best[3]))
+    return spark.createDataFrame(
+        out,
+        schema="query_id bigint, mmr_rank bigint, cand_id bigint,"
+        " rel_ppm bigint, redundancy_ppm bigint",
     ).orderBy("query_id", "mmr_rank")
 
 
@@ -9403,7 +9407,9 @@ def graph_robustness_attack(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
     supp = _t(spark, sf_dir, "supplier")
-    edges = materialize(
+    # no materialize: the census feeds ONE bounded_collect (an eager
+    # checkpoint before a collect is a pure extra job)
+    edges = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(supp, li.l_suppkey == supp.s_suppkey)
@@ -10519,7 +10525,9 @@ def assignment_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").alias("l_orderkey"),
         F.col("o_custkey").alias("cust"),
     )
-    cost = materialize(
+    # no materialize: the census feeds ONE bounded_collect (an eager
+    # checkpoint before a collect is a pure extra job)
+    cost = (
         li.join(F.broadcast(supp), "l_suppkey")
         .join(orders, "l_orderkey")
         .join(cust_region, "cust")
@@ -11472,7 +11480,9 @@ def bradley_terry_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("disc").alias("disc2"),
         F.col("mult").alias("mult2"),
     )
-    games = materialize(
+    # no materialize: the census feeds ONE bounded_collect (an eager
+    # checkpoint before a collect is a pure extra job)
+    games = (
         lines.join(
             other,
             (F.col("l_orderkey") == F.col("ok2"))
@@ -12071,7 +12081,9 @@ def spectral_bisection(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
     supp = _t(spark, sf_dir, "supplier")
-    edges = materialize(
+    # no materialize: the census feeds ONE bounded_collect (an eager
+    # checkpoint before a collect is a pure extra job)
+    edges = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(supp, li.l_suppkey == supp.s_suppkey)
@@ -12420,7 +12432,9 @@ def voting_methods_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = _t(spark, sf_dir, "part").select(
         F.col("p_partkey").alias("l_partkey"), F.col("p_brand").alias("brand")
     )
-    stats = materialize(
+    # no materialize: the census feeds ONE bounded_collect (an eager
+    # checkpoint before a collect is a pure extra job)
+    stats = (
         li.join(F.broadcast(part), "l_partkey")
         .groupBy("brand")
         .agg(
