@@ -53,12 +53,29 @@ def connected_components(
     # round (guide §2.4).
     sym = sym.repartition("b").persist()
 
+    # Convergence is tracked by the EXACT decimal sum of all labels
+    # instead of a per-round new-vs-old join: hash-min labels are
+    # monotonically non-increasing (new = min(old, incoming)), so the
+    # sum is strictly decreasing until the fixpoint and equal exactly
+    # at it. Each round is then ONE action — the sum is the action that
+    # materializes that round's lazy checkpoint — where the former
+    # changed-check was a second job carrying a two-sided label join
+    # (guide §2.4: one exchange pair per round removed, every scale).
+    # decimal(38,0) keeps the comparison exact: labels are <= 2^60 and
+    # a corpus of 10^12 nodes sums below 10^31 < 10^38.
+    def _total(df: DataFrame):
+        return df.agg(
+            F.sum(F.col("label").cast("decimal(38,0)"))
+        ).collect()[0][0]
+
     labels = materialize(
         sym.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("label", F.col("node")),
         checkpoint_dir,
+        eager=False,
     )
+    total = _total(labels)
 
     for _ in range(max_iter):
         # neighbor's current label, pulled across each edge
@@ -71,17 +88,13 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("label").alias("label")),
             checkpoint_dir,
+            eager=False,
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
+        new_total = _total(new_labels)
         labels = new_labels
-        if changed == 0:
+        if new_total == total:
             break
+        total = new_total
 
     sym.unpersist()
     return labels.select("node", F.col("label").alias("component"))

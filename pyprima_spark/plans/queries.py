@@ -757,7 +757,11 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
     # Set sizes ride on the (tiny) per-doc count, joined onto the
     # aggregated pairs — not window-attached to every gram row, which
-    # would sort-shuffle the full gram table once more.
+    # would sort-shuffle the full gram table once more. (The size
+    # subtree feeds both pair-side joins and does evaluate twice; an
+    # r10 A/B of a persist/checkpoint boundary here measured the
+    # barrier slightly SLOWER than the duplicate aggregate over the
+    # already-checkpointed gram blocks, so the duplication stays.)
     sizes = gram_set_sizes(grams)
     a = grams.select(F.col("doc").alias("doc_a"), "source", "len_band", "gram")
     b = grams.select(F.col("doc").alias("doc_b"), "source", "len_band", "gram")

@@ -5426,20 +5426,23 @@ def _band_census_over(raw_docs: DataFrame) -> DataFrame:
     census = pairs.groupBy("source", "band").agg(
         F.count(F.lit(1)).alias("n_pairs")
     )
-    w = Window.partitionBy("source").orderBy(F.desc("band")).rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    tot = census.groupBy("source").agg(F.sum("n_pairs").alias("src_pairs"))
+    # The per-source total rides as a whole-partition window sum over
+    # the SAME partitioning the cumulative window already establishes —
+    # the former separate groupBy + re-join added an aggregate and a
+    # join exchange to re-derive a value the window partition already
+    # holds (guide §2.4: window keyed like the preceding aggregation
+    # needs no second shuffle). Integer div on the same exact operands,
+    # so the published basis points are unchanged.
     return (
-        census.join(tot, "source")
-        .select(
+        census.select(
             "source",
             "band",
             "n_pairs",
             F.expr(
                 "(10000 * sum(n_pairs) over (partition by source"
                 " order by band desc rows between unbounded preceding"
-                " and current row)) div src_pairs"
+                " and current row)) div (sum(n_pairs) over"
+                " (partition by source))"
             ).alias("cum_ge_bp"),
         )
         .orderBy("source", F.desc("band"))
