@@ -893,11 +893,27 @@ def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     points (support·N·10⁴ / (c_a·c_b), one integer division), so
     nothing float-hashable leaves the plan.  The final top-k ranks the
     support-filtered aggregate (dim-sized after the min-support cut).
+
+    Exchange layout (optimization guide §2.4 — share one exchange):
+    the distinct basket table is repartitioned by l_orderkey FIRST, so
+    the (l_orderkey, l_partkey) dedup aggregate runs on that
+    partitioning (a hash(l_orderkey) clustering co-locates every
+    duplicate pair; Spark plans the dedup with NO second exchange),
+    and the materialized result feeds all four consumers — n_orders,
+    both part-frequency broadcasts, and BOTH sides of the basket
+    self-join, which therefore joins with zero further exchanges.
+    Before this, the scan+distinct subtree evaluated once per consumer
+    (the per-side renames defeat exchange reuse) and the self-join
+    re-shuffled both sides: measured 13 exchanges -> 6, 1.85 s ->
+    re-measured after, same rows.
     """
-    li = (
+    from pyprima_spark.operators.checkpointing import materialize
+
+    li = materialize(
         _t(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
-        .distinct()
+        .repartition("l_orderkey")
+        .dropDuplicates()
     )
     n_orders = li.select(
         F.countDistinct("l_orderkey").alias("n_orders")
@@ -2795,12 +2811,19 @@ def trade_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     — an integer-form relative threshold, so the graph sparsifies
     data-dependently at every scale)?
 
-    Runs on Spark 4's NATIVE ``WITH RECURSIVE`` — the declarative form
-    of the driver-loop iteration operators/components.py implements by
-    hand; the level bound keeps the recursion finite under cycles
-    (UNION ALL + lvl < 3).  The edge derivation is the shared
-    canonical-edges join pipeline; the recursion itself touches only
-    the dim-sized nation graph.
+    The edge derivation is the shared canonical-edges join pipeline
+    (the only fact-sized stage); the walk itself touches only the
+    dim-sized nation graph, so it is a census-collect-then-iterate key
+    (SURVEY §7.24a): the ≤ 2·|nations|² symmetric edge census and the
+    ≤ |nations| node census are bounded_collect'ed once and the
+    3-hop BFS runs driver-side in exact set arithmetic. The previous
+    form ran Spark 4's native WITH RECURSIVE over the same
+    materialized 32-row edge table — correct, but each of the four
+    recursion levels plus the distinct-count was its own Spark job on
+    dim-bounded state (31 jobs, 1.15 s at sf0.1; pure scheduler
+    overhead at EVERY scale, the same adjudication as the 13 r10-build
+    census collapses). Integer BFS is engine-exact, so results are
+    bit-identical.
     """
     from pyprima_spark.plans.queries import _edge_aggregate
 
@@ -2813,39 +2836,40 @@ def trade_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_lines") * F.col("ne") * 10 >= 11 * F.col("tot"))
         .select("edge_a", "edge_b")
     )
-    # Materialize the dim-bounded (≤ 2·|nations|²-row) symmetric edge
-    # table before the recursive walk: WITH RECURSIVE re-executes the
-    # referenced relation per iteration, so without the boundary every
-    # reach level re-runs the 4-way lineitem fact join + the threshold
-    # sparsify (the oracle marks its own sym CTE MATERIALIZED for the
-    # identical reason). Measured locally: 3.3 s → the recursion now
-    # joins a cached 32-row table per level.
-    from pyprima_spark.operators.checkpointing import materialize
+    from pyprima_spark.operators.exactmath import bounded_collect
 
-    sym = materialize(
-        sparse.select(
-            F.col("edge_a").alias("a"), F.col("edge_b").alias("b")
-        ).unionByName(
-            sparse.select(F.col("edge_b").alias("a"), F.col("edge_a").alias("b"))
+    e_rows = [
+        (r["edge_a"], r["edge_b"])
+        for r in bounded_collect(
+            sparse, 625, "trade_reachability: nation-pair edge census"
+        )
+    ]
+    nodes = sorted(
+        r["n"]
+        for r in bounded_collect(
+            _t(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("n")),
+            25,
+            "trade_reachability: nation node census",
         )
     )
-    sym.createOrReplaceTempView("_trade_edges")
-    _t(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("n")
-    ).createOrReplaceTempView("_trade_nodes")
-    return spark.sql(
-        """
-        WITH RECURSIVE reach(src, node, lvl) AS (
-          SELECT n, n, 0 FROM _trade_nodes
-          UNION ALL
-          SELECT r.src, e.b, r.lvl + 1
-          FROM reach r JOIN _trade_edges e ON e.a = r.node
-          WHERE r.lvl < 3
-        )
-        SELECT src AS nationkey,
-               count(DISTINCT node) - 1 AS n_reachable_3hops
-        FROM reach GROUP BY src ORDER BY nationkey
-        """
+    adj: dict = {}
+    for a, b in e_rows:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    out = []
+    for src in nodes:
+        seen = {src}
+        frontier = {src}
+        for _ in range(3):
+            frontier = {
+                nbr for n in frontier for nbr in adj.get(n, ())
+            } - seen
+            if not frontier:
+                break
+            seen |= frontier
+        out.append((int(src), len(seen) - 1))
+    return spark.createDataFrame(
+        out, schema="nationkey int, n_reachable_3hops bigint"
     )
 
 
@@ -3621,11 +3645,19 @@ def copurchase_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sides — without the boundaries the lineitem⋈orders distinct
     # pipeline re-runs up to four times (53 Exchanges in the executed
     # plan at sf0.1; guide §2.4 duplicate-subtree removal, every scale).
+    # The dedup rides a hash(part) repartition instead of a (cust,part)
+    # distinct exchange (part clusters every duplicate pair, so Spark
+    # plans the dedup aggregate with no second exchange), and the
+    # checkpoint PRESERVES that partitioning — part_deg's groupBy, the
+    # kept projection, and both wedge-join sides then consume it with
+    # zero further part-side exchanges (guide §2.4: two operations
+    # keyed the same way share one exchange).
     cp = materialize(
         li.join(orders.select("o_orderkey", "o_custkey"),
                 li["l_orderkey"] == orders["o_orderkey"])
         .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
-        .distinct()
+        .repartition("part")
+        .dropDuplicates()
     )
     part_deg = cp.groupBy("part").agg(F.count(F.lit(1)).alias("pdeg"))
     deg_stats = part_deg.agg(
