@@ -1215,7 +1215,11 @@ def incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         )
     )
-    fp = docs.select("doc_id", F.md5(norm).alias("fingerprint"))
+    # Materialized ONCE: both anti-join sides derive from fp, so the
+    # two-regex normalize + md5 pass otherwise runs twice (guide §2.4).
+    from pyprima_spark.operators.checkpointing import materialize
+
+    fp = materialize(docs.select("doc_id", F.md5(norm).alias("fingerprint")))
     seen = fp.filter(F.col("doc_id") % 3 == 0).select("fingerprint")
     incoming = fp.filter(F.col("doc_id") % 3 != 0)
     return incoming.join(seen, "fingerprint", "left_anti").select(
@@ -1241,7 +1245,15 @@ def incremental_new_docs_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         )
     )
-    fp = docs.select("doc_id", F.md5(norm).alias("fingerprint"))
+    # Materialized ONCE: fp feeds the Bloom build, the probe side
+    # (evaluated twice through `tagged`), and the exact anti-join's
+    # seen side — without the boundary the two-regex normalize + md5
+    # pass re-runs once per consumer (~4x; guide §2.4, measured 17
+    # Exchanges). The checkpoint is the (doc_id, fingerprint) index an
+    # incremental ingest persists anyway.
+    from pyprima_spark.operators.checkpointing import materialize
+
+    fp = materialize(docs.select("doc_id", F.md5(norm).alias("fingerprint")))
     seen = fp.filter(F.col("doc_id") % 3 == 0).select("fingerprint")
     incoming = fp.filter(F.col("doc_id") % 3 != 0)
 

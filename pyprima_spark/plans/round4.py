@@ -529,11 +529,18 @@ def bm25_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-dependent; token_entropy precedent).
     """
     from pyprima_spark.functions.text import tokens_spark
+    from pyprima_spark.operators.checkpointing import materialize
 
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", F.expr(tokens_spark("text")).alias("toks")
     )
-    lens = docs.select("doc_id", F.size("toks").alias("dl"))
+    # The doc-length table feeds THREE consumers (the corpus stats, and
+    # the scored join below) — without a boundary each consumer re-runs
+    # the corpus tokenize (guide §2.4 duplicate-subtree removal). The
+    # materialized form is 2 ints per doc — the narrow side table every
+    # BM25 index persists anyway; the tf explode below is the only
+    # other tokenize pass left.
+    lens = materialize(docs.select("doc_id", F.size("toks").alias("dl")))
     stats = lens.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_dl")
     )

@@ -1659,11 +1659,22 @@ def chunk_boundary_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(X.tokens_spark("text")).alias("t"),
     ).filter(F.size("t") >= 4)
     key = lambda e: F.expr(X.hash64_spark(e))  # noqa: E731
-    b = b.select(
-        "doc_id",
-        "source",
-        key("element_at(t, 1) || ' ' || element_at(t, 2)").alias("head_h"),
-        key("element_at(t, -2) || ' ' || element_at(t, -1)").alias("tail_h"),
+    # Materialized ONCE: the boundary-key table feeds six consumers
+    # (both df censuses, both gated projections, and through them the
+    # pair join) — without the boundary each consumer re-runs the
+    # corpus tokenize + two md5s per doc (guide §2.4 duplicate-subtree
+    # removal; measured 17 Exchanges in the executed plan). The
+    # materialized form is (doc_id, source, 2 longs) — the boundary-key
+    # side table a stitching pipeline persists anyway.
+    from pyprima_spark.operators.checkpointing import materialize
+
+    b = materialize(
+        b.select(
+            "doc_id",
+            "source",
+            key("element_at(t, 1) || ' ' || element_at(t, 2)").alias("head_h"),
+            key("element_at(t, -2) || ' ' || element_at(t, -1)").alias("tail_h"),
+        )
     )
     head_df = b.groupBy("head_h").agg(F.count(F.lit(1)).alias("hd"))
     tail_df = b.groupBy("tail_h").agg(F.count(F.lit(1)).alias("td"))

@@ -2507,7 +2507,17 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioned equi-joins; the brand rollup joins the part dim.
     """
     li = _t(spark, sf_dir, "lineitem")
-    lp = li.select("l_orderkey", "l_partkey").distinct()
+    # Order-key-partitioned dedup, materialized ONCE (guide §2.4, the
+    # market_basket_pairs layout): hash(l_orderkey) clusters every
+    # duplicate (order, part) row, so the dedup aggregate plans with no
+    # second exchange, and BOTH pair-expansion sides below consume the
+    # checkpoint partitioning — previously the scan+distinct subtree
+    # evaluated once per side and the self-join re-shuffled both.
+    lp = materialize(
+        li.select("l_orderkey", "l_partkey")
+        .repartition("l_orderkey")
+        .dropDuplicates()
+    )
     a = lp.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
     b = lp.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
     edges = (
@@ -2549,7 +2559,10 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.col("pa")).alias("dst"),
         )
     )
-    oriented = materialize(oriented)
+    # Root-keyed boundary: the wedge self-join probes src on BOTH
+    # sides, so materializing under hash(src) lets it run exchange-free
+    # (the checkpoint preserves partitioning; guide §2.4).
+    oriented = materialize(oriented.repartition("src"))
     w1 = oriented.select("src", F.col("dst").alias("v1"))
     w2 = oriented.select("src", F.col("dst").alias("v2"))
     wedges = w1.join(w2, "src").filter(F.col("v1") < F.col("v2"))

@@ -1278,7 +1278,14 @@ def dup_span_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") <= _DSC_DF_CUT)
         .select("gh")
     )
-    g = grams.join(rare, "gh", "left_semi")
+    # The df-cut gram table feeds BOTH self-join sides: materialize it
+    # once under hash(gh) — the join key — so the positional self-join
+    # runs with zero further exchanges and the semi-join evaluates once
+    # instead of per side (guide §2.4). Keying by gh is skew-safe HERE
+    # because the df cutoff (<= 8 docs per gram) has already run; the
+    # raw gram table above stays scan-partitioned for exactly that
+    # reason.
+    g = materialize(grams.join(rare, "gh", "left_semi").repartition("gh"))
     a = g.select(
         F.col("gh"),
         F.col("doc_id").alias("doc_a"),
