@@ -44,9 +44,21 @@ def connected_components(
     every round's boundary to a reliable checkpoint so a long-running
     cluster job survives executor loss (operators/checkpointing).
     """
+    # Symmetrize with ONE explode instead of a self-union: the two
+    # union branches are distinct subtrees (the column swap defeats
+    # exchange reuse), so the caller's whole candidate-pair pipeline —
+    # an LSH band join + distinct for every dedup caller — evaluated
+    # TWICE just to emit each edge in both directions (guide §2.4:
+    # remove duplicate subtree work). The explode emits both directions
+    # from one evaluation, at every scale.
     sym = edges.select(
-        F.col(src).alias("a"), F.col(dst).alias("b")
-    ).union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        F.explode(
+            F.array(
+                F.struct(F.col(src).alias("a"), F.col(dst).alias("b")),
+                F.struct(F.col(dst).alias("a"), F.col(src).alias("b")),
+            )
+        ).alias("e")
+    ).select("e.a", "e.b")
     # Partition the persisted edge table by the PROPAGATE-join key "b":
     # every round's join probes b, so this is the layout the join
     # reuses; keyed on "a" the edge table paid a fresh exchange per
@@ -68,10 +80,21 @@ def connected_components(
             F.sum(F.col("label").cast("decimal(38,0)"))
         ).collect()[0][0]
 
+    # Init FUSED with round 1: label_0(v) = min(v, min neighbor) — the
+    # same aggregate shape (and the same one exchange on "a") the old
+    # identity init paid for its distinct, but one propagation round
+    # ahead. Hash-min converges to the identical fixpoint from any
+    # start >= it, and round 1 always strictly decreases from the
+    # identity start (every edge (a<b) lowers b), so this removes one
+    # guaranteed-change round — a full join+agg+action per call, at
+    # every scale.
     labels = materialize(
-        sym.select(F.col("a").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node")),
+        sym.groupBy("a")
+        .agg(F.min("b").alias("_mb"))
+        .select(
+            F.col("a").alias("node"),
+            F.least(F.col("_mb"), F.col("a")).alias("label"),
+        ),
         checkpoint_dir,
         eager=False,
     )

@@ -2417,23 +2417,60 @@ def pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal contribution sums; see operators/graph.py for the scale
     and determinism story.
     """
-    from pyprima_spark.operators.checkpointing import materialize
-    from pyprima_spark.operators.graph import pagerank
+    from decimal import ROUND_HALF_UP, Decimal
 
-    # Cache the dim-bounded (≤ |nations|²) edge census before the
-    # symmetrizing union references it twice: without the boundary each
-    # union branch re-runs the 4-way lineitem fact join (the only
-    # fact-sized stage in this key) — guide §2.4, remove duplicate
-    # subtree work, at every scale.
-    edges = materialize(
-        _edge_aggregate(spark, sf_dir).select("edge_a", "edge_b")
+    from pyprima_spark.operators.exactmath import bounded_collect
+
+    # The graph is the DIM-BOUNDED nation-pair census (≤ |nations|² =
+    # 625 rows): the fact-sized stage (the 4-way lineitem join inside
+    # _edge_aggregate) stays distributed, and the 3 synchronous rounds
+    # run driver-side on the collected census — the same
+    # census-collect-then-iterate adjudication as the other 13 keys
+    # (SURVEY §7.24a): the former operators/graph.py loop ran ~8 Spark
+    # jobs of join+agg on ≤ 50-row state per call (32 jobs total at
+    # sf0.1; pure scheduler overhead at EVERY scale).  Arithmetic is
+    # replicated bit-for-bit: per-edge contribution = the double
+    # rank/outdeg cast to DECIMAL(18,12) (Spark casts via the shortest
+    # decimal repr — Python's repr() is the same shortest-roundtrip
+    # string — then HALF_UP at scale 12), contributions sum exactly in
+    # Decimal, and the update is the identical IEEE-double
+    # base + 0.85 * double(csum). The final round(rank, 8) stays IN
+    # SPARK over the literal frame so the published rounding is the
+    # engine's own.
+    e_rows = bounded_collect(
+        _edge_aggregate(spark, sf_dir).select("edge_a", "edge_b"),
+        625,
+        "pagerank_nations: nation-pair edge census",
     )
-    directed = edges.union(
-        edges.select(F.col("edge_b").alias("edge_a"), F.col("edge_a").alias("edge_b"))
+    out_nbrs: dict[int, list[int]] = {}
+    for r in e_rows:
+        a, b = r["edge_a"], r["edge_b"]
+        out_nbrs.setdefault(a, []).append(b)
+        out_nbrs.setdefault(b, []).append(a)
+    nodes = sorted(out_nbrs)
+    n = len(nodes)
+    ranks = {v: 1.0 / n for v in nodes}
+    base = (1.0 - 0.85) / n
+    q12 = Decimal(1).scaleb(-12)
+    for _ in range(3):
+        csum = {v: Decimal(0) for v in nodes}
+        got = set()
+        for v in nodes:
+            c = Decimal(repr(ranks[v] / len(out_nbrs[v]))).quantize(
+                q12, rounding=ROUND_HALF_UP
+            )
+            for nbr in out_nbrs[v]:
+                csum[nbr] += c
+                got.add(nbr)
+        ranks = {
+            v: base + 0.85 * (float(csum[v]) if v in got else 0.0)
+            for v in nodes
+        }
+    lit = spark.createDataFrame(
+        [(int(v), ranks[v]) for v in nodes], schema="nationkey int, rank double"
     )
-    pr = pagerank(directed, "edge_a", "edge_b", iterations=3, damping=0.85)
-    return pr.select(
-        F.col("node").alias("nationkey"), F.round("rank", 8).alias("rank")
+    return lit.select(
+        "nationkey", F.round("rank", 8).alias("rank")
     ).orderBy("nationkey")
 
 

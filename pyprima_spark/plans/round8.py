@@ -4996,61 +4996,77 @@ def consistent_hash_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
     vnode on an 8-node/32-vnode ring, add a 9th node, and publish the
     per-node churn — consistent hashing moves ~1/9 of keys (all INTO
     the new node), while the naive mod-rehash baseline column moves
-    ~8/9.  Successor lookup is array algebra over the 256/288-entry
-    position list (array_min of the filtered suffix, wrap to the ring
-    minimum) — the ring is a literal, so the lookup is map-side and
-    embarrassingly parallel; owner node comes back via a broadcast
-    equi-join on the owning position against the vnode census.
+    ~8/9.  The ring is PURE LITERALS (md5 of 'node:i:j' constants), so
+    the sorted position/owner arrays fold at plan time and successor
+    lookup is a BRANCHLESS BINARY SEARCH over the literal array — a
+    ~9-step aggregate() fold per ring instead of the former per-row
+    O(|ring|) filter + array_min suffix scan (256+288 interpreted
+    lambda evals per key; guide §1.2 step 2, per-task work) — and the
+    owner node reads straight out of a parallel node array, replacing
+    both former broadcast pos→node equi-joins.
 
-    Scale shape: the vnode table is 288 literal rows; keys take one
-    map-side assignment pass, one explode to (role, node) pairs, and
-    one map-combined 9x4-group aggregate.  No windows, no fact-sized
-    shuffle beyond the combine.  At 100 TB the ring stays 288 entries;
-    only the key scan grows.
+    Scale shape: keys take one map-side assignment pass (two ~9-step
+    folds), one explode to (role, node) pairs, and one map-combined
+    9x4-group aggregate.  No joins, no windows, no fact-sized shuffle
+    beyond the combine.  At 100 TB the ring stays 288 entries; only
+    the key scan grows.
     """
+    import hashlib
+
     total_v = (_RING_NODES + 1) * _RING_VNODES
-    vnodes = spark.range(total_v).select(
-        F.expr(f"cast(id div {_RING_VNODES} as int)").alias("node"),
-        F.expr(
-            X.hash64_spark(
-                f"'node:' || cast(id div {_RING_VNODES} as string)"
-                f" || ':' || cast(id % {_RING_VNODES} as string)"
-            )
-        ).alias("pos"),
+    vn = sorted(
+        (
+            int(
+                hashlib.md5(
+                    f"node:{i // _RING_VNODES}:{i % _RING_VNODES}".encode()
+                ).hexdigest()[:15],
+                16,
+            ),
+            i // _RING_VNODES,
+        )
+        for i in range(total_v)
     )
-    ring8 = vnodes.filter(F.col("node") < _RING_NODES).agg(
-        F.sort_array(F.collect_list("pos")).alias("ring8")
-    )
-    ring9 = vnodes.agg(F.sort_array(F.collect_list("pos")).alias("ring9"))
-    keys = (
+    if len({p for p, _ in vn}) != total_v:
+        # duplicate ring positions would fan keys out in the join form
+        # this replaces; refuse rather than silently pick one owner
+        raise ValueError("consistent_hash_ring: vnode position collision")
+
+    def _owner(ring: list, kcol: str) -> str:
+        # Branchless lower_bound over the sorted literal position
+        # array: cnt = |positions < k| via an aggregate() fold of
+        # halving steps (invariant: cnt + remaining <= m, so every
+        # element_at index is in range), owner = node at index
+        # (cnt mod m) + 1 — the mod folds the wrap-to-ring-minimum
+        # case (cnt == m) into one element_at and references the fold
+        # expression ONCE (no duplicate evaluation under
+        # CollapseProject).
+        m = len(ring)
+        halves, sz = [], m
+        while sz > 1:
+            h = sz >> 1
+            halves.append(h)
+            sz -= h
+        halves.append(1)  # the sz==1 final probe, same step shape
+        pos_arr = "array(" + ",".join(f"{p}L" for p, _ in ring) + ")"
+        node_arr = "array(" + ",".join(str(n) for _, n in ring) + ")"
+        steps = ",".join(str(h) for h in halves)
+        cnt = (
+            f"aggregate(array({steps}), 0, (lo, h) -> "
+            f"lo + IF(element_at({pos_arr}, lo + h) < {kcol}, h, 0))"
+        )
+        return f"element_at({node_arr}, pmod({cnt}, {m}) + 1)"
+
+    ring8 = [pn for pn in vn if pn[1] < _RING_NODES]
+    assigned = (
         _t(spark, sf_dir, "customer")
         .select(
             F.expr(
                 X.hash64_spark("'ring:' || cast(c_custkey as string)")
             ).alias("kpos")
         )
-        .crossJoin(F.broadcast(ring8))
-        .crossJoin(F.broadcast(ring9))
         .select(
-            "kpos",
-            F.expr(
-                "coalesce(array_min(filter(ring8, p -> p >= kpos)),"
-                " array_min(ring8))"
-            ).alias("own8_pos"),
-            F.expr(
-                "coalesce(array_min(filter(ring9, p -> p >= kpos)),"
-                " array_min(ring9))"
-            ).alias("own9_pos"),
-        )
-    )
-    v8 = vnodes.select(F.col("pos").alias("p8"), F.col("node").alias("node8"))
-    v9 = vnodes.select(F.col("pos").alias("p9"), F.col("node").alias("node9"))
-    assigned = (
-        keys.join(F.broadcast(v8), F.col("own8_pos") == F.col("p8"))
-        .join(F.broadcast(v9), F.col("own9_pos") == F.col("p9"))
-        .select(
-            "node8",
-            "node9",
+            F.expr(_owner(ring8, "kpos")).alias("node8"),
+            F.expr(_owner(vn, "kpos")).alias("node9"),
             F.expr(f"cast(kpos % {_RING_NODES} as int)").alias("mod8"),
             F.expr(f"cast(kpos % {_RING_NODES + 1} as int)").alias("mod9"),
         )
@@ -6963,23 +6979,28 @@ def abc_xyz_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("year(l_shipdate)").alias("yr"),
         F.expr("cast(weekofyear(l_shipdate) as int)").alias("wk"),
     )
+    # ONE lineitem pass: revenue cents ride the weekly aggregate and
+    # re-sum to the part census (bigint sums are associative, so the
+    # two-level regroup is exact) — the former separate rev_census
+    # branch re-scanned lineitem and paid its own part-keyed exchange
+    # plus a part-census join (guide §2.4: the weekly and revenue
+    # censuses are keyed the same way; one exchange chain serves both).
     weekly = li.groupBy("l_partkey", "yr", "wk").agg(
-        F.sum("qty").alias("demand")
+        F.sum("qty").alias("demand"), F.sum("cents").alias("wcents")
     )
-    var_census = weekly.groupBy("l_partkey").agg(
+    census = weekly.groupBy("l_partkey").agg(
         F.count(F.lit(1)).alias("nw"),
         F.sum("demand").alias("sq"),
         F.sum(F.expr("cast(demand as decimal(38,0)) * demand")).alias("sqq"),
+        F.sum("wcents").alias("rev"),
     )
-    rev_census = li.groupBy("l_partkey").agg(F.sum("cents").alias("rev"))
-    total = rev_census.agg(F.sum("rev").alias("tot"))
+    total = census.agg(F.sum("rev").alias("tot"))
     w = Window.orderBy(F.desc("rev"), F.asc("l_partkey")).rowsBetween(
         Window.unboundedPreceding, 0
     )
     classed = (
-        rev_census.withColumn("cum", F.sum("rev").over(w))
+        census.withColumn("cum", F.sum("rev").over(w))
         .crossJoin(F.broadcast(total))
-        .join(var_census, "l_partkey")
         .select(
             "l_partkey",
             "rev",
