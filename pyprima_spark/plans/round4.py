@@ -859,11 +859,19 @@ def cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyprima_spark.functions.text import tokens_spark
 
+    from pyprima_spark.operators.checkpointing import materialize
+
     docs = _t(spark, sf_dir, "documents")
     n_docs_df = docs.agg(F.count(F.lit(1)).alias("n_docs"))
-    tok = docs.select(
-        "doc_id", F.explode(F.expr(tokens_spark("text"))).alias("term")
-    ).distinct()
+    # The distinct (doc, term) incidence feeds BOTH the vocab aggregate
+    # and the vocab join below; without a boundary the explode+distinct
+    # shuffle of the full token table ran once per consumer
+    # (guide §2.4, duplicate subtree).
+    tok = materialize(
+        docs.select(
+            "doc_id", F.explode(F.expr(tokens_spark("text"))).alias("term")
+        ).distinct()
+    )
     wv = Window.orderBy(F.desc("cnt"), F.asc("term"))
     vocab = (
         tok.groupBy("term")

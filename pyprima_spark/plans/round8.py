@@ -6827,12 +6827,14 @@ def rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     pwords = phrases.select(
         "source", "phrase", "plen", F.explode("ptoks").alias("tok")
     )
-    wstats = pwords.groupBy("source", "tok").agg(
-        F.count(F.lit(1)).alias("freq"), F.sum("plen").alias("deg")
-    )
+    # Word stats ride as windows over the SAME (source, tok) partition
+    # the former aggregate+join re-shuffled pwords for — one exchange
+    # serves both (guide §2.4); identical integer counts/sums.
+    wst = Window.partitionBy("source", "tok")
     scored = (
-        pwords.join(wstats, ["source", "tok"])
-        .groupBy("source", "phrase")
+        pwords.withColumn("freq", F.count(F.lit(1)).over(wst))
+        .withColumn("deg", F.sum("plen").over(wst))
+        .groupBy("source", "phrase", "plen")
         .agg(
             F.sum(F.expr("(1000 * deg) div freq")).alias("score_sum"),
             F.count(F.lit(1)).alias("n_words_obs"),
@@ -6840,23 +6842,17 @@ def rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # score per occurrence is identical (word stats are source-level),
     # so the summed score divided by occurrence count IS the phrase
-    # score; then rank per source.
-    final = (
-        phrases.groupBy("source", "phrase", "plen")
-        .agg(F.count(F.lit(1)).alias("n_occurrences"))
-        .join(
-            scored.select("source", "phrase", "score_sum"),
-            ["source", "phrase"],
-        )
-        .select(
-            "source",
-            "phrase",
-            "plen",
-            "n_occurrences",
-            F.expr(
-                "cast(score_sum div n_occurrences as bigint)"
-            ).alias("score_milli"),
-        )
+    # score. n_occurrences needs no second phrase aggregate + join:
+    # each occurrence contributes exactly plen word rows, so
+    # n_words_obs = plen * n_occurrences and the division is exact.
+    final = scored.select(
+        "source",
+        "phrase",
+        "plen",
+        F.expr("n_words_obs div plen").alias("n_occurrences"),
+        F.expr(
+            "cast(score_sum div (n_words_obs div plen) as bigint)"
+        ).alias("score_milli"),
     )
     wtop = Window.partitionBy("source").orderBy(
         F.desc("score_milli"), F.asc("phrase")
@@ -6994,16 +6990,23 @@ def abc_xyz_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr("cast(demand as decimal(38,0)) * demand")).alias("sqq"),
         F.sum("wcents").alias("rev"),
     )
-    total = census.agg(F.sum("rev").alias("tot"))
+    # The revenue total rides as a whole-partition window sum on the
+    # SAME single-partition exchange the cumulative window already
+    # establishes (guide §2.4) — the former separate agg + two
+    # broadcast crossJoins re-evaluated the whole census subtree a
+    # second time (no materialization boundary), doubling the lineitem
+    # aggregate chain. Integer sum over identical operands, so every
+    # published division is unchanged.
     w = Window.orderBy(F.desc("rev"), F.asc("l_partkey")).rowsBetween(
         Window.unboundedPreceding, 0
     )
     classed = (
         census.withColumn("cum", F.sum("rev").over(w))
-        .crossJoin(F.broadcast(total))
+        .withColumn("tot", F.sum("rev").over(Window.partitionBy()))
         .select(
             "l_partkey",
             "rev",
+            "tot",
             F.expr(
                 "CASE WHEN (10000 * cum) div tot <= 8000 THEN 'A'"
                 " WHEN (10000 * cum) div tot <= 9500 THEN 'B'"
@@ -7019,8 +7022,7 @@ def abc_xyz_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        classed.crossJoin(F.broadcast(total))
-        .groupBy("abc", "xyz")
+        classed.groupBy("abc", "xyz")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_parts"),
             F.expr(
