@@ -1286,9 +1286,16 @@ def cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     fps = op(docs, "doc_id", "text")
+    # repartition(fingerprint) BEFORE the distinct: hash(fingerprint)
+    # co-locates every duplicate (source, fingerprint) row, so the
+    # distinct plans exchange-free on top of it, the checkpoint
+    # preserves the layout, and BOTH self-join sides (join key =
+    # fingerprint) consume it with zero further exchanges (guide §2.4;
+    # the market_basket_pairs subset-clustering layout).
     fsrc = (
         fps.join(docs.select("doc_id", "source"), "doc_id")
         .select("source", "fingerprint")
+        .repartition("fingerprint")
         .distinct()
         .localCheckpoint(eager=True)
     )

@@ -4496,9 +4496,18 @@ def _ppjoin_over(toks: DataFrame) -> DataFrame:
             ),
         )
     )
-    pre = with_order.select(
-        "doc_id", "source", "lang", "ordered", "n",
-        F.explode("prefix").alias("token"),
+    # One boundary before the self-join: both candidate sides derive
+    # from `pre`, and without it the whole df-table + canonical-order
+    # aggregation chain evaluated once per side (guide §2.4, duplicate
+    # subtree — the ordered-sets table every PPJoin implementation
+    # persists anyway).
+    from pyprima_spark.operators.checkpointing import materialize
+
+    pre = materialize(
+        with_order.select(
+            "doc_id", "source", "lang", "ordered", "n",
+            F.explode("prefix").alias("token"),
+        )
     )
     a = pre.select(
         F.col("doc_id").alias("doc_a"), "source", "lang", "token",

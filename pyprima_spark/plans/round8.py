@@ -5376,59 +5376,40 @@ def rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("yr", "brand")
         .agg(F.sum("cents").alias("rev"))
     )
-    w = Window.partitionBy("yr").orderBy(F.desc("rev"), F.asc("brand"))
-    ranked = census.select("yr", "brand", F.row_number().over(w).alias("rk"))
-    a = ranked.filter(F.col("yr") == 1997).select(
-        "brand", F.col("rk").alias("ra")
+    # Everything below the brand x year census is dim-bounded (<= 25
+    # brands, 20 depths): a census-collect-then-iterate key (SURVEY
+    # §7.24a).  The former windows + two materialized bounded
+    # self-joins were ~13 Spark jobs on <= 50-row state; the exact
+    # 9^d/10^d integer terms and truncating divisions are Python-int
+    # exact, so the collapse is bit-identical.
+    from pyprima_spark.operators.exactmath import bounded_collect
+
+    rows = bounded_collect(
+        census, 2 * 128, "rank_biased_overlap: brand x year revenue census"
     )
-    b = ranked.filter(F.col("yr") == 1998).select(
-        "brand", F.col("rk").alias("rb")
-    )
-    joined = materialize(
-        a.join(b, "brand").select(
-            F.expr("greatest(ra, rb)").alias("maxr")
+    rk: dict[int, dict[str, int]] = {1997: {}, 1998: {}}
+    for yr in (1997, 1998):
+        ordered = sorted(
+            ((r["rev"], r["brand"]) for r in rows if r["yr"] == yr),
+            key=lambda t: (-t[0], t[1]),
         )
-    )
-    depths = spark.range(1, _RBO_K + 1).select(
-        F.col("id").cast("int").alias("d")
-    )
-    xd = (
-        depths.join(F.broadcast(joined), F.expr("maxr <= d"), "left")
-        .groupBy("d")
-        .agg(F.count("maxr").alias("x_d"))
-    )
-    p9 = ", ".join(str(v) for v in _RBO_P9)
-    p10 = ", ".join(str(10**d) for d in range(1, _RBO_K + 1))
-    terms = materialize(
-        xd.select(
-            "d",
-            "x_d",
-            F.expr("cast((1000 * x_d) div d as bigint)").alias(
-                "agree_milli"
-            ),
-            F.expr(
-                f"cast((1000000 * cast(element_at(array({p9}), d)"
-                f" as decimal(38,0)) * x_d)"
-                f" div (cast(element_at(array({p10}), d)"
-                f" as decimal(38,0)) * d) as bigint)"
-            ).alias("term_e6"),
-        )
-    )
-    prior = terms.select(
-        F.col("d").alias("d2"), F.col("term_e6").alias("t2")
-    )
-    return (
-        terms.join(F.broadcast(prior), F.expr("d2 <= d"))
-        .groupBy("d", "x_d", "agree_milli")
-        .agg(F.sum("t2").alias("cum"))
-        .select(
-            F.col("d").cast("bigint").alias("depth"),
-            F.col("x_d").cast("bigint").alias("overlap"),
-            F.col("agree_milli").cast("bigint").alias("agree_milli"),
-            F.expr("cast(cum as bigint)").alias("rbo_min_e6"),
-        )
-        .orderBy("depth")
-    )
+        rk[yr] = {brand: i + 1 for i, (_, brand) in enumerate(ordered)}
+    maxr = [
+        max(ra, rk[1998][brand])
+        for brand, ra in rk[1997].items()
+        if brand in rk[1998]
+    ]
+    out, cum = [], 0
+    for d in range(1, _RBO_K + 1):
+        x_d = sum(1 for m in maxr if m <= d)
+        term = (1000000 * _RBO_P9[d - 1] * x_d) // ((10**d) * d)
+        cum += term
+        out.append((d, x_d, (1000 * x_d) // d, cum))
+    return spark.createDataFrame(
+        out,
+        schema="depth bigint, overlap bigint, agree_milli bigint,"
+        " rbo_min_e6 bigint",
+    ).orderBy("depth")
 
 
 ROUND8_QUERIES["rank_biased_overlap"] = rank_biased_overlap
@@ -6464,13 +6445,16 @@ def merkle_tree_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def levels(rows: DataFrame, tag: str) -> DataFrame:
-        leaf = rows.groupBy(
+        # no boundary here: each side feeds exactly ONE consumer (the
+        # full join inside `leaves`, itself materialized) — the former
+        # per-side materialize was one extra eager job each with no
+        # reuse to buy (guide §5: checkpoint only what is re-read).
+        return rows.groupBy(
             F.expr(f"c_custkey div {_MKL_LEAF}").alias("leaf")
         ).agg(
             F.expr("bit_xor(rh)").alias(f"h_{tag}"),
             F.count(F.lit(1)).alias(f"n_{tag}"),
         )
-        return materialize(leaf)
 
     la, lb = levels(rows_a, "a"), levels(rows_b, "b")
     leaves = materialize(
@@ -9291,11 +9275,14 @@ def haar_wavelet_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     published: the top-10 coefficients by |value| with their level,
     position, and exact bp share of total detail energy.
 
-    Scale shape: fact → day census → dense 256-row frame (a literal
-    spine left-join); each level is a census groupBy on pos div 2
-    with parity-conditional sums; the top-k election is one rank over
-    the ≤255-row coefficient census.  Series length is an operator
-    constant — longer horizons shard by (year, series) partitions.
+    Scale shape: fact → day census (the only fact-sized stage, still
+    distributed); the dyadic ladder runs DRIVER-SIDE on the
+    bounded_collect'ed 256-row census in exact integer arithmetic —
+    a census-collect-then-iterate key (SURVEY §7.24a): the former 8
+    per-level materialize() rounds were 8 Spark jobs on <=128-row
+    state, pure scheduler overhead at every scale.  Series length is
+    an operator constant — longer horizons shard by (year, series)
+    partitions.
     """
     orders = _t(spark, sf_dir, "orders")
     daily = orders.groupBy(
@@ -9308,49 +9295,43 @@ def haar_wavelet_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             " as decimal(38,0)) div 100000"
         ).alias("y")
     ).filter(f"d >= 0 AND d < {_HAAR_LEN}")
-    spine = spark.range(_HAAR_LEN).select(F.col("id").cast("int").alias("d"))
-    level = materialize(
-        spine.join(daily, "d", "left").select(
-            F.col("d").alias("pos"),
-            F.coalesce("y", F.lit(0)).cast("long").alias("v"),
-        )
-    )
-    details = None
+    from pyprima_spark.operators.exactmath import bounded_collect
+
+    # Dense 256-slot series from the day census (missing days are 0),
+    # then the unrolled UNNORMALIZED ladder in exact Python integers —
+    # sums/differences of longs and the final decimal(38,0)-shaped
+    # energy division are engine-exact, so the collapse is
+    # bit-identical to the former per-level Spark rounds.
+    v = [0] * _HAAR_LEN
+    for r in bounded_collect(
+        daily, _HAAR_LEN, "haar_wavelet_topk: daily revenue census"
+    ):
+        v[r["d"]] = int(r["y"])
+    details = []  # (level, pos, coeff)
     for lvl in range(1, _HAAR_LEVELS + 1):
-        nxt = materialize(
-            level.groupBy(F.expr("pos div 2").alias("pos")).agg(
-                F.sum("v").alias("v"),
-                F.sum(
-                    F.expr("CASE WHEN pos % 2 = 0 THEN v ELSE -v END")
-                ).alias("dcoef"),
-            )
+        nxt, det = [], []
+        for pos in range(0, len(v), 2):
+            nxt.append(v[pos] + v[pos + 1])
+            det.append(v[pos] - v[pos + 1])
+        details.extend((lvl, p, d) for p, d in enumerate(det))
+        v = nxt
+    tot = sum(c * c for _, _, c in details)
+    ranked = sorted(details, key=lambda t: (-abs(t[2]), t[0], t[1]))
+    out = [
+        (
+            rk,
+            lvl,
+            pos,
+            coeff,
+            0 if tot == 0 else (10000 * coeff * coeff) // tot,
         )
-        det = nxt.select(
-            F.lit(lvl).alias("level"), "pos", F.col("dcoef").alias("coeff")
-        )
-        details = det if details is None else details.unionByName(det)
-        level = nxt.select("pos", "v")
-    details = materialize(details)
-    energy = details.agg(
-        F.sum(F.expr("cast(coeff as decimal(38,0)) * coeff")).alias("tot")
-    )
-    wr = Window.orderBy(F.desc(F.expr("abs(coeff)")), F.asc("level"), F.asc("pos"))
-    return (
-        details.withColumn("rank", F.row_number().over(wr))
-        .filter(f"rank <= {_HAAR_TOPK}")
-        .crossJoin(F.broadcast(energy))
-        .select(
-            F.col("rank").cast("bigint").alias("rank"),
-            F.col("level").cast("bigint").alias("level"),
-            F.col("pos").cast("bigint").alias("position"),
-            F.col("coeff").cast("bigint").alias("coeff"),
-            F.expr(
-                "cast(coalesce((10000 * cast(coeff as decimal(38,0))"
-                " * coeff) div nullif(tot, 0), 0) as bigint)"
-            ).alias("energy_share_bp"),
-        )
-        .orderBy("rank")
-    )
+        for rk, (lvl, pos, coeff) in enumerate(ranked[:_HAAR_TOPK], start=1)
+    ]
+    return spark.createDataFrame(
+        out,
+        schema="rank bigint, level bigint, position bigint, coeff bigint,"
+        " energy_share_bp bigint",
+    ).orderBy("rank")
 
 
 ROUND8_QUERIES["haar_wavelet_topk"] = haar_wavelet_topk
