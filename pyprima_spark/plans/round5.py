@@ -1546,15 +1546,26 @@ def holdout_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")
     )
     sided = pairs.join(sa, "doc_a").join(sb, "doc_b")
+    # ONE pass over the sided candidates: the former two-filter union
+    # referenced `sided` twice, re-running the band self-join and both
+    # split joins per branch (guide §2.4, duplicate subtree). The two
+    # branch conditions are mutually exclusive per row, so an explode
+    # of a conditional array emits the identical doc stream.
     contaminated = (
-        sided.filter(
-            (F.col("split_a") == "train") & (F.col("split_b") != "train")
-        )
-        .select(F.col("doc_b").alias("doc_id"))
-        .unionByName(
-            sided.filter(
-                (F.col("split_b") == "train") & (F.col("split_a") != "train")
-            ).select(F.col("doc_a").alias("doc_id"))
+        sided.select(
+            F.explode(
+                F.when(
+                    (F.col("split_a") == "train")
+                    & (F.col("split_b") != "train"),
+                    F.array("doc_b"),
+                )
+                .when(
+                    (F.col("split_b") == "train")
+                    & (F.col("split_a") != "train"),
+                    F.array("doc_a"),
+                )
+                .otherwise(F.expr("cast(array() as array<bigint>)"))
+            ).alias("doc_id")
         )
         .distinct()
         .withColumn("hit", F.lit(1))

@@ -4489,56 +4489,65 @@ def ipf_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
     whether another sweep is worth running.
 
     Scale shape: one fact-sized groupBy to the (lang × source) cell
-    census (bounded: |langs|·|sources|), then every IPF step is
-    arithmetic between the cell table and two broadcast marginal
-    aggregates — iteration cost is independent of the fact table.
+    census (bounded: |langs|·|sources| — the only fact-sized stage,
+    still distributed), then the sweep runs DRIVER-SIDE on the
+    bounded_collect'ed census in exact Python integers — a
+    census-collect-then-iterate key (SURVEY §7.24a): the former
+    marginal aggregates + broadcast joins were ~11 Spark jobs /
+    ~18 exchanges of arithmetic on <= |langs|·|sources| rows, pure
+    scheduler overhead at every scale.  Truncating integer divisions
+    on positive operands, so the collapse is bit-identical.
     """
+    from pyprima_spark.operators.exactmath import bounded_collect
+
     docs = _t(spark, sf_dir, "documents")
-    cells = docs.groupBy("lang", "source").agg(
-        F.count(F.lit(1)).alias("n")
-    )
-    cells = materialize(cells)
-    tot = cells.agg(
-        F.sum("n").alias("total"),
-        F.countDistinct("lang").alias("n_langs"),
-        F.countDistinct("source").alias("n_sources"),
-    )
+    cells = [
+        (r["lang"], r["source"], int(r["n"]))
+        for r in bounded_collect(
+            docs.groupBy("lang", "source").agg(
+                F.count(F.lit(1)).alias("n")
+            ),
+            4096,
+            "ipf_raking: lang x source cell census",
+        )
+    ]
+    # SQL semantics preserved exactly: countDistinct skips NULLs, and
+    # the former inner joins on lang/source dropped NULL-keyed cells
+    # (vacuous on the test data — zero NULLs — but the equivalence is
+    # by construction, not by luck).
+    total = sum(n for _, _, n in cells)
+    n_langs = len({l for l, _, _ in cells if l is not None})
+    n_sources = len({s for _, s, _ in cells if s is not None})
+    row_n: dict = {}
+    for l, _, n in cells:
+        row_n[l] = row_n.get(l, 0) + n
     # row fit: scale each lang row to the uniform lang target
-    row_m = cells.groupBy("lang").agg(F.sum("n").alias("row_n"))
-    w1 = (
-        cells.join(F.broadcast(row_m), "lang")
-        .join(F.broadcast(tot))
-        .select(
-            "lang",
-            "source",
-            "n",
-            "n_sources",
-            F.expr(
-                f"(cast(total as bigint) * {_IPF_SCALE}) div (n_langs * row_n)"
-            ).alias("w_row"),
-        )
-    )
+    w1 = [(l, s, n) for l, s, n in cells if l is not None]
+    w_row = {
+        (l, s): (total * _IPF_SCALE) // (n_langs * row_n[l])
+        for l, s, n in w1
+    }
     # column fit: correct each source column to the uniform source target
-    col_m = w1.groupBy("source").agg(
-        F.sum(F.expr("n * w_row")).alias("col_mass")
-    )
-    total_mass = w1.agg(F.sum(F.expr("n * w_row")).alias("all_mass"))
-    return (
-        w1.join(F.broadcast(col_m), "source")
-        .join(F.broadcast(total_mass))
-        .select(
-            "lang",
-            "source",
-            "n",
-            F.expr(
-                f"(w_row * (all_mass div n_sources)) div col_mass"
-            ).alias("w_ppm"),
-            F.expr(
-                f"(10000 * col_mass) div all_mass"
-            ).alias("col_share_before_bp"),
+    col_mass: dict = {}
+    for l, s, n in w1:
+        col_mass[s] = col_mass.get(s, 0) + n * w_row[(l, s)]
+    all_mass = sum(n * w_row[(l, s)] for l, s, n in w1)
+    out = [
+        (
+            l,
+            s,
+            n,
+            (w_row[(l, s)] * (all_mass // n_sources)) // col_mass[s],
+            (10000 * col_mass[s]) // all_mass,
         )
-        .orderBy("lang", "source")
-    )
+        for l, s, n in w1
+        if s is not None
+    ]
+    return spark.createDataFrame(
+        out,
+        schema="lang string, source string, n bigint, w_ppm bigint,"
+        " col_share_before_bp bigint",
+    ).orderBy("lang", "source")
 
 
 ROUND7_QUERIES["ipf_raking"] = ipf_raking
@@ -4798,12 +4807,17 @@ def decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     10-row decile census.
     """
     orders = _t(spark, sf_dir, "orders")
-    first = orders.filter(
-        F.expr("o_orderdate < date'1998-07-01'")
-    ).groupBy(F.col("o_custkey").alias("cust")).agg(
-        F.sum(F.expr("cast(o_totalprice as decimal(18,2)) * 100"))
-        .cast("bigint")
-        .alias("spend_cents")
+    # materialized: BOTH the percentile-cut aggregate and the bucket
+    # assignment scan this table — without the boundary the first-half
+    # orders scan + aggregate ran once per consumer (guide §2.4).
+    first = materialize(
+        orders.filter(
+            F.expr("o_orderdate < date'1998-07-01'")
+        ).groupBy(F.col("o_custkey").alias("cust")).agg(
+            F.sum(F.expr("cast(o_totalprice as decimal(18,2)) * 100"))
+            .cast("bigint")
+            .alias("spend_cents")
+        )
     )
     second = (
         orders.filter(F.expr("o_orderdate >= date'1998-07-01'"))
@@ -4834,27 +4848,24 @@ def decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_customers"),
         F.sum("responded").alias("n_responders"),
     )
-    w = Window.orderBy(F.desc("decile")).rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    tot = census.agg(F.sum("n_responders").alias("all_resp"))
-    return (
-        census.join(F.broadcast(tot))
-        .select(
-            "decile",
-            "n_customers",
-            "n_responders",
-            F.expr("(10000 * n_responders) div n_customers").alias(
-                "response_bp"
-            ),
-            F.expr(
-                "(10000 * sum(n_responders) over ("
-                "order by decile desc rows between unbounded preceding "
-                "and current row)) div all_resp"
-            ).alias("cum_capture_bp"),
-        )
-        .orderBy(F.desc("decile"))
-    )
+    # The responder total rides as a whole-partition window on the
+    # cumulative window's existing single-partition exchange — the
+    # former separate aggregate + broadcast join re-evaluated the whole
+    # census subtree (guide §2.4; the abc_xyz_inventory pattern).
+    # Identical integer operands, so the published bp are unchanged.
+    return census.select(
+        "decile",
+        "n_customers",
+        "n_responders",
+        F.expr("(10000 * n_responders) div n_customers").alias(
+            "response_bp"
+        ),
+        F.expr(
+            "(10000 * sum(n_responders) over ("
+            "order by decile desc rows between unbounded preceding "
+            "and current row)) div (sum(n_responders) over ())"
+        ).alias("cum_capture_bp"),
+    ).orderBy(F.desc("decile"))
 
 
 ROUND7_QUERIES["decile_lift"] = decile_lift

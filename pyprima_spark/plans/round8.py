@@ -1648,9 +1648,15 @@ def padding_waste_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     over ≤10 buckets.  No windows, no sort, exact integers.
     """
     docs = _t(spark, sf_dir, "documents")
-    lens = docs.select(
-        F.expr(f"size({X.tokens_spark('text')})").alias("len")
-    ).filter("len > 0")
+    # materialized: the cut aggregate reads it once and each of the
+    # three strategy branches reads the assignment projection over it —
+    # without the boundary the corpus tokenize pass ran once per
+    # consumer (4-6 evaluations; guide §2.4, duplicate subtree).
+    lens = materialize(
+        docs.select(
+            F.expr(f"size({X.tokens_spark('text')})").alias("len")
+        ).filter("len > 0")
+    )
     aggs = [
         F.expr(
             f"percentile_disc(0.{d}) WITHIN GROUP (ORDER BY len)"
@@ -12277,84 +12283,66 @@ def seat_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer remainders.  Divergences between the three columns are the
     apportionment-paradox literature in one table.
 
-    Scale shape: one fact agg to the 5-segment demand census; the
-    divisor lattice is 5x40 literal rows; ranks ride those censuses.
+    Scale shape: one fact agg to the 5-segment demand census (the only
+    fact-sized stage, still distributed); the 5x40 divisor lattice and
+    all three rankings run DRIVER-SIDE on the bounded_collect'ed
+    census in exact Python integers — a census-collect-then-iterate
+    key (SURVEY §7.24a): the former lattice crossJoin + three global
+    rank windows were ~10 jobs / ~14 exchanges on <= 200-row state.
+    All quotients/floors/remainders are truncating integer ops on
+    positive operands, so the collapse is bit-identical.
     """
+    from pyprima_spark.operators.exactmath import bounded_collect
+
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("cust"),
         F.col("c_mktsegment").alias("segment"),
     )
-    demand = materialize(
-        orders.join(cust, F.col("o_custkey") == F.col("cust"))
-        .groupBy("segment")
-        .agg(F.count(F.lit(1)).alias("d"))
+    demand = sorted(
+        (r["segment"], int(r["d"]))
+        for r in bounded_collect(
+            orders.join(cust, F.col("o_custkey") == F.col("cust"))
+            .groupBy("segment")
+            .agg(F.count(F.lit(1)).alias("d")),
+            32,
+            "seat_apportionment: segment demand census",
+        )
     )
-    total = demand.agg(F.sum("d").alias("td"))
-    divisors = spark.range(1, _APP_SEATS + 1).select(
-        F.col("id").cast("int").alias("k")
-    )
+    td = sum(d for _, d in demand)
+
     # D'Hondt: top-S quotients d/k; Webster: d/(2k-1)
-    quo = demand.crossJoin(F.broadcast(divisors)).select(
-        "segment",
-        "d",
-        "k",
-        F.expr("cast(d as decimal(38,0)) * 1000000 div k").alias("q_dh"),
-        F.expr(
-            "cast(d as decimal(38,0)) * 1000000 div (2 * k - 1)"
-        ).alias("q_wb"),
-    )
-    wdh = Window.orderBy(F.desc("q_dh"), F.asc("segment"), F.asc("k"))
-    wwb = Window.orderBy(F.desc("q_wb"), F.asc("segment"), F.asc("k"))
-    dh = (
-        quo.withColumn("r", F.row_number().over(wdh))
-        .filter(f"r <= {_APP_SEATS}")
-        .groupBy("segment")
-        .agg(F.count(F.lit(1)).alias("dhondt"))
-    )
-    wb = (
-        quo.withColumn("r", F.row_number().over(wwb))
-        .filter(f"r <= {_APP_SEATS}")
-        .groupBy("segment")
-        .agg(F.count(F.lit(1)).alias("webster"))
-    )
+    def divisor_seats(den) -> dict:
+        quo = [
+            ((d * 1000000) // den(k), seg, k)
+            for seg, d in demand
+            for k in range(1, _APP_SEATS + 1)
+        ]
+        quo.sort(key=lambda t: (-t[0], t[1], t[2]))
+        seats: dict = {}
+        for _, seg, _k in quo[:_APP_SEATS]:
+            seats[seg] = seats.get(seg, 0) + 1
+        return seats
+
+    dh = divisor_seats(lambda k: k)
+    wb = divisor_seats(lambda k: 2 * k - 1)
     # Hamilton: floor(S*d/td) + largest remainders
-    ham_base = demand.crossJoin(F.broadcast(total)).select(
-        "segment",
-        "d",
-        F.expr(f"({_APP_SEATS} * cast(d as decimal(38,0))) div td").alias(
-            "fl"
-        ),
-        F.expr(
-            f"({_APP_SEATS} * cast(d as decimal(38,0))) % td"
-        ).alias("rem"),
-    )
-    short = ham_base.agg(
-        F.expr(f"{_APP_SEATS} - sum(fl)").alias("extra")
-    )
-    wrem = Window.orderBy(F.desc("rem"), F.asc("segment"))
-    ham = (
-        ham_base.crossJoin(F.broadcast(short))
-        .withColumn("rr", F.row_number().over(wrem))
-        .select(
-            "segment",
-            F.expr("cast(fl + CASE WHEN rr <= extra THEN 1 ELSE 0 END"
-                   " as bigint)").alias("hamilton"),
-        )
-    )
-    return (
-        demand.join(ham, "segment")
-        .join(dh, "segment", "left")
-        .join(wb, "segment", "left")
-        .select(
-            "segment",
-            F.col("d").cast("bigint").alias("n_orders"),
-            F.col("hamilton").cast("bigint").alias("hamilton"),
-            F.coalesce("dhondt", F.lit(0)).cast("bigint").alias("dhondt"),
-            F.coalesce("webster", F.lit(0)).cast("bigint").alias("webster"),
-        )
-        .orderBy("segment")
-    )
+    fl = {seg: (_APP_SEATS * d) // td for seg, d in demand}
+    rem = {seg: (_APP_SEATS * d) % td for seg, d in demand}
+    extra = _APP_SEATS - sum(fl.values())
+    by_rem = sorted(demand, key=lambda t: (-rem[t[0]], t[0]))
+    ham = dict(fl)
+    for seg, _ in by_rem[:extra]:
+        ham[seg] += 1
+    out = [
+        (seg, d, ham[seg], dh.get(seg, 0), wb.get(seg, 0))
+        for seg, d in demand
+    ]
+    return spark.createDataFrame(
+        out,
+        schema="segment string, n_orders bigint, hamilton bigint,"
+        " dhondt bigint, webster bigint",
+    ).orderBy("segment")
 
 
 ROUND8_QUERIES["seat_apportionment"] = seat_apportionment
@@ -15547,77 +15535,66 @@ def banzhaf_power_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     Published per segment: weight share vs normalized Banzhaf share
     in bp — the wedge between them is the whole point.
 
-    Scale shape: one fact agg to the 5-weight census; the 32-row
-    coalition literal joins it via bitmask membership; swing counting
-    is a census fold.  Windowless.
+    Scale shape: one fact agg to the 5-weight census (the only
+    fact-sized stage, still distributed); the 2^5 lattice walk runs
+    DRIVER-SIDE on the bounded_collect'ed census in exact Python
+    integers — a census-collect-then-iterate key (SURVEY §7.24a): the
+    former coalition/swing stages were ~8 jobs / ~17 exchanges of
+    bitmask joins over <= 32-row state.  Truncating divisions with a
+    None guard mirror SQL `div` + NULL exactly.
     """
+    from pyprima_spark.operators.exactmath import bounded_collect, tdiv
+
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("cust"),
         F.col("c_mktsegment").alias("segment"),
     )
-    weights = materialize(
-        orders.join(cust, F.col("o_custkey") == F.col("cust"))
-        .groupBy("segment")
-        .agg(F.count(F.lit(1)).alias("w"))
+    wrows = sorted(
+        (
+            (r["segment"], int(r["w"]))
+            for r in bounded_collect(
+                orders.join(cust, F.col("o_custkey") == F.col("cust"))
+                .groupBy("segment")
+                .agg(F.count(F.lit(1)).alias("w")),
+                32,
+                "banzhaf_power_index: segment weight census",
+            )
+        ),
     )
-    widx = Window.orderBy("segment")
-    wi = materialize(
-        weights.withColumn("i", F.row_number().over(widx) - 1)
-    )
-    coalitions = spark.range(32).select(
-        F.col("id").cast("int").alias("s")
-    )
-    csums = (
-        coalitions.join(
-            F.broadcast(wi),
-            F.expr("(s div cast(pow(2, i) as int)) % 2 = 1"),
-            "left",
+    n = len(wrows)
+    tw = sum(w for _, w in wrows)
+    quota = tw // 2 + 1
+    wsum = [
+        sum(w for i, (_, w) in enumerate(wrows) if (s >> i) & 1)
+        for s in range(1 << n)
+    ]
+    # player i swings coalition S (i not in S) iff S loses but S+i wins;
+    # a zero-power segment still publishes its 0-bp row (ADVICE r6).
+    swings = [
+        sum(
+            1
+            for s in range(1 << n)
+            if not (s >> i) & 1 and wsum[s] < quota and wsum[s] + w >= quota
         )
-        .groupBy("s")
-        .agg(F.coalesce(F.sum("w"), F.lit(0)).alias("wsum"))
-    )
-    quota = weights.agg(
-        F.expr("cast(sum(w) div 2 + 1 as bigint)").alias("q")
-    )
-    # player i swings coalition S (i not in S) iff S loses but S+i wins
-    swings = (
-        wi.join(
-            F.broadcast(csums.crossJoin(F.broadcast(quota))),
-            F.expr("(s div cast(pow(2, i) as int)) % 2 = 0"),
+        for i, (_, w) in enumerate(wrows)
+    ]
+    tot_swings = sum(swings)
+    out = [
+        (
+            seg,
+            w,
+            tdiv(10000 * w, tw if tw != 0 else None),
+            ns,
+            tdiv(10000 * ns, tot_swings if tot_swings != 0 else None),
         )
-        .filter(F.expr("wsum < q AND wsum + w >= q"))
-        .groupBy("segment")
-        .agg(F.count(F.lit(1)).alias("n_swings"))
-    )
-    # ADVICE r6: left-join the swing counts back onto the FULL 5-row
-    # weight census so a zero-power segment publishes its 0-bp row —
-    # the '16% weight, 0% power' case the docstring motivates must be
-    # displayable, not silently dropped. Totals run over the census,
-    # so weight shares stay correct in degenerate games too.
-    census = weights.join(swings, "segment", "left").select(
-        "segment",
-        "w",
-        F.coalesce("n_swings", F.lit(0)).alias("n_swings"),
-    )
-    tot = census.agg(
-        F.sum("n_swings").alias("tot_swings"), F.sum("w").alias("tw")
-    )
-    return (
-        census.crossJoin(F.broadcast(tot))
-        .select(
-            "segment",
-            F.col("w").cast("bigint").alias("weight"),
-            F.expr("cast((10000 * w) div tw as bigint)").alias(
-                "weight_share_bp"
-            ),
-            F.col("n_swings").cast("bigint").alias("n_swings"),
-            F.expr(
-                "cast((10000 * n_swings) div tot_swings as bigint)"
-            ).alias("banzhaf_share_bp"),
-        )
-        .orderBy("segment")
-    )
+        for (seg, w), ns in zip(wrows, swings)
+    ]
+    return spark.createDataFrame(
+        out,
+        schema="segment string, weight bigint, weight_share_bp bigint,"
+        " n_swings bigint, banzhaf_share_bp bigint",
+    ).orderBy("segment")
 
 
 ROUND8_QUERIES["banzhaf_power_index"] = banzhaf_power_index
