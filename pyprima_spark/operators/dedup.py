@@ -190,16 +190,8 @@ def simhash_pair_hamming(
     the self-join (the per-side renames defeat exchange reuse, so
     without the stage boundary the token/bit-sum pass runs twice).
     ``checkpoint_dir`` as in :func:`minhash_candidate_pairs`.
-
-    The exploded CHUNK table is what the bucket self-join keys on, so
-    the boundary sits after a repartition on (c, chunk): the
-    materialized layout is the join's layout and BOTH sides consume it
-    exchange-free — one shuffle of the 4x chunk table instead of one
-    per join side (guide §2.4). Chunk values are 15-bit hash slices,
-    uniformly distributed; a hot bucket (mass duplicates) lands on one
-    key in either layout.
     """
-    sims = simhash_table(df, id_col, text_col)
+    sims = materialize(simhash_table(df, id_col, text_col), checkpoint_dir)
     chunks = sims.select(
         "doc",
         "simhash",
@@ -207,7 +199,6 @@ def simhash_pair_hamming(
     ).withColumn(
         "chunk", F.expr("shiftright(simhash, c * 15) & 32767")
     )
-    chunks = materialize(chunks.repartition("c", "chunk"), checkpoint_dir)
     a = chunks.select(
         F.col("doc").alias("doc_a"), F.col("simhash").alias("sim_a"), "c", "chunk"
     )

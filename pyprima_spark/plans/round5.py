@@ -2585,21 +2585,11 @@ def lsh_precision_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold compare is integer cross-multiplied (2·∩ ≥ ∪).  Oracle:
     plans/oracles.py (shares the band CTE).
     """
-    from pyprima_spark.operators.checkpointing import materialize
     from pyprima_spark.operators.dedup import minhash_candidate_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    # Materialize the candidate table once: it feeds BOTH the
-    # intersection join and the left-outer verify join, and without the
-    # boundary each consumer re-ran the whole band self-join + distinct
-    # (guide §2.4, duplicate subtree; visible as two copies of the band
-    # join in the executed plan).
-    pairs = materialize(minhash_candidate_pairs(docs, "doc_id", "text"))
-    # The exploded shingle table feeds FOUR consumers (both sides of
-    # the intersection join and both size broadcasts); one boundary
-    # replaces four tokenize+explode passes over the corpus — the same
-    # persisted-signature-table layout the band table already uses.
-    sh = materialize(
+    pairs = minhash_candidate_pairs(docs, "doc_id", "text")
+    sh = (
         docs.select(
             F.col("doc_id").alias("doc"),
             F.expr(X.tokens_spark("text")).alias("tokens"),
