@@ -7767,16 +7767,25 @@ def voptimal_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     rides along so the output shows what optimality buys.
 
     Scale shape: one map-side stripe assignment + count agg (the only
-    fact pass); intervals are census³ joins (20·21/2 = 210 rows),
-    partitions a 4-chain equi-join on boundaries (969 rows), argmin a
-    TakeOrdered over them.  Bucket count and stripe resolution are
+    fact pass, still distributed); the 210-interval lattice and the
+    969 boundary triples enumerate driver-side on the collected
+    20-stripe census.  Bucket count and stripe resolution are
     operator constants.
     """
+    # The one fact pass (stripe assignment + count agg) stays
+    # distributed; the interval lattice, the C(19,3) boundary
+    # enumeration and the equal-width baseline run DRIVER-SIDE on the
+    # bounded_collect'ed 20-stripe census in exact Python integers — a
+    # census-collect-then-iterate key (SURVEY §7.24a; the former
+    # census³ joins + 4-chain equi-join + TakeOrdered were ~13 jobs).
+    # len·svv ≥ sv² (Cauchy-Schwarz), so the SSE div is on
+    # non-negative operands and // is exact SQL div.
+    from pyprima_spark.operators.exactmath import bounded_collect
+
     orders = _t(spark, sf_dir, "orders")
-    stripes = materialize(
-        spark.range(_VOPT_STRIPES)
-        .select(F.col("id").cast("int").alias("s"))
-        .join(
+    cnt = {
+        r["s"]: int(r["cnt"])
+        for r in bounded_collect(
             orders.select(
                 F.expr(
                     "least(cast(cast(cast(o_totalprice as decimal(18,2))"
@@ -7786,109 +7795,51 @@ def voptimal_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .groupBy("s")
             .agg(F.count(F.lit(1)).alias("cnt")),
-            "s",
-            "left",
+            _VOPT_STRIPES,
+            "voptimal_histogram: price stripe census",
         )
-        .select("s", F.coalesce("cnt", F.lit(0)).alias("v"))
-    )
-    lo = stripes.select(F.col("s").alias("i"))
-    hi = stripes.select(F.col("s").alias("j"))
-    member = stripes.select(
-        F.col("s").alias("m"), F.col("v").alias("mv")
-    )
-    intervals = materialize(
-        lo.join(F.broadcast(hi), F.col("j") >= F.col("i"))
-        .join(
-            F.broadcast(member),
-            (F.col("m") >= F.col("i")) & (F.col("m") <= F.col("j")),
-        )
-        .groupBy("i", "j")
-        .agg(
-            F.count(F.lit(1)).alias("len"),
-            F.sum("mv").alias("sv"),
-            F.sum(F.expr("cast(mv as decimal(38,0)) * mv")).alias("svv"),
-        )
-        .select(
-            "i",
-            "j",
-            "len",
-            "sv",
-            F.expr(
-                "cast((len * svv - cast(sv as decimal(38,0)) * sv)"
-                " div len as bigint)"
-            ).alias("sse"),
-        )
-    )
-    i1 = intervals.filter("i = 0").select(
-        F.col("j").alias("b1"), F.col("sse").alias("e1"),
-        F.col("sv").alias("n1"),
-    )
-    i2 = intervals.select(
-        F.col("i").alias("i2"), F.col("j").alias("b2"),
-        F.col("sse").alias("e2"), F.col("sv").alias("n2"),
-    )
-    i3 = intervals.select(
-        F.col("i").alias("i3"), F.col("j").alias("b3"),
-        F.col("sse").alias("e3"), F.col("sv").alias("n3"),
-    )
-    i4 = intervals.filter(f"j = {_VOPT_STRIPES - 1}").select(
-        F.col("i").alias("i4"), F.col("sse").alias("e4"),
-        F.col("sv").alias("n4"),
-    )
-    parts = (
-        i1.join(F.broadcast(i2), F.expr("i2 = b1 + 1"))
-        .join(F.broadcast(i3), F.expr("i3 = b2 + 1"))
-        .join(F.broadcast(i4), F.expr("i4 = b3 + 1"))
-        .select(
-            "b1", "b2", "b3",
-            F.expr("e1 + e2 + e3 + e4").alias("total_sse"),
-            "n1", "n2", "n3", "n4",
-        )
-    )
-    best = materialize(
-        parts.orderBy("total_sse", "b1", "b2", "b3").limit(1)
-    )
+    }
+    v = [cnt.get(s, 0) for s in range(_VOPT_STRIPES)]
+    psv = [0]
+    psvv = [0]
+    for x in v:
+        psv.append(psv[-1] + x)
+        psvv.append(psvv[-1] + x * x)
+
+    def interval(i: int, j: int):
+        ln = j - i + 1
+        sv = psv[j + 1] - psv[i]
+        svv = psvv[j + 1] - psvv[i]
+        return sv, (ln * svv - sv * sv) // ln
+
+    s_last = _VOPT_STRIPES - 1
+    best = None
+    for b1 in range(0, s_last - 2):
+        n1, e1 = interval(0, b1)
+        for b2 in range(b1 + 1, s_last - 1):
+            n2, e2 = interval(b1 + 1, b2)
+            for b3 in range(b2 + 1, s_last):
+                n3, e3 = interval(b2 + 1, b3)
+                n4, e4 = interval(b3 + 1, s_last)
+                key = (e1 + e2 + e3 + e4, b1, b2, b3)
+                if best is None or key < best[0]:
+                    best = (key, (n1, n2, n3, n4))
+    (total_sse, b1, b2, b3), ns = best
     ew = _VOPT_STRIPES // 4
-    baseline = (
-        intervals.filter(
-            F.expr(
-                f"(i = 0 AND j = {ew - 1}) OR (i = {ew} AND j = {2*ew - 1})"
-                f" OR (i = {2*ew} AND j = {3*ew - 1})"
-                f" OR (i = {3*ew} AND j = {_VOPT_STRIPES - 1})"
-            )
-        )
-        .agg(F.sum("sse").alias("equalwidth_sse"))
+    equalwidth_sse = sum(
+        interval(k * ew, (k + 1) * ew - 1 if k < 3 else s_last)[1]
+        for k in range(4)
     )
-    return (
-        best.crossJoin(F.broadcast(baseline))
-        .select(
-            F.explode(
-                F.expr(
-                    f"array(named_struct('bucket', 1, 'lo', 0, 'hi', b1,"
-                    " 'n_rows', n1),"
-                    " named_struct('bucket', 2, 'lo', b1 + 1, 'hi', b2,"
-                    " 'n_rows', n2),"
-                    " named_struct('bucket', 3, 'lo', b2 + 1, 'hi', b3,"
-                    " 'n_rows', n3),"
-                    f" named_struct('bucket', 4, 'lo', b3 + 1, 'hi',"
-                    f" {_VOPT_STRIPES - 1}, 'n_rows', n4))"
-                )
-            ).alias("b"),
-            "total_sse",
-            "equalwidth_sse",
-        )
-        .select(
-            F.expr("cast(b.bucket as bigint)").alias("bucket"),
-            F.expr("cast(b.lo as bigint)").alias("lo_stripe"),
-            F.expr("cast(b.hi as bigint)").alias("hi_stripe"),
-            F.expr("cast(b.n_rows as bigint)").alias("n_rows"),
-            F.col("total_sse").cast("bigint").alias("opt_sse"),
-            F.col("equalwidth_sse").cast("bigint").alias(
-                "equalwidth_sse"
-            ),
-        )
-        .orderBy("bucket")
-    )
+    bounds = [(0, b1), (b1 + 1, b2), (b2 + 1, b3), (b3 + 1, s_last)]
+    out = [
+        (k + 1, lo, hi, ns[k], total_sse, equalwidth_sse)
+        for k, (lo, hi) in enumerate(bounds)
+    ]
+    return spark.createDataFrame(
+        out,
+        schema="bucket bigint, lo_stripe bigint, hi_stripe bigint,"
+        " n_rows bigint, opt_sse bigint, equalwidth_sse bigint",
+    ).orderBy("bucket")
 
 
 ROUND8_QUERIES["voptimal_histogram"] = voptimal_histogram
@@ -8986,70 +8937,51 @@ def morans_i_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("sum(bal) div count(*)").alias("x")
         )
     )
-    tot = cells.groupBy("region").agg(
-        F.count(F.lit(1)).alias("n"), F.sum("x").alias("sx")
+    # Everything below the <= |regions| x 576-cell census is exact
+    # integer arithmetic on dim-bounded state — a census-collect-then-
+    # iterate key (SURVEY §7.24a): the former rook-neighbor equi-joins
+    # and moment folds were ~11 jobs / ~11 exchanges.  tdiv replicates
+    # SQL div's truncation toward zero (z products are signed) and the
+    # nullif-guard exactly.
+    from pyprima_spark.operators.exactmath import bounded_collect, tdiv
+
+    crows = bounded_collect(
+        cells, 8192, "morans_i_autocorrelation: region cell census"
     )
-    z = cells.join(F.broadcast(tot), "region").select(
-        "region",
-        "cx",
-        "cy",
-        "n",
-        F.expr("cast(n as decimal(38,0)) * x - sx").alias("z"),
-    )
-    zb = z.select(
-        F.col("region").alias("r2"),
-        F.col("cx").alias("cx2"),
-        F.col("cy").alias("cy2"),
-        F.col("z").alias("z2"),
-    )
-    pairs = z.join(
-        zb,
-        (F.col("region") == F.col("r2"))
-        & (
-            (
-                (F.col("cx2") == F.col("cx") + 1)
-                & (F.col("cy2") == F.col("cy"))
-            )
-            | (
-                (F.col("cx2") == F.col("cx") - 1)
-                & (F.col("cy2") == F.col("cy"))
-            )
-            | (
-                (F.col("cy2") == F.col("cy") + 1)
-                & (F.col("cx2") == F.col("cx"))
-            )
-            | (
-                (F.col("cy2") == F.col("cy") - 1)
-                & (F.col("cx2") == F.col("cx"))
-            )
-        ),
-    )
-    num = pairs.groupBy("region").agg(
-        F.count(F.lit(1)).alias("w"),
-        F.sum(F.expr("z * z2")).alias("szz"),
-    )
-    den = z.groupBy("region", "n").agg(
-        F.sum(F.expr("z * z")).alias("sz2")
-    )
-    return (
-        den.join(num, "region")
-        .select(
-            "region",
-            F.col("n").cast("bigint").alias("n_cells"),
-            F.col("w").cast("bigint").alias("n_neighbor_pairs"),
-            F.expr(
-                "cast(coalesce((1000 * n * szz) div nullif(w * sz2, 0),"
-                " 0) as bigint)"
-            ).alias("morans_i_milli"),
-            F.expr(
-                "CASE WHEN coalesce((1000 * n * szz)"
-                " div nullif(w * sz2, 0), 0) > 100 THEN 'clustered'"
-                " WHEN coalesce((1000 * n * szz) div nullif(w * sz2, 0),"
-                " 0) < -100 THEN 'dispersed' ELSE 'random' END"
-            ).alias("pattern"),
+    regions: dict = {}
+    for r in crows:
+        regions.setdefault(r["region"], {})[(r["cx"], r["cy"])] = int(r["x"])
+    out = []
+    for region in sorted(regions):
+        cs = regions[region]
+        n = len(cs)
+        sx = sum(cs.values())
+        z = {c: n * x - sx for c, x in cs.items()}
+        w = 0
+        szz = 0
+        for (cx, cy), zi in z.items():
+            for nb in ((cx + 1, cy), (cx - 1, cy), (cx, cy + 1), (cx, cy - 1)):
+                if nb in z:
+                    w += 1
+                    szz += zi * z[nb]
+        if w == 0:
+            # the former num-side inner join dropped a region with no
+            # rook-adjacent pair outright
+            continue
+        sz2 = sum(v * v for v in z.values())
+        i_milli = tdiv(1000 * n * szz, (w * sz2) or None)
+        i_milli = 0 if i_milli is None else i_milli
+        pattern = (
+            "clustered"
+            if i_milli > 100
+            else ("dispersed" if i_milli < -100 else "random")
         )
-        .orderBy("region")
-    )
+        out.append((region, n, w, i_milli, pattern))
+    return spark.createDataFrame(
+        out,
+        schema="region string, n_cells bigint, n_neighbor_pairs bigint,"
+        " morans_i_milli bigint, pattern string",
+    ).orderBy("region")
 
 
 ROUND8_QUERIES["morans_i_autocorrelation"] = morans_i_autocorrelation
@@ -9592,11 +9524,17 @@ def maxmin_fair_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     segment, one integer division finds t, the slack C - sum(min) < n
     is published rather than smeared).
 
-    Scale shape: one fact agg to the ~25-brand demand census; the
-    prefix scan and threshold election run on that census (the
-    pareto/key_gini allowlisted class); allocations are a map-side
-    projection of the broadcast (t, slack) row.
+    Scale shape: one fact agg to the ~25-brand demand census (the only
+    fact-sized stage, still distributed); the prefix scan, threshold
+    election and allocation run DRIVER-SIDE on the bounded_collect'ed
+    census in exact Python integers — a census-collect-then-iterate
+    key (SURVEY §7.24a; the former windows + five broadcast stages
+    were ~12 jobs on <= 25-row state).  SQL edge semantics preserved
+    exactly: div-by-zero -> NULL water level, least() skipping NULLs,
+    sum() skipping NULL allocations.
     """
+    from pyprima_spark.operators.exactmath import bounded_collect
+
     li = _t(spark, sf_dir, "lineitem").filter(
         F.expr("l_shipdate >= date'1997-07-01'")
         & F.expr("l_shipdate < date'1998-01-01'")
@@ -9604,70 +9542,59 @@ def maxmin_fair_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = _t(spark, sf_dir, "part").select(
         F.col("p_partkey").alias("l_partkey"), F.col("p_brand").alias("brand")
     )
-    demands = materialize(
-        li.join(F.broadcast(part), "l_partkey")
-        .groupBy("brand")
-        .agg(F.expr("cast(sum(l_quantity) as bigint)").alias("d"))
+    ds = sorted(
+        (int(r["d"]), r["brand"])
+        for r in bounded_collect(
+            li.join(F.broadcast(part), "l_partkey")
+            .groupBy("brand")
+            .agg(F.expr("cast(sum(l_quantity) as bigint)").alias("d")),
+            128,
+            "maxmin_fair_allocation: brand demand census",
+        )
     )
-    w = Window.orderBy("d", "brand").rowsBetween(
-        Window.unboundedPreceding, 0
+    schema = (
+        "brand string, demand bigint, allocation bigint, capped bigint,"
+        " water_level bigint, unallocated_slack bigint"
     )
-    wrk = Window.orderBy("d", "brand")
-    scanned = demands.withColumn("prefix", F.sum("d").over(w)).withColumn(
-        "rk", F.row_number().over(wrk)
-    )
-    totals = demands.agg(
-        F.sum("d").alias("total"), F.count(F.lit(1)).alias("n")
-    )
+    if not ds:
+        return spark.createDataFrame([], schema=schema)
+    n = len(ds)
+    total = sum(d for d, _ in ds)
+    cap = (total * _MMF_CAP_BP) // 10000
     # j = last rank whose full satisfaction still fits: prefix_j +
     # (n - j) * d_j <= C; t = (C - prefix_j) div (n - j)
-    cand = scanned.crossJoin(F.broadcast(totals)).withColumn(
-        "cap", F.expr(f"(total * {_MMF_CAP_BP}) div 10000")
-    )
-    j = cand.filter(
-        F.expr("prefix + (n - rk) * d <= cap")
-    ).agg(
-        F.max("rk").alias("j")
-    )
-    tless = (
-        cand.crossJoin(F.broadcast(j))
-        .filter(F.expr("rk = coalesce(j, 0)"))
-        .select(
-            F.expr("(cap - prefix) div (n - rk)").alias("t"),
-            F.col("cap").alias("cap2"),
+    j = None
+    pj = 0
+    prefix = 0
+    for rk, (d, _) in enumerate(ds, start=1):
+        prefix += d
+        if prefix + (n - rk) * d <= cap:
+            j, pj = rk, prefix
+    if j is None:
+        t = cap // n
+    elif j == n:
+        t = None  # SQL div by zero -> NULL (everyone fully satisfied)
+    else:
+        t = (cap - pj) // (n - j)
+    # least(d, NULL) = d in Spark (least skips NULLs); CASE on a NULL
+    # compare is false -> capped 0; sum() skips nothing here since
+    # alloc is then always non-NULL.
+    allocs = {
+        brand: (d if t is None else min(d, t)) for d, brand in ds
+    }
+    slack = cap - sum(allocs.values())
+    out = sorted(
+        (
+            brand,
+            d,
+            allocs[brand],
+            1 if (t is not None and d > t) else 0,
+            t,
+            slack,
         )
+        for d, brand in ds
     )
-    # if even the smallest demand exceeds the fair share (j undefined),
-    # t = cap div n
-    t0 = (
-        cand.crossJoin(F.broadcast(j))
-        .filter(F.expr("j IS NULL AND rk = 1"))
-        .select(F.expr("cap div n").alias("t"), F.col("cap").alias("cap2"))
-    )
-    trow = materialize(tless.unionByName(t0))
-    alloc = demands.crossJoin(F.broadcast(trow)).select(
-        "brand",
-        "d",
-        F.expr("least(d, t)").alias("alloc"),
-        "t",
-        "cap2",
-    )
-    slack = alloc.agg(
-        F.expr("max(cap2) - sum(alloc)").alias("slack")
-    )
-    return (
-        alloc.crossJoin(F.broadcast(slack))
-        .select(
-            "brand",
-            F.col("d").cast("bigint").alias("demand"),
-            F.col("alloc").cast("bigint").alias("allocation"),
-            F.expr("cast(CASE WHEN d > t THEN 1 ELSE 0 END as bigint)")
-            .alias("capped"),
-            F.col("t").cast("bigint").alias("water_level"),
-            F.col("slack").cast("bigint").alias("unallocated_slack"),
-        )
-        .orderBy("brand")
-    )
+    return spark.createDataFrame(out, schema=schema).orderBy("brand")
 
 
 ROUND8_QUERIES["maxmin_fair_allocation"] = maxmin_fair_allocation
@@ -13517,7 +13444,7 @@ def secretary_stopping_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("cust"),
         F.col("c_mktsegment").alias("segment"),
     )
-    daily = materialize(
+    daily = (
         orders.join(cust, F.col("o_custkey") == F.col("cust"))
         .groupBy("segment", F.expr("cast(o_orderdate as date)").alias("day"))
         .agg(
@@ -13527,64 +13454,56 @@ def secretary_stopping_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("y")
         )
     )
-    wseq = Window.partitionBy("segment").orderBy("day")
-    wrank = Window.partitionBy("segment").orderBy(F.desc("y"), F.asc("day"))
-    seq = materialize(
-        daily.withColumn("i", F.row_number().over(wseq))
-        .withColumn("true_rank", F.row_number().over(wrank))
+    # The replay below the (segment, day) census (<= 5 x 365 rows) is a
+    # census-collect-then-iterate collapse (SURVEY §7.24a): the former
+    # two windows + three broadcast joins + pick window were ~12 jobs
+    # on dim-bounded state.  Exact integers; SQL edge semantics kept
+    # (k = 0 -> no learning row -> no pick, div-by-zero -> NULL -> -1).
+    from pyprima_spark.operators.exactmath import bounded_collect, tdiv
+
+    rows = bounded_collect(
+        daily, 8192, "secretary_stopping_replay: segment-day census"
     )
-    counts = seq.groupBy("segment").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.max("y").alias("best_y"),
-    ).withColumn(
-        "k", F.expr(f"cast((n * {_SEC_INV_E_MICRO}) div 1000000 as int)")
-    )
-    learn_max = (
-        seq.join(F.broadcast(counts), "segment")
-        .filter("i <= k")
-        .groupBy("segment")
-        .agg(F.max("y").alias("bar"))
-    )
-    chosen = (
-        seq.join(F.broadcast(counts), "segment")
-        .join(F.broadcast(learn_max), "segment")
-        .filter(F.expr("i > k AND y > bar"))
-        .withColumn(
-            "pick_rank",
-            F.row_number().over(
-                Window.partitionBy("segment").orderBy("i")
-            ),
+    segs: dict = {}
+    for r in rows:
+        segs.setdefault(r["segment"], []).append((r["day"], int(r["y"])))
+    out = []
+    for segment in sorted(segs):
+        series = sorted(segs[segment])  # date order -> position i
+        n = len(series)
+        best_y = max(y for _, y in series)
+        k = (n * _SEC_INV_E_MICRO) // 1000000
+        ranked = sorted(series, key=lambda t: (-t[1], t[0]))
+        true_rank = {day: i + 1 for i, (day, _) in enumerate(ranked)}
+        chosen = None
+        if k >= 1:
+            bar = max(y for _, y in series[:k])
+            for i in range(k, n):
+                day, y = series[i]
+                if y > bar:
+                    chosen = (i + 1, true_rank[day], y)
+                    break
+        share = (
+            tdiv(10000 * chosen[2], best_y or None)
+            if chosen is not None
+            else None
         )
-        .filter("pick_rank = 1")
-    )
-    return (
-        counts.join(
-            chosen.select(
-                "segment",
-                F.col("i").alias("chosen_position"),
-                F.col("true_rank").alias("chosen_true_rank"),
-                F.col("y").alias("chosen_y"),
-            ),
-            "segment",
-            "left",
+        out.append(
+            (
+                segment,
+                n,
+                k,
+                chosen[0] if chosen else -1,
+                chosen[1] if chosen else -1,
+                -1 if share is None else share,
+            )
         )
-        .select(
-            "segment",
-            F.col("n").cast("bigint").alias("n_days"),
-            F.col("k").cast("bigint").alias("learning_phase"),
-            F.coalesce("chosen_position", F.lit(-1))
-            .cast("bigint")
-            .alias("chosen_position"),
-            F.coalesce("chosen_true_rank", F.lit(-1))
-            .cast("bigint")
-            .alias("chosen_true_rank"),
-            F.expr(
-                "cast(coalesce((10000 * chosen_y) div best_y, -1)"
-                " as bigint)"
-            ).alias("chosen_vs_best_bp"),
-        )
-        .orderBy("segment")
-    )
+    return spark.createDataFrame(
+        out,
+        schema="segment string, n_days bigint, learning_phase bigint,"
+        " chosen_position bigint, chosen_true_rank bigint,"
+        " chosen_vs_best_bp bigint",
+    ).orderBy("segment")
 
 
 ROUND8_QUERIES["secretary_stopping_replay"] = secretary_stopping_replay
