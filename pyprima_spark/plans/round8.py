@@ -4738,56 +4738,40 @@ def shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("conv"),
         )
     )
-    mask_census = journeys.groupBy("mask").agg(F.sum("conv").alias("n_conv"))
-    coalitions = spark.range(16).select(F.col("id").cast("int").alias("s"))
-    v = (
-        coalitions.join(
-            F.broadcast(mask_census),
-            F.expr("(mask & s) = mask"),
-            "left",
+    # Below the <= 16-row mask census the coalition lattice is a
+    # census-collect-then-iterate collapse (SURVEY §7.24a; the former
+    # subset/marginal joins + two materializes were ~13 jobs on
+    # <= 16-row state).  Exact integers; tdiv + the -1 fallback mirror
+    # SQL div/nullif/coalesce (phi can be negative).
+    from pyprima_spark.operators.exactmath import bounded_collect, tdiv
+
+    nc = {
+        int(r["mask"]): int(r["n_conv"])
+        for r in bounded_collect(
+            journeys.groupBy("mask").agg(F.sum("conv").alias("n_conv")),
+            16,
+            "shapley_attribution: channel-mask census",
         )
-        .groupBy("s")
-        .agg(F.coalesce(F.sum("n_conv"), F.lit(0)).alias("v"))
-    )
-    # 16-row coalition values feed both marginal-join sides; one pass
-    # over the events agg instead of two.
-    v = materialize(v)
-    chan_rows = ", ".join(
-        f"named_struct('channel', '{name}', 'cbit', {bit})"
-        for name, bit in _SHAP_CHANNELS
-    )
-    channels = spark.range(1).select(
-        F.explode(F.expr(f"array({chan_rows})")).alias("c")
-    ).select("c.channel", "c.cbit")
-    w24 = ", ".join(str(w) for w in _SHAP_W24)
-    vs = v.select(F.col("s").alias("s0"), F.col("v").alias("v0"))
-    vf = v.select(F.col("s").alias("s1"), F.col("v").alias("v1"))
-    phi = (
-        channels.join(F.broadcast(vs), F.expr("(s0 & cbit) = 0"))
-        .join(F.broadcast(vf), F.expr("s1 = (s0 | cbit)"))
-        .groupBy("channel")
-        .agg(
-            F.sum(
-                F.expr(
-                    f"element_at(array({w24}), bit_count(s0) + 1) * (v1 - v0)"
-                )
-            ).alias("phi_x24")
+        if r["n_conv"] is not None
+    }
+    v = [
+        sum(n for m, n in nc.items() if (m & s) == m) for s in range(16)
+    ]
+    out = []
+    phis = {}
+    for name, cbit in _SHAP_CHANNELS:
+        phis[name] = sum(
+            _SHAP_W24[bin(s0).count("1")] * (v[s0 | cbit] - v[s0])
+            for s0 in range(16)
+            if (s0 & cbit) == 0
         )
-    )
-    phi = materialize(phi)
-    total = phi.agg(F.sum("phi_x24").alias("tot"))
-    return (
-        phi.crossJoin(F.broadcast(total))
-        .select(
-            "channel",
-            F.col("phi_x24").cast("bigint").alias("phi_x24"),
-            F.expr(
-                "cast(coalesce((10000 * phi_x24) div nullif(tot, 0), -1)"
-                " as bigint)"
-            ).alias("share_bp"),
-        )
-        .orderBy("channel")
-    )
+    tot = sum(phis.values())
+    for name in sorted(phis):
+        share = tdiv(10000 * phis[name], tot if tot != 0 else None)
+        out.append((name, phis[name], -1 if share is None else share))
+    return spark.createDataFrame(
+        out, schema="channel string, phi_x24 bigint, share_bp bigint"
+    ).orderBy("channel")
 
 
 ROUND8_QUERIES["shapley_attribution"] = shapley_attribution
@@ -10872,54 +10856,53 @@ def oaxaca_blinder_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div 100 as bigint)"
         ).alias("y")
     )
-    cells = materialize(
+    # Below the <= 25x2 (nation, group) census everything is exact
+    # cross-multiplied integer arithmetic — a census-collect-then-
+    # iterate collapse (SURVEY §7.24a; the former filters + broadcast
+    # crossJoins were ~13 jobs on <= 50-row state).  tdiv replicates
+    # SQL div's truncation toward zero (explained/unexplained terms
+    # are signed); the inner join's nation intersection is explicit.
+    from pyprima_spark.operators.exactmath import bounded_collect, tdiv
+
+    cells = bounded_collect(
         per_cust.join(cust, "cust")
         .groupBy("nation", "grp")
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("sy"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("sy")),
+        128,
+        "oaxaca_blinder_decomposition: nation x group census",
     )
-    a = cells.filter("grp = 'A'").select(
-        "nation", F.col("n").alias("na"), F.col("sy").alias("sya")
-    )
-    b = cells.filter("grp = 'B'").select(
-        "nation", F.col("n").alias("nb"), F.col("sy").alias("syb")
-    )
-    tots = cells.groupBy("grp").agg(
-        F.sum("n").alias("nn"), F.sum("sy").alias("sy")
-    )
-    ta = tots.filter("grp = 'A'").select(
-        F.col("nn").alias("na_tot"), F.col("sy").alias("sya_tot")
-    )
-    tb = tots.filter("grp = 'B'").select(
-        F.col("nn").alias("nb_tot"), F.col("sy").alias("syb_tot")
-    )
-    return (
-        a.join(b, "nation")
-        .crossJoin(F.broadcast(ta))
-        .crossJoin(F.broadcast(tb))
-        .select(
-            "nation",
-            F.col("na").cast("bigint").alias("n_building"),
-            F.col("nb").cast("bigint").alias("n_rest"),
-            F.expr(
-                "cast((1000 * (cast(na as decimal(38,0)) * nb_tot"
-                " - cast(nb as decimal(38,0)) * na_tot) * syb)"
-                " div (cast(na_tot as decimal(38,0)) * nb_tot * nb)"
-                " as bigint)"
-            ).alias("explained_milli"),
-            F.expr(
-                "cast((1000 * cast(na as decimal(38,0))"
-                " * (cast(sya as decimal(38,0)) * nb"
-                " - cast(syb as decimal(38,0)) * na))"
-                " div (cast(na_tot as decimal(38,0)) * na * nb)"
-                " as bigint)"
-            ).alias("unexplained_milli"),
-            F.expr(
-                "cast(1000 * (sya_tot div na_tot - syb_tot div nb_tot)"
-                " as bigint)"
-            ).alias("total_gap_milli"),
+    a = {r["nation"]: (int(r["n"]), int(r["sy"])) for r in cells if r["grp"] == "A"}
+    b = {r["nation"]: (int(r["n"]), int(r["sy"])) for r in cells if r["grp"] == "B"}
+    na_tot = sum(n for n, _ in a.values())
+    sya_tot = sum(sy for _, sy in a.values())
+    nb_tot = sum(n for n, _ in b.values())
+    syb_tot = sum(sy for _, sy in b.values())
+    out = []
+    for nation in sorted(set(a) & set(b)):
+        na, sya = a[nation]
+        nb, syb = b[nation]
+        out.append(
+            (
+                nation,
+                na,
+                nb,
+                tdiv(
+                    1000 * (na * nb_tot - nb * na_tot) * syb,
+                    na_tot * nb_tot * nb,
+                ),
+                tdiv(
+                    1000 * na * (sya * nb - syb * na),
+                    na_tot * na * nb,
+                ),
+                1000 * (tdiv(sya_tot, na_tot) - tdiv(syb_tot, nb_tot)),
+            )
         )
-        .orderBy("nation")
-    )
+    return spark.createDataFrame(
+        out,
+        schema="nation string, n_building bigint, n_rest bigint,"
+        " explained_milli bigint, unexplained_milli bigint,"
+        " total_gap_milli bigint",
+    ).orderBy("nation")
 
 
 ROUND8_QUERIES["oaxaca_blinder_decomposition"] = oaxaca_blinder_decomposition
