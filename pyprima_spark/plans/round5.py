@@ -4497,18 +4497,19 @@ def _ppjoin_over(toks: DataFrame) -> DataFrame:
             ),
         )
     )
-    # One boundary before the self-join: both candidate sides derive
-    # from `pre`, and without it the whole df-table + canonical-order
-    # aggregation chain evaluated once per side (guide §2.4, duplicate
-    # subtree — the ordered-sets table every PPJoin implementation
-    # persists anyway).
-    from pyprima_spark.operators.checkpointing import materialize
-
-    pre = materialize(
-        with_order.select(
-            "doc_id", "source", "lang", "ordered", "n",
-            F.explode("prefix").alias("token"),
-        )
+    # NO materialization boundary here (measured negative, guide §1.1):
+    # both candidate sides derive from `pre`, so a localCheckpoint
+    # should save the duplicate df-table + canonical-order derivation —
+    # and an isolated subset A/B did measure 0.90x — but in the FULL
+    # bench run the r10 attempt regressed the shingle bench leg
+    # 1.9 -> 18.2 s: `pre` carries the whole ordered-set array on every
+    # prefix row (O(set² ) longs per doc on the shingle leg), and
+    # pinning that as checkpoint blocks late in a 384-key session
+    # thrashes the block manager. The duplicate derivation is the
+    # cheaper evil at every tested scale.
+    pre = with_order.select(
+        "doc_id", "source", "lang", "ordered", "n",
+        F.explode("prefix").alias("token"),
     )
     a = pre.select(
         F.col("doc_id").alias("doc_a"), "source", "lang", "token",

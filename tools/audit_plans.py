@@ -63,8 +63,6 @@ GLOBAL_WINDOW_BOUNDS = {
     "knapsack_density_bound": 25_000,  # density prefix over part census
     # hash-rank candidate selection over the |days| census (16 measured)
     "ransac_consensus_fit": 50,
-    # divisor-quotient ranks over the 5x40 literal lattice (40 measured)
-    "seat_apportionment": 250,
     # prefix identity over the quantized value census (499 measured)
     "energy_distance_test": 600,
     # j-index over the 3-row year-column census
@@ -111,8 +109,6 @@ GLOBAL_WINDOW_BOUNDS = {
 # so its plan no longer contains any window.)
 GLOBAL_WINDOW_BOUNDS.update({
     "fagin_ta_depth": 25_000,  # sorted-access ranks over part census
-    "maxmin_fair_allocation": 25,  # water-level scan over brand census
-    "banzhaf_power_index": 5,  # row_number over the 5-segment census
     "shapley_shubik_index": 5,  # row_number over the 5-segment census
 })
 
