@@ -493,10 +493,27 @@ def main() -> None:
     QUERIES[names[0]](spark, sf_dir).count()
 
     timings: dict[str, float] = {}
-    for name in names:
+    gc_every = int(os.environ.get("BENCH_GC_EVERY", "0"))
+    import gc
+
+    for idx, name in enumerate(names):
         # Isolate queries: operators persist() intermediates (band/gram
         # tables) that would otherwise linger and skew later timings.
         spark.catalog.clearCache()
+        # Experimental, DEFAULT OFF (BENCH_GC_EVERY=N): clearCache()
+        # cannot release localCheckpoint blocks — those are freed by
+        # the ContextCleaner only after BOTH the Python wrapper and the
+        # JVM plan become unreachable AND a JVM GC runs, so pinned
+        # MEMORY_AND_DISK blocks accumulate across a ~384-key session
+        # (guide §5: unpersist when done). An r10 on/off A/B at sf0.1
+        # was INCONCLUSIVE — the host's multi-minute degradation
+        # windows (see host_probe) dominated both runs — so the knob
+        # stays opt-in and the driver's default methodology is
+        # unchanged. The housekeeping runs OUTSIDE the timed region
+        # either way; the timed action below is identical.
+        if gc_every and idx % gc_every == 0:
+            gc.collect()
+            spark._jvm.System.gc()
         fn = BENCH_OVERRIDES.get(name, QUERIES[name])
         start = time.perf_counter()
         fn(spark, sf_dir).count()

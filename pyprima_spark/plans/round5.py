@@ -2406,8 +2406,19 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("source", "doc_id", "b.w1", "b.w2")
     )
-    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
-    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    from pyprima_spark.operators.checkpointing import materialize
+
+    # The bigram census is materialized ONCE (vocab-bounded — one row
+    # per distinct (w1, w2), not fact-sized) and the unigram counts are
+    # DERIVED from it: c1(w1) = Σ_w2 c12(w1, w2) — the identical exact
+    # integers, since every bg row lands in exactly one (w1, w2) group.
+    # The former plan evaluated the corpus tokenize+explode subtree
+    # THREE times (c1 build, c12 build, probe side); now the corpus is
+    # scanned twice — census build and probe (guide §2.4).
+    c12 = materialize(
+        bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    )
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
     scored = (
         bg.join(F.broadcast(c12), ["w1", "w2"])
         .join(F.broadcast(c1), "w1")

@@ -180,10 +180,19 @@ def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     60-bit hash, so the oracle reproduces the matrix bit-for-bit.
     """
     ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_n"))
+    # Sketch counters from the per-user census, not the raw event
+    # stream (guide §2.3: aggregate before you shuffle): every event
+    # of a user lands in the same (cm_i, bucket), so counting exploded
+    # event rows equals summing per-user counts — identical integers —
+    # while the d-way explode and its d md5s per row run over |users|
+    # census rows instead of |events| fact rows, and the fact table is
+    # scanned with nothing but a map-combined count.
     rows = F.explode(
         F.array(*[F.lit(i) for i in range(_CM_D)])
     ).alias("cm_i")
-    keyed = ev.select(F.col("user_id"), rows).select(
+    keyed = per_user.select("exact_n", F.col("user_id"), rows).select(
+        "exact_n",
         "cm_i",
         (
             F.expr(
@@ -195,10 +204,8 @@ def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bucket"),
     )
     counters = keyed.groupBy("cm_i", "bucket").agg(
-        F.count(F.lit(1)).alias("c")
+        F.sum("exact_n").alias("c")
     )
-
-    per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_n"))
     w = Window.orderBy(F.desc("exact_n"), F.asc("user_id"))
     topk = (
         per_user.withColumn("rank", F.row_number().over(w))
@@ -5582,6 +5589,12 @@ def mrl_truncation_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             " 0L, (s, v) -> s + v)"
         ).alias("dot_trunc"),
     )
+    # NOTE (r10, measured): repartition("query_id") before this
+    # checkpoint (one exchange serving both top-k windows) was A/B'd
+    # at sf0.1 (ABBA) and measured ~15% SLOWER (1.85 -> 2.14 s): the
+    # pre-checkpoint exchange job costs more than the two post-
+    # checkpoint window exchanges it replaces at bench scale (the
+    # dedup_simhash lesson). Reverted; the unkeyed boundary stays.
     scored = materialize(scored)
     wf = Window.partitionBy("query_id").orderBy(
         F.desc("dot_full"), F.asc("vec_id")

@@ -2462,6 +2462,12 @@ def doubly_robust_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(10000 * sum(r_log)) div count(1)").alias("rhat_bp")
         )
     )
+    # NOTE (r10, measured): collecting this dim-bounded model to a
+    # literal frame to dedupe the two broadcast builds was A/B'd at
+    # sf0.1 (ABBA) and measured 2x SLOWER (1.47 -> 3.0 s) — the eager
+    # collect serializes the build into its own job where the two
+    # broadcast builds overlap the probe stage. Reverted; the
+    # duplicate broadcast-side evaluation stays as the cheaper evil.
     scored = (
         ev.join(
             F.broadcast(model),
@@ -5211,18 +5217,27 @@ def brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     census = test.groupBy("segment", "pred_bp").agg(
         F.count(F.lit(1)).alias("n_k"), F.sum("y").alias("sy_k")
     )
-    per_seg = census.groupBy("segment").agg(
-        F.sum("n_k").alias("n"), F.sum("sy_k").alias("sy")
-    )
-    joined = census.join(F.broadcast(per_seg), "segment").select(
-        "segment",
-        "n_k",
-        "sy_k",
-        "n",
-        "sy",
-        F.expr("pred_bp * 100").alias("pred_e6"),
-        F.expr("(1000000 * sy_k) div n_k").alias("ybar_k_e6"),
-        F.expr("(1000000 * sy) div n").alias("ybar_e6"),
+    # Segment totals ride a whole-partition window on the census
+    # (guide §2.4): the former census.groupBy + broadcast join back
+    # evaluated the census subtree — the full orders⋈model⋈customer
+    # test join — TWICE; the window reads the one census exchange and
+    # sums the identical integers. Census rows per segment are bounded
+    # by the 200-group model (≤ 201), so the window partition is
+    # dim-bounded.
+    seg_w = Window.partitionBy("segment")
+    joined = (
+        census.withColumn("n", F.sum("n_k").over(seg_w))
+        .withColumn("sy", F.sum("sy_k").over(seg_w))
+        .select(
+            "segment",
+            "n_k",
+            "sy_k",
+            "n",
+            "sy",
+            F.expr("pred_bp * 100").alias("pred_e6"),
+            F.expr("(1000000 * sy_k) div n_k").alias("ybar_k_e6"),
+            F.expr("(1000000 * sy) div n").alias("ybar_e6"),
+        )
     )
     return (
         joined.groupBy("segment", "n", "sy", "ybar_e6")
@@ -11390,9 +11405,16 @@ def bradley_terry_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # collapse duplicate (order, brand, discount) lines BEFORE the
     # self-join and weight by multiplicity — same exact pair counts,
-    # far fewer join rows
+    # far fewer join rows. The repartition("l_orderkey") BEFORE the
+    # groupBy is the market_basket_pairs subset-clustering layout
+    # (guide §2.4): hash(l_orderkey) co-locates every (order, brand,
+    # disc) group, so the dedup aggregate plans exchange-free, the
+    # checkpoint preserves hash(l_orderkey), and BOTH sides of the
+    # order-key self-join below consume it with zero further
+    # exchanges — 3 exchanges collapse to 1 at every scale.
     lines = materialize(
         li.join(F.broadcast(part), "l_partkey")
+        .repartition("l_orderkey")
         .groupBy(
             "l_orderkey",
             "brand",
