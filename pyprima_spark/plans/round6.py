@@ -1128,6 +1128,14 @@ def kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"shiftright({X.hash64_spark('token')}, {60 - _KMVO_BITS})"
             ).alias("h"),
         )
+        # NOTE (r10, measured): repartition("h") before this distinct
+        # (the cross_source_overlap subset-clustering move) was A/B'd
+        # and measured ~25% SLOWER — unlike the fingerprint case, the
+        # keyed exchange here carries the UN-deduplicated exploded
+        # token table (the distinct's map-side partial aggregation
+        # normally shrinks the shuffle first), so the saved join
+        # exchanges cost more than they buy. The (source, h) distinct
+        # layout stays.
         .distinct()
     )
     hashed = materialize(hashed)  # feeds sketches AND the exact join

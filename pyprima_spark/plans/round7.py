@@ -2238,6 +2238,18 @@ def jackknife_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum(cast(round(l_extendedprice * l_discount * 100) as bigint))"
         ).alias("d"),
     )
+    # The |ship-years| strata census (time-bounded, a few dozen rows)
+    # fed summary, staged and — via staged — var and the final join,
+    # and every consumer re-ran the LINEITEM aggregate: three fact
+    # passes for one census. ONE materialize boundary on the census
+    # leaves a single fact pass; the window/join algebra above it now
+    # runs over the checkpointed handful of rows (guide §2.4). A full
+    # driver-side collapse (bounded_collect + exact-int replication)
+    # was also A/B'd and measured SLOWER than this form at bench scale
+    # (the eager executeTake serializes what otherwise pipelines).
+    from pyprima_spark.operators.checkpointing import materialize
+
+    strata = materialize(strata)
     w_all = Window.partitionBy()
     census = strata.select(
         "yr",

@@ -2598,12 +2598,17 @@ def qini_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-multiplied numerator plus a sign-outside bp form.
     """
     orders = _t(spark, sf_dir, "orders")
-    first = orders.filter(
-        F.expr("o_orderdate < date'1998-07-01'")
-    ).groupBy(F.col("o_custkey").alias("cust")).agg(
-        F.sum(F.expr("cast(o_totalprice as decimal(18,2)) * 100"))
-        .cast("bigint")
-        .alias("spend_cents")
+    # Materialized for its two consumers (the percentile-cut aggregate
+    # and the decile assignment) — the decile_lift fix applied here:
+    # without the boundary the first-half spend aggregate ran twice.
+    first = materialize(
+        orders.filter(F.expr("o_orderdate < date'1998-07-01'"))
+        .groupBy(F.col("o_custkey").alias("cust"))
+        .agg(
+            F.sum(F.expr("cast(o_totalprice as decimal(18,2)) * 100"))
+            .cast("bigint")
+            .alias("spend_cents")
+        )
     )
     second = (
         orders.filter(F.expr("o_orderdate >= date'1998-07-01'"))
@@ -3434,6 +3439,14 @@ def coverage_decay_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     gram→rank attribution is the only big agg.
     """
     docs = _t(spark, sf_dir, "documents")
+    # NOTE (r10, measured): the rank census feeds two broadcast
+    # consumers and each build re-runs its corpus tokenize pass;
+    # materializing it once was A/B'd and measured ~30% SLOWER at
+    # bench scale — the eager boundary serializes a pass that
+    # otherwise pipelines alongside the gram explode in one job.
+    # Left as-is; at cluster scale the duplicate pass is two corpus
+    # scans and the sharded signature-table write every production
+    # pipeline persists anyway is the boundary that removes it.
     ranks = (
         docs.groupBy("source")
         .agg(F.sum(F.expr(f"size({X.tokens_spark('text')})")).alias("mass"))
@@ -6049,13 +6062,29 @@ def newsvendor_stock_level(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("cast(cast(l_discount as decimal(4,2)) * 10000 as bigint)")
         .alias("disc_bp"),
     )
-    weekly = joined.groupBy("brand", "yr", "wk").agg(
-        F.sum("qty").alias("demand")
+    # The old plan ran THREE fact joins+aggregations over lineitem⋈part
+    # (weekly for the rank window, weekly again for the counts, the raw
+    # rows again for the fractile). ONE combined weekly aggregate now
+    # carries demand, the discount sum and the row count per (brand,
+    # year, week) cell — the fractile inputs are exact sums over the
+    # cells (Σ_cells sum(disc_bp) ≡ sum(disc_bp) over raw rows) — and a
+    # materialize boundary on that census (25 brands × |years| × 53
+    # weeks, dim/time-bounded) leaves a single fact pass; the window,
+    # counts and fractile all derive from the checkpoint (guide §2.4).
+    # A full driver-side collapse was A/B'd and measured SLOWER than
+    # this form at bench scale (eager executeTake vs one pipelined job).
+    census = materialize(
+        joined.groupBy("brand", "yr", "wk").agg(
+            F.sum("qty").alias("demand"),
+            F.sum("disc_bp").alias("sdisc"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
     )
-    fract = joined.groupBy("brand").agg(
+    weekly = census.select("brand", "yr", "wk", "demand")
+    fract = census.groupBy("brand").agg(
         F.expr(
-            "cast((10000 * (3000 - sum(disc_bp) div count(*)))"
-            " div (4000 - sum(disc_bp) div count(*)) as bigint)"
+            "cast((10000 * (3000 - sum(sdisc) div sum(cnt)))"
+            " div (4000 - sum(sdisc) div sum(cnt)) as bigint)"
         ).alias("q_bp")
     )
     w = Window.partitionBy("brand").orderBy("demand", "yr", "wk")
