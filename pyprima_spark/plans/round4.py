@@ -327,6 +327,13 @@ def model_export_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+    # NOTE (r10, measured): the hourly census feeds both the demand and
+    # supim sheets, so the events aggregation evaluates twice; a
+    # materialize boundary here was A/B'd (min-of-4 interleaved) and
+    # measured ~1.3× SLOWER — the union's independent sheet subtrees
+    # all pipeline inside ONE job, and the eager checkpoint serializes
+    # the events pass out of that overlap. Left duplicated as the
+    # cheaper evil at bench scale.
     hourly = (
         ev.withColumn("nk", F.col("user_id") % 25)
         .join(F.broadcast(nat), F.col("nk") == nat.n_nationkey)
