@@ -634,9 +634,22 @@ def woe_iv_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncates again — one double cast per column at the output edge.
     """
     ev = _t(spark, sf_dir, "events")
-    prof = ev.groupBy("user_id").agg(
-        F.sum(F.expr("cast(round(value * 100) as bigint)")).alias("cents"),
-        F.max((F.col("event_type") == "purchase").cast("int")).alias("good"),
+    # Two boundaries kill the plan's three events passes (guide §2.4):
+    # prof feeds the percentile-cut aggregate AND the bin assignment,
+    # and per_bin (≤ |bins| rows) feeds the totals AND the smoothed
+    # output — without them every consumer re-ran the events
+    # aggregation (executed plan: 3 events scans → 1).
+    from pyprima_spark.operators.checkpointing import materialize
+
+    prof = materialize(
+        ev.groupBy("user_id").agg(
+            F.sum(F.expr("cast(round(value * 100) as bigint)")).alias(
+                "cents"
+            ),
+            F.max(
+                (F.col("event_type") == "purchase").cast("int")
+            ).alias("good"),
+        )
     )
     qs = [i / _WOE_BINS for i in range(1, _WOE_BINS)]
     cuts = prof.agg(
@@ -653,10 +666,12 @@ def woe_iv_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
     binned = prof.crossJoin(F.broadcast(cuts)).select(
         bin_col.alias("bin"), "good"
     )
-    per_bin = binned.groupBy("bin").agg(
-        F.count(F.lit(1)).alias("n_users"),
-        F.sum("good").alias("n_good"),
-        F.sum(F.lit(1) - F.col("good")).alias("n_bad"),
+    per_bin = materialize(
+        binned.groupBy("bin").agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("good").alias("n_good"),
+            F.sum(F.lit(1) - F.col("good")).alias("n_bad"),
+        )
     )
     tot = per_bin.agg(
         F.sum("n_good").alias("tot_good"), F.sum("n_bad").alias("tot_bad")
