@@ -4331,6 +4331,12 @@ def cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"ELSE lang END"
         ).alias("b"),
     )
+    # NOTE (r10, measured): the confusion census feeds stats, ma and
+    # kb, so the md5-relabel fact pass evaluates three times; a
+    # materialize boundary here was A/B'd (min-of-3 interleaved) and
+    # measured ~1.16× SLOWER — the three consumers pipeline inside one
+    # job and the eager boundary serializes the pass (the
+    # model_export_bundle mechanism). Left duplicated at bench scale.
     cells = labeled.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c"))
     stats = cells.agg(
         F.sum("c").alias("n"),
