@@ -394,39 +394,52 @@ def decode_png_rgb(payload: bytes):
     return out
 
 
+def _png_grid_cache():
+    """Per-task cache of the doc-independent base gradients: (w, h) has
+    only 13*9 combinations (guide §4.5: heavyweight init once per task,
+    not per row). Returns a closure mapping (w, h) -> int64 grid."""
+    import numpy as np
+
+    grids: dict = {}
+
+    def base_grid(w: int, h: int):
+        g = grids.get((w, h))
+        if g is None:
+            yy, xx = np.mgrid[0:h, 0:w]
+            g = np.stack([xx * 7, yy * 11, xx + yy], axis=-1).astype(
+                np.int64
+            )
+            grids[(w, h)] = g
+        return g
+
+    return base_grid
+
+
+def _png_payload(doc_id: int, base_grid) -> bytes:
+    """Synthesize + encode the deterministic doc_id gradient PNG (the
+    single source of truth shared by the attach and fused operators)."""
+    import numpy as np
+
+    d = int(doc_id)
+    w = 8 + d % 13
+    h = 6 + d % 9
+    arr = ((base_grid(w, h) + np.array([d, 2 * d, 3 * d])) % 256).astype(
+        np.uint8
+    )
+    return encode_png_rgb(arr)
+
+
 def attach_png_media(docs: DataFrame) -> DataFrame:
     """Attach a REAL PNG payload per document: a deterministic RGB
     gradient whose size and colors derive from doc_id. mapInPandas —
     synthesis is per-partition, nothing shuffles."""
-    import numpy as np
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # (w, h) has only 13*9 combinations; the coordinate grids are
-        # doc-independent, so build each base gradient once per task
-        # and derive every doc's image by adding the doc term mod 256
-        # (guide §4.5: heavyweight init once per task, not per row).
-        grids: dict = {}
-
-        def base_grid(w: int, h: int):
-            g = grids.get((w, h))
-            if g is None:
-                yy, xx = np.mgrid[0:h, 0:w]
-                g = np.stack([xx * 7, yy * 11, xx + yy], axis=-1).astype(
-                    np.int64
-                )
-                grids[(w, h)] = g
-            return g
-
+        base_grid = _png_grid_cache()
         for pdf in it:
-            payloads = []
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                w = 8 + d % 13
-                h = 6 + d % 9
-                arr = (
-                    (base_grid(w, h) + np.array([d, 2 * d, 3 * d])) % 256
-                ).astype(np.uint8)
-                payloads.append(encode_png_rgb(arr))
+            payloads = [
+                _png_payload(doc_id, base_grid) for doc_id in pdf["doc_id"]
+            ]
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"], "payload": payloads}
             )
@@ -436,12 +449,27 @@ def attach_png_media(docs: DataFrame) -> DataFrame:
     )
 
 
+def _png_feature_row(payload: bytes) -> tuple:
+    """Decode one PNG and compute the exact-integer feature row
+    (shared by the staged and fused operators)."""
+    import numpy as np
+
+    arr = decode_png_rgb(payload)
+    h, w, _ = arr.shape
+    tot = arr.reshape(-1, 3).astype(np.int64).sum(axis=0)
+    return (
+        w, h,
+        int(tot[0] // (w * h)),
+        int(tot[1] // (w * h)),
+        int(tot[2] // (w * h)),
+    )
+
+
 def image_features_png(media: DataFrame) -> DataFrame:
     """REAL image feature extraction: decode each PNG with the stdlib
     path above and report dimensions + per-channel integer means
     (floor of the exact rational — deterministic, oracle-able). Same
     Arrow mapInPandas shape as the stubbed decode_media."""
-    import numpy as np
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -450,18 +478,48 @@ def image_features_png(media: DataFrame) -> DataFrame:
                 "mean_r": [], "mean_g": [], "mean_b": [],
             }
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                arr = decode_png_rgb(bytes(payload))
-                h, w, _ = arr.shape
-                tot = arr.reshape(-1, 3).astype(np.int64).sum(axis=0)
+                w, h, mr, mg, mb = _png_feature_row(bytes(payload))
                 rows["doc_id"].append(doc_id)
                 rows["width"].append(w)
                 rows["height"].append(h)
-                rows["mean_r"].append(int(tot[0] // (w * h)))
-                rows["mean_g"].append(int(tot[1] // (w * h)))
-                rows["mean_b"].append(int(tot[2] // (w * h)))
+                rows["mean_r"].append(mr)
+                rows["mean_g"].append(mg)
+                rows["mean_b"].append(mb)
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(batches, schema=IMAGE_SCHEMA)
+
+
+def png_features_roundtrip(docs: DataFrame) -> DataFrame:
+    """Fused synthesize→encode→decode→features round-trip in ONE
+    mapInPandas pass. Identical bytes and identical features to
+    image_features_png(attach_png_media(docs)) — _png_payload builds
+    the same PNG and _png_feature_row decodes it with the same parser —
+    but the payload column never crosses the Python↔JVM boundary
+    (guide §4.1: control how many columns cross; previously each
+    payload crossed Arrow twice and every task ran TWO chained Python
+    workers, doubling the per-stage worker fan-out)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        base_grid = _png_grid_cache()
+        for pdf in it:
+            rows: dict[str, list] = {
+                "doc_id": [], "width": [], "height": [],
+                "mean_r": [], "mean_g": [], "mean_b": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                w, h, mr, mg, mb = _png_feature_row(
+                    _png_payload(doc_id, base_grid)
+                )
+                rows["doc_id"].append(doc_id)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["mean_r"].append(mr)
+                rows["mean_g"].append(mg)
+                rows["mean_b"].append(mb)
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id").mapInPandas(batches, schema=IMAGE_SCHEMA)
 
 
 AHASH_SCHEMA = "doc_id bigint, hash_hi bigint, hash_lo bigint"
@@ -482,28 +540,56 @@ def image_ahash_png(media: DataFrame) -> DataFrame:
         for pdf in it:
             rows: dict[str, list] = {"doc_id": [], "hash_hi": [], "hash_lo": []}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                arr = decode_png_rgb(bytes(payload))
-                h, w, _ = arr.shape
-                cells = []
-                for y in range(8):
-                    for x in range(8):
-                        ys, xs = (y * h) // 8, (x * w) // 8
-                        r, g, b = (int(v) for v in arr[ys, xs])
-                        cells.append((r + g + b) // 3)
-                m = sum(cells) // 64
-                hi = lo = 0
-                for i, c in enumerate(cells):
-                    if c > m:
-                        if i < 32:
-                            hi |= 1 << i
-                        else:
-                            lo |= 1 << (i - 32)
+                hi, lo = _png_ahash_row(bytes(payload))
                 rows["doc_id"].append(doc_id)
                 rows["hash_hi"].append(hi)
                 rows["hash_lo"].append(lo)
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(batches, schema=AHASH_SCHEMA)
+
+
+def _png_ahash_row(payload: bytes) -> tuple:
+    """Decode one PNG and compute the exact aHash halves — the same
+    integers as the original per-pixel loop (grayscale (r+g+b)//3 at
+    the 8x8 nearest-neighbor sample points, threshold > sum//64; bit
+    i = y*8+x, rows 0-3 -> hi, 4-7 -> lo) computed with vectorized
+    numpy sampling (guide §4.2: vectorize inside the batch)."""
+    import numpy as np
+
+    arr = decode_png_rgb(payload)
+    h, w, _ = arr.shape
+    ys = (np.arange(8) * h) // 8
+    xs = (np.arange(8) * w) // 8
+    gray = arr.astype(np.int64).sum(axis=2) // 3
+    cells = gray[np.ix_(ys, xs)]          # [y, x] — y-major like the loop
+    m = int(cells.sum()) // 64
+    bits = (cells > m).reshape(-1)        # i = y*8 + x
+    weights = np.left_shift(np.int64(1), np.arange(32, dtype=np.int64))
+    hi = int((bits[:32] * weights).sum())
+    lo = int((bits[32:] * weights).sum())
+    return hi, lo
+
+
+def png_ahash_roundtrip(docs: DataFrame) -> DataFrame:
+    """Fused synthesize→encode→decode→aHash round-trip in ONE
+    mapInPandas pass: identical bytes and hashes to
+    image_ahash_png(attach_png_media(docs)) without shipping payloads
+    across the Python↔JVM boundary (same rationale as
+    png_features_roundtrip)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        base_grid = _png_grid_cache()
+        for pdf in it:
+            rows: dict[str, list] = {"doc_id": [], "hash_hi": [], "hash_lo": []}
+            for doc_id in pdf["doc_id"]:
+                hi, lo = _png_ahash_row(_png_payload(doc_id, base_grid))
+                rows["doc_id"].append(doc_id)
+                rows["hash_hi"].append(hi)
+                rows["hash_lo"].append(lo)
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id").mapInPandas(batches, schema=AHASH_SCHEMA)
 
 
 # --- REAL grayscale-baseline JPEG leg (round 7; operators/jpeg.py) ---------
@@ -566,6 +652,46 @@ def image_features_jpeg(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(batches, schema=JPEG_SCHEMA)
+
+
+def jpeg_features_roundtrip(docs: DataFrame, quality: int = 90) -> DataFrame:
+    """Fused synthesize→encode→decode→features JPEG round-trip in ONE
+    mapInPandas pass: identical payload bytes (same encode_jpeg_gray
+    call on the same gradient) and identical features (same
+    decode_jpeg_gray parse) as
+    image_features_jpeg(attach_jpeg_media(docs, quality)) — the T.81
+    codec round-trip is intact; only the Arrow crossings of the
+    payload column and the second chained Python worker per task are
+    removed (guide §4.1)."""
+    import numpy as np
+
+    from pyprima_spark.operators.jpeg import decode_jpeg_gray, encode_jpeg_gray
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: dict[str, list] = {
+                "doc_id": [], "width": [], "height": [],
+                "mean_y": [], "n_bytes": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w = 16 + d % 17
+                h = 16 + d % 11
+                yy, xx = np.mgrid[0:h, 0:w]
+                src = ((xx * 5 + yy * 3 + d) % 256).astype(np.uint8)
+                raw = encode_jpeg_gray(src, quality)
+                arr = decode_jpeg_gray(raw)
+                dh, dw = arr.shape
+                rows["doc_id"].append(doc_id)
+                rows["width"].append(dw)
+                rows["height"].append(dh)
+                rows["mean_y"].append(
+                    int(arr.astype(np.int64).sum() // (dw * dh))
+                )
+                rows["n_bytes"].append(len(raw))
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id").mapInPandas(batches, schema=JPEG_SCHEMA)
 
 
 # --- REAL MJPEG-AVI video leg (round 7; operators/video.py) ----------------

@@ -966,13 +966,16 @@ def multimodal_image(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline can have (a bug anywhere in encode, deflate, parse,
     unfilter, or the statistics breaks the match).
     """
-    from pyprima_spark.operators.multimodal import (
-        attach_png_media,
-        image_features_png,
-    )
+    from pyprima_spark.operators.multimodal import png_features_roundtrip
 
+    # r11: the staged form (image_features_png(attach_png_media(docs)))
+    # ran TWO chained Python workers per task — 2×32 simultaneous
+    # worker spawns at c32, the measured cause of this key's 32-core
+    # pathology (VERDICT r10 item 1; 13.7 s driver / 1.1 s at c8). The
+    # fused operator performs the identical encode→decode round-trip
+    # per doc inside ONE worker; payloads no longer cross Arrow.
     docs = _t(spark, sf_dir, "documents")
-    return image_features_png(attach_png_media(docs)).orderBy("doc_id")
+    return png_features_roundtrip(docs).orderBy("doc_id")
 
 
 ROUND6_QUERIES["multimodal_image"] = multimodal_image
@@ -1047,10 +1050,7 @@ def multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import math
 
-    from pyprima_spark.operators.multimodal import (
-        attach_jpeg_media,
-        image_features_jpeg,
-    )
+    from pyprima_spark.operators.multimodal import jpeg_features_roundtrip
 
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     nparts = max(
@@ -1058,7 +1058,10 @@ def multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
         math.ceil(docs.count() / _JPEG_DOCS_PER_TASK),
     )
     docs = docs.repartition(nparts)
-    feats = image_features_jpeg(attach_jpeg_media(docs))
+    # r11: fused single-worker round-trip (same T.81 bytes, same
+    # features) — see multimodal_image's note on the chained
+    # double-worker 32-core pathology.
+    feats = jpeg_features_roundtrip(docs)
     exp_mean = (
         "aggregate(sequence(0, height - 1), cast(0 as bigint), (acc, y) -> "
         "acc + aggregate(sequence(0, width - 1), cast(0 as bigint), (a, x) -> "

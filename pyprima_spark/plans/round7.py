@@ -3654,13 +3654,13 @@ def image_phash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup extension at scale is dedup_simhash's banded plan with
     df-cutoffs, already in the catalog).
     """
-    from pyprima_spark.operators.multimodal import (
-        attach_png_media,
-        image_ahash_png,
-    )
+    from pyprima_spark.operators.multimodal import png_ahash_roundtrip
 
+    # r11: fused single-worker round-trip (same bytes, same hashes) —
+    # see multimodal_image's note; this key shared the chained
+    # double-worker shape and its 32-core spawn stampede.
     docs = _t(spark, sf_dir, "documents")
-    hashes = image_ahash_png(attach_png_media(docs))
+    hashes = png_ahash_roundtrip(docs)
     return (
         hashes.groupBy("hash_hi", "hash_lo")
         .agg(

@@ -427,3 +427,49 @@ def test_stream_stream_outer_join_matches_batch(spark, sf_dir, tmp_path):
     if missing:
         late = batch_outer[batch_outer["purchase_id"].isin(missing)]
         assert (pd.to_datetime(late["p_ts"]) >= wm_cut - pd.Timedelta("1 hour")).all()
+
+
+def test_fused_roundtrips_match_staged_operators(spark):
+    """r11: the fused single-worker round-trip operators must produce
+    BYTE-IDENTICAL results to the staged attach->decode pipelines they
+    replace in the query bodies (multimodal_image, image_phash_groups,
+    multimodal_jpeg) — same encoder, same parser, no Arrow crossing of
+    the payload column."""
+    from pyprima_spark.operators.multimodal import (
+        attach_jpeg_media,
+        attach_png_media,
+        image_ahash_png,
+        image_features_jpeg,
+        image_features_png,
+        jpeg_features_roundtrip,
+        png_ahash_roundtrip,
+        png_features_roundtrip,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(37)], "doc_id long")
+
+    staged = {
+        r.doc_id: r
+        for r in image_features_png(attach_png_media(docs)).collect()
+    }
+    fused = {r.doc_id: r for r in png_features_roundtrip(docs).collect()}
+    assert staged == fused and len(fused) == 37
+
+    staged_h = {
+        r.doc_id: (r.hash_hi, r.hash_lo)
+        for r in image_ahash_png(attach_png_media(docs)).collect()
+    }
+    fused_h = {
+        r.doc_id: (r.hash_hi, r.hash_lo)
+        for r in png_ahash_roundtrip(docs).collect()
+    }
+    assert staged_h == fused_h
+
+    staged_j = {
+        r.doc_id: r
+        for r in image_features_jpeg(attach_jpeg_media(docs, 90)).collect()
+    }
+    fused_j = {
+        r.doc_id: r for r in jpeg_features_roundtrip(docs, 90).collect()
+    }
+    assert staged_j == fused_j
