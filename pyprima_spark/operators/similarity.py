@@ -57,9 +57,15 @@ def ann_topk(
     n_queries: int,
     k: int,
     id_col: str = "vec_id",
+    base: "DataFrame | None" = None,
 ) -> DataFrame:
-    """Brute-force cosine top-k of every vector against each query."""
-    base = with_vec_norm(emb)
+    """Brute-force cosine top-k of every vector against each query.
+
+    ``base`` lets a caller that composes several ANN passes (e.g.
+    ann_recall_eval) hand in ONE shared vec+norm derivation instead of
+    re-deriving it per pass (guide §2.4: duplicate subtrees)."""
+    if base is None:
+        base = with_vec_norm(emb)
     queries = base.filter(F.col(id_col) < n_queries).select(
         F.col(id_col).alias("query_id"),
         F.col("vec").alias("qvec"),
@@ -92,9 +98,13 @@ def ann_lsh(
     n_queries: int,
     k: int,
     id_col: str = "vec_id",
+    base: "DataFrame | None" = None,
 ) -> DataFrame:
-    """LSH-bucketed ANN: candidates share the query's hyperplane bucket."""
-    base = with_lsh_bucket(with_vec_norm(emb))
+    """LSH-bucketed ANN: candidates share the query's hyperplane bucket.
+
+    ``base`` (must already carry vec/nrm/bucket) — see ann_topk."""
+    if base is None:
+        base = with_lsh_bucket(with_vec_norm(emb))
     queries = base.filter(F.col(id_col) < n_queries).select(
         F.col(id_col).alias("query_id"),
         F.col("vec").alias("qvec"),

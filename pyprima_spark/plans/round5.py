@@ -1734,23 +1734,38 @@ def ab_test_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_users"),
         F.sum("conv").alias("n_converted"),
     )
-    wide = cells.agg(
-        F.sum(F.when(F.col("variant") == 0, F.col("n_converted"))).alias("a"),
-        F.sum(
-            F.when(F.col("variant") == 0, F.col("n_users") - F.col("n_converted"))
-        ).alias("b"),
-        F.sum(F.when(F.col("variant") == 1, F.col("n_converted"))).alias("c"),
-        F.sum(
-            F.when(F.col("variant") == 1, F.col("n_users") - F.col("n_converted"))
-        ).alias("d"),
+    # r11 (guide §2.4, the brier/decile pattern): the 2x2 totals ride a
+    # whole-partition window on the ≤2-row cell census instead of a
+    # separate aggregate crossJoined back — the former shape evaluated
+    # the per-user fact aggregate TWICE (once under stats, once for the
+    # output rows). Identical a/b/c/d integers, identical chi2 double.
+    wall = Window.partitionBy()
+    wide = (
+        cells.withColumn(
+            "a", F.sum(F.when(F.col("variant") == 0, F.col("n_converted"))).over(wall)
+        )
+        .withColumn(
+            "b",
+            F.sum(
+                F.when(F.col("variant") == 0, F.col("n_users") - F.col("n_converted"))
+            ).over(wall),
+        )
+        .withColumn(
+            "c", F.sum(F.when(F.col("variant") == 1, F.col("n_converted"))).over(wall)
+        )
+        .withColumn(
+            "d",
+            F.sum(
+                F.when(F.col("variant") == 1, F.col("n_users") - F.col("n_converted"))
+            ).over(wall),
+        )
     )
     chi2 = F.expr(
         "(a + b + c + d) * (a * d - b * c) * (a * d - b * c)"
         " / (cast((a + b) as double) * (c + d) * (a + c) * (b + d))"
     )
-    stats = wide.select(F.round(chi2, 4).alias("chi2"))
     return (
-        cells.crossJoin(F.broadcast(stats))
+        wide.withColumn("chi2", F.round(chi2, 4))
         .select(
             "variant",
             "n_users",
@@ -1874,16 +1889,32 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ground-truth pass — run at evaluation sample size, never corpus
     size.  Oracle: plans/oracles.py (composes the two ANN oracle CTEs).
     """
-    from pyprima_spark.plans.constants import ANN_K
-    from pyprima_spark.plans.queries import ann_lsh as q_lsh
-    from pyprima_spark.plans.queries import ann_topk as q_exact
+    from pyprima_spark.operators.checkpointing import materialize
+    from pyprima_spark.operators.similarity import (
+        ann_lsh as op_lsh,
+        ann_topk as op_exact,
+        with_lsh_bucket,
+        with_vec_norm,
+    )
+    from pyprima_spark.plans.constants import ANN_K, ANN_N_QUERIES
 
-    exact = q_exact(spark, sf_dir).select("query_id", "vec_id")
-    approx = q_lsh(spark, sf_dir).select(
+    # r11 (guide §2.4): the two composed passes each re-derived the
+    # vec+norm(+bucket) projection from the parquet scan — four
+    # embeddings scans with four HOF decodes in the executed plan. One
+    # materialized base now feeds both operators' query and candidate
+    # sides (identical expressions over identical rows, so the floats
+    # are bit-equal). The per-query top-k frames are ≤ n_queries*k
+    # rows, so the approx side broadcasts instead of sort-merging.
+    emb = _t(spark, sf_dir, "embeddings")
+    base = materialize(with_lsh_bucket(with_vec_norm(emb)))
+    exact = op_exact(emb, ANN_N_QUERIES, ANN_K, base=base).select(
+        "query_id", "vec_id"
+    )
+    approx = op_lsh(emb, ANN_N_QUERIES, ANN_K, base=base).select(
         "query_id", "vec_id", F.lit(1).alias("hit")
     )
     return (
-        exact.join(approx, ["query_id", "vec_id"], "left")
+        exact.join(F.broadcast(approx), ["query_id", "vec_id"], "left")
         .groupBy("query_id")
         .agg(
             F.count(F.lit(1)).alias("k"),

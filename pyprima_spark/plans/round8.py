@@ -1013,34 +1013,36 @@ def _hamming_recall_over(emb: DataFrame) -> DataFrame:
             F.expr("bit_count(qcode ^ code)").alias("ham"),
         )
     )
-    scored = materialize(scored)
+    # r11 (guide §2.4): both top-k elections partition by query_id, so
+    # they share ONE exchange as two windows over the same pass; the
+    # former shape materialized the pair table and re-read it four
+    # times (top_exact x2 consumers, top_ham x2) through three joins.
+    # n_hits = |top_exact ∩ top_ham| = count(rd<=K AND rh<=K) and
+    # ham_radius = max(ham among rh<=K) fold into one groupBy on the
+    # window's own partitioning — identical integers, and the
+    # single-consumer checkpoint job disappears.
     wd = Window.partitionBy("query_id").orderBy(F.desc("dot"), F.asc("vec_id"))
     wh = Window.partitionBy("query_id").orderBy(F.asc("ham"), F.asc("vec_id"))
-    top_exact = (
-        scored.withColumn("r", F.row_number().over(wd))
-        .filter(F.col("r") <= _BHR_K)
-        .select("query_id", "vec_id")
+    both = scored.select(
+        "query_id",
+        "ham",
+        F.row_number().over(wd).alias("rd"),
+        F.row_number().over(wh).alias("rh"),
     )
-    top_ham = (
-        scored.withColumn("r", F.row_number().over(wh))
-        .filter(F.col("r") <= _BHR_K)
-        .select("query_id", "vec_id", "ham")
-    )
-    hits = top_exact.join(
-        top_ham.select("query_id", "vec_id"), ["query_id", "vec_id"]
-    ).groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hits"))
-    radius = top_ham.groupBy("query_id").agg(F.max("ham").alias("ham_radius"))
     return (
-        top_exact.groupBy("query_id")
-        .agg(F.count(F.lit(1)).alias("k"))
-        .join(hits, "query_id", "left")
-        .join(radius, "query_id")
+        both.groupBy("query_id")
+        .agg(
+            F.count(
+                F.when((F.col("rd") <= _BHR_K) & (F.col("rh") <= _BHR_K), 1)
+            ).alias("n_hits"),
+            F.max(
+                F.when(F.col("rh") <= _BHR_K, F.col("ham"))
+            ).alias("ham_radius"),
+        )
         .select(
             "query_id",
-            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
-            F.expr(f"(10000 * coalesce(n_hits, 0)) div {_BHR_K}").alias(
-                "recall_bp"
-            ),
+            F.col("n_hits").alias("n_hits"),
+            F.expr(f"(10000 * n_hits) div {_BHR_K}").alias("recall_bp"),
             F.col("ham_radius").cast("bigint").alias("ham_radius"),
         )
         .orderBy("query_id")
@@ -4589,37 +4591,39 @@ def bh_fdr_control(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"coalesce(cast({chi} as bigint), 0)").alias("chi2_milli"),
         )
     )
-    other = tests.select(
-        F.col("chi2_milli").alias("o_chi"),
-        F.col("segment").alias("o_seg"),
-        F.col("region").alias("o_reg"),
-    )
-    ranked = (
-        tests.join(
-            F.broadcast(other),
-            F.expr(
-                "o_chi > chi2_milli OR (o_chi = chi2_milli AND"
-                " (o_seg < segment OR (o_seg = segment AND o_reg <= region)))"
-            ),
+    # r11 (guide §2.4): the predecessor-count was a 25x25 theta
+    # self-join + re-aggregate; (segment, region) is unique per row so
+    # the (chi2 desc, segment, region) order is TOTAL and the count of
+    # predecessors-including-self IS row_number() over that order —
+    # one window on the ≤25-row census, no join. k_max likewise rides
+    # a whole-partition window (the brier pattern) instead of a 1-row
+    # aggregate crossJoined back, so the ladder subtree evaluates once.
+    ranked = tests.withColumn(
+        "p_rank",
+        F.row_number()
+        .over(
+            Window.orderBy(
+                F.desc("chi2_milli"), F.asc("segment"), F.asc("region")
+            )
         )
-        .groupBy("segment", "region", "n", "chi2_milli")
-        .agg(F.count(F.lit(1)).alias("p_rank"))
+        .cast("long"),
     )
     ladder = ", ".join(str(v) for v in _BH_LADDER_MILLI)
     with_crit = ranked.withColumn(
         "crit_milli",
         F.expr(f"element_at(array({ladder}), cast(p_rank as int))"),
     )
-    kmax = with_crit.agg(
+    with_kmax = with_crit.withColumn(
+        "k_max",
         F.coalesce(
             F.max(
                 F.expr("CASE WHEN chi2_milli >= crit_milli THEN p_rank END")
-            ),
+            ).over(Window.partitionBy()),
             F.lit(0),
-        ).alias("k_max")
+        ),
     )
     return (
-        with_crit.crossJoin(F.broadcast(kmax))
+        with_kmax
         .select(
             "segment",
             "region",
