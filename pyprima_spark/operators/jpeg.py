@@ -146,6 +146,9 @@ _ZIGZAG = np.array(
     ],
     dtype=np.int64,
 )
+# Plain-list view for scalar writes in the decoder's hot loop (a numpy
+# scalar index costs ~10x a list index).
+_ZIGZAG_NAT = _ZIGZAG.tolist()
 
 # Orthonormal DCT-II basis: C[u, x] = a(u) * cos((2x+1) u pi / 16).
 _DCT = np.zeros((8, 8))
@@ -225,19 +228,37 @@ def _encode_block(writer, block, quant, dc_codes, ac_codes, prev_dc) -> int:
     predictor."""
     coef = _DCT @ block @ _DCT.T
     q = np.round(coef / quant).astype(np.int64)
-    zz = q.flatten()[_ZIGZAG]
-    diff = int(zz[0]) - prev_dc
+    zz = q.flatten()[_ZIGZAG].tolist()
+    return _encode_block_zz(writer, zz, dc_codes, ac_codes, prev_dc)
+
+
+def _batch_zz(blocks: np.ndarray, quant: np.ndarray) -> list:
+    """Forward-DCT + quantize a (b, 8, 8) block stack in one batched
+    matmul (r11, guide §4.2 — numpy dispatches the stack to the same
+    per-slice dgemm the per-block form used, so the quantized integers
+    are bit-identical) and return each block's zigzag coefficient list.
+    """
+    coef = np.matmul(np.matmul(_DCT, blocks), _DCT.T)
+    q = np.round(coef / quant).astype(np.int64)
+    return q.reshape(-1, 64)[:, _ZIGZAG].tolist()
+
+
+def _encode_block_zz(writer, zz: list, dc_codes, ac_codes, prev_dc) -> int:
+    """Entropy-encode one block's zigzag coefficient list."""
+    diff = zz[0] - prev_dc
     size, bits = _magnitude(diff)
     code, length = dc_codes[size]
     writer.write(code, length)
     if size:
         writer.write(bits, size)
     run = 0
-    last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
-    for k in range(1, 64):
-        v = int(zz[k])
-        if k > last_nz:
+    last_nz = 0
+    for k in range(63, 0, -1):
+        if zz[k]:
+            last_nz = k
             break
+    for k in range(1, last_nz + 1):
+        v = zz[k]
         if v == 0:
             run += 1
             continue
@@ -253,7 +274,7 @@ def _encode_block(writer, block, quant, dc_codes, ac_codes, prev_dc) -> int:
     if last_nz < 63:
         code, length = ac_codes[0x00]  # EOB
         writer.write(code, length)
-    return int(zz[0])
+    return zz[0]
 
 
 def encode_jpeg_gray(arr: np.ndarray, quality: int = 85) -> bytes:
@@ -272,12 +293,10 @@ def encode_jpeg_gray(arr: np.ndarray, quality: int = 85) -> bytes:
 
     writer = _BitWriter()
     prev_dc = 0
-    for by in range(0, img.shape[0], 8):
-        for bx in range(0, img.shape[1], 8):
-            prev_dc = _encode_block(
-                writer, img[by : by + 8, bx : bx + 8], quant,
-                _DC_CODES, _AC_CODES, prev_dc,
-            )
+    nby, nbx = img.shape[0] // 8, img.shape[1] // 8
+    stack = img.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    for zz in _batch_zz(stack, quant):
+        prev_dc = _encode_block_zz(writer, zz, _DC_CODES, _AC_CODES, prev_dc)
     entropy = writer.flush()
 
     dqt = _seg(0xFFDB, b"\x00" + _zz_bytes(quant))
@@ -366,25 +385,36 @@ def encode_jpeg_rgb(
 
     writer = _BitWriter()
     prev = [0, 0, 0]
-    for my in range(0, yp.shape[0], mcu_h):
-        for mx in range(0, yp.shape[1], mcu_w):
-            for by in range(vy):
-                for bx in range(hy):
-                    prev[0] = _encode_block(
-                        writer,
-                        yp[my + 8 * by : my + 8 * by + 8,
-                           mx + 8 * bx : mx + 8 * bx + 8],
-                        q_luma, _DC_CODES, _AC_CODES, prev[0],
-                    )
-            cy, cx = my // vy, mx // hy
-            prev[1] = _encode_block(
-                writer, cbp[cy : cy + 8, cx : cx + 8], q_chroma,
-                _DC_CODES_C, _AC_CODES_C, prev[1],
+    # Batch each component's forward DCT+quantize (bit-identical — see
+    # _batch_zz), then entropy-write in the interleaved MCU order:
+    # vy*hy luma blocks (row-major within the MCU), Cb, Cr.
+    nmy, nmx = yp.shape[0] // mcu_h, yp.shape[1] // mcu_w
+    y_stack = (
+        yp.reshape(nmy, vy, 8, nmx, hy, 8)
+        .transpose(0, 3, 1, 4, 2, 5)
+        .reshape(-1, 8, 8)
+    )
+    zz_y = _batch_zz(y_stack, q_luma)
+    zz_cb = _batch_zz(
+        cbp.reshape(nmy, 8, nmx, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8),
+        q_chroma,
+    )
+    zz_cr = _batch_zz(
+        crp.reshape(nmy, 8, nmx, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8),
+        q_chroma,
+    )
+    nluma = vy * hy
+    for i in range(nmy * nmx):
+        for b in range(nluma):
+            prev[0] = _encode_block_zz(
+                writer, zz_y[i * nluma + b], _DC_CODES, _AC_CODES, prev[0]
             )
-            prev[2] = _encode_block(
-                writer, crp[cy : cy + 8, cx : cx + 8], q_chroma,
-                _DC_CODES_C, _AC_CODES_C, prev[2],
-            )
+        prev[1] = _encode_block_zz(
+            writer, zz_cb[i], _DC_CODES_C, _AC_CODES_C, prev[1]
+        )
+        prev[2] = _encode_block_zz(
+            writer, zz_cr[i], _DC_CODES_C, _AC_CODES_C, prev[2]
+        )
     entropy = writer.flush()
 
     dqt = _seg(
@@ -412,6 +442,20 @@ def encode_jpeg_rgb(
 
 
 class _BitReader:
+    """Bit reader over the entropy-coded segment.
+
+    r11 (guide §4.2, per-task work): reads are bulk — ``read_bits(n)``
+    takes n bits off the accumulator in one arithmetic step, and the
+    Huffman path peeks 8 bits at a time against a 256-entry LUT
+    (``_decode_table``). The accumulator is trimmed after every
+    consume so it stays a machine int instead of growing with the
+    stream. Error semantics are byte-identical to the bit-at-a-time
+    form: ``_fill_soft`` never consumes past a marker or the end, so
+    a peek can never raise on bits the decode does not actually need;
+    the raising ``_fill`` produces the same messages when a needed
+    bit is truly missing.
+    """
+
     def __init__(self, data: bytes) -> None:
         self.data = data
         self.pos = 0
@@ -436,13 +480,46 @@ class _BitReader:
         self.acc = (self.acc << 8) | byte
         self.nbits += 8
 
+    def _fill_soft(self) -> bool:
+        """Like _fill but non-consuming and non-raising at a marker or
+        the end of data — peeks must not fail on padding bits a valid
+        stream never reads."""
+        data, pos = self.data, self.pos
+        if pos >= len(data):
+            return False
+        byte = data[pos]
+        if byte == 0xFF:
+            if pos + 1 >= len(data) or data[pos + 1] != 0x00:
+                return False  # marker (or truncated FF): leave for _fill
+            self.pos = pos + 2  # stuffed byte
+        else:
+            self.pos = pos + 1
+        self.acc = (self.acc << 8) | byte
+        self.nbits += 8
+        return True
+
+    def _try(self, n: int) -> bool:
+        while self.nbits < n:
+            if not self._fill_soft():
+                return False
+        return True
+
     def read_bit(self) -> int:
         if self.nbits == 0:
             self._fill()
         self.nbits -= 1
-        return (self.acc >> self.nbits) & 1
+        bit = (self.acc >> self.nbits) & 1
+        self.acc &= (1 << self.nbits) - 1
+        return bit
 
     def read_bits(self, n: int) -> int:
+        if n == 0:
+            return 0
+        if self._try(n):
+            self.nbits -= n
+            v = (self.acc >> self.nbits) & ((1 << n) - 1)
+            self.acc &= (1 << self.nbits) - 1
+            return v
         v = 0
         for _ in range(n):
             v = (v << 1) | self.read_bit()
@@ -450,7 +527,11 @@ class _BitReader:
 
 
 def _decode_table(bits: list[int], vals: list[int]):
-    """(code, length) -> symbol lookup dict."""
+    """(8-bit-prefix LUT, (code, length) -> symbol dict).
+
+    The LUT resolves every code of length <= 8 from one peek: entry =
+    (symbol << 5) | length, or -1 when the prefix starts a longer code.
+    The dict serves the >8-bit tail and the bit-at-a-time fallback."""
     table: dict[tuple[int, int], int] = {}
     code = 0
     k = 0
@@ -460,14 +541,42 @@ def _decode_table(bits: list[int], vals: list[int]):
             code += 1
             k += 1
         code <<= 1
-    return table
+    lut = [-1] * 256
+    for (code, length), sym in table.items():
+        if length <= 8:
+            base = code << (8 - length)
+            for suffix in range(1 << (8 - length)):
+                lut[base | suffix] = (sym << 5) | length
+    return lut, table
 
 
 def _read_symbol(reader: _BitReader, table) -> int:
+    lut, full = table
+    if reader._try(8):
+        ent = lut[(reader.acc >> (reader.nbits - 8)) & 0xFF]
+        if ent >= 0:
+            length = ent & 0x1F
+            reader.nbits -= length
+            reader.acc &= (1 << reader.nbits) - 1
+            return ent >> 5
+        for length in range(9, 17):
+            if not reader._try(length):
+                reader._fill()  # raises the exact truncation/marker error
+            sym = full.get(
+                ((reader.acc >> (reader.nbits - length))
+                 & ((1 << length) - 1), length)
+            )
+            if sym is not None:
+                reader.nbits -= length
+                reader.acc &= (1 << reader.nbits) - 1
+                return sym
+        raise ValueError("invalid Huffman code in JPEG stream")
+    # tail of the stream: walk bit-at-a-time so only bits the code
+    # actually needs are demanded (peeking would over-read padding)
     code = 0
     for length in range(1, 17):
         code = (code << 1) | reader.read_bit()
-        sym = table.get((code, length))
+        sym = full.get((code, length))
         if sym is not None:
             return sym
     raise ValueError("invalid Huffman code in JPEG stream")
@@ -482,10 +591,22 @@ def _extend(bits: int, size: int) -> int:
 def _decode_block(reader, dc_table, ac_table, quant, prev_dc):
     """Decode one entropy-coded block; returns (8x8 float block,
     new DC predictor)."""
-    zz = np.zeros(64, dtype=np.int64)
+    out = np.empty(64, dtype=np.int64)
+    prev_dc = _decode_block_coefs(reader, dc_table, ac_table, prev_dc, out)
+    coef = out.reshape(8, 8) * quant
+    return _DCT.T @ coef @ _DCT, prev_dc
+
+
+def _decode_block_coefs(reader, dc_table, ac_table, prev_dc, out) -> int:
+    """Entropy-decode one block's NATURAL-ORDER coefficients into
+    ``out`` (a 64-slot int64 row, zeroed here); returns the new DC
+    predictor. Split from the IDCT so the decoder can batch the
+    dequantize+IDCT across all blocks of a component (r11, guide
+    §4.2: one numpy call over the batch instead of six per block)."""
+    out[:] = 0
     size = _read_symbol(reader, dc_table)
     prev_dc += _extend(reader.read_bits(size), size)
-    zz[0] = prev_dc
+    out[0] = prev_dc  # zigzag index 0 IS natural index 0
     k = 1
     while k < 64:
         sym = _read_symbol(reader, ac_table)
@@ -500,12 +621,9 @@ def _decode_block(reader, dc_table, ac_table, quant, prev_dc):
         k += run
         if k > 63:
             raise ValueError("AC run past block end")
-        zz[k] = _extend(reader.read_bits(size), size)
+        out[_ZIGZAG_NAT[k]] = _extend(reader.read_bits(size), size)
         k += 1
-    nat = np.zeros(64, dtype=np.int64)
-    nat[_ZIGZAG] = zz
-    coef = nat.reshape(8, 8) * quant
-    return _DCT.T @ coef @ _DCT, prev_dc
+    return prev_dc
 
 
 def _decode_jpeg(payload: bytes) -> np.ndarray:
@@ -632,22 +750,38 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
     mcux = (w + mcu_w - 1) // mcu_w
     mcuy = (h + mcu_h - 1) // mcu_h
     reader = _BitReader(payload[scan_at:])
-    planes = [
-        np.zeros((mcuy * 8 * vs, mcux * 8 * hs), dtype=np.float64)
+    # r11 (guide §4.2): entropy-decode every block's natural-order
+    # coefficients first, then dequantize + IDCT each component as ONE
+    # batched matmul (numpy dispatches the (b,8,8) stack to the same
+    # per-slice dgemm the old per-block form used, so the floats are
+    # bit-identical — asserted by the codec round-trip tests).
+    coefs = [
+        np.empty((mcuy * mcux * hs * vs, 64), dtype=np.int64)
         for (_, _, _, hs, vs) in plan
     ]
     prev = [0] * nc
-    for my in range(mcuy):
-        for mx in range(mcux):
-            for ci, (dct, act, quant, hs, vs) in enumerate(plan):
-                for by in range(vs):
-                    for bx in range(hs):
-                        block, prev[ci] = _decode_block(
-                            reader, dct, act, quant, prev[ci]
-                        )
-                        y0 = (my * vs + by) * 8
-                        x0 = (mx * hs + bx) * 8
-                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
+    idx = [0] * nc
+    for _my in range(mcuy):
+        for _mx in range(mcux):
+            for ci, (dct, act, _quant, hs, vs) in enumerate(plan):
+                for _b in range(vs * hs):
+                    prev[ci] = _decode_block_coefs(
+                        reader, dct, act, prev[ci], coefs[ci][idx[ci]]
+                    )
+                    idx[ci] += 1
+    planes = []
+    for ci, (_dct, _act, quant, hs, vs) in enumerate(plan):
+        stack = coefs[ci].reshape(-1, 8, 8) * quant
+        blocks = np.matmul(np.matmul(_DCT.T, stack), _DCT)
+        # blocks arrive in MCU raster order: mcu-row, mcu-col, then the
+        # vs x hs sub-blocks row-major — undo that layout in one
+        # reshape/transpose instead of 8x8 slice writes per block.
+        plane = (
+            blocks.reshape(mcuy, mcux, vs, hs, 8, 8)
+            .transpose(0, 2, 4, 1, 3, 5)
+            .reshape(mcuy * vs * 8, mcux * hs * 8)
+        )
+        planes.append(plane)
     # upsample sub-resolution planes by pixel replication to full grid
     full = []
     for (_, _, _, hs, vs), plane in zip(plan, planes):
