@@ -554,7 +554,13 @@ def bm25_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     qterms = spark.createDataFrame(
         [(t,) for t in _BM25_TERMS], "term string"
     )
-    tf = (
+    # r11 (guide §2.4): tf feeds BOTH the df broadcast and the scored
+    # join — without a boundary the corpus tokenize+explode pass ran
+    # twice. tf is |query terms| x |matching docs| rows of three
+    # narrow columns (the postings slice every BM25 index persists),
+    # so the checkpoint is cheap at every scale and leaves ONE
+    # tokenize pass in the plan.
+    tf = materialize(
         docs.select("doc_id", F.explode("toks").alias("term"))
         .join(F.broadcast(qterms), "term")
         .groupBy("doc_id", "term")
