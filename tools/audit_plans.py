@@ -89,6 +89,12 @@ GLOBAL_WINDOW_BOUNDS = {
     # |days| in 1992-1998, time-bounded; the fact table collapses to
     # it map-side first)
     "acf_lags": 3000,
+    # r11: 2x2 totals over the |variants| cell census (2 measured;
+    # variants ∈ {0, 1} by the hash-gate construction)
+    "ab_test_chi2": 5,
+    # r11: rank + step-up windows over the segment x region test
+    # census (25 measured; 5 segments x 5 regions by construction)
+    "bh_fdr_control": 30,
 }
 
 # Entries whose global window sits ABOVE a materialize() stage
@@ -140,6 +146,16 @@ BNLJ_BUILD_BOUNDS = {
     "ann_ivf": 16,  # probe-list literal + nprobe centroid set ([1, 8] measured)
     "ann_recall_eval": 16,  # evaluates the same pushed query set (10 measured)
     "hard_negative_mining": 16,  # anchor set = vec_id < 10 pushed literal
+    # r11: the mod-25 eval query set (vec_id % 25 = 3; 80 measured at
+    # sf0.1, 20 at sf0.001/0.01). UNLIKE the pushed-literal rows above
+    # this bound scales with the corpus BY DESIGN — the key's docstring
+    # and its STRESS leg (hamming_recall) document the growth law, and
+    # the deployment contract is a fixed query set. The join itself is
+    # unchanged since the key landed; it only became VISIBLE to the
+    # plan walk when r11 removed the pair-table checkpoint above it
+    # (the same hidden-escape-hatch class VERDICT r7 item 5 closed for
+    # windows).
+    "binary_hamming_recall": 128,
 }
 
 # The physical-gate allowlist derives from the bounds table — a key
